@@ -1,0 +1,111 @@
+"""Inverted-index build: tokenize -> postings -> doc stats -> lexicon.
+
+Replaces the reference's per-record Extractor->MemQueue->Sink pipeline
+(reference: app/connectors_service/connectors/es/sink.py:6-19,577-719)
+with declarative Spark stages. Everything in this module is pure JVM
+expression code — tokenization via split/posexplode (no Python UDF),
+aggregation via Catalyst partial+final hash aggregates (map-side combine
+absorbs the Zipf hot-term skew for the counting aggregates).
+
+Scale notes (10^12-turn design):
+- groupBy(term, doc_id) keys are near-unique per token stream => skew-free.
+- groupBy(term) for df uses partial aggregation; the Zipf head collapses
+  map-side, so the shuffle carries ~P rows per hot term, not the postings.
+- doc-index assignment is a two-pass range partitioning (sample-balanced,
+  no single-point global sort) — see `assign_doc_indices`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from connectors_spark.functions.analysis import tokenize
+
+
+def with_doc_id(transcripts: DataFrame) -> DataFrame:
+    """doc_id = conv_id || ':' || turn_idx (string identity, mirrors the
+    reference's composite `_id`, reference: app/connectors_service/
+    connectors/sources/slack/datasource.py:205-207)."""
+    return transcripts.withColumn(
+        "doc_id", F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
+    )
+
+
+@dataclass
+class IndexFrames:
+    """Logical index: all DataFrames lazily defined, caller persists."""
+
+    postings: DataFrame   # (term, doc_id, tf, positions)
+    docs: DataFrame       # (doc_id, dl)
+    lexicon: DataFrame    # (term, df)
+    n_docs: int
+    avgdl: float
+
+
+def build_index(transcripts: DataFrame, stop_words: list[str] | None = None,
+                with_positions: bool = True) -> IndexFrames:
+    docs_base = with_doc_id(transcripts)
+    toks = tokenize(docs_base, "text", "doc_id", stop_words)
+
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    if with_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    postings = toks.groupBy("term", "doc_id").agg(*aggs)
+    if not with_positions:
+        postings = postings.withColumn(
+            "positions", F.lit(None).cast("array<int>")
+        )
+
+    # every doc counts toward N and avgdl, including zero-token docs
+    docs = (
+        docs_base.select("doc_id")
+        .join(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+              "doc_id", "left")
+        .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl"))
+    )
+
+    lexicon = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    n_docs, sum_dl = docs.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).first()
+    avgdl = float(sum_dl) / float(n_docs) if n_docs else 0.0
+    return IndexFrames(postings=postings, docs=docs, lexicon=lexicon,
+                       n_docs=int(n_docs), avgdl=avgdl)
+
+
+def assign_doc_indices(docs: DataFrame, num_ranges: int | None = None) -> DataFrame:
+    """(doc_idx, doc_id, dl): dense int64 ids, ordered by doc_id string.
+
+    Two-pass, no global single-partition sort: range-partition by doc_id
+    (sampled balanced ranges), count per partition, prefix-sum the counts
+    on the driver (P integers), then per-partition row_number + offset.
+    This is the scalable classic for dense-id assignment; at 10^12 docs
+    each range partition sorts independently.
+    """
+    spark = docs.sparkSession
+    if num_ranges is None:
+        num_ranges = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = docs.repartitionByRange(num_ranges, "doc_id").sortWithinPartitions("doc_id")
+    # persist: the frame is traversed twice (count pass + assign pass) and
+    # range boundaries come from sampling — pin them
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    counts = {r["_pid"]: r["n"] for r in
+              ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # partition ids are ordered by range => prefix sum gives offsets
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "_pid")
+        .select((F.col("_rn") + F.col("_off")).alias("doc_idx"), "doc_id", "dl")
+    )

@@ -1,0 +1,86 @@
+"""Query side: BM25 top-k over the postings index.
+
+Two paths, rank-identical by construction (shared score.py formulas):
+
+1. `score_topk_dataframe` — declarative DataFrame plan: broadcast the
+   (tiny) query-term table against postings, join doc lengths, hash-agg
+   per (query, doc), window top-k. Catalyst handles partial aggregation,
+   broadcast selection and AQE. This is the bulk-scoring path (the whole
+   query set in ONE Spark job — not a job per query).
+
+2. block-max WAND over the compressed index (operators/wand.py) — the
+   low-latency path that skips blocks via block-max upper bounds.
+
+The reference never implements scoring (Elasticsearch does, after the bulk
+call — reference: app/connectors_service/connectors/es/sink.py:212-248);
+this module is the from-scratch replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from connectors_spark import BM25_B, BM25_K1
+from connectors_spark.functions.analysis import tokens_col
+from connectors_spark.operators.build import IndexFrames
+from connectors_spark.operators.score import idf_col, tf_norm_col
+
+
+def queries_df(spark: SparkSession, queries: list[dict]) -> DataFrame:
+    """queries: [{query_id, query_text, k}] -> DataFrame."""
+    return spark.createDataFrame(
+        [(q["query_id"], q["query_text"], q.get("k", 10)) for q in queries],
+        "query_id string, query_text string, k int",
+    )
+
+
+def query_terms(qdf: DataFrame) -> DataFrame:
+    """(query_id, k, term) — duplicate terms within a query are scored once
+    (engine semantic; documented in FIXTURES.md §2)."""
+    return qdf.select(
+        "query_id", "k", F.explode(F.array_distinct(tokens_col(F.col("query_text")))).alias("term")
+    )
+
+
+def score_topk_dataframe(
+    index: IndexFrames,
+    qdf: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) for the whole query set in one plan.
+
+    Ties break (score DESC, doc_id ASC). Plan shape at scale: broadcast
+    qterms (|queries| * ~6 rows) + broadcast lexicon-of-matched-terms; the
+    only shuffle is the (query_id, doc_id) partial+final aggregation.
+    """
+    qterms = query_terms(qdf)
+    # df per matched term — tiny (<= distinct query terms), broadcast it
+    lex = index.lexicon.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    matched = index.postings.join(F.broadcast(qterms), "term").join(
+        F.broadcast(lex), "term"
+    )
+    matched = matched.join(index.docs, "doc_id")  # dl; broadcast-able if small
+    contrib = matched.select(
+        "query_id",
+        "k",
+        "doc_id",
+        (
+            idf_col(index.n_docs, F.col("df"))
+            * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
+        ).alias("w"),
+    )
+    scored = contrib.groupBy("query_id", "k", "doc_id").agg(
+        F.sum("w").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

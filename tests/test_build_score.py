@@ -1,0 +1,89 @@
+"""M1: end-to-end rank identity — Spark DataFrame BM25 vs NumPy oracle.
+
+Mirrors the reference test strategy of count+reconciliation ftests
+(reference: app/connectors_service/tests/ftest.sh:414-418) but stronger:
+rank-for-rank and score-for-score comparison on a seeded query set.
+"""
+
+import numpy as np
+import pytest
+
+from connectors_spark.operators.build import build_index, with_doc_id
+from connectors_spark.operators.query import queries_df, score_topk_dataframe
+from connectors_spark.oracle import OracleIndex
+from connectors_spark.synth import synth_queries, synth_transcripts
+
+N_CONVS = 150
+N_QUERIES = 60
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = synth_transcripts(spark, N_CONVS, seed=42).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle(transcripts):
+    rows = with_doc_id(transcripts).select("doc_id", "text").collect()
+    return OracleIndex([(r.doc_id, r.text) for r in rows])
+
+
+def test_synth_deterministic(spark):
+    a = synth_transcripts(spark, 10, seed=42, parallelism=1).orderBy("conv_id", "turn_idx").collect()
+    b = synth_transcripts(spark, 10, seed=42, parallelism=4).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+    c = synth_transcripts(spark, 10, seed=43).orderBy("conv_id", "turn_idx").collect()
+    assert a != c
+
+
+def test_transcripts_shape(transcripts):
+    assert transcripts.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    dups = (
+        transcripts.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+    )
+    assert dups == 0
+
+
+def test_index_stats_match_oracle(spark, transcripts, oracle):
+    idx = build_index(transcripts)
+    assert idx.n_docs == oracle.n_docs
+    assert abs(idx.avgdl - oracle.avgdl) < 1e-9
+    # spot-check df of the hottest term
+    hot = idx.lexicon.orderBy("term").filter("term = 't00001'").first()
+    assert hot is not None and hot["df"] == oracle.df("t00001")
+
+
+def test_rank_identity_dataframe_scorer(spark, transcripts, oracle):
+    queries = synth_queries(N_QUERIES, seed=42)
+    idx = build_index(transcripts, with_positions=False)
+    got = (
+        score_topk_dataframe(idx, queries_df(spark, queries))
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    exp = oracle.score_queryset(queries)
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert (g.query_id, g.rank, g.doc_id) == (e[0], e[1], e[2]), (g, e)
+        assert g.score == pytest.approx(e[3], rel=1e-9)
+
+
+def test_empty_and_absent_term_queries(spark, transcripts, oracle):
+    queries = [
+        {"query_id": "qa", "query_text": "zz9999absent", "k": 10},
+        {"query_id": "qb", "query_text": "", "k": 10},
+        {"query_id": "qc", "query_text": "t00001", "k": 3},
+    ]
+    idx = build_index(transcripts, with_positions=False)
+    got = score_topk_dataframe(idx, queries_df(spark, queries)).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert "qa" not in by_q and "qb" not in by_q
+    assert len(by_q["qc"]) == 3
+    exp = oracle.score_query("t00001", 3)
+    got_c = sorted(by_q["qc"], key=lambda r: r.rank)
+    assert [(r.doc_id) for r in got_c] == [d for d, _ in exp]
+    assert np.allclose([r.score for r in got_c], [s for _, s in exp], rtol=1e-9)
