@@ -45,10 +45,14 @@ class IndexFrames:
     avgdl: float
 
 
-def build_index(transcripts: DataFrame, stop_words: list[str] | None = None,
-                with_positions: bool = True) -> IndexFrames:
-    docs_base = with_doc_id(transcripts)
-    toks = tokenize(docs_base, "text", "doc_id", stop_words)
+def build_index(docs_base: DataFrame, stop_words: list[str] | None = None,
+                with_positions: bool = True, text_col: str = "text",
+                doc_id_col: str = "doc_id") -> IndexFrames:
+    """Build over any table with (doc_id, text) — e.g. the documents
+    testdata table or doc-id'd transcripts (see build_index_transcripts)."""
+    if doc_id_col != "doc_id":
+        docs_base = docs_base.withColumn("doc_id", F.col(doc_id_col))
+    toks = tokenize(docs_base, text_col, "doc_id", stop_words)
 
     aggs = [F.count(F.lit(1)).alias("tf")]
     if with_positions:
@@ -75,6 +79,10 @@ def build_index(transcripts: DataFrame, stop_words: list[str] | None = None,
     avgdl = float(sum_dl) / float(n_docs) if n_docs else 0.0
     return IndexFrames(postings=postings, docs=docs, lexicon=lexicon,
                        n_docs=int(n_docs), avgdl=avgdl)
+
+
+def build_index_transcripts(transcripts: DataFrame, **kw) -> IndexFrames:
+    return build_index(with_doc_id(transcripts), **kw)
 
 
 def assign_doc_indices(docs: DataFrame, num_ranges: int | None = None) -> DataFrame:

@@ -48,12 +48,16 @@ def score_topk_dataframe(
     qdf: DataFrame,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    round_scores: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) for the whole query set in one plan.
 
-    Ties break (score DESC, doc_id ASC). Plan shape at scale: broadcast
-    qterms (|queries| * ~6 rows) + broadcast lexicon-of-matched-terms; the
-    only shuffle is the (query_id, doc_id) partial+final aggregation.
+    Ties break (score DESC, doc_id ASC). With `round_scores=n`, ranking and
+    output use round(score, n) — makes ranks engine-independent (used by
+    the DuckDB-gated queries, where float sum order differs). Plan shape at
+    scale: broadcast qterms (|queries| * ~6 rows) + broadcast
+    lexicon-of-matched-terms; the only shuffle is the (query_id, doc_id)
+    partial+final aggregation.
     """
     qterms = query_terms(qdf)
     # df per matched term — tiny (<= distinct query terms), broadcast it
@@ -76,6 +80,8 @@ def score_topk_dataframe(
     scored = contrib.groupBy("query_id", "k", "doc_id").agg(
         F.sum("w").alias("score")
     )
+    if round_scores is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_scores))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )

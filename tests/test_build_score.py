@@ -8,7 +8,7 @@ rank-for-rank and score-for-score comparison on a seeded query set.
 import numpy as np
 import pytest
 
-from connectors_spark.operators.build import build_index, with_doc_id
+from connectors_spark.operators.build import build_index_transcripts, with_doc_id
 from connectors_spark.operators.query import queries_df, score_topk_dataframe
 from connectors_spark.oracle import OracleIndex
 from connectors_spark.synth import synth_queries, synth_transcripts
@@ -47,7 +47,7 @@ def test_transcripts_shape(transcripts):
 
 
 def test_index_stats_match_oracle(spark, transcripts, oracle):
-    idx = build_index(transcripts)
+    idx = build_index_transcripts(transcripts)
     assert idx.n_docs == oracle.n_docs
     assert abs(idx.avgdl - oracle.avgdl) < 1e-9
     # spot-check df of the hottest term
@@ -57,7 +57,7 @@ def test_index_stats_match_oracle(spark, transcripts, oracle):
 
 def test_rank_identity_dataframe_scorer(spark, transcripts, oracle):
     queries = synth_queries(N_QUERIES, seed=42)
-    idx = build_index(transcripts, with_positions=False)
+    idx = build_index_transcripts(transcripts, with_positions=False)
     got = (
         score_topk_dataframe(idx, queries_df(spark, queries))
         .orderBy("query_id", "rank")
@@ -76,7 +76,7 @@ def test_empty_and_absent_term_queries(spark, transcripts, oracle):
         {"query_id": "qb", "query_text": "", "k": 10},
         {"query_id": "qc", "query_text": "t00001", "k": 3},
     ]
-    idx = build_index(transcripts, with_positions=False)
+    idx = build_index_transcripts(transcripts, with_positions=False)
     got = score_topk_dataframe(idx, queries_df(spark, queries)).collect()
     by_q = {}
     for r in got:
