@@ -1,0 +1,143 @@
+"""Posting-list block codec: delta-gap + LEB128 varint, block-max metadata.
+
+Pure NumPy, vectorized in both directions (no per-int Python loops) — this
+runs inside Arrow-batched applyInPandas workers, so it must be fast on
+million-entry shards. Nothing like this exists in the reference (Lucene
+owns the index format there); the format follows the public
+block-max-index literature (VLDB'11 block-max WAND; FOR/varint postings).
+
+Layout per (term, shard):
+  doc_gaps : varint(delta(doc_idx sorted asc))     -- first value absolute
+  tfs      : varint(tf)
+  dls      : varint(dl)   -- per-posting doc length; lets the scorer
+                             recompute exact float64 BM25 (rank identity
+                             with the DataFrame path by construction)
+  blocks of BLOCK_SIZE entries, each with:
+    block_last_doc  : last absolute doc_idx (skip test without decode)
+    block_offsets   : byte offset of block start in doc_gaps
+    block_tf_offsets: byte offset in tfs (dls shares tf offsets? no — own)
+    block_max_w     : max over block of tf_norm(tf, dl) — multiply by idf
+                      at query time for the block-max WAND upper bound
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varint_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode uint64 values. Returns (buf, byte_offset_per_value)."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + nbytes[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    # fill byte position j of every value that has > j bytes
+    maxb = int(nbytes.max())
+    rem = v.copy()
+    for j in range(maxb):
+        mask = nbytes > j
+        idx = offsets[mask] + j
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        rem = rem >> np.uint64(7)
+    return out.tobytes(), offsets
+
+
+def varint_decode(buf: bytes, offset: int = 0, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 starting at byte `offset`; `count` values (or all)."""
+    b = np.frombuffer(buf, dtype=np.uint8)[offset:]
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = (b & 0x80) == 0
+    if count is not None:
+        # truncate to the bytes of the first `count` values
+        end_positions = np.flatnonzero(ends)
+        if count > len(end_positions):
+            raise ValueError("buffer underrun")
+        b = b[: end_positions[count - 1] + 1]
+        ends = ends[: len(b)]
+    vid = np.zeros(len(b), dtype=np.int64)
+    vid[1:] = np.cumsum(ends[:-1])
+    nvals = int(vid[-1]) + 1
+    starts = np.zeros(nvals, dtype=np.int64)
+    # first byte index of each value
+    if nvals > 1:
+        starts[1:] = np.flatnonzero(ends)[: nvals - 1] + 1
+    pos = np.arange(len(b), dtype=np.int64) - starts[vid]
+    vals = np.zeros(nvals, dtype=np.uint64)
+    np.add.at(
+        vals, vid, (b & np.uint64(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    )
+    return vals
+
+
+def encode_shard(doc_idx: np.ndarray, tf: np.ndarray, dl: np.ndarray,
+                 tf_norm: np.ndarray) -> dict:
+    """Encode one sorted (term, shard) posting run; returns column dict."""
+    order = np.argsort(doc_idx, kind="stable")
+    doc_idx = np.asarray(doc_idx, dtype=np.int64)[order]
+    tf = np.asarray(tf, dtype=np.int64)[order]
+    dl = np.asarray(dl, dtype=np.int64)[order]
+    tf_norm = np.asarray(tf_norm, dtype=np.float64)[order]
+    n = len(doc_idx)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = doc_idx[0]
+    gaps[1:] = np.diff(doc_idx).astype(np.uint64)
+    gap_buf, gap_off = varint_encode(gaps)
+    tf_buf, tf_off = varint_encode(tf.astype(np.uint64))
+    dl_buf, dl_off = varint_encode(dl.astype(np.uint64))
+    starts = np.arange(0, n, BLOCK_SIZE)
+    lasts = np.minimum(starts + BLOCK_SIZE, n) - 1
+    block_last_doc = doc_idx[lasts]
+    block_offsets = gap_off[starts]
+    block_tf_offsets = tf_off[starts]
+    block_dl_offsets = dl_off[starts]
+    block_max_w = np.maximum.reduceat(tf_norm, starts)
+    return {
+        "n_docs": n,
+        "doc_gaps": gap_buf,
+        "tfs": tf_buf,
+        "dls": dl_buf,
+        "block_last_doc": block_last_doc.tolist(),
+        "block_offsets": block_offsets.tolist(),
+        "block_tf_offsets": block_tf_offsets.tolist(),
+        "block_dl_offsets": block_dl_offsets.tolist(),
+        "block_max_w": block_max_w.tolist(),
+    }
+
+
+def decode_shard(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_idx, tf, dl) for an encoded row (dict-like / pd.Series)."""
+    n = int(row["n_docs"])
+    gaps = varint_decode(row["doc_gaps"], 0, n).astype(np.int64)
+    doc_idx = np.cumsum(gaps)
+    tf = varint_decode(row["tfs"], 0, n).astype(np.int64)
+    dl = varint_decode(row["dls"], 0, n).astype(np.int64)
+    return doc_idx, tf, dl
+
+
+def decode_block(row, block_i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only block `block_i` of an encoded row — the skip fast path."""
+    n = int(row["n_docs"])
+    starts = row["block_offsets"]
+    count = min(BLOCK_SIZE, n - block_i * BLOCK_SIZE)
+    gaps = varint_decode(row["doc_gaps"], int(starts[block_i]), count).astype(np.int64)
+    # first gap of a block is relative to the previous block's last doc
+    base = 0 if block_i == 0 else int(row["block_last_doc"][block_i - 1])
+    doc_idx = base + np.cumsum(gaps)
+    tf = varint_decode(row["tfs"], int(row["block_tf_offsets"][block_i]), count).astype(np.int64)
+    dl = varint_decode(row["dls"], int(row["block_dl_offsets"][block_i]), count).astype(np.int64)
+    return doc_idx, tf, dl

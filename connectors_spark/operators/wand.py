@@ -1,0 +1,212 @@
+"""Top-k kernels over the compressed index: exact vectorized + block-max WAND.
+
+Runs inside applyInPandas workers (one group per query). Two kernels:
+
+- `topk_exact`: decode the query's posting shards, accumulate
+  idf * tf_norm per doc with np.add.at (order = sorted-term order, same
+  accumulation order as the oracle), top-k via lexsort. No Python-level
+  per-doc loop; right choice when pruning can't win (few postings, or
+  every doc is a candidate).
+
+- `topk_wand`: document-at-a-time block-max WAND (VLDB'11 style): lists
+  sorted by current doc, pivot by cumulative upper bound vs the running
+  threshold, block-max check before full evaluation, block-granular
+  skipping via block_last_doc + searchsorted. Exact top-k (ties
+  score DESC, doc_id ASC) — pruning only discards docs that provably
+  cannot enter.
+
+`topk_auto` picks per query: small candidate volume -> exact; else WAND.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from connectors_spark.functions.codec import decode_block, decode_shard
+from connectors_spark.operators.score import tf_norm_np
+
+EXACT_PATH_MAX_POSTINGS = 1 << 19  # 512k entries: below this, brute numpy wins
+
+
+class ShardCursor:
+    """Cursor over one encoded (term, shard) run with block skipping."""
+
+    __slots__ = ("row", "idf", "k1", "b", "avgdl", "n", "n_blocks", "ub",
+                 "block_i", "docs", "tfs", "dls", "pos", "exhausted")
+
+    def __init__(self, row, idf: float, avgdl: float, k1: float, b: float):
+        self.row = row
+        self.idf = float(idf)
+        self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.n = int(row["n_docs"])
+        self.n_blocks = len(row["block_last_doc"])
+        # list-level upper bound: idf * max block_max_w
+        self.ub = self.idf * max(row["block_max_w"])
+        self.block_i = -1
+        self.exhausted = False
+        self._load_block(0)
+
+    def _load_block(self, bi: int):
+        if bi >= self.n_blocks:
+            self.exhausted = True
+            return
+        if bi != self.block_i:
+            self.docs, self.tfs, self.dls = decode_block(self.row, bi)
+            self.block_i = bi
+        self.pos = 0
+
+    def cur_doc(self) -> int:
+        return int(self.docs[self.pos])
+
+    def block_ub(self) -> float:
+        return self.idf * float(self.row["block_max_w"][self.block_i])
+
+    def block_last(self) -> int:
+        return int(self.row["block_last_doc"][self.block_i])
+
+    def score_cur(self) -> float:
+        tf, dl = float(self.tfs[self.pos]), float(self.dls[self.pos])
+        return self.idf * (tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)))
+
+    def advance(self):
+        """Move to the next posting."""
+        self.pos += 1
+        if self.pos >= len(self.docs):
+            self._load_block(self.block_i + 1)
+
+    def seek(self, target: int):
+        """Move to the first doc >= target (block-granular skip)."""
+        if self.exhausted:
+            return
+        if self.block_last() < target:
+            bi = int(np.searchsorted(
+                np.asarray(self.row["block_last_doc"], dtype=np.int64), target
+            ))
+            if bi >= self.n_blocks:
+                self.exhausted = True
+                return
+            self._load_block(bi)
+        p = int(np.searchsorted(self.docs[self.pos:], target)) + self.pos
+        if p >= len(self.docs):  # target beyond decoded block (== block_last case)
+            self.pos = len(self.docs) - 1
+            while not self.exhausted and self.cur_doc() < target:
+                self.advance()
+        else:
+            self.pos = p
+
+
+def _topk_from_scores(doc_idx: np.ndarray, scores: np.ndarray, k: int):
+    order = np.lexsort((doc_idx, -scores))[:k]
+    return doc_idx[order], scores[order]
+
+
+def topk_exact(shards_by_term: list[tuple[float, list]], k: int,
+               avgdl: float, k1: float, b: float):
+    """shards_by_term: [(idf, [encoded rows])] in SORTED term order."""
+    all_docs, all_w = [], []
+    for idf, rows in shards_by_term:
+        for row in rows:
+            d, tf, dl = decode_shard(row)
+            all_docs.append(d)
+            all_w.append(idf * tf_norm_np(tf, dl, avgdl, k1, b))
+    if not all_docs:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    docs = np.concatenate(all_docs)
+    ws = np.concatenate(all_w)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, ws)
+    return _topk_from_scores(uniq, acc, k)
+
+
+def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
+              avgdl: float, k1: float, b: float):
+    cursors = [
+        ShardCursor(row, idf, avgdl, k1, b)
+        for idf, rows in shards_by_term
+        for row in rows
+        if int(row["n_docs"]) > 0
+    ]
+    cursors = [c for c in cursors if not c.exhausted]
+    heap: list[tuple[float, int]] = []  # (score, -doc): min-heap on score
+    theta = -1.0
+
+    def offer(doc: int, score: float):
+        nonlocal theta
+        if len(heap) < k:
+            heapq.heappush(heap, (score, -doc))
+            if len(heap) == k:
+                theta = heap[0][0]
+        elif score > heap[0][0] or (score == heap[0][0] and -doc > heap[0][1]):
+            heapq.heapreplace(heap, (score, -doc))
+            theta = heap[0][0]
+
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc())
+        # pivot: first prefix whose summed ub can beat theta
+        acc_ub, pivot_i = 0.0, -1
+        for i, c in enumerate(live):
+            acc_ub += c.ub
+            if acc_ub > theta:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break  # nothing can beat theta
+        pivot_doc = live[pivot_i].cur_doc()
+        # extend pivot set to all lists already at pivot_doc
+        while pivot_i + 1 < len(live) and live[pivot_i + 1].cur_doc() == pivot_doc:
+            pivot_i += 1
+        if live[0].cur_doc() == pivot_doc:
+            # block-max refinement: sum of current-block ubs at pivot
+            bm_ub = 0.0
+            for c in live[: pivot_i + 1]:
+                if c.block_last() < pivot_doc:
+                    c.seek(pivot_doc)
+                    if c.exhausted:
+                        continue
+                bm_ub += c.block_ub() if c.block_last() >= pivot_doc else c.ub
+            if bm_ub <= theta and len(heap) == k:
+                # No doc covered ONLY by the pivot set can win inside the
+                # current blocks. Valid skip range ends at the earlier of
+                # (a) the smallest block end in the pivot set and (b) the
+                # next list's current doc — beyond (b), later lists start
+                # contributing (Ding&Suel BMW GetNewCandidate).
+                boundary = min(
+                    (c.block_last() for c in live[: pivot_i + 1] if not c.exhausted),
+                    default=pivot_doc,
+                )
+                target = boundary + 1
+                if pivot_i + 1 < len(live):
+                    target = min(target, live[pivot_i + 1].cur_doc())
+                for c in live[: pivot_i + 1]:
+                    if not c.exhausted and c.cur_doc() < target:
+                        c.seek(target)
+                continue
+            score = 0.0
+            for c in live[: pivot_i + 1]:
+                if not c.exhausted and c.cur_doc() == pivot_doc:
+                    score += c.score_cur()
+                    c.advance()
+            offer(pivot_doc, score)
+        else:
+            # advance lists before the pivot up to it
+            for c in live[:pivot_i]:
+                if c.cur_doc() < pivot_doc:
+                    c.seek(pivot_doc)
+    out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return (
+        np.array([-d for _, d in out], dtype=np.int64),
+        np.array([s for s, _ in out], dtype=np.float64),
+    )
+
+
+def topk_auto(shards_by_term, k, avgdl, k1, b):
+    total = sum(int(r["n_docs"]) for _, rows in shards_by_term for r in rows)
+    if total <= EXACT_PATH_MAX_POSTINGS or len(shards_by_term) == 1:
+        return topk_exact(shards_by_term, k, avgdl, k1, b)
+    return topk_wand(shards_by_term, k, avgdl, k1, b)

@@ -41,11 +41,14 @@ ENCODED_POSTINGS_SCHEMA = T.StructType(
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("n_docs", T.LongType(), False),
+        T.StructField("df", T.LongType(), False),
         T.StructField("doc_gaps", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
         T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
-        T.StructField("block_offsets", T.ArrayType(T.IntegerType()), False),
-        T.StructField("block_tf_offsets", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_offsets", T.ArrayType(T.LongType()), False),
+        T.StructField("block_tf_offsets", T.ArrayType(T.LongType()), False),
+        T.StructField("block_dl_offsets", T.ArrayType(T.LongType()), False),
         T.StructField("block_max_w", T.ArrayType(T.DoubleType()), False),
     ]
 )

@@ -1,0 +1,91 @@
+"""M3/M4: compressed index + WAND — rank identity vs oracle and vs the
+DataFrame scorer, with hot-term sharding forced on (tiny shard_cap)."""
+
+import numpy as np
+import pytest
+
+from connectors_spark.functions.codec import decode_shard
+from connectors_spark.operators.build import build_index_transcripts, with_doc_id
+from connectors_spark.operators.index import query_index, write_encoded_index
+from connectors_spark.oracle import OracleIndex
+from connectors_spark.synth import synth_queries, synth_transcripts
+
+N_CONVS = 120
+N_QUERIES = 50
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("index"))
+    t = synth_transcripts(spark, N_CONVS, seed=42).cache()
+    idx = build_index_transcripts(t, with_positions=False)
+    # shard_cap=200 forces multi-shard encoding for the Zipf head
+    write_encoded_index(idx, path, n_buckets=8, shard_cap=200)
+    rows = with_doc_id(t).select("doc_id", "text").collect()
+    oracle = OracleIndex([(r.doc_id, r.text) for r in rows])
+    return path, oracle
+
+
+def _assert_rank_identical(got_rows, exp, check_scores=True):
+    got = sorted(got_rows, key=lambda r: (r.query_id, r.rank))
+    assert len(got) == len(exp), (len(got), len(exp))
+    for g, e in zip(got, exp):
+        assert (g.query_id, g.rank, g.doc_id) == (e[0], e[1], e[2]), (g, e)
+        if check_scores:
+            assert g.score == pytest.approx(e[3], rel=1e-9)
+
+
+@pytest.mark.parametrize("kernel", ["exact", "wand", "auto"])
+def test_kernels_rank_identical_to_oracle(spark, built, kernel):
+    path, oracle = built
+    queries = synth_queries(N_QUERIES, seed=42)
+    got = query_index(spark, path, queries, kernel=kernel).collect()
+    exp = oracle.score_queryset(queries)
+    _assert_rank_identical(got, exp)
+
+
+def test_sharding_actually_happened(spark, built):
+    path, _ = built
+    enc = spark.read.parquet(f"{path}/postings")
+    multi = enc.groupBy("term").count().filter("count > 1").count()
+    assert multi > 0, "expected hot terms split into multiple shards"
+    # shards of one term are disjoint and union to df
+    import pyspark.sql.functions as F
+    bad = (
+        enc.groupBy("term")
+        .agg(F.sum("n_docs").alias("s"), F.first("df").alias("d"))
+        .filter("s <> d")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_roundtrip_postings_equal_uncompressed(spark, built):
+    path, oracle = built
+    enc = spark.read.parquet(f"{path}/postings").filter("term = 't00001'")
+    rows = enc.collect()
+    docmap = {r.doc_idx: r.doc_id for r in
+              spark.read.parquet(f"{path}/docmap").collect()}
+    got = {}
+    for r in rows:
+        d, tf, dl = decode_shard(r.asDict())
+        for di, t in zip(d, tf):
+            got[docmap[int(di)]] = int(t)
+    assert got == oracle.postings["t00001"]
+
+
+def test_wand_on_hot_only_query(spark, built):
+    """All-stopword-class query: WAND pruning path with full-corpus lists."""
+    path, oracle = built
+    queries = [{"query_id": "hot", "query_text": "t00001 t00002 t00003", "k": 10}]
+    got = query_index(spark, path, queries, kernel="wand").collect()
+    exp = oracle.score_queryset(queries)
+    _assert_rank_identical(got, exp)
+
+
+def test_k_larger_than_matches(spark, built):
+    path, oracle = built
+    q = [{"query_id": "rare", "query_text": "t49999 t49998", "k": 100}]
+    got = query_index(spark, path, q, kernel="wand").collect()
+    exp = oracle.score_queryset(q)
+    _assert_rank_identical(got, exp)
