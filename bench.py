@@ -1,0 +1,126 @@
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "extra": {...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32) -> local[N] and shuffle partitions
+
+Stages benched (wall seconds each):
+  index_build_transcripts  synth transcripts (scaled to sf) -> compressed
+                           on-disk index (tokenize/agg/encode/write)
+  bm25_queryset_dataframe  200-query BM25 top-k, one DataFrame plan
+  bm25_queryset_wand       same query set through the compressed index
+  bm25_documents_gate      flagship gate query on the sf documents table
+  sync_diff_events         full-outer create/update/skip/delete diff
+Extra: turns/sec for the build, wand p95 over sequential single queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TURNS_PER_SF = 2_000_000  # sf0.1 -> ~200k turns (~18.4 turns/conv avg)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from connectors_spark.session import get_spark
+    from connectors_spark.synth import synth_queries, synth_transcripts
+    from connectors_spark.operators.build import build_index_transcripts
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+    from connectors_spark.operators.query import queries_df, score_topk_dataframe
+    from connectors_spark import entry_queries
+
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+        return _T()
+
+    n_convs = max(50, int(TURNS_PER_SF * sf / 18.4))
+    idx_path = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        transcripts = synth_transcripts(spark, n_convs, seed=42)
+        with timed("index_build_transcripts"):
+            idx = build_index_transcripts(transcripts, with_positions=False)
+            write_encoded_index(idx, idx_path, n_buckets=max(16, cpus),
+                                shard_cap=1 << 18)
+        n_turns = idx.n_docs
+        extra["turns_indexed"] = n_turns
+        extra["build_turns_per_sec"] = round(
+            n_turns / timings["index_build_transcripts"], 1
+        )
+
+        queries = synth_queries(200, seed=42)
+        # materialize the logical index once; scoring stages then measure
+        # scoring, not re-tokenization
+        idx.postings.persist().count()
+        idx.docs.persist().count()
+        with timed("bm25_queryset_dataframe"):
+            qdf = queries_df(spark, queries)
+            score_topk_dataframe(idx, qdf).write.format("noop").mode("overwrite").save()
+
+        reader = IndexReader(spark, idx_path)
+        reader.postings.count()  # warm cache
+        with timed("bm25_queryset_wand"):
+            reader.topk(queries, kernel="auto").write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        # p95 single-query latency through the cached compressed index
+        lat = []
+        for q in queries[:40]:
+            t0 = time.time()
+            reader.topk([q], kernel="auto").collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        extra["wand_single_query_p95_sec"] = round(lat[int(0.95 * len(lat)) - 1], 3)
+        extra["wand_single_query_p50_sec"] = round(lat[len(lat) // 2], 3)
+
+        with timed("bm25_documents_gate"):
+            entry_queries.q_bm25_topk(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        with timed("sync_diff_events"):
+            entry_queries.q_sync_diff(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "index-build + BM25 top-k wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

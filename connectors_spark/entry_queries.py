@@ -387,3 +387,366 @@ def q_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .select("o_orderkey", "o_totalprice", "c_name", "n_name")
     )
+
+
+# =================================================================
+# Training-data pipeline: dedup (exact, MinHash+LSH, SimHash)
+# =================================================================
+
+from connectors_spark.operators.dedup import (  # noqa: E402
+    exact_dup_groups, minhash_near_dups, simhash_bits,
+)
+from connectors_spark.functions.analysis import tokenize_sql_duckdb as _tok_sql  # noqa: E402
+
+_ARR = _tok_sql("text")
+
+_DDB_TOKS_POS = f"""
+toks AS (
+  SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos
+  FROM (SELECT doc_id, {_ARR} AS arr FROM documents)
+)"""
+
+_DDB_SHINGLES = _DDB_TOKS_POS + """,
+sh0 AS (
+  SELECT doc_id, t,
+         lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, t || ' ' || t1 || ' ' || t2 AS shingle
+  FROM sh0 WHERE t2 IS NOT NULL
+)"""
+
+
+@register(
+    "dedup_exact",
+    f"WITH norm AS (SELECT doc_id, md5(array_to_string({_ARR}, ' ')) AS text_md5 "
+    "FROM documents) "
+    "SELECT text_md5, count(*) AS n_dups, min(doc_id) AS min_doc_id "
+    "FROM norm GROUP BY text_md5 HAVING count(*) >= 2",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_read(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle_sql() -> str:
+    sigs = ", ".join(
+        f"min(md5('{i}' || '|' || shingle)) AS s{i}" for i in range(16)
+    )
+    band_rows = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"s{b * 4 + r}" for r in range(4))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {_DDB_SHINGLES},
+sigs AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT p.doc_a, p.doc_b, coalesce(i.n_inter, 0) AS n_inter,
+       na.n_sh AS n_a, nb.n_sh AS n_b,
+       round(coalesce(i.n_inter, 0) / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes na ON na.doc_id = p.doc_a
+JOIN sizes nb ON nb.doc_id = p.doc_b
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle_sql())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dups(_read(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SQL = f"""
+WITH {_DDB_TOKS_POS},
+tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks GROUP BY doc_id, t),
+bitsrc AS (
+  SELECT doc_id, j, tf, md5(term) AS h
+  FROM tf CROSS JOIN (SELECT unnest(range(64)) AS j)
+),
+per_bit AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(tf * (2 * (((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1) >> CAST(3 - (j % 4) AS INT)) & 1) - 1)) > 0
+              THEN '1' ELSE '0' END AS bc
+  FROM bitsrc GROUP BY doc_id, j
+)
+SELECT doc_id, string_agg(bc, '' ORDER BY j) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+@register("simhash", _SIMHASH_SQL)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_bits(_read(spark, sf_dir, "documents"))
+
+
+# =================================================================
+# Text analysis: language ID, quality, token counts, fingerprint
+# =================================================================
+
+from connectors_spark.functions.text import (  # noqa: E402
+    LANG_MARKERS, fingerprint, lang_id, quality_features, token_counts,
+)
+from connectors_spark.functions.analysis import ENGLISH_STOP  # noqa: E402
+
+
+def _lang_id_sql() -> str:
+    vals = ", ".join(
+        f"('{lang}', '{m}')"
+        for lang, ms in sorted(LANG_MARKERS.items()) for m in ms
+    )
+    return f"""
+WITH {_DDB_TOKS_POS},
+markers AS (SELECT * FROM (VALUES {vals}) AS v(lang, term)),
+hits AS (
+  SELECT doc_id, lang, count(*) AS n_hits
+  FROM toks JOIN markers ON toks.t = markers.term
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, n_hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang ASC) AS r
+  FROM hits
+)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+       coalesce(b.n_hits, 0) AS n_hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE r = 1) b USING (doc_id)
+"""
+
+
+@register("lang_id", _lang_id_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+def _quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in ENGLISH_STOP)
+    return f"""
+WITH base AS (SELECT doc_id, text, {_ARR} AS arr FROM documents),
+feat AS (
+  SELECT doc_id, length(text) AS n_chars, len(arr) AS n_tokens,
+         len(list_filter(arr, t -> t IN ({stop}))) AS n_stop,
+         list_sum(list_transform(arr, t -> length(t))) AS total_len
+  FROM base
+),
+calc AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN total_len / n_tokens ELSE 0.0 END AS mean_len,
+         CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio
+  FROM feat
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(mean_len, 6) AS mean_token_len,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(0.3 * least(1.0, n_tokens / 100.0)
+           + 0.4 * greatest(0.0, 1.0 - abs(stop_ratio - 0.4) / 0.4)
+           + 0.3 * greatest(0.0, 1.0 - abs(mean_len - 5.0) / 5.0), 6) AS quality
+FROM calc
+"""
+
+
+@register("quality_score", _quality_sql())
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    f"SELECT doc_id, "
+    "len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens, "
+    f"len({_ARR}) AS n_tokens, "
+    f"coalesce(list_sum(list_transform({_ARR}, t -> CAST(ceil(length(t) / 4) AS BIGINT))), 0) AS n_subwords "
+    "FROM documents",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "fingerprint",
+    "SELECT doc_id, CASE WHEN length(lower(text)) >= 8 THEN "
+    "list_min(list_transform(range(1, greatest(0, length(lower(text)) - 7) + 1), "
+    "i -> md5(substr(lower(text), CAST(i AS INT), 8)))) "
+    "ELSE md5(lower(text)) END AS fp FROM documents",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_read(spark, sf_dir, "documents"))
+
+
+# =================================================================
+# Similarity search over embeddings (brute-force + IVF)
+# =================================================================
+
+from connectors_spark.operators.similarity import (  # noqa: E402
+    brute_force_cosine_topk, ivf_cosine_topk,
+)
+
+EMB_DIM = 64  # embeddings.embedding is FLOAT[64] in the testdata
+
+# element-indexed dot products (this DuckDB build miscompiles LATERAL
+# parallel unnest; embedding[i] indexing is 1-based like substr)
+_DIMS_SQL = f"dims AS (SELECT unnest(range(1, {64 + 1})) AS i)"
+
+_NORMS_SQL = f"""
+{_DIMS_SQL},
+norms AS (
+  SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN dims
+  GROUP BY vec_id
+)"""
+
+
+def _cosine_sql(query_mod: int, k: int) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id % {query_mod} = 0),
+{_NORMS_SQL},
+dots AS (
+  SELECT d.vec_id, q.query_id,
+         sum(CAST(d.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot
+  FROM embeddings d CROSS JOIN q CROSS JOIN dims
+  WHERE d.vec_id <> q.query_id
+  GROUP BY d.vec_id, q.query_id
+),
+scored AS (
+  SELECT query_id, dots.vec_id,
+         round(dot / (nq.nrm * nd.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nd ON nd.vec_id = dots.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ANN_QUERY_MOD = 50
+ANN_K = 10
+
+
+@register("ann_cosine_topk", _cosine_sql(ANN_QUERY_MOD, ANN_K))
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return brute_force_cosine_topk(emb, qs, k=ANN_K)
+
+
+IVF_QUERY_MOD = 100
+IVF_CENTROID_MOD = 25
+IVF_NPROBE = 4
+
+
+def _ivf_sql() -> str:
+    return f"""
+WITH {_NORMS_SQL},
+cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
+          WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+ccos AS (
+  SELECT d.vec_id, c.cell,
+         round(sum(CAST(d.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
+               / (any_value(nd.nrm) * any_value(nc.nrm)), 6) AS ccos
+  FROM embeddings d CROSS JOIN cents c CROSS JOIN dims
+  JOIN norms nd ON nd.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = c.cell
+  GROUP BY d.vec_id, c.cell
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+    FROM ccos) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id % {IVF_QUERY_MOD} = 0),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY cc.ccos DESC, c.cell ASC) AS r
+    FROM q JOIN ccos cc ON cc.vec_id = q.query_id JOIN cents c ON c.cell = cc.cell)
+  WHERE r <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, cl.vec_id
+  FROM probes p JOIN cells cl ON cl.cell = p.cell
+  WHERE cl.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.vec_id,
+         sum(CAST(d.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot
+  FROM cand c
+  JOIN embeddings d ON d.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  CROSS JOIN dims
+  GROUP BY c.query_id, c.vec_id
+),
+scored AS (
+  SELECT query_id, dots.vec_id, round(dot / (nq.nrm * nd.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nd ON nd.vec_id = dots.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+@register("ann_ivf_topk", _ivf_sql())
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % IVF_QUERY_MOD == 0)
+    return ivf_cosine_topk(
+        emb, qs, k=ANN_K, centroid_mod=IVF_CENTROID_MOD, nprobe=IVF_NPROBE
+    )
+
+
+# =================================================================
+# DLS decoration + query (F9)
+# =================================================================
+
+
+@register(
+    "dls_filter",
+    "SELECT doc_id, source, lang FROM documents "
+    "WHERE list_has_any(['src:' || source, 'lang:' || lang], "
+    "['src:src3', 'lang:en'])",
+)
+def q_dls_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_allow_access_control decoration + arrays_overlap query filter
+    (reference: app/connectors_service/connectors/access_control.py:7-53)."""
+    docs = _read(spark, sf_dir, "documents")
+    acl = F.array(
+        F.concat(F.lit("src:"), F.col("source")),
+        F.concat(F.lit("lang:"), F.col("lang")),
+    )
+    identities = F.array(F.lit("src:src3"), F.lit("lang:en"))
+    return (
+        docs.withColumn("_allow_access_control", acl)
+        .filter(F.arrays_overlap(F.col("_allow_access_control"), identities))
+        .select("doc_id", "source", "lang")
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure JVM Column expressions (codegen'd); each has an exact DuckDB SQL
+twin in entry_queries.py. The heuristics are deliberately simple,
+deterministic re-implementations of the standard recipes (stopword-marker
+language ID, length/punct/stopword quality features, whitespace + 4-char
+subword token estimate, min-hash-of-character-8-grams fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from connectors_spark.functions.analysis import ENGLISH_STOP, tokens_col
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "en": ["the", "a", "is", "and", "of", "to", "in"],
+    "es": ["el", "los", "las", "y", "es", "que", "un"],
+    "fr": ["le", "les", "et", "est", "que", "une", "dans"],
+}
+
+FINGERPRINT_NGRAM = 8
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang, n_hits) — argmax marker hits, ties lang ASC,
+    zero hits -> 'und' (undetermined)."""
+    spark = df.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, m) for lang, ms in sorted(LANG_MARKERS.items()) for m in ms],
+        "lang string, term string",
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    hits = (
+        toks.join(F.broadcast(markers), "term")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = hits.withColumn("r", F.row_number().over(w)).filter("r = 1")
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio, quality).
+
+    quality = clamp01(0.3*len_score + 0.4*stop_score + 0.3*tok_score):
+      len_score  = least(1, n_tokens/100)
+      stop_score = 1 - |stopword_ratio - 0.4| / 0.4  (clamped at 0)
+      tok_score  = 1 - |mean_token_len - 5| / 5      (clamped at 0)
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*ENGLISH_STOP)))
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = F.when(n_tokens > 0, total_len / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    stop_score = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.abs(stop_ratio - 0.4) / F.lit(0.4)
+    )
+    tok_score = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.abs(mean_len - 5.0) / F.lit(5.0)
+    )
+    quality = 0.3 * len_score + 0.4 * stop_score + 0.3 * tok_score
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text).alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_tokens, n_subwords) — whitespace split,
+    analyzer tokens, and a BPE-ish ceil(len/4) subword estimate."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    ws = F.filter(F.split(text, " "), lambda t: t != "")
+    n_subwords = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("int")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_subwords.cast("long").alias("n_subwords"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", n: int = FINGERPRINT_NGRAM) -> DataFrame:
+    """(doc_id, fp) — min md5 over character n-grams of lower(text);
+    short/empty text falls back to md5(lower(text)). A winnowing-style
+    content fingerprint robust to local edits."""
+    low = F.lower(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(0, length(lower({text_col})) - {n - 1})), "
+        f"i -> md5(substr(lower({text_col}), i, {n})))"
+    )
+    fp = F.when(F.length(low) >= n, F.array_min(grams)).otherwise(F.md5(low))
+    return df.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))

@@ -1,0 +1,178 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot paths are JVM Column expressions (md5 / min / groupBy / join —
+whole-stage codegen), no Python UDFs:
+
+- exact_dup_groups: hash-groupBy on normalized text digest.
+- minhash_signatures / lsh_candidate_pairs: word-shingle MinHash + banded
+  LSH. The "permutation" family is min(md5(i || '|' || shingle)) — md5 hex
+  strings compare bytewise-identically in Spark, DuckDB and Python, which
+  keeps the DuckDB oracle exact. Banding with (bands, rows_per_band) gives
+  the usual S-curve collision probability 1-(1-j^r)^b.
+- pair_jaccard: exact shingle-set Jaccard verify for candidate pairs
+  (the n-gram Jaccard near-dup measure).
+- simhash_bits: tf-weighted 64-bit SimHash, emitted as a '0'/'1' string
+  (bitstring avoids int64 sign pitfalls across engines).
+
+Scale notes: minhash signature agg is one groupBy(doc) over the distinct
+(doc, shingle) frame; LSH bucket join shuffles on (band_idx, band_hash) —
+bucket sizes are bounded by banding, and the pair self-join is on bucket
+keys, never a full cross join. Mirrors MinHashLSH literature; nothing in
+the reference does dedup (ES handles nothing similar) — this is the
+engine-native extension surface (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from connectors_spark.functions.analysis import tokens_col
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+SHINGLE_N = 3
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical text for exact dup: analyzer tokens re-joined."""
+    return F.array_join(tokens_col(text), " ")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(text_md5, n_dups, min_doc_id) for groups of exact (normalized)
+    duplicates, n_dups >= 2."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(normalized_text(F.col(text_col))).alias("text_md5"),
+        )
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    sh = toks.select(
+        "doc_id", F.concat_ws(" ", *cols).alias("shingle"),
+        cols[-1].isNotNull().alias("_full"),
+    )
+    return sh.filter("_full").select("doc_id", "shingle").distinct()
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, s0..s{n-1}) — min over md5(i || '|' || shingle)."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"s{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = BANDS,
+                        rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """(doc_a, doc_b) distinct pairs sharing >= 1 LSH band."""
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    exploded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bnd")
+    ).select("doc_id", "bnd.band_idx", "bnd.band_hash")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def pair_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b, jaccard) exact shingle Jaccard."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                   .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_inter", "n_a", "n_b",
+        F.round(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+        ).alias("jaccard"),
+    )
+
+
+def minhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """End-to-end: shingle -> minhash -> LSH bands -> exact-Jaccard verify."""
+    sh = doc_shingles(df, text_col, id_col)
+    sigs = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sigs)
+    return pair_jaccard(pairs, sh)
+
+
+def simhash_bits(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted SimHash as a '0'/'1' bitstring.
+
+    Bit j of md5(term): hex char j//4, nibble bit 3-j%4. Contribution
+    tf * (2*bit - 1); sign of the sum sets the output bit.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.md5("term"))
+    )
+    # shiftright with a column shift amount needs the SQL form
+    bit = F.expr(
+        "shiftright(instr('0123456789abcdef', substring(h, cast(j / 4 as int) + 1, 1)) - 1, "
+        "cast(3 - j % 4 as int)) % 2"
+    )
+    contrib = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        "tf", "h",
+    ).select(
+        "doc_id", "j",
+        (F.col("tf") * (bit * 2 - 1)).alias("c"),
+    )
+    per_bit = contrib.groupBy("doc_id", "j").agg(
+        F.when(F.sum("c") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bc")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "bc"))), lambda s: s["bc"]
+            ),
+            "",
+        ).alias("simhash")
+    )

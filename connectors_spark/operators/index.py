@@ -40,6 +40,89 @@ DEFAULT_SHARD_CAP = 1 << 20  # 1M postings per encoded shard
 DEFAULT_BUCKETS = 64
 
 
+def bucket_of(term: str, n_buckets: int) -> int:
+    """Driver-side twin of bucket_col — lets the query planner prune
+    partitions without a Spark job."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def bucket_col(term: F.Column | str, n_buckets: int) -> F.Column:
+    """Executor-side term->bucket (same value as bucket_of)."""
+    c = F.col(term) if isinstance(term, str) else term
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+
+
+def shard_cols(shard_cap: int) -> list:
+    """n_shards/shard columns splitting hot terms by doc hash."""
+    n_shards = F.greatest(
+        F.lit(1), F.ceil(F.col("df") / F.lit(shard_cap))
+    ).cast("int")
+    return [
+        n_shards.alias("n_shards"),
+        F.pmod(F.xxhash64("doc_id"), n_shards).cast("int").alias("shard"),
+    ]
+
+
+def make_encode_partition(avgdl: float, k1: float, b: float):
+    """Streaming per-partition encoder for mapInPandas.
+
+    Input partitions are hash-distributed by (term, shard) and sorted by
+    (term, shard, doc_idx); Arrow may split one run across batches, so the
+    tail run of every batch is carried into the next. One pandas call per
+    PARTITION (not per term) — the per-group overhead that dominates
+    groupBy().applyInPandas with Zipf-tail terms disappears.
+    """
+
+    out_cols = [f.name for f in ENCODED_POSTINGS_SCHEMA.fields]
+
+    def encode_partition(batches):
+        carry: pd.DataFrame | None = None
+        out: list[dict] = []
+
+        def flush(g: pd.DataFrame):
+            tf = g["tf"].to_numpy(dtype=np.int64)
+            dl = g["dl"].to_numpy(dtype=np.int64)
+            enc = encode_shard(
+                g["doc_idx"].to_numpy(dtype=np.int64), tf, dl,
+                tf_norm_np(tf, dl, avgdl, k1, b),
+            )
+            out.append({
+                "term": g["term"].iloc[0],
+                "bucket": int(g["bucket"].iloc[0]),
+                "shard": int(g["shard"].iloc[0]),
+                "df": int(g["df"].iloc[0]),
+                **enc,
+            })
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            key = pdf["term"].astype(str) + "\x00" + pdf["shard"].astype(str)
+            last = key.iloc[-1]
+            tail = key == last  # sorted => the run is contiguous at the end
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                for _, g in body.groupby(["term", "shard"], sort=False):
+                    flush(g)
+            if len(out) >= 2048:
+                yield pd.DataFrame(out, columns=out_cols)
+                out = []
+        if carry is not None and len(carry):
+            flush(carry)
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return encode_partition
+
+
 def write_encoded_index(
     index: IndexFrames,
     path: str,
@@ -54,44 +137,9 @@ def write_encoded_index(
     docmap = spark.read.parquet(f"{path}/docmap")
 
     avgdl, n_docs = index.avgdl, index.n_docs
-    p = (
-        index.postings.select("term", "doc_id", "tf")
-        .join(docmap.select("doc_id", "doc_idx", "dl"), "doc_id")
-        .join(index.lexicon, "term")  # df column; Zipf head is heavy -> AQE skew join
-        .withColumn(
-            "n_shards",
-            F.greatest(F.lit(1), F.ceil(F.col("df") / F.lit(shard_cap))).cast("int"),
-        )
-        .withColumn(
-            "shard",
-            F.pmod(F.xxhash64("doc_id"), F.col("n_shards")).cast("int"),
-        )
-    )
-
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        dfreq = int(pdf["df"].iloc[0])
-        tf = pdf["tf"].to_numpy(dtype=np.int64)
-        dl = pdf["dl"].to_numpy(dtype=np.int64)
-        tfn = tf_norm_np(tf, dl, avgdl, k1, b)
-        enc = encode_shard(pdf["doc_idx"].to_numpy(dtype=np.int64), tf, dl, tfn)
-        return pd.DataFrame(
-            [{
-                "term": term,
-                "bucket": -1,  # filled by a column expr after
-                "shard": shard,
-                "df": dfreq,
-                **enc,
-            }]
-        )
-
-    encoded = (
-        p.groupBy("term", "shard")
-        .applyInPandas(encode_group, schema=ENCODED_POSTINGS_SCHEMA)
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-        )
+    encoded = encode_postings(
+        index.postings, docmap, index.lexicon, avgdl,
+        n_buckets=n_buckets, shard_cap=shard_cap, k1=k1, b=b,
     )
     encoded.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
 
@@ -103,9 +151,122 @@ def write_encoded_index(
         json.dump(meta, f)
 
 
+def encode_postings(
+    postings: DataFrame,
+    docmap: DataFrame,
+    lexicon: DataFrame,
+    avgdl: float,
+    n_buckets: int = DEFAULT_BUCKETS,
+    shard_cap: int = DEFAULT_SHARD_CAP,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(uncompressed postings, docmap, lexicon) -> encoded shard rows.
+
+    Shuffle plan: one repartition on (term, shard) + in-partition sort,
+    then a single streaming mapInPandas pass. The lexicon join feeds df
+    (shard fan-out for the Zipf head); AQE skew-join handles the join-side
+    skew, sharding bounds the group size."""
+    spark = postings.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    p = (
+        postings.select("term", "doc_id", "tf")
+        .join(docmap.select("doc_id", "doc_idx", "dl"), "doc_id")
+        .join(lexicon, "term")
+        .select("term", "doc_idx", "tf", "dl", "df", *shard_cols(shard_cap))
+        .withColumn("bucket", bucket_col("term", n_buckets))
+    )
+    sorted_p = p.repartition(num_partitions, "term", "shard").sortWithinPartitions(
+        "term", "shard", "doc_idx"
+    )
+    return sorted_p.mapInPandas(
+        make_encode_partition(avgdl, k1, b), schema=ENCODED_POSTINGS_SCHEMA
+    )
+
+
 def read_meta(path: str) -> dict:
     with open(os.path.join(path, "meta.json")) as f:
         return json.load(f)
+
+
+class IndexReader:
+    """Cached handle on an encoded index — reuse across queries so
+    per-query latency is kernel time, not parquet listing/scan time."""
+
+    def __init__(self, spark: SparkSession, path: str, cache: bool = True):
+        self.spark = spark
+        self.path = path
+        self.meta = read_meta(path)
+        self.postings = spark.read.parquet(f"{path}/postings")
+        self.docmap = spark.read.parquet(f"{path}/docmap").select(
+            "doc_idx", "doc_id"
+        )
+        if cache:
+            self.postings = self.postings.persist()
+            self.docmap = self.docmap.persist()
+
+    def unpersist(self):
+        self.postings.unpersist()
+        self.docmap.unpersist()
+
+    def topk(self, queries: list[dict], kernel: str = "auto") -> DataFrame:
+        """(query_id, rank, doc_id, score) for the query batch.
+
+        Plan: qterms (tiny, broadcast) -> bucket-pruned postings scan ->
+        per-query applyInPandas running the WAND/exact kernel -> broadcast
+        top-k back against the docmap.
+        """
+        from connectors_spark.functions.analysis import tokenize_py
+
+        meta = self.meta
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        k1, b, n_buckets = meta["k1"], meta["b"], meta["n_buckets"]
+
+        qrows, buckets = [], set()
+        for q in queries:
+            for term in sorted(set(tokenize_py(q["query_text"]))):
+                qrows.append((q["query_id"], int(q.get("k", 10)), term))
+                buckets.add(bucket_of(term, n_buckets))
+        if not qrows:
+            return self.spark.createDataFrame(
+                [], "query_id string, rank int, doc_id string, score double"
+            )
+        qterms = self.spark.createDataFrame(
+            qrows, "query_id string, k int, term string"
+        )
+        hits = self.postings.filter(
+            F.col("bucket").isin(sorted(buckets))
+        ).join(F.broadcast(qterms), "term")
+
+        kern = {"auto": topk_auto, "exact": topk_exact, "wand": topk_wand}[kernel]
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = pdf["query_id"].iloc[0]
+            k = int(pdf["k"].iloc[0])
+            shards_by_term: list[tuple[float, list]] = []
+            for term, grp in sorted(pdf.groupby("term"), key=lambda kv: kv[0]):
+                dfreq = int(grp["df"].iloc[0])
+                idf = float(idf_np(n_docs, dfreq))
+                rows = [row for _, row in grp.iterrows()]
+                shards_by_term.append((idf, rows))
+            doc_idx, scores = kern(shards_by_term, k, avgdl, k1, b)
+            return pd.DataFrame({
+                "query_id": qid,
+                "rank": np.arange(1, len(doc_idx) + 1, dtype=np.int32),
+                "doc_idx": doc_idx,
+                "score": scores,
+            })
+
+        ranked = hits.groupBy("query_id").applyInPandas(
+            score_group,
+            schema="query_id string, rank int, doc_idx long, score double",
+        )
+        return (
+            self.docmap.join(F.broadcast(ranked), "doc_idx")
+            .select("query_id", "rank", "doc_id", "score")
+        )
 
 
 def query_index(
@@ -114,64 +275,5 @@ def query_index(
     queries: list[dict],
     kernel: str = "auto",
 ) -> DataFrame:
-    """(query_id, rank, doc_id, score) via the compressed index.
-
-    Plan: qterms (tiny, broadcast) -> bucket-pruned postings scan ->
-    per-query applyInPandas running the WAND/exact kernel -> docmap join.
-    """
-    from connectors_spark.functions.analysis import tokenize_py
-
-    meta = read_meta(path)
-    n_docs, avgdl, k1, b = meta["n_docs"], meta["avgdl"], meta["k1"], meta["b"]
-    n_buckets = meta["n_buckets"]
-
-    qrows = []
-    for q in queries:
-        for term in sorted(set(tokenize_py(q["query_text"]))):
-            qrows.append((q["query_id"], int(q.get("k", 10)), term))
-    if not qrows:
-        return spark.createDataFrame(
-            [], "query_id string, rank int, doc_id string, score double"
-        )
-    qterms = spark.createDataFrame(qrows, "query_id string, k int, term string")
-    buckets = sorted(
-        {r.bkt for r in qterms.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bkt")
-        ).distinct().collect()}
-    )
-
-    postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("bucket").isin(buckets)
-    )
-    hits = postings.join(F.broadcast(qterms), "term")
-
-    kern = {"auto": topk_auto, "exact": topk_exact, "wand": topk_wand}[kernel]
-
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = pdf["query_id"].iloc[0]
-        k = int(pdf["k"].iloc[0])
-        shards_by_term: list[tuple[float, list]] = []
-        for term, grp in sorted(pdf.groupby("term"), key=lambda kv: kv[0]):
-            dfreq = int(grp["df"].iloc[0])
-            idf = float(idf_np(n_docs, dfreq))
-            rows = [row for _, row in grp.iterrows()]
-            shards_by_term.append((idf, rows))
-        doc_idx, scores = kern(shards_by_term, k, avgdl, k1, b)
-        return pd.DataFrame({
-            "query_id": qid,
-            "rank": np.arange(1, len(doc_idx) + 1, dtype=np.int32),
-            "doc_idx": doc_idx,
-            "score": scores,
-        })
-
-    ranked = hits.groupBy("query_id").applyInPandas(
-        score_group,
-        schema="query_id string, rank int, doc_idx long, score double",
-    )
-    docmap = spark.read.parquet(f"{path}/docmap")
-    # ranked is tiny (|queries| * k) — broadcast it against the docmap scan
-    return (
-        docmap.select("doc_idx", "doc_id")
-        .join(F.broadcast(ranked), "doc_idx")
-        .select("query_id", "rank", "doc_id", "score")
-    )
+    """One-shot convenience wrapper (no caching) around IndexReader."""
+    return IndexReader(spark, path, cache=False).topk(queries, kernel)

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_cosine_topk: exact baseline. Query set broadcast against the
+  corpus; dot/norm via JVM higher-order functions (zip_with + aggregate,
+  computed in float64, sequential element order) — no Python in the loop.
+- ivf_cosine_topk: the scale path. Deterministic inverted-file variant:
+  centroid set = every `centroid_mod`-th vector (seeded/static so the
+  DuckDB oracle can mirror it; swap in k-means rounds later without
+  changing the query plan). Each vector is assigned to its nearest
+  centroid (one broadcast join + window argmin); a query probes the
+  `nprobe` nearest cells and scores only those candidates. At 100 TB the
+  corpus-side assignment is a narrow broadcast pass and queries touch
+  ~nprobe/n_centroids of the data.
+
+Ranking uses round(cos, 6) with vec_id tie-break so ranks are stable
+across engines regardless of float summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ROUND_COS = 6
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.withColumn("_vnorm", F.sqrt(_dot(v, v)))
+
+
+def brute_force_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cos) — exact top-k by cosine; self excluded."""
+    corpus = with_norm(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        , "v"
+    )
+    qs = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")),
+        "q",
+    ).withColumnRenamed("_vnorm", "_qnorm")
+    joined = corpus.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot(_as_double(F.col("q")), _as_double(F.col("v")))
+        / (F.col("_qnorm") * F.col("_vnorm")),
+        ROUND_COS,
+    )
+    scored = joined.select("query_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def assign_cells(vectors: DataFrame, centroid_mod: int,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine (round+id tie-break)."""
+    base = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cents = base.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    corpus = with_norm(base, "v")
+    cents = with_norm(cents, "cv").withColumnRenamed("_vnorm", "_cnorm")
+    cos = F.round(
+        _dot(_as_double(F.col("v")), _as_double(F.col("cv")))
+        / (F.col("_vnorm") * F.col("_cnorm")),
+        ROUND_COS,
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", cos.alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_mod: int = 50,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cos) — IVF-pruned approximate top-k."""
+    cells = assign_cells(vectors, centroid_mod, vec_col, id_col)
+    base = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    corpus = with_norm(base, "v").join(cells, "vec_id")
+
+    # query -> nprobe nearest cells (probe list)
+    qcells = assign_probes(vectors, queries, centroid_mod, nprobe, vec_col, id_col)
+
+    qs = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")),
+        "q",
+    ).withColumnRenamed("_vnorm", "_qnorm")
+    cand = corpus.join(F.broadcast(qcells), "cell").join(
+        F.broadcast(qs), "query_id"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        _dot(_as_double(F.col("q")), _as_double(F.col("v")))
+        / (F.col("_qnorm") * F.col("_vnorm")),
+        ROUND_COS,
+    )
+    scored = cand.select("query_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def assign_probes(vectors: DataFrame, queries: DataFrame, centroid_mod: int,
+                  nprobe: int, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """(query_id, cell) — each query's nprobe nearest centroids."""
+    cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+    )
+    cents = with_norm(cents, "cv").withColumnRenamed("_vnorm", "_cnorm")
+    qs = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")),
+        "q",
+    ).withColumnRenamed("_vnorm", "_qnorm")
+    cos = F.round(
+        _dot(_as_double(F.col("q")), _as_double(F.col("cv")))
+        / (F.col("_qnorm") * F.col("_cnorm")),
+        ROUND_COS,
+    )
+    scored = qs.crossJoin(F.broadcast(cents)).select(
+        "query_id", "cell", cos.alias("pcos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "cell")
+    )

@@ -1,0 +1,66 @@
+"""Structured-Streaming ingestion: micro-batch incremental sync.
+
+The reference explicitly does NOT stream (reference:
+docs/CONNECTOR_PROTOCOL.md:27-29 — freshness comes from scheduled
+incremental syncs); its streaming-adjacent machinery is backpressure,
+heartbeats and cursors (SURVEY §2.9). Here the same semantics map onto
+Structured Streaming natively:
+
+- `stream_transcripts`: readStream over a growing parquet directory
+  (maxFilesPerTrigger = the MemQueue-style backpressure bound,
+  reference: app/connectors_service/connectors/utils.py:155-267).
+- `streaming_ingest_stats`: watermark + windowed counters — the per-job
+  ingestion stats (A1/A2) as a live aggregate with late-data handling.
+- `run_incremental_batches`: Trigger.AvailableNow + foreachBatch -> each
+  micro-batch is diffed against the index manifest (J1-J3) and upserted;
+  the streaming checkpoint directory IS the sync cursor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connectors_spark.schema import TRANSCRIPTS_SCHEMA
+
+
+def stream_transcripts(spark: SparkSession, path: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_ingest_stats(stream: DataFrame, window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Windowed per-role ingest counters with late-data watermarking."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length(F.coalesce("text", F.lit("")))).alias("chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "role", "n_turns", "chars"
+        )
+    )
+
+
+def run_incremental_batches(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    on_batch,
+) -> None:
+    """Drain all available input as micro-batches through `on_batch(df,
+    batch_id)`, then stop (Trigger.AvailableNow). The checkpoint dir
+    persists progress — a rerun only sees new files, which is exactly the
+    reference's sync-cursor resume contract."""
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,86 @@
+"""Dedup operators: exact groups, MinHash+LSH near-dups, SimHash."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from connectors_spark.operators.dedup import (
+    doc_shingles,
+    exact_dup_groups,
+    minhash_near_dups,
+    simhash_bits,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog again and again today "
+    "while the shiny river runs past the quiet village mill under bright "
+    "morning light carrying small wooden boats to the old stone bridge"
+)
+NEAR = BASE + " afterwards"  # appended token: jaccard ~ n/(n+1)
+OTHER = "completely different content about spark query engines at scale"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                      # exact dup of 1
+        (3, BASE.replace("the quick", "The  QUICK").replace("dog", "DOG")),
+        (4, NEAR),                      # near dup of 1
+        (5, OTHER),
+        (6, None),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups_normalized(spark, docs):
+    groups = exact_dup_groups(docs).collect()
+    # 1, 2 and 3 normalize identically (case/whitespace differences)
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_dups == 3 and g.min_doc_id == 1
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    out = {(r.doc_a, r.doc_b): r for r in minhash_near_dups(docs).collect()}
+    # exact dups share all bands
+    assert (1, 2) in out and out[(1, 2)].jaccard == 1.0
+    assert (1, 3) in out and out[(1, 3)].jaccard == 1.0
+    # near dup shares most shingles -> high jaccard, found via LSH
+    assert (1, 4) in out
+    assert 0.9 < out[(1, 4)].jaccard < 1.0
+    # unrelated docs never pair
+    assert not any(5 in p for p in out)
+
+
+def test_jaccard_matches_python(spark, docs):
+    sh = doc_shingles(docs)
+    got = {r.doc_id: set() for r in sh.select("doc_id").distinct().collect()}
+    for r in sh.collect():
+        got[r.doc_id].add(r.shingle)
+    out = {(r.doc_a, r.doc_b): r for r in minhash_near_dups(docs).collect()}
+    a, b = got[1], got[4]
+    exp = len(a & b) / len(a | b)
+    assert out[(1, 4)].jaccard == pytest.approx(round(exp, 6))
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash_bits(docs).collect()}
+    assert set(sh) == {1, 2, 3, 4, 5}  # null/empty text yield no terms
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in sh.values())
+    assert sh[1] == sh[2] == sh[3]
+    ham_near = sum(x != y for x, y in zip(sh[1], sh[4]))
+    ham_far = sum(x != y for x, y in zip(sh[1], sh[5]))
+    assert ham_near < ham_far
+    assert ham_near <= 16
+
+
+def test_lsh_pair_count_sane_on_random(spark):
+    # random docs: candidate pairs must stay tiny (LSH, not cross join)
+    from connectors_spark.synth import synth_transcripts
+    from connectors_spark.operators.build import with_doc_id
+
+    t = with_doc_id(synth_transcripts(spark, 40, seed=9)).select("doc_id", "text")
+    n = t.count()
+    pairs = minhash_near_dups(t).count()
+    assert pairs < n * (n - 1) / 20

@@ -1,0 +1,74 @@
+"""ANN operators vs a NumPy oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    ivf_cosine_topk,
+)
+
+N, DIM = 400, 16
+
+
+@pytest.fixture(scope="module")
+def vecs_np():
+    rng = np.random.RandomState(11)
+    return rng.randn(N, DIM).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, vecs_np):
+    rows = [(i, vecs_np[i].tolist()) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _oracle_topk(vecs_np, qids, k):
+    v = vecs_np.astype(np.float64)
+    norms = np.sqrt((v * v).sum(axis=1))
+    out = {}
+    for qi in qids:
+        cos = np.round(v @ v[qi] / (norms * norms[qi]), 6)
+        cand = [(c, i) for i, c in enumerate(cos) if i != qi]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        out[qi] = cand[:k]
+    return out
+
+
+def test_brute_force_matches_oracle(spark, vecs, vecs_np):
+    qids = [0, 50, 100]
+    qdf = vecs.filter(F.col("vec_id").isin(qids))
+    got = brute_force_cosine_topk(vecs, qdf, k=5).collect()
+    exp = _oracle_topk(vecs_np, qids, 5)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    for qi in qids:
+        assert [r.vec_id for r in by_q[qi]] == [i for _, i in exp[qi]]
+        assert np.allclose([r.cos for r in by_q[qi]],
+                           [c for c, _ in exp[qi]], atol=1e-6)
+
+
+def test_ivf_recall_and_exactness_of_scores(spark, vecs, vecs_np):
+    qids = [0, 100, 200]
+    qdf = vecs.filter(F.col("vec_id").isin(qids))
+    got = ivf_cosine_topk(vecs, qdf, k=5, centroid_mod=20, nprobe=8).collect()
+    exp = _oracle_topk(vecs_np, qids, 5)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    exp_sets = {qi: {i for _, i in exp[qi]} for qi in qids}
+    hits = total = 0
+    for qi in qids:
+        assert len(by_q[qi]) == 5
+        got_ids = {r.vec_id for r in by_q[qi]}
+        hits += len(got_ids & exp_sets[qi])
+        total += 5
+        # every returned cos is the exact cosine (scores never approximated)
+        v = vecs_np.astype(np.float64)
+        norms = np.sqrt((v * v).sum(axis=1))
+        for r in by_q[qi]:
+            exact = round(float(v[r.vec_id] @ v[qi] / (norms[r.vec_id] * norms[qi])), 6)
+            assert r.cos == pytest.approx(exact, abs=1e-6)
+    assert hits / total >= 0.5  # nprobe=8/20 cells -> decent recall

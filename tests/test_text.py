@@ -1,0 +1,75 @@
+"""Text-analysis functions: language ID, quality, token counts, fingerprint."""
+
+import pytest
+
+from connectors_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat is on the mat and the dog is in the house"),
+        (2, "der Hund und die Katze das ist gut und nicht schlecht"),
+        (3, "le chat est dans les maisons et une souris est dans le jardin"),
+        (4, "xyzzy plugh qwerty"),          # no markers
+        (5, ""),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lang_id(spark, docs):
+    got = {r.doc_id: (r.pred_lang, r.n_hits) for r in lang_id(docs).collect()}
+    assert got[1][0] == "en" and got[1][1] >= 5
+    assert got[2][0] == "de"
+    assert got[3][0] == "fr"
+    assert got[4] == ("und", 0)
+    assert got[5] == ("und", 0) and got[6] == ("und", 0)
+
+
+def test_quality_features(spark, docs):
+    got = {r.doc_id: r for r in quality_features(docs).collect()}
+    text = "the cat is on the mat and the dog is in the house"
+    r1 = got[1]
+    assert r1.n_tokens == len(text.split())
+    assert r1.n_chars == len(text)
+    assert 0.0 < r1.quality <= 1.0
+    # stopword ratio: the(4)+is(2)+on? 'on' in stop list, and/in/a...
+    assert r1.stopword_ratio > 0.4
+    assert got[5].n_tokens == 0 and got[5].quality is not None
+
+
+def test_token_counts(spark, docs):
+    got = {r.doc_id: r for r in token_counts(docs).collect()}
+    assert got[1].n_ws_tokens == 13 and got[1].n_tokens == 13
+    # subwords: ceil(len/4) per token
+    text = "the cat is on the mat and the dog is in the house"
+    exp = sum(-(-len(t) // 4) for t in text.split())
+    assert got[1].n_subwords == exp
+    assert got[5].n_ws_tokens == 0 and got[5].n_subwords == 0
+
+
+def test_fingerprint(spark, docs):
+    import hashlib
+
+    got = {r.doc_id: r.fp for r in fingerprint(docs).collect()}
+    text = "the cat is on the mat and the dog is in the house"
+    exp = min(
+        hashlib.md5(text[i:i + 8].encode()).hexdigest()
+        for i in range(len(text) - 7)
+    )
+    assert got[1] == exp
+    # short text falls back to whole-text md5
+    short = spark.createDataFrame([(9, "abc")], "doc_id long, text string")
+    fp = fingerprint(short).first().fp
+    assert fp == hashlib.md5(b"abc").hexdigest()
+    # robust to a distant edit (min 8-gram usually unchanged)
+    edited = spark.createDataFrame(
+        [(1, text + " zz")], "doc_id long, text string"
+    )
+    assert fingerprint(edited).first().fp == exp
