@@ -99,6 +99,17 @@ def main():
         extra["wand_single_query_p95_sec"] = round(lat[int(0.95 * len(lat)) - 1], 3)
         extra["wand_single_query_p50_sec"] = round(lat[len(lat) // 2], 3)
 
+        # low-latency serving path: shard rows pulled once, kernel on driver
+        reader.topk_local(queries[:3])  # warm (pandas conversion etc.)
+        lat2 = []
+        for q in queries[:60]:
+            t0 = time.time()
+            reader.topk_local([q], kernel="auto")
+            lat2.append(time.time() - t0)
+        lat2.sort()
+        extra["serve_local_p95_sec"] = round(lat2[int(0.95 * len(lat2)) - 1], 4)
+        extra["serve_local_p50_sec"] = round(lat2[len(lat2) // 2], 4)
+
         with timed("bm25_documents_gate"):
             entry_queries.q_bm25_topk(spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -750,3 +750,303 @@ def q_dls_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.arrays_overlap(F.col("_allow_access_control"), identities))
         .select("doc_id", "source", "lang")
     )
+
+
+# =================================================================
+# Compressed-index WAND path, oracle-verified (SURVEY §4.2 #2-3)
+# =================================================================
+
+import shutil as _shutil  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+
+def _bm25_wand_oracle_sql() -> str:
+    # identical scoring to bm25_topk; ranks computed over rounded scores
+    return _bm25_oracle_sql()
+
+
+@register("bm25_topk_wand", _bm25_wand_oracle_sql())
+def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gate query set answered through the COMPRESSED index (encode ->
+    bucketed parquet -> block-max WAND kernel) — proves the physical index
+    path is score-identical to plain SQL BM25."""
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    path = _tempfile.mkdtemp(prefix="gate_wand_idx_")
+    try:
+        write_encoded_index(idx, path, n_buckets=16, shard_cap=200)
+        reader = IndexReader(spark, path, cache=False)
+        res = reader.topk(
+            [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+             for qid, text in GATE_BM25_QUERIES],
+            kernel="wand",
+        )
+        # re-rank on rounded scores (engine-neutral tie-break), materialize
+        # before the temp index is deleted
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("score", ROUND_SCORE)), F.asc("doc_id")
+        )
+        out = (
+            res.withColumn("score", F.round("score", ROUND_SCORE))
+            .withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", F.col("doc_id").cast("long").alias("doc_id"), "score")
+        )
+        pdf = out.toPandas()
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "query_id string, rank int, doc_id long, score double"
+    )
+
+
+# =================================================================
+# ErrorMonitor sliding window (A6)
+# =================================================================
+
+_ERR_WINDOW_SQL = """
+WITH ops AS (
+  SELECT event_id, ts, (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS is_err
+  FROM events
+),
+w AS (
+  SELECT event_id, is_err,
+         avg(CAST(is_err AS DOUBLE)) OVER (
+           ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS err_rate,
+         sum(is_err) OVER (ORDER BY ts ASC, event_id ASC) AS total_errors
+  FROM ops
+)
+SELECT event_id, round(err_rate, 6) AS err_rate, total_errors,
+       (err_rate > 0.30) AS tripped
+FROM w
+"""
+
+
+@register("error_monitor_window", _ERR_WINDOW_SQL)
+def q_error_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window error rate + circuit-breaker flag (reference:
+    app/connectors_service/connectors/utils.py:827-923 ErrorMonitor;
+    thresholds config app/connectors_service/connectors/config.py:82-89)."""
+    events = _read(spark, sf_dir, "events")
+    ops = events.select(
+        "event_id", "ts",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    w = Window.orderBy(F.asc("ts"), F.asc("event_id"))
+    rate = F.avg(F.col("is_err").cast("double")).over(w.rowsBetween(-99, 0))
+    total = F.sum("is_err").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return ops.select(
+        "event_id",
+        F.round(rate, 6).alias("err_rate"),
+        total.alias("total_errors"),
+        (rate > 0.30).alias("tripped"),
+    )
+
+
+# =================================================================
+# Scalar functions (C2-C4, C6, C9, C14) + projection surgery (F7/F8)
+# =================================================================
+
+from connectors_spark.functions.scalars import (  # noqa: E402
+    b64, composite_row_id, extension, hash_id, html_to_text, is_valid_email,
+    iso_utc, unb64,
+)
+
+_SCALARS_SQL = """
+SELECT
+  CAST(event_id AS VARCHAR) AS doc_id,
+  md5(CAST(event_id AS VARCHAR)) AS id_md5,
+  'events' || '_' || CAST(event_id AS VARCHAR) || '_' || CAST(user_id AS VARCHAR) AS row_id,
+  strftime(ts AT TIME ZONE 'UTC', '%Y-%m-%dT%H:%M:%S') || '+00:00' AS ts_iso,
+  to_base64(encode(event_type)) AS etype_b64,
+  regexp_matches('user' || CAST(user_id AS VARCHAR) || '@example.com',
+                 '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$') AS email_ok,
+  regexp_extract('report_' || CAST(event_id AS VARCHAR) || '.ndjson',
+                 '(\\.[^.\\/]+)$', 1) AS ext
+FROM events
+"""
+
+
+@register("scalar_functions", _SCALARS_SQL)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-class scalar surface: md5 id hash, composite row id, ISO-UTC
+    formatting, base64, email regex, extension extraction (reference
+    cites in functions/scalars.py)."""
+    events = _read(spark, sf_dir, "events")
+    did = F.col("event_id").cast("string")
+    return events.select(
+        did.alias("doc_id"),
+        F.md5(did).alias("id_md5"),
+        composite_row_id(F.lit("events"), "event_id", "user_id").alias("row_id"),
+        iso_utc(F.col("ts")).alias("ts_iso"),
+        b64(F.col("event_type")).alias("etype_b64"),
+        is_valid_email(
+            F.concat(F.lit("user"), F.col("user_id").cast("string"),
+                     F.lit("@example.com"))
+        ).alias("email_ok"),
+        extension(
+            F.concat(F.lit("report_"), did, F.lit(".ndjson"))
+        ).alias("ext"),
+    )
+
+
+@register(
+    "html_to_text",
+    "SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || substr(text, 1, 40) || "
+    "'</p><div>tail&amp;</div>', "
+    "'<(br|/p|/div|/li|/h[1-6])[^>]*>', chr(10), 'ig'), "
+    "'<[^>]+>', '', 'g'), "
+    "'[ \\t]+', ' ', 'g'), "
+    "' ?\\n ?', chr(10), 'g')) AS plain "
+    "FROM documents",
+)
+def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (C1) over a synthesized HTML wrapper."""
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1><p>"),
+        F.substring("text", 1, 40), F.lit("</p><div>tail&amp;</div>"),
+    )
+    return docs.select(
+        F.col("doc_id"), html_to_text(html).alias("plain")
+    )
+
+
+# =================================================================
+# Advanced rules: source-native SQL pushdown (F6)
+# =================================================================
+
+_ADV_RULE_SQL = (
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05 "
+    "AND l_returnflag = 'R'"
+)
+
+
+@register("advanced_rule_pushdown", _ADV_RULE_SQL)
+def q_advanced_rule_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque per-source query passed through verbatim (reference:
+    libs/connectors_sdk/connectors_sdk/filtering/validation.py:151-156;
+    postgres advanced rules app/connectors_service/connectors/sources/
+    postgresql/datasource.py:422-438): the rule IS SQL, executed by the
+    engine with full pushdown."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_ADV_RULE_SQL)
+
+
+# =================================================================
+# Positions: phrase match (C16 positions; ES match_phrase analog)
+# =================================================================
+
+GATE_PHRASES = [("p0", "the fast"), ("p1", "table scan merge"), ("p2", "big slow")]
+
+_PHRASE_SQL_PARTS = []
+for _pid, _phrase in GATE_PHRASES:
+    _terms = _phrase.split()
+    _joins, _conds = [], []
+    for _i, _t in enumerate(_terms[1:], start=1):
+        _joins.append(
+            f"JOIN toks t{_i} ON t{_i}.doc_id = t0.doc_id "
+            f"AND t{_i}.pos = t0.pos + {_i} AND t{_i}.t = '{_t}'"
+        )
+    _PHRASE_SQL_PARTS.append(
+        f"SELECT '{_pid}' AS phrase_id, t0.doc_id, count(*) AS n_hits "
+        f"FROM toks t0 {' '.join(_joins)} WHERE t0.t = '{_terms[0]}' "
+        f"GROUP BY t0.doc_id"
+    )
+
+_PHRASE_SQL = (
+    "WITH " + _DDB_TOKS_POS.strip() + " "
+    + " UNION ALL ".join(_PHRASE_SQL_PARTS)
+)
+
+
+@register("phrase_match", _PHRASE_SQL)
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase matching over the postings positions — the
+    match_phrase capability ES provides on the reference's indices.
+    Implemented as position self-joins (adjacent pos equality)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    out = None
+    for pid, phrase in GATE_PHRASES:
+        terms = phrase.split()
+        t0 = toks.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        cur = t0
+        for i, t in enumerate(terms[1:], start=1):
+            ti = toks.filter(F.col("term") == t).select(
+                F.col("doc_id").alias("_d"), F.col("pos").alias(f"p{i}")
+            )
+            cur = cur.join(
+                ti,
+                (cur.doc_id == ti._d) & (ti[f"p{i}"] == F.col("p0") + i),
+            ).drop("_d")
+        hits = cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")) \
+            .select(F.lit(pid).alias("phrase_id"), "doc_id", "n_hits")
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+# =================================================================
+# Set operations (§2.7): intersect / except / union-dedup
+# =================================================================
+
+
+@register(
+    "set_ops",
+    "SELECT 'intersect' AS op, count(*) AS n FROM "
+    "(SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer) "
+    "UNION ALL "
+    "SELECT 'except' AS op, count(*) AS n FROM "
+    "(SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) "
+    "UNION ALL "
+    "SELECT 'union_dedup' AS op, count(*) AS n FROM "
+    "(SELECT o_custkey AS k FROM orders UNION SELECT c_custkey FROM customer)",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (reference's deletion diff is set difference;
+    SURVEY §2.7)."""
+    orders = _read(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    customer = _read(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    rows = [
+        ("intersect", orders.intersect(customer)),
+        ("except", customer.exceptAll(orders).distinct()),
+        ("union_dedup", orders.union(customer).distinct()),
+    ]
+    out = None
+    for name, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("op"), "n"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+# =================================================================
+# Per-doc size cap (K2: max_text_document_size)
+# =================================================================
+
+
+@register(
+    "oversize_filter",
+    "SELECT (CASE WHEN length(text) <= 300 THEN 'kept' ELSE 'dropped' END) AS bucket_cls, "
+    "count(*) AS n, sum(length(text)) AS volume FROM documents GROUP BY bucket_cls",
+)
+def q_oversize_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document size cap with drop accounting (reference: 3 MiB text
+    cap app/connectors_service/connectors/config.py:33, enforced
+    es/sink.py:430-450 + BIN_DOCS_DOWNLOADED counters)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "bucket_cls",
+            F.when(F.length("text") <= 300, F.lit("kept")).otherwise(F.lit("dropped")),
+        )
+        .groupBy("bucket_cls")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("volume"))
+    )

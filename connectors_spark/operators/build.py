@@ -63,13 +63,20 @@ def build_index(docs_base: DataFrame, stop_words: list[str] | None = None,
             "positions", F.lit(None).cast("array<int>")
         )
 
-    # every doc counts toward N and avgdl, including zero-token docs
+    # every doc counts toward N and avgdl, including zero-token docs;
+    # ts (when present) rides along into the docmap -> it IS the index
+    # manifest used for incremental diffing (J1-J3)
+    id_cols = ["doc_id"] + (["ts"] if "ts" in docs_base.columns else [])
     docs = (
-        docs_base.select("doc_id")
+        docs_base.select(*id_cols)
         .join(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
               "doc_id", "left")
-        .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl"))
+        .select(*id_cols, F.coalesce("dl", F.lit(0)).alias("dl"))
     )
+    # docs is tiny (one row per doc) and consumed by the stats agg below,
+    # doc-id assignment and the scorer join — pin it so the tokenize
+    # pipeline under it runs once
+    docs = docs.persist()
 
     lexicon = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
@@ -85,7 +92,8 @@ def build_index_transcripts(transcripts: DataFrame, **kw) -> IndexFrames:
     return build_index(with_doc_id(transcripts), **kw)
 
 
-def assign_doc_indices(docs: DataFrame, num_ranges: int | None = None) -> DataFrame:
+def assign_doc_indices(docs: DataFrame, num_ranges: int | None = None,
+                       start_idx: int = 0) -> DataFrame:
     """(doc_idx, doc_id, dl): dense int64 ids, ordered by doc_id string.
 
     Two-pass, no global single-partition sort: range-partition by doc_id
@@ -112,8 +120,9 @@ def assign_doc_indices(docs: DataFrame, num_ranges: int | None = None) -> DataFr
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
     w = Window.partitionBy("_pid").orderBy("doc_id")
+    keep = [c for c in docs.columns]
     return (
         ranged.withColumn("_rn", F.row_number().over(w) - 1)
         .join(F.broadcast(off_df), "_pid")
-        .select((F.col("_rn") + F.col("_off")).alias("doc_idx"), "doc_id", "dl")
+        .select((F.col("_rn") + F.col("_off") + F.lit(start_idx)).alias("doc_idx"), *keep)
     )

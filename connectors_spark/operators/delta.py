@@ -1,0 +1,217 @@
+"""Incremental index update: delta generations + tombstones + compaction.
+
+The reference's incremental sync streams changed docs and reconciles by
+timestamp (reference: libs/connectors_sdk/connectors_sdk/source.py:619-645
+get_docs_incrementally; skip/delete diff app/connectors_service/
+connectors/es/sink.py:623-719). For an inverted index the same semantics
+become:
+
+1. diff the new snapshot against the index's docmap manifest (J1-J3);
+2. tombstone doc_idx of deleted + updated docs;
+3. encode postings for created + updated docs as a new generation with
+   fresh doc_idx (append-only — old generations are immutable);
+4. keep scoring EXACT:
+   - per-term dead counts (scan + decode + count tombstone hits) correct
+     df, so idf is the live value;
+   - live n_docs/avgdl recomputed from the docmap minus tombstones;
+   - stored block-max bounds are scaled by max(1, avgdl_live/avgdl_gen)
+     (a true upper bound — see ShardCursor docstring), so WAND stays
+     rank-identical to a from-scratch rebuild.
+
+The dead-count scan touches the whole index: at 10^12 scale you amortize
+it with `compact_index` (fold generations + drop tombstones), exactly the
+merge policy of every LSM-ish index. Both paths are tested rank-identical
+against an oracle built directly on the new snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connectors_spark.functions.codec import decode_shard
+from connectors_spark.operators.build import (
+    assign_doc_indices,
+    build_index,
+    with_doc_id,
+)
+from connectors_spark.operators.index import (
+    IndexReader,
+    encode_postings,
+    read_meta,
+)
+from connectors_spark.operators.sync import classify_sync_ops
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, f".meta.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def _live_docmap(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+    dm = spark.read.parquet(f"{path}/docmap")
+    for d in meta.get("deltas", []):
+        dm = dm.unionByName(
+            spark.read.parquet(f"{path}/delta/{int(d['gen'])}/docmap")
+        )
+    tombs = None
+    for d in meta.get("deltas", []):
+        t = spark.read.parquet(f"{path}/delta/{int(d['gen'])}/tombstones")
+        tombs = t if tombs is None else tombs.unionByName(t)
+    if tombs is not None:
+        dm = dm.join(tombs, "doc_idx", "left_anti")
+    return dm
+
+
+def incremental_update(spark: SparkSession, path: str,
+                       new_snapshot: DataFrame) -> dict | None:
+    """Bring the index at `path` up to date with `new_snapshot`
+    (transcripts shape). Returns the delta record, or None if unchanged."""
+    meta = read_meta(path)
+    gen = (max((int(d["gen"]) for d in meta.get("deltas", [])), default=0) + 1)
+    gdir = f"{path}/delta/{gen}"
+
+    live = _live_docmap(spark, path, meta).persist()
+    new_docs = with_doc_id(new_snapshot).persist()
+
+    ops = classify_sync_ops(
+        new_docs.select("doc_id", "ts"), live.select("doc_id", "ts")
+    ).persist()
+    n_changed = ops.filter(F.col("op") != "skip").count()
+    if n_changed == 0:
+        ops.unpersist(); live.unpersist(); new_docs.unpersist()
+        return None
+
+    dead_ids = ops.filter(F.col("op").isin("delete", "update")).select("doc_id")
+    tomb = live.join(dead_ids, "doc_id", "left_semi").select("doc_idx")
+    tomb.write.mode("overwrite").parquet(f"{gdir}/tombstones")
+    tomb = spark.read.parquet(f"{gdir}/tombstones")
+
+    changed_ids = ops.filter(F.col("op").isin("create", "update")).select("doc_id")
+    changed = new_docs.join(changed_ids, "doc_id", "left_semi")
+
+    sub = build_index(changed, with_positions=False)
+    max_idx = live.agg(F.max("doc_idx")).first()[0] or 0
+    sub_docmap = assign_doc_indices(sub.docs, start_idx=int(max_idx) + 1)
+    sub_docmap.write.mode("overwrite").parquet(f"{gdir}/docmap")
+    sub_docmap = spark.read.parquet(f"{gdir}/docmap")
+
+    # live corpus stats (exact): survivors + new generation
+    survivors = live.join(dead_ids, "doc_id", "left_anti")
+    stats = survivors.select("dl").unionByName(sub_docmap.select("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).first()
+    n_live, avgdl_live = int(stats["n"]), float(stats["s"]) / float(stats["n"])
+
+    encoded = encode_postings(
+        sub.postings, sub_docmap, sub.lexicon, avgdl_live,
+        n_buckets=meta["n_buckets"], shard_cap=meta["shard_cap"],
+        k1=meta["k1"], b=meta["b"],
+    ).repartition(int(meta["n_buckets"]), "bucket")
+    encoded.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{gdir}/postings"
+    )
+
+    # exact per-term dead counts: decode every existing shard, count hits
+    # against the cumulative tombstone set (compaction amortizes this)
+    all_tomb_ids = np.sort(np.array(
+        [r.doc_idx for d in [*meta.get("deltas", []), {"gen": gen}]
+         for r in spark.read.parquet(
+             f"{path}/delta/{int(d['gen'])}/tombstones").collect()],
+        dtype=np.int64,
+    ))
+
+    from connectors_spark.functions.codec import varint_decode
+
+    def count_dead(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                gaps = varint_decode(
+                    row["doc_gaps"], 0, int(row["n_docs"])
+                ).astype(np.int64)
+                d = np.cumsum(gaps)
+                pos = np.searchsorted(all_tomb_ids, d)
+                pos = np.minimum(pos, max(0, len(all_tomb_ids) - 1))
+                n_dead = int((all_tomb_ids[pos] == d).sum()) if len(all_tomb_ids) else 0
+                if n_dead:
+                    rows.append({"term": row["term"], "dead": n_dead})
+            yield pd.DataFrame(rows, columns=["term", "dead"])
+
+    base_postings = spark.read.parquet(f"{path}/postings")
+    prior = [spark.read.parquet(f"{path}/delta/{int(d['gen'])}/postings")
+             for d in meta.get("deltas", [])]
+    allp = base_postings
+    for p in prior:
+        allp = allp.unionByName(p)
+    dead_df = (
+        allp.select("term", "n_docs", "doc_gaps")
+        .mapInPandas(count_dead, schema="term string, dead long")
+        .groupBy("term").agg(F.sum("dead").alias("dead"))
+    )
+    dead_df.write.mode("overwrite").parquet(f"{gdir}/dead_df")
+
+    rec = {"gen": gen, "avgdl_at_build": avgdl_live,
+           "n_changed": int(n_changed)}
+    meta.setdefault("deltas", []).append(rec)
+    meta["n_docs"], meta["avgdl"] = n_live, avgdl_live
+    _write_meta(path, meta)
+    ops.unpersist(); live.unpersist(); new_docs.unpersist()
+    return rec
+
+
+def compact_index(spark: SparkSession, path: str, out_path: str) -> None:
+    """Fold all generations into a fresh single-generation index (drops
+    tombstones, restores dense stats) — the LSM merge step."""
+    meta = read_meta(path)
+    reader = IndexReader(spark, path, cache=False)
+    dead = reader.dead
+
+    def decode_rows(batches):
+        for pdf in batches:
+            terms, docs, tfs, dls = [], [], [], []
+            for _, row in pdf.iterrows():
+                d, tf, dl = decode_shard(row)
+                if len(dead):
+                    pos = np.minimum(np.searchsorted(dead, d), len(dead) - 1)
+                    live = dead[pos] != d
+                    d, tf, dl = d[live], tf[live], dl[live]
+                terms.extend([row["term"]] * len(d))
+                docs.append(d); tfs.append(tf); dls.append(dl)
+            if terms:
+                yield pd.DataFrame({
+                    "term": terms,
+                    "doc_idx": np.concatenate(docs),
+                    "tf": np.concatenate(tfs),
+                })
+            else:
+                yield pd.DataFrame({"term": [], "doc_idx": [], "tf": []})
+
+    flat = reader.postings.select(
+        "term", "n_docs", "doc_gaps", "tfs", "dls"
+    ).mapInPandas(decode_rows, schema="term string, doc_idx long, tf long")
+    docmap = _live_docmap(spark, path, meta)
+
+    postings = flat.join(
+        docmap.select("doc_idx", "doc_id"), "doc_idx"
+    ).select("term", "doc_id", "tf")
+    docs = docmap.drop("doc_idx")
+    from connectors_spark.operators.build import IndexFrames
+    stats = docs.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    n_docs = int(stats[0])
+    avgdl = float(stats[1]) / n_docs if n_docs else 0.0
+    lexicon = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idx = IndexFrames(postings=postings, docs=docs, lexicon=lexicon,
+                      n_docs=n_docs, avgdl=avgdl)
+    from connectors_spark.operators.index import write_encoded_index
+    write_encoded_index(idx, out_path, n_buckets=meta["n_buckets"],
+                        shard_cap=meta["shard_cap"], k1=meta["k1"],
+                        b=meta["b"])

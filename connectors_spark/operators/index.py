@@ -137,15 +137,28 @@ def write_encoded_index(
     docmap = spark.read.parquet(f"{path}/docmap")
 
     avgdl, n_docs = index.avgdl, index.n_docs
-    encoded = encode_postings(
-        index.postings, docmap, index.lexicon, avgdl,
-        n_buckets=n_buckets, shard_cap=shard_cap, k1=k1, b=b,
-    )
-    encoded.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+    # postings feed both the lexicon agg and the encode shuffle — pin them
+    # for the duration of the build (the resumable path materializes to
+    # parquet instead, plans/checkpoint.py)
+    postings = index.postings.persist()
+    try:
+        encoded = encode_postings(
+            postings, docmap, index.lexicon, avgdl,
+            n_buckets=n_buckets, shard_cap=shard_cap, k1=k1, b=b,
+        )
+        # encoded rows are small compressed blobs: a cheap second shuffle
+        # onto bucket boundaries means partitionBy emits one file per
+        # bucket instead of (tasks x buckets) small files
+        encoded = encoded.repartition(n_buckets, "bucket")
+        encoded.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{path}/postings"
+        )
+    finally:
+        postings.unpersist()
 
     meta = {
-        "n_docs": n_docs, "avgdl": avgdl, "k1": k1, "b": b,
-        "n_buckets": n_buckets, "shard_cap": shard_cap,
+        "n_docs": n_docs, "avgdl": avgdl, "gen0_avgdl": avgdl, "k1": k1,
+        "b": b, "n_buckets": n_buckets, "shard_cap": shard_cap, "deltas": [],
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -193,16 +206,50 @@ def read_meta(path: str) -> dict:
 
 class IndexReader:
     """Cached handle on an encoded index — reuse across queries so
-    per-query latency is kernel time, not parquet listing/scan time."""
+    per-query latency is kernel time, not parquet listing/scan time.
+
+    Understands incremental generations (operators/delta.py): postings =
+    base union deltas; tombstoned doc_idx are masked in the kernels; per-
+    term dead counts correct df for exact idf; stored block-max bounds are
+    scaled by max(1, avgdl_live/avgdl_at_build)."""
 
     def __init__(self, spark: SparkSession, path: str, cache: bool = True):
+        import numpy as _np
+
         self.spark = spark
         self.path = path
         self.meta = read_meta(path)
-        self.postings = spark.read.parquet(f"{path}/postings")
-        self.docmap = spark.read.parquet(f"{path}/docmap").select(
-            "doc_idx", "doc_id"
+        deltas = self.meta.get("deltas", [])
+        self.gen_avgdl = {0: self.meta.get("gen0_avgdl", self.meta["avgdl"])}
+        postings = spark.read.parquet(f"{path}/postings").withColumn(
+            "_gen", F.lit(0)
         )
+        docmap = spark.read.parquet(f"{path}/docmap").select("doc_idx", "doc_id")
+        dead_df = None
+        tombs = []
+        for d in deltas:
+            g = int(d["gen"])
+            self.gen_avgdl[g] = float(d["avgdl_at_build"])
+            gdir = f"{path}/delta/{g}"
+            postings = postings.unionByName(
+                spark.read.parquet(f"{gdir}/postings").withColumn("_gen", F.lit(g))
+            )
+            docmap = docmap.unionByName(
+                spark.read.parquet(f"{gdir}/docmap").select("doc_idx", "doc_id")
+            )
+            t = spark.read.parquet(f"{gdir}/tombstones")
+            tombs.append(_np.array(
+                [r.doc_idx for r in t.collect()], dtype=_np.int64))
+        if deltas:
+            # latest generation carries the cumulative per-term dead counts
+            last = f"{path}/delta/{int(deltas[-1]['gen'])}"
+            dead_df = spark.read.parquet(f"{last}/dead_df")
+        self.dead = (
+            _np.sort(_np.concatenate(tombs)) if tombs
+            else _np.zeros(0, dtype=_np.int64)
+        )
+        self.dead_df = dead_df
+        self.postings, self.docmap = postings, docmap
         if cache:
             self.postings = self.postings.persist()
             self.docmap = self.docmap.persist()
@@ -239,19 +286,35 @@ class IndexReader:
         hits = self.postings.filter(
             F.col("bucket").isin(sorted(buckets))
         ).join(F.broadcast(qterms), "term")
+        if self.dead_df is not None:
+            hits = hits.join(F.broadcast(
+                self.dead_df.withColumnRenamed("dead", "_dead")), "term", "left")
+        else:
+            hits = hits.withColumn("_dead", F.lit(0))
 
         kern = {"auto": topk_auto, "exact": topk_exact, "wand": topk_wand}[kernel]
+        dead_ids = self.dead
+        gen_avgdl = self.gen_avgdl
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             qid = pdf["query_id"].iloc[0]
             k = int(pdf["k"].iloc[0])
             shards_by_term: list[tuple[float, list]] = []
             for term, grp in sorted(pdf.groupby("term"), key=lambda kv: kv[0]):
-                dfreq = int(grp["df"].iloc[0])
-                idf = float(idf_np(n_docs, dfreq))
-                rows = [row for _, row in grp.iterrows()]
+                _d = grp["_dead"].iloc[0]
+                dead_n = 0 if pd.isna(_d) else int(_d)
+                # live df: total postings across generations minus dead hits
+                df_live = int(grp["n_docs"].sum()) - dead_n
+                if df_live <= 0:
+                    continue
+                idf = float(idf_np(n_docs, df_live))
+                rows = []
+                for _, row in grp.iterrows():
+                    g = int(row["_gen"]) if "_gen" in row.index else 0
+                    row["_ub_scale"] = max(1.0, avgdl / gen_avgdl.get(g, avgdl))
+                    rows.append(row)
                 shards_by_term.append((idf, rows))
-            doc_idx, scores = kern(shards_by_term, k, avgdl, k1, b)
+            doc_idx, scores = kern(shards_by_term, k, avgdl, k1, b, dead_ids)
             return pd.DataFrame({
                 "query_id": qid,
                 "rank": np.arange(1, len(doc_idx) + 1, dtype=np.int32),
@@ -267,6 +330,75 @@ class IndexReader:
             self.docmap.join(F.broadcast(ranked), "doc_idx")
             .select("query_id", "rank", "doc_id", "score")
         )
+
+
+    def topk_local(self, queries: list[dict], kernel: str = "auto") -> list[tuple]:
+        """Low-latency serving path: ONE bucket-pruned collect pulls the
+        query terms' shard rows to the driver, then the kernel runs
+        in-process — no per-query Spark job. This is the ES-search-latency
+        analog; `topk` is the bulk-throughput path. Returns
+        [(query_id, rank, doc_id, score)]."""
+        from connectors_spark.functions.analysis import tokenize_py
+
+        meta = self.meta
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        k1, b, n_buckets = meta["k1"], meta["b"], meta["n_buckets"]
+        kern = {"auto": topk_auto, "exact": topk_exact, "wand": topk_wand}[kernel]
+
+        per_q = []
+        all_terms, buckets = set(), set()
+        for q in queries:
+            terms = sorted(set(tokenize_py(q["query_text"])))
+            per_q.append((q["query_id"], int(q.get("k", 10)), terms))
+            all_terms.update(terms)
+            buckets.update(bucket_of(t, n_buckets) for t in terms)
+        if not all_terms:
+            return []
+        rows = (
+            self.postings.filter(F.col("bucket").isin(sorted(buckets)))
+            .filter(F.col("term").isin(sorted(all_terms)))
+            .toPandas()
+        )
+        dead_by_term: dict[str, int] = {}
+        if self.dead_df is not None:
+            dd = self.dead_df.filter(
+                F.col("term").isin(sorted(all_terms))
+            ).collect()
+            dead_by_term = {r.term: int(r.dead) for r in dd}
+        by_term: dict[str, list] = {}
+        for _, row in rows.iterrows():
+            g = int(row["_gen"]) if "_gen" in row.index else 0
+            row["_ub_scale"] = max(
+                1.0, avgdl / self.gen_avgdl.get(g, avgdl)
+            )
+            by_term.setdefault(row["term"], []).append(row)
+        # resolve doc_idx -> doc_id lazily, one lookup per result batch
+        out, need_idx = [], set()
+        interim = []
+        for qid, k, terms in per_q:
+            shards = []
+            for t in terms:
+                trs = by_term.get(t)
+                if not trs:
+                    continue
+                df_live = sum(int(r["n_docs"]) for r in trs) - dead_by_term.get(t, 0)
+                if df_live <= 0:
+                    continue
+                shards.append((float(idf_np(n_docs, df_live)), trs))
+            doc_idx, scores = kern(shards, k, avgdl, k1, b, self.dead)
+            interim.append((qid, doc_idx, scores))
+            need_idx.update(int(i) for i in doc_idx)
+        if need_idx:
+            id_rows = self.docmap.filter(
+                F.col("doc_idx").isin(sorted(need_idx))
+            ).collect()
+            idmap = {r.doc_idx: r.doc_id for r in id_rows}
+        else:
+            idmap = {}
+        for qid, doc_idx, scores in interim:
+            for r, (di, s) in enumerate(zip(doc_idx, scores), start=1):
+                out.append((qid, r, idmap[int(di)], float(s)))
+        return out
 
 
 def query_index(

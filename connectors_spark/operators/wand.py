@@ -31,19 +31,26 @@ EXACT_PATH_MAX_POSTINGS = 1 << 19  # 512k entries: below this, brute numpy wins
 
 
 class ShardCursor:
-    """Cursor over one encoded (term, shard) run with block skipping."""
+    """Cursor over one encoded (term, shard) run with block skipping.
+
+    `ub_scale` corrects stored block-max bounds when the live avgdl has
+    grown since the shard was encoded: tf_norm(avgdl') <= tf_norm(avgdl) *
+    max(1, avgdl'/avgdl), so scaled bounds stay true upper bounds after
+    incremental updates (operators/delta.py)."""
 
     __slots__ = ("row", "idf", "k1", "b", "avgdl", "n", "n_blocks", "ub",
-                 "block_i", "docs", "tfs", "dls", "pos", "exhausted")
+                 "block_i", "docs", "tfs", "dls", "pos", "exhausted", "scale")
 
-    def __init__(self, row, idf: float, avgdl: float, k1: float, b: float):
+    def __init__(self, row, idf: float, avgdl: float, k1: float, b: float,
+                 ub_scale: float = 1.0):
         self.row = row
         self.idf = float(idf)
         self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.scale = max(1.0, float(ub_scale))
         self.n = int(row["n_docs"])
         self.n_blocks = len(row["block_last_doc"])
-        # list-level upper bound: idf * max block_max_w
-        self.ub = self.idf * max(row["block_max_w"])
+        # list-level upper bound: idf * max block_max_w (scaled)
+        self.ub = self.idf * max(row["block_max_w"]) * self.scale
         self.block_i = -1
         self.exhausted = False
         self._load_block(0)
@@ -61,7 +68,7 @@ class ShardCursor:
         return int(self.docs[self.pos])
 
     def block_ub(self) -> float:
-        return self.idf * float(self.row["block_max_w"][self.block_i])
+        return self.idf * float(self.row["block_max_w"][self.block_i]) * self.scale
 
     def block_last(self) -> int:
         return int(self.row["block_last_doc"][self.block_i])
@@ -97,18 +104,30 @@ class ShardCursor:
             self.pos = p
 
 
+def _in_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Membership of `values` in a sorted array (vectorized)."""
+    pos = np.searchsorted(sorted_arr, values)
+    pos = np.minimum(pos, len(sorted_arr) - 1)
+    return sorted_arr[pos] == values
+
+
 def _topk_from_scores(doc_idx: np.ndarray, scores: np.ndarray, k: int):
     order = np.lexsort((doc_idx, -scores))[:k]
     return doc_idx[order], scores[order]
 
 
 def topk_exact(shards_by_term: list[tuple[float, list]], k: int,
-               avgdl: float, k1: float, b: float):
-    """shards_by_term: [(idf, [encoded rows])] in SORTED term order."""
+               avgdl: float, k1: float, b: float,
+               dead: np.ndarray | None = None):
+    """shards_by_term: [(idf, [encoded rows])] in SORTED term order.
+    `dead`: sorted doc_idx tombstones — masked out before scoring."""
     all_docs, all_w = [], []
     for idf, rows in shards_by_term:
         for row in rows:
             d, tf, dl = decode_shard(row)
+            if dead is not None and len(dead):
+                live = ~_in_sorted(dead, d)
+                d, tf, dl = d[live], tf[live], dl[live]
             all_docs.append(d)
             all_w.append(idf * tf_norm_np(tf, dl, avgdl, k1, b))
     if not all_docs:
@@ -122,13 +141,17 @@ def topk_exact(shards_by_term: list[tuple[float, list]], k: int,
 
 
 def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
-              avgdl: float, k1: float, b: float):
+              avgdl: float, k1: float, b: float,
+              dead: np.ndarray | None = None):
     cursors = [
-        ShardCursor(row, idf, avgdl, k1, b)
+        ShardCursor(row, idf, avgdl, k1, b,
+                    ub_scale=float(row.get("_ub_scale", 1.0))
+                    if hasattr(row, "get") else 1.0)
         for idf, rows in shards_by_term
         for row in rows
         if int(row["n_docs"]) > 0
     ]
+    dead = dead if dead is not None and len(dead) else None
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc): min-heap on score
     theta = -1.0
@@ -192,7 +215,10 @@ def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
                 if not c.exhausted and c.cur_doc() == pivot_doc:
                     score += c.score_cur()
                     c.advance()
-            offer(pivot_doc, score)
+            if dead is None or not _in_sorted(
+                dead, np.array([pivot_doc], dtype=np.int64)
+            )[0]:
+                offer(pivot_doc, score)
         else:
             # advance lists before the pivot up to it
             for c in live[:pivot_i]:
@@ -205,8 +231,8 @@ def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
     )
 
 
-def topk_auto(shards_by_term, k, avgdl, k1, b):
+def topk_auto(shards_by_term, k, avgdl, k1, b, dead=None):
     total = sum(int(r["n_docs"]) for _, rows in shards_by_term for r in rows)
     if total <= EXACT_PATH_MAX_POSTINGS or len(shards_by_term) == 1:
-        return topk_exact(shards_by_term, k, avgdl, k1, b)
-    return topk_wand(shards_by_term, k, avgdl, k1, b)
+        return topk_exact(shards_by_term, k, avgdl, k1, b, dead)
+    return topk_wand(shards_by_term, k, avgdl, k1, b, dead)

@@ -1,0 +1,147 @@
+"""Sync-job catalog: status state machine, CAS claims, heartbeats, stats.
+
+Mirrors the reference's `.elastic-connectors-sync-jobs` protocol
+(reference: app/connectors_service/connectors/protocol/connectors.py:
+105-113 status enum, 84-93 counters, 1024-1060 job creation, 381-399 CAS
+claim; heartbeat app/connectors_service/connectors/sync_job_runner.py:
+38,480-493; idle cleanup app/connectors_service/connectors/services/
+job_cleanup.py:49-80) as a file-backed catalog: one JSON doc per job,
+optimistic concurrency via atomic create/replace (the file-system analog
+of if_seq_no/if_primary_term compare-and-swap,
+reference: app/connectors_service/connectors/es/index.py:211-221).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+PENDING, IN_PROGRESS = "pending", "in_progress"
+COMPLETED, ERROR, CANCELED, SUSPENDED = "completed", "error", "canceled", "suspended"
+TERMINAL = {COMPLETED, ERROR, CANCELED, SUSPENDED}
+_TRANSITIONS = {
+    PENDING: {IN_PROGRESS, CANCELED},
+    IN_PROGRESS: TERMINAL,
+}
+IDLE_TIMEOUT_S = 300  # reference: protocol/connectors.py:998
+
+
+class InvalidTransition(ValueError):
+    pass
+
+
+class ClaimConflict(RuntimeError):
+    pass
+
+
+class JobCatalog:
+    def __init__(self, path: str):
+        self.dir = path
+        os.makedirs(path, exist_ok=True)
+
+    def _file(self, job_id: str) -> str:
+        return os.path.join(self.dir, f"{job_id}.json")
+
+    def create(self, connector_id: str, job_type: str = "full",
+               sync_cursor: dict | None = None) -> str:
+        job_id = f"job-{uuid.uuid4().hex[:12]}"
+        doc = {
+            "id": job_id, "connector_id": connector_id, "job_type": job_type,
+            "status": PENDING, "created_at": time.time(), "last_seen": None,
+            "worker_hostname": None, "sync_cursor": sync_cursor, "seq_no": 0,
+            "indexed_document_count": 0, "indexed_document_volume": 0,
+            "deleted_document_count": 0, "error": None,
+        }
+        self._write(job_id, doc, expect_new=True)
+        return job_id
+
+    def get(self, job_id: str) -> dict:
+        with open(self._file(job_id)) as f:
+            return json.load(f)
+
+    def _write(self, job_id: str, doc: dict, expect_new: bool = False,
+               expect_seq: int | None = None) -> None:
+        path = self._file(job_id)
+        if expect_new and os.path.exists(path):
+            raise ClaimConflict(job_id)
+        if expect_seq is not None:
+            cur = self.get(job_id)
+            if cur["seq_no"] != expect_seq:
+                raise ClaimConflict(
+                    f"{job_id}: seq {cur['seq_no']} != expected {expect_seq}"
+                )
+            doc["seq_no"] = expect_seq + 1
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+
+    def _transition(self, doc: dict, new_status: str) -> None:
+        allowed = _TRANSITIONS.get(doc["status"], set())
+        if new_status not in allowed:
+            raise InvalidTransition(f"{doc['status']} -> {new_status}")
+        doc["status"] = new_status
+
+    def claim(self, job_id: str, worker: str) -> dict:
+        """CAS claim: only one worker wins (sync_job_runner.py:131-140)."""
+        doc = self.get(job_id)
+        seq = doc["seq_no"]
+        self._transition(doc, IN_PROGRESS)
+        doc["worker_hostname"] = worker
+        doc["last_seen"] = time.time()
+        self._write(job_id, doc, expect_seq=seq)
+        return doc
+
+    def heartbeat(self, job_id: str) -> None:
+        doc = self.get(job_id)
+        doc["last_seen"] = time.time()
+        self._write(job_id, doc)
+
+    def update_stats(self, job_id: str, **counters) -> None:
+        doc = self.get(job_id)
+        for k, v in counters.items():
+            doc[k] = v
+        self._write(job_id, doc)
+
+    def finish(self, job_id: str, status: str = COMPLETED,
+               error: str | None = None, sync_cursor: dict | None = None) -> None:
+        doc = self.get(job_id)
+        seq = doc["seq_no"]
+        self._transition(doc, status)
+        doc["error"] = error
+        if sync_cursor is not None:
+            # cursor persisted only on successful completion
+            # (sync_job_runner.py:340-353)
+            doc["sync_cursor"] = sync_cursor
+        self._write(job_id, doc, expect_seq=seq)
+
+    def pending_jobs(self) -> list[dict]:
+        """Sorted created_at ASC (protocol/connectors.py:1083)."""
+        docs = []
+        for name in os.listdir(self.dir):
+            if name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    docs.append(json.load(f))
+        return sorted(
+            (d for d in docs if d["status"] == PENDING),
+            key=lambda d: d["created_at"],
+        )
+
+    def cleanup_idle(self, now: float | None = None) -> list[str]:
+        """Jobs idle > 300 s marked error (job_cleanup.py:49-80)."""
+        now = now or time.time()
+        out = []
+        for name in os.listdir(self.dir):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.dir, name)) as f:
+                doc = json.load(f)
+            if (doc["status"] == IN_PROGRESS and doc["last_seen"]
+                    and now - doc["last_seen"] > IDLE_TIMEOUT_S):
+                doc["status"] = ERROR
+                doc["error"] = "idle timeout"
+                self._write(doc["id"], doc)
+                out.append(doc["id"])
+        return out

@@ -1,0 +1,94 @@
+"""Incremental index update: delete + update + insert, then rank identity
+vs an oracle built directly on the new snapshot; compaction equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark.operators.build import build_index_transcripts, with_doc_id
+from connectors_spark.operators.delta import compact_index, incremental_update
+from connectors_spark.operators.index import IndexReader, read_meta, write_encoded_index
+from connectors_spark.oracle import OracleIndex
+from connectors_spark.synth import synth_queries, synth_transcripts
+
+N0, N1 = 60, 70  # conversations before / after (appends 10 new convs)
+
+
+def _snapshots(spark):
+    s0 = synth_transcripts(spark, N0, seed=42).cache()
+    grown = synth_transcripts(spark, N1, seed=42)
+    h = F.pmod(F.xxhash64(F.concat_ws(":", "conv_id", "turn_idx")), F.lit(50))
+    # 2% deleted, 2% text-updated (ts bumped), plus 10 brand-new convs
+    s1 = (
+        grown.filter(~((F.col("conv_id") < f"conv-{N0:08d}") & (h == 0)))
+        .withColumn(
+            "text",
+            F.when((h == 1) & (F.col("conv_id") < f"conv-{N0:08d}"),
+                   F.concat(F.col("text"), F.lit(" freshterm")))
+            .otherwise(F.col("text")),
+        )
+        .withColumn(
+            "ts",
+            F.when((h == 1) & (F.col("conv_id") < f"conv-{N0:08d}"),
+                   F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+            .otherwise(F.col("ts")),
+        )
+    ).cache()
+    return s0, s1
+
+
+@pytest.fixture(scope="module")
+def updated(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("delta_idx"))
+    s0, s1 = _snapshots(spark)
+    write_encoded_index(
+        build_index_transcripts(s0, with_positions=False), path,
+        n_buckets=8, shard_cap=300,
+    )
+    rec = incremental_update(spark, path, s1)
+    assert rec is not None and rec["gen"] == 1 and rec["n_changed"] > 0
+    rows = with_doc_id(s1).select("doc_id", "text").collect()
+    oracle = OracleIndex([(r.doc_id, r.text) for r in rows])
+    return path, s1, oracle
+
+
+def _check_rank_identity(spark, path, oracle, kernel):
+    queries = synth_queries(30, seed=5) + [
+        {"query_id": "fresh", "query_text": "freshterm", "k": 10},
+        {"query_id": "hot", "query_text": "t00001 t00002", "k": 10},
+    ]
+    reader = IndexReader(spark, path, cache=False)
+    got = sorted(reader.topk(queries, kernel=kernel).collect(),
+                 key=lambda r: (r.query_id, r.rank))
+    exp = sorted(oracle.score_queryset(queries), key=lambda e: (e[0], e[1]))
+    assert [(g.query_id, g.rank, g.doc_id) for g in got] == [e[:3] for e in exp]
+    for g, e in zip(got, exp):
+        assert g.score == pytest.approx(e[3], rel=1e-9)
+
+
+@pytest.mark.parametrize("kernel", ["exact", "wand"])
+def test_incremental_rank_identity(spark, updated, kernel):
+    path, s1, oracle = updated
+    _check_rank_identity(spark, path, oracle, kernel)
+
+
+def test_live_stats_match_oracle(spark, updated):
+    path, s1, oracle = updated
+    meta = read_meta(path)
+    assert meta["n_docs"] == oracle.n_docs
+    assert meta["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+
+
+def test_noop_update_returns_none(spark, updated):
+    path, s1, _ = updated
+    assert incremental_update(spark, path, s1) is None
+
+
+def test_compaction_equivalence(spark, updated, tmp_path):
+    path, s1, oracle = updated
+    out = str(tmp_path / "compacted")
+    compact_index(spark, path, out)
+    meta = read_meta(out)
+    assert meta["deltas"] == [] and meta["n_docs"] == oracle.n_docs
+    _check_rank_identity(spark, out, oracle, "wand")
+    reader = IndexReader(spark, out, cache=False)
+    assert len(reader.dead) == 0

@@ -89,3 +89,17 @@ def test_k_larger_than_matches(spark, built):
     got = query_index(spark, path, q, kernel="wand").collect()
     exp = oracle.score_queryset(q)
     _assert_rank_identical(got, exp)
+
+
+def test_topk_local_serving_path(spark, built):
+    from connectors_spark.operators.index import IndexReader
+
+    path, oracle = built
+    queries = synth_queries(20, seed=11)
+    reader = IndexReader(spark, path, cache=False)
+    got = sorted(reader.topk_local(queries, kernel="auto"),
+                 key=lambda t: (t[0], t[1]))
+    exp = sorted(oracle.score_queryset(queries), key=lambda e: (e[0], e[1]))
+    assert [(g[0], g[1], g[2]) for g in got] == [e[:3] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[3] == pytest.approx(e[3], rel=1e-9)

@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the plan — pushed filters, broadcast joins, codegen,
+partition pruning. `.explain`-driven, so regressions in plan shape fail
+tests rather than silently costing a full scan at scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark.operators.build import build_index
+from connectors_spark.operators.query import queries_df, score_topk_dataframe
+from connectors_spark.operators.rules import apply_rules
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_rules_filter_pushed_to_parquet_scan(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rules = [{"id": "r1", "order": 0, "policy": "exclude",
+              "field": "event_type", "rule": "equals", "value": "error"}]
+    out = apply_rules(events, rules).select("event_id")
+    plan = _plan(out)
+    # the whole rule chain compiles into the scan's pushed filters
+    assert "PushedFilters: [" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select("doc_id").filter(F.col("doc_id") < 10)
+    plan = _plan(out)
+    readschema = plan.split("ReadSchema:")[1][:120]
+    assert "text" not in readschema, "projection must prune the text column"
+
+
+def test_scorer_broadcasts_query_terms(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "q", "query_text": "spark", "k": 5}])
+    plan = _plan(score_topk_dataframe(idx, qdf))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_covers_tokenize(spark, sf_dir):
+    from connectors_spark.functions.analysis import tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokenize(docs).groupBy("term").count()
+    toks.collect()  # AQE: codegen markers only visible in the final plan
+    plan = _plan(toks)
+    assert "*(" in plan, "whole-stage codegen must cover the tokenize stage"
+    assert "partial_count" in plan, "aggregate must have a map-side combine"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "tokenization must stay JVM-side"
+    )
+
+
+def test_bucket_pruning_in_index_reader(spark, tmp_path):
+    from connectors_spark.operators.build import build_index_transcripts
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+    from connectors_spark.synth import synth_transcripts
+
+    path = str(tmp_path / "idx")
+    t = synth_transcripts(spark, 30, seed=5)
+    write_encoded_index(build_index_transcripts(t, with_positions=False),
+                        path, n_buckets=16, shard_cap=1000)
+    reader = IndexReader(spark, path, cache=False)
+    res = reader.topk([{"query_id": "q", "query_text": "t00001", "k": 5}])
+    plan = _optimized(res)
+    # bucket filter present -> partition pruning on the postings read
+    assert "bucket" in plan

@@ -70,30 +70,54 @@ def main():
         return
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 11_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    results = {}
-    for cpus in (n, 4 * n):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             str(cpus), str(n_convs)],
-            capture_output=True, text=True, cwd=REPO, check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(line)
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    # the sandbox host throttles unpredictably (observed 47-195 s for the
+    # IDENTICAL 32-core run): interleave levels and take best-of-N per
+    # level so host noise cancels; all runs are reported for transparency
+    runs: dict[int, list[dict]] = {n: [], 4 * n: []}
+    for _ in range(rounds):
+        for cpus in (n, 4 * n):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 str(cpus), str(n_convs)],
+                capture_output=True, text=True, cwd=REPO, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            runs[cpus].append(json.loads(line))
+            print(line)
 
-    lo, hi = results[n], results[4 * n]
+    def best(cpus):
+        return max(runs[cpus], key=lambda r: r["build_turns_per_sec"])
+
+    lo, hi = best(n), best(4 * n)
+    lo["queries_per_sec"] = max(r["queries_per_sec"] for r in runs[n])
+    hi["queries_per_sec"] = max(r["queries_per_sec"] for r in runs[4 * n])
     eff_build = (hi["build_turns_per_sec"] / lo["build_turns_per_sec"]) / 4
     eff_query = (hi["queries_per_sec"] / lo["queries_per_sec"]) / 4
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    all_rows = "\n".join(
+        f"| local[{c}] run {i+1} | {r['build_sec']} | {r['build_turns_per_sec']} "
+        f"| {r['query_sec']} | {r['queries_per_sec']} |"
+        for c in (n, 4 * n) for i, r in enumerate(runs[c])
+    )
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
 Same job, same input (deterministic seeded transcripts, {lo['n_turns']}
-turns, parallelism-invariant synthesis), fresh JVM per level.
+turns, parallelism-invariant synthesis), fresh JVM per level, levels
+interleaved best-of-{rounds} (the sandbox host throttles CPU
+unpredictably — identical runs varied up to 4x — so per-level best is the
+least-noise estimate; every run is listed below).
 
-| level | build sec | build turns/s | 200-query batch sec | queries/s |
+| level (best) | build sec | build turns/s | 200-query batch sec | queries/s |
 |---|---|---|---|---|
 | local[{n}]  (N)  | {lo['build_sec']} | {lo['build_turns_per_sec']} | {lo['query_sec']} | {lo['queries_per_sec']} |
 | local[{4*n}] (4N) | {hi['build_sec']} | {hi['build_turns_per_sec']} | {hi['query_sec']} | {hi['queries_per_sec']} |
+
+All runs:
+
+| run | build sec | build turns/s | query sec | queries/s |
+|---|---|---|---|---|
+{all_rows}
 
 - **index-build scaling efficiency (N -> 4N): {eff_build:.2f}**
 - query-batch scaling efficiency (N -> 4N): {eff_query:.2f}
