@@ -21,7 +21,7 @@ Physical layout (the part Elasticsearch/Lucene owns in the reference):
 from __future__ import annotations
 
 import json
-import math
+
 import os
 
 import numpy as np

@@ -20,13 +20,13 @@ directory, so resume can never double-count.
 from __future__ import annotations
 
 import json
-import math
+
 import os
 import time
 import uuid
 
-import numpy as np
-import pandas as pd
+
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
