@@ -38,12 +38,16 @@ def main():
     from connectors_spark.session import get_spark
     from connectors_spark.synth import synth_queries, synth_transcripts
     from connectors_spark.operators.build import build_index_transcripts
-    from connectors_spark.operators.index import IndexReader, write_encoded_index
+    from connectors_spark.operators.index import IndexReader, build_and_write_index
     from connectors_spark.operators.query import queries_df, score_topk_dataframe
     from connectors_spark import entry_queries
 
+    # measured task-parallelism sweet spot on this host is ~16 (the box
+    # reports 32 hardware threads but sustains ~16 busy cores; see
+    # BENCH/BASELINE.md) — cap shuffle/task parallelism, keep local[cpus]
+    par = int(os.environ.get("SPARK_GRAFT_PARALLELISM", str(min(cpus, 16))))
     spark = get_spark(
-        "bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        "bench", master=f"local[{cpus}]", shuffle_partitions=par,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
@@ -64,10 +68,11 @@ def main():
     try:
         transcripts = synth_transcripts(spark, n_convs, seed=42)
         with timed("index_build_transcripts"):
-            idx = build_index_transcripts(transcripts, with_positions=False)
-            write_encoded_index(idx, idx_path, n_buckets=max(16, cpus),
-                                shard_cap=1 << 18)
-        n_turns = idx.n_docs
+            meta = build_and_write_index(
+                transcripts, idx_path, n_buckets=max(16, cpus),
+                shard_cap=1 << 18,
+            )
+        n_turns = meta["n_docs"]
         extra["turns_indexed"] = n_turns
         extra["build_turns_per_sec"] = round(
             n_turns / timings["index_build_transcripts"], 1
@@ -76,8 +81,9 @@ def main():
         queries = synth_queries(200, seed=42)
         # materialize the logical index once; scoring stages then measure
         # scoring, not re-tokenization
+        idx = build_index_transcripts(transcripts, with_positions=False)
         idx.postings.persist().count()
-        idx.docs.persist().count()
+        idx.docs.count()
         with timed("bm25_queryset_dataframe"):
             qdf = queries_df(spark, queries)
             score_topk_dataframe(idx, qdf).write.format("noop").mode("overwrite").save()

@@ -199,6 +199,102 @@ def encode_postings(
     )
 
 
+def build_and_write_index(
+    transcripts: DataFrame,
+    path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    shard_cap: int = DEFAULT_SHARD_CAP,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    num_partitions: int | None = None,
+) -> dict:
+    """Fused fast path: transcripts -> encoded index in minimal shuffles.
+
+    Shuffle-volume design (the thing that matters at 10^12 turns):
+    - dl is computed as size(tokens) on the BASE table (no explode, no
+      per-token shuffle, no join-back);
+    - doc_idx is assigned BEFORE tokenization, so every downstream
+      shuffle keys on int64 doc_idx instead of the 'conv-…:…' string id;
+    - lexicon df comes back via an explicit broadcast join;
+    - total wide ops: docmap range-assign (docs only), groupBy(term,
+      doc_idx) on the token stream, df partial-agg, repartition(term,
+      shard) of compact long-keyed postings. The generic
+      write_encoded_index path keeps the (doc_id, text) API; this one is
+      the throughput builder used by bench/scaling.
+    Returns meta.
+    """
+    from connectors_spark.functions.analysis import tokens_col
+    from connectors_spark.operators.build import assign_doc_indices, with_doc_id
+
+    spark = transcripts.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    base = with_doc_id(transcripts)
+    id_cols = ["doc_id"] + (["ts"] if "ts" in base.columns else [])
+    # docs is one narrow row per doc but feeds ~5 passes (range sampling,
+    # counts, row_number, stats) — pin it
+    docs = base.select(
+        *id_cols, F.size(tokens_col(F.col("text"))).cast("long").alias("dl")
+    ).persist()
+    docmap = assign_doc_indices(docs)
+    docmap.write.mode("overwrite").parquet(f"{path}/docmap")
+    docmap = spark.read.parquet(f"{path}/docmap")
+    docs.unpersist()
+
+    n_docs, sum_dl = docmap.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    n_docs = int(n_docs)
+    avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+
+    base_idx = base.select("doc_id", "text").join(
+        docmap.select("doc_id", "doc_idx", "dl"), "doc_id"
+    )
+    toks = base_idx.select(
+        "doc_idx", "dl", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    postings = toks.groupBy("term", "doc_idx").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    ).persist()
+    lexicon = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    p = (
+        postings.join(F.broadcast(lexicon), "term")
+        .select("term", "doc_idx", "tf", "dl", "df",
+                *_shard_cols_by_idx(shard_cap))
+        .withColumn("bucket", bucket_col("term", n_buckets))
+    )
+    try:
+        encoded = p.repartition(num_partitions, "term", "shard").sortWithinPartitions(
+            "term", "shard", "doc_idx"
+        ).mapInPandas(
+            make_encode_partition(avgdl, k1, b), schema=ENCODED_POSTINGS_SCHEMA
+        )
+        encoded = encoded.repartition(n_buckets, "bucket")
+        encoded.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{path}/postings"
+        )
+    finally:
+        postings.unpersist()
+
+    meta = {
+        "n_docs": n_docs, "avgdl": avgdl, "gen0_avgdl": avgdl, "k1": k1,
+        "b": b, "n_buckets": n_buckets, "shard_cap": shard_cap, "deltas": [],
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _shard_cols_by_idx(shard_cap: int) -> list:
+    """shard columns when the doc key is already the int64 doc_idx."""
+    n_shards = F.greatest(
+        F.lit(1), F.ceil(F.col("df") / F.lit(shard_cap))
+    ).cast("int")
+    return [
+        n_shards.alias("n_shards"),
+        F.pmod(F.xxhash64("doc_idx"), n_shards).cast("int").alias("shard"),
+    ]
+
+
 def read_meta(path: str) -> dict:
     with open(os.path.join(path, "meta.json")) as f:
         return json.load(f)

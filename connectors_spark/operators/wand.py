@@ -106,6 +106,8 @@ class ShardCursor:
 
 def _in_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
     """Membership of `values` in a sorted array (vectorized)."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(values), dtype=bool)
     pos = np.searchsorted(sorted_arr, values)
     pos = np.minimum(pos, len(sorted_arr) - 1)
     return sorted_arr[pos] == values

@@ -103,3 +103,24 @@ def test_topk_local_serving_path(spark, built):
     assert [(g[0], g[1], g[2]) for g in got] == [e[:3] for e in exp]
     for g, e in zip(got, exp):
         assert g[3] == pytest.approx(e[3], rel=1e-9)
+
+
+def test_fast_builder_rank_identical(spark, tmp_path):
+    """build_and_write_index (fused fast path) == oracle, including
+    hot-term sharding."""
+    from connectors_spark.operators.index import IndexReader, build_and_write_index
+
+    path = str(tmp_path / "fastidx")
+    t = synth_transcripts(spark, 80, seed=13).cache()
+    meta = build_and_write_index(t, path, n_buckets=8, shard_cap=200)
+    rows = with_doc_id(t).select("doc_id", "text").collect()
+    oracle = OracleIndex([(r.doc_id, r.text) for r in rows])
+    assert meta["n_docs"] == oracle.n_docs
+    assert meta["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+    queries = synth_queries(25, seed=21)
+    got = sorted(
+        IndexReader(spark, path, cache=False).topk(queries, kernel="auto").collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    exp = sorted(oracle.score_queryset(queries), key=lambda e: (e[0], e[1]))
+    _assert_rank_identical(got, exp)
