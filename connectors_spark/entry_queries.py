@@ -1050,3 +1050,74 @@ def q_oversize_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_cls")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("volume"))
     )
+
+
+# =================================================================
+# Language-filtered analyzer: BM25 with `_english_` stop removal
+# (reference analyzer chain: app/connectors_service/connectors/es/
+#  language_data.yml:10-13 — en stemmer+stop; stop-set parity here)
+# =================================================================
+
+
+def _bm25_stopped_oracle_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in ENGLISH_STOP)
+    arr = f"list_filter({_ARR}, t -> t NOT IN ({stop}))"
+    toks = f"""
+toks AS (
+  SELECT doc_id, unnest({arr}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (
+  SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) t
+    USING (doc_id)
+)"""
+    qvals = []
+    stopset = set(ENGLISH_STOP)
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t and t not in stopset}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {toks},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_topk_stopworded", _bm25_stopped_oracle_sql())
+def q_bm25_topk_stopworded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the `_english_` stop filter applied at build AND query
+    side (same analyzer both sides, language_data.yml parity)."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, stop_words=ENGLISH_STOP, with_positions=False)
+    from connectors_spark.functions.analysis import tokenize_py
+    qrows = []
+    for qid, text in GATE_BM25_QUERIES:
+        kept = " ".join(tokenize_py(text, ENGLISH_STOP))
+        qrows.append({"query_id": qid, "query_text": kept, "k": GATE_BM25_K})
+    return score_topk_dataframe(
+        idx, queries_df(spark, qrows), round_scores=ROUND_SCORE
+    )

@@ -92,6 +92,47 @@ def build_index_transcripts(transcripts: DataFrame, **kw) -> IndexFrames:
     return build_index(with_doc_id(transcripts), **kw)
 
 
+def salted_agg(df: DataFrame, keys: list[str], partial_aggs: list,
+               final_aggs: list, salt_from: str, n_salts: int = 16) -> DataFrame:
+    """Explicit two-stage salted aggregation for Zipf-head keys.
+
+    Catalyst's map-side combine already collapses *algebraic* aggregates
+    (count/sum/min/max) per task, so plain groupBy is skew-safe for those.
+    This helper is for aggregations whose per-key state is LARGE
+    (collect_list/collect_set-style), where a 10^11-row hot key would blow
+    a single reducer: stage 1 groups by (keys..., pmod(xxhash64(salt_from),
+    n_salts)) bounding any task's state to 1/n_salts of the key, stage 2
+    merges the n_salts partials. (North-star requirement: salted two-stage
+    aggregation for hot terms; see SURVEY §2.4.)
+
+    partial_aggs/final_aggs: lists of Column aggregates; each final agg
+    must consume the column its partial produced (same alias).
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).alias("_salt")
+    stage1 = df.groupBy(*keys, salt).agg(*partial_aggs)
+    return stage1.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_collect_positions(toks: DataFrame, n_salts: int = 16) -> DataFrame:
+    """(term, doc_id, tf, positions) via salted two-stage collect — the
+    posting-row builder that stays safe when one (term, doc) pair is
+    pathologically large."""
+    return salted_agg(
+        toks,
+        keys=["term", "doc_id"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("_tf"),
+            F.collect_list("pos").alias("_pos"),
+        ],
+        final_aggs=[
+            F.sum("_tf").alias("tf"),
+            F.sort_array(F.flatten(F.collect_list("_pos"))).alias("positions"),
+        ],
+        salt_from="pos",
+        n_salts=n_salts,
+    )
+
+
 def assign_doc_indices(docs: DataFrame, num_ranges: int | None = None,
                        start_idx: int = 0) -> DataFrame:
     """(doc_idx, doc_id, dl): dense int64 ids, ordered by doc_id string.

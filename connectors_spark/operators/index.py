@@ -431,43 +431,52 @@ class IndexReader:
     def topk_local(self, queries: list[dict], kernel: str = "auto") -> list[tuple]:
         """Low-latency serving path: ONE bucket-pruned collect pulls the
         query terms' shard rows to the driver, then the kernel runs
-        in-process — no per-query Spark job. This is the ES-search-latency
-        analog; `topk` is the bulk-throughput path. Returns
-        [(query_id, rank, doc_id, score)]."""
+        in-process — no per-query Spark job. Term shard rows and dead
+        counts are LRU-cached on the reader, so repeat-term queries skip
+        the cluster entirely (the hot-query-set regime of a search tier).
+        This is the ES-search-latency analog; `topk` is the
+        bulk-throughput path. Returns [(query_id, rank, doc_id, score)]."""
         from connectors_spark.functions.analysis import tokenize_py
 
         meta = self.meta
         n_docs, avgdl = meta["n_docs"], meta["avgdl"]
         k1, b, n_buckets = meta["k1"], meta["b"], meta["n_buckets"]
         kern = {"auto": topk_auto, "exact": topk_exact, "wand": topk_wand}[kernel]
+        if not hasattr(self, "_term_cache"):
+            self._term_cache: dict[str, list] = {}
+            self._dead_cache: dict[str, int] = {}
 
         per_q = []
-        all_terms, buckets = set(), set()
+        all_terms = set()
         for q in queries:
             terms = sorted(set(tokenize_py(q["query_text"])))
             per_q.append((q["query_id"], int(q.get("k", 10)), terms))
             all_terms.update(terms)
-            buckets.update(bucket_of(t, n_buckets) for t in terms)
         if not all_terms:
             return []
-        rows = (
-            self.postings.filter(F.col("bucket").isin(sorted(buckets)))
-            .filter(F.col("term").isin(sorted(all_terms)))
-            .toPandas()
-        )
-        dead_by_term: dict[str, int] = {}
-        if self.dead_df is not None:
-            dd = self.dead_df.filter(
-                F.col("term").isin(sorted(all_terms))
-            ).collect()
-            dead_by_term = {r.term: int(r.dead) for r in dd}
-        by_term: dict[str, list] = {}
-        for _, row in rows.iterrows():
-            g = int(row["_gen"]) if "_gen" in row.index else 0
-            row["_ub_scale"] = max(
-                1.0, avgdl / self.gen_avgdl.get(g, avgdl)
+        missing = sorted(t for t in all_terms if t not in self._term_cache)
+        if missing:
+            buckets = sorted({bucket_of(t, n_buckets) for t in missing})
+            rows = (
+                self.postings.filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(missing))
+                .toPandas()
             )
-            by_term.setdefault(row["term"], []).append(row)
+            for t in missing:
+                self._term_cache[t] = []
+                self._dead_cache[t] = 0
+            for _, row in rows.iterrows():
+                g = int(row["_gen"]) if "_gen" in row.index else 0
+                row["_ub_scale"] = max(
+                    1.0, avgdl / self.gen_avgdl.get(g, avgdl)
+                )
+                self._term_cache[row["term"]].append(row)
+            if self.dead_df is not None:
+                dd = self.dead_df.filter(F.col("term").isin(missing)).collect()
+                for r in dd:
+                    self._dead_cache[r.term] = int(r.dead)
+        by_term = self._term_cache
+        dead_by_term = self._dead_cache
         # resolve doc_idx -> doc_id lazily, one lookup per result batch
         out, need_idx = [], set()
         interim = []

@@ -87,3 +87,48 @@ def test_empty_and_absent_term_queries(spark, transcripts, oracle):
     got_c = sorted(by_q["qc"], key=lambda r: r.rank)
     assert [(r.doc_id) for r in got_c] == [d for d, _ in exp]
     assert np.allclose([r.score for r in got_c], [s for _, s in exp], rtol=1e-9)
+
+
+def test_salted_agg_equals_plain(spark, transcripts):
+    from connectors_spark.functions.analysis import tokenize
+    from connectors_spark.operators.build import salted_collect_positions
+
+    toks = tokenize(with_doc_id(transcripts), "text", "doc_id")
+    import pyspark.sql.functions as F
+    plain = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"),
+             F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+    salted = salted_collect_positions(toks, n_salts=8)
+    a = {(r.term, r.doc_id): (r.tf, tuple(r.positions))
+         for r in plain.filter("term in ('t00001','t00002','t49999')").collect()}
+    b = {(r.term, r.doc_id): (r.tf, tuple(r.positions))
+         for r in salted.filter("term in ('t00001','t00002','t49999')").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stopword_analyzer_rank_identity(spark, transcripts):
+    from connectors_spark.functions.analysis import ENGLISH_STOP
+    from connectors_spark.operators.build import build_index_transcripts as bit
+
+    # synth vocab has no English stopwords; add a doc-level check via the
+    # documents-style path: stop removal changes nothing on synth corpus,
+    # so use a handmade corpus instead
+    docs = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "cat hat cat"), (3, "the the the and")],
+        "doc_id long, text string",
+    )
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, score_topk_dataframe
+    from connectors_spark.oracle import OracleIndex
+
+    idx = build_index(docs, stop_words=ENGLISH_STOP, with_positions=False)
+    oracle = OracleIndex([(str(r.doc_id), r.text) for r in docs.collect()],
+                         stop_words=ENGLISH_STOP)
+    assert idx.n_docs == oracle.n_docs and abs(idx.avgdl - oracle.avgdl) < 1e-12
+    got = score_topk_dataframe(
+        idx, queries_df(spark, [{"query_id": "q", "query_text": "the cat", "k": 3}])
+    ).orderBy("rank").collect()
+    exp = oracle.score_query("the cat", 3)
+    assert [str(g.doc_id) for g in got] == [d for d, _ in exp]
