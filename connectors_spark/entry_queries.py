@@ -1121,3 +1121,63 @@ def q_bm25_topk_stopworded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_topk_dataframe(
         idx, queries_df(spark, qrows), round_scores=ROUND_SCORE
     )
+
+
+# =================================================================
+# Conjunctive (AND) BM25 top-k — posting-list intersection (§2.3)
+# =================================================================
+
+
+def _bm25_and_oracle_sql() -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score,
+         count(*) AS nm
+  FROM contrib GROUP BY query_id, doc_id
+),
+conj AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s JOIN qn USING (query_id)
+  WHERE s.nm = qn.n_terms
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM conj
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_topk_conjunctive", _bm25_and_oracle_sql())
+def q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-semantics BM25: only docs containing EVERY query term (the
+    posting-list intersection / Lucene conjunction case, SURVEY §2.3)."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    return score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE, mode="and")

@@ -49,15 +49,19 @@ def score_topk_dataframe(
     k1: float = BM25_K1,
     b: float = BM25_B,
     round_scores: int | None = None,
+    mode: str = "or",
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) for the whole query set in one plan.
 
     Ties break (score DESC, doc_id ASC). With `round_scores=n`, ranking and
     output use round(score, n) — makes ranks engine-independent (used by
-    the DuckDB-gated queries, where float sum order differs). Plan shape at
-    scale: broadcast qterms (|queries| * ~6 rows) + broadcast
-    lexicon-of-matched-terms; the only shuffle is the (query_id, doc_id)
-    partial+final aggregation.
+    the DuckDB-gated queries, where float sum order differs).
+    mode='and' keeps only docs matching EVERY query term — posting-list
+    intersection, Lucene's conjunction iterator (SURVEY §2.3); expressed
+    as count(matched terms) == |query terms| on the same aggregation, so
+    AND costs no extra shuffle. Plan shape at scale: broadcast qterms
+    (|queries| * ~6 rows) + broadcast lexicon-of-matched-terms; the only
+    shuffle is the (query_id, doc_id) partial+final aggregation.
     """
     qterms = query_terms(qdf)
     # df per matched term — tiny (<= distinct query terms), broadcast it
@@ -78,8 +82,17 @@ def score_topk_dataframe(
         ).alias("w"),
     )
     scored = contrib.groupBy("query_id", "k", "doc_id").agg(
-        F.sum("w").alias("score")
+        F.sum("w").alias("score"), F.count(F.lit(1)).alias("_n_matched")
     )
+    if mode == "and":
+        # terms absent from the corpus can never be matched => queries
+        # containing one return empty under AND (Lucene conjunction)
+        n_terms = query_terms(qdf).groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_n_terms")
+        )
+        scored = scored.join(F.broadcast(n_terms), "query_id").filter(
+            F.col("_n_matched") == F.col("_n_terms")
+        )
     if round_scores is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), round_scores))
     w = Window.partitionBy("query_id").orderBy(

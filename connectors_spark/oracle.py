@@ -39,10 +39,13 @@ class OracleIndex:
         return len(self.postings.get(term, {}))
 
     def score_query(self, query_text: str, k: int = 10,
-                    k1: float = BM25_K1, b: float = BM25_B) -> list[tuple[str, float]]:
-        """[(doc_id, score)] — top-k, ties (score DESC, doc_id ASC)."""
+                    k1: float = BM25_K1, b: float = BM25_B,
+                    mode: str = "or") -> list[tuple[str, float]]:
+        """[(doc_id, score)] — top-k, ties (score DESC, doc_id ASC).
+        mode='and': docs must match every query term."""
         terms = sorted(set(tokenize_py(query_text, self.stop_words)))
         acc: dict[str, float] = defaultdict(float)
+        matched: dict[str, int] = defaultdict(int)
         for term in terms:
             plist = self.postings.get(term)
             if not plist:
@@ -52,6 +55,9 @@ class OracleIndex:
                 acc[doc_id] += idf * float(
                     tf_norm_np(tf, self.dl[doc_id], self.avgdl, k1, b)
                 )
+                matched[doc_id] += 1
+        if mode == "and":
+            acc = {d: s for d, s in acc.items() if matched[d] == len(terms)}
         ranked = sorted(acc.items(), key=lambda it: (-it[1], it[0]))
         return ranked[:k]
 

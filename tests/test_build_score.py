@@ -132,3 +132,32 @@ def test_stopword_analyzer_rank_identity(spark, transcripts):
     ).orderBy("rank").collect()
     exp = oracle.score_query("the cat", 3)
     assert [str(g.doc_id) for g in got] == [d for d, _ in exp]
+
+
+def test_conjunctive_rank_identity(spark, transcripts, oracle):
+    queries = [
+        {"query_id": "c1", "query_text": "t00001 t00002", "k": 10},
+        {"query_id": "c2", "query_text": "t00001 zznope", "k": 10},  # empty
+        {"query_id": "c3", "query_text": "t09696", "k": 5},
+    ]
+    from connectors_spark.operators.build import build_index_transcripts as bit
+    idx = bit(transcripts, with_positions=False)
+    got = score_topk_dataframe(
+        idx, queries_df(spark, queries), mode="and"
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert "c2" not in by_q  # absent term => empty under AND
+    for qid, qtext, k in [("c1", "t00001 t00002", 10), ("c3", "t09696", 5)]:
+        exp = oracle.score_query(qtext, k, mode="and")
+        g = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [r.doc_id for r in g] == [d for d, _ in exp]
+        for r, (_, s) in zip(g, exp):
+            assert r.score == pytest.approx(s, rel=1e-9)
+    # AND results are a subset of OR results' doc set
+    or_got = score_topk_dataframe(
+        idx, queries_df(spark, [{"query_id": "c1", "query_text": "t00001 t00002", "k": 10000}])
+    ).collect()
+    or_docs = {r.doc_id for r in or_got}
+    assert all(r.doc_id in or_docs for r in by_q["c1"])
