@@ -46,9 +46,17 @@ def main():
     # reports 32 hardware threads but sustains ~16 busy cores; see
     # BENCH/BASELINE.md) — cap shuffle/task parallelism, keep local[cpus]
     par = int(os.environ.get("SPARK_GRAFT_PARALLELISM", str(min(cpus, 16))))
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    tmpfs = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    if tmpfs:
+        # single local disk is a constant shared resource; shuffle and the
+        # scratch index go to tmpfs (cluster analog: per-executor disks)
+        shuffle_dir = os.path.join(tmpfs, "spark-bench-local")
+        os.makedirs(shuffle_dir, exist_ok=True)
+        extra["spark.local.dir"] = shuffle_dir
     spark = get_spark(
         "bench", master=f"local[{cpus}]", shuffle_partitions=par,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=extra,
     )
 
     timings: dict[str, float] = {}
@@ -64,7 +72,7 @@ def main():
         return _T()
 
     n_convs = max(50, int(TURNS_PER_SF * sf / 18.4))
-    idx_path = tempfile.mkdtemp(prefix="bench_idx_")
+    idx_path = tempfile.mkdtemp(prefix="bench_idx_", dir=tmpfs)
     try:
         transcripts = synth_transcripts(spark, n_convs, seed=42)
         with timed("index_build_transcripts"):
