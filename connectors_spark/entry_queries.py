@@ -317,22 +317,24 @@ def q_ingestion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "table_stats",
-    "SELECT 'orders' AS tbl, count(*) AS n, epoch_us(max(o_orderdate)) AS max_ts FROM orders "
+    "SELECT 'orders' AS tbl, count(*) AS n, strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS max_ts FROM orders "
     "UNION ALL "
-    "SELECT 'events' AS tbl, count(*) AS n, epoch_us(max(ts)) AS max_ts FROM events",
+    "SELECT 'events' AS tbl, count(*) AS n, strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts FROM events",
 )
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row count + max commit ts per table (reference:
     app/connectors_service/connectors/sources/postgresql/queries.py:39-45)."""
     orders = _read(spark, sf_dir, "orders")
     events = _read(spark, sf_dir, "events")
+    # naive (timezone-free) formatting on both sides: parquet timestamps
+    # load as TIMESTAMP_NTZ, so neither engine's session tz can shift them
     a = orders.agg(
         F.lit("orders").alias("tbl"), F.count(F.lit(1)).alias("n"),
-        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias("max_ts"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_ts"),
     )
     b = events.agg(
         F.lit("events").alias("tbl"), F.count(F.lit(1)).alias("n"),
-        F.unix_micros(F.max("ts").cast("timestamp")).alias("max_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_ts"),
     )
     return a.unionAll(b)
 
@@ -859,7 +861,7 @@ SELECT
   CAST(event_id AS VARCHAR) AS doc_id,
   md5(CAST(event_id AS VARCHAR)) AS id_md5,
   'events' || '_' || CAST(event_id AS VARCHAR) || '_' || CAST(user_id AS VARCHAR) AS row_id,
-  strftime(ts AT TIME ZONE 'UTC', '%Y-%m-%dT%H:%M:%S') || '+00:00' AS ts_iso,
+  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS ts_iso,
   to_base64(encode(event_type)) AS etype_b64,
   regexp_matches('user' || CAST(user_id AS VARCHAR) || '@example.com',
                  '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$') AS email_ok,
