@@ -85,14 +85,41 @@ def varint_decode(buf: bytes, offset: int = 0, count: int | None = None) -> np.n
 
 
 def encode_shard(doc_idx: np.ndarray, tf: np.ndarray, dl: np.ndarray,
-                 tf_norm: np.ndarray) -> dict:
-    """Encode one sorted (term, shard) posting run; returns column dict."""
+                 tf_norm: np.ndarray, positions: list | None = None) -> dict:
+    """Encode one sorted (term, shard) posting run; returns column dict.
+
+    `positions`: optional list of per-posting position arrays (len == tf
+    each). Stored as delta+varint per posting, concatenated in posting
+    order, with per-BLOCK byte offsets — enough to decode any block's
+    positions given its tfs (phrase/proximity queries)."""
     order = np.argsort(doc_idx, kind="stable")
     doc_idx = np.asarray(doc_idx, dtype=np.int64)[order]
     tf = np.asarray(tf, dtype=np.int64)[order]
     dl = np.asarray(dl, dtype=np.int64)[order]
     tf_norm = np.asarray(tf_norm, dtype=np.float64)[order]
     n = len(doc_idx)
+    pos_buf, pos_block_offsets = None, None
+    if positions is not None:
+        # flatten with per-posting delta encoding: first pos absolute,
+        # then gaps (positions are strictly increasing within a posting)
+        flat = []
+        for i in order:
+            p = np.asarray(positions[i], dtype=np.uint64)
+            d = p.copy()
+            if len(d) > 1:
+                d[1:] = np.diff(p)
+            flat.append(d)
+        allpos = np.concatenate(flat) if flat else np.zeros(0, np.uint64)
+        pos_buf, val_off = varint_encode(allpos)
+        # byte offset of each BLOCK's first posting's positions
+        counts = tf  # positions per posting == tf
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=cum[1:])
+        starts_idx = np.arange(0, n, BLOCK_SIZE)
+        pos_block_offsets = [
+            int(val_off[cum[s]]) if cum[s] < len(allpos) else len(pos_buf)
+            for s in starts_idx
+        ]
     gaps = np.empty(n, dtype=np.uint64)
     gaps[0] = doc_idx[0]
     gaps[1:] = np.diff(doc_idx).astype(np.uint64)
@@ -111,10 +138,12 @@ def encode_shard(doc_idx: np.ndarray, tf: np.ndarray, dl: np.ndarray,
         "doc_gaps": gap_buf,
         "tfs": tf_buf,
         "dls": dl_buf,
+        "positions": pos_buf,
         "block_last_doc": block_last_doc.tolist(),
         "block_offsets": block_offsets.tolist(),
         "block_tf_offsets": block_tf_offsets.tolist(),
         "block_dl_offsets": block_dl_offsets.tolist(),
+        "block_pos_offsets": pos_block_offsets,
         "block_max_w": block_max_w.tolist(),
     }
 
@@ -127,6 +156,23 @@ def decode_shard(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tf = varint_decode(row["tfs"], 0, n).astype(np.int64)
     dl = varint_decode(row["dls"], 0, n).astype(np.int64)
     return doc_idx, tf, dl
+
+
+def decode_shard_positions(row) -> list[np.ndarray] | None:
+    """Per-posting position arrays for an encoded row, or None if the
+    shard was built without positions."""
+    buf = row["positions"] if "positions" in row else None
+    if buf is None or len(buf) == 0:
+        return None
+    n = int(row["n_docs"])
+    tf = varint_decode(row["tfs"], 0, n).astype(np.int64)
+    total = int(tf.sum())
+    deltas = varint_decode(buf, 0, total).astype(np.int64)
+    out, off = [], 0
+    for c in tf:
+        out.append(np.cumsum(deltas[off:off + c]))
+        off += int(c)
+    return out
 
 
 def decode_block(row, block_i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

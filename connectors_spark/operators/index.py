@@ -86,9 +86,13 @@ def make_encode_partition(avgdl: float, k1: float, b: float):
         def flush(g: pd.DataFrame):
             tf = g["tf"].to_numpy(dtype=np.int64)
             dl = g["dl"].to_numpy(dtype=np.int64)
+            pos = list(g["positions"]) if "positions" in g.columns else None
+            if pos is not None and (not len(pos) or pos[0] is None
+                                    or (isinstance(pos[0], float))):
+                pos = None  # positions column present but null (disabled)
             enc = encode_shard(
                 g["doc_idx"].to_numpy(dtype=np.int64), tf, dl,
-                tf_norm_np(tf, dl, avgdl, k1, b),
+                tf_norm_np(tf, dl, avgdl, k1, b), positions=pos,
             )
             out.append({
                 "term": g["term"].iloc[0],
@@ -184,11 +188,13 @@ def encode_postings(
     spark = postings.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+    pos_cols = ["positions"] if "positions" in postings.columns else []
     p = (
-        postings.select("term", "doc_id", "tf")
+        postings.select("term", "doc_id", "tf", *pos_cols)
         .join(docmap.select("doc_id", "doc_idx", "dl"), "doc_id")
         .join(lexicon, "term")
-        .select("term", "doc_idx", "tf", "dl", "df", *shard_cols(shard_cap))
+        .select("term", "doc_idx", "tf", "dl", "df", *pos_cols,
+                *shard_cols(shard_cap))
         .withColumn("bucket", bucket_col("term", n_buckets))
     )
     sorted_p = p.repartition(num_partitions, "term", "shard").sortWithinPartitions(
@@ -503,6 +509,92 @@ class IndexReader:
         for qid, doc_idx, scores in interim:
             for r, (di, s) in enumerate(zip(doc_idx, scores), start=1):
                 out.append((qid, r, idmap[int(di)], float(s)))
+        return out
+
+
+    def phrase_topk(self, phrases: list[dict]) -> list[tuple]:
+        """Exact-phrase top-k over the compressed positional index:
+        [(query_id, rank, doc_id, score)]. Candidate docs = posting
+        intersection of the phrase terms; adjacency verified from the
+        delta-encoded position streams; ranked by the phrase terms' BM25
+        sum (ties score DESC, doc ASC). Requires an index built
+        with positions (build_index(with_positions=True) ->
+        write_encoded_index)."""
+        from connectors_spark.functions.analysis import tokenize_py
+        from connectors_spark.functions.codec import (
+            decode_shard, decode_shard_positions,
+        )
+        from connectors_spark.operators.score import tf_norm_np
+
+        meta = self.meta
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        k1, b, n_buckets = meta["k1"], meta["b"], meta["n_buckets"]
+
+        per_q, all_terms = [], set()
+        for q in phrases:
+            terms = tokenize_py(q["query_text"])
+            per_q.append((q["query_id"], int(q.get("k", 10)), terms))
+            all_terms.update(terms)
+        if not all_terms:
+            return []
+        buckets = sorted({bucket_of(t, n_buckets) for t in all_terms})
+        rows = (
+            self.postings.filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(sorted(all_terms)))
+            .toPandas()
+        )
+        # decoded per term: doc_idx -> (tf, dl, positions)
+        term_docs: dict[str, dict[int, tuple]] = {}
+        term_total: dict[str, int] = {}
+        for _, row in rows.iterrows():
+            d, tf, dl = decode_shard(row)
+            pos = decode_shard_positions(row)
+            if pos is None:
+                raise ValueError(
+                    "index was built without positions; rebuild with "
+                    "with_positions=True for phrase queries"
+                )
+            m = term_docs.setdefault(row["term"], {})
+            for i in range(len(d)):
+                m[int(d[i])] = (int(tf[i]), int(dl[i]), pos[i])
+            term_total[row["term"]] = term_total.get(row["term"], 0) + len(d)
+
+        out = []
+        for qid, k, terms in per_q:
+            if not terms or any(t not in term_docs for t in terms):
+                continue
+            cand = set(term_docs[terms[0]])
+            for t in terms[1:]:
+                cand &= set(term_docs[t])
+            matched = []
+            for doc in cand:
+                if len(self.dead) and int(np.searchsorted(self.dead, doc)) < len(self.dead) \
+                        and self.dead[np.searchsorted(self.dead, doc)] == doc:
+                    continue
+                starts = set(term_docs[terms[0]][doc][2].tolist())
+                ok = True
+                for i, t in enumerate(terms[1:], start=1):
+                    starts &= {int(p) - i for p in term_docs[t][doc][2]}
+                    if not starts:
+                        ok = False
+                        break
+                if ok:
+                    matched.append(doc)
+            scored = []
+            for doc in matched:
+                s = 0.0
+                for t in sorted(set(terms)):
+                    tf, dl, _ = term_docs[t][doc]
+                    idf = float(idf_np(n_docs, term_total[t]))
+                    s += idf * float(tf_norm_np(tf, dl, avgdl, k1, b))
+                scored.append((doc, s))
+            scored.sort(key=lambda it: (-it[1], it[0]))
+            id_rows = self.docmap.filter(
+                F.col("doc_idx").isin([d for d, _ in scored[:k]])
+            ).collect()
+            idmap = {r.doc_idx: r.doc_id for r in id_rows}
+            for r, (doc, s) in enumerate(scored[:k], start=1):
+                out.append((qid, r, idmap[int(doc)], float(s)))
         return out
 
 

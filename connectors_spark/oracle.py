@@ -25,11 +25,14 @@ class OracleIndex:
                  stop_words: list[str] | None = None):
         """docs: [(doc_id, text)]"""
         self.postings: dict[str, dict[str, int]] = defaultdict(dict)
+        self.positions: dict[str, dict[str, list[int]]] = defaultdict(dict)
         self.dl: dict[str, int] = {}
         self.stop_words = stop_words
         for doc_id, text in docs:
             toks = tokenize_py(text, stop_words)
             self.dl[doc_id] = len(toks)
+            for pos, term in enumerate(toks):
+                self.positions[term].setdefault(doc_id, []).append(pos)
             for term, tf in Counter(toks).items():
                 self.postings[term][doc_id] = tf
         self.n_docs = len(self.dl)
@@ -60,6 +63,36 @@ class OracleIndex:
             acc = {d: s for d, s in acc.items() if matched[d] == len(terms)}
         ranked = sorted(acc.items(), key=lambda it: (-it[1], it[0]))
         return ranked[:k]
+
+    def phrase_query(self, phrase_text: str, k: int = 10,
+                     k1: float = BM25_K1, b: float = BM25_B) -> list[tuple[str, float]]:
+        """Docs containing the exact token phrase (adjacent positions),
+        ranked by the phrase terms' BM25 sum; ties (score DESC, doc ASC)."""
+        terms = tokenize_py(phrase_text, self.stop_words)
+        if not terms:
+            return []
+        cand = set(self.positions.get(terms[0], {}))
+        for t in terms[1:]:
+            cand &= set(self.positions.get(t, {}))
+        matched = []
+        for doc in cand:
+            starts = set(self.positions[terms[0]][doc])
+            for i, t in enumerate(terms[1:], start=1):
+                starts &= {p - i for p in self.positions[t][doc]}
+                if not starts:
+                    break
+            if starts:
+                matched.append(doc)
+        scored = []
+        for doc in matched:
+            s = 0.0
+            for term in sorted(set(terms)):
+                idf = float(idf_np(self.n_docs, self.df(term)))
+                tf = self.postings[term][doc]
+                s += idf * float(tf_norm_np(tf, self.dl[doc], self.avgdl, k1, b))
+            scored.append((doc, s))
+        scored.sort(key=lambda it: (-it[1], it[0]))
+        return scored[:k]
 
     def score_queryset(self, queries: list[dict]) -> list[tuple]:
         """[(query_id, rank, doc_id, score)] for [{query_id, query_text, k}]."""

@@ -45,10 +45,12 @@ ENCODED_POSTINGS_SCHEMA = T.StructType(
         T.StructField("doc_gaps", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
+        T.StructField("positions", T.BinaryType(), True),
         T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
         T.StructField("block_offsets", T.ArrayType(T.LongType()), False),
         T.StructField("block_tf_offsets", T.ArrayType(T.LongType()), False),
         T.StructField("block_dl_offsets", T.ArrayType(T.LongType()), False),
+        T.StructField("block_pos_offsets", T.ArrayType(T.LongType()), True),
         T.StructField("block_max_w", T.ArrayType(T.DoubleType()), False),
     ]
 )

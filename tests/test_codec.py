@@ -77,3 +77,33 @@ def test_compression_ratio_reasonable():
     # dense-ish gaps + small tfs: far below 8 bytes/entry raw
     assert len(row["doc_gaps"]) < 100_000 * 3
     assert len(row["tfs"]) < 100_000 * 2
+
+
+def test_positions_roundtrip():
+    from connectors_spark.functions.codec import decode_shard_positions
+
+    rng = np.random.RandomState(5)
+    for n in [1, 3, BLOCK_SIZE + 7, 500]:
+        doc_idx, tf, dl, tfn = _random_shard(rng, n)
+        positions = [
+            np.sort(rng.choice(np.arange(1000), size=int(t), replace=False))
+            for t in tf
+        ]
+        row = encode_shard(doc_idx, tf, dl, tfn, positions=positions)
+        assert row["positions"] is not None
+        got = decode_shard_positions(row)
+        # encode sorts by doc_idx; here doc_idx already sorted
+        assert len(got) == n
+        for g, p in zip(got, positions):
+            assert np.array_equal(g, p)
+        assert len(row["block_pos_offsets"]) == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+
+
+def test_positions_absent_is_none():
+    from connectors_spark.functions.codec import decode_shard_positions
+
+    rng = np.random.RandomState(6)
+    doc_idx, tf, dl, tfn = _random_shard(rng, 10)
+    row = encode_shard(doc_idx, tf, dl, tfn)
+    assert row["positions"] is None
+    assert decode_shard_positions(row) is None

@@ -124,3 +124,38 @@ def test_fast_builder_rank_identical(spark, tmp_path):
     )
     exp = sorted(oracle.score_queryset(queries), key=lambda e: (e[0], e[1]))
     _assert_rank_identical(got, exp)
+
+
+def test_phrase_topk_compressed_vs_oracle(spark, tmp_path):
+    """Exact-phrase retrieval through the positional compressed index."""
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown dogs and a brown fox"),
+            (3, "the fox is quick and brown but never a brown fox"),
+            (4, "brown the fox quick"),  # words present, phrase absent
+            (5, "a quick brown fox a quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "pidx")
+    idx = build_index(docs.withColumn("doc_id", docs.doc_id.cast("string")),
+                      with_positions=True)
+    write_encoded_index(idx, path, n_buckets=4, shard_cap=100)
+    reader = IndexReader(spark, path, cache=False)
+
+    from connectors_spark.oracle import OracleIndex
+    oracle = OracleIndex([(str(r.doc_id), r.text) for r in docs.collect()])
+
+    for phrase in ["quick brown fox", "brown fox", "lazy dog", "fox the"]:
+        got = reader.phrase_topk([{"query_id": "p", "query_text": phrase, "k": 10}])
+        exp = oracle.phrase_query(phrase, 10)
+        assert [g[2] for g in got] == [d for d, _ in exp], phrase
+        for g, (_, s) in zip(got, exp):
+            assert g[3] == pytest.approx(s, rel=1e-9)
+    # phrase with words present but never adjacent
+    got = reader.phrase_topk([{"query_id": "p", "query_text": "dog quick", "k": 5}])
+    assert got == []
