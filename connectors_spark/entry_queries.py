@@ -1183,3 +1183,88 @@ def q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
          for qid, text in GATE_BM25_QUERIES],
     )
     return score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE, mode="and")
+
+
+# =================================================================
+# Exact-phrase retrieval through the COMPRESSED positional index
+# =================================================================
+
+
+def _phrase_bm25_oracle_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    parts = []
+    for pid, phrase in GATE_PHRASES:
+        terms = phrase.split()
+        joins = [
+            f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i} AND t{i}.t = '{terms[i]}'"
+            for i in range(1, len(terms))
+        ]
+        uniq = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+        parts.append(f"""
+SELECT '{pid}' AS query_id, m.doc_id, round(sum({w}), {ROUND_SCORE}) AS score
+FROM (SELECT DISTINCT t0.doc_id FROM toks t0 {' '.join(joins)}
+      WHERE t0.t = '{terms[0]}') m
+JOIN (SELECT * FROM (VALUES {uniq}) v(term)) qt ON true
+JOIN tf ON tf.doc_id = m.doc_id AND tf.term = qt.term
+JOIN dfreq ON dfreq.term = qt.term
+JOIN dl ON dl.doc_id = m.doc_id
+CROSS JOIN stats
+GROUP BY m.doc_id""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+WITH {_DDB_TOKS_POS},
+tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks GROUP BY doc_id, t),
+dl AS (
+  SELECT d.doc_id, coalesce(x.dl, 0) AS dl FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x USING (doc_id)
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS ({body}),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register("phrase_topk_compressed", _phrase_bm25_oracle_sql())
+def q_phrase_topk_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-k answered from the compressed POSITIONAL index
+    (delta+varint position streams -> adjacency check -> BM25-sum rank)."""
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=True)
+    path = _tempfile.mkdtemp(prefix="gate_phrase_idx_")
+    try:
+        write_encoded_index(idx, path, n_buckets=8, shard_cap=300)
+        reader = IndexReader(spark, path, cache=False)
+        rows = reader.phrase_topk(
+            [{"query_id": pid, "query_text": text, "k": 100}
+             for pid, text in GATE_PHRASES]
+        )
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
+    out = spark.createDataFrame(
+        [(qid, r, int(doc), s) for qid, r, doc, s in rows],
+        "query_id string, rank int, doc_id long, score double",
+    )
+    # re-rank on rounded scores (engine-neutral), cap at 10
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", ROUND_SCORE)), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("score", F.round("score", ROUND_SCORE))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "score")
+    )
