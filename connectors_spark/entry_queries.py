@@ -103,7 +103,7 @@ def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lexicon_df",
     f"WITH {_TF_CTE} "
-    "SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term",
+    "SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term",
 )
 def q_lexicon_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document frequency + collection frequency per term."""
@@ -293,10 +293,10 @@ def q_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"WITH ops AS ({_SYNC_OPS_SQL}), "
     "sz AS (SELECT event_id AS doc_id, "
     "       length(event_type) + length(coalesce(props, '')) AS sz FROM events) "
-    "SELECT sum(CASE WHEN op IN ('create','update') THEN 1 ELSE 0 END) AS indexed_document_count, "
-    "sum(CASE WHEN op IN ('create','update') THEN sz ELSE 0 END) AS indexed_document_volume, "
-    "sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS deleted_document_count, "
-    "sum(CASE WHEN op = 'skip' THEN 1 ELSE 0 END) AS skipped_document_count "
+    "SELECT CAST(sum(CASE WHEN op IN ('create','update') THEN 1 ELSE 0 END) AS BIGINT) AS indexed_document_count, "
+    "CAST(sum(CASE WHEN op IN ('create','update') THEN sz ELSE 0 END) AS BIGINT) AS indexed_document_volume, "
+    "CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deleted_document_count, "
+    "CAST(sum(CASE WHEN op = 'skip' THEN 1 ELSE 0 END) AS BIGINT) AS skipped_document_count "
     "FROM ops LEFT JOIN sz USING (doc_id)",
 )
 def q_ingestion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,7 +573,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"SELECT doc_id, "
     "len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens, "
     f"len({_ARR}) AS n_tokens, "
-    f"coalesce(list_sum(list_transform({_ARR}, t -> CAST(ceil(length(t) / 4) AS BIGINT))), 0) AS n_subwords "
+    f"CAST(coalesce(list_sum(list_transform({_ARR}, t -> CAST(ceil(length(t) / 4) AS BIGINT))), 0) AS BIGINT) AS n_subwords "
     "FROM documents",
 )
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,7 +817,7 @@ w AS (
          avg(CAST(is_err AS DOUBLE)) OVER (
            ORDER BY ts ASC, event_id ASC
            ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS err_rate,
-         sum(is_err) OVER (ORDER BY ts ASC, event_id ASC) AS total_errors
+         CAST(sum(is_err) OVER (ORDER BY ts ASC, event_id ASC) AS BIGINT) AS total_errors
   FROM ops
 )
 SELECT event_id, round(err_rate, 6) AS err_rate, total_errors,
@@ -1037,7 +1037,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "oversize_filter",
     "SELECT (CASE WHEN length(text) <= 300 THEN 'kept' ELSE 'dropped' END) AS bucket_cls, "
-    "count(*) AS n, sum(length(text)) AS volume FROM documents GROUP BY bucket_cls",
+    "count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS volume FROM documents GROUP BY bucket_cls",
 )
 def q_oversize_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document size cap with drop accounting (reference: 3 MiB text
