@@ -98,7 +98,9 @@ def incremental_update(spark: SparkSession, path: str,
     changed_ids = ops.filter(F.col("op").isin("create", "update")).select("doc_id")
     changed = new_docs.join(changed_ids, "doc_id", "left_semi")
 
-    sub = build_index(changed, with_positions=False)
+    # delta generation must match the base index's positional setting,
+    # else phrase_topk breaks on any phrase term with delta postings
+    sub = build_index(changed, with_positions=bool(meta.get("positions", False)))
     max_idx = live.agg(F.max("doc_idx")).first()[0] or 0
     sub_docmap = assign_doc_indices(sub.docs, start_idx=int(max_idx) + 1)
     sub_docmap.write.mode("overwrite").parquet(f"{gdir}/docmap")

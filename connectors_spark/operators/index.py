@@ -163,6 +163,7 @@ def write_encoded_index(
     meta = {
         "n_docs": n_docs, "avgdl": avgdl, "gen0_avgdl": avgdl, "k1": k1,
         "b": b, "n_buckets": n_buckets, "shard_cap": shard_cap, "deltas": [],
+        "positions": "positions" in index.postings.columns,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -284,6 +285,7 @@ def build_and_write_index(
     meta = {
         "n_docs": n_docs, "avgdl": avgdl, "gen0_avgdl": avgdl, "k1": k1,
         "b": b, "n_buckets": n_buckets, "shard_cap": shard_cap, "deltas": [],
+        "positions": False,  # fused builder tokenizes without positions
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)

@@ -33,7 +33,9 @@ DEFAULT_RULE_ID = "DEFAULT"
 POLICIES = {"include", "exclude"}
 RULE_OPS = {"equals", "starts_with", "ends_with", "contains", "regex", ">", "<"}
 
-_TRUE_STRS = {"true", "yes", "y", "1"}  # mirrors basic_rule.py:71-78
+# mirrors basic_rule.py:16-17 IS_BOOL_TRUE / IS_BOOL_FALSE (full-match, case-insensitive)
+_BOOL_TRUE_RE = re.compile(r"true|t|yes|y|on", re.I)
+_BOOL_FALSE_RE = re.compile(r"false|f|no|n|off", re.I)
 
 
 @dataclass(frozen=True)
@@ -91,10 +93,26 @@ def _coerced(col: Column, dtype: T.DataType, rule: BasicRule) -> tuple[Column, C
     if isinstance(dtype, (T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)):
         return col.cast("double"), F.lit(float(rule.value)).cast("double")
     if isinstance(dtype, T.BooleanType):
-        return col, F.lit(rule.value.strip().lower() in _TRUE_STRS)
+        # to_bool (basic_rule.py:71-78): true|t|yes|y|on => True,
+        # empty or false|f|no|n|off => False, anything else can never
+        # match a boolean field (NULL literal => coalesce(..., False)).
+        if _BOOL_TRUE_RE.fullmatch(rule.value):
+            return col, F.lit(True)
+        if rule.value == "" or _BOOL_FALSE_RE.fullmatch(rule.value):
+            return col, F.lit(False)
+        return col, F.lit(None).cast("boolean")
     if isinstance(dtype, (T.TimestampType, T.DateType)):
         return col.cast("timestamp"), F.to_timestamp(F.lit(rule.value))
     return col.cast("string"), F.lit(rule.value)
+
+
+def _raw_str(col: Column, dtype: T.DataType) -> Column:
+    """str(document_value) on the RAW field (basic_rule.py:293-299): the
+    string-family ops never see the numeric coercion — int 9 must render
+    '9', not '9.0'. Booleans render Python-style 'True'/'False'."""
+    if isinstance(dtype, T.BooleanType):
+        return F.when(col, F.lit("True")).otherwise(F.lit("False"))
+    return col.cast("string")
 
 
 def _match_cond(df: DataFrame, rule: BasicRule) -> Column:
@@ -106,14 +124,14 @@ def _match_cond(df: DataFrame, rule: BasicRule) -> Column:
     if rule.rule == "equals":
         cond = fld == val
     elif rule.rule == "starts_with":
-        cond = fld.cast("string").startswith(F.lit(rule.value))
+        cond = _raw_str(col, dtype).startswith(F.lit(rule.value))
     elif rule.rule == "ends_with":
-        cond = fld.cast("string").endswith(F.lit(rule.value))
+        cond = _raw_str(col, dtype).endswith(F.lit(rule.value))
     elif rule.rule == "contains":
-        cond = fld.cast("string").contains(F.lit(rule.value))
+        cond = _raw_str(col, dtype).contains(F.lit(rule.value))
     elif rule.rule == "regex":
         # Python re.match anchors at start only
-        cond = fld.cast("string").rlike(f"^(?:{rule.value})")
+        cond = _raw_str(col, dtype).rlike(f"^(?:{rule.value})")
     elif rule.rule == ">":
         cond = fld > val
     elif rule.rule == "<":

@@ -39,7 +39,8 @@ def _parse_field(spec: str, field: str) -> set[int] | None:
     out: set[int] = set()
     for part in spec.split(","):
         step = 1
-        if "/" in part:
+        had_step = "/" in part  # per-part, NOT the whole spec: '5,10/20' = {5} ∪ {10,30,50}
+        if had_step:
             part, step_s = part.split("/", 1)
             step = int(step_s)
         if part in ("*", ""):
@@ -49,7 +50,7 @@ def _parse_field(spec: str, field: str) -> set[int] | None:
             a, b = int(a_s), int(b_s)
         else:
             a = int(part)
-            b = hi if "/" in spec else a
+            b = hi if had_step else a
         if not (lo <= a <= hi and lo <= b <= hi):
             raise CronError(f"{field} value out of range: {part}")
         out.update(range(a, b + 1, step))

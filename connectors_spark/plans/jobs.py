@@ -94,16 +94,33 @@ class JobCatalog:
         self._write(job_id, doc, expect_seq=seq)
         return doc
 
+    def _cas_update(self, job_id: str, mutate, retries: int = 5) -> dict:
+        """Read-modify-write under seq_no CAS, re-reading on conflict —
+        the reference's if_seq_no/if_primary_term retry loop
+        (es/index.py:211-221). `mutate(doc)` must touch only its own
+        fields so a retry never resurrects stale status."""
+        last: ClaimConflict | None = None
+        for _ in range(retries):
+            doc = self.get(job_id)
+            seq = doc["seq_no"]
+            mutate(doc)
+            try:
+                self._write(job_id, doc, expect_seq=seq)
+                return doc
+            except ClaimConflict as e:
+                last = e
+        raise ClaimConflict(f"{job_id}: CAS retries exhausted") from last
+
     def heartbeat(self, job_id: str) -> None:
-        doc = self.get(job_id)
-        doc["last_seen"] = time.time()
-        self._write(job_id, doc)
+        def mut(doc):
+            doc["last_seen"] = time.time()
+        self._cas_update(job_id, mut)
 
     def update_stats(self, job_id: str, **counters) -> None:
-        doc = self.get(job_id)
-        for k, v in counters.items():
-            doc[k] = v
-        self._write(job_id, doc)
+        def mut(doc):
+            for k, v in counters.items():
+                doc[k] = v
+        self._cas_update(job_id, mut)
 
     def finish(self, job_id: str, status: str = COMPLETED,
                error: str | None = None, sync_cursor: dict | None = None) -> None:
@@ -140,8 +157,12 @@ class JobCatalog:
                 doc = json.load(f)
             if (doc["status"] == IN_PROGRESS and doc["last_seen"]
                     and now - doc["last_seen"] > IDLE_TIMEOUT_S):
+                seq = doc["seq_no"]
                 doc["status"] = ERROR
                 doc["error"] = "idle timeout"
-                self._write(doc["id"], doc)
+                try:
+                    self._write(doc["id"], doc, expect_seq=seq)
+                except ClaimConflict:
+                    continue  # job progressed since read — not idle
                 out.append(doc["id"])
         return out

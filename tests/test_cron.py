@@ -22,6 +22,16 @@ def test_step_and_list():
     assert next_run("0 5,35 9-17 * * ?", T) == datetime(2025, 3, 10, 14, 35, 0)
 
 
+def test_mixed_literal_and_step_in_list():
+    # '5,10/20' = {5} ∪ {10,30,50}: the literal 5 must NOT expand to 5..59
+    # (Quartz semantics; the step applies only to the part that carries it)
+    assert next_run("5,10/20 * * * * ?", T) == datetime(2025, 3, 10, 14, 30, 50)
+    t = datetime(2025, 3, 10, 14, 30, 50)
+    assert next_run("5,10/20 * * * * ?", t) == datetime(2025, 3, 10, 14, 31, 5)
+    # and NOT every second: 14:30:46 is not a fire time
+    assert next_run("5,10/20 * * * * ?", T) != datetime(2025, 3, 10, 14, 30, 46)
+
+
 def test_dow_and_month_names():
     # next Friday
     assert next_run("0 0 0 ? * FRI", T) == datetime(2025, 3, 14, 0, 0, 0)

@@ -13,12 +13,13 @@ from hypothesis import strategies as st
 
 from connectors_spark.operators.rules import parse_rules, should_ingest_col
 
-FIELDS = {"name": "str", "n": "int", "score": "float"}
+FIELDS = {"name": "str", "n": "int", "score": "float", "flag": "bool"}
 
 _value_by_field = {
     "name": st.sampled_from(["alpha", "beta", "gamma", "a", ""]),
     "n": st.sampled_from(["0", "5", "10", "-3"]),
     "score": st.sampled_from(["0.5", "2.5", "-1.0"]),
+    "flag": st.sampled_from(["true", "T", "yes", "on", "FALSE", "off", "", "1", "maybe"]),
 }
 
 
@@ -34,7 +35,10 @@ def _rule_strategy():
         return r
 
     string_ops = ["equals", "starts_with", "ends_with", "contains", "regex"]
-    num_ops = ["equals", ">", "<"]
+    # string-family ops ARE legal on numeric fields (reference applies them
+    # to str(document_value), basic_rule.py:293-299)
+    num_ops = ["equals", ">", "<", "starts_with", "ends_with", "contains"]
+    bool_ops = ["equals", "starts_with", "ends_with", "contains"]
 
     def one(i):
         return st.one_of(
@@ -47,6 +51,9 @@ def _rule_strategy():
             st.tuples(st.just(i), st.just("score"), st.sampled_from(num_ops),
                       _value_by_field["score"],
                       st.sampled_from(["include", "exclude"])).map(fill),
+            st.tuples(st.just(i), st.just("flag"), st.sampled_from(bool_ops),
+                      _value_by_field["flag"],
+                      st.sampled_from(["include", "exclude"])).map(fill),
         )
 
     return st.integers(min_value=0, max_value=4).flatmap(
@@ -55,12 +62,12 @@ def _rule_strategy():
 
 
 ROWS = [
-    (1, "alpha", 5, 2.5),
-    (2, "beta", 10, 0.5),
-    (3, None, 0, -1.0),
-    (4, "gamma", -3, None),
-    (5, "", 7, 0.0),
-    (6, "alphabet", None, 3.5),
+    (1, "alpha", 5, 2.5, True),
+    (2, "beta", 10, 0.5, False),
+    (3, None, 0, -1.0, True),
+    (4, "gamma", -3, None, None),
+    (5, "", 7, 0.0, False),
+    (6, "alphabet", None, 3.5, True),
 ]
 
 
@@ -74,16 +81,26 @@ def py_should_ingest(row: dict, rules: list[dict]) -> bool:
         op = r["rule"]
         try:
             if isinstance(v, bool):
-                matched = v == (rv.strip().lower() in {"true", "yes", "y", "1"})
-            elif isinstance(v, (int, float)):
-                fv, frv = float(v), float(rv)
                 if op == "equals":
-                    matched = fv == frv
-                elif op == ">":
-                    matched = fv > frv
-                elif op == "<":
-                    matched = fv < frv
+                    # to_bool semantics (basic_rule.py:16-17, 71-78):
+                    # non-bool-pattern values never match a bool field
+                    if re.fullmatch(r"true|t|yes|y|on", rv, re.I):
+                        matched = v is True
+                    elif rv == "" or re.fullmatch(r"false|f|no|n|off", rv, re.I):
+                        matched = v is False
+                    else:
+                        matched = False
                 else:
+                    matched = _str_match("True" if v else "False", op, rv)
+            elif isinstance(v, (int, float)):
+                if op == "equals":
+                    matched = float(v) == float(rv)
+                elif op == ">":
+                    matched = float(v) > float(rv)
+                elif op == "<":
+                    matched = float(v) < float(rv)
+                else:
+                    # str() of the RAW value: int 9 -> '9', never '9.0'
                     matched = _str_match(str(v), op, rv)
             else:
                 if op == ">":
@@ -118,7 +135,7 @@ def _str_match(v: str, op: str, rv: str) -> bool:
 @pytest.fixture(scope="module")
 def df(spark):
     return spark.createDataFrame(
-        ROWS, "id long, name string, n int, score double"
+        ROWS, "id long, name string, n int, score double, flag boolean"
     ).cache()
 
 
@@ -134,6 +151,6 @@ def test_spark_rules_match_python_reference(spark, df, rules):
         ).collect()
     }
     for row in ROWS:
-        d = dict(zip(["id", "name", "n", "score"], row))
+        d = dict(zip(["id", "name", "n", "score", "flag"], row))
         exp = py_should_ingest(d, rules)
         assert got[d["id"]] == exp, (rules, d, got[d["id"]], exp)

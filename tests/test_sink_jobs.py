@@ -86,6 +86,31 @@ def test_job_lifecycle(tmp_path):
         cat.finish(j2, "completed")
 
 
+def test_heartbeat_and_stats_are_cas_guarded(tmp_path):
+    """heartbeat/update_stats must not clobber a racing status change
+    (reference if_seq_no/if_primary_term, es/index.py:211-221)."""
+    cat = JobCatalog(str(tmp_path / "jobs3"))
+    j = cat.create("conn-3")
+    cat.claim(j, worker="w1")
+
+    seq0 = cat.get(j)["seq_no"]
+    cat.heartbeat(j)
+    assert cat.get(j)["seq_no"] == seq0 + 1  # bumped under CAS
+
+    # a writer holding a stale seq loses
+    stale = cat.get(j)
+    cat.update_stats(j, indexed_document_count=5)
+    with pytest.raises(ClaimConflict):
+        cat._write(j, stale, expect_seq=stale["seq_no"] - 1)
+
+    # heartbeat racing a finish re-reads and preserves the newer status
+    cat.finish(j, "completed")
+    cat.heartbeat(j)
+    done = cat.get(j)
+    assert done["status"] == "completed"
+    assert done["indexed_document_count"] == 5
+
+
 def test_idle_cleanup(tmp_path):
     import time
 
