@@ -785,8 +785,9 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
              for qid, text in GATE_BM25_QUERIES],
             kernel="wand",
         )
-        # re-rank on rounded scores (engine-neutral tie-break), materialize
-        # before the temp index is deleted
+        # re-rank on rounded scores (engine-neutral tie-break); the
+        # toPandas is OUTPUT-sized (<= k * |queries| rows, never postings)
+        # and required only because the temp index dir is deleted below
         w = Window.partitionBy("query_id").orderBy(
             F.desc(F.round("score", ROUND_SCORE)), F.asc("doc_id")
         )
@@ -1248,14 +1249,16 @@ def q_phrase_topk_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         write_encoded_index(idx, path, n_buckets=8, shard_cap=300)
         reader = IndexReader(spark, path, cache=False)
+        # collect is OUTPUT-sized (<= k * |phrases| rows, never postings)
+        # and required only because the temp index dir is deleted below
         rows = reader.phrase_topk(
             [{"query_id": pid, "query_text": text, "k": 100}
              for pid, text in GATE_PHRASES]
-        )
+        ).collect()
     finally:
         _shutil.rmtree(path, ignore_errors=True)
     out = spark.createDataFrame(
-        [(qid, r, int(doc), s) for qid, r, doc, s in rows],
+        [(r.query_id, r.rank, int(r.doc_id), r.score) for r in rows],
         "query_id string, rank int, doc_id long, score double",
     )
     # re-rank on rounded scores (engine-neutral), cap at 10

@@ -9,11 +9,15 @@ Physical layout (the part Elasticsearch/Lucene owns in the reference):
 
 - bucket = pmod(xxhash64(term), n_buckets): query-side partition pruning —
   a query touches only its terms' buckets (SURVEY §3.4).
-- hot-term sharding: a term with df > shard_cap splits into
-  ceil(df/shard_cap) shards by pmod(xxhash64(doc_id), n_shards); caps the
-  Arrow group size per applyInPandas task (Zipf head safety, SURVEY §7.3#2)
-  while keeping every shard sorted by doc_idx (WAND treats shards of one
-  term as disjoint sorted lists).
+- hot-term sharding: a term with df > shard_cap splits into n_shards =
+  next-power-of-two(ceil(df/shard_cap)) shards by doc_idx % n_shards; caps
+  the Arrow group size per applyInPandas task (Zipf head safety, SURVEY
+  §7.3#2) while keeping every shard sorted by doc_idx (WAND treats shards
+  of one term as disjoint sorted lists). Power-of-two residue sharding
+  NESTS (doc % 2^j == (doc % 2^m) % 2^j for j <= m), which is what lets
+  the query side split one query across G disjoint doc-space groups with
+  every doc's postings for EVERY query term landing in the same group —
+  the hot-term-safe distributed top-k (IndexReader.topk).
 - encoding itself is groupBy(term, shard).applyInPandas over Arrow batches
   — the only Python in the build, vectorized NumPy inside.
 """
@@ -26,7 +30,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from connectors_spark import BM25_B, BM25_K1
@@ -38,6 +42,12 @@ from connectors_spark.schema import ENCODED_POSTINGS_SCHEMA
 
 DEFAULT_SHARD_CAP = 1 << 20  # 1M postings per encoded shard
 DEFAULT_BUCKETS = 64
+# Upper bound on the per-query doc-space fan-out in IndexReader.topk /
+# phrase_topk. Tune to the cluster: ~2x cores locally, ~executor count on
+# a real cluster. Must effectively be a power of two (rounded down).
+# Tradeoff: higher G spreads a hot term over more tasks but replicates
+# sub-G-sharded terms' (small) blobs to G/n_shards groups each.
+DEFAULT_MAX_GROUPS = 64
 
 
 def bucket_of(term: str, n_buckets: int) -> int:
@@ -57,13 +67,22 @@ def bucket_col(term: F.Column | str, n_buckets: int) -> F.Column:
 
 
 def shard_cols(shard_cap: int) -> list:
-    """n_shards/shard columns splitting hot terms by doc hash."""
-    n_shards = F.greatest(
-        F.lit(1), F.ceil(F.col("df") / F.lit(shard_cap))
-    ).cast("int")
+    """n_shards/shard columns splitting hot terms across the doc space.
+
+    n_shards = next power of two >= ceil(df/shard_cap) and shard =
+    doc_idx % n_shards (doc_idx is dense, so residues are balanced).
+    Power-of-two counts nest across terms — the invariant the
+    per-(query, group) distributed top-k relies on (module docstring)."""
+    n_raw = F.greatest(F.lit(1), F.ceil(F.col("df") / F.lit(shard_cap)))
+    exp = F.greatest(
+        F.lit(0),
+        F.ceil(F.log2(n_raw.cast("double")) - F.lit(1e-9)).cast("int"),
+    )
+    # 2^exp (exact in double up to 2^52 — far beyond any shard count)
+    n_shards = F.pow(F.lit(2.0), exp.cast("double")).cast("int")
     return [
         n_shards.alias("n_shards"),
-        F.pmod(F.xxhash64("doc_id"), n_shards).cast("int").alias("shard"),
+        F.pmod(F.col("doc_idx"), n_shards).cast("int").alias("shard"),
     ]
 
 
@@ -98,6 +117,7 @@ def make_encode_partition(avgdl: float, k1: float, b: float):
                 "term": g["term"].iloc[0],
                 "bucket": int(g["bucket"].iloc[0]),
                 "shard": int(g["shard"].iloc[0]),
+                "n_shards": int(g["n_shards"].iloc[0]),
                 "df": int(g["df"].iloc[0]),
                 **enc,
             })
@@ -266,7 +286,7 @@ def build_and_write_index(
     p = (
         postings.join(F.broadcast(lexicon), "term")
         .select("term", "doc_idx", "tf", "dl", "df",
-                *_shard_cols_by_idx(shard_cap))
+                *shard_cols(shard_cap))
         .withColumn("bucket", bucket_col("term", n_buckets))
     )
     try:
@@ -290,17 +310,6 @@ def build_and_write_index(
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
-
-
-def _shard_cols_by_idx(shard_cap: int) -> list:
-    """shard columns when the doc key is already the int64 doc_idx."""
-    n_shards = F.greatest(
-        F.lit(1), F.ceil(F.col("df") / F.lit(shard_cap))
-    ).cast("int")
-    return [
-        n_shards.alias("n_shards"),
-        F.pmod(F.xxhash64("doc_idx"), n_shards).cast("int").alias("shard"),
-    ]
 
 
 def read_meta(path: str) -> dict:
@@ -362,39 +371,79 @@ class IndexReader:
         self.postings.unpersist()
         self.docmap.unpersist()
 
-    def topk(self, queries: list[dict], kernel: str = "auto") -> DataFrame:
-        """(query_id, rank, doc_id, score) for the query batch.
+    def _term_info(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term -> (max n_shards across generations, total df across
+        generations), LRU-cached on the reader. One cheap pre-pass job
+        reading ONLY the (term, n_shards, df) columns of the pruned
+        buckets — parquet column pruning never touches the posting blobs.
+        Absent terms map to (0, 0)."""
+        if not hasattr(self, "_terminfo_cache"):
+            self._terminfo_cache: dict[str, tuple[int, int]] = {}
+        missing = sorted(t for t in terms if t not in self._terminfo_cache)
+        if missing:
+            n_buckets = self.meta["n_buckets"]
+            buckets = sorted({bucket_of(t, n_buckets) for t in missing})
+            src = self.postings
+            if "n_shards" not in src.columns:  # pre-n_shards index layout
+                src = src.withColumn("n_shards", F.lit(1))
+            rows = (
+                src.filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(missing))
+                .groupBy("term", "_gen")
+                .agg(F.max("n_shards").alias("m"), F.first("df").alias("df"))
+                .groupBy("term")
+                .agg(F.max("m").alias("m"), F.sum("df").alias("df"))
+                .collect()
+            )
+            for t in missing:
+                self._terminfo_cache[t] = (0, 0)  # absent from index
+            for r in rows:
+                self._terminfo_cache[r["term"]] = (int(r["m"]), int(r["df"]))
+        return {t: self._terminfo_cache[t] for t in terms}
 
-        Plan: qterms (tiny, broadcast) -> bucket-pruned postings scan ->
-        per-query applyInPandas running the WAND/exact kernel -> broadcast
-        top-k back against the docmap.
-        """
-        from connectors_spark.functions.analysis import tokenize_py
+    @staticmethod
+    def _group_cols(hits: DataFrame) -> DataFrame:
+        """Fan each encoded row out to the doc-space group(s) it covers.
 
+        Group of a doc = doc_idx % g_total; a term with n_shards = 2^j
+        holds a doc in shard doc_idx % 2^j. Because power-of-two residues
+        nest, shard s covers exactly the groups {g : g ≡ s (mod
+        min(n, G))}: one group when n >= G, G/n replicated groups when
+        n < G. Every doc's postings for EVERY query term land in its one
+        home group, so per-group scoring is exact."""
+        n, G = F.col("n_shards"), F.col("g_total")
+        reps = F.greatest(F.lit(1), (G / n).cast("int"))
+        return (
+            hits.withColumn("_t", F.explode(F.sequence(F.lit(0), reps - F.lit(1))))
+            .withColumn(
+                "grp",
+                F.when(n >= G, F.pmod(F.col("shard"), G))
+                .otherwise(F.col("shard") + F.col("_t") * n)
+                .cast("int"),
+            )
+        )
+
+    def _topk_partials(self, qterms: DataFrame, buckets: list[int],
+                       kernel: str) -> DataFrame:
+        """Per-(query, doc-space group) partial top-k — the pre-merge
+        stage of `topk`, factored out so distribution tests can count
+        groups. Output: (query_id, k, grp, doc_idx, score), <= k rows per
+        (query, group)."""
         meta = self.meta
         n_docs, avgdl = meta["n_docs"], meta["avgdl"]
-        k1, b, n_buckets = meta["k1"], meta["b"], meta["n_buckets"]
-
-        qrows, buckets = [], set()
-        for q in queries:
-            for term in sorted(set(tokenize_py(q["query_text"]))):
-                qrows.append((q["query_id"], int(q.get("k", 10)), term))
-                buckets.add(bucket_of(term, n_buckets))
-        if not qrows:
-            return self.spark.createDataFrame(
-                [], "query_id string, rank int, doc_id string, score double"
-            )
-        qterms = self.spark.createDataFrame(
-            qrows, "query_id string, k int, term string"
+        k1, b = meta["k1"], meta["b"]
+        src = self.postings
+        if "n_shards" not in src.columns:
+            src = src.withColumn("n_shards", F.lit(1))
+        hits = src.filter(F.col("bucket").isin(buckets)).join(
+            F.broadcast(qterms), "term"
         )
-        hits = self.postings.filter(
-            F.col("bucket").isin(sorted(buckets))
-        ).join(F.broadcast(qterms), "term")
         if self.dead_df is not None:
             hits = hits.join(F.broadcast(
                 self.dead_df.withColumnRenamed("dead", "_dead")), "term", "left")
         else:
             hits = hits.withColumn("_dead", F.lit(0))
+        hits = self._group_cols(hits)
 
         kern = {"auto": topk_auto, "exact": topk_exact, "wand": topk_wand}[kernel]
         dead_ids = self.dead
@@ -402,33 +451,99 @@ class IndexReader:
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             qid = pdf["query_id"].iloc[0]
+            g = int(pdf["grp"].iloc[0])
+            gt = int(pdf["g_total"].iloc[0])
             k = int(pdf["k"].iloc[0])
             shards_by_term: list[tuple[float, list]] = []
             for term, grp in sorted(pdf.groupby("term"), key=lambda kv: kv[0]):
                 _d = grp["_dead"].iloc[0]
                 dead_n = 0 if pd.isna(_d) else int(_d)
-                # live df: total postings across generations minus dead hits
-                df_live = int(grp["n_docs"].sum()) - dead_n
+                # GLOBAL live df from the pre-pass (this task may hold
+                # only a subset of the term's shards) — idf stays exact
+                df_live = int(grp["df_total"].iloc[0]) - dead_n
                 if df_live <= 0:
                     continue
                 idf = float(idf_np(n_docs, df_live))
                 rows = []
                 for _, row in grp.iterrows():
-                    g = int(row["_gen"]) if "_gen" in row.index else 0
-                    row["_ub_scale"] = max(1.0, avgdl / gen_avgdl.get(g, avgdl))
+                    gen = int(row["_gen"]) if "_gen" in row.index else 0
+                    row["_ub_scale"] = max(1.0, avgdl / gen_avgdl.get(gen, avgdl))
                     rows.append(row)
                 shards_by_term.append((idf, rows))
-            doc_idx, scores = kern(shards_by_term, k, avgdl, k1, b, dead_ids)
+            doc_idx, scores = kern(
+                shards_by_term, k, avgdl, k1, b, dead_ids,
+                group_filter=(gt, g) if gt > 1 else None,
+            )
             return pd.DataFrame({
                 "query_id": qid,
-                "rank": np.arange(1, len(doc_idx) + 1, dtype=np.int32),
+                "k": np.full(len(doc_idx), k, dtype=np.int32),
+                "grp": np.full(len(doc_idx), g, dtype=np.int32),
                 "doc_idx": doc_idx,
                 "score": scores,
             })
 
-        ranked = hits.groupBy("query_id").applyInPandas(
+        return hits.groupBy("query_id", "grp").applyInPandas(
             score_group,
-            schema="query_id string, rank int, doc_idx long, score double",
+            schema="query_id string, k int, grp int, doc_idx long, score double",
+        )
+
+    def topk(self, queries: list[dict], kernel: str = "auto",
+             max_groups: int = DEFAULT_MAX_GROUPS) -> DataFrame:
+        """(query_id, rank, doc_id, score) for the query batch.
+
+        Plan: tiny pre-pass for per-term (n_shards, df) -> qterms
+        (broadcast) -> bucket-pruned postings scan -> per-(query,
+        doc-space group) applyInPandas partial top-k -> window merge over
+        <= G*k rows per query -> broadcast join back to the docmap.
+
+        Hot-term safety: a query fans out over G = min(max n_shards of
+        its terms, max_groups) disjoint doc-space groups (doc_idx % G),
+        so a "the"-class posting list is scored by up to G tasks instead
+        of one. Nested power-of-two sharding guarantees each doc is fully
+        scored in exactly ONE group; the merge is rank-identical to a
+        single-task evaluation because per-doc scores are bit-identical
+        (same term-sorted accumulation) and the tie order (score DESC,
+        doc ASC) matches the kernels'.
+        """
+        from connectors_spark.functions.analysis import tokenize_py
+
+        n_buckets = self.meta["n_buckets"]
+        g_cap = max(1, 1 << (int(max_groups).bit_length() - 1))
+
+        per_q, all_terms = [], set()
+        for q in queries:
+            terms = sorted(set(tokenize_py(q["query_text"])))
+            per_q.append((q["query_id"], int(q.get("k", 10)), terms))
+            all_terms.update(terms)
+        empty = self.spark.createDataFrame(
+            [], "query_id string, rank int, doc_id string, score double"
+        )
+        if not all_terms:
+            return empty
+        info = self._term_info(sorted(all_terms))
+        qrows, buckets = [], set()
+        for qid, k, terms in per_q:
+            gq = min(max((info[t][0] for t in terms), default=1), g_cap)
+            gq = max(gq, 1)
+            for t in terms:
+                if info[t][1] <= 0:
+                    continue  # absent term: no postings to score
+                qrows.append((qid, k, t, gq, info[t][1]))
+                buckets.add(bucket_of(t, n_buckets))
+        if not qrows:
+            return empty
+        qterms = self.spark.createDataFrame(
+            qrows,
+            "query_id string, k int, term string, g_total int, df_total long",
+        )
+        partials = self._topk_partials(qterms, sorted(buckets), kernel)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_idx")
+        )
+        ranked = (
+            partials.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_idx", "score")
         )
         return (
             self.docmap.join(F.broadcast(ranked), "doc_idx")
@@ -514,14 +629,21 @@ class IndexReader:
         return out
 
 
-    def phrase_topk(self, phrases: list[dict]) -> list[tuple]:
-        """Exact-phrase top-k over the compressed positional index:
-        [(query_id, rank, doc_id, score)]. Candidate docs = posting
-        intersection of the phrase terms; adjacency verified from the
-        delta-encoded position streams; ranked by the phrase terms' BM25
-        sum (ties score DESC, doc ASC). Requires an index built
-        with positions (build_index(with_positions=True) ->
-        write_encoded_index)."""
+    def phrase_topk(self, phrases: list[dict],
+                    max_groups: int = DEFAULT_MAX_GROUPS) -> DataFrame:
+        """Exact-phrase top-k over the compressed positional index as a
+        DataFrame (query_id, rank, doc_id, score).
+
+        Fully distributed — same per-(query, doc-space group) fan-out as
+        `topk`; no posting row ever reaches the driver (the ES
+        match_phrase analog has to survive "the fast" on a 10^11-posting
+        "the"). Inside each group kernel, candidates are intersected
+        starting from the smallest-posting-set term, adjacency is
+        verified from the delta-encoded position streams, and matches are
+        ranked by the phrase terms' BM25 sum (ties score DESC, doc ASC).
+        Requires a positional index (build_index(with_positions=True));
+        delta generations inherit the positional setting
+        (operators/delta.py)."""
         from connectors_spark.functions.analysis import tokenize_py
         from connectors_spark.functions.codec import (
             decode_shard, decode_shard_positions,
@@ -529,75 +651,142 @@ class IndexReader:
         from connectors_spark.operators.score import tf_norm_np
 
         meta = self.meta
+        if meta.get("positions") is False:
+            raise ValueError(
+                "index was built without positions; rebuild with "
+                "with_positions=True for phrase queries"
+            )
         n_docs, avgdl = meta["n_docs"], meta["avgdl"]
         k1, b, n_buckets = meta["k1"], meta["b"], meta["n_buckets"]
+        g_cap = max(1, 1 << (int(max_groups).bit_length() - 1))
 
         per_q, all_terms = [], set()
         for q in phrases:
             terms = tokenize_py(q["query_text"])
             per_q.append((q["query_id"], int(q.get("k", 10)), terms))
             all_terms.update(terms)
-        if not all_terms:
-            return []
-        buckets = sorted({bucket_of(t, n_buckets) for t in all_terms})
-        rows = (
-            self.postings.filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(sorted(all_terms)))
-            .toPandas()
+        empty = self.spark.createDataFrame(
+            [], "query_id string, rank int, doc_id string, score double"
         )
-        # decoded per term: doc_idx -> (tf, dl, positions)
-        term_docs: dict[str, dict[int, tuple]] = {}
-        term_total: dict[str, int] = {}
-        for _, row in rows.iterrows():
-            d, tf, dl = decode_shard(row)
-            pos = decode_shard_positions(row)
-            if pos is None:
-                raise ValueError(
-                    "index was built without positions; rebuild with "
-                    "with_positions=True for phrase queries"
-                )
-            m = term_docs.setdefault(row["term"], {})
-            for i in range(len(d)):
-                m[int(d[i])] = (int(tf[i]), int(dl[i]), pos[i])
-            term_total[row["term"]] = term_total.get(row["term"], 0) + len(d)
-
-        out = []
+        if not all_terms:
+            return empty
+        info = self._term_info(sorted(all_terms))
+        qrows, buckets = [], set()
         for qid, k, terms in per_q:
-            if not terms or any(t not in term_docs for t in terms):
-                continue
-            cand = set(term_docs[terms[0]])
-            for t in terms[1:]:
-                cand &= set(term_docs[t])
-            matched = []
-            for doc in cand:
-                if len(self.dead) and int(np.searchsorted(self.dead, doc)) < len(self.dead) \
-                        and self.dead[np.searchsorted(self.dead, doc)] == doc:
-                    continue
-                starts = set(term_docs[terms[0]][doc][2].tolist())
-                ok = True
-                for i, t in enumerate(terms[1:], start=1):
-                    starts &= {int(p) - i for p in term_docs[t][doc][2]}
-                    if not starts:
-                        ok = False
-                        break
-                if ok:
-                    matched.append(doc)
-            scored = []
-            for doc in matched:
-                s = 0.0
-                for t in sorted(set(terms)):
-                    tf, dl, _ = term_docs[t][doc]
-                    idf = float(idf_np(n_docs, term_total[t]))
-                    s += idf * float(tf_norm_np(tf, dl, avgdl, k1, b))
-                scored.append((doc, s))
-            scored.sort(key=lambda it: (-it[1], it[0]))
-            id_rows = self.docmap.filter(
-                F.col("doc_idx").isin([d for d, _ in scored[:k]])
-            ).collect()
-            idmap = {r.doc_idx: r.doc_id for r in id_rows}
-            for r, (doc, s) in enumerate(scored[:k], start=1):
-                out.append((qid, r, idmap[int(doc)], float(s)))
-        return out
+            if not terms or any(info[t][1] <= 0 for t in terms):
+                continue  # a term is absent: the phrase cannot match
+            gq = min(max(info[t][0] for t in terms), g_cap)
+            gq = max(gq, 1)
+            phrase = " ".join(terms)
+            for t in sorted(set(terms)):
+                qrows.append((qid, k, t, gq, info[t][1], phrase))
+                buckets.add(bucket_of(t, n_buckets))
+        if not qrows:
+            return empty
+        qterms = self.spark.createDataFrame(
+            qrows,
+            "query_id string, k int, term string, g_total int, "
+            "df_total long, phrase string",
+        )
+        src = self.postings
+        if "n_shards" not in src.columns:
+            src = src.withColumn("n_shards", F.lit(1))
+        hits = src.filter(F.col("bucket").isin(sorted(buckets))).join(
+            F.broadcast(qterms), "term"
+        )
+        if self.dead_df is not None:
+            hits = hits.join(F.broadcast(
+                self.dead_df.withColumnRenamed("dead", "_dead")), "term", "left")
+        else:
+            hits = hits.withColumn("_dead", F.lit(0))
+        hits = self._group_cols(hits)
+        dead_ids = self.dead
+
+        def phrase_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = pdf["query_id"].iloc[0]
+            g = int(pdf["grp"].iloc[0])
+            gt = int(pdf["g_total"].iloc[0])
+            k = int(pdf["k"].iloc[0])
+            terms = pdf["phrase"].iloc[0].split(" ")
+            # per term: doc_idx -> (tf, dl, positions), this group's slice
+            term_docs: dict[str, dict[int, tuple]] = {}
+            term_df: dict[str, int] = {}
+            for term, grp in pdf.groupby("term"):
+                m = term_docs.setdefault(term, {})
+                _d = grp["_dead"].iloc[0]
+                dead_n = 0 if pd.isna(_d) else int(_d)
+                # live df (dead-corrected, same as topk) => exact idf on
+                # incrementally-updated indexes
+                term_df[term] = int(grp["df_total"].iloc[0]) - dead_n
+                for _, row in grp.iterrows():
+                    d, tf, dl = decode_shard(row)
+                    pos = decode_shard_positions(row)
+                    if pos is None:
+                        raise ValueError(
+                            "index was built without positions; rebuild "
+                            "with with_positions=True for phrase queries"
+                        )
+                    keep = (d % gt) == g
+                    if len(dead_ids):
+                        p_ = np.minimum(
+                            np.searchsorted(dead_ids, d), len(dead_ids) - 1
+                        )
+                        keep &= dead_ids[p_] != d
+                    for i in np.nonzero(keep)[0]:
+                        m[int(d[i])] = (int(tf[i]), int(dl[i]), pos[i])
+            out_docs: list[int] = []
+            out_scores: list[float] = []
+            if all(term_docs.get(t) for t in terms):
+                # intersect from the smallest posting set
+                order = sorted(set(terms), key=lambda t: len(term_docs[t]))
+                cand = set(term_docs[order[0]])
+                for t in order[1:]:
+                    cand &= term_docs[t].keys()
+                matched = []
+                for doc in cand:
+                    starts = set(term_docs[terms[0]][doc][2].tolist())
+                    ok = True
+                    for i, t in enumerate(terms[1:], start=1):
+                        starts &= {int(p) - i for p in term_docs[t][doc][2]}
+                        if not starts:
+                            ok = False
+                            break
+                    if ok:
+                        matched.append(doc)
+                scored = []
+                for doc in matched:
+                    s = 0.0
+                    for t in sorted(set(terms)):
+                        tf_, dl_, _ = term_docs[t][doc]
+                        idf = float(idf_np(n_docs, term_df[t]))
+                        s += idf * float(tf_norm_np(tf_, dl_, avgdl, k1, b))
+                    scored.append((doc, s))
+                scored.sort(key=lambda it: (-it[1], it[0]))
+                out_docs = [int(d) for d, _ in scored[:k]]
+                out_scores = [float(s) for _, s in scored[:k]]
+            return pd.DataFrame({
+                "query_id": [qid] * len(out_docs),
+                "k": np.full(len(out_docs), k, dtype=np.int32),
+                "doc_idx": np.array(out_docs, dtype=np.int64),
+                "score": np.array(out_scores, dtype=np.float64),
+            })
+
+        partials = hits.groupBy("query_id", "grp").applyInPandas(
+            phrase_group,
+            schema="query_id string, k int, doc_idx long, score double",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_idx")
+        )
+        ranked = (
+            partials.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_idx", "score")
+        )
+        return (
+            self.docmap.join(F.broadcast(ranked), "doc_idx")
+            .select("query_id", "rank", "doc_id", "score")
+        )
 
 
 def query_index(

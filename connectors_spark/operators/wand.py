@@ -120,13 +120,23 @@ def _topk_from_scores(doc_idx: np.ndarray, scores: np.ndarray, k: int):
 
 def topk_exact(shards_by_term: list[tuple[float, list]], k: int,
                avgdl: float, k1: float, b: float,
-               dead: np.ndarray | None = None):
+               dead: np.ndarray | None = None,
+               group_filter: tuple[int, int] | None = None):
     """shards_by_term: [(idf, [encoded rows])] in SORTED term order.
-    `dead`: sorted doc_idx tombstones — masked out before scoring."""
+    `dead`: sorted doc_idx tombstones — masked out before scoring.
+    `group_filter=(G, g)`: score only docs with doc_idx % G == g — the
+    doc-space slice owned by this (query, group) partial-top-k task
+    (IndexReader.topk). Replicated coarse shards carry out-of-group docs
+    whose postings for finer-sharded terms live elsewhere; scoring them
+    here would produce partial sums, so they are masked at decode."""
     all_docs, all_w = [], []
     for idf, rows in shards_by_term:
         for row in rows:
             d, tf, dl = decode_shard(row)
+            if group_filter is not None:
+                G, g = group_filter
+                ing = (d % G) == g
+                d, tf, dl = d[ing], tf[ing], dl[ing]
             if dead is not None and len(dead):
                 live = ~_in_sorted(dead, d)
                 d, tf, dl = d[live], tf[live], dl[live]
@@ -144,7 +154,8 @@ def topk_exact(shards_by_term: list[tuple[float, list]], k: int,
 
 def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
               avgdl: float, k1: float, b: float,
-              dead: np.ndarray | None = None):
+              dead: np.ndarray | None = None,
+              group_filter: tuple[int, int] | None = None):
     cursors = [
         ShardCursor(row, idf, avgdl, k1, b,
                     ub_scale=float(row.get("_ub_scale", 1.0))
@@ -212,6 +223,16 @@ def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
                     if not c.exhausted and c.cur_doc() < target:
                         c.seek(target)
                 continue
+            # out-of-group docs (replicated coarse shards) have partial
+            # postings here — their full score is computed in their home
+            # group, so never offer them (see topk_exact docstring)
+            in_group = (group_filter is None
+                        or pivot_doc % group_filter[0] == group_filter[1])
+            if not in_group:
+                for c in live[: pivot_i + 1]:
+                    if not c.exhausted and c.cur_doc() == pivot_doc:
+                        c.advance()
+                continue
             score = 0.0
             for c in live[: pivot_i + 1]:
                 if not c.exhausted and c.cur_doc() == pivot_doc:
@@ -233,8 +254,8 @@ def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
     )
 
 
-def topk_auto(shards_by_term, k, avgdl, k1, b, dead=None):
+def topk_auto(shards_by_term, k, avgdl, k1, b, dead=None, group_filter=None):
     total = sum(int(r["n_docs"]) for _, rows in shards_by_term for r in rows)
     if total <= EXACT_PATH_MAX_POSTINGS or len(shards_by_term) == 1:
-        return topk_exact(shards_by_term, k, avgdl, k1, b, dead)
-    return topk_wand(shards_by_term, k, avgdl, k1, b, dead)
+        return topk_exact(shards_by_term, k, avgdl, k1, b, dead, group_filter)
+    return topk_wand(shards_by_term, k, avgdl, k1, b, dead, group_filter)

@@ -40,6 +40,7 @@ ENCODED_POSTINGS_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("shard", T.IntegerType(), False),
+        T.StructField("n_shards", T.IntegerType(), False),
         T.StructField("n_docs", T.LongType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("doc_gaps", T.BinaryType(), False),

@@ -92,3 +92,36 @@ def test_compaction_equivalence(spark, updated, tmp_path):
     _check_rank_identity(spark, out, oracle, "wand")
     reader = IndexReader(spark, out, cache=False)
     assert len(reader.dead) == 0
+
+
+def test_incremental_positional_phrase(spark, tmp_path):
+    """Delta generations inherit with_positions (meta.json), so phrase
+    retrieval keeps working — and stays oracle-identical — after an
+    incremental update (round-1 ADVICE: hardcoded with_positions=False
+    broke phrases whose terms had delta postings)."""
+    path = str(tmp_path / "pidx_delta")
+    s0, s1 = _snapshots(spark)
+    write_encoded_index(
+        build_index_transcripts(s0, with_positions=True), path,
+        n_buckets=8, shard_cap=300,
+    )
+    assert read_meta(path)["positions"] is True
+    rec = incremental_update(spark, path, s1)
+    assert rec is not None
+
+    rows = with_doc_id(s1).select("doc_id", "text").collect()
+    oracle = OracleIndex([(r.doc_id, r.text) for r in rows])
+    # 'freshterm' only exists in delta postings: the round-1 bug raised here
+    sample = next(r.text for r in rows if r.text.endswith("freshterm"))
+    phrase = " ".join(sample.split()[-2:])
+    reader = IndexReader(spark, path, cache=False)
+    got = sorted(
+        reader.phrase_topk(
+            [{"query_id": "p", "query_text": phrase, "k": 10}]
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    exp = oracle.phrase_query(phrase, 10)
+    assert [g.doc_id for g in got] == [d for d, _ in exp]
+    for g, (_, s) in zip(got, exp):
+        assert g.score == pytest.approx(s, rel=1e-9)

@@ -151,11 +151,82 @@ def test_phrase_topk_compressed_vs_oracle(spark, tmp_path):
     oracle = OracleIndex([(str(r.doc_id), r.text) for r in docs.collect()])
 
     for phrase in ["quick brown fox", "brown fox", "lazy dog", "fox the"]:
-        got = reader.phrase_topk([{"query_id": "p", "query_text": phrase, "k": 10}])
+        got = sorted(
+            reader.phrase_topk(
+                [{"query_id": "p", "query_text": phrase, "k": 10}]
+            ).collect(),
+            key=lambda r: r.rank,
+        )
         exp = oracle.phrase_query(phrase, 10)
-        assert [g[2] for g in got] == [d for d, _ in exp], phrase
+        assert [g.doc_id for g in got] == [d for d, _ in exp], phrase
         for g, (_, s) in zip(got, exp):
-            assert g[3] == pytest.approx(s, rel=1e-9)
+            assert g.score == pytest.approx(s, rel=1e-9)
     # phrase with words present but never adjacent
-    got = reader.phrase_topk([{"query_id": "p", "query_text": "dog quick", "k": 5}])
+    got = reader.phrase_topk(
+        [{"query_id": "p", "query_text": "dog quick", "k": 5}]
+    ).collect()
     assert got == []
+
+
+@pytest.mark.parametrize("kernel", ["exact", "wand"])
+def test_hot_term_query_spreads_over_groups(spark, tmp_path, kernel):
+    """The distributed top-k must split a hot-term query across >1
+    doc-space group (no single-task concentration of a Zipf-head posting
+    list) while staying rank-identical to the oracle."""
+    from connectors_spark.operators.index import (
+        IndexReader, bucket_of, build_and_write_index,
+    )
+
+    path = str(tmp_path / "hotidx")
+    t = synth_transcripts(spark, N_CONVS, seed=3).cache()
+    build_and_write_index(t, path, n_buckets=8, shard_cap=64)
+    reader = IndexReader(spark, path, cache=False)
+
+    terms = ["t00001", "t00002"]
+    info = reader._term_info(terms)
+    assert info["t00001"][0] > 1, "hot term must be sharded for this test"
+
+    # partial stage: more than one group actually produces output
+    gq = max(i[0] for i in info.values())
+    qrows = [("hot", 10, tm, gq, info[tm][1]) for tm in terms if info[tm][1] > 0]
+    qterms = spark.createDataFrame(
+        qrows, "query_id string, k int, term string, g_total int, df_total long"
+    )
+    buckets = sorted({bucket_of(tm, reader.meta["n_buckets"]) for tm in terms})
+    partials = reader._topk_partials(qterms, buckets, kernel)
+    assert partials.select("grp").distinct().count() > 1
+
+    # merged result rank-identical (scores bit-equal) to the oracle
+    rows = with_doc_id(t).select("doc_id", "text").collect()
+    oracle = OracleIndex([(r.doc_id, r.text) for r in rows])
+    queries = [{"query_id": "hot", "query_text": "t00001 t00002", "k": 10}]
+    got = reader.topk(queries, kernel=kernel).collect()
+    _assert_rank_identical(got, oracle.score_queryset(queries))
+
+
+def test_phrase_topk_distributed_on_sharded_index(spark, tmp_path):
+    """Phrase retrieval through a hot-term-sharded positional index:
+    distributed group kernels must agree with the oracle."""
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+
+    t = synth_transcripts(spark, N_CONVS, seed=9).cache()
+    docs = with_doc_id(t).select("doc_id", "text")
+    path = str(tmp_path / "pidx2")
+    write_encoded_index(
+        build_index(docs, with_positions=True), path, n_buckets=8, shard_cap=64
+    )
+    reader = IndexReader(spark, path, cache=False)
+    rows = docs.collect()
+    oracle = OracleIndex([(r.doc_id, r.text) for r in rows])
+    # pick a phrase that actually occurs: first two tokens of some doc
+    sample = next(r.text for r in rows if len(r.text.split()) >= 2)
+    phrase = " ".join(sample.split()[:2])
+    got = sorted(
+        reader.phrase_topk([{"query_id": "p", "query_text": phrase, "k": 10}]).collect(),
+        key=lambda r: r.rank,
+    )
+    exp = oracle.phrase_query(phrase, 10)
+    assert [g.doc_id for g in got] == [d for d, _ in exp]
+    for g, (_, s) in zip(got, exp):
+        assert g.score == pytest.approx(s, rel=1e-9)

@@ -74,3 +74,28 @@ def test_bucket_pruning_in_index_reader(spark, tmp_path):
     plan = _optimized(res)
     # bucket filter present -> partition pruning on the postings read
     assert "bucket" in plan
+
+
+def test_phrase_topk_is_distributed(spark, tmp_path):
+    """Phrase retrieval must run as a grouped Arrow kernel INSIDE the
+    plan — the round-1 driver-side toPandas-of-postings path is gone.
+    Bucket pruning must still reach the postings scan."""
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+    from connectors_spark.synth import synth_transcripts
+    from connectors_spark.operators.build import build_index_transcripts
+
+    path = str(tmp_path / "phraseidx")
+    t = synth_transcripts(spark, 30, seed=5)
+    write_encoded_index(build_index_transcripts(t, with_positions=True),
+                        path, n_buckets=16, shard_cap=1000)
+    reader = IndexReader(spark, path, cache=False)
+    res = reader.phrase_topk(
+        [{"query_id": "p", "query_text": "t00001 t00002", "k": 5}]
+    )
+    from pyspark.sql import DataFrame
+    assert isinstance(res, DataFrame), "phrase_topk must stay a lazy plan"
+    plan = _plan(res)
+    assert "FlatMapGroupsInPandas" in plan, (
+        "phrase kernel must run distributed inside the plan"
+    )
+    assert "bucket" in _optimized(res)
