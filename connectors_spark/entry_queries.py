@@ -1110,6 +1110,96 @@ FROM ranked WHERE rank <= {GATE_BM25_K}
 """
 
 
+def _bm25_stemmed_oracle_sql() -> str:
+    """DuckDB twin of the full analyzer chain: lowercase -> _english_
+    stop -> minimal_english stem (functions/stem.py — the SAME CASE logic
+    the Spark side codegens), applied to doc tokens AND query terms
+    inside SQL, so the oracle is independent of the Python stemmer."""
+    from connectors_spark.functions.stem import minimal_english_sql
+
+    arr = tokenize_sql_duckdb("text", ENGLISH_STOP, "minimal_english")
+    toks = f"""
+toks AS (
+  SELECT doc_id, unnest({arr}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (
+  SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) t
+    USING (doc_id)
+)"""
+    qvals = []
+    stopset = set(ENGLISH_STOP)
+    for qid, text in GATE_STEM_QUERIES:
+        for term in sorted({t for t in text.lower().split()
+                            if t and t not in stopset}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {toks},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qraw AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, raw)),
+qt AS (SELECT DISTINCT query_id, {minimal_english_sql('raw')} AS term FROM qraw),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+# Inflected query forms: the stemmer must map them onto the corpus's
+# base-form vocabulary ('tables'->'table') — and keep honest misses
+# ('batches'->'batche' under minimal_english, which matches nothing).
+GATE_STEM_QUERIES = [
+    ("s0", "sparks queries"),
+    ("s1", "merges sorts tables"),
+    ("s2", "windows groups customers"),
+    ("s3", "the batches keys"),
+    ("s4", "vectors streams values"),
+    ("s5", "hashes parts scans"),
+    ("s6", "skies zznopes"),
+]
+
+
+@register("bm25_topk_stemmed", _bm25_stemmed_oracle_sql())
+def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the full analyzer chain — `_english_` stop filter +
+    minimal_english stemmer — applied identically at build and query
+    side (reference analyzer chains: app/connectors_service/connectors/
+    es/language_data.yml:10-13; stemmer stage functions/stem.py)."""
+    from connectors_spark.functions.analysis import tokenize_py
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, stop_words=ENGLISH_STOP, with_positions=False,
+                      stemmer="minimal_english")
+    qrows = []
+    for qid, text in GATE_STEM_QUERIES:
+        analyzed = " ".join(tokenize_py(text, ENGLISH_STOP, "minimal_english"))
+        qrows.append({"query_id": qid, "query_text": analyzed,
+                      "k": GATE_BM25_K})
+    return score_topk_dataframe(
+        idx, queries_df(spark, qrows), round_scores=ROUND_SCORE
+    )
+
+
 @register("bm25_topk_stopworded", _bm25_stopped_oracle_sql())
 def q_bm25_topk_stopworded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with the `_english_` stop filter applied at build AND query

@@ -1,26 +1,36 @@
 """Canonical analyzer — shared verbatim by build side, query side and oracles.
 
-The reference delegates analysis to Elasticsearch's standard analyzer
-(reference: app/connectors_service/connectors/es/language_data.yml:1-111;
-index creation app/connectors_service/connectors/es/management_client.py:53-59).
-We define the engine's analyzer once: lowercase, split on runs of
-non-alphanumeric characters, drop empties. It is expressed as pure JVM
-Column expressions (whole-stage-codegen'd — no Python in the hot path)
-and mirrored 1:1 by `tokenize_py` for the NumPy oracle and by
-`TOKENIZE_SQL_DUCKDB` for the DuckDB correctness oracle.
-
-Optional `_english_`-style stop-word removal mirrors language_data.yml's
-en filter chain; OFF by default so build and query stay parity-simple.
+The reference delegates analysis to Elasticsearch's per-language analyzer
+chain (reference: app/connectors_service/connectors/es/language_data.yml:
+1-111; index creation app/connectors_service/connectors/es/
+management_client.py:53-59): lowercase -> stop words -> stemmer (+ elision
+for fr/it). We define the engine's chain once: lowercase, split on runs of
+non-alphanumeric characters, drop empties, optional `_english_` stop
+filter, optional stemmer (functions/stem.py). The default chain (no stop,
+no stem) and the `minimal_english` stemmer are pure JVM Column expressions
+(whole-stage-codegen'd — no Python in the hot path) mirrored 1:1 by
+`tokenize_py` for the NumPy oracle and by `tokenize_sql_duckdb` for the
+DuckDB correctness oracle. The `english` (snowball/Porter2) stemmer is the
+one deliberate Arrow UDF (dictionary-light algorithm, vectorized per
+batch with memoization — see `tokenize`).
 """
 
 from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from connectors_spark import TOKEN_SPLIT_RE
+from connectors_spark.functions.stem import (
+    STEMMERS,
+    english_py,
+    minimal_english_col,
+    minimal_english_py,
+    minimal_english_sql,
+)
 
 _PY_SPLIT = re.compile(TOKEN_SPLIT_RE)
 
@@ -31,35 +41,103 @@ ENGLISH_STOP = (
 ).split()
 
 
-def tokens_col(text: Column) -> Column:
-    """array<string> of tokens for a text column (JVM-side, codegen)."""
-    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+def _check_stemmer(stemmer: str) -> None:
+    if stemmer not in STEMMERS:
+        raise ValueError(f"unknown stemmer {stemmer!r}; expected one of {STEMMERS}")
+
+
+def tokens_col(text: Column, stop_words: list[str] | None = None,
+               stemmer: str = "none") -> Column:
+    """array<string> of tokens for a text column (JVM-side, codegen).
+
+    Supports the JVM-expressible part of the chain; the `english`
+    (snowball) stemmer needs the DataFrame-level `tokenize` (Arrow UDF).
+    """
+    _check_stemmer(stemmer)
+    toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+    if stop_words:
+        toks = F.filter(toks, lambda t: ~t.isin(*stop_words))
+    if stemmer == "minimal_english":
+        toks = F.transform(toks, minimal_english_col)
+    elif stemmer == "english":
+        raise ValueError(
+            "the snowball 'english' stemmer is not expressible as a Column; "
+            "use tokenize()/stem_tokens_arr (Arrow UDF path)"
+        )
+    return toks
+
+
+def stem_tokens_arr() -> "F.pandas_udf":
+    """Arrow-batched snowball-english over an array<string> column.
+    Memoizes per batch — the Zipf head means a handful of distinct tokens
+    dominate, so the stemmer runs ~|vocab-per-batch| times, not |tokens|."""
+
+    @F.pandas_udf("array<string>")
+    def _stem(arrs: pd.Series) -> pd.Series:
+        memo: dict[str, str] = {}
+
+        def one(ts):
+            out = []
+            for t in ts:
+                s = memo.get(t)
+                if s is None:
+                    s = english_py(t)
+                    memo[t] = s
+                out.append(s)
+            return out
+
+        return arrs.map(one)
+
+    return _stem
 
 
 def tokenize(df: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id",
-             stop_words: list[str] | None = None) -> DataFrame:
-    """(doc_id, pos, term) — one row per token; pos indexes the token stream."""
-    toks = tokens_col(F.col(text_col))
-    if stop_words:
-        toks = F.filter(toks, lambda t: ~t.isin(*stop_words))
+             stop_words: list[str] | None = None,
+             stemmer: str = "none") -> DataFrame:
+    """(doc_id, pos, term) — one row per token; pos indexes the token
+    stream (post stop/stem, matching Lucene's filter-chain positions)."""
+    _check_stemmer(stemmer)
+    if stemmer == "english":
+        toks = tokens_col(F.col(text_col), stop_words, "none")
+        arr = stem_tokens_arr()(toks)
+    else:
+        arr = tokens_col(F.col(text_col), stop_words, stemmer)
     return df.select(
         F.col(doc_id_col).alias("doc_id"),
-        F.posexplode(toks).alias("pos", "term"),
+        F.posexplode(arr).alias("pos", "term"),
     )
 
 
-def tokenize_py(text: str, stop_words: list[str] | None = None) -> list[str]:
-    """Single-process mirror of `tokens_col` for the NumPy oracle."""
+def tokenize_py(text: str, stop_words: list[str] | None = None,
+                stemmer: str = "none") -> list[str]:
+    """Single-process mirror of the chain for the NumPy oracle."""
+    _check_stemmer(stemmer)
     toks = [t for t in _PY_SPLIT.split((text or "").lower()) if t]
     if stop_words:
         stop = set(stop_words)
         toks = [t for t in toks if t not in stop]
+    if stemmer == "minimal_english":
+        toks = [minimal_english_py(t) for t in toks]
+    elif stemmer == "english":
+        toks = [english_py(t) for t in toks]
     return toks
 
 
-def tokenize_sql_duckdb(text_expr: str) -> str:
-    """DuckDB fragment producing the same token array as `tokens_col`."""
-    return (
+def tokenize_sql_duckdb(text_expr: str, stop_words: list[str] | None = None,
+                        stemmer: str = "none") -> str:
+    """DuckDB fragment producing the same token array as `tokens_col`.
+    (`english` is not available: DuckDB's snowball needs the fts
+    extension, absent in this environment — pytest gates cover it.)"""
+    _check_stemmer(stemmer)
+    arr = (
         f"list_filter(regexp_split_to_array(lower({text_expr}), "
         f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
     )
+    if stop_words:
+        stops = ", ".join(f"'{w}'" for w in stop_words)
+        arr = f"list_filter({arr}, t -> t NOT IN ({stops}))"
+    if stemmer == "minimal_english":
+        arr = f"list_transform({arr}, t -> {minimal_english_sql('t')})"
+    elif stemmer == "english":
+        raise ValueError("snowball 'english' has no DuckDB twin here")
+    return arr

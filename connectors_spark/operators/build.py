@@ -47,12 +47,12 @@ class IndexFrames:
 
 def build_index(docs_base: DataFrame, stop_words: list[str] | None = None,
                 with_positions: bool = True, text_col: str = "text",
-                doc_id_col: str = "doc_id") -> IndexFrames:
+                doc_id_col: str = "doc_id", stemmer: str = "none") -> IndexFrames:
     """Build over any table with (doc_id, text) — e.g. the documents
     testdata table or doc-id'd transcripts (see build_index_transcripts)."""
     if doc_id_col != "doc_id":
         docs_base = docs_base.withColumn("doc_id", F.col(doc_id_col))
-    toks = tokenize(docs_base, text_col, "doc_id", stop_words)
+    toks = tokenize(docs_base, text_col, "doc_id", stop_words, stemmer)
 
     aggs = [F.count(F.lit(1)).alias("tf")]
     if with_positions:

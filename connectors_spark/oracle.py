@@ -22,14 +22,16 @@ from connectors_spark.operators.score import idf_np, tf_norm_np
 
 class OracleIndex:
     def __init__(self, docs: list[tuple[str, str]],
-                 stop_words: list[str] | None = None):
+                 stop_words: list[str] | None = None,
+                 stemmer: str = "none"):
         """docs: [(doc_id, text)]"""
         self.postings: dict[str, dict[str, int]] = defaultdict(dict)
         self.positions: dict[str, dict[str, list[int]]] = defaultdict(dict)
         self.dl: dict[str, int] = {}
         self.stop_words = stop_words
+        self.stemmer = stemmer
         for doc_id, text in docs:
-            toks = tokenize_py(text, stop_words)
+            toks = tokenize_py(text, stop_words, stemmer)
             self.dl[doc_id] = len(toks)
             for pos, term in enumerate(toks):
                 self.positions[term].setdefault(doc_id, []).append(pos)
@@ -46,7 +48,7 @@ class OracleIndex:
                     mode: str = "or") -> list[tuple[str, float]]:
         """[(doc_id, score)] — top-k, ties (score DESC, doc_id ASC).
         mode='and': docs must match every query term."""
-        terms = sorted(set(tokenize_py(query_text, self.stop_words)))
+        terms = sorted(set(tokenize_py(query_text, self.stop_words, self.stemmer)))
         acc: dict[str, float] = defaultdict(float)
         matched: dict[str, int] = defaultdict(int)
         for term in terms:
@@ -68,7 +70,7 @@ class OracleIndex:
                      k1: float = BM25_K1, b: float = BM25_B) -> list[tuple[str, float]]:
         """Docs containing the exact token phrase (adjacent positions),
         ranked by the phrase terms' BM25 sum; ties (score DESC, doc ASC)."""
-        terms = tokenize_py(phrase_text, self.stop_words)
+        terms = tokenize_py(phrase_text, self.stop_words, self.stemmer)
         if not terms:
             return []
         cand = set(self.positions.get(terms[0], {}))

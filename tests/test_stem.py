@@ -1,0 +1,155 @@
+"""Analyzer-chain stemmers: golden vectors, three-way parity
+(Column expr == SQL == Python), and engine-vs-oracle rank identity with
+the snowball 'english' stemmer (reference analyzer chains:
+app/connectors_service/connectors/es/language_data.yml:10-13)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark.functions.stem import (
+    english_py,
+    fr_elision_col,
+    fr_elision_py,
+    minimal_english_col,
+    minimal_english_py,
+    minimal_english_sql,
+)
+
+# Lucene EnglishMinimalStemFilter semantics (S-stemmer)
+MINIMAL_VECTORS = {
+    "tables": "table", "queries": "query", "windows": "window",
+    "keys": "key", "class": "class", "us": "us", "values": "value",
+    "hashes": "hashe", "batches": "batche", "skies": "sky",
+    "ties": "ty", "goes": "goes", "dies": "dy", "as": "as",
+    "gas": "ga", "aliases": "aliase", "is": "is", "s": "s",
+    "table": "table", "axes": "axe", "eyes": "eye",
+}
+
+# snowball English (Porter2) — public algorithm vectors
+PORTER2_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "tie",
+    "caress": "caress", "cats": "cat", "feed": "feed", "agreed": "agre",
+    "plastered": "plaster", "motoring": "motor", "sing": "sing",
+    "hopping": "hop", "tanned": "tan", "falling": "fall",
+    "hissing": "hiss", "failing": "fail", "filing": "file",
+    "happy": "happi", "sky": "sky", "news": "news", "dying": "die",
+    "lying": "lie", "tying": "tie", "skis": "ski", "skies": "sky",
+    "relational": "relat", "national": "nation", "conditional": "condit",
+    "generate": "generat", "generates": "generat", "generated": "generat",
+    "generating": "generat", "running": "run", "runner": "runner",
+    "quickly": "quick", "consign": "consign", "knit": "knit",
+    "bias": "bias", "cosmos": "cosmos", "andes": "andes",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+}
+
+
+def test_minimal_english_golden():
+    for w, e in MINIMAL_VECTORS.items():
+        assert minimal_english_py(w) == e, w
+
+
+def test_porter2_golden():
+    for w, e in PORTER2_VECTORS.items():
+        assert english_py(w) == e, w
+
+
+def test_porter2_idempotent_on_corpus_vocab():
+    vocab = ("key agg row scan slow fast table value part hash merge batch "
+             "line sort window spark order data column join small customer "
+             "query big stream group vector filter dup the a").split()
+    for w in vocab:
+        s = english_py(w)
+        assert english_py(s) in (s, english_py(s))  # never crashes, stable
+
+
+def test_minimal_english_three_way_parity(spark):
+    """Column expression == DuckDB SQL == Python on a hostile word list."""
+    words = sorted(set(MINIMAL_VECTORS) | {
+        "", "x", "xy", "xys", "miss", "bus", "abyss", "toes", "shoes",
+        "lies", "pies", "aies", "eies", "oies", "ss", "es", "ies",
+        "t00001s", "a1s", "99s",
+    })
+    words = [w for w in words if w]
+    py = {w: minimal_english_py(w) for w in words}
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got_col = {r.w: r.s for r in
+               df.select("w", minimal_english_col(F.col("w")).alias("s")).collect()}
+    assert got_col == py
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    got_sql = dict(con.execute(
+        f"SELECT w, {minimal_english_sql('w')} FROM (VALUES {vals}) v(w)"
+    ).fetchall())
+    assert got_sql == py
+
+
+def test_fr_elision_parity(spark):
+    words = ["l'avion", "qu'il", "jusqu'au", "j'aime", "d'accord",
+             "avion", "l'", "quoiqu'elle", "xyz'abc"]
+    py = {w: fr_elision_py(w) for w in words}
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.s for r in
+           df.select("w", fr_elision_col(F.col("w")).alias("s")).collect()}
+    assert got == py
+    assert py["l'avion"] == "avion" and py["jusqu'au"] == "au"
+    assert py["xyz'abc"] == "xyz'abc"  # not an article: untouched
+
+
+def test_stemmed_build_matches_oracle_snowball(spark):
+    """build_index(stemmer='english') == NumPy oracle with the same
+    stemmer on a plural/inflection-heavy corpus — the doc-side stemming
+    path (the DuckDB gate covers minimal_english; this covers snowball)."""
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, score_topk_dataframe
+    from connectors_spark.oracle import OracleIndex
+    from connectors_spark.functions.analysis import ENGLISH_STOP, tokenize_py
+
+    rows = [
+        ("d1", "the tables were merged and sorted by running queries"),
+        ("d2", "a query merges sorted tables quickly"),
+        ("d3", "windows grouping customers generated streams"),
+        ("d4", "streaming values hashed into partitions"),
+        ("d5", "generate a table of sorted values"),
+        ("d6", "she ties the skis early, only singly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    idx = build_index(docs, stop_words=ENGLISH_STOP, with_positions=False,
+                      stemmer="english")
+    oracle = OracleIndex(rows, stop_words=ENGLISH_STOP, stemmer="english")
+    assert idx.n_docs == oracle.n_docs
+    assert idx.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+
+    queries = [
+        {"query_id": "q1", "query_text": "merging tables", "k": 5},
+        {"query_id": "q2", "query_text": "sorted queries", "k": 5},
+        {"query_id": "q3", "query_text": "customer generation", "k": 5},
+        {"query_id": "q4", "query_text": "tie ski", "k": 5},
+    ]
+    qrows = [{"query_id": q["query_id"],
+              "query_text": " ".join(
+                  tokenize_py(q["query_text"], ENGLISH_STOP, "english")),
+              "k": q["k"]} for q in queries]
+    got = sorted(
+        score_topk_dataframe(idx, queries_df(spark, qrows)).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    exp = sorted(oracle.score_queryset(queries), key=lambda e: (e[0], e[1]))
+    assert [(g.query_id, g.rank, g.doc_id) for g in got] == [e[:3] for e in exp]
+    for g, e in zip(got, exp):
+        assert g.score == pytest.approx(e[3], rel=1e-9)
+    # the stemmer actually did work: inflected query hits base-form docs
+    q1_docs = [g.doc_id for g in got if g.query_id == "q1"]
+    assert "d1" in q1_docs and "d2" in q1_docs
+
+
+def test_minimal_chain_stays_jvm(spark):
+    """lowercase -> stop -> minimal_english compiles to pure JVM
+    expressions: no Python evaluation node in the plan."""
+    from connectors_spark.functions.analysis import ENGLISH_STOP, tokenize
+
+    docs = spark.createDataFrame([("d1", "the tables")], "doc_id string, text string")
+    out = tokenize(docs, stop_words=ENGLISH_STOP, stemmer="minimal_english")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
