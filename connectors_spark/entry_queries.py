@@ -443,8 +443,33 @@ def _minhash_oracle_sql() -> str:
             f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sigs"
         )
     bands = " UNION ALL ".join(band_rows)
+    # exact-dup collapse: one representative (min doc_id) per distinct
+    # normalized text — mirrors minhash_near_dups (dedup.py)
+    reps = (
+        f"reps AS (SELECT min(doc_id) AS doc_id FROM "
+        f"(SELECT doc_id, md5(array_to_string({_ARR}, ' ')) AS h "
+        f"FROM documents) GROUP BY h)"
+    )
+    toks_rep = f"""
+toks AS (
+  SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos
+  FROM (SELECT doc_id, {_ARR} AS arr FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM reps))
+)"""
+    shingles_rep = toks_rep + """,
+sh0 AS (
+  SELECT doc_id, t,
+         lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, t || ' ' || t1 || ' ' || t2 AS shingle
+  FROM sh0 WHERE t2 IS NOT NULL
+)"""
     return f"""
-WITH {_DDB_SHINGLES},
+WITH {reps},
+{shingles_rep},
 sigs AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
 bands AS ({bands}),
 pairs AS (
@@ -810,18 +835,21 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ERR_WINDOW_SQL = """
 WITH ops AS (
-  SELECT event_id, ts, (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS is_err
+  SELECT event_id, user_id, ts,
+         (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS is_err
   FROM events
 ),
 w AS (
-  SELECT event_id, is_err,
+  SELECT event_id, user_id, is_err,
          avg(CAST(is_err AS DOUBLE)) OVER (
-           ORDER BY ts ASC, event_id ASC
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
            ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS err_rate,
-         CAST(sum(is_err) OVER (ORDER BY ts ASC, event_id ASC) AS BIGINT) AS total_errors
+         CAST(sum(is_err) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT)
+           AS total_errors
   FROM ops
 )
-SELECT event_id, round(err_rate, 6) AS err_rate, total_errors,
+SELECT event_id, user_id, round(err_rate, 6) AS err_rate, total_errors,
        (err_rate > 0.30) AS tripped
 FROM w
 """
@@ -831,17 +859,25 @@ FROM w
 def q_error_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window error rate + circuit-breaker flag (reference:
     app/connectors_service/connectors/utils.py:827-923 ErrorMonitor;
-    thresholds config app/connectors_service/connectors/config.py:82-89)."""
+    thresholds config app/connectors_service/connectors/config.py:82-89).
+
+    The reference monitor is sequential PER SYNC JOB (one asyncio worker
+    per connector) — here the window partitions by the stream key
+    (user_id = the per-connector stream analog), so the plan is a
+    hash-partitioned window, never a single-task global sort. The
+    sequential contract holds within each stream, which is exactly the
+    reference's guarantee."""
     events = _read(spark, sf_dir, "events")
     ops = events.select(
-        "event_id", "ts",
+        "event_id", "user_id", "ts",
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
     )
-    w = Window.orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     rate = F.avg(F.col("is_err").cast("double")).over(w.rowsBetween(-99, 0))
     total = F.sum("is_err").over(w.rowsBetween(Window.unboundedPreceding, 0))
     return ops.select(
         "event_id",
+        "user_id",
         F.round(rate, 6).alias("err_rate"),
         total.alias("total_errors"),
         (rate > 0.30).alias("tripped"),

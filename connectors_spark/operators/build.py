@@ -28,9 +28,14 @@ from connectors_spark.functions.analysis import tokenize
 def with_doc_id(transcripts: DataFrame) -> DataFrame:
     """doc_id = conv_id || ':' || turn_idx (string identity, mirrors the
     reference's composite `_id`, reference: app/connectors_service/
-    connectors/sources/slack/datasource.py:205-207)."""
+    connectors/sources/slack/datasource.py:205-207). Ids beyond 512 UTF-8
+    bytes fall back to their md5 hex — the reference's long-id contract
+    (app/connectors_service/connectors/sync_job_runner.py:416-446,
+    libs/connectors_sdk/connectors_sdk/utils.py:58-62)."""
+    from connectors_spark.functions.scalars import hash_id
+
     return transcripts.withColumn(
-        "doc_id", F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
+        "doc_id", hash_id(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx")))
     )
 
 

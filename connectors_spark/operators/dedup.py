@@ -33,6 +33,8 @@ N_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = 4
 SHINGLE_N = 3
+# band buckets beyond this size switch from all-pairs to star edges
+BUCKET_CAP = 1024
 
 
 def normalized_text(text: Column) -> Column:
@@ -81,8 +83,19 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = BANDS,
-                        rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
-    """(doc_a, doc_b) distinct pairs sharing >= 1 LSH band."""
+                        rows_per_band: int = ROWS_PER_BAND,
+                        bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """(doc_a, doc_b) distinct pairs sharing >= 1 LSH band.
+
+    Bucket bound: a band bucket with n <= bucket_cap members emits
+    all-pairs (the exact LSH candidate set); a bucket beyond the cap
+    switches to STAR edges — every member paired with the bucket's min
+    doc_id — turning a potentially O(n^2) self-join blowup into O(n)
+    edges. Oversize buckets only arise from big classes of near-identical
+    docs (identical ones are collapsed upstream, `minhash_near_dups`), so
+    the star + exact-Jaccard verify + transitive clustering downstream is
+    the standard recall/cost trade for web-scale dedup; the cap is
+    per-bucket so normal corpora are unaffected."""
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -93,14 +106,25 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = BANDS,
     exploded = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bnd")
     ).select("doc_id", "bnd.band_idx", "bnd.band_hash")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
+    # bucket sizes via groupBy (map-side combine) — never a per-bucket
+    # single-task window
+    stats = exploded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bn"), F.min("doc_id").alias("_rep")
+    )
+    e2 = exploded.join(stats, ["band_idx", "band_hash"])
+    small = e2.filter(F.col("_bn") <= bucket_cap)
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs_small = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    pairs_big = (
+        e2.filter((F.col("_bn") > bucket_cap) & (F.col("doc_id") != F.col("_rep")))
+        .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def pair_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
@@ -130,11 +154,31 @@ def pair_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 
 
 def minhash_near_dups(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
-    """End-to-end: shingle -> minhash -> LSH bands -> exact-Jaccard verify."""
-    sh = doc_shingles(df, text_col, id_col)
+                      id_col: str = "doc_id",
+                      bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """End-to-end: exact-dup collapse -> shingle -> minhash -> bounded
+    LSH bands -> exact-Jaccard verify.
+
+    Near-dup pairs are emitted between REPRESENTATIVES of distinct
+    normalized texts (min doc_id per text digest). A corpus with millions
+    of IDENTICAL documents would otherwise put them all in every band
+    bucket and the candidate self-join would go quadratic; identical docs
+    are `exact_dup_groups`' output, not near-dup pairs — run exact dedup
+    first, then near-dup over distinct texts."""
+    reps = (
+        df.select(
+            F.md5(normalized_text(F.col(text_col))).alias("_h"),
+            F.struct(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text")).alias("_s"),
+        )
+        .groupBy("_h")
+        .agg(F.min("_s").alias("_s"))  # min doc_id; O(1) agg state per key
+        .select(F.col("_s.doc_id").alias("doc_id"),
+                F.col("_s.text").alias("text"))
+    )
+    sh = doc_shingles(reps, "text", "doc_id")
     sigs = minhash_signatures(sh)
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = lsh_candidate_pairs(sigs, bucket_cap=bucket_cap)
     return pair_jaccard(pairs, sh)
 
 

@@ -161,3 +161,21 @@ def test_conjunctive_rank_identity(spark, transcripts, oracle):
     ).collect()
     or_docs = {r.doc_id for r in or_got}
     assert all(r.doc_id in or_docs for r in by_q["c1"])
+
+
+def test_long_doc_id_md5_fallback(spark):
+    """doc_id > 512 UTF-8 bytes falls back to md5 hex — the reference's
+    long-_id contract (sync_job_runner.py:416-446, sdk utils hash_id)."""
+    import hashlib
+
+    from connectors_spark.operators.build import with_doc_id
+
+    long_conv = "c" * 600
+    df = spark.createDataFrame(
+        [(long_conv, 3, "short text"), ("conv-1", 0, "another")],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {r.conv_id: r.doc_id for r in with_doc_id(df).collect()}
+    assert got["conv-1"] == "conv-1:0"  # short ids unchanged
+    expected = hashlib.md5(f"{long_conv}:3".encode("utf8")).hexdigest()
+    assert got[long_conv] == expected

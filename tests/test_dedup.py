@@ -43,9 +43,9 @@ def test_exact_dup_groups_normalized(spark, docs):
 
 def test_minhash_finds_near_dup(spark, docs):
     out = {(r.doc_a, r.doc_b): r for r in minhash_near_dups(docs).collect()}
-    # exact dups share all bands
-    assert (1, 2) in out and out[(1, 2)].jaccard == 1.0
-    assert (1, 3) in out and out[(1, 3)].jaccard == 1.0
+    # exact (normalized) dups are COLLAPSED to one representative before
+    # LSH — they are exact_dup_groups' output, never near-dup pairs
+    assert (1, 2) not in out and (1, 3) not in out
     # near dup shares most shingles -> high jaccard, found via LSH
     assert (1, 4) in out
     assert 0.9 < out[(1, 4)].jaccard < 1.0
@@ -84,3 +84,48 @@ def test_lsh_pair_count_sane_on_random(spark):
     n = t.count()
     pairs = minhash_near_dups(t).count()
     assert pairs < n * (n - 1) / 20
+
+
+def test_identical_doc_blowup_is_linear(spark):
+    """10k identical docs: exact-dup collapse keeps the LSH stage to ONE
+    representative — the near-dup pipeline completes with zero pairs and
+    no quadratic bucket self-join (round-1 VERDICT scale defect)."""
+    from connectors_spark.operators.dedup import minhash_near_dups
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact text repeated in every document body").alias("text"),
+    )
+    # a couple of genuinely near-dup distinct texts ride along
+    extra = spark.createDataFrame(
+        [(n + 1, "a distinct near duplicate body with shared shingle runs here"),
+         (n + 2, "a distinct near duplicate body with shared shingle runs there")],
+        "doc_id long, text string",
+    )
+    out = minhash_near_dups(docs.unionByName(extra)).collect()
+    # identical docs produce NO near-dup pairs (they are exact-dup output);
+    # the two distinct near-dups still pair up
+    assert {(r.doc_a, r.doc_b) for r in out} == {(n + 1, n + 2)}
+
+
+def test_oversize_bucket_emits_star_edges(spark):
+    """A band bucket past bucket_cap emits O(n) star edges, not O(n^2)."""
+    from connectors_spark.operators.dedup import lsh_candidate_pairs
+
+    n = 40
+    sigs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit("deadbeef").alias(f"s{i}") for i in range(16)],
+    )
+    pairs = lsh_candidate_pairs(sigs, bucket_cap=8).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert got == {(0, d) for d in range(1, n)}  # star around min doc_id
+
+    # under the cap: exact all-pairs candidate set
+    pairs_small = lsh_candidate_pairs(
+        sigs.filter(F.col("doc_id") < 5), bucket_cap=8
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs_small} == {
+        (a, b) for a in range(5) for b in range(5) if a < b
+    }

@@ -99,3 +99,16 @@ def test_phrase_topk_is_distributed(spark, tmp_path):
         "phrase kernel must run distributed inside the plan"
     )
     assert "bucket" in _optimized(res)
+
+
+def test_error_monitor_window_is_partitioned(spark, sf_dir):
+    """The monitor window must hash-partition by the stream key — a
+    global ORDER BY window would be a single-task sort at 100 TB."""
+    from connectors_spark.entry_queries import q_error_monitor
+
+    res = q_error_monitor(spark, sf_dir)
+    plan = _plan(res)
+    assert "SinglePartition" not in plan, (
+        "error-monitor window must not run in one task"
+    )
+    assert "hashpartitioning(user_id" in plan
