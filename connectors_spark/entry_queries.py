@@ -780,6 +780,79 @@ def q_dls_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =================================================================
+# Access-control sync (reference es/sink.py:826-856, sdk get_access_control)
+# =================================================================
+
+_ACL_SYNC_SQL = """
+WITH ids AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS doc_id,
+         max(ts) AS ts,
+         'user:' || CAST(user_id AS VARCHAR) || ',' ||
+           array_to_string(list_sort(list(DISTINCT 'type:' || event_type)), ',')
+           AS access
+  FROM events GROUP BY user_id
+),
+m0 AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS doc_id,
+         CASE WHEN user_id % 3 = 0 THEN max(ts) - INTERVAL 1 HOUR
+              ELSE max(ts) END AS ts
+  FROM events WHERE user_id % 10 <> 0 GROUP BY user_id
+),
+m AS (
+  SELECT * FROM m0
+  UNION ALL SELECT 'user:ghost', TIMESTAMP '2025-01-01 00:00:00'
+),
+j AS (
+  SELECT coalesce(i.doc_id, m.doc_id) AS doc_id, i.ts AS e_ts, m.ts AS m_ts,
+         (i.doc_id IS NOT NULL) AS in_e, (m.doc_id IS NOT NULL) AS in_m,
+         i.access
+  FROM ids i FULL OUTER JOIN m ON i.doc_id = m.doc_id
+)
+SELECT doc_id,
+       (CASE WHEN NOT in_e THEN 'delete'
+             WHEN NOT in_m THEN 'create'
+             WHEN e_ts = m_ts THEN 'skip'
+             ELSE 'update' END) AS op,
+       (CASE WHEN in_e THEN access ELSE NULL END) AS access
+FROM j
+"""
+
+
+@register("access_control_sync", _ACL_SYNC_SQL)
+def q_access_control_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCESS_CONTROL sync job: identity-doc extraction + ACL-index diff
+    (reference: app/connectors_service/connectors/es/sink.py:826-856;
+    libs/connectors_sdk/connectors_sdk/source.py:582-589). Manifest =
+    deterministic prior state: users %10==0 missing (creates), %3==0
+    stale (updates), plus a ghost identity (delete)."""
+    from connectors_spark.operators.access_control import (
+        access_control_sync, extract_identities,
+    )
+
+    events = _read(spark, sf_dir, "events")
+    identities = extract_identities(events)
+    manifest = (
+        events.groupBy("user_id")
+        .agg(F.max("ts").alias("ts"))
+        .filter(F.col("user_id") % 10 != 0)
+        .select(
+            F.concat(F.lit("user:"), F.col("user_id")).alias("doc_id"),
+            F.when(F.col("user_id") % 3 == 0,
+                   F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            .otherwise(F.col("ts")).alias("ts"),
+        )
+        .unionByName(
+            spark.sql("SELECT 'user:ghost' AS doc_id, "
+                      "TIMESTAMP '2025-01-01 00:00:00' AS ts")
+        )
+    )
+    out = access_control_sync(identities, manifest)
+    return out.select(
+        "doc_id", "op", F.array_join("access_control", ",").alias("access")
+    )
+
+
+# =================================================================
 # Compressed-index WAND path, oracle-verified (SURVEY §4.2 #2-3)
 # =================================================================
 

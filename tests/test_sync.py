@@ -75,3 +75,32 @@ def test_incremental_extract(spark):
     src = _mk(spark, [("a", T1), ("b", T2)])
     got = incremental_extract(src, T1)
     assert [r.doc_id for r in got.collect()] == ["b"]
+
+
+def test_access_control_sync_ops(spark):
+    """Identity extraction + ACL diff (reference es/sink.py:826-856)."""
+    from connectors_spark.operators.access_control import (
+        access_control_sync, extract_identities,
+    )
+
+    events = spark.createDataFrame(
+        [(1, "2025-01-02 00:00:00", 10, "click"),
+         (2, "2025-01-03 00:00:00", 10, "error"),
+         (3, "2025-01-02 00:00:00", 20, "view")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ids = extract_identities(events)
+    got = {r.doc_id: r for r in ids.collect()}
+    assert got["user:10"].access_control == ["user:10", "type:click", "type:error"]
+    assert str(got["user:10"].ts) == "2025-01-03 00:00:00"
+
+    manifest = spark.createDataFrame(
+        [("user:10", "2025-01-03 00:00:00"),   # same ts -> skip
+         ("user:30", "2025-01-01 00:00:00")],  # not live -> delete
+        "doc_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ops = {r.doc_id: (r.op, r.access_control)
+           for r in access_control_sync(ids, manifest).collect()}
+    assert ops["user:10"][0] == "skip"
+    assert ops["user:20"] == ("create", ["user:20", "type:view"])
+    assert ops["user:30"] == ("delete", None)
