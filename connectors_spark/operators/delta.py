@@ -94,6 +94,7 @@ def incremental_update(spark: SparkSession, path: str,
     tomb = live.join(dead_ids, "doc_id", "left_semi").select("doc_idx")
     tomb.write.mode("overwrite").parquet(f"{gdir}/tombstones")
     tomb = spark.read.parquet(f"{gdir}/tombstones")
+    n_tombstones = tomb.count()
 
     changed_ids = ops.filter(F.col("op").isin("create", "update")).select("doc_id")
     changed = new_docs.join(changed_ids, "doc_id", "left_semi")
@@ -123,17 +124,22 @@ def incremental_update(spark: SparkSession, path: str,
     )
 
     # exact per-term dead counts: decode every existing shard, count hits
-    # against the cumulative tombstone set (compaction amortizes this)
+    # against the cumulative tombstone set (compaction amortizes this).
+    # Tombstones ship to executors ONCE as a Spark broadcast (torrent),
+    # never closure-pickled per task; their size is bounded by the
+    # compaction policy (should_compact/maybe_compact below).
     all_tomb_ids = np.sort(np.array(
         [r.doc_idx for d in [*meta.get("deltas", []), {"gen": gen}]
          for r in spark.read.parquet(
              f"{path}/delta/{int(d['gen'])}/tombstones").collect()],
         dtype=np.int64,
     ))
+    tomb_bc = spark.sparkContext.broadcast(all_tomb_ids)
 
     from connectors_spark.functions.codec import varint_decode
 
     def count_dead(batches):
+        tombs = tomb_bc.value
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
@@ -141,9 +147,9 @@ def incremental_update(spark: SparkSession, path: str,
                     row["doc_gaps"], 0, int(row["n_docs"])
                 ).astype(np.int64)
                 d = np.cumsum(gaps)
-                pos = np.searchsorted(all_tomb_ids, d)
-                pos = np.minimum(pos, max(0, len(all_tomb_ids) - 1))
-                n_dead = int((all_tomb_ids[pos] == d).sum()) if len(all_tomb_ids) else 0
+                pos = np.searchsorted(tombs, d)
+                pos = np.minimum(pos, max(0, len(tombs) - 1))
+                n_dead = int((tombs[pos] == d).sum()) if len(tombs) else 0
                 if n_dead:
                     rows.append({"term": row["term"], "dead": n_dead})
             yield pd.DataFrame(rows, columns=["term", "dead"])
@@ -162,7 +168,7 @@ def incremental_update(spark: SparkSession, path: str,
     dead_df.write.mode("overwrite").parquet(f"{gdir}/dead_df")
 
     rec = {"gen": gen, "avgdl_at_build": avgdl_live,
-           "n_changed": int(n_changed)}
+           "n_changed": int(n_changed), "n_tombstones": int(n_tombstones)}
     meta.setdefault("deltas", []).append(rec)
     meta["n_docs"], meta["avgdl"] = n_live, avgdl_live
     _write_meta(path, meta)
@@ -170,14 +176,59 @@ def incremental_update(spark: SparkSession, path: str,
     return rec
 
 
+def total_tombstones(meta: dict) -> int:
+    return sum(int(d.get("n_tombstones", 0)) for d in meta.get("deltas", []))
+
+
+def dead_ratio(meta: dict) -> float:
+    dead = total_tombstones(meta)
+    live = int(meta.get("n_docs", 0))
+    return dead / (dead + live) if dead else 0.0
+
+
+def should_compact(meta: dict, max_dead_ratio: float = 0.2,
+                   max_tombstones: int = 5_000_000) -> bool:
+    """LSM-style merge trigger. The cumulative tombstone count is ALSO
+    the bound on the query readers' broadcast dead set (IndexReader), so
+    this policy caps query-side memory, not just dead-scan overhead:
+    compact when dead/(dead+live) >= max_dead_ratio OR the absolute
+    tombstone count exceeds max_tombstones."""
+    dead = total_tombstones(meta)
+    return dead > 0 and (
+        dead_ratio(meta) >= max_dead_ratio or dead >= max_tombstones
+    )
+
+
+def maybe_compact(spark: SparkSession, path: str,
+                  max_dead_ratio: float = 0.2,
+                  max_tombstones: int = 5_000_000) -> bool:
+    """Compact `path` in place when the policy triggers; returns whether
+    a compaction ran. Crash-safe: the merged index is built in a sibling
+    scratch dir and swapped in with two renames (readers opened before
+    the swap keep their snapshot; new IndexReaders see one generation)."""
+    import shutil
+
+    meta = read_meta(path)
+    if not should_compact(meta, max_dead_ratio, max_tombstones):
+        return False
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    compact_index(spark, path, tmp)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
 def compact_index(spark: SparkSession, path: str, out_path: str) -> None:
     """Fold all generations into a fresh single-generation index (drops
     tombstones, restores dense stats) — the LSM merge step."""
     meta = read_meta(path)
     reader = IndexReader(spark, path, cache=False)
-    dead = reader.dead
+    dead_bc = reader._dead_bc
 
     def decode_rows(batches):
+        dead = dead_bc.value
         for pdf in batches:
             terms, docs, tfs, dls = [], [], [], []
             for _, row in pdf.iterrows():

@@ -361,6 +361,10 @@ class IndexReader:
             _np.sort(_np.concatenate(tombs)) if tombs
             else _np.zeros(0, dtype=_np.int64)
         )
+        # kernels read tombstones via a Spark broadcast (one torrent ship
+        # per reader, not per-task closure pickling); size is bounded by
+        # the compaction policy (operators/delta.py should_compact)
+        self._dead_bc = spark.sparkContext.broadcast(self.dead)
         self.dead_df = dead_df
         self.postings, self.docmap = postings, docmap
         if cache:
@@ -446,10 +450,11 @@ class IndexReader:
         hits = self._group_cols(hits)
 
         kern = {"auto": topk_auto, "exact": topk_exact, "wand": topk_wand}[kernel]
-        dead_ids = self.dead
+        dead_bc = self._dead_bc
         gen_avgdl = self.gen_avgdl
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            dead_ids = dead_bc.value
             qid = pdf["query_id"].iloc[0]
             g = int(pdf["grp"].iloc[0])
             gt = int(pdf["g_total"].iloc[0])
@@ -700,9 +705,10 @@ class IndexReader:
         else:
             hits = hits.withColumn("_dead", F.lit(0))
         hits = self._group_cols(hits)
-        dead_ids = self.dead
+        dead_bc = self._dead_bc
 
         def phrase_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            dead_ids = dead_bc.value
             qid = pdf["query_id"].iloc[0]
             g = int(pdf["grp"].iloc[0])
             gt = int(pdf["g_total"].iloc[0])

@@ -125,3 +125,38 @@ def test_incremental_positional_phrase(spark, tmp_path):
     assert [g.doc_id for g in got] == [d for d, _ in exp]
     for g, (_, s) in zip(got, exp):
         assert g.score == pytest.approx(s, rel=1e-9)
+
+
+def test_auto_compaction_policy_roundtrip(spark, tmp_path):
+    """maybe_compact triggers on dead-ratio, swaps the merged index in
+    place, and the result stays rank-identical to the oracle with zero
+    tombstones (bounded broadcast dead set)."""
+    from connectors_spark.operators.delta import (
+        dead_ratio, maybe_compact, should_compact, total_tombstones,
+    )
+
+    path = str(tmp_path / "auto_idx")
+    s0, s1 = _snapshots(spark)
+    write_encoded_index(
+        build_index_transcripts(s0, with_positions=False), path,
+        n_buckets=8, shard_cap=300,
+    )
+    assert maybe_compact(spark, path) is False  # nothing dead yet
+
+    rec = incremental_update(spark, path, s1)
+    assert rec is not None and rec["n_tombstones"] > 0
+    meta = read_meta(path)
+    assert total_tombstones(meta) == rec["n_tombstones"]
+    assert 0.0 < dead_ratio(meta) < 0.2
+    # default thresholds: not yet worth merging
+    assert should_compact(meta) is False
+    # tight threshold: policy fires and compacts IN PLACE
+    assert maybe_compact(spark, path, max_dead_ratio=0.001) is True
+
+    meta = read_meta(path)
+    assert meta["deltas"] == [] and total_tombstones(meta) == 0
+    reader = IndexReader(spark, path, cache=False)
+    assert len(reader.dead) == 0
+    rows = with_doc_id(s1).select("doc_id", "text").collect()
+    oracle = OracleIndex([(r.doc_id, r.text) for r in rows])
+    _check_rank_identity(spark, path, oracle, "wand")
