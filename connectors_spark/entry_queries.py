@@ -780,6 +780,32 @@ def q_dls_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =================================================================
+# Ingest-edge sanitize (reference sdk/source.py:656-691, utils.py:794-800)
+# =================================================================
+
+
+@register(
+    "sanitize_docs",
+    "SELECT CAST(event_id AS VARCHAR) AS doc_id, "
+    "strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS ts, "
+    "user_id, event_type, value, props FROM events",
+)
+def q_sanitize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document serialize/sanitize at the ingest edge: numeric ids ->
+    string, timestamps -> ISO-8601 UTC, plan-time schema recursion
+    (reference per-record serialize, sdk/source.py:656-691; _id
+    coercion utils.py:794-800). Nested struct/array/map/decimal/binary
+    normalization is pytest-gated (testdata has no nested columns)."""
+    from connectors_spark.operators.sanitize import sanitize_documents
+
+    events = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("doc_id"),
+        "ts", "user_id", "event_type", "value", "props",
+    )
+    return sanitize_documents(events)
+
+
+# =================================================================
 # Access-control sync (reference es/sink.py:826-856, sdk get_access_control)
 # =================================================================
 

@@ -62,3 +62,45 @@ def b64(col: Column) -> Column:
 
 def unb64(col: Column) -> Column:
     return F.decode(F.unbase64(col), "utf-8")
+
+
+def truncate_id(id_col: Column) -> Column:
+    """Log-friendly id shortening: ids > 20 chars become first8...last8
+    (reference: app/connectors_service/connectors/utils.py:608-626, C10)."""
+    return F.when(
+        F.length(id_col) > 20,
+        F.concat(F.substring(id_col, 1, 8), F.lit("..."),
+                 F.substring(id_col, -8, 8)),
+    ).otherwise(id_col)
+
+
+def map_column_names(column_names: list[str], schema: str | None = None,
+                     tables: list[str] | None = None) -> list[str]:
+    """schema_table_column lowercase prefixing for RDBMS row->doc field
+    names (reference: app/connectors_service/connectors/sources/shared/
+    database/generic_database.py:49-56, C5)."""
+    prefix = ""
+    if schema and schema.strip():
+        prefix += schema.strip() + "_"
+    if tables:
+        prefix += "_".join(sorted(tables)) + "_"
+    return [f"{prefix}{c}".lower() for c in column_names]
+
+
+def prefix_columns(df, schema: str | None = None,
+                   tables: list[str] | None = None):
+    """Rename every column of `df` via map_column_names (C5)."""
+    new = map_column_names(df.columns, schema, tables)
+    return df.toDF(*new)
+
+
+def deep_merge_dicts(base_dict: dict, new_dict: dict) -> dict:
+    """Recursive dict merge, new wins (reference: utils.py:657-676, C12 —
+    config-side helper, mirrored for source-option merging)."""
+    for key in new_dict:
+        if (key in base_dict and isinstance(base_dict[key], dict)
+                and isinstance(new_dict[key], dict)):
+            deep_merge_dicts(base_dict[key], new_dict[key])
+        else:
+            base_dict[key] = new_dict[key]
+    return base_dict

@@ -11,15 +11,15 @@ Scale notes (10^12-turn design):
 - groupBy(term, doc_id) keys are near-unique per token stream => skew-free.
 - groupBy(term) for df uses partial aggregation; the Zipf head collapses
   map-side, so the shuffle carries ~P rows per hot term, not the postings.
-- doc-index assignment is a two-pass range partitioning (sample-balanced,
-  no single-point global sort) — see `assign_doc_indices`.
+- doc-index assignment is ONE sample-balanced range shuffle (no global
+  single-point sort, no count pass) — see `assign_doc_indices`.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from connectors_spark.functions.analysis import tokenize
@@ -140,35 +140,32 @@ def salted_collect_positions(toks: DataFrame, n_salts: int = 16) -> DataFrame:
 
 def assign_doc_indices(docs: DataFrame, num_ranges: int | None = None,
                        start_idx: int = 0) -> DataFrame:
-    """(doc_idx, doc_id, dl): dense int64 ids, ordered by doc_id string.
+    """(doc_idx, doc_id, dl): int64 ids ORDERED like doc_id, one shuffle.
 
-    Two-pass, no global single-partition sort: range-partition by doc_id
-    (sampled balanced ranges), count per partition, prefix-sum the counts
-    on the driver (P integers), then per-partition row_number + offset.
-    This is the scalable classic for dense-id assignment; at 10^12 docs
-    each range partition sorts independently.
+    doc_idx = monotonically_increasing_id() over range-partitioned,
+    in-partition-sorted rows (+ start_idx). Range boundaries are ordered
+    and mono ids are partition-major, so the ids are globally ordered by
+    doc_id — but NOT dense: id = shuffle_pid * 2^33 + local_row. Dense is
+    not a requirement anywhere downstream; what is required:
+    (a) order-compatibility with doc_id for tie-breaking — holds;
+    (b) int64 for the delta-gap varint codec — holds (gaps jump at
+        partition boundaries, a few extra varint bytes per partition);
+    (c) balanced residues mod every power-of-two shard count (the
+        doc-space sharding/grouping in operators/index.py) — holds:
+        local rows are dense and 2^33 ≡ 0 (mod 2^j) for every real shard
+        count, so doc_idx % 2^j == local_row % 2^j.
+
+    vs the round-1 two-pass version: no second traversal, no per-
+    partition count collect, no window shuffle, no broadcast join-back —
+    at 10^12 docs this stage is one range shuffle, full stop. (The range
+    partitioner still samples the input once to pick boundaries.)
     """
     spark = docs.sparkSession
     if num_ranges is None:
         num_ranges = max(spark.sparkContext.defaultParallelism, 8)
     ranged = docs.repartitionByRange(num_ranges, "doc_id").sortWithinPartitions("doc_id")
-    # persist: the frame is traversed twice (count pass + assign pass) and
-    # range boundaries come from sampling — pin them
-    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
-    counts = {r["_pid"]: r["n"] for r in
-              ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    # partition ids are ordered by range => prefix sum gives offsets
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
-    )
-    w = Window.partitionBy("_pid").orderBy("doc_id")
-    keep = [c for c in docs.columns]
-    return (
-        ranged.withColumn("_rn", F.row_number().over(w) - 1)
-        .join(F.broadcast(off_df), "_pid")
-        .select((F.col("_rn") + F.col("_off") + F.lit(start_idx)).alias("doc_idx"), *keep)
+    keep = list(docs.columns)
+    return ranged.select(
+        (F.monotonically_increasing_id() + F.lit(start_idx)).alias("doc_idx"),
+        *keep,
     )

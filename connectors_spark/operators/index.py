@@ -240,6 +240,8 @@ def build_and_write_index(
     Shuffle-volume design (the thing that matters at 10^12 turns):
     - dl is computed as size(tokens) on the BASE table (no explode, no
       per-token shuffle, no join-back);
+    - doc_idx assignment is ONE range shuffle + monotonic ids (no count
+      collect, no window pass — see assign_doc_indices);
     - doc_idx is assigned BEFORE tokenization, so every downstream
       shuffle keys on int64 doc_idx instead of the 'conv-…:…' string id;
     - lexicon df comes back via an explicit broadcast join;
@@ -259,8 +261,8 @@ def build_and_write_index(
 
     base = with_doc_id(transcripts)
     id_cols = ["doc_id"] + (["ts"] if "ts" in base.columns else [])
-    # docs is one narrow row per doc but feeds ~5 passes (range sampling,
-    # counts, row_number, stats) — pin it
+    # docs is one narrow row per doc but is traversed twice (range-bound
+    # sampling + the range shuffle itself) and dl costs a tokenize — pin it
     docs = base.select(
         *id_cols, F.size(tokens_col(F.col("text"))).cast("long").alias("dl")
     ).persist()

@@ -1,0 +1,134 @@
+"""Filtering validation facade: basic-rule + advanced-rule validators.
+
+Re-expresses the reference's FilteringValidator (reference:
+libs/connectors_sdk/connectors_sdk/filtering/validation.py:174-245):
+per-rule validators and whole-set validators run over the basic rules,
+per-source validators over the advanced snippet, and every result is
+aggregated into one FilteringValidationResult with state valid/invalid
+plus structured errors (ids + messages) — validation never raises, it
+reports, exactly like the reference (the service stores the result on
+the filtering document and refuses to sync while invalid).
+
+The engine's advanced rules ARE SQL (the per-source opaque query —
+entry_queries advanced_rule_pushdown), so the bundled advanced validator
+checks an untrusted SQL string WITHOUT executing it:
+
+1. parse via the session's SQL parser (parse-only JVM call — commands
+   are never run);
+2. reject anything that is not a pure query (DDL/DML parse to *Command /
+   *Statement plans — a validator that executed `spark.sql` on those
+   would RUN them);
+3. analyze the query lazily against the registered tables to surface
+   unknown columns/tables as structured errors (AnalysisException).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from connectors_spark.operators.rules import (
+    BasicRule,
+    RuleValidationError,
+    parse_rules,
+    validate_rules,
+)
+
+VALID, INVALID = "valid", "invalid"
+
+
+@dataclass
+class ValidationError:
+    ids: list[str]
+    messages: list[str]
+
+
+@dataclass
+class FilteringValidationResult:
+    state: str = VALID
+    errors: list[ValidationError] = field(default_factory=list)
+
+    def add(self, ids: list[str], message: str) -> None:
+        self.state = INVALID
+        self.errors.append(ValidationError(ids=ids, messages=[message]))
+
+
+def validate_advanced_sql(
+    spark: SparkSession, sql: str, rule_id: str = "advanced_snippet"
+) -> FilteringValidationResult:
+    """Validate one opaque advanced-rule SQL string. Parse-only + lazy
+    analysis; the statement is never executed."""
+    res = FilteringValidationResult()
+    if not sql or not sql.strip():
+        res.add([rule_id], "advanced rule is empty")
+        return res
+    jss = spark._jsparkSession.sessionState()
+    try:
+        plan = jss.sqlParser().parsePlan(sql)
+    except Exception as e:  # ParseException
+        res.add([rule_id], f"SQL parse error: {str(e).splitlines()[0][:300]}")
+        return res
+    # every DDL/DML parses to a Command (DROP/CREATE/DELETE/MERGE) or a
+    # ParsedStatement (INSERT) — pure queries are neither
+    jcls = spark._jvm.java.lang.Class
+    is_cmd = any(
+        jcls.forName(n).isInstance(plan)
+        for n in (
+            "org.apache.spark.sql.catalyst.plans.logical.Command",
+            "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
+        )
+    )
+    if is_cmd:
+        cls = plan.getClass().getSimpleName()
+        res.add([rule_id], f"advanced rule must be a pure query, got {cls}")
+        return res
+    try:
+        # lazy: building the DataFrame analyzes the plan, runs nothing
+        df = spark.sql(sql)
+        df.schema  # force analysis
+    except Exception as e:  # AnalysisException
+        res.add([rule_id], f"SQL analysis error: {str(e).splitlines()[0][:300]}")
+    return res
+
+
+class FilteringValidator:
+    """Facade over basic + advanced validators (validation.py:174-245).
+
+    `advanced_validators`: callables (spark, advanced_rules) ->
+    FilteringValidationResult — the per-source hook the reference routes
+    through each connector's advanced_rules_validators."""
+
+    def __init__(self, advanced_validators: list | None = None):
+        self.advanced_validators = advanced_validators or []
+
+    def validate(self, spark: SparkSession, filtering: dict) -> FilteringValidationResult:
+        """filtering: {"rules": [basic-rule dicts], "advanced_snippet":
+        {"query": sql} | {}} — the reference's filtering shape."""
+        result = FilteringValidationResult()
+
+        raw = filtering.get("rules", [])
+        # per-rule validation: each failure is reported against its id
+        for r in raw:
+            try:
+                validate_rules(parse_rules([r]))
+            except (RuleValidationError, KeyError, ValueError) as e:
+                result.add([str(r.get("id", "?"))], str(e))
+        # whole-set validation (cross-rule constraints: duplicates)
+        try:
+            validate_rules(parse_rules(raw))
+        except RuleValidationError as e:
+            result.add([str(r.get("id", "?")) for r in raw], str(e))
+
+        snippet = (filtering.get("advanced_snippet") or {})
+        sql = snippet.get("query")
+        if sql:
+            validators = self.advanced_validators or [
+                lambda sp, q: validate_advanced_sql(sp, q)
+            ]
+            for v in validators:
+                sub = v(spark, sql)
+                if sub.state != VALID:
+                    result.state = INVALID
+                    result.errors.extend(sub.errors)
+        return result

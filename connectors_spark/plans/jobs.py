@@ -134,6 +134,36 @@ class JobCatalog:
             doc["sync_cursor"] = sync_cursor
         self._write(job_id, doc, expect_seq=seq)
 
+    def cancel(self, job_id: str, spark=None) -> None:
+        """Cooperative cancellation: mark the job canceled (CAS) and
+        interrupt its running Spark jobs via cancelJobGroup — the engine
+        analog of the reference's task.cancel() fan-out
+        (app/connectors_service/connectors/es/sink.py:984-1028)."""
+        def mut(doc):
+            self._transition(doc, CANCELED)
+        self._cas_update(job_id, mut)
+        if spark is not None:
+            spark.sparkContext.cancelJobGroup(job_id)
+
+    def run_cancellable(self, spark, job_id: str, fn):
+        """Run fn() with every Spark job it launches tagged by `job_id`,
+        so cancel(job_id, spark) interrupts them mid-stage. A cancelled
+        run returns None (cooperative stop, not an error); any other
+        failure propagates after the job is marked error."""
+        sc = spark.sparkContext
+        sc.setJobGroup(job_id, f"sync job {job_id}", interruptOnCancel=True)
+        try:
+            return fn()
+        except Exception as e:
+            doc = self.get(job_id)
+            if doc["status"] == CANCELED:
+                return None
+            if doc["status"] == IN_PROGRESS:
+                self.finish(job_id, ERROR, error=str(e)[:500])
+            raise
+        finally:
+            sc.setJobGroup("", "")
+
     def pending_jobs(self) -> list[dict]:
         """Sorted created_at ASC (protocol/connectors.py:1083)."""
         docs = []

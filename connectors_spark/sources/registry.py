@@ -15,7 +15,7 @@ partitioning/pushdown concerns the planner owns:
 | S7 object-store listing     | read_binary_glob over s3a:// | pathGlobFilter = extension filter |
 | S9 time-windowed API scan   | read_time_window             | partition-pruned ts predicate |
 | S2/S10 incremental          | operators.sync.incremental_extract / streaming.incremental |
-| S8 cursor-paginated API     | driver-side fetch -> createDataFrame (not perf-critical) |
+| S8 cursor-paginated API     | sources/paged.py read_paged    | sequential pull (cursor APIs admit no parallelism), spill-bounded, cursor-checkpointed resume |
 
 Registered by name like the reference's config registry.
 """
