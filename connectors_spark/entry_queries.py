@@ -672,6 +672,75 @@ ANN_QUERY_MOD = 50
 ANN_K = 10
 
 
+def _embedding_neardup_sql(threshold: float, dim: int = 64,
+                           n_planes: int = 16) -> str:
+    """DuckDB mirror of the full SRP-LSH pipeline: the SAME deterministic
+    ±1 planes (md5(i,j) parity, literal-embedded so the SQL is
+    self-contained), the same banding/md5 bucket keys, the same exact
+    cosine verify (similarity.embedding_near_dups)."""
+    from connectors_spark.operators.similarity import srp_planes
+
+    plane_rows = ", ".join(
+        f"({i}, {j}, {s})"
+        for i, p in enumerate(srp_planes(dim, n_planes))
+        for j, s in enumerate(p)
+    )
+    return f"""
+WITH planes(i, j, s) AS (VALUES {plane_rows}),
+sig AS (
+  SELECT e.vec_id, p.i,
+         (CASE WHEN sum(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.s) >= 0
+               THEN '1' ELSE '0' END) AS bit
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.i
+),
+bands AS (
+  SELECT vec_id, CAST(i // 4 AS INT) AS band_idx,
+         md5(string_agg(bit, '|' ORDER BY i)) AS band_hash
+  FROM sig GROUP BY vec_id, i // 4
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, band_hash)
+  WHERE a.vec_id < b.vec_id
+),
+{_NORMS_SQL},
+dots AS (
+  SELECT p.doc_a, p.doc_b,
+         sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dot
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.doc_a
+  JOIN embeddings eb ON eb.vec_id = p.doc_b
+  CROSS JOIN dims
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT d.doc_a, d.doc_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+FROM dots d
+JOIN norms na ON na.vec_id = d.doc_a
+JOIN norms nb ON nb.vec_id = d.doc_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {threshold}
+"""
+
+
+NEARDUP_COS_THRESHOLD = 0.25  # testdata embeddings are near-random (max
+# pairwise cos ~0.51): a production 0.9 threshold would gate zero rows,
+# so the gate verifies the full pipeline at a low threshold and pytest
+# covers true near-dups (synthesized perturbed vectors) at 0.95
+
+
+@register("dedup_embedding_cosine",
+          _embedding_neardup_sql(NEARDUP_COS_THRESHOLD))
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: SRP-LSH banding + exact cosine verify
+    (the vector-space member of the dedup family)."""
+    from connectors_spark.operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(
+        _read(spark, sf_dir, "embeddings"),
+        threshold=NEARDUP_COS_THRESHOLD, dim=64,
+    )
+
+
 @register("ann_cosine_topk", _cosine_sql(ANN_QUERY_MOD, ANN_K))
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
@@ -777,6 +846,55 @@ def q_dls_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.arrays_overlap(F.col("_allow_access_control"), identities))
         .select("doc_id", "source", "lang")
     )
+
+
+# =================================================================
+# Multimodal feature extraction (binary payload -> batched features)
+# =================================================================
+
+# the corpus is ASCII, so text bytes == chars: the SQL twin computes the
+# same byte histogram / Shannon entropy / mean over unnested chars
+_MM_FEATURES_SQL = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, coalesce(text, '') AS t
+  FROM documents
+),
+chars AS (
+  SELECT doc_id, unnest(string_split_regex(t, '')) AS c
+  FROM base WHERE length(t) > 0
+),
+chars2 AS (SELECT doc_id, c FROM chars WHERE c <> ''),
+freq AS (
+  SELECT doc_id, c, count(*) AS n FROM chars2 GROUP BY doc_id, c
+),
+tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS total FROM freq GROUP BY doc_id),
+ent AS (
+  SELECT f.doc_id,
+         -sum((f.n / t.total) * log2(f.n / t.total)) AS entropy,
+         sum(f.n * ord(f.c)) / t.total AS mean_byte
+  FROM freq f JOIN tot t USING (doc_id)
+  GROUP BY f.doc_id, t.total
+)
+SELECT b.doc_id, CAST(length(b.t) AS BIGINT) AS n_bytes,
+       round(coalesce(e.entropy, 0.0), 6) AS entropy,
+       round(coalesce(e.mean_byte, 0.0), 6) AS mean_byte
+FROM base b LEFT JOIN ent e USING (doc_id)
+"""
+
+
+@register("multimodal_features", _MM_FEATURES_SQL)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the multimodal plumbing
+    (typed media schema -> Arrow-batched mapInPandas -> vectorized NumPy).
+    The deterministic fake decoder makes the whole path DuckDB-verifiable;
+    a registered real codec swaps in at the same plan shape
+    (operators/multimodal.py)."""
+    from connectors_spark.operators.multimodal import (
+        attach_fake_media, extract_features,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return extract_features(attach_fake_media(docs))
 
 
 # =================================================================

@@ -170,10 +170,9 @@ def write_encoded_index(
             postings, docmap, index.lexicon, avgdl,
             n_buckets=n_buckets, shard_cap=shard_cap, k1=k1, b=b,
         )
-        # encoded rows are small compressed blobs: a cheap second shuffle
-        # onto bucket boundaries means partitionBy emits one file per
-        # bucket instead of (tasks x buckets) small files
-        encoded = encoded.repartition(n_buckets, "bucket")
+        # partitionBy(bucket) straight from the encode tasks: bucket
+        # pruning is directory-level, so multiple files per bucket dir
+        # cost nothing at read time and the blob shuffle stage disappears
         encoded.write.mode("overwrite").partitionBy("bucket").parquet(
             f"{path}/postings"
         )
@@ -259,6 +258,8 @@ def build_and_write_index(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
+    from pyspark.sql import Observation
+
     base = with_doc_id(transcripts)
     id_cols = ["doc_id"] + (["ts"] if "ts" in base.columns else [])
     # docs is one narrow row per doc but is traversed twice (range-bound
@@ -266,14 +267,18 @@ def build_and_write_index(
     docs = base.select(
         *id_cols, F.size(tokens_col(F.col("text"))).cast("long").alias("dl")
     ).persist()
-    docmap = assign_doc_indices(docs)
+    # corpus stats ride the docmap WRITE job via Observation — no
+    # separate count/sum pass over the written parquet
+    obs = Observation("docmap_stats")
+    docmap = assign_doc_indices(docs).observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    )
     docmap.write.mode("overwrite").parquet(f"{path}/docmap")
     docmap = spark.read.parquet(f"{path}/docmap")
     docs.unpersist()
 
-    n_docs, sum_dl = docmap.agg(F.count(F.lit(1)), F.sum("dl")).first()
-    n_docs = int(n_docs)
-    avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+    n_docs = int(obs.get["n"])
+    avgdl = float(obs.get["s"]) / n_docs if n_docs else 0.0
 
     base_idx = base.select("doc_id", "text").join(
         docmap.select("doc_id", "doc_idx", "dl"), "doc_id"
@@ -297,7 +302,10 @@ def build_and_write_index(
         ).mapInPandas(
             make_encode_partition(avgdl, k1, b), schema=ENCODED_POSTINGS_SCHEMA
         )
-        encoded = encoded.repartition(n_buckets, "bucket")
+        # write partitionBy(bucket) straight from the encode tasks: bucket
+        # pruning is directory-level, so multiple files per bucket dir
+        # (<= encode tasks) cost nothing at read time, and skipping the
+        # extra blob shuffle removes a whole stage from the build
         encoded.write.mode("overwrite").partitionBy("bucket").parquet(
             f"{path}/postings"
         )

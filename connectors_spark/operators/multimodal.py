@@ -107,6 +107,67 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
     )
 
 
+def fake_image_decode(content: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in image decoder: bytes -> (height, width)
+    uint8 raster (truncate/zero-pad). Registered-codec shape: a real
+    decoder returns exactly this (H, W[, C]) ndarray contract."""
+    buf = np.frombuffer(content, dtype=np.uint8)
+    need = width * height
+    if len(buf) < need:
+        buf = np.pad(buf, (0, need - len(buf)))
+    return buf[:need].reshape(height, width)
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize (the index math is the real
+    thing; only the decode producing `img` is stubbed)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(out_h) * (h / out_h)).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(out_w) * (w / out_w)).astype(np.int64), w - 1)
+    return img[ys][:, xs]
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8,
+                  use_fake_decoder: bool = True) -> DataFrame:
+    """(doc_id, width, height, pixels) — decode -> nearest-neighbor
+    resize -> raw raster bytes, batched over Arrow. Source dimensions
+    come from the meta struct (fallback: squarish raster from payload
+    size), mirroring how a real pipeline would carry decoder metadata."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            metas = pdf["meta"]
+            for i, (doc_id, mt, content) in enumerate(zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            )):
+                if not len(content):
+                    continue
+                m = metas.iloc[i]
+                w = m["width"] if m is not None and m["width"] else None
+                h = m["height"] if m is not None and m["height"] else None
+                if not w or not h:
+                    w = max(1, int(np.ceil(np.sqrt(len(content)))))
+                    h = max(1, int(np.ceil(len(content) / w)))
+                if use_fake_decoder:
+                    img = fake_image_decode(content, int(w), int(h))
+                else:
+                    img = decode_media(mt, content)
+                out = resize_nearest(img, out_w, out_h)
+                rows.append({
+                    "doc_id": doc_id, "width": out_w, "height": out_h,
+                    "pixels": out.astype(np.uint8).tobytes(),
+                })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pixels"]
+            )
+
+    return media.mapInPandas(
+        do_resize,
+        schema="doc_id string, width int, height int, pixels binary",
+    )
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4,
                  frame_bytes: int = 64) -> DataFrame:
     """(doc_id, frame_idx, frame) — evenly spaced byte windows; the shape

@@ -161,3 +161,82 @@ def assign_probes(vectors: DataFrame, queries: DataFrame, centroid_mod: int,
         .filter(F.col("r") <= nprobe)
         .select("query_id", "cell")
     )
+
+
+# --------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (SRP-LSH + exact verify)
+# --------------------------------------------------------------------
+
+def srp_planes(dim: int, n_planes: int = 16) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix from md5(i,j) — the
+    engine and the DuckDB oracle share the exact same planes (same trick
+    as the minhash 'permutations', operators/dedup.py)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{i},{j}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_planes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """(doc_a, doc_b, cos) near-duplicate pairs by embedding cosine.
+
+    Signed-random-projection LSH (Charikar '02): signature bit i =
+    sign(v · h_i) for deterministic ±1 hyperplanes; banded like minhash
+    (P[band collision] = (1 - θ/π)^rows), candidate pairs verified with
+    the exact float64 cosine and filtered at `threshold`. Candidate
+    generation reuses lsh_candidate_pairs — including its oversize-bucket
+    star-edge bound — so a corpus with millions of identical embeddings
+    stays O(n). All JVM expressions; the plane dots are literal-array
+    zip_with/aggregate, no Python in the loop."""
+    from connectors_spark.operators.dedup import lsh_candidate_pairs
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])  # one-row driver peek
+    planes = srp_planes(dim, n_planes)
+    v = _as_double(F.col(vec_col))
+    sig_cols = [
+        F.when(
+            _dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0")).alias(f"s{i}")
+        for i, p in enumerate(planes)
+    ]
+    sigs = vectors.select(F.col(id_col).alias("doc_id"), *sig_cols)
+    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, bucket_cap)
+
+    norms = with_norm(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        "v",
+    )
+    a = norms.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
+                     F.col("_vnorm").alias("na"))
+    b = norms.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
+                     F.col("_vnorm").alias("nb"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(_as_double(F.col("va")), _as_double(F.col("vb")))
+                / (F.col("na") * F.col("nb")),
+                ROUND_COS,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", "cos")
+    )

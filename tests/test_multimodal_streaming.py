@@ -100,3 +100,45 @@ def test_streaming_windowed_stats(spark, tmp_path):
     got = spark.sql("SELECT sum(n_turns) FROM ingest_stats").first()[0]
     # closed windows only => subset of total
     assert got is None or got <= static.count()
+
+
+def test_resize_images_shapes_and_determinism(spark):
+    """decode(stub) -> nearest-neighbor resize -> raster bytes: output
+    shape fixed, math deterministic, batched (no per-row Python UDF)."""
+    import numpy as np
+
+    from connectors_spark.operators.multimodal import (
+        attach_fake_media, fake_image_decode, resize_images, resize_nearest,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "x" * 100), ("b", "hello world"), ("c", "")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in
+           resize_images(attach_fake_media(docs), out_w=8, out_h=8).collect()}
+    assert set(out) == {"a", "b"}  # empty payload skipped
+    for r in out.values():
+        assert r.width == 8 and r.height == 8 and len(r.pixels) == 64
+
+    # resize math twin: engine output == direct NumPy on the same bytes
+    content = b"x" * 100
+    w = int(np.ceil(np.sqrt(100)))  # 10
+    h = int(np.ceil(100 / w))       # 10
+    img = fake_image_decode(content, w, h)
+    exp = resize_nearest(img, 8, 8).astype(np.uint8).tobytes()
+    assert out["a"].pixels == exp
+
+
+def test_resize_nearest_index_math():
+    import numpy as np
+
+    from connectors_spark.operators.multimodal import resize_nearest
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8)
+    # corners map to corners under nearest-neighbor
+    assert up[0, 0] == img[0, 0] and up[7, 7] == img[3, 3]
+    down = resize_nearest(img, 2, 2)
+    assert down.tolist() == [[0, 2], [8, 10]]

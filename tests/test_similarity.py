@@ -72,3 +72,45 @@ def test_ivf_recall_and_exactness_of_scores(spark, vecs, vecs_np):
             exact = round(float(v[r.vec_id] @ v[qi] / (norms[r.vec_id] * norms[qi])), 6)
             assert r.cos == pytest.approx(exact, abs=1e-6)
     assert hits / total >= 0.5  # nprobe=8/20 cells -> decent recall
+
+
+def test_embedding_near_dups_finds_perturbed(spark):
+    """SRP-LSH + exact-cosine verify: perturbed copies are found at a
+    production threshold; random vectors never pair."""
+    import random
+
+    from connectors_spark.operators.similarity import embedding_near_dups
+
+    rng = random.Random(7)
+    dim = 32
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    base = [vec() for _ in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # ids 100+i: tiny perturbation of i -> cos ~ 0.999
+        rows.append((100 + i, [float(x + rng.gauss(0, 0.02)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = embedding_near_dups(df, threshold=0.95, dim=dim)
+    got = {(r.doc_a, r.doc_b) for r in out.collect()}
+    expected = {(i, 100 + i) for i in range(20)}
+    # SRP with 4x4 bands has ~1 collision-miss in thousands at cos~0.999;
+    # demand full recall here (deterministic planes, fixed seed)
+    assert got == expected
+
+
+def test_embedding_near_dups_identical_blowup_bounded(spark):
+    """Thousands of identical embeddings: the star-edge bucket cap keeps
+    candidate pairs O(n)."""
+    from connectors_spark.operators.similarity import embedding_near_dups
+
+    n = 3000
+    rows = [(i, [1.0] * 16) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dups(df, threshold=0.99, dim=16, bucket_cap=64)
+    pairs = out.count()
+    assert pairs == n - 1  # star around vec 0, not n*(n-1)/2

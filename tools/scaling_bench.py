@@ -83,7 +83,12 @@ def main():
         extra_conf=extra,
     )
     runs: dict[int, list[dict]] = {n: [], 4 * n: []}
-    run_level(spark, 4 * n, max(200, n_convs // 40))  # JIT/codegen warmup
+    # JIT/codegen + page-cache warmup at BOTH levels: the first full-size
+    # run otherwise pays whole-stage-codegen compilation and cold caches
+    # (observed 2x on this host), which lands on whichever level runs
+    # first and skews per-round efficiency
+    for par in (4 * n, n):
+        run_level(spark, par, max(500, n_convs // 10))
     for _ in range(rounds):
         for par in (n, 4 * n):
             r = run_level(spark, par, n_convs)
