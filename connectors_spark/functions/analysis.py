@@ -141,3 +141,66 @@ def tokenize_sql_duckdb(text_expr: str, stop_words: list[str] | None = None,
     elif stemmer == "english":
         raise ValueError("snowball 'english' has no DuckDB twin here")
     return arr
+
+
+# --------------------------------------------------------------------
+# CJK bigram stage — language_data.yml ja/ko/zh postpended cjk_bigram
+# --------------------------------------------------------------------
+
+# han + hiragana + katakana + hangul — Lucene CJKBigramFilter's default
+# combined class (reference analyzers postpend cjk_bigram for ja/ko/zh,
+# language_data.yml:74-85)
+CJK_CLASS = "぀-ヿ㐀-䶿一-鿿가-힯"
+CJK_SPLIT_RE = f"[^a-z0-9{CJK_CLASS}]+"
+
+
+def cjk_tokens_col(text: Column) -> Column:
+    """array<string>: lowercase, split scripts apart, then expand every
+    CJK run into overlapping character bigrams (a lone CJK char stays a
+    unigram; latin/digit tokens pass through). Pure JVM expressions."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, f"([a-z0-9])([{CJK_CLASS}])", "$1 $2")
+    t = F.regexp_replace(t, f"([{CJK_CLASS}])([a-z0-9])", "$1 $2")
+    toks = F.filter(F.split(t, CJK_SPLIT_RE), lambda x: x != "")
+
+    def expand(tok: Column) -> Column:
+        n = F.length(tok)
+        is_cjk = tok.rlike(f"^[{CJK_CLASS}]+$")
+        bigrams = F.transform(
+            F.sequence(F.lit(1), n - 1), lambda i: tok.substr(i, F.lit(2))
+        )
+        return F.when(is_cjk & (n >= 2), bigrams).otherwise(F.array(tok))
+
+    return F.flatten(F.transform(toks, expand))
+
+
+def cjk_tokenize_py(text: str) -> list[str]:
+    """Python twin of cjk_tokens_col (oracle side)."""
+    t = (text or "").lower()
+    t = re.sub(f"([a-z0-9])([{CJK_CLASS}])", r"\1 \2", t)
+    t = re.sub(f"([{CJK_CLASS}])([a-z0-9])", r"\1 \2", t)
+    out: list[str] = []
+    for tok in re.split(CJK_SPLIT_RE, t):
+        if not tok:
+            continue
+        if len(tok) >= 2 and re.fullmatch(f"[{CJK_CLASS}]+", tok):
+            out.extend(tok[i:i + 2] for i in range(len(tok) - 1))
+        else:
+            out.append(tok)
+    return out
+
+
+def cjk_tokenize_sql_duckdb(text_expr: str) -> str:
+    """DuckDB twin of cjk_tokens_col."""
+    t = (
+        f"regexp_replace(regexp_replace(lower({text_expr}), "
+        f"'([a-z0-9])([{CJK_CLASS}])', '\\1 \\2', 'g'), "
+        f"'([{CJK_CLASS}])([a-z0-9])', '\\1 \\2', 'g')"
+    )
+    toks = f"list_filter(regexp_split_to_array({t}, '{CJK_SPLIT_RE}'), x -> x <> '')"
+    return (
+        f"flatten(list_transform({toks}, tok -> "
+        f"CASE WHEN length(tok) >= 2 AND regexp_full_match(tok, '[{CJK_CLASS}]+') "
+        f"THEN list_transform(range(1, length(tok)), i -> tok[i:i+1]) "
+        f"ELSE [tok] END))"
+    )

@@ -395,25 +395,29 @@ class IndexReader:
             self._terminfo_cache: dict[str, tuple[int, int]] = {}
         missing = sorted(t for t in terms if t not in self._terminfo_cache)
         if missing:
-            n_buckets = self.meta["n_buckets"]
-            buckets = sorted({bucket_of(t, n_buckets) for t in missing})
-            src = self.postings
-            if "n_shards" not in src.columns:  # pre-n_shards index layout
-                src = src.withColumn("n_shards", F.lit(1))
-            rows = (
-                src.filter(F.col("bucket").isin(buckets))
-                .filter(F.col("term").isin(missing))
-                .groupBy("term", "_gen")
-                .agg(F.max("n_shards").alias("m"), F.first("df").alias("df"))
-                .groupBy("term")
-                .agg(F.max("m").alias("m"), F.sum("df").alias("df"))
-                .collect()
-            )
+            rows = self._term_info_frame(missing).collect()
             for t in missing:
                 self._terminfo_cache[t] = (0, 0)  # absent from index
             for r in rows:
                 self._terminfo_cache[r["term"]] = (int(r["m"]), int(r["df"]))
         return {t: self._terminfo_cache[t] for t in terms}
+
+    def _term_info_frame(self, terms: list[str]) -> DataFrame:
+        """The pre-pass plan: bucket-pruned, column-pruned (term,
+        n_shards, df, _gen only — the posting blobs are never read)."""
+        n_buckets = self.meta["n_buckets"]
+        buckets = sorted({bucket_of(t, n_buckets) for t in terms})
+        src = self.postings
+        if "n_shards" not in src.columns:  # pre-n_shards index layout
+            src = src.withColumn("n_shards", F.lit(1))
+        return (
+            src.filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .groupBy("term", "_gen")
+            .agg(F.max("n_shards").alias("m"), F.first("df").alias("df"))
+            .groupBy("term")
+            .agg(F.max("m").alias("m"), F.sum("df").alias("df"))
+        )
 
     @staticmethod
     def _group_cols(hits: DataFrame) -> DataFrame:

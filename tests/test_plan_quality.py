@@ -112,3 +112,23 @@ def test_error_monitor_window_is_partitioned(spark, sf_dir):
         "error-monitor window must not run in one task"
     )
     assert "hashpartitioning(user_id" in plan
+
+
+def test_topk_prepass_prunes_blob_columns(spark, tmp_path):
+    """The per-term (n_shards, df) pre-pass must never read the posting
+    blobs: ReadSchema pruned to the metadata columns."""
+    from connectors_spark.operators.build import build_index_transcripts
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+    from connectors_spark.synth import synth_transcripts
+
+    path = str(tmp_path / "ppidx")
+    write_encoded_index(
+        build_index_transcripts(synth_transcripts(spark, 30, seed=5),
+                                with_positions=False),
+        path, n_buckets=16, shard_cap=1000,
+    )
+    reader = IndexReader(spark, path, cache=False)
+    plan = _plan(reader._term_info_frame(["t00001"]))
+    readschema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_gaps" not in readschema and "tfs" not in readschema, readschema
+    assert "bucket" in plan  # pruning filter present

@@ -153,3 +153,38 @@ def test_minimal_chain_stays_jvm(spark):
     out = tokenize(docs, stop_words=ENGLISH_STOP, stemmer="minimal_english")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cjk_bigram_three_way_parity(spark):
+    """cjk_bigram stage (ja/ko/zh analyzers, language_data.yml:74-85):
+    Column expr == DuckDB SQL == Python on mixed-script inputs."""
+    from connectors_spark.functions.analysis import (
+        cjk_tokenize_py, cjk_tokenize_sql_duckdb, cjk_tokens_col,
+    )
+
+    texts = [
+        "Spark入門ガイド2024",
+        "こんにちは world",
+        "中",                        # lone CJK char stays a unigram
+        "한국어 형태소 분석",
+        "plain ascii only",
+        "混合mixedテキスト",
+        "",
+    ]
+    py = {t: cjk_tokenize_py(t) for t in texts}
+    assert py["Spark入門ガイド2024"] == [
+        "spark", "入門", "門ガ", "ガイ", "イド", "2024"]
+    assert py["中"] == ["中"]
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got_col = {r.t: list(r.toks) for r in
+               df.select("t", cjk_tokens_col(F.col("t")).alias("toks")).collect()}
+    assert got_col == py
+
+    con = duckdb.connect()
+    vals = ", ".join("(?)" for _ in texts)
+    got_sql = dict(con.execute(
+        f"SELECT t, {cjk_tokenize_sql_duckdb('t')} FROM (VALUES {vals}) v(t)",
+        texts,
+    ).fetchall())
+    assert {k: list(v) for k, v in got_sql.items()} == py

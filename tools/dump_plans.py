@@ -58,6 +58,32 @@ def main():
         fmt(score_topk_dataframe(idx, qdf)),
     ))
 
+    import tempfile
+
+    from connectors_spark.operators.build import build_index_transcripts
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+    from connectors_spark.synth import synth_transcripts
+
+    idx_dir = tempfile.mkdtemp(prefix="plans_idx_")
+    write_encoded_index(
+        build_index_transcripts(synth_transcripts(spark, 40, seed=5)),
+        idx_dir, n_buckets=16, shard_cap=200,
+    )
+    reader = IndexReader(spark, idx_dir, cache=False)
+    sections.append((
+        "Distributed top-k through the compressed index: bucket-pruned "
+        "scan -> per-(query, doc-space group) Arrow kernel "
+        "(FlatMapGroupsInPandas) -> window merge -> broadcast docmap join",
+        fmt(reader.topk([{"query_id": "q", "query_text": "t00001 t00002",
+                          "k": 5}], kernel="wand")),
+    ))
+    sections.append((
+        "Distributed exact-phrase retrieval (positions decoded inside "
+        "the group kernels; no driver collect of postings)",
+        fmt(reader.phrase_topk([{"query_id": "p",
+                                 "query_text": "t00001 t00002", "k": 5}])),
+    ))
+
     out = ["# PLANS — physical plans of the flagship operators\n",
            "Regenerate: `python tools/dump_plans.py`\n"]
     for title, plan in sections:
