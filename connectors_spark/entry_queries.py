@@ -1072,6 +1072,77 @@ FROM w
 """
 
 
+_ERR_BUDGET_SQL = """
+WITH ops AS (
+  SELECT event_id, user_id, ts,
+         (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS is_err
+  FROM events
+),
+isl AS (
+  SELECT event_id, user_id, ts, is_err,
+         CAST(sum(1 - is_err) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS grp
+  FROM ops
+),
+w AS (
+  SELECT event_id, user_id, is_err,
+         CAST(sum(is_err) OVER (
+           PARTITION BY user_id, grp ORDER BY ts ASC, event_id ASC) AS BIGINT)
+           AS consec,
+         CAST(sum(is_err) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT)
+           AS total_errors,
+         CAST(sum(is_err) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+           AS rate100
+  FROM isl
+)
+SELECT event_id, user_id, consec, total_errors, round(rate100, 6) AS rate100,
+       (is_err = 1 AND (consec > 10 OR total_errors > 1000 OR rate100 > 0.15))
+         AS tripped
+FROM w
+"""
+
+
+@register("error_budget", _ERR_BUDGET_SQL)
+def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full error-budget contract of the reference's ErrorMonitor
+    (app/connectors_service/connectors/utils.py:827-923; thresholds
+    config.py:82-89): abort when consecutive errors exceed 10, total
+    errors exceed 1000, or the error rate over the last 100 operations
+    exceeds 15% — evaluated ON error ops only, per stream (user_id = the
+    per-connector stream analog; hash-partitioned windows). The fixed
+    100-slot circular window divides by the window SIZE (absent slots
+    count as successes), mirrored here as sum-over-last-100 / 100.
+    Consecutive counts use gaps-and-islands: island id = running
+    non-error count, streak = running error count within the island."""
+    events = _read(spark, sf_dir, "events")
+    ops = events.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    w_u = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    isl = ops.withColumn("grp", F.sum(1 - F.col("is_err")).over(w_u))
+    w_g = Window.partitionBy("user_id", "grp").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    out = isl.select(
+        "event_id", "user_id", "is_err",
+        F.sum("is_err").over(w_g).alias("consec"),
+        F.sum("is_err").over(w_u).alias("total_errors"),
+        (F.sum("is_err").over(w_u.rowsBetween(-99, 0)).cast("double") / 100.0)
+        .alias("rate100"),
+    )
+    return out.select(
+        "event_id", "user_id", "consec", "total_errors",
+        F.round("rate100", 6).alias("rate100"),
+        ((F.col("is_err") == 1)
+         & ((F.col("consec") > 10) | (F.col("total_errors") > 1000)
+            | (F.col("rate100") > 0.15))).alias("tripped"),
+    )
+
+
 @register("error_monitor_window", _ERR_WINDOW_SQL)
 def q_error_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window error rate + circuit-breaker flag (reference:

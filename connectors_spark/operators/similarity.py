@@ -72,10 +72,75 @@ def brute_force_cosine_topk(
     )
 
 
+def init_centroids(vectors: DataFrame, centroid_mod: int,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """(cell, cv): deterministic seed centroids — every `centroid_mod`-th
+    vector (static so the DuckDB oracle can mirror the rounds=0 path)."""
+    return vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+    )
+
+
+def kmeans_refine(vectors: DataFrame, centroids: DataFrame, rounds: int = 2,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Lloyd iterations over the IVF centroid set, all DataFrame ops:
+    assign each vector to its nearest centroid (broadcast crossJoin +
+    window argmin), then recompute each cell's mean element-wise
+    (posexplode -> groupBy(cell, pos) avg -> collect back in pos order).
+    Components round to 6 decimals so results are reproducible across
+    partitionings (float avg is otherwise order-sensitive). Cells that
+    lose every member drop out — standard Lloyd behavior. The refined
+    centroids feed assign_cells/assign_probes unchanged; recall improves
+    with rounds on clustered corpora (tests/test_similarity.py)."""
+    base = vectors.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"))
+    cents = centroids
+    for _ in range(int(rounds)):
+        assigned = _nearest_cell(base, cents)
+        exploded = (
+            base.join(assigned, "vec_id")
+            .select("cell", F.posexplode(_as_double(F.col("v"))))
+        )
+        means = exploded.groupBy("cell", "pos").agg(F.round(F.avg("col"), 6).alias("m"))
+        cents = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    return cents
+
+
+def _nearest_cell(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cell): argmin-by-cosine assignment against a broadcast
+    centroid set (round+id tie-break)."""
+    corpus = with_norm(base, "v")
+    cents = with_norm(centroids, "cv").withColumnRenamed("_vnorm", "_cnorm")
+    cos = F.round(
+        _dot(_as_double(F.col("v")), _as_double(F.col("cv")))
+        / (F.col("_vnorm") * F.col("_cnorm")),
+        ROUND_COS,
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", cos.alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .select("vec_id", "cell")
+    )
+
+
 def assign_cells(vectors: DataFrame, centroid_mod: int,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 centroids: DataFrame | None = None) -> DataFrame:
     """(vec_id, cell): nearest centroid by cosine (round+id tie-break)."""
     base = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    if centroids is not None:
+        return _nearest_cell(base, centroids)
     cents = base.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
@@ -105,14 +170,25 @@ def ivf_cosine_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kmeans_rounds: int = 0,
 ) -> DataFrame:
-    """(query_id, rank, vec_id, cos) — IVF-pruned approximate top-k."""
-    cells = assign_cells(vectors, centroid_mod, vec_col, id_col)
+    """(query_id, rank, vec_id, cos) — IVF-pruned approximate top-k.
+    kmeans_rounds > 0 refines the deterministic seed centroids with
+    Lloyd iterations (better recall on clustered corpora; the rounds=0
+    path stays the DuckDB-mirrorable gate)."""
+    cents = None
+    if kmeans_rounds > 0:
+        cents = kmeans_refine(
+            vectors, init_centroids(vectors, centroid_mod, vec_col, id_col),
+            rounds=kmeans_rounds, vec_col=vec_col, id_col=id_col,
+        ).persist()
+    cells = assign_cells(vectors, centroid_mod, vec_col, id_col, centroids=cents)
     base = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     corpus = with_norm(base, "v").join(cells, "vec_id")
 
     # query -> nprobe nearest cells (probe list)
-    qcells = assign_probes(vectors, queries, centroid_mod, nprobe, vec_col, id_col)
+    qcells = assign_probes(vectors, queries, centroid_mod, nprobe, vec_col,
+                           id_col, centroids=cents)
 
     qs = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")),
@@ -137,10 +213,13 @@ def ivf_cosine_topk(
 
 def assign_probes(vectors: DataFrame, queries: DataFrame, centroid_mod: int,
                   nprobe: int, vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id",
+                  centroids: DataFrame | None = None) -> DataFrame:
     """(query_id, cell) — each query's nprobe nearest centroids."""
-    cents = vectors.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+    cents = centroids if centroids is not None else (
+        vectors.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+        )
     )
     cents = with_norm(cents, "cv").withColumnRenamed("_vnorm", "_cnorm")
     qs = with_norm(

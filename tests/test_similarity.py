@@ -114,3 +114,38 @@ def test_embedding_near_dups_identical_blowup_bounded(spark):
     out = embedding_near_dups(df, threshold=0.99, dim=16, bucket_cap=64)
     pairs = out.count()
     assert pairs == n - 1  # star around vec 0, not n*(n-1)/2
+
+
+def test_ivf_kmeans_rounds_improve_recall(spark):
+    """Lloyd refinement of the deterministic seed centroids improves
+    IVF recall on clustered data with badly-placed seeds."""
+    import random
+
+    from connectors_spark.operators.similarity import (
+        brute_force_cosine_topk, ivf_cosine_topk,
+    )
+
+    rng = random.Random(11)
+    dim, n_clusters, per = 16, 8, 40
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    # round-robin cluster membership => the every-50th seeds all land in
+    # even clusters (50 % 8 == 2): a deliberately bad seeding
+    for vid in range(n_clusters * per):
+        c = centers[vid % n_clusters]
+        rows.append((vid, [float(x + rng.gauss(0, 0.15)) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = df.filter(F.col("vec_id") % 79 == 3)
+
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_cosine_topk(df, queries, k=10).collect()}
+
+    def recall(rounds):
+        got = {(r.query_id, r.vec_id)
+               for r in ivf_cosine_topk(df, queries, k=10, centroid_mod=50,
+                                        nprobe=2, kmeans_rounds=rounds).collect()}
+        return len(exact & got) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, (r0, r2)
+    assert r2 > 0.5, (r0, r2)  # refined centroids give usable recall
