@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator: the ErrorMonitor as live state.
+
+The reference's ErrorMonitor is inherently stateful and sequential PER
+SYNC JOB (consecutive-error counter, running total, fixed-size circular
+error window — reference: app/connectors_service/connectors/utils.py:
+827-923; thresholds config.py:82-89). Batch-side the engine evaluates it
+with hash-partitioned windows (entry_queries error_budget); stream-side
+the same contract becomes an `applyInPandasWithState` operator: one
+state cell per stream key carried across micro-batches, parallel ACROSS
+streams, sequential within a stream — exactly the reference's execution
+model (one asyncio worker per connector), but resumable from the
+streaming checkpoint and scaled out by Spark's state store.
+
+The per-row loop inside the state function mirrors the reference's
+per-operation loop; it is the semantics, not a shortcut — the monitor's
+consecutive counter cannot be vectorized across a batch boundary without
+changing abort timing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MAX_CONSECUTIVE = 10   # config.py:82-89
+MAX_TOTAL = 1000
+MAX_RATE = 0.15
+WINDOW_SIZE = 100
+
+_OUT_SCHEMA = ("user_id long, n_ops long, consec long, total_errors long, "
+               "rate double, tripped boolean")
+_STATE_SCHEMA = ("consec long, total long, n_ops long, win array<boolean>, "
+                 "idx int, win_count int, tripped boolean")
+
+
+def streaming_error_monitor(
+    events: DataFrame,
+    max_consecutive: int = MAX_CONSECUTIVE,
+    max_total: int = MAX_TOTAL,
+    max_rate: float = MAX_RATE,
+    window_size: int = WINDOW_SIZE,
+) -> DataFrame:
+    """Streaming DataFrame (user_id, n_ops, consec, total_errors, rate,
+    tripped): one row per stream per micro-batch with the monitor state
+    after that batch. `tripped` latches (the reference raises and kills
+    the sync; a latched flag is the stream analog)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            consec, total, n_ops, win, idx, win_count, tripped = state.get
+            win = list(win)
+        else:
+            consec, total, n_ops = 0, 0, 0
+            win, idx, win_count = [False] * window_size, 0, 0
+            tripped = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for is_err in (pdf["event_type"] == "error").tolist():
+                n_ops += 1
+                if is_err:
+                    total += 1
+                    consec += 1
+                else:
+                    consec = 0
+                if win[idx] != is_err:
+                    win_count += 1 if is_err else -1
+                    win[idx] = is_err
+                idx = (idx + 1) % window_size
+                if is_err and not tripped:
+                    rate = win_count / window_size
+                    tripped = (consec > max_consecutive or total > max_total
+                               or rate > max_rate)
+        state.update((consec, total, n_ops, win, idx, win_count, tripped))
+        yield pd.DataFrame([{
+            "user_id": key[0], "n_ops": n_ops, "consec": consec,
+            "total_errors": total, "rate": win_count / window_size,
+            "tripped": tripped,
+        }])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, _OUT_SCHEMA, _STATE_SCHEMA, "Update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -142,3 +142,57 @@ def test_resize_nearest_index_math():
     assert up[0, 0] == img[0, 0] and up[7, 7] == img[3, 3]
     down = resize_nearest(img, 2, 2)
     assert down.tolist() == [[0, 2], [8, 10]]
+
+
+def test_stateful_streaming_error_monitor(spark, tmp_path):
+    """applyInPandasWithState ErrorMonitor: per-stream state (consecutive
+    errors, total, circular window) carries ACROSS micro-batches via the
+    streaming checkpoint; tripped latches once a threshold fires."""
+    import datetime
+
+    from connectors_spark.streaming.stateful import streaming_error_monitor
+
+    src = str(tmp_path / "ev_src")
+    ckpt = str(tmp_path / "ev_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def mk(rows):
+        base = datetime.datetime(2025, 1, 1)
+        return spark.createDataFrame(
+            [(i, base + datetime.timedelta(seconds=i), u, et)
+             for i, (u, et) in enumerate(rows)], schema,
+        )
+
+    def run_batch(df):
+        df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = {}
+
+        def sink(bdf, _bid):
+            for r in bdf.collect():
+                out[r.user_id] = r
+
+        q = (streaming_error_monitor(stream, max_consecutive=3,
+                                     window_size=10, max_rate=1.0)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update").trigger(availableNow=True)
+             .option("checkpointLocation", ckpt).start())
+        q.awaitTermination()
+        return out
+
+    # batch 1: user 1 ends on 2 consecutive errors (under the limit of 3)
+    got = run_batch(mk([(1, "ok"), (1, "error"), (1, "error"),
+                        (2, "ok"), (2, "ok")]))
+    assert got[1].consec == 2 and got[1].total_errors == 2
+    assert not got[1].tripped and not got[2].tripped
+
+    # batch 2: two more errors CONTINUE the streak across the batch
+    # boundary -> 4 consecutive > 3 -> tripped; user 2 stays clean
+    got = run_batch(mk([(1, "error"), (1, "error"), (2, "ok")]))
+    assert got[1].consec == 4 and got[1].total_errors == 4
+    assert got[1].tripped
+    assert got[2].n_ops == 3 and not got[2].tripped
+
+    # batch 3: success resets consec but tripped stays latched
+    got = run_batch(mk([(1, "ok")]))
+    assert got[1].consec == 0 and got[1].tripped
