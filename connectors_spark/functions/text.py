@@ -15,11 +15,19 @@ from pyspark.sql import functions as F
 
 from connectors_spark.functions.analysis import ENGLISH_STOP, tokens_col
 
+# function-word marker sets (ASCII-only: the analyzer strips accents, so
+# only accent-free markers can ever match). The DuckDB lang_id oracle is
+# generated from this SAME dict (entry_queries._lang_id_sql), so engine
+# and oracle stay in lockstep by construction.
 LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
     "en": ["the", "a", "is", "and", "of", "to", "in"],
     "es": ["el", "los", "las", "y", "es", "que", "un"],
     "fr": ["le", "les", "et", "est", "que", "une", "dans"],
+    "it": ["il", "la", "che", "di", "e", "per", "sono"],
+    "nl": ["de", "het", "een", "van", "en", "niet", "zijn"],
+    "pt": ["o", "os", "as", "de", "que", "um", "uma"],
+    "sv": ["och", "att", "det", "som", "jag", "inte", "en"],
 }
 
 FINGERPRINT_NGRAM = 8

@@ -120,3 +120,37 @@ def test_idle_cleanup(tmp_path):
     assert cat.cleanup_idle() == []  # fresh heartbeat
     assert cat.cleanup_idle(now=time.time() + 301) == [j]
     assert cat.get(j)["status"] == "error"
+
+
+def test_submit_build_entrypoint(spark, tmp_path):
+    """The spark-submit main: parquet in -> encoded index out, wrapped in
+    the full job lifecycle (claim, heartbeats, counters, completion)."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from submit_build import build_main
+
+    from connectors_spark.operators.index import IndexReader
+    from connectors_spark.plans.jobs import JobCatalog
+    from connectors_spark.synth import synth_transcripts
+
+    src = str(tmp_path / "transcripts")
+    synth_transcripts(spark, 25, seed=9).write.parquet(src)
+    args = argparse.Namespace(
+        input=src, index=str(tmp_path / "idx"), format="parquet",
+        n_buckets=8, shard_cap=500, positions=False,
+        jobs_dir=str(tmp_path / "jobs"), heartbeat_s=0.5,
+    )
+    result = build_main(spark, args)
+    assert result["status"] == "completed" and result["n_docs"] > 0
+
+    doc = JobCatalog(args.jobs_dir).get(result["job_id"])
+    assert doc["status"] == "completed"
+    assert doc["indexed_document_count"] == result["n_docs"]
+    assert doc["last_seen"] is not None
+    assert doc["sync_cursor"]["index"] == args.index
+
+    reader = IndexReader(spark, args.index, cache=False)
+    out = reader.topk([{"query_id": "q", "query_text": "t00001", "k": 5}])
+    assert out.count() > 0
