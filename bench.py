@@ -85,6 +85,13 @@ def main():
         extra["build_turns_per_sec"] = round(
             n_turns / timings["index_build_transcripts"], 1
         )
+        # physical index footprint (compression evidence)
+        idx_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(idx_path) for f in fs
+        )
+        extra["index_bytes"] = idx_bytes
+        extra["index_bytes_per_turn"] = round(idx_bytes / max(1, n_turns), 1)
 
         queries = synth_queries(200, seed=42)
         # materialize the logical index once; scoring stages then measure

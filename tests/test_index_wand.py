@@ -230,3 +230,24 @@ def test_phrase_topk_distributed_on_sharded_index(spark, tmp_path):
     assert [g.doc_id for g in got] == [d for d, _ in exp]
     for g, (_, s) in zip(got, exp):
         assert g.score == pytest.approx(s, rel=1e-9)
+
+
+@pytest.mark.parametrize("kernel", ["exact", "wand"])
+def test_group_cap_below_shard_count(spark, tmp_path, kernel):
+    """max_groups below the hot term's shard count exercises the
+    shard%G routing branch (several shards of one term per group) —
+    must stay rank-identical to the oracle."""
+    from connectors_spark.operators.index import IndexReader, build_and_write_index
+
+    path = str(tmp_path / "capidx")
+    t = synth_transcripts(spark, N_CONVS, seed=3).cache()
+    build_and_write_index(t, path, n_buckets=8, shard_cap=64)
+    reader = IndexReader(spark, path, cache=False)
+    info = reader._term_info(["t00001"])
+    assert info["t00001"][0] > 2, "need >2 shards to cap below"
+
+    rows = with_doc_id(t).select("doc_id", "text").collect()
+    oracle = OracleIndex([(r.doc_id, r.text) for r in rows])
+    queries = [{"query_id": "hot", "query_text": "t00001 t00002", "k": 10}]
+    got = reader.topk(queries, kernel=kernel, max_groups=2).collect()
+    _assert_rank_identical(got, oracle.score_queryset(queries))
