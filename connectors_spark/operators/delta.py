@@ -204,8 +204,11 @@ def maybe_compact(spark: SparkSession, path: str,
                   max_tombstones: int = 5_000_000) -> bool:
     """Compact `path` in place when the policy triggers; returns whether
     a compaction ran. Crash-safe: the merged index is built in a sibling
-    scratch dir and swapped in with two renames (readers opened before
-    the swap keep their snapshot; new IndexReaders see one generation)."""
+    scratch dir and swapped in with two renames, so `path` is never in a
+    half-written state. NOT concurrent-reader-safe: an IndexReader opened
+    before the swap holds lazy frames over the old generation files,
+    which this removes — re-open readers after compaction, or compact to
+    a fresh path and flip a serving pointer for zero-downtime."""
     import shutil
 
     meta = read_meta(path)

@@ -286,7 +286,12 @@ def embedding_near_dups(
     from connectors_spark.operators.dedup import lsh_candidate_pairs
 
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])  # one-row driver peek
+        head = vectors.select(vec_col).head(1)  # one-row driver peek
+        if not head:
+            return vectors.sparkSession.createDataFrame(
+                [], "doc_a long, doc_b long, cos double"
+            )
+        dim = len(head[0][0])
     planes = srp_planes(dim, n_planes)
     v = _as_double(F.col(vec_col))
     sig_cols = [
