@@ -1600,6 +1600,45 @@ def q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE, mode="and")
 
 
+@register("bm25_topk_conjunctive_compressed", _bm25_and_oracle_sql())
+def q_bm25_topk_conjunctive_compressed(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Conjunctive (bool-must) top-k through the COMPRESSED index —
+    posting intersection inside the distributed group kernels
+    (IndexReader.topk mode='and'), score-identical to plain SQL."""
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    path = _tempfile.mkdtemp(prefix="gate_and_idx_")
+    try:
+        write_encoded_index(idx, path, n_buckets=16, shard_cap=200)
+        reader = IndexReader(spark, path, cache=False)
+        res = reader.topk(
+            [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+             for qid, text in GATE_BM25_QUERIES],
+            mode="and",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("score", ROUND_SCORE)), F.asc("doc_id")
+        )
+        out = (
+            res.withColumn("score", F.round("score", ROUND_SCORE))
+            .withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank",
+                    F.col("doc_id").cast("long").alias("doc_id"), "score")
+        )
+        # OUTPUT-sized collect (<= k * |queries| rows), needed only
+        # because the temp index dir is deleted below
+        pdf = out.toPandas()
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "query_id string, rank int, doc_id long, score double"
+    )
+
+
+
 # =================================================================
 # Exact-phrase retrieval through the COMPRESSED positional index
 # =================================================================

@@ -442,7 +442,7 @@ class IndexReader:
         )
 
     def _topk_partials(self, qterms: DataFrame, buckets: list[int],
-                       kernel: str) -> DataFrame:
+                       kernel: str, mode: str = "or") -> DataFrame:
         """Per-(query, doc-space group) partial top-k — the pre-merge
         stage of `topk`, factored out so distribution tests can count
         groups. Output: (query_id, k, grp, doc_idx, score), <= k rows per
@@ -489,10 +489,18 @@ class IndexReader:
                     row["_ub_scale"] = max(1.0, avgdl / gen_avgdl.get(gen, avgdl))
                     rows.append(row)
                 shards_by_term.append((idf, rows))
-            doc_idx, scores = kern(
-                shards_by_term, k, avgdl, k1, b, dead_ids,
-                group_filter=(gt, g) if gt > 1 else None,
-            )
+            gf = (gt, g) if gt > 1 else None
+            if mode == "and":
+                req = int(pdf["n_terms"].iloc[0])
+                doc_idx, scores = topk_exact(
+                    shards_by_term, k, avgdl, k1, b, dead_ids,
+                    group_filter=gf, require_all=req,
+                )
+            else:
+                doc_idx, scores = kern(
+                    shards_by_term, k, avgdl, k1, b, dead_ids,
+                    group_filter=gf,
+                )
             return pd.DataFrame({
                 "query_id": qid,
                 "k": np.full(len(doc_idx), k, dtype=np.int32),
@@ -507,8 +515,17 @@ class IndexReader:
         )
 
     def topk(self, queries: list[dict], kernel: str = "auto",
-             max_groups: int = DEFAULT_MAX_GROUPS) -> DataFrame:
+             max_groups: int = DEFAULT_MAX_GROUPS,
+             mode: str = "or") -> DataFrame:
         """(query_id, rank, doc_id, score) for the query batch.
+
+        mode='and': conjunctive retrieval (ES bool-must) — only docs
+        matching EVERY analyzed query term score; a query containing an
+        index-absent term returns nothing. The intersection itself is the
+        pruning, so AND always runs the exact kernel with a matched-term
+        count filter (posting intersection, Lucene's conjunction
+        iterator) — same group fan-out, still rank-identical to the
+        DataFrame scorer's mode='and'.
 
         Plan: tiny pre-pass for per-term (n_shards, df) -> qterms
         (broadcast) -> bucket-pruned postings scan -> per-(query,
@@ -542,20 +559,24 @@ class IndexReader:
         info = self._term_info(sorted(all_terms))
         qrows, buckets = [], set()
         for qid, k, terms in per_q:
+            if mode == "and" and any(info[t][1] <= 0 for t in terms):
+                continue  # a must-term is absent: the query matches nothing
             gq = min(max((info[t][0] for t in terms), default=1), g_cap)
             gq = max(gq, 1)
             for t in terms:
                 if info[t][1] <= 0:
                     continue  # absent term: no postings to score
-                qrows.append((qid, k, t, gq, info[t][1]))
+                qrows.append((qid, k, t, gq, info[t][1], len(terms)))
                 buckets.add(bucket_of(t, n_buckets))
         if not qrows:
             return empty
         qterms = self.spark.createDataFrame(
             qrows,
-            "query_id string, k int, term string, g_total int, df_total long",
+            "query_id string, k int, term string, g_total int, "
+            "df_total long, n_terms int",
         )
-        partials = self._topk_partials(qterms, sorted(buckets), kernel)
+        partials = self._topk_partials(qterms, sorted(buckets), kernel,
+                                       mode=mode)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_idx")
         )

@@ -121,14 +121,20 @@ def _topk_from_scores(doc_idx: np.ndarray, scores: np.ndarray, k: int):
 def topk_exact(shards_by_term: list[tuple[float, list]], k: int,
                avgdl: float, k1: float, b: float,
                dead: np.ndarray | None = None,
-               group_filter: tuple[int, int] | None = None):
+               group_filter: tuple[int, int] | None = None,
+               require_all: int | None = None):
     """shards_by_term: [(idf, [encoded rows])] in SORTED term order.
     `dead`: sorted doc_idx tombstones — masked out before scoring.
     `group_filter=(G, g)`: score only docs with doc_idx % G == g — the
     doc-space slice owned by this (query, group) partial-top-k task
     (IndexReader.topk). Replicated coarse shards carry out-of-group docs
     whose postings for finer-sharded terms live elsewhere; scoring them
-    here would produce partial sums, so they are masked at decode."""
+    here would produce partial sums, so they are masked at decode.
+    `require_all=n`: conjunctive (ES bool-must) mode — keep only docs
+    matched by exactly n query terms (a doc appears once per matching
+    term, so its posting count IS its matched-term count). Valid per
+    group because every doc's postings for every term share its home
+    group."""
     all_docs, all_w = [], []
     for idf, rows in shards_by_term:
         for row in rows:
@@ -149,6 +155,10 @@ def topk_exact(shards_by_term: list[tuple[float, list]], k: int,
     uniq, inv = np.unique(docs, return_inverse=True)
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, ws)
+    if require_all is not None:
+        nmatch = np.bincount(inv, minlength=len(uniq))
+        keep = nmatch == require_all
+        uniq, acc = uniq[keep], acc[keep]
     return _topk_from_scores(uniq, acc, k)
 
 

@@ -251,3 +251,28 @@ def test_group_cap_below_shard_count(spark, tmp_path, kernel):
     queries = [{"query_id": "hot", "query_text": "t00001 t00002", "k": 10}]
     got = reader.topk(queries, kernel=kernel, max_groups=2).collect()
     _assert_rank_identical(got, oracle.score_queryset(queries))
+
+
+def test_conjunctive_mode_through_compressed_index(spark, built):
+    """mode='and' on the compressed path == oracle conjunctive scoring;
+    queries with an absent must-term return nothing."""
+    from connectors_spark.operators.index import IndexReader
+
+    path, oracle = built
+    reader = IndexReader(spark, path, cache=False)
+    queries = synth_queries(20, seed=31) + [
+        {"query_id": "hot", "query_text": "t00001 t00002", "k": 10},
+        {"query_id": "none", "query_text": "t00001 zznope", "k": 10},
+    ]
+    got = sorted(reader.topk(queries, mode="and").collect(),
+                 key=lambda r: (r.query_id, r.rank))
+    exp = sorted(
+        (it for q in queries
+         for it in [(q["query_id"], r + 1, d, s) for r, (d, s) in enumerate(
+             oracle.score_query(q["query_text"], q["k"], mode="and"))]),
+        key=lambda e: (e[0], e[1]),
+    )
+    assert [(g.query_id, g.rank, g.doc_id) for g in got] == [e[:3] for e in exp]
+    for g, e in zip(got, exp):
+        assert g.score == pytest.approx(e[3], rel=1e-9)
+    assert not any(g.query_id == "none" for g in got)
