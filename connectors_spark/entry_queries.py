@@ -1046,6 +1046,42 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _highlight_sql(window: int = 30) -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    return f"""
+WITH qt(query_id, term) AS (VALUES {', '.join(qvals)}),
+base AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
+hits AS (
+  SELECT qt.query_id, b.doc_id, min(strpos(b.lt, qt.term)) AS pos
+  FROM base b CROSS JOIN qt
+  WHERE strpos(b.lt, qt.term) > 0
+  GROUP BY qt.query_id, b.doc_id
+)
+SELECT h.query_id, h.doc_id, CAST(h.pos AS INT) AS pos,
+       substr(b.text, greatest(1, h.pos - {window}), {2 * window}) AS snippet
+FROM hits h JOIN base b USING (doc_id)
+"""
+
+
+@register("highlight_snippets", _highlight_sql())
+def q_highlight_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES plain-highlighter analog: first query-term occurrence per
+    (query, doc), ±30-char snippet from the raw source (functions/
+    text.py:highlight_snippets — pure JVM, broadcast query terms)."""
+    from connectors_spark.functions.text import highlight_snippets
+
+    qrows = [(qid, t) for qid, text in GATE_BM25_QUERIES
+             for t in sorted({x for x in text.lower().split() if x})]
+    qterms = spark.createDataFrame(qrows, "query_id string, term string")
+    docs = _read(spark, sf_dir, "documents")
+    out = highlight_snippets(docs, qterms, window=30)
+    return out.select("query_id", "doc_id", F.col("pos").cast("int").alias("pos"),
+                      "snippet")
+
+
 # =================================================================
 # ErrorMonitor sliding window (A6)
 # =================================================================

@@ -129,3 +129,37 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     )
     fp = F.when(F.length(low) >= n, F.array_min(grams)).otherwise(F.md5(low))
     return df.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+
+
+def highlight_snippets(docs: DataFrame, qterms: DataFrame, window: int = 30,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(query_id, doc_id, pos, snippet) — ES plain-highlighter analog:
+    the FIRST occurrence of any query term in the raw text
+    (case-insensitive substring, like the plain highlighter over
+    unanalyzed source), cut to ±window chars. Pure JVM expressions: one
+    broadcast of (query_id, term), instr per (doc, term), min-position
+    per (query, doc), one substring. qterms: (query_id, term)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.lower(F.col(text_col)).alias("_lt"),
+    )
+    hits = (
+        base.join(F.broadcast(qterms.select("query_id", "term")))
+        .withColumn("_pos", F.instr(F.col("_lt"), F.col("term")))
+        .filter(F.col("_pos") > 0)
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("_pos").alias("pos"))
+    )
+    return (
+        hits.join(base.select("doc_id", "_text"), "doc_id")
+        .select(
+            "query_id", "doc_id", "pos",
+            F.substring(
+                F.col("_text"),
+                F.greatest(F.lit(1), F.col("pos") - F.lit(window)),
+                F.lit(2 * window),
+            ).alias("snippet"),
+        )
+    )

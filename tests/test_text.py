@@ -73,3 +73,25 @@ def test_fingerprint(spark, docs):
         [(1, text + " zz")], "doc_id long, text string"
     )
     assert fingerprint(edited).first().fp == exp
+
+
+def test_highlight_snippets(spark):
+    from connectors_spark.functions.text import highlight_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "The QUICK brown fox jumps over the lazy dog near the river"),
+         (2, "nothing relevant here"),
+         (3, "fox")],
+        "doc_id long, text string",
+    )
+    qterms = spark.createDataFrame(
+        [("q1", "quick"), ("q1", "fox"), ("q2", "zzz")],
+        "query_id string, term string",
+    )
+    got = {(r.query_id, r.doc_id): r
+           for r in highlight_snippets(docs, qterms, window=10).collect()}
+    assert set(got) == {("q1", 1), ("q1", 3)}
+    r = got[("q1", 1)]
+    assert r.pos == 5  # 'quick' (case-insensitive) before 'fox' at 17
+    assert r.snippet == "The QUICK brown fox!"[:20].replace("!", " ")
+    assert got[("q1", 3)].pos == 1 and got[("q1", 3)].snippet == "fox"
