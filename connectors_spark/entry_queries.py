@@ -1046,6 +1046,99 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GATE_FUZZY_QUERIES = [
+    ("f0", "spakr queyr"),     # transposition typos -> spark, query
+    ("f1", "merg sorta"),      # 1-edit typos -> merge, sort
+    ("f2", "window"),          # exact term expands to itself
+    ("f3", "zzzzzz"),          # nothing within distance 2 -> no rows
+]
+GATE_PREFIX_QUERIES = [
+    ("x0", "sp sc"),           # spark, scan/...
+    ("x1", "qu"),              # query
+    ("x2", "x"),               # below min_prefix=2 -> dropped
+]
+
+
+def _query_expansion_sql(kind: str) -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    if kind == "fuzzy":
+        src = GATE_FUZZY_QUERIES
+        expand = ("SELECT DISTINCT q.query_id, d.term FROM qraw q JOIN dfreq d "
+                  "ON substr(d.term, 1, 1) = substr(q.raw, 1, 1) "
+                  "AND levenshtein(d.term, q.raw) <= 2")
+    else:
+        src = GATE_PREFIX_QUERIES
+        expand = ("SELECT DISTINCT q.query_id, d.term FROM qraw q JOIN dfreq d "
+                  "ON length(q.raw) >= 2 AND starts_with(d.term, q.raw)")
+    qvals = []
+    for qid, text in src:
+        for raw in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{raw}')")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qraw(query_id, raw) AS (VALUES {', '.join(qvals)}),
+qt AS ({expand}),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_topk_fuzzy", _query_expansion_sql("fuzzy"))
+def q_bm25_topk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `fuzzy` query analog: query terms expand to every lexicon term
+    within levenshtein distance 2 sharing the first character (the
+    prefix_length pruning), then standard BM25 — each variant scores with
+    its own df (operators/query.py:expand_terms_fuzzy)."""
+    from connectors_spark.operators.query import expand_terms_fuzzy
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_FUZZY_QUERIES
+    ])
+    expanded = expand_terms_fuzzy(idx.lexicon, qdf, max_dist=2, prefix_len=1)
+    return score_topk_dataframe(idx, expanded, round_scores=ROUND_SCORE)
+
+
+@register("bm25_topk_prefix", _query_expansion_sql("prefix"))
+def q_bm25_topk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `prefix` query analog: each query term expands to every lexicon
+    term starting with it (min_prefix=2 guardrail), then standard BM25
+    (operators/query.py:expand_terms_prefix)."""
+    from connectors_spark.operators.query import expand_terms_prefix
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_PREFIX_QUERIES
+    ])
+    expanded = expand_terms_prefix(idx.lexicon, qdf, min_prefix=2)
+    return score_topk_dataframe(idx, expanded, round_scores=ROUND_SCORE)
+
+
 def _highlight_sql(window: int = 30) -> str:
     qvals = []
     for qid, text in GATE_BM25_QUERIES:

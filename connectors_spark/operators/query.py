@@ -103,3 +103,50 @@ def score_topk_dataframe(
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def expand_terms_fuzzy(lexicon: DataFrame, qdf: DataFrame,
+                       max_dist: int = 1, prefix_len: int = 1) -> DataFrame:
+    """(query_id, query_text, k) with each query term replaced by every
+    lexicon term within levenshtein distance <= max_dist — the ES `fuzzy`
+    query analog (prefix_len mirrors ES's prefix_length: expansion
+    candidates must share the first `prefix_len` chars, which prunes the
+    lexicon scan the way Lucene's prefix-constrained automaton does; a
+    term's exact self always qualifies at distance 0). The expansion is a
+    broadcast of the (tiny) query-term table against the lexicon — one
+    narrow scan, no shuffle of postings. Expanded queries feed the normal
+    scorers unchanged: each matched variant scores with its own df."""
+    qterms = qdf.select(
+        "query_id", "k",
+        F.explode(F.array_distinct(tokens_col(F.col("query_text")))).alias("qt"),
+    )
+    cand = lexicon.select("term").distinct().join(
+        F.broadcast(qterms),
+        (F.substring("term", 1, prefix_len) == F.substring("qt", 1, prefix_len))
+        & (F.levenshtein(F.col("term"), F.col("qt")) <= max_dist),
+    )
+    return (
+        cand.groupBy("query_id", "k")
+        .agg(F.array_join(F.array_sort(F.collect_set("term")), " ").alias("query_text"))
+        .select("query_id", "query_text", "k")
+    )
+
+
+def expand_terms_prefix(lexicon: DataFrame, qdf: DataFrame,
+                        min_prefix: int = 2) -> DataFrame:
+    """(query_id, query_text, k) with each query term treated as a PREFIX
+    (ES `prefix`/`wildcard term*` analog): expansion = every lexicon term
+    starting with it. Prefixes shorter than min_prefix are ignored (the
+    ES guardrail against full-lexicon expansion)."""
+    qterms = qdf.select(
+        "query_id", "k",
+        F.explode(F.array_distinct(tokens_col(F.col("query_text")))).alias("qt"),
+    ).filter(F.length("qt") >= min_prefix)
+    cand = lexicon.select("term").distinct().join(
+        F.broadcast(qterms), F.col("term").startswith(F.col("qt"))
+    )
+    return (
+        cand.groupBy("query_id", "k")
+        .agg(F.array_join(F.array_sort(F.collect_set("term")), " ").alias("query_text"))
+        .select("query_id", "query_text", "k")
+    )

@@ -179,3 +179,33 @@ def test_long_doc_id_md5_fallback(spark):
     assert got["conv-1"] == "conv-1:0"  # short ids unchanged
     expected = hashlib.md5(f"{long_conv}:3".encode("utf8")).hexdigest()
     assert got[long_conv] == expected
+
+
+def test_fuzzy_and_prefix_expansion(spark):
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import (
+        expand_terms_fuzzy, expand_terms_prefix, queries_df,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "spark sparks sharky merge query quest")],
+        "doc_id string, text string",
+    )
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "q", "query_text": "spark", "k": 5}])
+
+    fz = {r.query_id: r.query_text
+          for r in expand_terms_fuzzy(idx.lexicon, qdf, max_dist=1).collect()}
+    # distance 1 with shared first char: spark (0), sparks (1);
+    # sharky is distance 2 -> excluded
+    assert fz["q"] == "spark sparks"
+    fz2 = {r.query_id: r.query_text
+           for r in expand_terms_fuzzy(idx.lexicon, qdf, max_dist=2).collect()}
+    assert fz2["q"] == "sharky spark sparks"
+
+    pr = {r.query_id: r.query_text
+          for r in expand_terms_prefix(
+              idx.lexicon,
+              queries_df(spark, [{"query_id": "p", "query_text": "qu x", "k": 5}]),
+          ).collect()}
+    assert pr["p"] == "query quest"  # 'x' below min_prefix dropped
