@@ -1046,6 +1046,145 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recency_sql(half_life: float = 30.0, origin: str = "2026-01-01") -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+aged AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score * pow(0.5,
+           greatest(0, datediff('day',
+             DATE '2025-01-01' + to_days(CAST(s.doc_id % 365 AS INT)),
+             DATE '{origin}')) / {half_life}), {ROUND_SCORE}) AS score
+  FROM scored s
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM aged
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_topk_recency", _recency_sql())
+def q_bm25_topk_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score exp-decay analog: BM25 * 0.5^(age/half_life),
+    re-ranked (operators/query.py:with_recency_decay). The documents
+    table carries no timestamp, so the gate synthesizes a deterministic
+    one (doc_id % 365 days after 2025-01-01) on BOTH engines; the
+    operator itself takes any timestamp column."""
+    from connectors_spark.operators.query import with_recency_decay
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": 1_000_000}
+        for qid, text in GATE_BM25_QUERIES
+    ])
+    scored = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+    ts_df = docs.select(
+        "doc_id",
+        F.date_add(F.lit("2025-01-01").cast("date"),
+                   (F.col("doc_id") % 365).cast("int")).alias("ts"),
+    )
+    return with_recency_decay(scored, ts_df, origin="2026-01-01",
+                              half_life_days=30.0, k=GATE_BM25_K)
+
+
+def _mlt_sql(seed_mod: int = 100, max_terms: int = 10) -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+seeds AS (SELECT doc_id FROM documents WHERE doc_id % {seed_mod} = 0),
+sw AS (
+  SELECT s.doc_id AS seed_id, tf.term,
+         round(tf.tf * ln(1.0 +
+           ((SELECT count(*) FROM documents) * 1.0 - dfreq.df + 0.5)
+           / (dfreq.df + 0.5)), 6) AS w_
+  FROM seeds s JOIN tf ON tf.doc_id = s.doc_id JOIN dfreq USING (term)
+),
+qt AS (
+  SELECT seed_id AS query_id, term FROM (
+    SELECT sw.*, row_number() OVER (PARTITION BY seed_id
+                                    ORDER BY w_ DESC, term ASC) AS r
+    FROM sw
+  ) WHERE r <= {max_terms}
+),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib WHERE doc_id <> query_id GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS VARCHAR) AS query_id, CAST(rank AS INT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("more_like_this", _mlt_sql())
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this analog: per seed doc, its top tf*idf terms form
+    a disjunctive query; the seed is excluded from its own results
+    (operators/query.py:more_like_this_queries)."""
+    from connectors_spark.operators.query import more_like_this_queries
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    seeds = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
+    qdf = more_like_this_queries(idx, seeds, max_terms=10, k=1_000_000)
+    scored = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+    out = scored.filter(
+        F.col("doc_id").cast("string") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= GATE_BM25_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 GATE_FUZZY_QUERIES = [
     ("f0", "spakr queyr"),     # transposition typos -> spark, query
     ("f1", "merg sorta"),      # 1-edit typos -> merge, sort

@@ -150,3 +150,61 @@ def expand_terms_prefix(lexicon: DataFrame, qdf: DataFrame,
         .agg(F.array_join(F.array_sort(F.collect_set("term")), " ").alias("query_text"))
         .select("query_id", "query_text", "k")
     )
+
+
+def with_recency_decay(scored: DataFrame, ts_df: DataFrame, origin: str,
+                       half_life_days: float, k: int | None = None,
+                       ts_col: str = "ts") -> DataFrame:
+    """ES function_score exp-decay analog: score *= 0.5^(age/half_life),
+    age in days back from `origin` (negative ages clamp to 0), then
+    re-rank (score DESC, doc_id ASC). `scored`: (query_id, rank, doc_id,
+    score); `ts_df`: (doc_id, ts). Rounding to 6 decimals before ranking
+    keeps ranks engine-independent, like every other gated scorer."""
+    age = F.greatest(
+        F.lit(0),
+        F.datediff(F.lit(origin).cast("date"), F.col(ts_col).cast("date")),
+    )
+    mult = F.pow(F.lit(0.5), age / F.lit(float(half_life_days)))
+    out = (
+        scored.join(ts_df.select("doc_id", ts_col), "doc_id")
+        .withColumn("score", F.round(F.col("score") * mult, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = out.withColumn("rank", F.row_number().over(w).cast("int"))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out.select("query_id", "rank", "doc_id", "score")
+
+
+def more_like_this_queries(index: IndexFrames, seed_ids: DataFrame,
+                           max_terms: int = 10,
+                           k: int = 10) -> DataFrame:
+    """(query_id, query_text, k): the ES more_like_this query builder —
+    per seed doc, its `max_terms` highest tf*idf terms (rounded weight
+    DESC, term ASC tie-break) joined into a disjunctive query. Feed to
+    score_topk_dataframe and drop the seed from its own results."""
+    seeds = seed_ids.select(F.col("doc_id").alias("_seed"))
+    cand = (
+        index.postings.join(
+            F.broadcast(seeds), index.postings["doc_id"] == seeds["_seed"]
+        )
+        .join(F.broadcast(index.lexicon), "term")
+        .select(
+            F.col("_seed").alias("query_id"), "term",
+            F.round(
+                F.col("tf") * idf_col(index.n_docs, F.col("df")), 6
+            ).alias("_w"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_w"), F.asc("term"))
+    top = cand.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= max_terms
+    )
+    return (
+        top.groupBy("query_id")
+        .agg(F.array_join(F.array_sort(F.collect_set("term")), " ")
+             .alias("query_text"))
+        .withColumn("k", F.lit(k))
+        .select(F.col("query_id").cast("string").alias("query_id"),
+                "query_text", "k")
+    )
