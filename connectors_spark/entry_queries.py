@@ -1046,6 +1046,131 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GATE_BOOST_QUERIES = [
+    ("w0", "spark^2 query"),
+    ("w1", "merge^0.5 sort table^3"),
+    ("w2", "hash"),
+    ("w3", "window^2 window"),   # duplicate term: max boost wins
+]
+
+
+def _boosted_sql() -> str:
+    # parse the ^boost syntax at SQL-build time; the engine parses it in
+    # the PLAN (boosted_query_terms) — divergence fails the gate
+    qvals = []
+    for qid, text in GATE_BOOST_QUERIES:
+        best: dict[str, float] = {}
+        for part in text.split():
+            base, _, bs = part.partition("^")
+            boost = float(bs) if bs else 1.0
+            for term in [t for t in base.lower().split() if t]:
+                best[term] = max(best.get(term, boost), boost)
+        for term in sorted(best):
+            qvals.append(f"('{qid}', '{term}', {best[term]})")
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(query_id, term, boost) AS (VALUES {', '.join(qvals)}),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, ({w}) * qt.boost AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_topk_boosted", _boosted_sql())
+def q_bm25_topk_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time term boosting (ES query-string 'term^2' syntax): the
+    boost multiplies each term's BM25 contribution; duplicate terms keep
+    the max boost (operators/query.py:boosted_query_terms)."""
+    from connectors_spark.operators.query import boosted_query_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_BOOST_QUERIES
+    ])
+    return score_topk_dataframe(
+        idx, qdf, round_scores=ROUND_SCORE,
+        qterms_override=boosted_query_terms(qdf),
+    )
+
+
+def _search_after_sql() -> str:
+    # page 2 (ranks 11..20) of the standard gate ranking
+    base = _bm25_oracle_sql()
+    return base.replace(
+        f"WHERE rank <= {GATE_BM25_K}",
+        f"WHERE rank > {GATE_BM25_K} AND rank <= {2 * GATE_BM25_K}",
+    ).replace(
+        "SELECT query_id, CAST(rank AS INT) AS rank",
+        f"SELECT query_id, CAST(rank - {GATE_BM25_K} AS INT) AS rank",
+    )
+
+
+@register("search_after_page", _search_after_sql())
+def q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after keyset pagination: page 2 derived from page 1's
+    last (score, doc_id) cursor — strictly-after filter + re-rank, never
+    offset recounting (operators/query.py:paginate_after). Must equal
+    offset ranks 11..20 of the full ordering."""
+    from connectors_spark.operators.query import paginate_after
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": 1_000_000}
+        for qid, text in GATE_BM25_QUERIES
+    ])
+    full = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+    cursor = full.filter(F.col("rank") == GATE_BM25_K).select(
+        "query_id", F.col("score").alias("after_score"),
+        F.col("doc_id").alias("after_doc"),
+    )
+    return paginate_after(full.drop("rank"), cursor, page_size=GATE_BM25_K)
+
+
+@register(
+    "facet_terms",
+    "WITH f AS ("
+    "  SELECT 'lang' AS field, CAST(lang AS VARCHAR) AS value, count(*) AS n"
+    "  FROM documents GROUP BY lang"
+    "  UNION ALL"
+    "  SELECT 'source', CAST(source AS VARCHAR), count(*) FROM documents GROUP BY source"
+    "), r AS ("
+    "  SELECT field, value, n, row_number() OVER ("
+    "    PARTITION BY field ORDER BY n DESC, value ASC) AS rk FROM f"
+    ") SELECT field, value, n FROM r WHERE rk <= 5",
+)
+def q_facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-aggregation analog: top-5 values per field by doc count
+    (operators/query.py:facet_counts — map-side combined groupBys)."""
+    from connectors_spark.operators.query import facet_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return facet_counts(docs, ["lang", "source"], top_n=5)
+
+
 def _recency_sql(half_life: float = 30.0, origin: str = "2026-01-01") -> str:
     qvals = []
     for qid, text in GATE_BM25_QUERIES:

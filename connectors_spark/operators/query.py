@@ -43,6 +43,35 @@ def query_terms(qdf: DataFrame) -> DataFrame:
     )
 
 
+def boosted_query_terms(qdf: DataFrame) -> DataFrame:
+    """(query_id, k, term, boost): ES query-string boost syntax — a
+    trailing '^<number>' on a whitespace-delimited part binds a per-term
+    multiplicative weight ('spark^2 slow'); default 1.0. The base part
+    analyzes through the standard chain (a part tokenizing to several
+    terms spreads its boost over them); duplicate terms keep the MAX
+    boost, mirroring Lucene's dedup of weighted clauses."""
+    parts = qdf.select(
+        "query_id", "k",
+        F.explode(
+            F.filter(F.split(F.col("query_text"), r"\s+"), lambda p: p != "")
+        ).alias("part"),
+    )
+    base = F.substring_index(F.col("part"), "^", 1)
+    boost = F.when(
+        F.col("part").contains("^"),
+        F.coalesce(
+            F.substring_index(F.col("part"), "^", -1).cast("double"), F.lit(1.0)
+        ),
+    ).otherwise(F.lit(1.0))
+    exploded = parts.select(
+        "query_id", "k", boost.alias("boost"),
+        F.explode(tokens_col(base)).alias("term"),
+    )
+    return exploded.groupBy("query_id", "k", "term").agg(
+        F.max("boost").alias("boost")
+    )
+
+
 def score_topk_dataframe(
     index: IndexFrames,
     qdf: DataFrame,
@@ -50,6 +79,7 @@ def score_topk_dataframe(
     b: float = BM25_B,
     round_scores: int | None = None,
     mode: str = "or",
+    qterms_override: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) for the whole query set in one plan.
 
@@ -63,7 +93,7 @@ def score_topk_dataframe(
     (|queries| * ~6 rows) + broadcast lexicon-of-matched-terms; the only
     shuffle is the (query_id, doc_id) partial+final aggregation.
     """
-    qterms = query_terms(qdf)
+    qterms = qterms_override if qterms_override is not None else query_terms(qdf)
     # df per matched term — tiny (<= distinct query terms), broadcast it
     lex = index.lexicon.join(
         F.broadcast(qterms.select("term").distinct()), "term"
@@ -72,22 +102,20 @@ def score_topk_dataframe(
         F.broadcast(lex), "term"
     )
     matched = matched.join(index.docs, "doc_id")  # dl; broadcast-able if small
-    contrib = matched.select(
-        "query_id",
-        "k",
-        "doc_id",
-        (
-            idf_col(index.n_docs, F.col("df"))
-            * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
-        ).alias("w"),
+    w_expr = (
+        idf_col(index.n_docs, F.col("df"))
+        * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
     )
+    if "boost" in qterms.columns:
+        w_expr = w_expr * F.col("boost")
+    contrib = matched.select("query_id", "k", "doc_id", w_expr.alias("w"))
     scored = contrib.groupBy("query_id", "k", "doc_id").agg(
         F.sum("w").alias("score"), F.count(F.lit(1)).alias("_n_matched")
     )
     if mode == "and":
         # terms absent from the corpus can never be matched => queries
         # containing one return empty under AND (Lucene conjunction)
-        n_terms = query_terms(qdf).groupBy("query_id").agg(
+        n_terms = qterms.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("_n_terms")
         )
         scored = scored.join(F.broadcast(n_terms), "query_id").filter(
@@ -207,4 +235,47 @@ def more_like_this_queries(index: IndexFrames, seed_ids: DataFrame,
         .withColumn("k", F.lit(k))
         .select(F.col("query_id").cast("string").alias("query_id"),
                 "query_text", "k")
+    )
+
+
+def paginate_after(scored: DataFrame, after: DataFrame,
+                   page_size: int = 10) -> DataFrame:
+    """ES search_after keyset pagination: for each query, the rows
+    strictly AFTER the (after_score, after_doc) cursor in the canonical
+    (score DESC, doc_id ASC) order, re-ranked 1..page_size. Keyset beats
+    from/size offset pagination at depth: the cursor filter prunes
+    instead of recount-and-discard. `after`: (query_id, after_score,
+    after_doc) — the last row of the previous page."""
+    out = scored.join(F.broadcast(after), "query_id").filter(
+        (F.col("score") < F.col("after_score"))
+        | ((F.col("score") == F.col("after_score"))
+           & (F.col("doc_id") > F.col("after_doc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= page_size)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def facet_counts(df: DataFrame, fields: list[str], top_n: int = 10) -> DataFrame:
+    """(field, value, n): ES terms-aggregation analog — top_n values per
+    field by doc count (n DESC, value ASC tie-break). One groupBy per
+    field, unioned; each aggregation combines map-side."""
+    parts = []
+    for f_ in fields:
+        parts.append(
+            df.groupBy(F.col(f_).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(f_).alias("field"), "value", "n")
+        )
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    w = Window.partitionBy("field").orderBy(F.desc("n"), F.asc("value"))
+    return (
+        allf.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_n)
+        .select("field", "value", "n")
     )

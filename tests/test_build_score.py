@@ -209,3 +209,32 @@ def test_fuzzy_and_prefix_expansion(spark):
               queries_df(spark, [{"query_id": "p", "query_text": "qu x", "k": 5}]),
           ).collect()}
     assert pr["p"] == "query quest"  # 'x' below min_prefix dropped
+
+
+def test_boosted_query_terms_parsing(spark):
+    from connectors_spark.operators.query import boosted_query_terms, queries_df
+
+    qdf = queries_df(spark, [
+        {"query_id": "q", "query_text": "Spark^2 merge^0.5 sort spark", "k": 5},
+    ])
+    got = {r.term: r.boost for r in boosted_query_terms(qdf).collect()}
+    # duplicate 'spark' (boost 2 and default 1) keeps max; sub-1 boosts kept
+    assert got == {"spark": 2.0, "merge": 0.5, "sort": 1.0}
+
+
+def test_paginate_after_keyset(spark):
+    from connectors_spark.operators.query import paginate_after
+
+    scored = spark.createDataFrame(
+        [("q", d, s) for d, s in
+         [(1, 0.9), (2, 0.9), (3, 0.8), (4, 0.8), (5, 0.7)]],
+        "query_id string, doc_id long, score double",
+    )
+    # cursor = (0.9, doc 1): strictly after -> (0.9,2),(0.8,3),(0.8,4),(0.7,5)
+    after = spark.createDataFrame(
+        [("q", 0.9, 1)], "query_id string, after_score double, after_doc long"
+    )
+    got = [(r.rank, r.doc_id, r.score)
+           for r in sorted(paginate_after(scored, after, page_size=3).collect(),
+                           key=lambda r: r.rank)]
+    assert got == [(1, 2, 0.9), (2, 3, 0.8), (3, 4, 0.8)]
