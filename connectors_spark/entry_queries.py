@@ -1171,6 +1171,25 @@ def q_facet_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(docs, ["lang", "source"], top_n=5)
 
 
+@register(
+    "facet_date_histogram",
+    "SELECT date_trunc('day', ts) AS bucket_day, event_type, "
+    "count(*) AS n, round(avg(value), 6) AS avg_value "
+    "FROM events GROUP BY bucket_day, event_type",
+)
+def q_facet_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram aggregation analog: daily buckets per event
+    type with count + avg metric sub-aggregation (map-side combined)."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket_day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
 def _recency_sql(half_life: float = 30.0, origin: str = "2026-01-01") -> str:
     qvals = []
     for qid, text in GATE_BM25_QUERIES:
