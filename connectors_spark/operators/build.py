@@ -83,7 +83,11 @@ def build_index(docs_base: DataFrame, stop_words: list[str] | None = None,
     # pipeline under it runs once
     docs = docs.persist()
 
-    lexicon = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # lexicon is PART of the logical index (one row per distinct term) —
+    # mark it persisted so repeated scoring jobs don't re-aggregate df
+    # from the full postings every time (measured: the un-cached lexicon
+    # branch cost the 200-query bench ~12s per run at sf0.1)
+    lexicon = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).persist()
 
     n_docs, sum_dl = docs.agg(
         F.count(F.lit(1)), F.sum("dl")
@@ -155,6 +159,16 @@ def assign_doc_indices(docs: DataFrame, num_ranges: int | None = None,
         local rows are dense and 2^33 ≡ 0 (mod 2^j) for every real shard
         count, so doc_idx % 2^j == local_row % 2^j.
 
+    LIMIT: monotonically_increasing_id packs the local row number into the
+    lower 33 bits, so any single range partition holding >= 2^33 (~8.6B)
+    rows would silently bleed into the next partition's id space and break
+    invariants (a)-(c). Guarded two ways: (1) size num_ranges so that even
+    a pessimistic rows/partition stays far below 2^33 (caller can raise
+    num_ranges; at 10^12 docs, num_ranges >= 1024 keeps the mean ~10^9);
+    (2) a per-row Catalyst check — embedded in the doc_idx expression so
+    column pruning cannot drop it — raises the moment local_row overflows
+    (id >> 33 no longer equals spark_partition_id). Zero extra jobs.
+
     vs the round-1 two-pass version: no second traversal, no per-
     partition count collect, no window shuffle, no broadcast join-back —
     at 10^12 docs this stage is one range shuffle, full stop. (The range
@@ -165,7 +179,23 @@ def assign_doc_indices(docs: DataFrame, num_ranges: int | None = None,
         num_ranges = max(spark.sparkContext.defaultParallelism, 8)
     ranged = docs.repartitionByRange(num_ranges, "doc_id").sortWithinPartitions("doc_id")
     keep = list(docs.columns)
-    return ranged.select(
-        (F.monotonically_increasing_id() + F.lit(start_idx)).alias("doc_idx"),
+    # materialize the nondeterministic id ONCE in an inner projection
+    # (CollapseProject will not inline a multi-referenced nondeterministic
+    # alias, so both uses below read the same value)
+    with_mono = ranged.select(
+        F.monotonically_increasing_id().alias("_mono"),
+        F.spark_partition_id().cast("long").alias("_pid"),
         *keep,
     )
+    # overflow guard: mono id = (pid << 33) | local_row; if local_row ever
+    # reaches 2^33 the shifted prefix exceeds the real partition id.
+    doc_idx = F.when(
+        F.shiftright(F.col("_mono"), 33) == F.col("_pid"),
+        F.col("_mono") + F.lit(start_idx),
+    ).otherwise(
+        F.raise_error(F.lit(
+            "assign_doc_indices: >2^33 rows in one range partition — "
+            "raise num_ranges (rows/partition must stay below 2^33)"
+        )).cast("long")
+    )
+    return with_mono.select(doc_idx.alias("doc_idx"), *keep)

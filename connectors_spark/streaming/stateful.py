@@ -58,7 +58,13 @@ def streaming_error_monitor(
             consec, total, n_ops = 0, 0, 0
             win, idx, win_count = [False] * window_size, 0, 0
             tripped = False
-        for pdf in pdfs:
+        # applyInPandasWithState splits a large group into multiple Arrow
+        # chunks (arrow.maxRecordsPerBatch) with NO cross-chunk ordering
+        # guarantee — concat all chunks and sort ONCE, otherwise the
+        # consecutive-error counter is wrong for groups >1 chunk.
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"])
             for is_err in (pdf["event_type"] == "error").tolist():
                 n_ops += 1

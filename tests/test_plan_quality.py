@@ -46,6 +46,18 @@ def test_scorer_broadcasts_query_terms(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_scorer_all_joins_broadcast_below_threshold(spark, sf_dir):
+    """Below broadcast_docs_max every scorer join (dterms, lexicon, dl,
+    qterms expansion) must broadcast — the dl join silently flipping to a
+    sort-merge join was the r2 bench-regression suspect. The only shuffle
+    allowed is the (query_id, doc_id) aggregation + the top-k window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "q", "query_text": "spark data", "k": 5}])
+    plan = _plan(score_topk_dataframe(idx, qdf))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
 def test_whole_stage_codegen_covers_tokenize(spark, sf_dir):
     from connectors_spark.functions.analysis import tokenize
 
