@@ -1936,6 +1936,29 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bm25_topk_kstem")  # no DuckDB twin: kstem is pytest-gated
+def q_bm25_topk_kstem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the en-DEFAULT analyzer chain — `_english_` stop filter
+    + kstem (the algorithmic core of Lucene's light_english / KStem,
+    Krovetz 1993; reference: app/connectors_service/connectors/es/
+    language_data.yml:10-13). DuckDB cannot express the dictionary-gated
+    stemmer, so this gate is rows-only here; rank identity vs the NumPy
+    oracle is pinned in tests/test_stem.py."""
+    from connectors_spark.functions.analysis import tokenize_py
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, stop_words=ENGLISH_STOP, with_positions=False,
+                      stemmer="kstem")
+    qrows = []
+    for qid, text in GATE_STEM_QUERIES:
+        analyzed = " ".join(tokenize_py(text, ENGLISH_STOP, "kstem"))
+        qrows.append({"query_id": qid, "query_text": analyzed,
+                      "k": GATE_BM25_K})
+    return score_topk_dataframe(
+        idx, queries_df(spark, qrows), round_scores=ROUND_SCORE
+    )
+
+
 @register("bm25_topk_stopworded", _bm25_stopped_oracle_sql())
 def q_bm25_topk_stopworded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with the `_english_` stop filter applied at build AND query

