@@ -1314,7 +1314,10 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     idx = build_index(docs, with_positions=False)
     seeds = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
-    qdf = more_like_this_queries(idx, seeds, max_terms=10, k=1_000_000)
+    # top-(k+1) suffices exactly: dropping the (single) seed row removes
+    # at most one of them, so the top-k non-seed docs are all fetched —
+    # the r2 full-match-set scoring (k=1_000_000) is gone
+    qdf = more_like_this_queries(idx, seeds, max_terms=10, k=GATE_BM25_K + 1)
     scored = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
     out = scored.filter(
         F.col("doc_id").cast("string") != F.col("query_id")

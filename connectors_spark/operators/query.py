@@ -205,23 +205,52 @@ def expand_terms_prefix(lexicon: DataFrame, qdf: DataFrame,
 
 def with_recency_decay(scored: DataFrame, ts_df: DataFrame, origin: str,
                        half_life_days: float, k: int | None = None,
-                       ts_col: str = "ts") -> DataFrame:
+                       ts_col: str = "ts",
+                       rescore_window: int | None = None) -> DataFrame:
     """ES function_score exp-decay analog: score *= 0.5^(age/half_life),
     age in days back from `origin` (negative ages clamp to 0), then
     re-rank (score DESC, doc_id ASC). `scored`: (query_id, rank, doc_id,
     score); `ts_df`: (doc_id, ts). Rounding to 6 decimals before ranking
-    keeps ranks engine-independent, like every other gated scorer."""
+    keeps ranks engine-independent, like every other gated scorer.
+
+    rescore_window=W enables Elasticsearch `rescore` semantics (the
+    window_size contract): the decay re-ranks ONLY the top-W rows of the
+    base ranking per query; rows below the window keep their base score
+    and stay ordered after it — so the decay join touches W*|queries|
+    rows instead of the full match set (ES rescores a window for exactly
+    this reason at scale). W >= per-query match count makes the result
+    identical to the exact path (pytest-pinned). As in ES, scores across
+    the window boundary are not comparable (window scores are decayed,
+    tail scores are not); rank is the total order."""
     age = F.greatest(
         F.lit(0),
         F.datediff(F.lit(origin).cast("date"), F.col(ts_col).cast("date")),
     )
     mult = F.pow(F.lit(0.5), age / F.lit(float(half_life_days)))
-    out = (
-        scored.join(ts_df.select("doc_id", ts_col), "doc_id")
-        .withColumn("score", F.round(F.col("score") * mult, 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    out = out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+    def decay_rerank(df: DataFrame) -> DataFrame:
+        out = (
+            df.join(ts_df.select("doc_id", ts_col), "doc_id")
+            .withColumn("score", F.round(F.col("score") * mult, 6))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return out.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        ).select("query_id", "rank", "doc_id", "score")
+
+    if rescore_window is None:
+        out = decay_rerank(scored)
+    else:
+        win = decay_rerank(scored.filter(F.col("rank") <= rescore_window))
+        # tail keeps base score; its base ranks are already > W >= any
+        # rescored rank, so the union is a consistent total order
+        rest = scored.filter(F.col("rank") > rescore_window).select(
+            "query_id", F.col("rank").cast("int").alias("rank"),
+            "doc_id", "score",
+        )
+        out = win.unionByName(rest)
     if k is not None:
         out = out.filter(F.col("rank") <= k)
     return out.select("query_id", "rank", "doc_id", "score")

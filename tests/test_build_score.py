@@ -238,3 +238,44 @@ def test_paginate_after_keyset(spark):
            for r in sorted(paginate_after(scored, after, page_size=3).collect(),
                            key=lambda r: r.rank)]
     assert got == [(1, 2, 0.9), (2, 3, 0.8), (3, 4, 0.8)]
+
+
+def test_recency_rescore_window(spark):
+    """ES rescore semantics: rescore_window >= match count is identical
+    to the exact decay path; a small window re-ranks only the top-W and
+    leaves the tail in base order with base scores (VERDICT r2 item 3)."""
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import (
+        queries_df, score_topk_dataframe, with_recency_decay,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(f"d{i}", "spark data " + ("spark " * (i % 4))) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "q", "query_text": "spark", "k": 100}])
+    scored = score_topk_dataframe(idx, qdf, round_scores=6)
+    ts_df = docs.select(
+        "doc_id",
+        F.date_add(F.lit("2025-01-01").cast("date"),
+                   (F.substring("doc_id", 2, 5).cast("int") * 30)).alias("ts"),
+    )
+    kw = dict(origin="2026-01-01", half_life_days=30.0, k=10)
+    exact = with_recency_decay(scored, ts_df, **kw).collect()
+    full_win = with_recency_decay(scored, ts_df, rescore_window=10_000,
+                                  **kw).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(((r.query_id, r.rank, r.doc_id, r.score) for r in exact)) == \
+           sorted(((r.query_id, r.rank, r.doc_id, r.score) for r in full_win))
+
+    small = with_recency_decay(scored, ts_df, rescore_window=3, **kw).collect()
+    small = sorted(small, key=key)
+    base = sorted(scored.collect(), key=key)
+    # ranks 1..3 are a decayed re-ranking of the base top-3 (same doc set)
+    assert {r.doc_id for r in small[:3]} == {r.doc_id for r in base[:3]}
+    # tail rows keep base rank, doc and score untouched
+    base_by_rank = {r.rank: r for r in base}
+    for r in small[3:]:
+        b = base_by_rank[r.rank]
+        assert (r.doc_id, r.score) == (b.doc_id, b.score)
+        assert r.rank > 3
