@@ -74,7 +74,10 @@ def _live_docmap(spark: SparkSession, path: str, meta: dict) -> DataFrame:
 def incremental_update(spark: SparkSession, path: str,
                        new_snapshot: DataFrame) -> dict | None:
     """Bring the index at `path` up to date with `new_snapshot`
-    (transcripts shape). Returns the delta record, or None if unchanged."""
+    (transcripts shape). Returns the delta record, or None if unchanged.
+    `path` may be a store root (CURRENT pointer) — deltas then land in
+    the live generation."""
+    path = resolve_current(path)
     meta = read_meta(path)
     gen = (max((int(d["gen"]) for d in meta.get("deltas", [])), default=0) + 1)
     gdir = f"{path}/delta/{gen}"
@@ -203,12 +206,13 @@ def maybe_compact(spark: SparkSession, path: str,
                   max_dead_ratio: float = 0.2,
                   max_tombstones: int = 5_000_000) -> bool:
     """Compact `path` in place when the policy triggers; returns whether
-    a compaction ran. Crash-safe: the merged index is built in a sibling
-    scratch dir and swapped in with two renames, so `path` is never in a
-    half-written state. NOT concurrent-reader-safe: an IndexReader opened
-    before the swap holds lazy frames over the old generation files,
-    which this removes — re-open readers after compaction, or compact to
-    a fresh path and flip a serving pointer for zero-downtime."""
+    a compaction ran. The merged index is built in a sibling scratch dir
+    and swapped in with two renames. CAVEATS (prefer the store/pointer
+    variant `maybe_compact_store` for serving): (1) a crash BETWEEN the
+    two renames leaves no index at `path` — the data survives in the
+    orphaned .old-*/.compact-* sibling and must be renamed back by hand;
+    (2) NOT concurrent-reader-safe: an IndexReader opened before the swap
+    holds lazy frames over files this removes — re-open readers after."""
     import shutil
 
     meta = read_meta(path)
@@ -220,6 +224,94 @@ def maybe_compact(spark: SparkSession, path: str,
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
+# ---------------------------------------------------------------------
+# Serving store: generation dirs + an atomically-flipped CURRENT pointer
+# (the zero-downtime compaction path — VERDICT r2 item 5). Mirrors the
+# reference's content-index swap-on-sync semantics (a new index is built
+# and aliases flipped, readers never see a half-state).
+# ---------------------------------------------------------------------
+
+CURRENT_FILE = "CURRENT"
+
+
+def resolve_current(path: str) -> str:
+    """The live index dir: `path/<CURRENT contents>` when `path` is a
+    store root, else `path` itself (plain index dirs stay valid)."""
+    p = os.path.join(path, CURRENT_FILE)
+    if os.path.exists(p):
+        with open(p) as f:
+            gen = f.read().strip()
+        return os.path.join(path, gen)
+    return path
+
+
+def promote(store: str, gen_name: str) -> None:
+    """Atomically flip the CURRENT pointer to `gen_name` (write a temp
+    file, then one os.replace — readers resolve either the old or the
+    new generation, never a half-written pointer)."""
+    tmp = os.path.join(store, f".{CURRENT_FILE}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(gen_name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(store, CURRENT_FILE))
+
+
+def init_store(store: str, from_index: str | None = None,
+               gen_name: str = "gen-00000001") -> str:
+    """Create a serving store at `store`. With `from_index`, an existing
+    plain index dir is moved in as the first generation. Returns the
+    live generation dir."""
+    os.makedirs(store, exist_ok=True)
+    gen_dir = os.path.join(store, gen_name)
+    if from_index is not None:
+        os.rename(from_index, gen_dir)
+    promote(store, gen_name)
+    return gen_dir
+
+
+def gc_store(store: str, keep_previous: int = 1) -> list[str]:
+    """Remove non-current generation dirs beyond the newest
+    `keep_previous` (the grace window for readers opened before the last
+    promote). Returns the removed dir names."""
+    import shutil
+
+    cur = os.path.basename(resolve_current(store))
+    gens = sorted(
+        (d for d in os.listdir(store)
+         if d.startswith("gen-") and d != cur
+         and os.path.isdir(os.path.join(store, d))),
+        key=lambda d: os.path.getmtime(os.path.join(store, d)),
+    )
+    doomed = gens[: max(0, len(gens) - keep_previous)]
+    for d in doomed:
+        shutil.rmtree(os.path.join(store, d), ignore_errors=True)
+    return doomed
+
+
+def maybe_compact_store(spark: SparkSession, store: str,
+                        max_dead_ratio: float = 0.2,
+                        max_tombstones: int = 5_000_000,
+                        keep_previous: int = 1) -> bool:
+    """Zero-downtime compaction: compact the CURRENT generation into a
+    fresh gen dir, atomically flip the pointer, then GC generations older
+    than the grace window. Readers opened before the flip keep answering
+    rank-identically from the previous generation (its files survive the
+    grace window); readers opened after resolve the new one. Crash-safe
+    at every point: CURRENT always names a complete generation."""
+    cur = resolve_current(store)
+    if cur == store:
+        raise ValueError(f"{store} is not a store (no {CURRENT_FILE} file)")
+    meta = read_meta(cur)
+    if not should_compact(meta, max_dead_ratio, max_tombstones):
+        return False
+    new_name = f"gen-{uuid.uuid4().hex[:12]}"
+    compact_index(spark, cur, os.path.join(store, new_name))
+    promote(store, new_name)
+    gc_store(store, keep_previous=keep_previous)
     return True
 
 

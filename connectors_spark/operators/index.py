@@ -340,6 +340,12 @@ class IndexReader:
         import numpy as _np
 
         self.spark = spark
+        # a store root (CURRENT pointer file) resolves to its live
+        # generation at open; the reader then pins that generation's
+        # files for its lifetime — concurrent compactions promote a new
+        # generation without touching these (operators/delta.py store)
+        from connectors_spark.operators.delta import resolve_current
+        path = resolve_current(path)
         self.path = path
         self.meta = read_meta(path)
         deltas = self.meta.get("deltas", [])
@@ -606,8 +612,11 @@ class IndexReader:
         k1, b, n_buckets = meta["k1"], meta["b"], meta["n_buckets"]
         kern = {"auto": topk_auto, "exact": topk_exact, "wand": topk_wand}[kernel]
         if not hasattr(self, "_term_cache"):
-            self._term_cache: dict[str, list] = {}
+            from collections import OrderedDict
+            self._term_cache: "OrderedDict[str, list]" = OrderedDict()
             self._dead_cache: dict[str, int] = {}
+            self._term_nbytes: dict[str, int] = {}
+            self._term_cache_used = 0
 
         per_q = []
         all_terms = set()
@@ -618,6 +627,9 @@ class IndexReader:
         if not all_terms:
             return []
         missing = sorted(t for t in all_terms if t not in self._term_cache)
+        for t in all_terms:
+            if t in self._term_cache:   # LRU touch
+                self._term_cache.move_to_end(t)
         if missing:
             buckets = sorted({bucket_of(t, n_buckets) for t in missing})
             rows = (
@@ -628,16 +640,38 @@ class IndexReader:
             for t in missing:
                 self._term_cache[t] = []
                 self._dead_cache[t] = 0
+                self._term_nbytes[t] = 64
+                self._term_cache_used += 64
             for _, row in rows.iterrows():
                 g = int(row["_gen"]) if "_gen" in row.index else 0
                 row["_ub_scale"] = max(
                     1.0, avgdl / self.gen_avgdl.get(g, avgdl)
                 )
-                self._term_cache[row["term"]].append(row)
+                t = row["term"]
+                self._term_cache[t].append(row)
+                nb = 256 + sum(
+                    len(v) if isinstance(v, (bytes, bytearray, memoryview, str))
+                    else 16
+                    for v in row.values
+                )
+                self._term_nbytes[t] += nb
+                self._term_cache_used += nb
             if self.dead_df is not None:
                 dd = self.dead_df.filter(F.col("term").isin(missing)).collect()
                 for r in dd:
                     self._dead_cache[r.term] = int(r.dead)
+            # evict LRU terms past the byte budget — the cache must not
+            # grow per distinct term forever (r2 VERDICT item 4); never
+            # evict a term the current batch needs
+            budget = getattr(self, "term_cache_bytes", 256 << 20)
+            for t in list(self._term_cache):
+                if self._term_cache_used <= budget:
+                    break
+                if t in all_terms:
+                    continue
+                self._term_cache.pop(t)
+                self._dead_cache.pop(t, None)
+                self._term_cache_used -= self._term_nbytes.pop(t, 0)
         by_term = self._term_cache
         dead_by_term = self._dead_cache
         # resolve doc_idx -> doc_id lazily, one lookup per result batch
