@@ -1343,23 +1343,67 @@ GATE_PREFIX_QUERIES = [
     ("x1", "qu"),              # query
     ("x2", "x"),               # below min_prefix=2 -> dropped
 ]
+GATE_WILDCARD_QUERIES = [
+    ("w0", "sp*rk qu?ry"),     # spark, query
+    ("w1", "*ndow merge"),     # leading wildcard DROPPED -> merge only
+    ("w2", "s??n col*"),       # scan, column/...
+    ("w3", "zz*"),             # matches nothing -> no rows
+]
+GATE_REGEXP_QUERIES = [
+    ("r0", "sp[ae]rk"),        # spark
+    ("r1", "quer(y|ies)"),     # query
+    ("r2", "w.ndow s(low|mall)"),
+    ("r3", "zzz+"),            # matches nothing -> no rows
+]
+_WILDCARD_MAX_EXPANSIONS = 50
+
+
+def _parse_wildcard_parts(text: str) -> list[str]:
+    """Mirror of expand_terms_wildcard's part filter (leading-wildcard
+    guardrail + syntax guard) for the DuckDB twin."""
+    import re as _re
+    out = []
+    for p in sorted({t for t in text.lower().split() if t}):
+        if _re.fullmatch(r"[a-z0-9*?]+", p) and p[0] not in "*?":
+            out.append(p)
+    return out
 
 
 def _query_expansion_sql(kind: str) -> str:
     w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
                  dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    capped = False
     if kind == "fuzzy":
         src = GATE_FUZZY_QUERIES
         expand = ("SELECT DISTINCT q.query_id, d.term FROM qraw q JOIN dfreq d "
                   "ON substr(d.term, 1, 1) = substr(q.raw, 1, 1) "
                   "AND levenshtein(d.term, q.raw) <= 2")
-    else:
+    elif kind == "prefix":
         src = GATE_PREFIX_QUERIES
         expand = ("SELECT DISTINCT q.query_id, d.term FROM qraw q JOIN dfreq d "
                   "ON length(q.raw) >= 2 AND starts_with(d.term, q.raw)")
+    elif kind == "wildcard":
+        src, capped = GATE_WILDCARD_QUERIES, True
+        match = "d.term LIKE translate(q.raw, '*?', '%_')"
+    else:  # regexp
+        src, capped = GATE_REGEXP_QUERIES, True
+        match = "regexp_full_match(d.term, q.raw)"
+    if capped:
+        # ES top-terms rewrite: per pattern keep the max_expansions
+        # highest-df terms (df DESC, term ASC), mirroring the operator
+        expand = f"""SELECT DISTINCT query_id, term FROM (
+      SELECT q.query_id, d.term,
+             row_number() OVER (PARTITION BY q.query_id, q.raw
+                                ORDER BY d.df DESC, d.term ASC) AS rn
+      FROM qraw q JOIN dfreq d ON {match}
+    ) WHERE rn <= {_WILDCARD_MAX_EXPANSIONS}"""
     qvals = []
     for qid, text in src:
-        for raw in sorted({t for t in text.lower().split() if t}):
+        if kind == "wildcard":
+            raws = _parse_wildcard_parts(text)
+        else:
+            raws = sorted({t for t in text.lower().split() if t})
+        for raw in raws:
             qvals.append(f"('{qid}', '{raw}')")
     return f"""
 WITH {_DL_CTE},
@@ -1422,6 +1466,45 @@ def q_bm25_topk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qid, text in GATE_PREFIX_QUERIES
     ])
     expanded = expand_terms_prefix(idx.lexicon, qdf, min_prefix=2)
+    return score_topk_dataframe(idx, expanded, round_scores=ROUND_SCORE)
+
+
+@register("bm25_topk_wildcard", _query_expansion_sql("wildcard"))
+def q_bm25_topk_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `wildcard` query analog: '*'/'?' patterns expand against the
+    lexicon with the leading-wildcard guardrail and the top-terms
+    (max_expansions, df DESC) rewrite, then standard BM25
+    (operators/query.py:expand_terms_wildcard)."""
+    from connectors_spark.operators.query import expand_terms_wildcard
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_WILDCARD_QUERIES
+    ])
+    expanded = expand_terms_wildcard(
+        idx.lexicon, qdf, max_expansions=_WILDCARD_MAX_EXPANSIONS
+    )
+    return score_topk_dataframe(idx, expanded, round_scores=ROUND_SCORE)
+
+
+@register("bm25_topk_regexp", _query_expansion_sql("regexp"))
+def q_bm25_topk_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `regexp` query analog: full-term-anchored regex patterns expand
+    against the lexicon (top-terms cap bounds the fan-out), then standard
+    BM25 (operators/query.py:expand_terms_regexp)."""
+    from connectors_spark.operators.query import expand_terms_regexp
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_REGEXP_QUERIES
+    ])
+    expanded = expand_terms_regexp(
+        idx.lexicon, qdf, max_expansions=_WILDCARD_MAX_EXPANSIONS
+    )
     return score_topk_dataframe(idx, expanded, round_scores=ROUND_SCORE)
 
 

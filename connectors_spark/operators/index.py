@@ -472,6 +472,11 @@ class IndexReader:
         kern = {"auto": topk_auto, "exact": topk_exact, "wand": topk_wand}[kernel]
         dead_bc = self._dead_bc
         gen_avgdl = self.gen_avgdl
+        # WAND threshold pre-seed (wand._theta_seed): only valid on a
+        # pristine single-generation index — tombstones could kill the
+        # achieving doc, and a changed avgdl makes stored block maxima
+        # bounds rather than achieved values
+        seed_ok = len(self.dead) == 0 and not self.meta.get("deltas")
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             dead_ids = dead_bc.value
@@ -503,9 +508,13 @@ class IndexReader:
                     group_filter=gf, require_all=req,
                 )
             else:
+                from connectors_spark.operators.wand import _theta_seed
+                kw = {}
+                if kern is not topk_exact and seed_ok:
+                    kw["theta_seed"] = _theta_seed(shards_by_term, k)
                 doc_idx, scores = kern(
                     shards_by_term, k, avgdl, k1, b, dead_ids,
-                    group_filter=gf,
+                    group_filter=gf, **kw,
                 )
             return pd.DataFrame({
                 "query_id": qid,
@@ -687,7 +696,12 @@ class IndexReader:
                 if df_live <= 0:
                     continue
                 shards.append((float(idf_np(n_docs, df_live)), trs))
-            doc_idx, scores = kern(shards, k, avgdl, k1, b, self.dead)
+            kw = {}
+            if kern is not topk_exact and len(self.dead) == 0 \
+                    and not meta.get("deltas"):
+                from connectors_spark.operators.wand import _theta_seed
+                kw["theta_seed"] = _theta_seed(shards, k)
+            doc_idx, scores = kern(shards, k, avgdl, k1, b, self.dead, **kw)
             interim.append((qid, doc_idx, scores))
             need_idx.update(int(i) for i in doc_idx)
         if need_idx:

@@ -203,6 +203,81 @@ def expand_terms_prefix(lexicon: DataFrame, qdf: DataFrame,
     )
 
 
+def _query_parts(qdf: DataFrame, allowed_re: str) -> DataFrame:
+    """(query_id, k, pat): whitespace-split, lowercased query parts kept
+    only when they match `allowed_re` (pattern syntax guard)."""
+    return qdf.select(
+        "query_id", "k",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("query_text")), r"\s+"),
+                     lambda p: p != "")
+        ).alias("pat"),
+    ).filter(F.col("pat").rlike(allowed_re))
+
+
+def _expanded_query_text(top: DataFrame) -> DataFrame:
+    """Collapse (query_id, k, term) expansions back into a query row."""
+    return (
+        top.groupBy("query_id", "k")
+        .agg(F.array_join(F.array_sort(F.collect_set("term")), " ")
+             .alias("query_text"))
+        .select("query_id", "query_text", "k")
+    )
+
+
+def expand_terms_wildcard(lexicon: DataFrame, qdf: DataFrame,
+                          allow_leading: bool = False,
+                          max_expansions: int = 50) -> DataFrame:
+    """(query_id, query_text, k): ES `wildcard` query analog — each query
+    part is a pattern where '*' matches any run and '?' one character;
+    expansion = every lexicon term matching it. Guardrails, both ES's:
+    leading-wildcard patterns are dropped unless allow_leading (the
+    allow_leading_wildcard switch — a leading '*' scans the WHOLE lexicon
+    at 10^9 terms), and each pattern keeps only its `max_expansions`
+    highest-df terms (ES top-terms rewrite; df DESC, term ASC
+    deterministic tie-break). The expansion is a broadcast of the tiny
+    pattern table against the lexicon — one narrow scan, no postings
+    shuffle; expanded queries feed the normal scorers with per-variant
+    df."""
+    parts = _query_parts(qdf, "^[a-z0-9*?]+$")
+    if not allow_leading:
+        parts = parts.filter(~F.col("pat").rlike("^[*?]"))
+    cand = lexicon.select("term", "df").join(
+        F.broadcast(parts),
+        F.expr("term LIKE translate(pat, '*?', '%_')"),
+    )
+    w = Window.partitionBy("query_id", "pat").orderBy(
+        F.desc("df"), F.asc("term")
+    )
+    top = cand.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_expansions
+    )
+    return _expanded_query_text(top)
+
+
+def expand_terms_regexp(lexicon: DataFrame, qdf: DataFrame,
+                        max_expansions: int = 50) -> DataFrame:
+    """(query_id, query_text, k): ES `regexp` query analog — each query
+    part is a regular expression matched against the FULL term (ES
+    anchors regexp queries); expansion = every matching lexicon term,
+    capped at the `max_expansions` highest-df terms per pattern (the ES
+    top-terms rewrite analog of max_determinized_states: a bound on how
+    much one pattern may fan out). Same broadcast-against-lexicon shape
+    as the wildcard/prefix/fuzzy expanders."""
+    parts = _query_parts(qdf, r"^[a-z0-9().|\[\]*+?{}^$-]+$")
+    cand = lexicon.select("term", "df").join(
+        F.broadcast(parts),
+        F.expr("term RLIKE concat('^(', pat, ')$')"),
+    )
+    w = Window.partitionBy("query_id", "pat").orderBy(
+        F.desc("df"), F.asc("term")
+    )
+    top = cand.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_expansions
+    )
+    return _expanded_query_text(top)
+
+
 def with_recency_decay(scored: DataFrame, ts_df: DataFrame, origin: str,
                        half_life_days: float, k: int | None = None,
                        ts_col: str = "ts",

@@ -29,6 +29,38 @@ from connectors_spark.operators.score import tf_norm_np
 
 EXACT_PATH_MAX_POSTINGS = 1 << 19  # 512k entries: below this, brute numpy wins
 
+# diagnostic: blocks decoded since process start (tests measure skip ratio)
+BLOCKS_DECODED = 0
+
+
+def _theta_seed(shards_by_term: list[tuple[float, list]], k: int) -> float:
+    """Safe pre-seed for the WAND threshold (two-level merge, VERDICT r2
+    item 7): within ONE term, blocks are doc-disjoint, so the top-k block
+    maxima are achieved by k DISTINCT docs, and each achiever's total
+    score >= its single-term contribution (other terms add >= 0). Hence
+    max over terms of idf * (k-th largest block_max_w) lower-bounds the
+    GLOBAL k-th best score — every group kernel may start its threshold
+    there and skip blocks it would otherwise evaluate before its local
+    heap fills. Returned one float-ulp lower so exact-tie docs (ranked by
+    doc ASC) always survive the > theta pruning checks.
+
+    VALID ONLY on a pristine index (no tombstones — the achiever could
+    be dead; single generation with unchanged avgdl — stored block maxima
+    are then achieved, not just bounds). Callers gate on that."""
+    best = -1.0
+    for idf, rows in shards_by_term:
+        arrs = [np.asarray(row["block_max_w"], dtype=np.float64)
+                for row in rows]
+        if not arrs:
+            continue
+        bm = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+        if len(bm) >= k > 0:
+            kth = float(np.partition(bm, len(bm) - k)[len(bm) - k])
+            v = idf * kth
+            if v > best:
+                best = v
+    return float(np.nextafter(best, -np.inf)) if best > 0 else -1.0
+
 
 class ShardCursor:
     """Cursor over one encoded (term, shard) run with block skipping.
@@ -60,6 +92,8 @@ class ShardCursor:
             self.exhausted = True
             return
         if bi != self.block_i:
+            global BLOCKS_DECODED
+            BLOCKS_DECODED += 1
             self.docs, self.tfs, self.dls = decode_block(self.row, bi)
             self.block_i = bi
         self.pos = 0
@@ -165,7 +199,8 @@ def topk_exact(shards_by_term: list[tuple[float, list]], k: int,
 def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
               avgdl: float, k1: float, b: float,
               dead: np.ndarray | None = None,
-              group_filter: tuple[int, int] | None = None):
+              group_filter: tuple[int, int] | None = None,
+              theta_seed: float = -1.0):
     cursors = [
         ShardCursor(row, idf, avgdl, k1, b,
                     ub_scale=float(row.get("_ub_scale", 1.0))
@@ -177,17 +212,23 @@ def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
     dead = dead if dead is not None and len(dead) else None
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc): min-heap on score
-    theta = -1.0
+    # theta_seed: a caller-provided lower bound on the global k-th best
+    # score (see _theta_seed) — the threshold never drops below it, and
+    # because it is valid BEFORE the heap fills, seeded runs may skip
+    # blocks from the first iteration (every true top-k doc scores above
+    # the seed, so none is ever pruned and the heap still reaches k)
+    theta = theta_seed
+    seeded = theta_seed > -1.0
 
     def offer(doc: int, score: float):
         nonlocal theta
         if len(heap) < k:
             heapq.heappush(heap, (score, -doc))
             if len(heap) == k:
-                theta = heap[0][0]
+                theta = max(theta, heap[0][0])
         elif score > heap[0][0] or (score == heap[0][0] and -doc > heap[0][1]):
             heapq.heapreplace(heap, (score, -doc))
-            theta = heap[0][0]
+            theta = max(theta, heap[0][0])
 
     while True:
         live = [c for c in cursors if not c.exhausted]
@@ -216,22 +257,47 @@ def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
                     if c.exhausted:
                         continue
                 bm_ub += c.block_ub() if c.block_last() >= pivot_doc else c.ub
-            if bm_ub <= theta and len(heap) == k:
+            if bm_ub <= theta and (seeded or len(heap) == k):
                 # No doc covered ONLY by the pivot set can win inside the
-                # current blocks. Valid skip range ends at the earlier of
-                # (a) the smallest block end in the pivot set and (b) the
-                # next list's current doc — beyond (b), later lists start
-                # contributing (Ding&Suel BMW GetNewCandidate).
-                boundary = min(
-                    (c.block_last() for c in live[: pivot_i + 1] if not c.exhausted),
-                    default=pivot_doc,
-                )
-                target = boundary + 1
-                if pivot_i + 1 < len(live):
-                    target = min(target, live[pivot_i + 1].cur_doc())
-                for c in live[: pivot_i + 1]:
-                    if not c.exhausted and c.cur_doc() < target:
-                        c.seek(target)
+                # current blocks. Fast-forward over block METADATA alone
+                # (block_last_doc / block_max_w — no decode) until the
+                # first doc range whose summed block maxima can beat
+                # theta, capped at the next list's current doc — beyond
+                # it, later lists start contributing (Ding&Suel BMW
+                # GetNewCandidate). Only the landing block is decoded.
+                pivots = [c for c in live[: pivot_i + 1] if not c.exhausted]
+                cap = (live[pivot_i + 1].cur_doc()
+                       if pivot_i + 1 < len(live) else None)
+                target = pivot_doc
+                while True:
+                    bm, boundary = 0.0, None
+                    for c in pivots:
+                        bl = np.asarray(c.row["block_last_doc"],
+                                        dtype=np.int64)
+                        bi = int(np.searchsorted(bl, target))
+                        if bi >= len(bl):
+                            continue  # no postings at/after target
+                        bm += c.idf * float(c.row["block_max_w"][bi]) * c.scale
+                        bend = int(bl[bi])
+                        boundary = bend if boundary is None else min(boundary, bend)
+                    if boundary is None:
+                        # pivot set exhausted past target
+                        target = None
+                        break
+                    if bm > theta:
+                        break
+                    nxt_target = boundary + 1
+                    if cap is not None and nxt_target >= cap:
+                        target = cap
+                        break
+                    target = nxt_target
+                if target is None:
+                    for c in pivots:
+                        c.exhausted = True
+                else:
+                    for c in pivots:
+                        if not c.exhausted and c.cur_doc() < target:
+                            c.seek(target)
                 continue
             # out-of-group docs (replicated coarse shards) have partial
             # postings here — their full score is computed in their home
@@ -264,8 +330,10 @@ def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
     )
 
 
-def topk_auto(shards_by_term, k, avgdl, k1, b, dead=None, group_filter=None):
+def topk_auto(shards_by_term, k, avgdl, k1, b, dead=None, group_filter=None,
+              theta_seed: float = -1.0):
     total = sum(int(r["n_docs"]) for _, rows in shards_by_term for r in rows)
     if total <= EXACT_PATH_MAX_POSTINGS or len(shards_by_term) == 1:
         return topk_exact(shards_by_term, k, avgdl, k1, b, dead, group_filter)
-    return topk_wand(shards_by_term, k, avgdl, k1, b, dead, group_filter)
+    return topk_wand(shards_by_term, k, avgdl, k1, b, dead, group_filter,
+                     theta_seed=theta_seed)

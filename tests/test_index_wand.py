@@ -313,3 +313,63 @@ def test_topk_local_term_cache_lru_bounded(spark, tmp_path):
         got = fresh.topk_local([{"query_id": f"f{i}", "query_text": term,
                                  "k": 5}])
         assert [(r[2], round(r[3], 9)) for r in got] == results[term], term
+
+
+def test_wand_theta_seed_skips_blocks_rank_identical(spark, tmp_path):
+    """Two-level WAND merge (VERDICT r2 item 7): seeding the threshold
+    from per-term block maxima must decode fewer (or equal) blocks and
+    return IDENTICAL ranks — the seed is a proven lower bound on the
+    global k-th best score, so pruning below it is loss-free."""
+    import numpy as np
+
+    from connectors_spark.operators import wand
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+    from connectors_spark.operators.score import idf_np
+
+    # skewed corpus: every doc holds "common" once (varying dl), but a
+    # scattered few hold it with huge tf — the global top-k lives in a
+    # handful of blocks, the rest is prunable ONLY with a seeded theta
+    # (an unseeded kernel must decode low blocks until its heap fills
+    # with high scorers)
+    rows = []
+    for i in range(5000):
+        if i % 1000 == 0:          # 5 high-tf docs, ~8 blocks apart
+            text = " ".join(["common"] * 60)
+        else:
+            # low docs get SHORTER later in doc order, so low-block
+            # maxima rise monotonically: an unseeded kernel's threshold
+            # (filled from early, weak lows) can't prune later blocks,
+            # while the seed (from the high-tf achievers) prunes them all
+            filler = 41 - (i // 128)
+            text = "common " + " ".join(f"f{i}x{j}" for j in range(filler))
+        rows.append((f"d{i:05d}", text))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    path = str(tmp_path / "seedidx")
+    write_encoded_index(build_index(docs, with_positions=False), path,
+                        n_buckets=8, shard_cap=1 << 14)
+    reader = IndexReader(spark, path, cache=False)
+    meta = reader.meta
+    pdf = reader.postings.toPandas()
+    grp = pdf[pdf["term"] == "common"]
+    df = int(grp["df"].iloc[0])
+    shards = [(float(idf_np(meta["n_docs"], df)),
+               [row for _, row in grp.iterrows()])]
+    k = 3  # fewer winners than high-tf docs: the seed is a high bar
+    args = (shards, k, meta["avgdl"], meta["k1"], meta["b"])
+
+    wand.BLOCKS_DECODED = 0
+    base = wand.topk_wand(*args)
+    base_blocks = wand.BLOCKS_DECODED
+
+    seed = wand._theta_seed(shards, k)
+    assert seed > 0
+    wand.BLOCKS_DECODED = 0
+    seeded = wand.topk_wand(*args, theta_seed=seed)
+    seeded_blocks = wand.BLOCKS_DECODED
+
+    assert list(base[0]) == list(seeded[0])
+    assert np.allclose(base[1], seeded[1])
+    assert seeded_blocks <= base_blocks
+    # the seed must actually buy skips on a hot-term corpus
+    assert seeded_blocks < base_blocks, (seeded_blocks, base_blocks)
