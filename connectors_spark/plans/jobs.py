@@ -36,14 +36,63 @@ class ClaimConflict(RuntimeError):
     pass
 
 
-class JobCatalog:
+class CasDocStore:
+    """File-backed doc store with optimistic concurrency: one JSON doc
+    per id, seq_no compare-and-swap on every write (the file-system
+    analog of Elasticsearch's if_seq_no/if_primary_term,
+    reference: app/connectors_service/connectors/es/index.py:211-221,
+    es/client.py:279-297 with_concurrency_control). Shared by the
+    sync-job catalog and the connector catalog."""
+
     def __init__(self, path: str):
         self.dir = path
         os.makedirs(path, exist_ok=True)
 
-    def _file(self, job_id: str) -> str:
-        return os.path.join(self.dir, f"{job_id}.json")
+    def _file(self, doc_id: str) -> str:
+        return os.path.join(self.dir, f"{doc_id}.json")
 
+    def get(self, doc_id: str) -> dict:
+        with open(self._file(doc_id)) as f:
+            return json.load(f)
+
+    def _write(self, doc_id: str, doc: dict, expect_new: bool = False,
+               expect_seq: int | None = None) -> None:
+        path = self._file(doc_id)
+        if expect_new and os.path.exists(path):
+            raise ClaimConflict(doc_id)
+        if expect_seq is not None:
+            cur = self.get(doc_id)
+            if cur["seq_no"] != expect_seq:
+                raise ClaimConflict(
+                    f"{doc_id}: seq {cur['seq_no']} != expected {expect_seq}"
+                )
+            doc["seq_no"] = expect_seq + 1
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+
+    def _cas_update(self, doc_id: str, mutate, retries: int = 5) -> dict:
+        """Read-modify-write under seq_no CAS, re-reading on conflict —
+        the reference's if_seq_no/if_primary_term retry loop
+        (es/index.py:211-221). `mutate(doc)` must touch only its own
+        fields so a retry never resurrects stale state; returning the
+        sentinel False from mutate skips the write."""
+        last: ClaimConflict | None = None
+        for _ in range(retries):
+            doc = self.get(doc_id)
+            seq = doc["seq_no"]
+            if mutate(doc) is False:
+                return doc
+            try:
+                self._write(doc_id, doc, expect_seq=seq)
+                return doc
+            except ClaimConflict as e:
+                last = e
+        raise ClaimConflict(f"{doc_id}: CAS retries exhausted") from last
+
+
+class JobCatalog(CasDocStore):
     def create(self, connector_id: str, job_type: str = "full",
                sync_cursor: dict | None = None) -> str:
         job_id = f"job-{uuid.uuid4().hex[:12]}"
@@ -56,27 +105,6 @@ class JobCatalog:
         }
         self._write(job_id, doc, expect_new=True)
         return job_id
-
-    def get(self, job_id: str) -> dict:
-        with open(self._file(job_id)) as f:
-            return json.load(f)
-
-    def _write(self, job_id: str, doc: dict, expect_new: bool = False,
-               expect_seq: int | None = None) -> None:
-        path = self._file(job_id)
-        if expect_new and os.path.exists(path):
-            raise ClaimConflict(job_id)
-        if expect_seq is not None:
-            cur = self.get(job_id)
-            if cur["seq_no"] != expect_seq:
-                raise ClaimConflict(
-                    f"{job_id}: seq {cur['seq_no']} != expected {expect_seq}"
-                )
-            doc["seq_no"] = expect_seq + 1
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-        os.replace(tmp, path)
 
     def _transition(self, doc: dict, new_status: str) -> None:
         allowed = _TRANSITIONS.get(doc["status"], set())
@@ -93,23 +121,6 @@ class JobCatalog:
         doc["last_seen"] = time.time()
         self._write(job_id, doc, expect_seq=seq)
         return doc
-
-    def _cas_update(self, job_id: str, mutate, retries: int = 5) -> dict:
-        """Read-modify-write under seq_no CAS, re-reading on conflict —
-        the reference's if_seq_no/if_primary_term retry loop
-        (es/index.py:211-221). `mutate(doc)` must touch only its own
-        fields so a retry never resurrects stale status."""
-        last: ClaimConflict | None = None
-        for _ in range(retries):
-            doc = self.get(job_id)
-            seq = doc["seq_no"]
-            mutate(doc)
-            try:
-                self._write(job_id, doc, expect_seq=seq)
-                return doc
-            except ClaimConflict as e:
-                last = e
-        raise ClaimConflict(f"{job_id}: CAS retries exhausted") from last
 
     def heartbeat(self, job_id: str) -> None:
         def mut(doc):

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from typing import Callable, Iterable
 
@@ -35,6 +36,28 @@ from pyspark.sql import DataFrame, SparkSession
 FetchPage = Callable[[str | None], tuple[Iterable[dict], str | None]]
 
 _CURSOR_FILE = "cursor.json"
+
+# the reference's retry policy defaults: 5 tries, linear backoff
+# (reference: app/connectors_service/connectors/utils.py retryable /
+# svc/utils.py:383-502 — RetryStrategy.LINEAR_BACKOFF, retries=5)
+RETRIES = 5
+BACKOFF_BASE_SEC = 1.0
+
+
+def _fetch_with_retry(fetch_page: FetchPage, cursor: str | None,
+                      retries: int, backoff_base: float,
+                      sleep=time.sleep):
+    """One page pull under the reference's linear-backoff retry policy:
+    attempt i sleeps i * backoff_base before retrying; the final failure
+    re-raises. The cursor is NOT advanced by failed attempts, so a retry
+    re-requests the same page (cursor APIs are idempotent per cursor)."""
+    for attempt in range(retries):
+        try:
+            return fetch_page(cursor)
+        except Exception:
+            if attempt == retries - 1:
+                raise
+            sleep((attempt + 1) * backoff_base)
 
 
 def _read_cursor(path: str) -> dict | None:
@@ -58,6 +81,9 @@ def read_paged(
     schema: str,
     spill_dir: str,
     rows_per_spill: int = 50_000,
+    retries: int = RETRIES,
+    backoff_base_sec: float = BACKOFF_BASE_SEC,
+    _sleep=time.sleep,
 ) -> DataFrame:
     """Drain a cursor-paginated API into a distributed DataFrame.
 
@@ -65,6 +91,10 @@ def read_paged(
     restarts from that cursor and appends new part files; already-spilled
     parts are never re-fetched. A stream that previously finished
     (cursor state 'done') is returned as-is without touching the API.
+    Transient fetch failures retry under the reference's linear-backoff
+    policy (`retries` tries); a page that keeps failing raises after the
+    last try with the cursor checkpoint still pointing at it, so a later
+    run resumes exactly there.
     """
     os.makedirs(spill_dir, exist_ok=True)
     state = _read_cursor(spill_dir) or {"cursor": None, "parts": 0, "done": False}
@@ -87,7 +117,9 @@ def read_paged(
             _write_cursor(spill_dir, state)
 
         while True:
-            rows, cursor = fetch_page(cursor)
+            rows, cursor = _fetch_with_retry(
+                fetch_page, cursor, retries, backoff_base_sec, _sleep
+            )
             buf.extend(rows)
             if cursor is None:
                 spill(final=True)

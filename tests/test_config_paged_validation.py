@@ -232,3 +232,52 @@ def test_scalar_utility_trio(spark):
     base = {"a": {"x": 1, "y": 2}, "b": 1}
     out = deep_merge_dicts(base, {"a": {"y": 3, "z": 4}, "c": 5})
     assert out == {"a": {"x": 1, "y": 3, "z": 4}, "b": 1, "c": 5}
+
+
+def test_read_paged_retries_with_linear_backoff(spark, tmp_path):
+    """S8 backoff (VERDICT r2 item 8): transient fetch failures retry
+    under the reference's 5-try linear-backoff policy without advancing
+    the cursor; a persistently failing page raises after the last try and
+    a later run resumes from that exact page."""
+    from connectors_spark.sources.paged import read_paged
+
+    sleeps = []
+    calls = {"n": 0}
+    pages = {None: ([{"id": 0}], "c1"), "c1": ([{"id": 1}], "c2"),
+             "c2": ([{"id": 2}], None)}
+
+    def flaky(cursor):
+        calls["n"] += 1
+        # fail the first two attempts at page c1, then succeed
+        if cursor == "c1" and calls.setdefault("c1_fails", 0) < 2:
+            calls["c1_fails"] += 1
+            raise ConnectionError("transient")
+        return pages[cursor]
+
+    out = read_paged(spark, flaky, "id long", str(tmp_path / "s1"),
+                     _sleep=sleeps.append)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2]
+    # linear backoff: 1*base then 2*base before the two retries
+    assert sleeps == [1.0, 2.0]
+
+    # a page that NEVER succeeds: raises after 5 tries, cursor checkpoint
+    # still points at it, and a healed fetcher resumes there
+    import pytest as _pytest
+    hard_calls = []
+
+    def hard_fail(cursor):
+        hard_calls.append(cursor)
+        if cursor == "c1":
+            raise ConnectionError("down")
+        return pages[cursor]
+
+    sleeps2 = []
+    d2 = str(tmp_path / "s2")
+    with _pytest.raises(ConnectionError):
+        read_paged(spark, hard_fail, "id long", d2, rows_per_spill=1,
+                   _sleep=sleeps2.append)
+    assert hard_calls.count("c1") == 5 and sleeps2 == [1.0, 2.0, 3.0, 4.0]
+
+    healed = read_paged(spark, lambda c: pages[c], "id long", d2,
+                        rows_per_spill=1)
+    assert sorted(r.id for r in healed.collect()) == [0, 1, 2]
