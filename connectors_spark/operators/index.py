@@ -225,6 +225,85 @@ def encode_postings(
     )
 
 
+def _arrow_encoded_schema():
+    """pyarrow twin of ENCODED_POSTINGS_SCHEMA minus the bucket column
+    (hive dir-encoded) — pinned explicitly so task-side parquet files
+    read back with exactly the Spark types."""
+    import pyarrow as pa
+    return pa.schema([
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("n_shards", pa.int32()),
+        ("n_docs", pa.int64()),
+        ("df", pa.int64()),
+        ("doc_gaps", pa.binary()),
+        ("tfs", pa.binary()),
+        ("dls", pa.binary()),
+        ("positions", pa.binary()),
+        ("block_last_doc", pa.list_(pa.int64())),
+        ("block_offsets", pa.list_(pa.int64())),
+        ("block_tf_offsets", pa.list_(pa.int64())),
+        ("block_dl_offsets", pa.list_(pa.int64())),
+        ("block_pos_offsets", pa.list_(pa.int64())),
+        ("block_max_w", pa.list_(pa.float64())),
+    ])
+
+
+def make_encode_write_partition(avgdl: float, k1: float, b: float,
+                                out_dir: str):
+    """Task-side direct parquet writer (the table-format commit pattern):
+    each encode task writes its own `bucket=<i>/part-p<pid>.parquet`
+    files with pyarrow and yields one tiny manifest row per file —
+    there is NO Spark file committer, so the driver never serially
+    renames O(files) outputs (that commit pass is a fixed driver cost
+    that eats N->4N scaling, measured in tools/scaling_probe.py).
+
+    File names are deterministic per Spark partition id, so a retried
+    task overwrites its own output (idempotent). Caveat: a zombie
+    concurrent attempt could interleave writes — on a real cluster pair
+    this with attempt-suffixed names + reading via the returned manifest
+    (Iceberg-style); in-sandbox Spark local mode never runs duplicate
+    attempts. Requires a task-visible filesystem (local dir here; an
+    object store via pyarrow.fs in cluster deployments)."""
+    enc = make_encode_partition(avgdl, k1, b)
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        schema = _arrow_encoded_schema()
+        writers: dict[int, tuple] = {}
+        rows: dict[int, int] = {}
+        for pdf in enc(batches):
+            for b_, g in pdf.groupby("bucket", sort=False):
+                b_ = int(b_)
+                g = g.drop(columns=["bucket"])
+                tbl = pa.Table.from_pandas(g, schema=schema,
+                                           preserve_index=False)
+                w = writers.get(b_)
+                if w is None:
+                    d = os.path.join(out_dir, f"bucket={b_}")
+                    os.makedirs(d, exist_ok=True)
+                    fp = os.path.join(d, f"part-p{pid:05d}.parquet")
+                    w = (pq.ParquetWriter(fp, schema), fp)
+                    writers[b_] = w
+                    rows[b_] = 0
+                w[0].write_table(tbl)
+                rows[b_] += len(g)
+        for b_, (w, _) in writers.items():
+            w.close()
+        yield pd.DataFrame({
+            "bucket": pd.array(sorted(writers), dtype="int32"),
+            "file": [writers[b_][1] for b_ in sorted(writers)],
+            "rows": pd.array([rows[b_] for b_ in sorted(writers)],
+                             dtype="int64"),
+        })
+
+    return run
+
+
 def build_and_write_index(
     transcripts: DataFrame,
     path: str,
@@ -233,6 +312,7 @@ def build_and_write_index(
     k1: float = BM25_K1,
     b: float = BM25_B,
     num_partitions: int | None = None,
+    direct_write: bool = True,
 ) -> dict:
     """Fused fast path: transcripts -> encoded index in minimal shuffles.
 
@@ -297,18 +377,34 @@ def build_and_write_index(
         .withColumn("bucket", bucket_col("term", n_buckets))
     )
     try:
-        encoded = p.repartition(num_partitions, "term", "shard").sortWithinPartitions(
-            "term", "shard", "doc_idx"
-        ).mapInPandas(
-            make_encode_partition(avgdl, k1, b), schema=ENCODED_POSTINGS_SCHEMA
-        )
-        # write partitionBy(bucket) straight from the encode tasks: bucket
-        # pruning is directory-level, so multiple files per bucket dir
-        # (<= encode tasks) cost nothing at read time, and skipping the
-        # extra blob shuffle removes a whole stage from the build
-        encoded.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{path}/postings"
-        )
+        sorted_p = p.repartition(
+            num_partitions, "term", "shard"
+        ).sortWithinPartitions("term", "shard", "doc_idx")
+        post_dir = f"{path}/postings"
+        if direct_write:
+            # task-side pyarrow writes, no Spark committer: the commit
+            # pass (driver-side serial renames of O(files)) is gone —
+            # see make_encode_write_partition
+            import shutil as _shutil
+            _shutil.rmtree(post_dir, ignore_errors=True)
+            os.makedirs(post_dir, exist_ok=True)
+            manifest = sorted_p.mapInPandas(
+                make_encode_write_partition(avgdl, k1, b, post_dir),
+                schema="bucket int, file string, rows long",
+            ).collect()
+            if not manifest:  # empty corpus: still need a readable dir
+                direct_write = False
+        if not direct_write:
+            encoded = sorted_p.mapInPandas(
+                make_encode_partition(avgdl, k1, b),
+                schema=ENCODED_POSTINGS_SCHEMA,
+            )
+            # classic committer path: bucket pruning is directory-level,
+            # multiple files per bucket dir (<= encode tasks) cost
+            # nothing at read time
+            encoded.write.mode("overwrite").partitionBy("bucket").parquet(
+                post_dir
+            )
     finally:
         postings.unpersist()
 

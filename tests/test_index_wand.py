@@ -373,3 +373,31 @@ def test_wand_theta_seed_skips_blocks_rank_identical(spark, tmp_path):
     assert seeded_blocks <= base_blocks
     # the seed must actually buy skips on a hot-term corpus
     assert seeded_blocks < base_blocks, (seeded_blocks, base_blocks)
+
+
+def test_direct_write_equals_committer_path(spark, tmp_path):
+    """Task-side pyarrow writes (no Spark committer) must produce a
+    byte-compatible index: same schema, same rows, rank-identical top-k
+    as the classic partitionBy write (VERDICT r2 item 9 — the commit
+    pass is a fixed driver cost that eats N->4N scaling)."""
+    from connectors_spark.operators.index import (
+        IndexReader, build_and_write_index,
+    )
+    from connectors_spark.synth import synth_queries, synth_transcripts
+
+    t = synth_transcripts(spark, 80, seed=3)
+    d1, d2 = str(tmp_path / "direct"), str(tmp_path / "classic")
+    build_and_write_index(t, d1, n_buckets=16, shard_cap=1000,
+                          direct_write=True)
+    build_and_write_index(t, d2, n_buckets=16, shard_cap=1000,
+                          direct_write=False)
+    r1 = IndexReader(spark, d1, cache=False)
+    r2 = IndexReader(spark, d2, cache=False)
+    assert r1.postings.schema == r2.postings.schema
+    assert r1.postings.count() == r2.postings.count()
+    qs = synth_queries(20, seed=4)
+    a = sorted((x.query_id, x.rank, x.doc_id, round(x.score, 9))
+               for x in r1.topk(qs).collect())
+    b = sorted((x.query_id, x.rank, x.doc_id, round(x.score, 9))
+               for x in r2.topk(qs).collect())
+    assert a == b and a

@@ -162,8 +162,19 @@ All runs:
 
 Reproduce: `python tools/scaling_bench.py`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve hand-written supplementary sections (compute-only probe,
+    # per-round analyses) — everything from the first "## " heading after
+    # the generated block
+    target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(target):
+        with open(target) as f:
+            old = f.read()
+        i = old.find("\n## ")
+        if i >= 0:
+            tail = old[i:]
+    with open(target, "w") as f:
+        f.write(md + tail)
     print(f"eff_build={eff_build:.2f} eff_query={eff_query:.2f}")
 
 

@@ -21,12 +21,12 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def run_level(spark, par: int, n_convs: int, write: bool) -> dict:
+def run_level(spark, par: int, n_convs: int, write: bool,
+              python_encode: bool = True) -> dict:
     from connectors_spark.functions.analysis import tokens_col
-    from connectors_spark.functions.codec import bucket_col, shard_cols
     from connectors_spark.operators.build import assign_doc_indices, with_doc_id
     from connectors_spark.operators.index import (
-        ENCODED_POSTINGS_SCHEMA, make_encode_partition,
+        ENCODED_POSTINGS_SCHEMA, bucket_col, make_encode_partition, shard_cols,
     )
     from connectors_spark.synth import synth_transcripts
     from pyspark.sql import Observation
@@ -66,8 +66,11 @@ def run_level(spark, par: int, n_convs: int, write: bool) -> dict:
              .select("term", "doc_idx", "tf", "dl", "df", *shard_cols(1 << 18))
              .withColumn("bucket", bucket_col("term", 64)))
         enc = p.repartition(par, "term", "shard").sortWithinPartitions(
-            "term", "shard", "doc_idx").mapInPandas(
-            make_encode_partition(avgdl, 1.2, 0.75), schema=ENCODED_POSTINGS_SCHEMA)
+            "term", "shard", "doc_idx")
+        if python_encode:
+            enc = enc.mapInPandas(
+                make_encode_partition(avgdl, 1.2, 0.75),
+                schema=ENCODED_POSTINGS_SCHEMA)
         t0 = time.time()
         if write:
             enc.write.mode("overwrite").partitionBy("bucket").parquet(
@@ -100,11 +103,11 @@ def main():
     for par in (4 * n, n):
         run_level(spark, par, max(500, n_convs // 10), write=True)
     for i in range(rounds):
-        for write in (True, False):
-            a = run_level(spark, n, n_convs, write)
-            b = run_level(spark, 4 * n, n_convs, write)
+        for write, py in ((True, True), (False, True), (False, False)):
+            a = run_level(spark, n, n_convs, write, py)
+            b = run_level(spark, 4 * n, n_convs, write, py)
             eff = {
-                "round": i + 1, "write": write,
+                "round": i + 1, "write": write, "python_encode": py,
                 "eff_total": round((a["total_sec"] / b["total_sec"]) / 4, 3),
                 "eff_docmap": round((a["docmap_sec"] / b["docmap_sec"]) / 4, 3),
                 "eff_encode": round((a["encode_sec"] / b["encode_sec"]) / 4, 3),
