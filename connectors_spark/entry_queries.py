@@ -1190,6 +1190,59 @@ def q_facet_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_BOUNDS = [(0.0, 5.0), (5.0, 15.0), (15.0, None)]
+
+
+@register(
+    "facet_range",
+    "WITH b AS (SELECT CASE "
+    "  WHEN value >= 0.0 AND value < 5.0 THEN '0.0-5.0' "
+    "  WHEN value >= 5.0 AND value < 15.0 THEN '5.0-15.0' "
+    "  WHEN value >= 15.0 THEN '15.0-*' END AS bucket, value FROM events) "
+    "SELECT bucket, count(*) AS n, round(avg(value), 6) AS avg_value "
+    "FROM b WHERE bucket IS NOT NULL GROUP BY bucket",
+)
+def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range-aggregation analog: half-open [from, to) numeric buckets
+    (ES range agg contract: from inclusive, to exclusive, open-ended
+    last bucket) with count + avg metric sub-agg; one map-side combined
+    groupBy, no shuffle of raw rows beyond the bucket key."""
+    events = _read(spark, sf_dir, "events")
+    v = F.col("value")
+    bucket = F.lit(None).cast("string")
+    for lo, hi in reversed(_RANGE_BOUNDS):
+        if hi is None:
+            cond, label = v >= lo, f"{lo}-*"
+        else:
+            cond, label = (v >= lo) & (v < hi), f"{lo}-{hi}"
+        bucket = F.when(cond, F.lit(label)).otherwise(bucket)
+    return (
+        events.select(bucket.alias("bucket"), "value")
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+@register(
+    "facet_cardinality",
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users "
+    "FROM events GROUP BY event_type",
+)
+def q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality-aggregation analog: distinct users per event type.
+    The gate runs EXACT count_distinct (deterministic, oracle-matched);
+    at 100 TB swap in approx_count_distinct — Spark's HyperLogLog++, the
+    same sketch family ES cardinality uses (rsd-tunable, merge-able,
+    shuffle carries sketches not values). Exact distinct is a two-stage
+    partial agg (dedup map-side, count reduce-side), also scale-safe."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("users")
+    )
+
+
 def _recency_sql(half_life: float = 30.0, origin: str = "2026-01-01") -> str:
     qvals = []
     for qid, text in GATE_BM25_QUERIES:
@@ -2059,6 +2112,87 @@ def q_bm25_topk_stopworded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_topk_dataframe(
         idx, queries_df(spark, qrows), round_scores=ROUND_SCORE
     )
+
+
+# =================================================================
+# ES bool query: must / should / must_not / filter + msm (§2.3)
+# =================================================================
+
+GATE_BOOL_QUERIES = [
+    {"query_id": "b0", "must": "spark query", "should": "merge", "k": GATE_BM25_K},
+    {"query_id": "b1", "must": "window", "must_not": "customer", "k": GATE_BM25_K},
+    {"query_id": "b2", "should": "hash scan merge", "minimum_should_match": 2,
+     "k": GATE_BM25_K},
+    {"query_id": "b3", "must": "data", "filter": "table", "k": GATE_BM25_K},
+    {"query_id": "b4", "must": "zznope", "k": GATE_BM25_K},  # -> no rows
+]
+
+
+def _bool_sql() -> str:
+    from connectors_spark.operators.query import bool_clause_rows
+
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    qvals = ", ".join(
+        f"('{qid}', {k}, {msm}, '{term}', '{role}')"
+        for qid, k, msm, term, role in bool_clause_rows(GATE_BOOL_QUERIES)
+    )
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(query_id, k, msm, term, role) AS (VALUES {qvals}),
+contrib AS (
+  SELECT qt.query_id, qt.k, qt.msm, tf.doc_id, qt.term, qt.role, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, k, msm, doc_id,
+    round(sum(CASE WHEN role IN ('must','should') THEN w ELSE 0 END),
+          {ROUND_SCORE}) AS score,
+    count(DISTINCT CASE WHEN role = 'must' THEN term END) AS n_must,
+    count(DISTINCT CASE WHEN role = 'should' THEN term END) AS n_should,
+    count(DISTINCT CASE WHEN role = 'must_not' THEN term END) AS n_not,
+    count(DISTINCT CASE WHEN role = 'filter' THEN term END) AS n_filter
+  FROM contrib GROUP BY query_id, k, msm, doc_id
+),
+req AS (
+  SELECT query_id,
+    count(DISTINCT CASE WHEN role = 'must' THEN term END) AS req_must,
+    count(DISTINCT CASE WHEN role = 'filter' THEN term END) AS req_filter
+  FROM qt GROUP BY query_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scored s JOIN req USING (query_id)
+  WHERE s.n_must = req.req_must AND s.n_filter = req.req_filter
+    AND s.n_not = 0 AND s.n_should >= s.msm
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_bool_query", _bool_sql())
+def q_bm25_bool_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bool` compound query: must (required + scoring), should
+    (optional scoring, minimum_should_match), must_not (exclusion),
+    filter (required, NON-scoring) — Lucene BooleanQuery semantics
+    (operators/query.py:score_bool_topk). The reference's content
+    indices answer exactly this compound shape after sync (es/
+    sink.py:212-248 delegates it to ES)."""
+    from connectors_spark.operators.query import bool_clauses_df, score_bool_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    clauses = bool_clauses_df(spark, GATE_BOOL_QUERIES)
+    return score_bool_topk(idx, clauses, round_scores=ROUND_SCORE)
 
 
 # =================================================================

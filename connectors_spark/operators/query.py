@@ -203,6 +203,116 @@ def expand_terms_prefix(lexicon: DataFrame, qdf: DataFrame,
     )
 
 
+BOOL_ROLES = ("must", "should", "must_not", "filter")
+
+
+def bool_clause_rows(queries: list[dict]) -> list[tuple]:
+    """Shared spec -> (query_id, k, msm, term, role) rows, used verbatim
+    by the Spark side AND the DuckDB oracle so clause analysis and the
+    ES default-msm rule (1 when should-only, else 0) cannot drift."""
+    from connectors_spark.functions.analysis import tokenize_py
+
+    rows = []
+    for q in queries:
+        k = int(q.get("k", 10))
+        has_must = bool(q.get("must")) or bool(q.get("filter"))
+        msm = int(q.get(
+            "minimum_should_match",
+            1 if q.get("should") and not has_must else 0,
+        ))
+        for role in BOOL_ROLES:
+            text = q.get(role)
+            if not text:
+                continue
+            for term in sorted(set(tokenize_py(text))):
+                rows.append((q["query_id"], k, msm, term, role))
+    return rows
+
+
+def bool_clauses_df(spark: SparkSession, queries: list[dict]) -> DataFrame:
+    """(query_id, k, msm, term, role) from bool-query specs:
+    [{query_id, k, must: "text", should: "...", must_not: "...",
+      filter: "...", minimum_should_match: int}]."""
+    return spark.createDataFrame(
+        bool_clause_rows(queries),
+        "query_id string, k int, msm int, term string, role string",
+    )
+
+
+def score_bool_topk(index: IndexFrames, clauses: DataFrame,
+                    k1: float = BM25_K1, b: float = BM25_B,
+                    round_scores: int | None = None,
+                    broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """(query_id, rank, doc_id, score): the Elasticsearch `bool` query —
+    the reference's content indices answer exactly this compound shape
+    after sync (scoring delegated to ES, reference: app/
+    connectors_service/connectors/es/sink.py:212-248; Lucene
+    BooleanQuery semantics are public):
+
+    - `must` terms: required (conjunction) AND contribute BM25 score;
+    - `should` terms: optional, contribute score; a query's `msm`
+      (minimum_should_match) requires that many distinct should terms;
+    - `must_not` terms: any match excludes the doc (no score impact);
+    - `filter` terms: required but NON-scoring (ES filter context).
+    A term appearing in several clauses contributes once per clause
+    (Lucene sums clause scores independently).
+
+    Same scale shape as score_topk_dataframe: distinct-term BM25 weights
+    computed once, broadcast clause expansion, ONE (query, doc) agg
+    shuffle; requirements (n distinct must/filter terms) ride a broadcast.
+    """
+    dterms = clauses.select("term").distinct()
+    lex = index.lexicon.join(F.broadcast(dterms), "term")
+    docs_dl = index.docs.select("doc_id", "dl")
+    if index.n_docs <= broadcast_docs_max:
+        docs_dl = F.broadcast(docs_dl)
+    tw = (
+        index.postings.join(F.broadcast(dterms), "term")
+        .join(F.broadcast(lex), "term")
+        .join(docs_dl, "doc_id")
+        .select(
+            "term", "doc_id",
+            (
+                idf_col(index.n_docs, F.col("df"))
+                * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
+            ).alias("w"),
+        )
+    )
+    contrib = tw.join(F.broadcast(clauses), "term")
+    scoring = F.col("role").isin("must", "should")
+    scored = contrib.groupBy("query_id", "k", "msm", "doc_id").agg(
+        F.sum(F.when(scoring, F.col("w")).otherwise(F.lit(0.0))).alias("score"),
+        F.count_distinct(
+            F.when(F.col("role") == "must", F.col("term"))).alias("_n_must"),
+        F.count_distinct(
+            F.when(F.col("role") == "should", F.col("term"))).alias("_n_should"),
+        F.count_distinct(
+            F.when(F.col("role") == "must_not", F.col("term"))).alias("_n_not"),
+        F.count_distinct(
+            F.when(F.col("role") == "filter", F.col("term"))).alias("_n_filter"),
+    )
+    req = clauses.groupBy("query_id").agg(
+        F.count_distinct(
+            F.when(F.col("role") == "must", F.col("term"))).alias("_req_must"),
+        F.count_distinct(
+            F.when(F.col("role") == "filter", F.col("term"))).alias("_req_filter"),
+    )
+    out = scored.join(F.broadcast(req), "query_id").filter(
+        (F.col("_n_must") == F.col("_req_must"))
+        & (F.col("_n_filter") == F.col("_req_filter"))
+        & (F.col("_n_not") == 0)
+        & (F.col("_n_should") >= F.col("msm"))
+    )
+    if round_scores is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_scores))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def _query_parts(qdf: DataFrame, allowed_re: str) -> DataFrame:
     """(query_id, k, pat): whitespace-split, lowercased query parts kept
     only when they match `allowed_re` (pattern syntax guard)."""
