@@ -1243,6 +1243,108 @@ def q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "facet_percentiles",
+    "SELECT event_type, round(quantile_cont(value, 0.50), 6) AS p50, "
+    "round(quantile_cont(value, 0.95), 6) AS p95, "
+    "round(quantile_cont(value, 0.99), 6) AS p99 "
+    "FROM events GROUP BY event_type",
+)
+def q_facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles-aggregation analog: exact interpolated percentiles
+    per group (Spark `percentile` == DuckDB quantile_cont, parity
+    verified). At 100 TB swap in percentile_approx (Greenwald-Khanna,
+    mergeable sketches — the t-digest role ES plays); exact percentile
+    is itself a partial-aggregated sketch-free two-stage agg here."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+_SIGTERMS_FG = "src18"
+
+
+@register(
+    "significant_terms",
+    f"""
+WITH {_TF_CTE},
+fg AS (SELECT doc_id FROM documents WHERE source = '{_SIGTERMS_FG}'),
+fgt AS (SELECT term, count(*) AS fg_df FROM tf JOIN fg USING (doc_id) GROUP BY term),
+bgt AS (SELECT term, count(*) AS bg_df FROM tf GROUP BY term),
+tot AS (
+  SELECT (SELECT count(*) FROM fg) * 1.0 AS fg_n,
+         (SELECT count(*) FROM documents) * 1.0 AS bg_n
+),
+scored AS (
+  SELECT f.term, f.fg_df, b.bg_df,
+         round(((f.fg_df / t.fg_n) - (b.bg_df / t.bg_n))
+               * ((f.fg_df / t.fg_n) / (b.bg_df / t.bg_n)), 6) AS score
+  FROM fgt f JOIN bgt b USING (term) CROSS JOIN tot t
+),
+r AS (
+  SELECT term, fg_df, bg_df, score,
+         row_number() OVER (ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT term, CAST(fg_df AS BIGINT) AS fg_df, CAST(bg_df AS BIGINT) AS bg_df,
+       score
+FROM r WHERE rk <= 15
+""",
+)
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms aggregation: terms over-represented in a
+    foreground doc set (source = src18) vs the corpus, JLH-scored
+    (functions/text.py:significant_terms). Doubles as the corpus-drift
+    probe of the training-data pipeline."""
+    from connectors_spark.functions.text import significant_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return significant_terms(docs, F.col("source") == _SIGTERMS_FG, top_n=15)
+
+
+GATE_SUGGEST_INPUTS = ["spakr", "windoow", "mrege", "zzzqqq", "hash"]
+
+
+@register(
+    "term_suggester",
+    f"""
+WITH {_TF_CTE},
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qraw(input) AS (VALUES {', '.join(f"('{s}')" for s in GATE_SUGGEST_INPUTS)}),
+cand AS (
+  SELECT q.input, d.term AS suggestion,
+         levenshtein(d.term, q.input) AS dist, d.df
+  FROM qraw q JOIN dfreq d
+    ON substr(d.term, 1, 1) = substr(q.input, 1, 1)
+   AND levenshtein(d.term, q.input) <= 2
+),
+r AS (
+  SELECT input, suggestion, dist, df,
+         row_number() OVER (PARTITION BY input
+                            ORDER BY dist ASC, df DESC, suggestion ASC) AS rk
+  FROM cand
+)
+SELECT input, suggestion, CAST(dist AS INT) AS dist, CAST(df AS BIGINT) AS df
+FROM r WHERE rk <= 3
+""",
+)
+def q_term_suggester(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester ("did you mean"): per misspelled input, the
+    closest lexicon terms by (edit distance, df) —
+    operators/query.py:suggest_terms."""
+    from connectors_spark.operators.query import suggest_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    inputs = spark.createDataFrame(
+        [(s,) for s in GATE_SUGGEST_INPUTS], "input string")
+    return suggest_terms(idx.lexicon, inputs, max_dist=2, prefix_len=1,
+                         top_n=3)
+
+
 def _recency_sql(half_life: float = 30.0, origin: str = "2026-01-01") -> str:
     qvals = []
     for qid, text in GATE_BM25_QUERIES:

@@ -163,3 +163,52 @@ def highlight_snippets(docs: DataFrame, qterms: DataFrame, window: int = 30,
             ).alias("snippet"),
         )
     )
+
+
+def significant_terms(df: DataFrame, fg: Column, text_col: str = "text",
+                      doc_id_col: str = "doc_id", top_n: int = 15,
+                      round_to: int = 6) -> DataFrame:
+    """(term, fg_df, bg_df, score): the ES significant_terms aggregation
+    — terms over-represented in the FOREGROUND doc set (`fg` boolean
+    Column) vs the whole corpus, scored with ES's JLH heuristic
+    (public): (fg% - bg%) * (fg% / bg%). Ties (score DESC, term ASC),
+    top_n kept. Plan: one tokenize pass, per-term df aggregated with a
+    conditional count for the foreground (map-side combined — the fg
+    flag rides the token rows, so there is ONE shuffle keyed on term,
+    no separate foreground scan). The reference delegates this agg to
+    ES after sync (es/sink.py:212-248); significant-term surfacing is
+    also the classic corpus-drift probe for training-data pipelines."""
+    from connectors_spark.functions.analysis import tokenize
+
+    flagged = df.withColumn("_fg", fg)
+    toks = tokenize(flagged, text_col, doc_id_col).join(
+        flagged.select(F.col(doc_id_col).alias("doc_id"), "_fg"), "doc_id"
+    )
+    per_term = (
+        toks.select("term", "doc_id", "_fg").distinct()
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("bg_df"),
+            F.sum(F.when(F.col("_fg"), 1).otherwise(0)).alias("fg_df"),
+        )
+        .filter(F.col("fg_df") > 0)
+    )
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("_bg_n"),
+        F.sum(F.when(F.col("_fg"), 1).otherwise(0)).alias("_fg_n"),
+    )
+    fg_pct = F.col("fg_df") / F.col("_fg_n")
+    bg_pct = F.col("bg_df") / F.col("_bg_n")
+    scored = per_term.crossJoin(F.broadcast(totals)).select(
+        "term", "fg_df", "bg_df",
+        F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), round_to).alias("score"),
+    )
+    # top-n via orderBy+limit => TakeOrderedAndProject: per-partition
+    # heaps + tiny driver merge, NOT a single-task global window (the
+    # scored frame is vocabulary-sized, which at 10^12 docs is billions
+    # of rows)
+    return (
+        scored.orderBy(F.desc("score"), F.asc("term"))
+        .limit(top_n)
+        .select("term", "fg_df", "bg_df", "score")
+    )

@@ -388,6 +388,36 @@ def expand_terms_regexp(lexicon: DataFrame, qdf: DataFrame,
     return _expanded_query_text(top)
 
 
+def suggest_terms(lexicon: DataFrame, inputs: DataFrame,
+                  max_dist: int = 2, prefix_len: int = 1,
+                  top_n: int = 3) -> DataFrame:
+    """(input, suggestion, dist, df): the ES term suggester
+    ("did you mean") — per input term, the lexicon terms within
+    levenshtein distance <= max_dist sharing the first `prefix_len`
+    chars, ranked (distance ASC, df DESC, term ASC), top_n kept.
+    `inputs`: one column `input`. Same broadcast-against-lexicon shape
+    as the fuzzy expander: one narrow lexicon scan, no postings touched;
+    exact self-matches (distance 0) rank first, matching ES's
+    suggest_mode=always behavior."""
+    cand = lexicon.select("term", "df").join(
+        F.broadcast(inputs.select("input").distinct()),
+        (F.substring("term", 1, prefix_len)
+         == F.substring("input", 1, prefix_len))
+        & (F.levenshtein(F.col("term"), F.col("input")) <= max_dist),
+    ).select(
+        "input", F.col("term").alias("suggestion"),
+        F.levenshtein(F.col("term"), F.col("input")).alias("dist"), "df",
+    )
+    w = Window.partitionBy("input").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("suggestion")
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_n)
+        .select("input", "suggestion", "dist", "df")
+    )
+
+
 def with_recency_decay(scored: DataFrame, ts_df: DataFrame, origin: str,
                        half_life_days: float, k: int | None = None,
                        ts_col: str = "ts",
