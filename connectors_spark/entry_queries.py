@@ -1972,6 +1972,70 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ES match_phrase_prefix: phrase whose LAST term is a prefix
+GATE_PHRASE_PREFIX = [
+    ("pp0", ["table", "sc"]),   # "table scan..."
+    ("pp1", ["the", "fa"]),     # "the fast..."
+    ("pp2", ["big", "zz"]),     # no expansion -> no rows
+]
+
+_PP_SQL_PARTS = []
+for _pid, _terms in GATE_PHRASE_PREFIX:
+    _joins = []
+    for _i, _t in enumerate(_terms[1:-1], start=1):
+        _joins.append(
+            f"JOIN toks t{_i} ON t{_i}.doc_id = t0.doc_id "
+            f"AND t{_i}.pos = t0.pos + {_i} AND t{_i}.t = '{_t}'"
+        )
+    _last = len(_terms) - 1
+    _joins.append(
+        f"JOIN toks t{_last} ON t{_last}.doc_id = t0.doc_id "
+        f"AND t{_last}.pos = t0.pos + {_last} "
+        f"AND starts_with(t{_last}.t, '{_terms[-1]}')"
+    )
+    _PP_SQL_PARTS.append(
+        f"SELECT '{_pid}' AS phrase_id, t0.doc_id, count(*) AS n_hits "
+        f"FROM toks t0 {' '.join(_joins)} WHERE t0.t = '{_terms[0]}' "
+        f"GROUP BY t0.doc_id"
+    )
+
+_PP_SQL = (
+    "WITH " + _DDB_TOKS_POS.strip() + " "
+    + " UNION ALL ".join(_PP_SQL_PARTS)
+)
+
+
+@register("phrase_prefix_match", _PP_SQL)
+def q_phrase_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix analog: positional phrase where the last
+    term matches as a PREFIX (Lucene MultiPhraseQuery over the last
+    position's expansions). n_hits counts matching start positions; the
+    compressed-index top-k variant is IndexReader.phrase_prefix_topk."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    out = None
+    for pid, terms in GATE_PHRASE_PREFIX:
+        t0 = toks.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        cur = t0
+        for i, t in enumerate(terms[1:], start=1):
+            is_last = i == len(terms) - 1
+            cond = (F.col("term").startswith(t) if is_last
+                    else (F.col("term") == t))
+            ti = toks.filter(cond).select(
+                F.col("doc_id").alias("_d"), F.col("pos").alias(f"p{i}")
+            )
+            cur = cur.join(
+                ti,
+                (cur.doc_id == ti._d) & (ti[f"p{i}"] == F.col("p0") + i),
+            ).drop("_d")
+        hits = cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")) \
+            .select(F.lit(pid).alias("phrase_id"), "doc_id", "n_hits")
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
 # =================================================================
 # Set operations (§2.7): intersect / except / union-dedup
 # =================================================================

@@ -973,6 +973,81 @@ class IndexReader:
             .select("query_id", "rank", "doc_id", "score")
         )
 
+    def phrase_prefix_topk(self, phrases: list[dict],
+                           max_expansions: int = 50,
+                           max_groups: int = DEFAULT_MAX_GROUPS) -> DataFrame:
+        """ES match_phrase_prefix over the compressed positional index:
+        the LAST whitespace part of query_text is a prefix; it expands to
+        the `max_expansions` highest-df matching lexicon terms (Lucene
+        MultiPhraseQuery's last-position term set, top-terms order), each
+        variant runs through the distributed phrase kernel, and per
+        (query, doc) the BEST variant score wins (score DESC, doc ASC).
+        The expansion is one column-pruned scan of the term metadata —
+        prefixes cannot bucket-prune (bucket = hash(term)), which is the
+        same full-dictionary walk Lucene does for leading prefix terms.
+        """
+        from connectors_spark.functions.analysis import tokenize_py
+
+        per_q = []
+        for q in phrases:
+            parts = (q["query_text"] or "").lower().split()
+            if not parts:
+                continue
+            head = tokenize_py(" ".join(parts[:-1]))
+            per_q.append((q["query_id"], int(q.get("k", 10)), head, parts[-1]))
+        empty = self.spark.createDataFrame(
+            [], "query_id string, rank int, doc_id string, score double"
+        )
+        if not per_q:
+            return empty
+        from functools import reduce as _py_reduce
+
+        prefixes = sorted({p for _, _, _, p in per_q})
+        cond = _py_reduce(
+            lambda a, b: a | b,
+            [F.col("term").startswith(p) for p in prefixes],
+        )
+        cand = (
+            self.postings.select("term", "df")
+            .filter(cond)
+            .groupBy("term").agg(F.max("df").alias("df"))
+            .collect()
+        )
+        df_by_term = {r.term: int(r.df) for r in cand}
+        variants = []
+        for qid, k, head, prefix in per_q:
+            exp = sorted(
+                (t for t in df_by_term if t.startswith(prefix)),
+                key=lambda t: (-df_by_term[t], t),
+            )[:max_expansions]
+            for v_i, term in enumerate(exp):
+                variants.append({
+                    "query_id": f"{qid}\x00{v_i}",
+                    "query_text": " ".join(head + [term]),
+                    "k": k,
+                })
+        if not variants:
+            return empty
+        raw = self.phrase_topk(variants, max_groups=max_groups)
+        base = raw.withColumn(
+            "query_id", F.substring_index(F.col("query_id"), "\x00", 1)
+        )
+        best = base.groupBy("query_id", "doc_id").agg(
+            F.max("score").alias("score")
+        )
+        kmap = self.spark.createDataFrame(
+            [(qid, k) for qid, k, _, _ in per_q], "query_id string, k int"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            best.join(F.broadcast(kmap), "query_id")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
 
 def query_index(
     spark: SparkSession,

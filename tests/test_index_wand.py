@@ -401,3 +401,62 @@ def test_direct_write_equals_committer_path(spark, tmp_path):
     b = sorted((x.query_id, x.rank, x.doc_id, round(x.score, 9))
                for x in r2.topk(qs).collect())
     assert a == b and a
+
+
+def test_phrase_prefix_topk_matches_position_join(spark, tmp_path):
+    """ES match_phrase_prefix through the compressed positional index:
+    the matched doc set must equal the brute-force position-join analog
+    (any expansion of the last-prefix completes the phrase), ranks are
+    deterministic and k-bounded, no-expansion prefixes return nothing."""
+    from pyspark.sql import functions as F
+
+    from connectors_spark.functions.analysis import tokenize
+    from connectors_spark.operators.build import build_index_transcripts, with_doc_id
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+    from connectors_spark.synth import synth_transcripts
+
+    path = str(tmp_path / "ppidx")
+    t = synth_transcripts(spark, 40, seed=5)
+    write_encoded_index(build_index_transcripts(t, with_positions=True),
+                        path, n_buckets=16, shard_cap=1000)
+    reader = IndexReader(spark, path, cache=False)
+
+    # pick a real adjacent pair from the corpus to guarantee matches
+    toks = tokenize(with_doc_id(t), "text", "doc_id").cache()
+    pair = (
+        toks.alias("a").join(
+            toks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        ).select(F.col("a.term").alias("t0"), F.col("b.term").alias("t1"))
+        .groupBy("t0", "t1").count().orderBy(F.desc("count")).first()
+    )
+    head, nxt = pair.t0, pair.t1
+    # synth vocab is t%05d — a 5-char prefix expands to ~10 terms, well
+    # under max_expansions, so brute force and capped expansion agree
+    prefix = nxt[:5]
+    qs = [
+        {"query_id": "pp", "query_text": f"{head} {prefix}", "k": 1000},
+        {"query_id": "none", "query_text": f"{head} zzzzzz", "k": 10},
+    ]
+    got = reader.phrase_prefix_topk(qs, max_expansions=50).collect()
+    assert not [r for r in got if r.query_id == "none"]
+    got_docs = {r.doc_id for r in got if r.query_id == "pp"}
+
+    # brute force: docs with (head, any term starting with prefix) adjacent
+    a, b = toks.alias("a"), toks.alias("b")
+    exp_docs = {
+        r.doc_id for r in a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        ).filter(
+            (F.col("a.term") == head) & F.col("b.term").startswith(prefix)
+        ).select(F.col("a.doc_id").alias("doc_id")).distinct().collect()
+    }
+    assert got_docs == exp_docs and got_docs
+    # deterministic ranking: rerun identical
+    again = reader.phrase_prefix_topk(qs, max_expansions=50).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9))
+                              for r in rows)
+    assert key(got) == key(again)
