@@ -1972,6 +1972,178 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+GATE_MULTI_MATCH = [
+    ("m0", "spark src18"),
+    ("m1", "query src7"),
+    ("m2", "merge sort"),
+    ("m3", "src3"),
+]
+_MM_BOOST_SOURCE = 2.0
+
+
+def _multi_match_sql() -> str:
+    w_text = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                      dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    w_src = bm25_sql(n_expr="stats2.n", df_expr="dfreq2.df",
+                     tf_expr="tf2.tf", dl_expr="dl2.dl",
+                     avgdl_expr="stats2.avgdl")
+    qvals = []
+    for qid, text in GATE_MULTI_MATCH:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+toks2 AS (
+  SELECT doc_id, unnest({tokenize_sql_duckdb('source')}) AS term FROM documents
+),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl2 AS (
+  SELECT d.doc_id, coalesce(t.dl, 0) AS dl FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id) t
+    USING (doc_id)
+),
+stats2 AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl2) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+qt(query_id, term) AS (VALUES {', '.join(qvals)}),
+c1 AS (
+  SELECT qt.query_id, tf.doc_id, {w_text} * 1.0 AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+c2 AS (
+  SELECT qt.query_id, tf2.doc_id, {w_src} * {_MM_BOOST_SOURCE} AS w
+  FROM qt JOIN tf2 USING (term) JOIN dfreq2 USING (term)
+  JOIN dl2 ON dl2.doc_id = tf2.doc_id CROSS JOIN stats2
+),
+allc AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM allc GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_multi_match", _multi_match_sql())
+def q_bm25_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match (type=most_fields): the same analyzed query runs
+    against the text field (boost 1) AND the source keyword field
+    (boost 2); per-field BM25 statistics, summed per doc — Lucene
+    per-field term stats (operators/query.py:score_multi_match)."""
+    from connectors_spark.operators.query import score_multi_match
+
+    docs = _read(spark, sf_dir, "documents")
+    idx_text = build_index(docs, with_positions=False)
+    idx_src = build_index(docs.select("doc_id", F.col("source").alias("text")),
+                          with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_MULTI_MATCH
+    ])
+    return score_multi_match(
+        [(idx_text, 1.0), (idx_src, _MM_BOOST_SOURCE)], qdf,
+        round_scores=ROUND_SCORE,
+    )
+
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com see https://ex.io/' || CAST(doc_id AS VARCHAR) || "
+    "' at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || ' end'"
+)
+
+
+@register(
+    "redact_pii",
+    """
+WITH t0 AS (SELECT doc_id, """ + _PII_AUG_SQL + """ AS s FROM documents),
+t1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+    regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+  FROM t0
+),
+t2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(s, 'https?://[^\\s]+')) AS BIGINT) AS n_url,
+    regexp_replace(s, 'https?://[^\\s]+', '<URL>', 'g') AS s
+  FROM t1
+),
+t3 AS (
+  SELECT doc_id, n_email, n_url,
+    CAST(len(regexp_extract_all(s, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+    regexp_replace(s, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS s
+  FROM t2
+)
+SELECT doc_id, n_email, n_url, n_ip, s AS clean_text FROM t3
+""",
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrub (functions/text.py:redact_pii): emails,
+    URLs and IPs replaced by typed placeholders with per-kind counts —
+    the gate augments each doc with deterministic PII built from its
+    doc_id so the machinery is exercised on non-trivial input."""
+    from connectors_spark.functions.text import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com see https://ex.io/"),
+            F.col("doc_id").cast("string"), F.lit(" at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(" end"),
+        ).alias("text"),
+    )
+    return redact_pii(aug).select(
+        "doc_id", "n_email", "n_url", "n_ip", "clean_text"
+    )
+
+
+@register(
+    "bigram_stats",
+    f"""
+WITH arrs AS (
+  SELECT {tokenize_sql_duckdb('text')} AS a FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS ngram
+  FROM arrs WHERE len(a) >= 2
+),
+c AS (SELECT ngram, count(*) AS n_occurrences FROM grams GROUP BY ngram),
+r AS (
+  SELECT ngram, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC) AS rk
+  FROM c
+)
+SELECT ngram, n_occurrences FROM r WHERE rk <= 20
+""",
+)
+def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics (functions/text.py:ngram_counts): top-20
+    adjacent word bigrams — the LM-training corpus statistic, built
+    inside the tokens array (no position self-join)."""
+    from connectors_spark.functions.text import ngram_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_counts(docs, n=2, top_n=20)
+
+
 # ES match_phrase_prefix: phrase whose LAST term is a prefix
 GATE_PHRASE_PREFIX = [
     ("pp0", ["table", "sc"]),   # "table scan..."

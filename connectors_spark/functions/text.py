@@ -212,3 +212,59 @@ def significant_terms(df: DataFrame, fg: Column, text_col: str = "text",
         .limit(top_n)
         .select("term", "fg_df", "bg_df", "score")
     )
+
+
+# Training-data scrubbing: the classic pre-training PII pass. Patterns
+# deliberately conservative + engine-portable (same semantics in Java
+# regex and DuckDB/RE2 — no lookarounds, no backrefs).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "clean_text") -> DataFrame:
+    """Adds `out_col` (text with emails/URLs/IPs replaced by typed
+    placeholder tokens) and one `n_<kind>` count column per pattern —
+    pure JVM regexp_replace/regexp_extract_all chain, whole-stage
+    codegen'd; order (email -> url -> ip) is fixed so counts compose
+    deterministically (each count is taken on the text AFTER the
+    previous kinds were replaced)."""
+    out = df
+    cleaned = F.col(text_col)
+    for kind, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(cleaned, F.lit(pat), F.lit(0))),
+        )
+        cleaned = F.regexp_replace(cleaned, pat, token)
+    return out.withColumn(out_col, cleaned)
+
+
+def ngram_counts(df: DataFrame, n: int = 2, text_col: str = "text",
+                 top_n: int = 20) -> DataFrame:
+    """(ngram, n_occurrences): corpus-level adjacent word n-gram counts,
+    top_n by (count DESC, ngram ASC) — the LM-training corpus statistic.
+    Token n-grams are built INSIDE the tokens array (one transform per
+    row, no position self-join), counted with a map-side-combined
+    groupBy, selected with distributed TakeOrdered."""
+    arr = tokens_col(F.col(text_col))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
+    grams = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(top_n)
+    )

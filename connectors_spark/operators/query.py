@@ -388,6 +388,57 @@ def expand_terms_regexp(lexicon: DataFrame, qdf: DataFrame,
     return _expanded_query_text(top)
 
 
+def score_multi_match(indexes: list[tuple[IndexFrames, float]],
+                      qdf: DataFrame,
+                      k1: float = BM25_K1, b: float = BM25_B,
+                      round_scores: int | None = None,
+                      broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES `multi_match` with
+    type=most_fields — the SAME analyzed query runs against every
+    field's index; per (query, doc) the per-field BM25 scores sum with
+    per-field boosts. Each field keeps its own statistics (df, dl,
+    avgdl, N), exactly Lucene's per-field term statistics. `indexes`:
+    [(IndexFrames_for_field, boost)] — all built over the same doc set.
+    Plan: the distinct-term weight pipeline per field, contributions
+    unioned, ONE (query, doc) agg shuffle, top-k window."""
+    qterms = query_terms(qdf)
+    dterms = qterms.select("term").distinct()
+    contribs = None
+    for index, boost in indexes:
+        lex = index.lexicon.join(F.broadcast(dterms), "term")
+        docs_dl = index.docs.select("doc_id", "dl")
+        if index.n_docs <= broadcast_docs_max:
+            docs_dl = F.broadcast(docs_dl)
+        tw = (
+            index.postings.join(F.broadcast(dterms), "term")
+            .join(F.broadcast(lex), "term")
+            .join(docs_dl, "doc_id")
+            .select(
+                "term", "doc_id",
+                (
+                    idf_col(index.n_docs, F.col("df"))
+                    * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl,
+                                  k1, b)
+                    * F.lit(float(boost))
+                ).alias("w"),
+            )
+        )
+        c = tw.join(F.broadcast(qterms), "term").select(
+            "query_id", "k", "doc_id", "w")
+        contribs = c if contribs is None else contribs.unionByName(c)
+    scored = contribs.groupBy("query_id", "k", "doc_id").agg(
+        F.sum("w").alias("score")
+    )
+    if round_scores is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_scores))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def suggest_terms(lexicon: DataFrame, inputs: DataFrame,
                   max_dist: int = 2, prefix_len: int = 1,
                   top_n: int = 3) -> DataFrame:
