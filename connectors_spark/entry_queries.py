@@ -1972,6 +1972,45 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _explain_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES[:3]:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {', '.join(qvals)})
+SELECT qt.query_id, tf.doc_id, qt.term,
+       CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
+       CAST(dl.dl AS BIGINT) AS dl, round({w}, {ROUND_SCORE}) AS weight
+FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+"""
+
+
+@register("explain_score", _explain_sql())
+def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_explain` API analog: per-term BM25 contribution breakdown
+    with the (tf, df, dl) statistics behind each weight
+    (operators/query.py:explain_score)."""
+    from connectors_spark.operators.query import explain_score
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_BM25_QUERIES[:3]
+    ])
+    return explain_score(idx, qdf, round_to=ROUND_SCORE)
+
+
 GATE_MULTI_MATCH = [
     ("m0", "spark src18"),
     ("m1", "query src7"),

@@ -439,6 +439,35 @@ def score_multi_match(indexes: list[tuple[IndexFrames, float]],
     )
 
 
+def explain_score(index: IndexFrames, qdf: DataFrame,
+                  k1: float = BM25_K1, b: float = BM25_B,
+                  round_to: int = 6) -> DataFrame:
+    """(query_id, doc_id, term, tf, df, dl, weight): the ES `_explain`
+    API analog — the per-term BM25 contribution breakdown for every
+    (query, matched doc) pair, with the statistics (tf, df, dl) that
+    produced each weight. sum(weight) over a (query, doc) group equals
+    the scorer's score by construction (same idf/tf_norm formulas,
+    operators/score.py). Same broadcast plan as the scorer minus the
+    aggregation — use on a narrowed query/doc set, like ES does."""
+    qterms = query_terms(qdf)
+    dterms = qterms.select("term").distinct()
+    lex = index.lexicon.join(F.broadcast(dterms), "term")
+    matched = (
+        index.postings.join(F.broadcast(dterms), "term")
+        .join(F.broadcast(lex), "term")
+        .join(index.docs.select("doc_id", "dl"), "doc_id")
+        .join(F.broadcast(qterms.select("query_id", "term")), "term")
+    )
+    w = (
+        idf_col(index.n_docs, F.col("df"))
+        * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
+    )
+    return matched.select(
+        "query_id", "doc_id", "term", "tf", "df", "dl",
+        F.round(w, round_to).alias("weight"),
+    )
+
+
 def suggest_terms(lexicon: DataFrame, inputs: DataFrame,
                   max_dist: int = 2, prefix_len: int = 1,
                   top_n: int = 3) -> DataFrame:

@@ -289,3 +289,26 @@ def test_kstem_build_matches_oracle(spark):
     # the stemmer did real work: inflected/irregular queries hit docs
     q3_docs = [g.doc_id for g in got if g.query_id == "q3"]
     assert "d6" in q3_docs
+
+
+def test_kstem_properties_random_words():
+    """Property coverage for kstem on arbitrary lowercase words:
+    deterministic, non-empty, never longer than input+1 (e-restoration
+    adds at most one char), idempotent (a stemmed form re-stems to
+    itself — build and query sides stem independently)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from connectors_spark.functions.stem import kstem_py
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=0,
+                   max_size=14))
+    def check(w):
+        s = kstem_py(w)
+        assert s == kstem_py(w)
+        assert s != "" or w == ""
+        assert len(s) <= len(w) + 1
+        assert kstem_py(s) == s, (w, s)
+
+    check()
