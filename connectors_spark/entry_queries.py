@@ -897,6 +897,45 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_fake_media(docs))
 
 
+@register("audio_features")  # rows-only: DuckDB cannot decode WAV PCM
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + features (no media libs needed): each doc gets
+    a deterministic PCM16 tone synthesized from its doc_id, encoded as a
+    RIFF/WAVE payload INSIDE a mapInPandas stage, decoded back by the
+    registered pure-NumPy WAV decoder, and reduced to rms /
+    zero-crossing / frame-energy features (operators/multimodal.py:
+    decode_wav_pcm, audio_features). Round-trip + feature math are
+    pytest-pinned; this gate drives the path at table scale."""
+    import numpy as _np
+    import pandas as _pd
+
+    from connectors_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_features, encode_wav_pcm,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                f0 = 100 + (int(d) % 40) * 10
+                t = _np.arange(800)
+                tone = (8000 * _np.sin(2 * _np.pi * f0 * t / 16000)
+                        ).astype(_np.int16)
+                rows.append({
+                    "doc_id": str(d), "media_type": "audio/wav",
+                    "content": bytearray(encode_wav_pcm(tone, 16000)),
+                    "meta": {"width": None, "height": None,
+                             "sample_rate": 16000, "duration_ms": 50},
+                })
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "content", "meta"])
+
+    media = docs.mapInPandas(make, schema=MEDIA_SCHEMA)
+    return audio_features(media)
+
+
 # =================================================================
 # Ingest-edge sanitize (reference sdk/source.py:656-691, utils.py:794-800)
 # =================================================================

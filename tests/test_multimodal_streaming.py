@@ -196,3 +196,80 @@ def test_stateful_streaming_error_monitor(spark, tmp_path):
     # batch 3: success resets consec but tripped stays latched
     got = run_batch(mk([(1, "ok")]))
     assert got[1].consec == 0 and got[1].tripped
+
+
+def test_ppm_decoder_roundtrip_and_resize(spark):
+    """REAL image decode (uncompressed Netpbm, pure NumPy): encode ->
+    decode round-trips exactly, comments/gray variants parse, and
+    resize_images runs the REGISTERED decoder (use_fake_decoder=False)
+    end to end — the r2 'codec registry still stubbed' boundary now
+    covers every uncompressed format."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from connectors_spark.operators.multimodal import (
+        decode_media, decode_ppm, encode_ppm, resize_images,
+    )
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, size=(5, 9), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+    # comment in header parses
+    with_comment = b"P5\n# a comment\n2 2\n255\n" + bytes([1, 2, 3, 4])
+    assert decode_ppm(with_comment).tolist() == [[1, 2], [3, 4]]
+    assert np.array_equal(
+        decode_media("image/x-portable-graymap", encode_ppm(gray)), gray)
+
+    rows = [("g1", "image/x-portable-graymap", bytearray(encode_ppm(gray)),
+             (9, 5, None, None))]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id string, media_type string, content binary, "
+        "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>",
+    )
+    out = resize_images(media, out_w=4, out_h=4,
+                        use_fake_decoder=False).collect()
+    assert len(out) == 1 and out[0].width == 4 and len(out[0].pixels) == 16
+    # deterministic: same input -> same raster
+    again = resize_images(media, out_w=4, out_h=4,
+                          use_fake_decoder=False).collect()
+    assert out[0].pixels == again[0].pixels
+
+
+def test_wav_pcm_decoder_and_audio_features(spark):
+    """REAL audio decode (RIFF/WAVE PCM16, pure NumPy): round-trip,
+    stereo shape, and the Arrow-batched audio feature extractor (rms /
+    zero-cross / frame energy) over the registered decoder."""
+    import numpy as np
+    from connectors_spark.operators.multimodal import (
+        audio_features, decode_wav_pcm, encode_wav_pcm,
+    )
+
+    t = np.arange(1600)
+    tone = (10_000 * np.sin(2 * np.pi * 440 * t / 16_000)).astype(np.int16)
+    stereo = np.stack([tone, (tone // 2)], axis=1)
+    wav = encode_wav_pcm(stereo, sample_rate=16_000)
+    back = decode_wav_pcm(wav)
+    assert back.shape == (1600, 2) and np.array_equal(back, stereo)
+
+    silence = encode_wav_pcm(np.zeros(800, dtype=np.int16))
+    rows = [
+        ("a1", "audio/wav", bytearray(wav), (None, None, 16_000, 100)),
+        ("a2", "audio/wav", bytearray(silence), (None, None, 16_000, 50)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id string, media_type string, content binary, "
+        "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>",
+    )
+    got = {r.doc_id: r for r in audio_features(media).collect()}
+    assert got["a1"].n_samples == 1600 and got["a1"].n_channels == 2
+    assert got["a1"].rms > 0.1 and got["a1"].zero_cross_rate > 0.01
+    assert got["a2"].rms == 0.0 and got["a2"].zero_cross_rate == 0.0
+    # compressed codecs remain a declared boundary
+    import pytest as _pytest
+    from connectors_spark.operators.multimodal import decode_media
+    with _pytest.raises(NotImplementedError):
+        decode_media("image/jpeg", b"\xff\xd8\xff")
