@@ -2139,6 +2139,139 @@ def q_bm25_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _collapse_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES[:4]:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {', '.join(qvals)}),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+keyed AS (
+  SELECT s.query_id, s.doc_id, d.source, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.source
+                            ORDER BY s.score DESC, s.doc_id ASC) AS grk
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, source, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM keyed WHERE grk = 1
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, source, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_topk_collapse", _collapse_sql())
+def q_bm25_topk_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing (`collapse` on source): per query, at most ONE
+    hit per source value — the group winner by (score DESC, doc ASC) —
+    then the winners re-ranked globally. Two windows, both
+    hash-partitioned by query (and collapse key), never a global sort."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": 1_000_000}
+        for qid, text in GATE_BM25_QUERIES[:4]
+    ])
+    scored = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE).drop("rank")
+    keyed = scored.join(docs.select("doc_id", "source"), "doc_id")
+    gw = Window.partitionBy("query_id", "source").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    winners = keyed.withColumn("_g", F.row_number().over(gw)).filter("_g = 1")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        winners.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= GATE_BM25_K)
+        .select("query_id", "rank", "doc_id", "source", "score")
+    )
+
+
+def _fvf_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES[:4]:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {', '.join(qvals)}),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS base
+  FROM contrib GROUP BY query_id, doc_id
+),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.base * ln(1.0 + d.n_chars), {ROUND_SCORE}) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM boosted
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_field_value_factor", _fvf_sql())
+def q_bm25_field_value_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score field_value_factor analog: score = BM25 *
+    ln(1 + n_chars) — a per-doc feature multiplier (the rank_feature /
+    popularity-boost pattern), applied by a broadcast-able doc-feature
+    join after scoring, then re-ranked."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": 1_000_000}
+        for qid, text in GATE_BM25_QUERIES[:4]
+    ])
+    scored = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE).drop("rank")
+    boosted = scored.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "query_id", "doc_id",
+        F.round(
+            F.col("score") * F.log(F.lit(1.0) + F.col("n_chars")), ROUND_SCORE
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        boosted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= GATE_BM25_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 _PII_AUG_SQL = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
     "'@example.com see https://ex.io/' || CAST(doc_id AS VARCHAR) || "
