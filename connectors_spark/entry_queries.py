@@ -848,6 +848,30 @@ def q_dls_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fls_mask",
+    "SELECT doc_id, CAST(NULL AS VARCHAR) AS text, lang, "
+    "CAST(NULL AS VARCHAR) AS source, n_chars FROM documents "
+    "WHERE list_has_any(['src:' || source, 'lang:' || lang], "
+    "['src:src3', 'lang:en'])",
+)
+def q_fls_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level security stacked on the DLS row filter: rows the
+    identity may see (DLS arrays_overlap), with only the granted fields
+    visible (FLS null-masking, schema stable) —
+    operators/access_control.py:apply_fls."""
+    from connectors_spark.operators.access_control import apply_fls
+
+    docs = _read(spark, sf_dir, "documents")
+    acl = F.array(
+        F.concat(F.lit("src:"), F.col("source")),
+        F.concat(F.lit("lang:"), F.col("lang")),
+    )
+    identities = F.array(F.lit("src:src3"), F.lit("lang:en"))
+    visible = docs.filter(F.arrays_overlap(acl, identities))
+    return apply_fls(visible, allowed_fields=["lang", "n_chars"])
+
+
 # =================================================================
 # Multimodal feature extraction (binary payload -> batched features)
 # =================================================================

@@ -58,3 +58,22 @@ def access_control_sync(identities: DataFrame, manifest: DataFrame) -> DataFrame
     return ops.join(
         identities.select("doc_id", "access_control"), "doc_id", "left"
     ).select("doc_id", "op", "access_control")
+
+
+def apply_fls(df: DataFrame, allowed_fields: list[str],
+              always_visible: tuple = ("doc_id",)) -> DataFrame:
+    """Field-level security: the ES FLS analog of the DLS row filter
+    (reference grants field_security alongside DLS in role definitions;
+    DLS analog entry_queries.q_dls_filter). ES omits ungranted fields
+    from _source; in a fixed-schema DataFrame the equivalent is masking
+    them to NULL — the SCHEMA stays stable for downstream plans while
+    the values are withheld. Pure projection: zero shuffle, column
+    pruning still reaches the scan for fully-masked columns when
+    downstream projections drop them."""
+    keep = set(allowed_fields) | set(always_visible)
+    cols = [
+        F.col(c) if c in keep
+        else F.lit(None).cast(df.schema[c].dataType).alias(c)
+        for c in df.columns
+    ]
+    return df.select(*cols)
