@@ -848,6 +848,41 @@ def q_dls_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _percolate_sql() -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        terms = sorted({t for t in text.lower().split() if t})
+        for term in terms:
+            qvals.append(f"('{qid}', '{term}')")
+    return f"""
+WITH {_TOKS_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+qt(query_id, term) AS (VALUES {', '.join(qvals)}),
+nt AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id),
+m AS (
+  SELECT dt.doc_id, qt.query_id, count(*) AS n_matched
+  FROM dt JOIN qt USING (term) GROUP BY dt.doc_id, qt.query_id
+)
+SELECT m.doc_id, m.query_id
+FROM m JOIN nt USING (query_id) WHERE m.n_matched = nt.n_terms
+"""
+
+
+@register("percolate", _percolate_sql())
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator: reverse search — every incoming doc matched
+    against the stored-query registry (operator=and match), one agg
+    shuffle (operators/query.py:percolate)."""
+    from connectors_spark.operators.query import percolate
+
+    docs = _read(spark, sf_dir, "documents")
+    stored = spark.createDataFrame(
+        [(qid, text) for qid, text in GATE_BM25_QUERIES],
+        "query_id string, query_text string",
+    )
+    return percolate(docs, stored, mode="and")
+
+
 @register(
     "fls_mask",
     "SELECT doc_id, CAST(NULL AS VARCHAR) AS text, lang, "

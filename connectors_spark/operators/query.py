@@ -439,6 +439,67 @@ def score_multi_match(indexes: list[tuple[IndexFrames, float]],
     )
 
 
+def search_indexes(named_indexes: list[tuple[str, IndexFrames]],
+                   qdf: DataFrame, k1: float = BM25_K1, b: float = BM25_B,
+                   round_scores: int | None = None) -> DataFrame:
+    """(query_id, rank, _index, doc_id, score): ES multi-index search
+    (comma/pattern index targets): every index scores with its OWN
+    corpus statistics (ES's default query_then_fetch — no global df),
+    the per-index top-k results merge per query (score DESC, index ASC,
+    doc ASC). Fetching k per index before the merge is exactly the ES
+    shard-merge contract and keeps the merge input at |indexes| * k
+    rows per query."""
+    per = None
+    for name, idx in named_indexes:
+        s = score_topk_dataframe(idx, qdf, k1=k1, b=b,
+                                 round_scores=round_scores)
+        s = s.drop("rank").withColumn("_index", F.lit(name))
+        per = s if per is None else per.unionByName(s)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("_index"), F.asc("doc_id")
+    )
+    kmap = qdf.select("query_id", "k").distinct()
+    return (
+        per.join(F.broadcast(kmap), "query_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "_index", "doc_id", "score")
+    )
+
+
+def percolate(docs: DataFrame, stored: DataFrame, mode: str = "and",
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, query_id): the ES percolator — REVERSE search, matching
+    incoming documents against a registry of STORED queries (ES
+    percolate: alerting / saved-search routing; the reference's
+    first-match sync rules are the ingest-side cousin). mode='and': a
+    stored query matches when ALL its analyzed terms occur in the doc
+    (match query, operator=and); mode='or': any term.
+
+    Plan: tokenize the incoming docs ONCE, distinct (doc, term), join
+    the broadcast stored-query term table, count distinct matched terms
+    per (doc, query) vs the query's term count — one agg shuffle keyed
+    on (doc, query), no per-query scans, scales with |docs| not
+    |docs| x |queries|."""
+    qterms = stored.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens_col(F.col("query_text")))).alias("term"),
+    )
+    nterms = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n_terms"))
+    doc_terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
+    )
+    matched = doc_terms.join(F.broadcast(qterms), "term").groupBy(
+        "doc_id", "query_id"
+    ).agg(F.count(F.lit(1)).alias("_n_matched"))
+    if mode == "and":
+        matched = matched.join(F.broadcast(nterms), "query_id").filter(
+            F.col("_n_matched") == F.col("_n_terms"))
+    return matched.select("doc_id", "query_id")
+
+
 def explain_score(index: IndexFrames, qdf: DataFrame,
                   k1: float = BM25_K1, b: float = BM25_B,
                   round_to: int = 6) -> DataFrame:

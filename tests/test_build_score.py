@@ -279,3 +279,41 @@ def test_recency_rescore_window(spark):
         b = base_by_rank[r.rank]
         assert (r.doc_id, r.score) == (b.doc_id, b.score)
         assert r.rank > 3
+
+
+def test_multi_index_search_merges_per_index_stats(spark):
+    """ES multi-index search: each index keeps its own BM25 statistics
+    (query_then_fetch — no global df); the merged top-k equals scoring
+    each half with its own oracle and merging (score DESC, index ASC,
+    doc ASC)."""
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, search_indexes
+    from connectors_spark.oracle import OracleIndex
+
+    rows = [(f"d{i:02d}", f"spark data {'query ' * (i % 3)}row value")
+            for i in range(20)]
+    half_a, half_b = rows[:10], rows[10:]
+    docs_a = spark.createDataFrame(half_a, "doc_id string, text string")
+    docs_b = spark.createDataFrame(half_b, "doc_id string, text string")
+    idx_a = build_index(docs_a, with_positions=False)
+    idx_b = build_index(docs_b, with_positions=False)
+    queries = [{"query_id": "q1", "query_text": "spark query", "k": 7},
+               {"query_id": "q2", "query_text": "value", "k": 5}]
+    got = search_indexes([("a", idx_a), ("b", idx_b)],
+                         queries_df(spark, queries),
+                         round_scores=6).collect()
+
+    merged = {}
+    for name, half in (("a", half_a), ("b", half_b)):
+        oracle = OracleIndex(half)
+        for qid, rank, doc, score in oracle.score_queryset(queries):
+            merged.setdefault(qid, []).append((round(score, 6), name, doc))
+    exp = []
+    for q in queries:
+        rows_q = sorted(merged.get(q["query_id"], []),
+                        key=lambda t: (-t[0], t[1], t[2]))[: q["k"]]
+        exp += [(q["query_id"], r + 1, nm, doc, sc)
+                for r, (sc, nm, doc) in enumerate(rows_q)]
+    got_t = sorted((g.query_id, g.rank, g["_index"], g.doc_id, g.score)
+                   for g in got)
+    assert got_t == sorted(exp)
