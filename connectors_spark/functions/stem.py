@@ -433,14 +433,18 @@ def kstem_py(word: str, lexicon: frozenset = KSTEM_LEXICON) -> str:
         if w.endswith("ies") and len(w) > 4:
             w2 = w[:-3] + "y"
         elif w.endswith("es") and len(w) > 3:
-            base = w[:-2]
-            # sibilant-stem plurals drop 'es'; otherwise keep the e
-            if base.endswith(("s", "z", "x", "ch", "sh")):
-                w2 = base
+            drop_s, base = w[:-1], w[:-2]
+            # dictionary gating FIRST (the KStem contract): 'houses' ->
+            # 'house' (drop s), 'churches' -> 'church' (drop es); only
+            # unknown stems fall to the sibilant heuristic
+            if drop_s in lexicon:
+                w2 = drop_s
             elif base in lexicon:
                 w2 = base
+            elif base.endswith(("s", "z", "x", "ch", "sh")):
+                w2 = base
             else:
-                w2 = w[:-1]
+                w2 = drop_s
         elif not w.endswith(("ss", "us")) and len(w) > 3:
             w2 = w[:-1]
         else:

@@ -260,15 +260,19 @@ def promote(store: str, gen_name: str) -> None:
     os.replace(tmp, os.path.join(store, CURRENT_FILE))
 
 
-def init_store(store: str, from_index: str | None = None,
+def init_store(store: str, from_index: str,
                gen_name: str = "gen-00000001") -> str:
-    """Create a serving store at `store`. With `from_index`, an existing
-    plain index dir is moved in as the first generation. Returns the
-    live generation dir."""
+    """Create a serving store at `store` from an EXISTING complete index
+    dir, moved in as the first generation; CURRENT is only written after
+    the move, so it always names a complete generation (the store
+    invariant readers rely on). To build in place: write the index into
+    `os.path.join(store, gen_name)` yourself, then call
+    `promote(store, gen_name)`. Returns the live generation dir."""
+    if not os.path.exists(os.path.join(from_index, "meta.json")):
+        raise ValueError(f"{from_index} is not a complete index dir")
     os.makedirs(store, exist_ok=True)
     gen_dir = os.path.join(store, gen_name)
-    if from_index is not None:
-        os.rename(from_index, gen_dir)
+    os.rename(from_index, gen_dir)
     promote(store, gen_name)
     return gen_dir
 

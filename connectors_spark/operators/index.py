@@ -312,7 +312,7 @@ def build_and_write_index(
     k1: float = BM25_K1,
     b: float = BM25_B,
     num_partitions: int | None = None,
-    direct_write: bool = True,
+    direct_write: bool | None = None,
 ) -> dict:
     """Fused fast path: transcripts -> encoded index in minimal shuffles.
 
@@ -337,6 +337,15 @@ def build_and_write_index(
     spark = transcripts.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+    if direct_write is None:
+        # task-side pyarrow writes need the output path visible to every
+        # task as a plain local path — auto-enable only in local mode on
+        # a scheme-less path; cluster/URI deployments keep the committer
+        # (or opt in explicitly after wiring pyarrow.fs)
+        direct_write = (
+            spark.sparkContext.master.startswith("local")
+            and "://" not in path
+        )
 
     from pyspark.sql import Observation
 
@@ -1007,19 +1016,30 @@ class IndexReader:
             lambda a, b: a | b,
             [F.col("term").startswith(p) for p in prefixes],
         )
-        cand = (
+        # cap the expansion IN SPARK (window per prefix) so the driver
+        # pull is bounded at |prefixes| * max_expansions rows even for a
+        # one-letter prefix over a 10^9-term lexicon
+        pref_df = self.spark.createDataFrame(
+            [(p,) for p in prefixes], "prefix string")
+        ranked = (
             self.postings.select("term", "df")
             .filter(cond)
             .groupBy("term").agg(F.max("df").alias("df"))
+            .join(F.broadcast(pref_df),
+                  F.col("term").startswith(F.col("prefix")))
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy("prefix").orderBy(
+                    F.desc("df"), F.asc("term"))))
+            .filter(F.col("_rn") <= max_expansions)
+            .select("prefix", "term")
             .collect()
         )
-        df_by_term = {r.term: int(r.df) for r in cand}
+        by_prefix: dict[str, list[str]] = {}
+        for r in ranked:
+            by_prefix.setdefault(r.prefix, []).append(r.term)
         variants = []
         for qid, k, head, prefix in per_q:
-            exp = sorted(
-                (t for t in df_by_term if t.startswith(prefix)),
-                key=lambda t: (-df_by_term[t], t),
-            )[:max_expansions]
+            exp = by_prefix.get(prefix, [])
             for v_i, term in enumerate(exp):
                 variants.append({
                     "query_id": f"{qid}\x00{v_i}",

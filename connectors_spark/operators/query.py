@@ -72,6 +72,35 @@ def boosted_query_terms(qdf: DataFrame) -> DataFrame:
     )
 
 
+def _distinct_term_weights(index: IndexFrames, dterms: DataFrame,
+                           k1: float, b: float,
+                           broadcast_docs_max: int) -> DataFrame:
+    """(term, doc_id, w): the shared distinct-term BM25 weight pipeline —
+    w = idf * tf_norm computed ONCE per matched (term, doc) pair.
+    Broadcasts: dterms, the matched lexicon slice, and the dl map when
+    n_docs <= broadcast_docs_max (exact decision — the operator knows
+    n_docs); beyond that the dl join shuffles (or denormalize dl into
+    postings at build time). Used by score_topk_dataframe,
+    score_bool_topk and score_multi_match so the weight formula and the
+    broadcast gate cannot drift between scorers."""
+    lex = index.lexicon.join(F.broadcast(dterms), "term")
+    docs_dl = index.docs.select("doc_id", "dl")
+    if index.n_docs <= broadcast_docs_max:
+        docs_dl = F.broadcast(docs_dl)
+    return (
+        index.postings.join(F.broadcast(dterms), "term")
+        .join(F.broadcast(lex), "term")
+        .join(docs_dl, "doc_id")
+        .select(
+            "term", "doc_id",
+            (
+                idf_col(index.n_docs, F.col("df"))
+                * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
+            ).alias("w"),
+        )
+    )
+
+
 def score_topk_dataframe(
     index: IndexFrames,
     qdf: DataFrame,
@@ -110,23 +139,7 @@ def score_topk_dataframe(
     """
     qterms = qterms_override if qterms_override is not None else query_terms(qdf)
     dterms = qterms.select("term").distinct()
-    # df per matched term — tiny (<= distinct query terms), broadcast it
-    lex = index.lexicon.join(F.broadcast(dterms), "term")
-    docs_dl = index.docs.select("doc_id", "dl")
-    if index.n_docs <= broadcast_docs_max:
-        docs_dl = F.broadcast(docs_dl)
-    tw = (
-        index.postings.join(F.broadcast(dterms), "term")
-        .join(F.broadcast(lex), "term")
-        .join(docs_dl, "doc_id")
-        .select(
-            "term", "doc_id",
-            (
-                idf_col(index.n_docs, F.col("df"))
-                * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
-            ).alias("w"),
-        )
-    )
+    tw = _distinct_term_weights(index, dterms, k1, b, broadcast_docs_max)
     contrib = tw.join(F.broadcast(qterms), "term")
     w_expr = (
         F.col("w") * F.col("boost") if "boost" in qterms.columns else F.col("w")
@@ -262,22 +275,7 @@ def score_bool_topk(index: IndexFrames, clauses: DataFrame,
     shuffle; requirements (n distinct must/filter terms) ride a broadcast.
     """
     dterms = clauses.select("term").distinct()
-    lex = index.lexicon.join(F.broadcast(dterms), "term")
-    docs_dl = index.docs.select("doc_id", "dl")
-    if index.n_docs <= broadcast_docs_max:
-        docs_dl = F.broadcast(docs_dl)
-    tw = (
-        index.postings.join(F.broadcast(dterms), "term")
-        .join(F.broadcast(lex), "term")
-        .join(docs_dl, "doc_id")
-        .select(
-            "term", "doc_id",
-            (
-                idf_col(index.n_docs, F.col("df"))
-                * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
-            ).alias("w"),
-        )
-    )
+    tw = _distinct_term_weights(index, dterms, k1, b, broadcast_docs_max)
     contrib = tw.join(F.broadcast(clauses), "term")
     scoring = F.col("role").isin("must", "should")
     scored = contrib.groupBy("query_id", "k", "msm", "doc_id").agg(
@@ -405,24 +403,8 @@ def score_multi_match(indexes: list[tuple[IndexFrames, float]],
     dterms = qterms.select("term").distinct()
     contribs = None
     for index, boost in indexes:
-        lex = index.lexicon.join(F.broadcast(dterms), "term")
-        docs_dl = index.docs.select("doc_id", "dl")
-        if index.n_docs <= broadcast_docs_max:
-            docs_dl = F.broadcast(docs_dl)
-        tw = (
-            index.postings.join(F.broadcast(dterms), "term")
-            .join(F.broadcast(lex), "term")
-            .join(docs_dl, "doc_id")
-            .select(
-                "term", "doc_id",
-                (
-                    idf_col(index.n_docs, F.col("df"))
-                    * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl,
-                                  k1, b)
-                    * F.lit(float(boost))
-                ).alias("w"),
-            )
-        )
+        tw = _distinct_term_weights(index, dterms, k1, b, broadcast_docs_max)
+        tw = tw.withColumn("w", F.col("w") * F.lit(float(boost)))
         c = tw.join(F.broadcast(qterms), "term").select(
             "query_id", "k", "doc_id", "w")
         contribs = c if contribs is None else contribs.unionByName(c)

@@ -222,13 +222,17 @@ def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
 
     def offer(doc: int, score: float):
         nonlocal theta
+        # theta is kept ONE FLOAT ULP BELOW the kth score: pruning uses
+        # `<= theta` / `> theta`, so a candidate TYING the kth score is
+        # never skipped and can still win on the doc-ASC tie-break (the
+        # seed path already guarantees this via nextafter in _theta_seed)
         if len(heap) < k:
             heapq.heappush(heap, (score, -doc))
             if len(heap) == k:
-                theta = max(theta, heap[0][0])
+                theta = max(theta, float(np.nextafter(heap[0][0], -np.inf)))
         elif score > heap[0][0] or (score == heap[0][0] and -doc > heap[0][1]):
             heapq.heapreplace(heap, (score, -doc))
-            theta = max(theta, heap[0][0])
+            theta = max(theta, float(np.nextafter(heap[0][0], -np.inf)))
 
     while True:
         live = [c for c in cursors if not c.exhausted]
