@@ -102,10 +102,14 @@ class ConnectorCatalog(CasDocStore):
 
         Returns the resulting validation state, or None when skipped.
         """
-        from connectors_spark.operators.rule_validation import (
-            FilteringValidator,
-        )
-        validator = validator or FilteringValidator()
+        if validator is None:
+            from connectors_spark.operators.rule_validation import (
+                validator_for,
+            )
+            # per-source-type validator registry (the reference routes
+            # each connector's advanced rules through its source class's
+            # validator list, sdk/filtering/validation.py:151-156)
+            validator = validator_for(self.get(cid)["service_type"])
 
         outcome: list = []
 
