@@ -1443,6 +1443,39 @@ def q_term_suggester(spark: SparkSession, sf_dir: str) -> DataFrame:
                          top_n=3)
 
 
+@register(
+    "facet_pipeline_aggs",
+    "WITH h AS ("
+    "  SELECT date_trunc('day', ts) AS bucket_day, count(*) AS n"
+    "  FROM events WHERE event_type = 'error' GROUP BY bucket_day"
+    ") SELECT bucket_day, n, "
+    "CAST(n - lag(n) OVER (ORDER BY bucket_day) AS BIGINT) AS derivative, "
+    "CAST(sum(n) OVER (ORDER BY bucket_day ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative "
+    "FROM h",
+)
+def q_facet_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations over a date_histogram: `derivative`
+    (bucket-to-bucket delta via lag) and `cumulative_sum` — the
+    trend-detection shapes ES layers on parent buckets. The window runs
+    over the tiny BUCKET frame (one row per day), not the raw events, so
+    the unpartitioned window is bounded by the calendar, not the data."""
+    events = _read(spark, sf_dir, "events")
+    h = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("bucket_day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("bucket_day")
+    return h.select(
+        "bucket_day", "n",
+        (F.col("n") - F.lag("n").over(w)).alias("derivative"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cumulative"),
+    )
+
+
 def _recency_sql(half_life: float = 30.0, origin: str = "2026-01-01") -> str:
     qvals = []
     for qid, text in GATE_BM25_QUERIES:
