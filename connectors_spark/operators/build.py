@@ -52,9 +52,16 @@ class IndexFrames:
 
 def build_index(docs_base: DataFrame, stop_words: list[str] | None = None,
                 with_positions: bool = True, text_col: str = "text",
-                doc_id_col: str = "doc_id", stemmer: str = "none") -> IndexFrames:
+                doc_id_col: str = "doc_id", stemmer: str = "none",
+                denormalize_dl: bool = False) -> IndexFrames:
     """Build over any table with (doc_id, text) — e.g. the documents
-    testdata table or doc-id'd transcripts (see build_index_transcripts)."""
+    testdata table or doc-id'd transcripts (see build_index_transcripts).
+
+    denormalize_dl=True stores dl ON the posting rows (one extra build-
+    time join, amortized over every query): the DataFrame scorers then
+    skip the per-query dl join entirely — the scale path once n_docs
+    exceeds the scorer's broadcast threshold (the impact-ordered-index
+    denormalization trick; encoded shards already store dls)."""
     if doc_id_col != "doc_id":
         docs_base = docs_base.withColumn("doc_id", F.col(doc_id_col))
     toks = tokenize(docs_base, text_col, "doc_id", stop_words, stemmer)
@@ -93,6 +100,8 @@ def build_index(docs_base: DataFrame, stop_words: list[str] | None = None,
         F.count(F.lit(1)), F.sum("dl")
     ).first()
     avgdl = float(sum_dl) / float(n_docs) if n_docs else 0.0
+    if denormalize_dl:
+        postings = postings.join(docs.select("doc_id", "dl"), "doc_id")
     return IndexFrames(postings=postings, docs=docs, lexicon=lexicon,
                        n_docs=int(n_docs), avgdl=avgdl)
 

@@ -84,20 +84,23 @@ def _distinct_term_weights(index: IndexFrames, dterms: DataFrame,
     score_bool_topk and score_multi_match so the weight formula and the
     broadcast gate cannot drift between scorers."""
     lex = index.lexicon.join(F.broadcast(dterms), "term")
-    docs_dl = index.docs.select("doc_id", "dl")
-    if index.n_docs <= broadcast_docs_max:
-        docs_dl = F.broadcast(docs_dl)
-    return (
-        index.postings.join(F.broadcast(dterms), "term")
-        .join(F.broadcast(lex), "term")
-        .join(docs_dl, "doc_id")
-        .select(
-            "term", "doc_id",
-            (
-                idf_col(index.n_docs, F.col("df"))
-                * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
-            ).alias("w"),
-        )
+    matched = index.postings.join(F.broadcast(dterms), "term").join(
+        F.broadcast(lex), "term"
+    )
+    if "dl" not in index.postings.columns:
+        # dl not denormalized onto the postings (build_index
+        # denormalize_dl=False): join the doc map — broadcast below the
+        # threshold, shuffle join beyond it
+        docs_dl = index.docs.select("doc_id", "dl")
+        if index.n_docs <= broadcast_docs_max:
+            docs_dl = F.broadcast(docs_dl)
+        matched = matched.join(docs_dl, "doc_id")
+    return matched.select(
+        "term", "doc_id",
+        (
+            idf_col(index.n_docs, F.col("df"))
+            * tf_norm_col(F.col("tf"), F.col("dl"), index.avgdl, k1, b)
+        ).alias("w"),
     )
 
 

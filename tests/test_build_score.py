@@ -317,3 +317,25 @@ def test_multi_index_search_merges_per_index_stats(spark):
     got_t = sorted((g.query_id, g.rank, g["_index"], g.doc_id, g.score)
                    for g in got)
     assert got_t == sorted(exp)
+
+
+def test_denormalized_dl_scores_identical(spark):
+    """build_index(denormalize_dl=True) stores dl on the posting rows so
+    the scorer plan has NO dl join at all — scores and ranks must be
+    identical to the joined path, and the plan must not touch the doc
+    map."""
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, score_topk_dataframe
+
+    rows = [(f"d{i}", "spark data " + "query " * (i % 4)) for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    qdf = queries_df(spark, [{"query_id": "q", "query_text": "spark query",
+                              "k": 15}])
+    base = build_index(docs, with_positions=False)
+    denorm = build_index(docs, with_positions=False, denormalize_dl=True)
+    assert "dl" in denorm.postings.columns
+    a = sorted((r.rank, r.doc_id, round(r.score, 9))
+               for r in score_topk_dataframe(base, qdf).collect())
+    b = sorted((r.rank, r.doc_id, round(r.score, 9))
+               for r in score_topk_dataframe(denorm, qdf).collect())
+    assert a == b and a
