@@ -2364,6 +2364,94 @@ def q_bm25_field_value_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DM_TIE = 0.3
+
+
+def _dis_max_sql() -> str:
+    w_text = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                      dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    w_src = bm25_sql(n_expr="stats2.n", df_expr="dfreq2.df",
+                     tf_expr="tf2.tf", dl_expr="dl2.dl",
+                     avgdl_expr="stats2.avgdl")
+    qvals = []
+    for qid, text in GATE_MULTI_MATCH:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+toks2 AS (
+  SELECT doc_id, unnest({tokenize_sql_duckdb('source')}) AS term FROM documents
+),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl2 AS (
+  SELECT d.doc_id, coalesce(t.dl, 0) AS dl FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id) t
+    USING (doc_id)
+),
+stats2 AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl2) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+qt(query_id, term) AS (VALUES {', '.join(qvals)}),
+c1 AS (
+  SELECT qt.query_id, tf.doc_id, 0 AS fld, {w_text} * 1.0 AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+c2 AS (
+  SELECT qt.query_id, tf2.doc_id, 1 AS fld, {w_src} * {_MM_BOOST_SOURCE} AS w
+  FROM qt JOIN tf2 USING (term) JOIN dfreq2 USING (term)
+  JOIN dl2 ON dl2.doc_id = tf2.doc_id CROSS JOIN stats2
+),
+allc AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+per_field AS (
+  SELECT query_id, doc_id, fld, sum(w) AS fs
+  FROM allc GROUP BY query_id, doc_id, fld
+),
+scored AS (
+  SELECT query_id, doc_id,
+         round(max(fs) + {_DM_TIE} * (sum(fs) - max(fs)), {ROUND_SCORE}) AS score
+  FROM per_field GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_dis_max", _dis_max_sql())
+def q_bm25_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=best_fields (Lucene DisjunctionMaxQuery): the
+    best field's score wins plus tie_breaker * the rest
+    (operators/query.py:score_multi_match match_type='best_fields')."""
+    from connectors_spark.operators.query import score_multi_match
+
+    docs = _read(spark, sf_dir, "documents")
+    idx_text = build_index(docs, with_positions=False)
+    idx_src = build_index(docs.select("doc_id", F.col("source").alias("text")),
+                          with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_MULTI_MATCH
+    ])
+    return score_multi_match(
+        [(idx_text, 1.0), (idx_src, _MM_BOOST_SOURCE)], qdf,
+        match_type="best_fields", tie_breaker=_DM_TIE,
+        round_scores=ROUND_SCORE,
+    )
+
+
 _PII_AUG_SQL = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
     "'@example.com see https://ex.io/' || CAST(doc_id AS VARCHAR) || "

@@ -393,27 +393,46 @@ def score_multi_match(indexes: list[tuple[IndexFrames, float]],
                       qdf: DataFrame,
                       k1: float = BM25_K1, b: float = BM25_B,
                       round_scores: int | None = None,
+                      match_type: str = "most_fields",
+                      tie_breaker: float = 0.0,
                       broadcast_docs_max: int = 2_000_000) -> DataFrame:
-    """(query_id, rank, doc_id, score): ES `multi_match` with
-    type=most_fields — the SAME analyzed query runs against every
-    field's index; per (query, doc) the per-field BM25 scores sum with
-    per-field boosts. Each field keeps its own statistics (df, dl,
-    avgdl, N), exactly Lucene's per-field term statistics. `indexes`:
-    [(IndexFrames_for_field, boost)] — all built over the same doc set.
-    Plan: the distinct-term weight pipeline per field, contributions
-    unioned, ONE (query, doc) agg shuffle, top-k window."""
+    """(query_id, rank, doc_id, score): ES `multi_match` — the SAME
+    analyzed query runs against every field's index; each field keeps
+    its own statistics (df, dl, avgdl, N), exactly Lucene's per-field
+    term statistics. `indexes`: [(IndexFrames_for_field, boost)] — all
+    built over the same doc set.
+
+    match_type='most_fields': per (query, doc) the per-field scores SUM.
+    match_type='best_fields': Lucene DisjunctionMaxQuery — the BEST
+    field's score wins, plus tie_breaker * (sum of the other fields'
+    scores); tie_breaker=0 is pure dis_max, 1.0 degenerates to
+    most_fields. Plan: the distinct-term weight pipeline per field,
+    contributions unioned with a field tag, ONE (query, doc[, field])
+    agg shuffle, top-k window."""
+    if match_type not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown multi_match type {match_type!r}")
     qterms = query_terms(qdf)
     dterms = qterms.select("term").distinct()
     contribs = None
-    for index, boost in indexes:
+    for fi, (index, boost) in enumerate(indexes):
         tw = _distinct_term_weights(index, dterms, k1, b, broadcast_docs_max)
         tw = tw.withColumn("w", F.col("w") * F.lit(float(boost)))
         c = tw.join(F.broadcast(qterms), "term").select(
-            "query_id", "k", "doc_id", "w")
+            "query_id", "k", "doc_id", "w", F.lit(fi).alias("_field"))
         contribs = c if contribs is None else contribs.unionByName(c)
-    scored = contribs.groupBy("query_id", "k", "doc_id").agg(
-        F.sum("w").alias("score")
-    )
+    if match_type == "most_fields":
+        scored = contribs.groupBy("query_id", "k", "doc_id").agg(
+            F.sum("w").alias("score")
+        )
+    else:
+        per_field = contribs.groupBy("query_id", "k", "doc_id", "_field").agg(
+            F.sum("w").alias("_fs")
+        )
+        scored = per_field.groupBy("query_id", "k", "doc_id").agg(
+            (F.max("_fs")
+             + F.lit(float(tie_breaker)) * (F.sum("_fs") - F.max("_fs"))
+             ).alias("score")
+        )
     if round_scores is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), round_scores))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
