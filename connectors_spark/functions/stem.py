@@ -402,6 +402,83 @@ view visit vote wait walk want warm warn watch water way we wear week
 well west what when where which while white who whole why wide will win
 window wire wish with word work world would wrap write year yes yet
 yield zero zone
+able above accept account achieve acquire adapt adjust admit adopt
+advance advise affect afford agent allow amount analyze announce
+appear apply approve argue arrive assess assign assume attach attempt
+attend avoid award balance become begin behave believe belong benefit
+board borrow bottle bottom branch breathe bridge brief bring broad
+brother budget burden burn busy button cache cancel capture career
+cause celebrate center chain chair challenge chance channel chapter
+charge chase cheap choice circle claim climb clock cluster coach
+collect college combine comfort command comment company compare
+compile complete concern conclude condition confirm congress consist
+constant consume contain contest context contract contrast contribute
+convert cook cool corner correct couple courage create credit crew
+critic crowd culture curious current curve custom cycle damage dance
+danger debate decade declare decline decrease defend define degree
+deliver demand depend deploy describe desert deserve destroy detect
+device devote differ digital direct discover discuss disease display
+distance divide doctor document dollar domain double doubt dozen
+dream dress drink driver during duty eager economy edition educate
+either elect element emerge employ enable encode encourage enemy
+energy engage enjoy enough ensure entire entry episode equal escape
+estimate evaluate evening exact examine example exceed exchange
+excite exercise exist expand expert explain explore express extend
+extra factor familiar famous fashion feature fellow female figure
+final finance finish flavor flight floor forest forget formal format
+former fortune forward frequent friend future garden gather general
+gentle glass global golden grammar grand gravity ground guarantee
+guest habit hammer happen harbor health heavy height hello hidden
+history hobby hollow honest honor horizon hotel hundred hunger hurry
+ignore illegal imagine impact import improve include income increase
+indeed industry inform initial inject injure inner insist install
+instance instead intend interest invest invite involve island item
+jacket journal journey judge junior justice knight labor ladder
+language launch lawyer leader legal lesson letter library license
+likely liquid listen little locate logic lonely lucky luxury machine
+magic major manner margin market master material matter mature
+maximum meaning medical medium mention message metal method middle
+military million minimum minor minute mirror mission mistake mobile
+moment monitor moral morning motion motor mountain movie multiple
+muscle music mutual narrow nation native nature nearly neither
+nervous network never noble normal notice notion novel nuclear
+obtain occur ocean offer office often opinion oppose option orange
+organ origin outer oxygen package palace panel paper parent partner
+party patient pattern peace people pepper perfect perform period
+permit person phone photo phrase physical picture pioneer pleasure
+plenty pocket poetry policy polite popular portion position positive
+possess possible powder practice praise predict prefer prepare
+present pretty prevent previous price pride primary prince princess
+private prize problem proceed product profile profit promise promote
+proper propose protect proud provide public publish purple purpose
+pursue quality quantity quarter quick quiet radio rather reach
+realize really recall receive recipe reckon recover reflect reform
+refuse regard regular reject relate release relief remember remind
+repeat replace reply request rescue research reserve resist resolve
+resource respect respond restore retain retire reveal revenue
+reverse ribbon river rocket rough royal rubber rural sacred sacrifice
+sadly salad salary sample satisfy sauce scatter scene schedule scheme
+scholar school science screen script season second secret section
+secure seldom senior sentence series serious service session settle
+seven severe shadow shallow shelter shine shoulder shout shower sight
+signal silent silver similar simple single sister situate sketch
+skill slight smart smile smooth society soldier solid solution
+someone sorry speak special species specific spirit sponsor spread
+spring square stable stadium staff standard statue status steady
+steel stick still stomach storage story strange street stretch
+strike string structure student studio study stuff subject submit
+substance succeed success sudden suffer suggest summer supreme
+surface surprise survey survive suspect sustain sweet symbol
+sympathy taste teach temple tender tension territory theater theory
+thick thunder ticket tight timber tissue title together tomorrow
+tongue topic total tourist toward tower trade tradition traffic
+tragedy trail transform translate travel treasure treat tremble
+trial tribe trouble trust tunnel twice ugly umbrella uncle under
+understand union unique unite universe unless until upset urban
+urgent usual vacuum valley various vehicle venture version victim
+victory village violent virtue vision visual vital voice volume
+wander waste weapon weather wedding weight welcome window winter
+wisdom witness wonder wooden worry worth wound yellow young
 """.split())
 
 
