@@ -1476,6 +1476,94 @@ def q_facet_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "facet_histogram",
+    "SELECT CAST(floor(value / 10.0) * 10 AS DOUBLE) AS bucket, "
+    "count(*) AS n FROM events GROUP BY bucket",
+)
+def q_facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation: fixed-interval numeric buckets
+    (interval=10, ES bucket key = floor(value/interval)*interval),
+    map-side combined."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            (F.floor(F.col("value") / 10.0) * 10)
+            .cast("double").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "facet_stats",
+    "SELECT event_type, CAST(count(value) AS BIGINT) AS cnt, "
+    "round(min(value), 6) AS mn, round(max(value), 6) AS mx, "
+    "round(avg(value), 6) AS avg_v, round(sum(value), 2) AS sum_v "
+    "FROM events GROUP BY event_type",
+)
+def q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats aggregation: count/min/max/avg/sum in one pass per
+    group — a single partial+final hash aggregate."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("value").alias("cnt"),
+        F.round(F.min("value"), 6).alias("mn"),
+        F.round(F.max("value"), 6).alias("mx"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+        F.round(F.sum("value"), 2).alias("sum_v"),
+    )
+
+
+# deterministic synthetic coordinates (documents carry no geo fields):
+# lat in [-60, 60), lon in [-180, 180), derived from doc_id identically
+# on both engines — same trick as the redact_pii gate's augmented text
+_GEO_LAT_SQL = "(CAST(doc_id * 7 % 120 AS DOUBLE) - 60.0)"
+_GEO_LON_SQL = "(CAST(doc_id * 13 % 360 AS DOUBLE) - 180.0)"
+_GEO_ORIGIN = (12.0, 34.0)  # query point (lat, lon)
+_GEO_RADIUS_KM = 3000.0
+
+
+@register(
+    "geo_distance",
+    f"""
+WITH pts AS (
+  SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM documents
+),
+d AS (
+  SELECT doc_id, lat, lon,
+         round(2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(lat - {_GEO_ORIGIN[0]}) / 2), 2)
+           + cos(radians({_GEO_ORIGIN[0]})) * cos(radians(lat))
+             * pow(sin(radians(lon - {_GEO_ORIGIN[1]}) / 2), 2)
+         )), 3) AS dist_km
+  FROM pts
+)
+SELECT doc_id, lat, lon, dist_km FROM d WHERE dist_km <= {_GEO_RADIUS_KM}
+""",
+)
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance query analog: haversine distance from a query
+    point, radius filter (documents carry no geo fields, so the gate
+    derives deterministic coordinates from doc_id on BOTH engines) —
+    pure JVM trig expressions, fully pushable."""
+    docs = _read(spark, sf_dir, "documents")
+    lat = ((F.col("doc_id") * 7 % 120).cast("double") - 60.0)
+    lon = ((F.col("doc_id") * 13 % 360).cast("double") - 180.0)
+    olat, olon = _GEO_ORIGIN
+    dist = F.round(
+        2 * 6371.0 * F.asin(F.sqrt(
+            F.pow(F.sin(F.radians(lat - olat) / 2), 2)
+            + F.cos(F.radians(F.lit(olat))) * F.cos(F.radians(lat))
+            * F.pow(F.sin(F.radians(lon - olon) / 2), 2)
+        )), 3,
+    )
+    return (
+        docs.select("doc_id", lat.alias("lat"), lon.alias("lon"),
+                    dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= _GEO_RADIUS_KM)
+    )
+
+
 def _recency_sql(half_life: float = 30.0, origin: str = "2026-01-01") -> str:
     qvals = []
     for qid, text in GATE_BM25_QUERIES:
