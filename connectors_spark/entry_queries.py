@@ -1564,6 +1564,87 @@ def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEOTILE_Z = 4  # 2^4 x 2^4 world grid
+
+
+@register(
+    "geotile_grid",
+    f"""
+WITH pts AS (
+  SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM documents
+),
+t AS (
+  SELECT
+    CAST(floor((lon + 180.0) / 360.0 * {1 << _GEOTILE_Z}) AS BIGINT) AS tx,
+    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+         / 2.0 * {1 << _GEOTILE_Z}) AS BIGINT) AS ty
+  FROM pts
+)
+SELECT '{_GEOTILE_Z}/' || CAST(tx AS VARCHAR) || '/' || CAST(ty AS VARCHAR)
+       AS tile, count(*) AS n
+FROM t GROUP BY tile
+""",
+)
+def q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid aggregation: web-mercator z/x/y tile buckets
+    (the ES tile-key convention '{z}/{x}/{y}') over the deterministic
+    doc_id-derived coordinates — pure JVM trig, map-side combined."""
+    docs = _read(spark, sf_dir, "documents")
+    lat = ((F.col("doc_id") * 7 % 120).cast("double") - 60.0)
+    lon = ((F.col("doc_id") * 13 % 360).cast("double") - 180.0)
+    n_tiles = 1 << _GEOTILE_Z
+    tx = F.floor((lon + 180.0) / 360.0 * n_tiles).cast("long")
+    ty = F.floor(
+        (1.0 - F.log(F.tan(F.radians(lat)) + 1.0 / F.cos(F.radians(lat)))
+         / F.lit(float(__import__("math").pi))) / 2.0 * n_tiles
+    ).cast("long")
+    return (
+        docs.select(
+            F.concat_ws("/", F.lit(str(_GEOTILE_Z)), tx, ty).alias("tile")
+        ).groupBy("tile").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_COMPOSITE_AFTER = ("en", "src12")  # after-key (lang, source)
+_COMPOSITE_SIZE = 8
+
+
+@register(
+    "composite_agg",
+    f"""
+WITH b AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+),
+page AS (
+  SELECT lang, source, n,
+         row_number() OVER (ORDER BY lang ASC, source ASC) AS rk
+  FROM b
+  WHERE (lang > '{_COMPOSITE_AFTER[0]}')
+     OR (lang = '{_COMPOSITE_AFTER[0]}' AND source > '{_COMPOSITE_AFTER[1]}')
+)
+SELECT lang, source, n FROM page WHERE rk <= {_COMPOSITE_SIZE}
+""",
+)
+def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation: keyset-paginated multi-source buckets —
+    buckets ordered by their composite key, resumed strictly AFTER the
+    after-key, `size` per page (the agg ES recommends for full bucket
+    exports; same keyset idea as search_after for hits)."""
+    docs = _read(spark, sf_dir, "documents")
+    b = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    a_lang, a_src = _COMPOSITE_AFTER
+    page = b.filter(
+        (F.col("lang") > a_lang)
+        | ((F.col("lang") == a_lang) & (F.col("source") > a_src))
+    )
+    w = Window.orderBy(F.asc("lang"), F.asc("source"))
+    return (
+        page.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _COMPOSITE_SIZE)
+        .select("lang", "source", "n")
+    )
+
+
 def _recency_sql(half_life: float = 30.0, origin: str = "2026-01-01") -> str:
     qvals = []
     for qid, text in GATE_BM25_QUERIES:
