@@ -157,7 +157,8 @@ def incremental_update(spark: SparkSession, path: str,
                     rows.append({"term": row["term"], "dead": n_dead})
             yield pd.DataFrame(rows, columns=["term", "dead"])
 
-    base_postings = spark.read.parquet(f"{path}/postings")
+    from connectors_spark.operators.index import read_postings
+    base_postings = read_postings(spark, path)
     prior = [spark.read.parquet(f"{path}/delta/{int(d['gen'])}/postings")
              for d in meta.get("deltas", [])]
     allp = base_postings

@@ -258,13 +258,16 @@ def make_encode_write_partition(avgdl: float, k1: float, b: float,
     renames O(files) outputs (that commit pass is a fixed driver cost
     that eats N->4N scaling, measured in tools/scaling_probe.py).
 
-    File names are deterministic per Spark partition id, so a retried
-    task overwrites its own output (idempotent). Caveat: a zombie
-    concurrent attempt could interleave writes — on a real cluster pair
-    this with attempt-suffixed names + reading via the returned manifest
-    (Iceberg-style); in-sandbox Spark local mode never runs duplicate
-    attempts. Requires a task-visible filesystem (local dir here; an
-    object store via pyarrow.fs in cluster deployments)."""
+    File names are `part-p<pid>-a<attempt>.parquet` — attempt-suffixed
+    (Iceberg/table-format pattern), so concurrent attempts of the same
+    partition (speculative execution, zombie tasks on a real cluster)
+    never interleave writes into one file. Spark surfaces only the
+    WINNING attempt's manifest rows to the driver, which persists them as
+    `postings_manifest.json`; readers resolve files through that manifest
+    (read_postings), so a loser attempt's orphan files are invisible even
+    if they land after the build commits. Requires a task-visible
+    filesystem (local dir here; an object store via pyarrow.fs in cluster
+    deployments)."""
     enc = make_encode_partition(avgdl, k1, b)
 
     def run(batches):
@@ -272,7 +275,9 @@ def make_encode_write_partition(avgdl: float, k1: float, b: float,
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        att = tc.attemptNumber()
         schema = _arrow_encoded_schema()
         writers: dict[int, tuple] = {}
         rows: dict[int, int] = {}
@@ -286,7 +291,7 @@ def make_encode_write_partition(avgdl: float, k1: float, b: float,
                 if w is None:
                     d = os.path.join(out_dir, f"bucket={b_}")
                     os.makedirs(d, exist_ok=True)
-                    fp = os.path.join(d, f"part-p{pid:05d}.parquet")
+                    fp = os.path.join(d, f"part-p{pid:05d}-a{att}.parquet")
                     w = (pq.ParquetWriter(fp, schema), fp)
                     writers[b_] = w
                     rows[b_] = 0
@@ -403,6 +408,11 @@ def build_and_write_index(
             ).collect()
             if not manifest:  # empty corpus: still need a readable dir
                 direct_write = False
+            else:
+                # Iceberg-style commit: persist the winner file list,
+                # then best-effort-GC loser-attempt orphans
+                write_postings_manifest(path, manifest)
+                gc_unmanifested(path)
         if not direct_write:
             encoded = sorted_p.mapInPandas(
                 make_encode_partition(avgdl, k1, b),
@@ -432,6 +442,65 @@ def read_meta(path: str) -> dict:
         return json.load(f)
 
 
+POSTINGS_MANIFEST = "postings_manifest.json"
+
+
+def write_postings_manifest(path: str, manifest_rows) -> list[str]:
+    """Persist the winner-attempt file list (relative to postings/) —
+    the Iceberg-style commit record. `manifest_rows` are the rows the
+    driver collected from make_encode_write_partition: Spark only
+    surfaces output from the attempt that WON each partition, so files a
+    loser/zombie attempt wrote are absent here and stay invisible to
+    readers forever (read_postings resolves through this file)."""
+    post_dir = os.path.join(path, "postings")
+    rel = sorted({os.path.relpath(r["file"], post_dir) for r in manifest_rows})
+    tmp = os.path.join(path, f".{POSTINGS_MANIFEST}.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump({"files": rel}, f)
+    os.replace(tmp, os.path.join(path, POSTINGS_MANIFEST))
+    return rel
+
+
+def gc_unmanifested(path: str) -> list[str]:
+    """Best-effort cleanup of orphan posting files a loser attempt left
+    behind (speculative execution / zombie tasks). Correctness never
+    depends on this — manifest-resolved reads skip orphans regardless;
+    this just reclaims space. A still-running zombie may recreate its
+    file after GC; rerun later or lifecycle-expire on an object store."""
+    post_dir = os.path.join(path, "postings")
+    mf = os.path.join(path, POSTINGS_MANIFEST)
+    if not os.path.isdir(post_dir) or not os.path.exists(mf):
+        return []
+    with open(mf) as f:
+        keep = set(json.load(f)["files"])
+    removed = []
+    for root, _dirs, files in os.walk(post_dir):
+        for fn in files:
+            fp = os.path.join(root, fn)
+            if os.path.relpath(fp, post_dir) not in keep:
+                os.remove(fp)
+                removed.append(fp)
+    return removed
+
+
+def read_postings(spark: SparkSession, path: str) -> DataFrame:
+    """Open the base postings of an index dir. When a direct-write
+    manifest exists, read exactly the manifested files (basePath keeps
+    the hive `bucket=` partition column) so loser-attempt orphans are
+    invisible; committer-written indexes fall back to directory listing
+    (the committer already guarantees only winner output is visible)."""
+    post_dir = f"{path}/postings"
+    mf = os.path.join(path, POSTINGS_MANIFEST)
+    if os.path.exists(mf):
+        with open(mf) as f:
+            files = json.load(f)["files"]
+        if files:
+            return spark.read.option("basePath", post_dir).parquet(
+                *[os.path.join(post_dir, f) for f in files]
+            )
+    return spark.read.parquet(post_dir)
+
+
 class IndexReader:
     """Cached handle on an encoded index — reuse across queries so
     per-query latency is kernel time, not parquet listing/scan time.
@@ -455,9 +524,7 @@ class IndexReader:
         self.meta = read_meta(path)
         deltas = self.meta.get("deltas", [])
         self.gen_avgdl = {0: self.meta.get("gen0_avgdl", self.meta["avgdl"])}
-        postings = spark.read.parquet(f"{path}/postings").withColumn(
-            "_gen", F.lit(0)
-        )
+        postings = read_postings(spark, path).withColumn("_gen", F.lit(0))
         docmap = spark.read.parquet(f"{path}/docmap").select("doc_idx", "doc_id")
         dead_df = None
         tombs = []

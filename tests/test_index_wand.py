@@ -1,6 +1,8 @@
 """M3/M4: compressed index + WAND — rank identity vs oracle and vs the
 DataFrame scorer, with hot-term sharding forced on (tiny shard_cap)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -401,6 +403,51 @@ def test_direct_write_equals_committer_path(spark, tmp_path):
     b = sorted((x.query_id, x.rank, x.doc_id, round(x.score, 9))
                for x in r2.topk(qs).collect())
     assert a == b and a
+
+
+def test_manifest_reads_hide_zombie_attempt_files(spark, tmp_path):
+    """Direct writes are attempt-suffixed and readers resolve files
+    through postings_manifest.json, so an orphan file a zombie/loser
+    attempt leaves in a bucket dir is invisible: query results are
+    identical before and after the orphan lands, and gc_unmanifested
+    removes exactly the orphan (round-3 roadmap: Iceberg-style commit)."""
+    import glob as _glob
+    import shutil
+
+    from connectors_spark.operators.index import (
+        IndexReader, build_and_write_index, gc_unmanifested,
+    )
+    from connectors_spark.synth import synth_queries, synth_transcripts
+
+    t = synth_transcripts(spark, 60, seed=7)
+    path = str(tmp_path / "zidx")
+    build_and_write_index(t, path, n_buckets=8, shard_cap=500,
+                          direct_write=True)
+    files = _glob.glob(f"{path}/postings/bucket=*/part-*.parquet")
+    assert files and all("-a" in os.path.basename(f) for f in files)
+
+    qs = synth_queries(10, seed=8)
+    before = sorted((x.query_id, x.rank, x.doc_id, round(x.score, 9))
+                    for x in IndexReader(spark, path, cache=False)
+                    .topk(qs).collect())
+    assert before
+
+    # simulate a zombie attempt: a duplicate of a winner file under a
+    # different attempt suffix (same schema, duplicate postings — would
+    # double-count every score if it were read)
+    victim = files[0]
+    zombie = victim.replace("-a0.parquet", "-a1.parquet")
+    assert zombie != victim
+    shutil.copyfile(victim, zombie)
+
+    after = sorted((x.query_id, x.rank, x.doc_id, round(x.score, 9))
+                   for x in IndexReader(spark, path, cache=False)
+                   .topk(qs).collect())
+    assert after == before
+
+    removed = gc_unmanifested(path)
+    assert removed == [zombie]
+    assert os.path.exists(victim) and not os.path.exists(zombie)
 
 
 def test_phrase_prefix_topk_matches_position_join(spark, tmp_path):
