@@ -1645,6 +1645,350 @@ def q_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FILTER_BUCKETS = [
+    ("errors", "event_type = 'error'"),
+    ("big_value", "value >= 100.0"),
+    ("early_users", "user_id < 10"),
+]
+
+
+@register(
+    "facet_filters",
+    " UNION ALL ".join(
+        [f"SELECT '{n}' AS bucket, count(*) AS n, "
+         f"round(avg(value), 6) AS avg_value FROM events WHERE {c}"
+         for n, c in _FILTER_BUCKETS]
+        + ["SELECT '_global_' AS bucket, count(*) AS n, "
+           "round(avg(value), 6) AS avg_value FROM events"]
+    ),
+)
+def q_facet_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `filters` aggregation (+ `global` bucket): named predicate
+    buckets that may OVERLAP (one event can land in several), each with
+    count + avg sub-agg, plus the unfiltered `_global_` context bucket.
+    One pass: each row emits the array of bucket names it matches
+    (Catalyst `when` per filter, nulls compacted away), explode, one
+    map-side-combined groupBy — no per-filter rescan of the table, which
+    is what makes N named filters O(1) scans at 100 TB."""
+    events = _read(spark, sf_dir, "events")
+    names = F.array_compact(F.array(
+        F.lit("_global_"),
+        *[F.when(F.expr(cond), F.lit(name))
+          for name, cond in _FILTER_BUCKETS],
+    ))
+    return (
+        events.select(F.explode(names).alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+_DATE_RANGES = [(None, "2024-01-10"), ("2024-01-10", "2024-01-20"),
+                ("2024-01-20", None)]
+
+
+@register(
+    "facet_date_range",
+    "WITH b AS (SELECT CASE "
+    "  WHEN ts <  TIMESTAMP '2024-01-10' THEN '*-2024-01-10' "
+    "  WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' "
+    "    THEN '2024-01-10-2024-01-20' "
+    "  ELSE '2024-01-20-*' END AS bucket, value FROM events) "
+    "SELECT bucket, count(*) AS n, round(avg(value), 6) AS avg_value "
+    "FROM b GROUP BY bucket",
+)
+def q_facet_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_range aggregation: half-open [from, to) timestamp buckets
+    with open-ended first/last (same contract as the numeric range agg:
+    from inclusive, to exclusive), count + avg metric sub-agg. At scale
+    the range predicates push down to parquet min/max pruning when the
+    table is ts-partitioned (date ranges are partition filters)."""
+    events = _read(spark, sf_dir, "events")
+    ts = F.col("ts")
+    bucket = F.lit(None).cast("string")
+    for lo, hi in reversed(_DATE_RANGES):
+        lo_s, hi_s = lo or "*", hi or "*"
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ts >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (ts < F.lit(hi).cast("timestamp"))
+        bucket = F.when(cond, F.lit(f"{lo_s}-{hi_s}")).otherwise(bucket)
+    return (
+        events.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+@register(
+    "facet_missing",
+    "SELECT coalesce(nullif(source, 'src0'), '_missing_') AS bucket, "
+    "count(*) AS n FROM documents GROUP BY bucket",
+)
+def q_facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `missing` aggregation composed with terms: docs whose field is
+    NULL route to the `_missing_` bucket (ES terms agg `missing`
+    parameter / standalone missing agg). The synth tables are fully
+    dense, so the gate derives a nullable field deterministically
+    (source 'src0' -> NULL) on BOTH engines; the operator pattern —
+    coalesce to a sentinel BEFORE the groupBy so null-routing costs no
+    extra pass — is what is under test."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.coalesce(F.nullif(F.col("source"), F.lit("src0")),
+                       F.lit("_missing_")).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "facet_multi_terms",
+    "WITH b AS (SELECT lang, source, count(*) AS n "
+    "FROM documents GROUP BY lang, source), "
+    "r AS (SELECT *, row_number() OVER "
+    "(ORDER BY n DESC, lang ASC, source ASC) AS rk FROM b) "
+    "SELECT lang, source, n FROM r WHERE rk <= 5",
+)
+def q_facet_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation: buckets keyed by a COMPOSITE of
+    fields (lang, source), top-5 by doc count (deterministic key
+    tie-break). Unlike `composite` this ranks by count, like `terms` but
+    multi-key. Single groupBy + tiny top-k — the row explosion ES warns
+    about (|lang| x |source| buckets) is just a shuffle key here."""
+    docs = _read(spark, sf_dir, "documents")
+    b = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("lang"), F.asc("source"))
+    return (
+        b.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select("lang", "source", "n")
+    )
+
+
+@register(
+    "facet_weighted_avg",
+    "SELECT event_type, "
+    "round(sum(value * CAST(json_extract_string(props, '$.k') AS DOUBLE)) "
+    "      / sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) "
+    "AS wavg FROM events GROUP BY event_type",
+)
+def q_facet_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg aggregation: sum(value*weight)/sum(weight) per
+    bucket, weight pulled from a JSON payload field (props.k) — the
+    shape ES uses for e.g. rating-count-weighted scores. Both sides
+    extract the weight with their native JSON path function; the agg is
+    two partial sums, fully map-side combinable."""
+    events = _read(spark, sf_dir, "events")
+    wcol = F.get_json_object("props", "$.k").cast("double")
+    return (
+        events.select("event_type", "value", wcol.alias("w"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum(F.col("value") * F.col("w")) / F.sum("w"), 6)
+             .alias("wavg"))
+    )
+
+
+_RARE_MAX_DOC_COUNT = 55
+
+
+@register(
+    "facet_rare_terms",
+    f"SELECT user_id, count(*) AS n FROM events "
+    f"GROUP BY user_id HAVING count(*) <= {_RARE_MAX_DOC_COUNT}",
+)
+def q_facet_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms aggregation: values of a keyword field occurring in
+    at most max_doc_count docs — the long-tail complement of `terms`
+    (ES implements it with a CuckooFilter to avoid a full sort; here the
+    exact groupBy+HAVING is itself scale-safe: partial counts map-side,
+    the filter drops the head before any collect)."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _RARE_MAX_DOC_COUNT)
+    )
+
+
+@register(
+    "facet_top_hits",
+    "WITH r AS (SELECT lang, doc_id, n_chars, row_number() OVER "
+    "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank "
+    "FROM documents) "
+    "SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_chars "
+    "FROM r WHERE rank <= 3",
+)
+def q_facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits sub-aggregation: the top-3 documents per bucket by a
+    sort (n_chars DESC, doc_id tie-break), returned WITH their source
+    fields — per-bucket best exemplars. Hash-partitioned window (rank
+    <= k), no global sort; identical shape to topk_per_user, applied to
+    agg buckets."""
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "rank", "doc_id", "n_chars")
+    )
+
+
+_ADJ_FILTERS = [
+    ("err", "event_type = 'error'"),
+    ("big", "value >= 100.0"),
+    ("early", "user_id < 10"),
+]
+
+
+def _adjacency_sql() -> str:
+    parts = []
+    for i, (n1, c1) in enumerate(_ADJ_FILTERS):
+        parts.append(
+            f"SELECT '{n1}' AS key, count(*) AS n FROM events WHERE {c1}"
+        )
+        for n2, c2 in _ADJ_FILTERS[i + 1:]:
+            parts.append(
+                f"SELECT '{n1}&{n2}' AS key, count(*) AS n "
+                f"FROM events WHERE ({c1}) AND ({c2})"
+            )
+    return ("SELECT key, n FROM (" + " UNION ALL ".join(parts)
+            + ") WHERE n > 0")
+
+
+@register("facet_adjacency_matrix", _adjacency_sql())
+def q_facet_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation: for named filters, the count of
+    docs matching each filter AND each pairwise intersection (key
+    'a&b'), empty buckets omitted — the co-occurrence matrix ES builds
+    for graph-y dashboards. One pass: each row emits its matched-filter
+    array, pairs are generated per-row from that array (Catalyst
+    transform/flatten — no self-join of the table with itself), then a
+    single groupBy. An N-filter matrix stays one scan + one shuffle."""
+    events = _read(spark, sf_dir, "events")
+    matched = F.array_compact(F.array(
+        *[F.when(F.expr(c), F.lit(n)) for n, c in _ADJ_FILTERS]
+    ))
+    # pairwise keys from the matched array, ES key convention 'a&b' in
+    # filter-declaration order (array order preserves it)
+    pairs = F.flatten(F.expr(
+        "transform(_m, (x, i) -> "
+        "transform(slice(_m, i + 2, size(_m)), y -> concat(x, '&', y)))"
+    ))
+    return (
+        events.select(matched.alias("_m"))
+        .select(F.explode(F.concat(F.col("_m"), pairs)).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0)
+    )
+
+
+_BUCKET_SEL_MIN_RATE = 0.15
+
+
+@register(
+    "facet_bucket_script",
+    "WITH b AS (SELECT date_trunc('day', ts) AS bucket_day, "
+    "count(*) AS n, "
+    "count(*) FILTER (WHERE event_type = 'error') AS errors "
+    "FROM events GROUP BY bucket_day) "
+    "SELECT bucket_day, n, CAST(errors AS BIGINT) AS errors, "
+    "round(errors * 1.0 / n, 6) AS error_rate "
+    f"FROM b WHERE errors * 1.0 / n > {_BUCKET_SEL_MIN_RATE}",
+)
+def q_facet_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script + bucket_selector pipeline aggs: a per-bucket
+    derived metric (error_rate = errors/total over daily buckets) and a
+    selector that drops buckets failing the predicate. Both run on the
+    already-aggregated bucket frame — zero extra passes over raw rows,
+    exactly how ES evaluates pipeline scripts over the agg tree."""
+    events = _read(spark, sf_dir, "events")
+    b = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+    )
+    return (
+        b.withColumn("error_rate",
+                     F.round(F.col("errors") / F.col("n"), 6))
+        .filter(F.col("error_rate") > _BUCKET_SEL_MIN_RATE)
+    )
+
+
+@register(
+    "facet_moving_fn",
+    "WITH b AS (SELECT event_type, date_trunc('day', ts) AS bucket_day, "
+    "count(*) AS n FROM events GROUP BY event_type, bucket_day) "
+    "SELECT event_type, bucket_day, n, "
+    "round(avg(n) OVER w7, 6) AS moving_avg7, "
+    "CAST(coalesce(n - lag(n) OVER "
+    "  (PARTITION BY event_type ORDER BY bucket_day), 0) AS BIGINT) "
+    "AS serial_diff "
+    "FROM b WINDOW w7 AS (PARTITION BY event_type ORDER BY bucket_day "
+    "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)",
+)
+def q_facet_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn + serial_diff pipeline aggs over a date_histogram:
+    trailing 7-bucket moving average and first-order difference of the
+    daily count, per parent bucket (event_type). Windows are PARTITIONED
+    by the parent bucket key — the frame after aggregation is tiny
+    (days x types), so the window never sees raw-row volume. First
+    bucket's serial_diff coalesces to 0 (ES emits no value there)."""
+    events = _read(spark, sf_dir, "events")
+    b = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket_day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bucket_day")
+    w7 = w.rowsBetween(-6, 0)
+    return b.select(
+        "event_type", "bucket_day", "n",
+        F.round(F.avg("n").over(w7), 6).alias("moving_avg7"),
+        F.coalesce(
+            F.col("n") - F.lag("n").over(w), F.lit(0)
+        ).cast("long").alias("serial_diff"),
+    )
+
+
+@register(
+    "matrix_stats",
+    "SELECT count(*) AS n, "
+    "round(avg(value), 6) AS mean_value, "
+    "round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) "
+    "  AS mean_k, "
+    "round(var_samp(value), 6) AS var_value, "
+    "round(covar_samp(value, "
+    "  CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS covar, "
+    "round(corr(value, "
+    "  CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) "
+    "  AS correlation "
+    "FROM events",
+)
+def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats aggregation: multi-field second-order statistics
+    (mean, variance, covariance, Pearson correlation) between `value`
+    and the JSON payload weight `props.k` in one streaming pass — all
+    five are single-pass partial-aggregable moments, so the 100 TB cost
+    is one scan + a one-row reduce."""
+    events = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return events.select(F.col("value"), k.alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.avg("k"), 6).alias("mean_k"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.covar_samp("value", "k"), 6).alias("covar"),
+        F.round(F.corr("value", "k"), 6).alias("correlation"),
+    )
+
+
 def _recency_sql(half_life: float = 30.0, origin: str = "2026-01-01") -> str:
     qvals = []
     for qid, text in GATE_BM25_QUERIES:
