@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from connectors_spark import BM25_B, BM25_K1
 from connectors_spark.functions.analysis import tokenize, tokenize_sql_duckdb
 from connectors_spark.operators.build import build_index
 from connectors_spark.operators.query import queries_df, score_topk_dataframe
@@ -3435,6 +3436,311 @@ def q_bm25_bool_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_index(docs, with_positions=False)
     clauses = bool_clauses_df(spark, GATE_BOOL_QUERIES)
     return score_bool_topk(idx, clauses, round_scores=ROUND_SCORE)
+
+
+GATE_QS_QUERIES = [
+    ("qs0", "spark +query -window"),
+    ("qs1", '"table scan" merge^2'),
+    ("qs2", "+data +batch slow^0.5"),
+]
+
+
+def _query_string_sql() -> str:
+    from connectors_spark.operators.query_string import parse_query_string
+
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    cvals, ph_ctes, ph_conds = [], [], []
+    need_tp = False
+    for qid, qs in GATE_QS_QUERIES:
+        p = parse_query_string(qs)
+        for role, term, boost in p["clauses"]:
+            cvals.append(f"('{qid}', '{term}', '{role}', {boost})")
+        for j, (role, terms) in enumerate(p["phrases"]):
+            need_tp = True
+            name = f"ph_{qid}_{j}"
+            joins = " ".join(
+                f"JOIN tp t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {i} AND t{i}.t = '{t}'"
+                for i, t in enumerate(terms[1:], start=1)
+            )
+            ph_ctes.append(
+                f"{name} AS (SELECT DISTINCT t0.doc_id FROM tp t0 {joins} "
+                f"WHERE t0.t = '{terms[0]}')"
+            )
+            op = "NOT IN" if role == "must_not" else "IN"
+            ph_conds.append(
+                f"AND (f.query_id <> '{qid}' "
+                f"OR f.doc_id {op} (SELECT doc_id FROM {name}))"
+            )
+    tp_cte = (
+        "tp AS (SELECT doc_id, unnest(arr) AS t, "
+        "unnest(range(len(arr))) AS pos FROM "
+        f"(SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr "
+        "FROM documents)), " if need_tp else ""
+    )
+    return f"""
+WITH {_DL_CTE},
+{tp_cte}
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cl(query_id, term, role, boost) AS (VALUES {', '.join(cvals)}),
+contrib AS (
+  SELECT cl.query_id, tf.doc_id, cl.term, cl.role, cl.boost, {w} AS w
+  FROM cl JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+agg AS (
+  SELECT query_id, doc_id,
+    round(sum(CASE WHEN role IN ('must','should') THEN w * boost
+              ELSE 0 END), {ROUND_SCORE}) AS score,
+    count(DISTINCT CASE WHEN role = 'must' THEN term END) AS n_must,
+    count(DISTINCT CASE WHEN role = 'must_not' THEN term END) AS n_not
+  FROM contrib GROUP BY query_id, doc_id
+),
+req AS (
+  SELECT query_id,
+    count(DISTINCT CASE WHEN role = 'must' THEN term END) AS req_must
+  FROM cl GROUP BY query_id
+),
+{', '.join(ph_ctes) + ',' if ph_ctes else ''}
+f AS (
+  SELECT a.query_id, a.doc_id, a.score FROM agg a JOIN req USING (query_id)
+  WHERE a.n_must = req.req_must AND a.n_not = 0
+),
+ranked AS (
+  SELECT f.query_id, f.doc_id, f.score,
+         row_number() OVER (PARTITION BY f.query_id
+                            ORDER BY f.score DESC, f.doc_id ASC) AS rank
+  FROM f WHERE TRUE {' '.join(ph_conds)}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("query_string", _query_string_sql())
+def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `query_string` query: Lucene search-box syntax (`+must`,
+    `-prohibit`, `"exact phrase"`, `term^boost`) parsed into a bool
+    query and scored — operators/query_string.py (parser + scorer; the
+    oracle SQL is generated FROM the same parse, so syntax handling is
+    pinned mechanically, not by hand-transcription)."""
+    from connectors_spark.operators.query_string import score_query_string
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=True)
+    return score_query_string(
+        idx,
+        [{"query_id": qid, "query_string": qs, "k": GATE_BM25_K}
+         for qid, qs in GATE_QS_QUERIES],
+        round_scores=ROUND_SCORE,
+    )
+
+
+_TERMS_SET = ["hash", "scan", "merge", "window"]
+
+
+def _terms_set_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    tvals = ", ".join(f"('{t}')" for t in _TERMS_SET)
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ts(term) AS (VALUES {tvals}),
+contrib AS (
+  SELECT tf.doc_id, ts.term, {w} AS w
+  FROM ts JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+agg AS (
+  SELECT doc_id, round(sum(w), {ROUND_SCORE}) AS score,
+         count(DISTINCT term) AS n_matched
+  FROM contrib GROUP BY doc_id
+),
+f AS (
+  SELECT doc_id, score, CAST(n_matched AS BIGINT) AS n_matched,
+         CAST(doc_id % 3 + 1 AS BIGINT) AS required
+  FROM agg WHERE n_matched >= doc_id % 3 + 1
+)
+SELECT doc_id, score, n_matched, required FROM f
+"""
+
+
+@register("terms_set_query", _terms_set_sql())
+def q_terms_set_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set query: match docs containing at least
+    `minimum_should_match_field` of a term set, where the required count
+    is a PER-DOCUMENT field (the property that distinguishes terms_set
+    from bool+minimum_should_match). The synth docs carry no such field,
+    so the gate derives it deterministically (doc_id % 3 + 1) on both
+    engines; matched docs keep their summed BM25 score."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    from connectors_spark.operators.query import _distinct_term_weights
+
+    terms = spark.createDataFrame([(t,) for t in _TERMS_SET], "term string")
+    tw = _distinct_term_weights(idx, terms, BM25_K1, BM25_B,
+                                2_000_000)
+    agg = tw.groupBy("doc_id").agg(
+        F.round(F.sum("w"), ROUND_SCORE).alias("score"),
+        F.count_distinct("term").alias("n_matched"),
+    )
+    required = (F.col("doc_id") % 3 + 1).cast("long")
+    return (
+        agg.withColumn("required", required)
+        .filter(F.col("n_matched") >= F.col("required"))
+        .select("doc_id", "score", "n_matched", "required")
+    )
+
+
+_MBP_QUERIES = [("mb0", ["data", "win"]), ("mb1", ["merge", "sc"])]
+
+
+def _match_bool_prefix_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    qvals = []
+    for qid, parts in _MBP_QUERIES:
+        for t in parts[:-1]:
+            qvals.append(f"('{qid}', '{t}', FALSE)")
+        qvals.append(f"('{qid}', '{parts[-1]}', TRUE)")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qp(query_id, part, is_prefix) AS (VALUES {', '.join(qvals)}),
+expanded AS (
+  SELECT DISTINCT qp.query_id, d.term
+  FROM qp JOIN dfreq d
+    ON (qp.is_prefix AND d.term LIKE qp.part || '%')
+    OR (NOT qp.is_prefix AND d.term = qp.part)
+),
+contrib AS (
+  SELECT e.query_id, tf.doc_id, {w} AS w
+  FROM expanded e JOIN tf ON tf.term = e.term
+  JOIN dfreq ON dfreq.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("match_bool_prefix", _match_bool_prefix_sql())
+def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix query: every term but the last matches as a
+    normal `should` term; the LAST term matches as a prefix, expanded
+    against the lexicon (the search-as-you-type non-phrase variant —
+    unlike match_phrase_prefix, no position constraint). Expansion is a
+    broadcast against the lexicon; expanded terms score as distinct
+    should clauses (each with its own df, like Lucene's bool rewrite)."""
+    from connectors_spark.operators.query import _distinct_term_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    rows = []
+    for qid, parts in _MBP_QUERIES:
+        for t in parts[:-1]:
+            rows.append((qid, t, False))
+        rows.append((qid, parts[-1], True))
+    qp = spark.createDataFrame(
+        rows, "query_id string, part string, is_prefix boolean"
+    )
+    expanded = (
+        idx.lexicon.select("term").join(
+            F.broadcast(qp),
+            (F.col("is_prefix") & F.col("term").startswith(F.col("part")))
+            | (~F.col("is_prefix") & (F.col("term") == F.col("part"))),
+        )
+        .select("query_id", "term").distinct()
+    )
+    tw = _distinct_term_weights(
+        idx, expanded.select("term").distinct(),
+        BM25_K1, BM25_B, 2_000_000,
+    )
+    scored = (
+        tw.join(F.broadcast(expanded), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), ROUND_SCORE).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= GATE_BM25_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+_SPAN_QUERIES = [("s0", "table", "scan", 2), ("s1", "data", "batch", 3)]
+
+
+def _span_near_sql() -> str:
+    parts = []
+    for sid, a, b, slop in _SPAN_QUERIES:
+        parts.append(
+            f"SELECT '{sid}' AS span_id, t0.doc_id, count(*) AS n_hits "
+            f"FROM tp t0 JOIN tp t1 ON t1.doc_id = t0.doc_id "
+            f"AND t1.pos > t0.pos AND t1.pos - t0.pos - 1 <= {slop} "
+            f"AND t1.t = '{b}' WHERE t0.t = '{a}' GROUP BY t0.doc_id"
+        )
+    tp = (
+        "tp AS (SELECT doc_id, unnest(arr) AS t, "
+        "unnest(range(len(arr))) AS pos FROM "
+        f"(SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr "
+        "FROM documents))"
+    )
+    return "WITH " + tp + " " + " UNION ALL ".join(parts)
+
+
+@register("span_near", _span_near_sql())
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near query (in_order=true): two terms within `slop`
+    intervening positions, ordered — the proximity primitive under
+    ES intervals/span queries. Counted per doc (n_hits = qualifying
+    position pairs). Position join over ONLY the two terms' posting
+    positions (same pruned shape as phrase_match; at 100 TB this is a
+    per-(doc-group) kernel exactly like the compressed phrase path)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    out = None
+    for sid, a, b, slop in _SPAN_QUERIES:
+        t0 = toks.filter(F.col("term") == a).select("doc_id",
+                                                    F.col("pos").alias("p0"))
+        t1 = toks.filter(F.col("term") == b).select(
+            F.col("doc_id").alias("_d"), F.col("pos").alias("p1")
+        )
+        hits = (
+            t0.join(t1, (t0.doc_id == t1._d)
+                    & (F.col("p1") > F.col("p0"))
+                    & (F.col("p1") - F.col("p0") - 1 <= slop))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(sid).alias("span_id"), "doc_id", "n_hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
 
 
 # =================================================================
