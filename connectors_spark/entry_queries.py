@@ -3049,6 +3049,137 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(docs, n=2, top_n=20)
 
 
+def _ddb_doc_grams(n: int) -> str:
+    """DuckDB per-doc adjacent n-gram select over the `arrs` CTE
+    (doc_id, a) — twin of functions/text.py:_doc_grams."""
+    concat = " || ' ' || ".join(
+        f"a[i+{j}]" if j else "a[i]" for j in range(n)
+    )
+    return (
+        f"SELECT doc_id, unnest(list_transform(range(1, len(a) - {n - 2}), "
+        f"i -> {concat})) AS gram FROM arrs WHERE len(a) >= {n}"
+    )
+
+
+_ARRS_CTE = (
+    f"arrs AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS a "
+    "FROM documents)"
+)
+
+
+@register(
+    "repetition_quality",
+    f"""
+WITH {_ARRS_CTE},
+ntok AS (SELECT doc_id, len(a) AS n_tokens FROM arrs),
+c1 AS (SELECT doc_id, gram, count(*) AS c FROM ({_ddb_doc_grams(1)})
+       GROUP BY doc_id, gram),
+w1 AS (SELECT doc_id, max(c) AS m FROM c1 GROUP BY doc_id),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM ({_ddb_doc_grams(2)})
+       GROUP BY doc_id, gram),
+w2 AS (SELECT doc_id, max(c) AS m FROM c2 GROUP BY doc_id),
+c3 AS (SELECT doc_id, gram, count(*) AS c FROM ({_ddb_doc_grams(3)})
+       GROUP BY doc_id, gram),
+d3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * 3 ELSE 0 END) AS cov
+       FROM c3 GROUP BY doc_id)
+SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+  round(least(1.0, coalesce(coalesce(w1.m, 0) * 1.0
+                       / nullif(n.n_tokens, 0), 0.0)), 6) AS top_word_frac,
+  round(least(1.0, coalesce(coalesce(w2.m, 0) * 2.0
+                       / nullif(n.n_tokens, 0), 0.0)), 6) AS top_2gram_frac,
+  round(least(1.0, coalesce(coalesce(d3.cov, 0) * 1.0
+                       / nullif(n.n_tokens, 0), 0.0)), 6) AS dup_3gram_frac
+FROM ntok n LEFT JOIN w1 USING (doc_id) LEFT JOIN w2 USING (doc_id)
+LEFT JOIN d3 USING (doc_id)
+""",
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics per document
+    (functions/text.py:repetition_metrics): top-word fraction, top-
+    2-gram coverage, duplicated-3-gram coverage — the signals LM
+    pipelines threshold to drop degenerate/repetitive documents."""
+    from connectors_spark.functions.text import repetition_metrics
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+_CONTAM_EVAL_SOURCE = "src1"
+
+
+@register(
+    "contamination_overlap",
+    f"""
+WITH {_ARRS_CTE},
+g5 AS ({_ddb_doc_grams(5)}),
+evl AS (SELECT DISTINCT gram FROM g5 JOIN documents USING (doc_id)
+        WHERE source = '{_CONTAM_EVAL_SOURCE}'),
+cand AS (SELECT doc_id FROM documents
+         WHERE source <> '{_CONTAM_EVAL_SOURCE}'),
+cg AS (SELECT DISTINCT g5.doc_id, gram FROM g5 JOIN cand USING (doc_id)),
+o AS (SELECT doc_id, count(*) AS n_grams,
+             count(*) FILTER (WHERE gram IN (SELECT gram FROM evl))
+               AS n_hit
+      FROM cg GROUP BY doc_id)
+SELECT c.doc_id, CAST(coalesce(o.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(o.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(o.n_hit * 1.0 / nullif(o.n_grams, 0), 0.0), 6)
+         AS overlap_frac
+FROM cand c LEFT JOIN o USING (doc_id)
+""",
+)
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit (functions/text.py:
+    contamination_overlap): per candidate doc, the fraction of its
+    distinct 5-grams that occur anywhere in the held-out set (source =
+    src1 plays the eval set). The synth corpus contains real cross-
+    source exact duplicates, so genuinely contaminated docs (overlap
+    1.0) exist alongside the near-zero background."""
+    from connectors_spark.functions.text import contamination_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs, F.col("source") == _CONTAM_EVAL_SOURCE, n=5
+    )
+
+
+@register(
+    "pretrain_filter",
+    f"""
+WITH {_ARRS_CTE},
+ntok AS (SELECT doc_id, len(a) AS n_tokens FROM arrs),
+c1 AS (SELECT doc_id, gram, count(*) AS c FROM ({_ddb_doc_grams(1)})
+       GROUP BY doc_id, gram),
+w1 AS (SELECT doc_id, max(c) AS m FROM c1 GROUP BY doc_id),
+rep AS (SELECT n.doc_id,
+          round(least(1.0, coalesce(coalesce(w1.m, 0) * 1.0
+                               / nullif(n.n_tokens, 0), 0.0)), 6) AS f
+        FROM ntok n LEFT JOIN w1 USING (doc_id)),
+first AS (SELECT doc_id, row_number() OVER
+            (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents)
+SELECT d.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+  (d.lang = 'en') AS keep_lang,
+  (n.n_tokens >= 20) AS keep_len,
+  (rep.f <= 0.15) AS keep_rep,
+  (first.rn = 1) AS keep_dedup,
+  ((d.lang = 'en') AND (n.n_tokens >= 20) AND (rep.f <= 0.15)
+   AND (first.rn = 1)) AS keep
+FROM documents d JOIN ntok n USING (doc_id) JOIN rep USING (doc_id)
+JOIN first USING (doc_id)
+""",
+)
+def q_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining-corpus filter (operators/pretrain.py):
+    language allow-list, minimum length, top-word repetition threshold,
+    exact-dedup first-occurrence — one boolean per rule + the final
+    keep verdict, computed in a single fused plan."""
+    from connectors_spark.operators.pretrain import pretrain_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return pretrain_filter(docs)
+
+
 # ES match_phrase_prefix: phrase whose LAST term is a prefix
 GATE_PHRASE_PREFIX = [
     ("pp0", ["table", "sc"]),   # "table scan..."

@@ -268,3 +268,121 @@ def ngram_counts(df: DataFrame, n: int = 2, text_col: str = "text",
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(top_n)
     )
+
+
+def _doc_grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, gram) — adjacent token n-grams per doc, built inside the
+    tokens array (one transform per row, no position self-join)."""
+    arr = tokens_col(F.col(text_col))
+    grams = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       round_to: int = 6) -> DataFrame:
+    """Gopher-style per-document repetition quality signals (Rae et al.
+    2021 §A1.1, public): LM pretraining corpora drop documents dominated
+    by repeated content. Token-fraction variants (the paper uses
+    character fractions; token fractions are the standard proxy when the
+    tokenizer is fixed — documented delta):
+
+    - top_word_frac:  occurrences of the most frequent token / n_tokens
+    - top_2gram_frac: tokens covered by the most frequent 2-gram
+                      (2 * count) / n_tokens
+    - dup_3gram_frac: tokens covered by 3-grams occurring more than
+                      once: sum(3 * count | count > 1) / n_tokens,
+                      capped at 1.0 (overlapping grams can over-count)
+
+    Scale shape: each metric is groupBy(id, gram) -> groupBy(id) — two
+    hash shuffles keyed by the doc id, partial-aggregated map-side; no
+    window over raw tokens, no driver collects. Zero-token docs emit
+    0.0 for every fraction."""
+    def _per_doc(n: int, dup: bool, out: str) -> DataFrame:
+        g = _doc_grams(df, n, text_col, id_col)
+        cnt = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+        if dup:
+            covered = F.sum(F.when(F.col("c") > 1, F.col("c") * n)
+                            .otherwise(F.lit(0)))
+        else:
+            covered = F.max("c") * n
+        return cnt.groupBy(id_col).agg(covered.alias(out))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w1 = _per_doc(1, False, "_t1")
+    w2 = _per_doc(2, False, "_t2")
+    d3 = _per_doc(3, True, "_d3")
+    out = (
+        base.join(w1, id_col, "left").join(w2, id_col, "left")
+        .join(d3, id_col, "left")
+    )
+
+    def frac(c):
+        # coalesce the DIVISION before least: least() skips nulls in
+        # both Spark and DuckDB, so least(1.0, null) would turn a
+        # zero-token doc into 1.0 instead of 0.0
+        ratio = F.coalesce(
+            F.coalesce(c, F.lit(0))
+            / F.nullif(F.col("n_tokens"), F.lit(0)),
+            F.lit(0.0),
+        )
+        return F.round(F.least(F.lit(1.0), ratio), round_to)
+
+    return out.select(
+        F.col(id_col), "n_tokens",
+        frac(F.col("_t1")).alias("top_word_frac"),
+        frac(F.col("_t2")).alias("top_2gram_frac"),
+        frac(F.col("_d3")).alias("dup_3gram_frac"),
+    )
+
+
+def contamination_overlap(df: DataFrame, eval_filter,
+                          n: int = 5, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          round_to: int = 6) -> DataFrame:
+    """Train/eval contamination check (the n-gram overlap audit every
+    serious pretraining pipeline runs — e.g. GPT-3 appendix C, public):
+    for each candidate document NOT in the eval set, the fraction of its
+    DISTINCT token n-grams that also occur anywhere in the eval set.
+
+    -> (id, n_grams, n_hit, overlap_frac). Scale shape: the eval-set
+    gram table is distinct-deduped and (being the small side) broadcast
+    into a left-semi-style hit count — candidates' grams never shuffle
+    against each other, only against the eval grams; with a huge eval
+    set the join degrades gracefully to a hash shuffle on `gram`."""
+    evl = df.filter(eval_filter)
+    cand = df.filter(~eval_filter)
+    eg = _doc_grams(evl, n, text_col, id_col).select("gram").distinct()
+    cg = _doc_grams(cand, n, text_col, id_col).distinct()
+    hits = (
+        cg.join(F.broadcast(eg.withColumn("_hit", F.lit(1))), "gram", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"))
+    )
+    base = cand.select(F.col(id_col))
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit") / F.nullif(F.col("n_grams"),
+                                                     F.lit(0)),
+                           F.lit(0.0)),
+                round_to,
+            ).alias("overlap_frac"),
+        )
+    )
