@@ -2308,6 +2308,220 @@ def q_bm25_topk_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_topk_dataframe(idx, expanded, round_scores=ROUND_SCORE)
 
 
+# query-time synonym expansion: Solr-format equivalence classes, both
+# directions listed (ES synonym_graph expand=true)
+_SYN_MAP = {"sort": ["order"], "order": ["sort"],
+            "merge": ["join"], "join": ["merge"]}
+_SYN_QUERIES = [("sy0", "sort data"), ("sy1", "merge window")]
+
+
+def _synonyms_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    qvals = []
+    for qid, text in _SYN_QUERIES:
+        terms = set()
+        for t in text.lower().split():
+            terms.add(t)
+            terms.update(_SYN_MAP.get(t, []))
+        for t in sorted(terms):
+            qvals.append(f"('{qid}', '{t}')")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {', '.join(qvals)}),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_topk_synonyms", _synonyms_sql())
+def q_bm25_topk_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query-time synonym expansion (synonym_graph in the search
+    analyzer, expand=true): each query term contributes its equivalence
+    class, every variant scoring with its own df — Lucene SynonymQuery
+    semantics (operators/query.py:expand_terms_synonyms). The oracle's
+    expansion is generated from the SAME synonym map."""
+    from connectors_spark.operators.query import expand_terms_synonyms
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    syn = spark.createDataFrame(
+        [(t, v) for t, vs in _SYN_MAP.items() for v in vs],
+        "term string, variant string",
+    )
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in _SYN_QUERIES
+    ])
+    return score_topk_dataframe(
+        idx, expand_terms_synonyms(qdf, syn), round_scores=ROUND_SCORE
+    )
+
+
+_COMPLETION_INPUTS = [("c0", "s"), ("c1", "ba"), ("c2", "zz")]
+
+
+@register(
+    "completion_suggest",
+    f"""
+WITH {_TF_CTE},
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+inp(input_id, prefix) AS
+  (VALUES {', '.join(f"('{i}', '{p}')" for i, p in _COMPLETION_INPUTS)}),
+r AS (
+  SELECT i.input_id, d.term, d.df,
+         row_number() OVER (PARTITION BY i.input_id
+                            ORDER BY d.df DESC, d.term ASC) AS rank
+  FROM inp i JOIN dfreq d ON d.term LIKE i.prefix || '%'
+)
+SELECT input_id, CAST(rank AS INT) AS rank, term, CAST(df AS BIGINT) AS df
+FROM r WHERE rank <= 5
+""",
+)
+def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester analog: top-5 lexicon completions per
+    prefix, weighted by document frequency (ES ranks by a stored weight;
+    df is the natural corpus weight here — same contract: prefix in,
+    ranked completions out, no-match prefixes return nothing). The
+    lexicon probe is a broadcast of the tiny input table; at 10^9 terms
+    ES uses an FST — here parquet term-range pruning plays that role."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    inp = spark.createDataFrame(_COMPLETION_INPUTS,
+                                "input_id string, prefix string")
+    cand = idx.lexicon.join(
+        F.broadcast(inp), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("input_id").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("input_id", "rank", "term", "df")
+    )
+
+
+_PHRASE_SUGGEST_INPUTS = [("ps0", "tabel scen"), ("ps1", "merge jion"),
+                          ("ps2", "zzzzz qqqqq")]
+
+
+@register(
+    "phrase_suggester",
+    f"""
+WITH {_TF_CTE},
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+arrs AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS a FROM documents),
+g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(a)),
+         i -> a[i] || ' ' || a[i+1])) AS gram FROM arrs WHERE len(a) >= 2),
+bg AS (SELECT gram, count(*) AS n FROM g2 GROUP BY gram),
+inp(input_id, w1, w2) AS
+  (VALUES {', '.join(f"('{i}', '{t.split()[0]}', '{t.split()[1]}')"
+                     for i, t in _PHRASE_SUGGEST_INPUTS)}),
+c1 AS (SELECT input_id, term FROM (
+  SELECT i.input_id, d.term,
+         row_number() OVER (PARTITION BY i.input_id
+                            ORDER BY d.df DESC, d.term ASC) AS rn
+  FROM inp i JOIN dfreq d ON levenshtein(d.term, i.w1) <= 2) WHERE rn <= 5),
+c2 AS (SELECT input_id, term FROM (
+  SELECT i.input_id, d.term,
+         row_number() OVER (PARTITION BY i.input_id
+                            ORDER BY d.df DESC, d.term ASC) AS rn
+  FROM inp i JOIN dfreq d ON levenshtein(d.term, i.w2) <= 2) WHERE rn <= 5),
+pairs AS (SELECT c1.input_id, c1.term || ' ' || c2.term AS suggestion
+          FROM c1 JOIN c2 USING (input_id)),
+scored AS (SELECT p.input_id, p.suggestion, bg.n AS bigram_count
+           FROM pairs p JOIN bg ON bg.gram = p.suggestion),
+ranked AS (
+  SELECT input_id, suggestion, CAST(bigram_count AS BIGINT) AS bigram_count,
+         row_number() OVER (PARTITION BY input_id
+                            ORDER BY bigram_count DESC, suggestion ASC)
+           AS rank
+  FROM scored
+)
+SELECT input_id, CAST(rank AS INT) AS rank, suggestion, bigram_count
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_phrase_suggester(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester (did-you-mean over whole phrases): per-word
+    edit-distance candidates re-ranked by corpus bigram-LM evidence —
+    'tabel scen' -> 'table scan' (operators/query.py:suggest_phrases).
+    Inputs with no lexicon candidates return nothing."""
+    from connectors_spark.functions.text import _doc_grams
+    from connectors_spark.operators.query import suggest_phrases
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    bigrams = (
+        _doc_grams(docs, 2, "text", "doc_id")
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    )
+    inp = spark.createDataFrame(_PHRASE_SUGGEST_INPUTS,
+                                "input_id string, text string")
+    return suggest_phrases(idx.lexicon, bigrams, inp,
+                           max_dist=2, max_candidates=5, top_n=3)
+
+
+_FOLD_AUGMENT = " Café NAÏVE Zürich ďábel"
+
+
+def _folded_sql() -> str:
+    from connectors_spark.functions.analysis import fold_ascii_sql
+
+    folded = fold_ascii_sql(f"text || '{_FOLD_AUGMENT}'")
+    arr = (
+        "list_filter(regexp_split_to_array("
+        f"{folded}, '[^a-z0-9]+'), t -> t <> '')"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({arr}) AS term FROM documents)
+SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+"""
+
+
+@register("tokenize_folded", _folded_sql())
+def q_tokenize_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ASCIIFoldingFilter analog (ES `asciifolding` token filter,
+    standard in ES language analyzers): accent-fold before tokenization
+    so 'Café'/'cafe' index identically — pure JVM translate() over a
+    pinned Latin-1/Extended-A subset (functions/analysis.py:fold_ascii;
+    1->2 expansions like ss for eszett are a documented boundary). The
+    synth corpus is pure ASCII, so the gate augments each doc with a
+    deterministic accented suffix on BOTH engines."""
+    from connectors_spark.functions.analysis import fold_ascii
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        fold_ascii(F.concat(F.col("text"), F.lit(_FOLD_AUGMENT)))
+        .alias("text"),
+    )
+    return (
+        tokenize(aug, "text", "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def _highlight_sql(window: int = 30) -> str:
     qvals = []
     for qid, text in GATE_BM25_QUERIES:

@@ -209,3 +209,36 @@ def cjk_tokenize_sql_duckdb(text_expr: str) -> str:
         f"THEN list_transform(range(1, length(tok)), i -> tok[i:i+1]) "
         f"ELSE [tok] END))"
     )
+
+
+# --------------------------------------------------------------------
+# ASCII folding stage — Lucene ASCIIFoldingFilter analog (ES analyzers
+# commonly prepend `asciifolding`; the reference's default analyzers
+# inherit it via ES language defaults for several languages)
+# --------------------------------------------------------------------
+
+# char-for-char foldable subset (Latin-1 Supplement + Latin Extended-A
+# lowercase forms; uppercase is handled by folding AFTER lower()).
+# Lucene's filter covers far more of Unicode including 1->2 expansions
+# (ß -> ss, æ -> ae) which translate() cannot express — documented
+# boundary; the common European accents below are the practical bulk.
+FOLD_FROM = "áàâäãåāăąçćčďéèêëēėęěíìîïīįıñńňóòôöõøōőúùûüūůűýÿžźżšśşťğțđļľŕŗřłŵŝĝĥĵŭ"
+FOLD_TO = "aaaaaaaaacccdeeeeeeeeiiiiiiinnnoooooooouuuuuuuyyzzzssstgtdllrrrlwsghju"
+assert len(FOLD_FROM) == len(FOLD_TO)
+
+
+def fold_ascii(text: Column) -> Column:
+    """Accent-fold a (lowercased) text column — pure JVM translate()."""
+    return F.translate(F.lower(text), FOLD_FROM, FOLD_TO)
+
+
+_FOLD_TRANS = str.maketrans(FOLD_FROM, FOLD_TO)
+
+
+def fold_ascii_py(text: str) -> str:
+    return (text or "").lower().translate(_FOLD_TRANS)
+
+
+def fold_ascii_sql(text_expr: str) -> str:
+    """DuckDB twin of fold_ascii (translate has identical semantics)."""
+    return f"translate(lower({text_expr}), '{FOLD_FROM}', '{FOLD_TO}')"

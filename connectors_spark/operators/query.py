@@ -691,3 +691,86 @@ def facet_counts(df: DataFrame, fields: list[str], top_n: int = 10) -> DataFrame
         .filter(F.col("_r") <= top_n)
         .select("field", "value", "n")
     )
+
+
+def expand_terms_synonyms(qdf: DataFrame, synonyms: DataFrame) -> DataFrame:
+    """(query_id, query_text, k): ES query-time synonym expansion
+    (synonym_graph token filter in the search analyzer): each query term
+    joins the synonym table (term, variant — equivalence classes listed
+    both directions, the `a, b` Solr-format expansion) and contributes
+    every variant; terms with no synonym row pass through. Each variant
+    then scores with its OWN df, which is exactly Lucene's expand=true
+    behavior (a SynonymQuery over equal-weight term clauses).
+
+    The synonym table is a configured artifact (tiny) — broadcast; the
+    lexicon is never scanned, so expansion cost is O(|query terms|)."""
+    parts = _query_parts(qdf, "^[a-z0-9]+$")
+    joined = parts.join(
+        F.broadcast(synonyms.select(F.col("term").alias("pat"),
+                                    F.col("variant"))),
+        "pat", "left",
+    ).select(
+        "query_id", "k",
+        F.coalesce("variant", F.col("pat")).alias("term"),
+    )
+    # keep the original term alongside its variants (synonym rows list
+    # the identity pair too in Solr format, but don't rely on it)
+    orig = parts.select("query_id", "k", F.col("pat").alias("term"))
+    return _expanded_query_text(joined.unionByName(orig))
+
+
+def suggest_phrases(lexicon: DataFrame, bigrams: DataFrame,
+                    inputs: DataFrame, max_dist: int = 1,
+                    max_candidates: int = 5, top_n: int = 3) -> DataFrame:
+    """ES phrase suggester analog (did-you-mean over WHOLE phrases): for
+    each two-word input, per-word candidates within levenshtein
+    `max_dist` of a lexicon term (exact match included) are re-ranked by
+    the corpus bigram count of the corrected pair — the real-word
+    bigram-LM evidence the ES phrase suggester uses (its laplace-
+    smoothed LM scorer), restricted to observed bigrams.
+
+    -> (input_id, rank, suggestion, bigram_count). Scale shape: the
+    input table is tiny and broadcasts against the lexicon for candidate
+    generation (same shape as expand_terms_fuzzy); candidate pairs then
+    broadcast-join the corpus `bigrams` frame (gram, n) — the only big
+    frame, probed by key, never crossed."""
+    w12 = inputs.select(
+        "input_id",
+        F.split(F.lower(F.col("text")), r"\s+").alias("_p"),
+    ).select(
+        "input_id",
+        F.col("_p").getItem(0).alias("w1"),
+        F.col("_p").getItem(1).alias("w2"),
+    )
+
+    def cands(wcol: str) -> DataFrame:
+        c = lexicon.select("term", "df").join(
+            F.broadcast(w12.select("input_id", wcol)),
+            F.levenshtein(F.col("term"), F.col(wcol)) <= max_dist,
+        )
+        win = Window.partitionBy("input_id", wcol).orderBy(
+            F.desc("df"), F.asc("term")
+        )
+        return (
+            c.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= max_candidates)
+            .select("input_id", F.col("term").alias(f"c_{wcol}"))
+        )
+
+    pairs = cands("w1").join(cands("w2"), "input_id").select(
+        "input_id", "c_w1", "c_w2",
+        F.concat_ws(" ", "c_w1", "c_w2").alias("suggestion"),
+    )
+    scored = pairs.join(
+        bigrams.select(F.col("gram").alias("suggestion"),
+                       F.col("n").alias("bigram_count")),
+        "suggestion",
+    )
+    win = Window.partitionBy("input_id").orderBy(
+        F.desc("bigram_count"), F.asc("suggestion")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= top_n)
+        .select("input_id", "rank", "suggestion", "bigram_count")
+    )
