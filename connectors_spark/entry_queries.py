@@ -2308,6 +2308,44 @@ def q_bm25_topk_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_topk_dataframe(idx, expanded, round_scores=ROUND_SCORE)
 
 
+@register(
+    "exists_query",
+    "SELECT doc_id, source FROM documents "
+    "WHERE nullif(source, 'src0') IS NOT NULL",
+)
+def q_exists_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `exists` query: docs where a field has any non-null value —
+    the complement of the `missing` bucket (same derived nullable field
+    as facet_missing: src0 -> NULL, since the synth tables are dense).
+    At scale this is a parquet null-count pushdown: row groups that are
+    all-null or no-null prune without reading the column."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id",
+                    F.nullif(F.col("source"), F.lit("src0")).alias("source"))
+        .filter(F.col("source").isNotNull())
+    )
+
+
+_IDS_QUERY = [3, 17, 42, 99, 123456789]  # last id absent -> no row
+
+
+@register(
+    "ids_query",
+    "SELECT doc_id, lang, source, n_chars FROM documents "
+    f"WHERE doc_id IN ({', '.join(str(i) for i in _IDS_QUERY)})",
+)
+def q_ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `ids` query / `_mget` analog: fetch documents by explicit id
+    list (absent ids yield nothing). The IN-list pushes down to the
+    parquet scan (min/max row-group pruning on doc_id) — the Spark twin
+    of ES's docvalue id lookup."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id").isin(_IDS_QUERY)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 # query-time synonym expansion: Solr-format equivalence classes, both
 # directions listed (ES synonym_graph expand=true)
 _SYN_MAP = {"sort": ["order"], "order": ["sort"],

@@ -33,6 +33,25 @@ def test_parse_lenient_edges():
     assert ("should", "merge", 2.0) in p2["clauses"]
 
 
+def test_parse_fuzz_never_crashes_and_is_typed():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def run(s):
+        p = parse_query_string(s)
+        for role, term, boost in p["clauses"]:
+            assert role in ("must", "should", "must_not")
+            assert term and term == term.lower()
+            assert boost > 0
+        for role, terms in p["phrases"]:
+            assert role in ("must", "must_not")
+            assert len(terms) >= 2
+
+    run()
+
+
 def test_score_query_string_semantics(spark):
     rows = [
         (1, "alpha beta gamma"),
