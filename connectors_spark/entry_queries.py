@@ -2327,6 +2327,36 @@ def q_exists_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCROLL_SLICES, _SCROLL_SLICE_ID, _SCROLL_AFTER, _SCROLL_PAGE = 4, 2, 100, 50
+
+
+@register(
+    "sliced_scroll",
+    f"SELECT doc_id, lang, source FROM documents "
+    f"WHERE doc_id % {_SCROLL_SLICES} = {_SCROLL_SLICE_ID} "
+    f"AND doc_id > {_SCROLL_AFTER} "
+    f"ORDER BY doc_id LIMIT {_SCROLL_PAGE}",
+)
+def q_sliced_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sliced scroll analog: parallel deep export — each worker owns
+    slice `id` of `max` (hash/modulo partition of the id space) and
+    pages through it with a keyset cursor (doc_id > after, ordered,
+    LIMIT page). This is how the reference-scale full-index export
+    parallelizes: slices are disjoint so N workers stream N pages
+    concurrently with no coordination; the per-slice keyset cursor is
+    restart-safe (same contract as the engine's checkpointed sources)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            (F.col("doc_id") % _SCROLL_SLICES == _SCROLL_SLICE_ID)
+            & (F.col("doc_id") > _SCROLL_AFTER)
+        )
+        .orderBy("doc_id")
+        .limit(_SCROLL_PAGE)
+        .select("doc_id", "lang", "source")
+    )
+
+
 _IDS_QUERY = [3, 17, 42, 99, 123456789]  # last id absent -> no row
 
 
