@@ -3858,14 +3858,17 @@ GATE_QS_QUERIES = [
 ]
 
 
-def _query_string_sql() -> str:
+def _query_string_sql(queries=None) -> str:
     from connectors_spark.operators.query_string import parse_query_string
+
+    if queries is None:
+        queries = GATE_QS_QUERIES
 
     w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
                  dl_expr="dl.dl", avgdl_expr="stats.avgdl")
     cvals, ph_ctes, ph_conds = [], [], []
     need_tp = False
-    for qid, qs in GATE_QS_QUERIES:
+    for qid, qs in queries:
         p = parse_query_string(qs)
         for role, term, boost in p["clauses"]:
             cvals.append(f"('{qid}', '{term}', '{role}', {boost})")
@@ -3951,6 +3954,76 @@ def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         [{"query_id": qid, "query_string": qs, "k": GATE_BM25_K}
          for qid, qs in GATE_QS_QUERIES],
         round_scores=ROUND_SCORE,
+    )
+
+
+_SEARCH_TEMPLATES = [
+    ("st0", '"{{ phrase }}" {{extra}}', {"phrase": "table scan",
+                                         "extra": "fast"}),
+    ("st1", "+{{a}} -{{b}} {{c}}^{{boost}}", {"a": "data", "b": "customer",
+                                              "c": "merge", "boost": 2}),
+]
+
+
+def _rendered_templates():
+    from connectors_spark.operators.query_string import render_search_template
+
+    return [(tid, render_search_template(tpl, params))
+            for tid, tpl, params in _SEARCH_TEMPLATES]
+
+
+@register("search_template", None)
+def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search template analog: stored mustache-parameterized query
+    strings rendered with per-call params, then parsed and scored by the
+    query_string engine (operators/query_string.py:
+    render_search_template). Oracle SQL is generated from the SAME
+    rendered strings (registered below)."""
+    from connectors_spark.operators.query_string import score_query_string
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=True)
+    return score_query_string(
+        idx,
+        [{"query_id": tid, "query_string": qs, "k": GATE_BM25_K}
+         for tid, qs in _rendered_templates()],
+        round_scores=ROUND_SCORE,
+    )
+
+
+_ORACLES["search_template"] = _query_string_sql(_rendered_templates())
+
+
+_RUNTIME_FIELDS = {
+    "chars_bucket": "CAST(floor(n_chars / 100) AS INT)",
+    "is_en": "lang = 'en'",
+}
+
+
+@register(
+    "runtime_fields",
+    "WITH rt AS (SELECT doc_id, lang, n_chars, "
+    "CAST(floor(n_chars / 100) AS INT) AS chars_bucket, "
+    "(lang = 'en') AS is_en FROM documents) "
+    "SELECT chars_bucket, count(*) AS n, "
+    "round(avg(n_chars), 6) AS avg_chars "
+    "FROM rt WHERE is_en GROUP BY chars_bucket",
+)
+def q_runtime_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime fields (runtime mappings): fields computed at search
+    time from stored fields, filterable and aggregatable without
+    reindexing (operators/query.py:with_runtime_fields). Catalyst folds
+    the expressions into the scan projection — this gate filters AND
+    aggregates on two runtime fields in one pass."""
+    from connectors_spark.operators.query import with_runtime_fields
+
+    docs = _read(spark, sf_dir, "documents")
+    rt = with_runtime_fields(docs, _RUNTIME_FIELDS)
+    return (
+        rt.filter(F.col("is_en"))
+        .groupBy("chars_bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("n_chars"), 6).alias("avg_chars"))
     )
 
 

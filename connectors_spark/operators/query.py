@@ -774,3 +774,19 @@ def suggest_phrases(lexicon: DataFrame, bigrams: DataFrame,
         .filter(F.col("rank") <= top_n)
         .select("input_id", "rank", "suggestion", "bigram_count")
     )
+
+
+def with_runtime_fields(df: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """ES runtime fields analog (runtime mappings: fields computed at
+    SEARCH time from stored fields, queryable/aggregatable without
+    reindexing): each entry is name -> SQL expression over the existing
+    columns, appended as a computed column. Catalyst folds these into
+    the scan projection — zero storage, and filters on runtime fields
+    still push down when the expression allows (the ES runtime-field
+    promise, which Spark gets for free from the optimizer). Expressions
+    may reference fields defined earlier in the dict (ES allows
+    runtime-field chaining)."""
+    out = df
+    for name, expr in fields.items():
+        out = out.withColumn(name, F.expr(expr))
+    return out

@@ -159,3 +159,22 @@ def score_query_string(
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+_TPL_VAR_RE = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+
+def render_search_template(template: str, params: dict) -> str:
+    """ES search template analog (mustache-substituted stored queries):
+    replace every {{var}} with its parameter value. Strict on missing
+    parameters (raises KeyError naming the variable — ES errors the
+    same way), lenient on extra params. Values are substituted as text
+    into the query_string syntax, matching ES's template-then-parse
+    order."""
+    def sub(m):
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(f"search template parameter missing: {name!r}")
+        return str(params[name])
+
+    return _TPL_VAR_RE.sub(sub, template)
