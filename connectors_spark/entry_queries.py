@@ -3331,6 +3331,84 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(docs, n=2, top_n=20)
 
 
+_STRATA_RATES = {"en": 1.0, "zh": 0.5, "es": 0.25, "fr": 0.1, "de": 0.0}
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+_U32 = 4294967296
+
+
+def _strata_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN {r}" for lg, r in _STRATA_RATES.items()
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         ((doc_id * {_KNUTH}) % {_U32}) * 1.0 / {_U32} AS u,
+         CASE {cases} ELSE 0.0 END AS rate
+  FROM documents
+)
+SELECT doc_id, lang, round(u, 9) AS u FROM u WHERE u < rate
+"""
+
+
+@register("stratified_sample", _strata_sql())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the data-MIXING primitive of
+    LLM corpus construction (per-source/per-language sampling weights, a
+    la the Pile / Gopher mix tables): each stratum keeps rate_s of its
+    docs, selected by a seedable Knuth multiplicative hash of the doc id
+    (exact integer arithmetic — identical on any engine, any partition
+    count, any run: the property `rand()` does NOT have). Rate 0 and 1
+    strata exercise the edges. One narrow scan, no shuffle at all —
+    sampling is a pushed-down filter."""
+    docs = _read(spark, sf_dir, "documents")
+    rate = F.lit(0.0)
+    for lg, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lg, F.lit(r)).otherwise(rate)
+    u = ((F.col("doc_id") * _KNUTH) % _U32) / F.lit(float(_U32))
+    return (
+        docs.select("doc_id", "lang", u.alias("u"), rate.alias("rate"))
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "lang", F.round("u", 9).alias("u"))
+    )
+
+
+_PACK_BUDGET = 20_000  # chars per training shard
+
+
+@register(
+    "corpus_shard_pack",
+    f"""
+SELECT doc_id, lang,
+  CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_chars) * 1.0 / {_PACK_BUDGET}) AS BIGINT) AS shard
+FROM documents
+""",
+)
+def q_corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus packing: assign documents to fixed-size
+    training shards (~budget chars each; any additive size column works
+    — token counts at scale) by running-sum binning per language
+    stream. The shard id of a doc = floor(preceding-cumsum / budget),
+    so every shard holds consecutive docs totalling ~budget — the
+    sharding step before sequence-packing in an LLM data pipeline.
+    Window is hash-partitioned by the stratum key; within a stratum the
+    order is the stable doc_id (at 100 TB: range-partition each stratum
+    first, then cumsum per range + per-range offsets — two passes,
+    documented here as the scale path)."""
+    docs = _read(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return docs.select(
+        "doc_id", "lang",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars"))
+                / _PACK_BUDGET).alias("shard"),
+    )
+
+
 def _ddb_doc_grams(n: int) -> str:
     """DuckDB per-doc adjacent n-gram select over the `arrs` CTE
     (doc_id, a) — twin of functions/text.py:_doc_grams."""
