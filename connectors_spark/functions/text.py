@@ -350,7 +350,8 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
 def contamination_overlap(df: DataFrame, eval_filter,
                           n: int = 5, text_col: str = "text",
                           id_col: str = "doc_id",
-                          round_to: int = 6) -> DataFrame:
+                          round_to: int = 6,
+                          broadcast_eval: bool = True) -> DataFrame:
     """Train/eval contamination check (the n-gram overlap audit every
     serious pretraining pipeline runs — e.g. GPT-3 appendix C, public):
     for each candidate document NOT in the eval set, the fraction of its
@@ -365,8 +366,14 @@ def contamination_overlap(df: DataFrame, eval_filter,
     cand = df.filter(~eval_filter)
     eg = _doc_grams(evl, n, text_col, id_col).select("gram").distinct()
     cg = _doc_grams(cand, n, text_col, id_col).distinct()
+    # eval sets are typically tiny vs the corpus -> broadcast by
+    # default; pass broadcast_eval=False when the eval-gram table
+    # outgrows executor memory (plain hash join on `gram` instead)
+    eg_marked = eg.withColumn("_hit", F.lit(1))
+    if broadcast_eval:
+        eg_marked = F.broadcast(eg_marked)
     hits = (
-        cg.join(F.broadcast(eg.withColumn("_hit", F.lit(1))), "gram", "left")
+        cg.join(eg_marked, "gram", "left")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_grams"),
              F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"))
