@@ -44,7 +44,9 @@ def test_parse_fuzz_never_crashes_and_is_typed():
         for role, term, boost in p["clauses"]:
             assert role in ("must", "should", "must_not")
             assert term and term == term.lower()
-            assert boost > 0
+            # Lucene allows boost 0 (clause gates matching, adds no
+            # score); the syntax cannot produce a negative boost
+            assert boost >= 0
         for role, terms in p["phrases"]:
             assert role in ("must", "must_not")
             assert len(terms) >= 2
