@@ -3331,6 +3331,82 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(docs, n=2, top_n=20)
 
 
+@register(
+    "has_child_query",
+    """
+WITH child AS (
+  SELECT l_orderkey,
+         round(sum(l_extendedprice * l_discount), 6) AS child_score,
+         count(*) AS n_children
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+),
+r AS (
+  SELECT o.o_orderkey, o.o_orderpriority, c.child_score,
+         CAST(c.n_children AS BIGINT) AS n_children,
+         row_number() OVER (ORDER BY c.child_score DESC,
+                            o.o_orderkey ASC) AS rank
+  FROM orders o JOIN child c ON c.l_orderkey = o.o_orderkey
+)
+SELECT o_orderkey, o_orderpriority, child_score, n_children,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 20
+""",
+)
+def q_has_child_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child query (join-field parent/child): return PARENT docs
+    (orders) having at least one child (lineitem) matching the child
+    query (l_returnflag = 'R'), scored with score_mode=sum over the
+    child scores (here revenue l_extendedprice*l_discount) — top-20
+    parents. ES limits parent/child to one shard-local join; the Spark
+    shape is the general one: child-side agg FIRST (map-side combined,
+    one shuffle on the join key), then a parent equi-join — never a
+    row-per-child join fan-out into the ranking."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    child = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                    6).alias("child_score"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+    )
+    j = orders.join(child, orders.o_orderkey == child.l_orderkey)
+    w = Window.orderBy(F.desc("child_score"), F.asc("o_orderkey"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("o_orderkey", "o_orderpriority", "child_score",
+                "n_children", "rank")
+    )
+
+
+@register(
+    "has_parent_query",
+    "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity "
+    "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000",
+)
+def q_has_parent_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent query: return CHILD docs (lineitems) whose parent
+    order matches the parent query (urgent + large). The parent match
+    set is the small side after its filter — broadcast semi-join shape,
+    so children never shuffle (the inverse of has_child: filters push to
+    the parent scan, the child table streams)."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    parents = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 200000)
+    ).select("o_orderkey")
+    return (
+        li.join(F.broadcast(parents),
+                li.l_orderkey == parents.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
 _STRATA_RATES = {"en": 1.0, "zh": 0.5, "es": 0.25, "fr": 0.1, "de": 0.0}
 _KNUTH = 2654435761  # Knuth multiplicative hash constant
 _U32 = 4294967296
