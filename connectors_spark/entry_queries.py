@@ -3331,6 +3331,220 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(docs, n=2, top_n=20)
 
 
+_DF_PIVOT_KM, _DF_BOOST = 1000.0, 10.0
+
+
+@register(
+    "distance_feature",
+    f"""
+WITH pts AS (
+  SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM documents
+),
+d AS (
+  SELECT doc_id,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(lat - {_GEO_ORIGIN[0]}) / 2), 2)
+           + cos(radians({_GEO_ORIGIN[0]})) * cos(radians(lat))
+             * pow(sin(radians(lon - {_GEO_ORIGIN[1]}) / 2), 2)
+         )) AS dist_km
+  FROM pts
+),
+s AS (
+  SELECT doc_id,
+         round({_DF_BOOST} * {_DF_PIVOT_KM}
+               / ({_DF_PIVOT_KM} + dist_km), 6) AS score
+  FROM d
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 20
+""",
+)
+def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature query: rank by proximity to an origin with
+    the ES scoring contract score = boost * pivot / (pivot + distance)
+    (works for geo points and dates; geo here, over the same
+    deterministic doc coords as geo_distance). Unlike function_score
+    decay this query can drive WAND-style skipping in ES; in Spark it
+    is pure JVM trig + TakeOrdered (no shuffle before the top-k)."""
+    docs = _read(spark, sf_dir, "documents")
+    lat = ((F.col("doc_id") * 7 % 120).cast("double") - 60.0)
+    lon = ((F.col("doc_id") * 13 % 360).cast("double") - 180.0)
+    olat, olon = _GEO_ORIGIN
+    dist = 2 * 6371.0 * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(lat - olat) / 2), 2)
+        + F.cos(F.radians(F.lit(olat))) * F.cos(F.radians(lat))
+        * F.pow(F.sin(F.radians(lon - olon) / 2), 2)
+    ))
+    s = docs.select(
+        "doc_id",
+        F.round(_DF_BOOST * _DF_PIVOT_KM / (_DF_PIVOT_KM + dist), 6)
+        .alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score", "rank")
+    )
+
+
+_BOOSTING_POS, _BOOSTING_NEG, _NEG_BOOST = "data", "slow", 0.3
+
+
+def _boosting_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pos AS (
+  SELECT tf.doc_id, {w} AS w
+  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats WHERE tf.term = '{_BOOSTING_POS}'
+),
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_BOOSTING_NEG}'),
+s AS (
+  SELECT p.doc_id,
+         round(p.w * CASE WHEN n.doc_id IS NULL THEN 1.0
+                          ELSE {_NEG_BOOST} END, {ROUND_SCORE}) AS score
+  FROM pos p LEFT JOIN neg n USING (doc_id)
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 20
+"""
+
+
+@register("bm25_boosting_query", _boosting_sql())
+def q_bm25_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `boosting` compound query: positive-clause BM25 score,
+    DEMOTED (multiplied by negative_boost, not excluded) when the doc
+    also matches the negative clause — the "relevant but less so" knob
+    must_not cannot express. Negative matches ride a tiny distinct
+    doc-set broadcast left join over the scored frame."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "b", "query_text": _BOOSTING_POS, "k": 1_000_000}])
+    scored = score_topk_dataframe(idx, qdf)
+    neg = (
+        tokenize(docs, "text", "doc_id")
+        .filter(F.col("term") == _BOOSTING_NEG)
+        .select("doc_id").distinct()
+        .withColumn("_neg", F.lit(1))
+    )
+    s = scored.join(F.broadcast(neg), "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.col("score")
+            * F.when(F.col("_neg").isNull(), 1.0).otherwise(_NEG_BOOST),
+            ROUND_SCORE,
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score", "rank")
+    )
+
+
+@register(
+    "constant_score_query",
+    "SELECT doc_id, 1.5 AS score FROM documents "
+    "WHERE lang = 'fr' AND n_chars >= 300",
+)
+def q_constant_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES constant_score query: filter-context match with a fixed boost
+    as the score — no BM25 statistics touched, the whole query is a
+    pushed-down scan predicate (the cheapest query ES can run, and the
+    cheapest plan Spark can run: one filtered columnar scan)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("lang") == "fr") & (F.col("n_chars") >= 300))
+        .select("doc_id", F.lit(1.5).alias("score"))
+    )
+
+
+_PINNED_IDS = [7, 21]  # promoted, in display order
+_PINNED_QUERY_TERM = "table"
+
+
+def _pinned_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    pins = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(_PINNED_IDS)
+    )
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pin(ord, doc_id) AS (VALUES {pins}),
+organic AS (
+  SELECT tf.doc_id, round({w}, {ROUND_SCORE}) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.term = '{_PINNED_QUERY_TERM}'
+    AND tf.doc_id NOT IN (SELECT doc_id FROM pin)
+),
+unioned AS (
+  SELECT doc_id, CAST(1000000000 - ord AS DOUBLE) AS score FROM pin
+  UNION ALL SELECT doc_id, score FROM organic
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM unioned
+)
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
+"""
+
+
+@register("pinned_query", _pinned_sql())
+def q_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query (promoted/sponsored results): the configured ids
+    rank first IN THEIR GIVEN ORDER, organic BM25 results follow with
+    pinned ids deduplicated out — implemented exactly as ES does it:
+    pinned docs get synthetic scores above any achievable organic score
+    (1e9 - ordinal), then one shared ranking."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "p", "query_text": _PINNED_QUERY_TERM,
+         "k": 1_000_000}])
+    organic = (
+        score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+        .filter(~F.col("doc_id").isin(_PINNED_IDS))
+        .select("doc_id", "score")
+    )
+    pins = docs.sparkSession.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_PINNED_IDS)],
+        "ord int, doc_id long",
+    ).select("doc_id", (F.lit(1000000000.0) - F.col("ord")).alias("score"))
+    unioned = pins.unionByName(organic)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        unioned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "score", "rank")
+    )
+
+
 @register(
     "has_child_query",
     """
