@@ -53,6 +53,25 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+
+# Gate-run index memo: the driver executes every gate in one session and
+# ~30 gates build the identical documents index — build it once per
+# (sf_dir, positions) and reuse the persisted frames (correctness is
+# unaffected: IndexFrames are immutable lazy plans + persisted stats).
+_GATE_IDX_CACHE: dict = {}
+
+
+def _docs_index(spark: SparkSession, sf_dir: str,
+                with_positions: bool = False):
+    key = (sf_dir, with_positions)
+    idx = _GATE_IDX_CACHE.get(key)
+    if idx is None:
+        docs = _read(spark, sf_dir, "documents")
+        idx = build_index(docs, with_positions=with_positions)
+        _GATE_IDX_CACHE[key] = idx
+    return idx
+
+
 # =================================================================
 # Index-build aggregations (SURVEY §2.4 "index-build aggregations",
 # C16 tokenization)
@@ -97,7 +116,7 @@ def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc length incl. zero-token docs (BM25 norm input)."""
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     return idx.docs
 
 
@@ -179,7 +198,7 @@ FROM ranked WHERE rank <= {GATE_BM25_K}
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-BM25 top-k over documents for the fixed gate query set."""
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(
         spark,
         [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
@@ -1116,7 +1135,7 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.index import IndexReader, write_encoded_index
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     path = _tempfile.mkdtemp(prefix="gate_wand_idx_")
     try:
         write_encoded_index(idx, path, n_buckets=16, shard_cap=200)
@@ -1204,7 +1223,7 @@ def q_bm25_topk_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import boosted_query_terms
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
         for qid, text in GATE_BOOST_QUERIES
@@ -1236,7 +1255,7 @@ def q_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import paginate_after
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": qid, "query_text": text, "k": 1_000_000}
         for qid, text in GATE_BM25_QUERIES
@@ -1437,7 +1456,7 @@ def q_term_suggester(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import suggest_terms
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     inputs = spark.createDataFrame(
         [(s,) for s in GATE_SUGGEST_INPUTS], "input string")
     return suggest_terms(idx.lexicon, inputs, max_dist=2, prefix_len=1,
@@ -2043,7 +2062,7 @@ def q_bm25_topk_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import with_recency_decay
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": qid, "query_text": text, "k": 1_000_000}
         for qid, text in GATE_BM25_QUERIES
@@ -2112,7 +2131,7 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import more_like_this_queries
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     seeds = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
     # top-(k+1) suffices exactly: dropping the (single) seed row removes
     # at most one of them, so the top-k non-seed docs are all fetched —
@@ -2243,7 +2262,7 @@ def q_bm25_topk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import expand_terms_fuzzy
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
         for qid, text in GATE_FUZZY_QUERIES
@@ -2260,7 +2279,7 @@ def q_bm25_topk_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import expand_terms_prefix
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
         for qid, text in GATE_PREFIX_QUERIES
@@ -2278,7 +2297,7 @@ def q_bm25_topk_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import expand_terms_wildcard
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
         for qid, text in GATE_WILDCARD_QUERIES
@@ -2297,7 +2316,7 @@ def q_bm25_topk_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import expand_terms_regexp
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
         for qid, text in GATE_REGEXP_QUERIES
@@ -2432,7 +2451,7 @@ def q_bm25_topk_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import expand_terms_synonyms
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     syn = spark.createDataFrame(
         [(t, v) for t, vs in _SYN_MAP.items() for v in vs],
         "term string, variant string",
@@ -2474,7 +2493,7 @@ def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicon probe is a broadcast of the tiny input table; at 10^9 terms
     ES uses an FST — here parquet term-range pruning plays that role."""
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     inp = spark.createDataFrame(_COMPLETION_INPUTS,
                                 "input_id string, prefix string")
     cand = idx.lexicon.join(
@@ -2538,7 +2557,7 @@ def q_phrase_suggester(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import suggest_phrases
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     bigrams = (
         _doc_grams(docs, 2, "text", "doc_id")
         .groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
@@ -2930,7 +2949,7 @@ def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import explain_score
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
         for qid, text in GATE_BM25_QUERIES[:3]
@@ -3075,7 +3094,7 @@ def q_bm25_topk_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the winners re-ranked globally. Two windows, both
     hash-partitioned by query (and collapse key), never a global sort."""
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": qid, "query_text": text, "k": 1_000_000}
         for qid, text in GATE_BM25_QUERIES[:4]
@@ -3140,7 +3159,7 @@ def q_bm25_field_value_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     popularity-boost pattern), applied by a broadcast-able doc-feature
     join after scoring, then re-ranked."""
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": qid, "query_text": text, "k": 1_000_000}
         for qid, text in GATE_BM25_QUERIES[:4]
@@ -3434,7 +3453,7 @@ def q_bm25_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     must_not cannot express. Negative matches ride a tiny distinct
     doc-set broadcast left join over the scored frame."""
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": "b", "query_text": _BOOSTING_POS, "k": 1_000_000}])
     scored = score_topk_dataframe(idx, qdf)
@@ -3523,7 +3542,7 @@ def q_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned docs get synthetic scores above any achievable organic score
     (1e9 - ordinal), then one shared ranking."""
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": "p", "query_text": _PINNED_QUERY_TERM,
          "k": 1_000_000}])
@@ -4214,7 +4233,7 @@ def q_bm25_bool_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import bool_clauses_df, score_bool_topk
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     clauses = bool_clauses_df(spark, GATE_BOOL_QUERIES)
     return score_bool_topk(idx, clauses, round_scores=ROUND_SCORE)
 
@@ -4316,7 +4335,7 @@ def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query_string import score_query_string
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=True)
+    idx = _docs_index(spark, sf_dir, with_positions=True)
     return score_query_string(
         idx,
         [{"query_id": qid, "query_string": qs, "k": GATE_BM25_K}
@@ -4350,7 +4369,7 @@ def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query_string import score_query_string
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=True)
+    idx = _docs_index(spark, sf_dir, with_positions=True)
     return score_query_string(
         idx,
         [{"query_id": tid, "query_string": qs, "k": GATE_BM25_K}
@@ -4438,7 +4457,7 @@ def q_terms_set_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the gate derives it deterministically (doc_id % 3 + 1) on both
     engines; matched docs keep their summed BM25 score."""
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     from connectors_spark.operators.query import _distinct_term_weights
 
     terms = spark.createDataFrame([(t,) for t in _TERMS_SET], "term string")
@@ -4513,7 +4532,7 @@ def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.query import _distinct_term_weights
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     rows = []
     for qid, parts in _MBP_QUERIES:
         for t in parts[:-1]:
@@ -4648,7 +4667,7 @@ def q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND-semantics BM25: only docs containing EVERY query term (the
     posting-list intersection / Lucene conjunction case, SURVEY §2.3)."""
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     qdf = queries_df(
         spark,
         [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
@@ -4666,7 +4685,7 @@ def q_bm25_topk_conjunctive_compressed(spark: SparkSession,
     from connectors_spark.operators.index import IndexReader, write_encoded_index
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=False)
+    idx = _docs_index(spark, sf_dir, with_positions=False)
     path = _tempfile.mkdtemp(prefix="gate_and_idx_")
     try:
         write_encoded_index(idx, path, n_buckets=16, shard_cap=200)
@@ -4754,7 +4773,7 @@ def q_phrase_topk_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.index import IndexReader, write_encoded_index
 
     docs = _read(spark, sf_dir, "documents")
-    idx = build_index(docs, with_positions=True)
+    idx = _docs_index(spark, sf_dir, with_positions=True)
     path = _tempfile.mkdtemp(prefix="gate_phrase_idx_")
     try:
         write_encoded_index(idx, path, n_buckets=8, shard_cap=300)
