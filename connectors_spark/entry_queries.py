@@ -3350,6 +3350,73 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(docs, n=2, top_n=20)
 
 
+_INTERVALS = [("iv0", ["table", "scan", "merge"], 4),
+              ("iv1", ["the", "fast", "key"], 2)]
+
+
+def _intervals_sql() -> str:
+    parts = []
+    for iid, terms, max_gaps in _INTERVALS:
+        n = len(terms)
+        joins, order_conds = [], []
+        for i, t in enumerate(terms[1:], start=1):
+            joins.append(
+                f"JOIN tp t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos > t{i - 1}.pos AND t{i}.t = '{t}'"
+            )
+        parts.append(
+            f"SELECT '{iid}' AS interval_id, t0.doc_id, count(*) AS n_hits "
+            f"FROM tp t0 {' '.join(joins)} "
+            f"WHERE t0.t = '{terms[0]}' "
+            f"AND t{n - 1}.pos - t0.pos - {n - 1} <= {max_gaps} "
+            f"GROUP BY t0.doc_id"
+        )
+    tp = (
+        "tp AS (SELECT doc_id, unnest(arr) AS t, "
+        "unnest(range(len(arr))) AS pos FROM "
+        f"(SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr "
+        "FROM documents))"
+    )
+    return "WITH " + tp + " " + " UNION ALL ".join(parts)
+
+
+@register("intervals_query", _intervals_sql())
+def q_intervals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals query (all_of, ordered=true, max_gaps): all N terms
+    in order within a span whose slack (span length minus N) is at most
+    max_gaps — the modern replacement for span queries, generalizing
+    span_near to N sources. n_hits counts qualifying ordered position
+    combinations (identical convention both engines). Same pruned
+    position-join shape as phrase_match/span_near."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    out = None
+    for iid, terms, max_gaps in _INTERVALS:
+        n = len(terms)
+        cur = toks.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            ti = toks.filter(F.col("term") == t).select(
+                F.col("doc_id").alias("_d"), F.col("pos").alias(f"p{i}")
+            )
+            cur = cur.join(
+                ti,
+                (cur.doc_id == ti._d)
+                & (F.col(f"p{i}") > F.col(f"p{i - 1}")),
+            ).drop("_d")
+        hits = (
+            cur.filter(
+                F.col(f"p{n - 1}") - F.col("p0") - (n - 1) <= max_gaps
+            )
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(iid).alias("interval_id"), "doc_id", "n_hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
 _DF_PIVOT_KM, _DF_BOOST = 1000.0, 10.0
 
 
