@@ -347,6 +347,8 @@ KSTEM_DIRECT = {
     "halves": "half", "wolves": "wolf", "indices": "index",
     "matrices": "matrix", "vertices": "vertex", "criteria": "criterion",
     "phenomena": "phenomenon", "data": "data", "media": "media",
+    "analyses": "analysis", "crises": "crisis", "theses": "thesis",
+    "oases": "oasis", "axes": "axis", "fungi": "fungus", "cacti": "cactus",
 }
 
 # Compact built-in lexicon: base forms whose membership gates the
@@ -479,22 +481,14 @@ urgent usual vacuum valley various vehicle venture version victim
 victory village violent virtue vision visual vital voice volume
 wander waste weapon weather wedding weight welcome window winter
 wisdom witness wonder wooden worry worth wound yellow young
+alias bias lens atlas canvas chaos basis analysis crisis census
+corpus status virus bonus campus iris thesis axis oasis circus
+genius radius consensus surplus stylus walrus cactus fungus
 """.split())
 
 
-def kstem_py(word: str, lexicon: frozenset = KSTEM_LEXICON) -> str:
-    """Krovetz KStem algorithmic core (ES `light_english` analog).
-
-    Dictionary-gated: direct conflations first, lexicon words unchanged;
-    then plural -> singular, '-ied'/'-ed', '-ing' with e-restoration and
-    undoubling preferring lexicon hits; finally a derivational family
-    applied ONLY when the candidate is a lexicon word (KStem's defining
-    conservatism). Unknown words fall through to Krovetz's default
-    suffix rules. Reference behavior it replaces: the `en` analyzer's
-    light_english stage, app/connectors_service/connectors/es/
-    language_data.yml:10-13.
-    """
-    w = word
+def _kstem_once(w: str, lexicon: frozenset) -> str:
+    """One pass of the KStem rule cascade (see kstem_py)."""
     if len(w) < 3 or not w.isalpha():
         return w
     d = KSTEM_DIRECT.get(w)
@@ -523,7 +517,16 @@ def kstem_py(word: str, lexicon: frozenset = KSTEM_LEXICON) -> str:
             else:
                 w2 = drop_s
         elif not w.endswith(("ss", "us")) and len(w) > 3:
-            w2 = w[:-1]
+            # bare -s strip, dictionary-conservative: a base noun ending
+            # vowel+s (alias, basis, chaos) is NOT a plural unless the
+            # stripped form is a known word ('areas' -> 'area').
+            drop = w[:-1]
+            if drop in lexicon:
+                w2 = drop
+            elif w[-2] in "aio":
+                w2 = w
+            else:
+                w2 = drop
         else:
             w2 = w
         if w2 != w:
@@ -587,6 +590,36 @@ def kstem_py(word: str, lexicon: frozenset = KSTEM_LEXICON) -> str:
                 if cand in lexicon:
                     return cand
             break
+    return w
+
+
+def kstem_py(word: str, lexicon: frozenset = KSTEM_LEXICON) -> str:
+    """Krovetz KStem algorithmic core (ES `light_english` analog).
+
+    Dictionary-gated: direct conflations first, lexicon words unchanged;
+    then plural -> singular, '-ied'/'-ed', '-ing' with e-restoration and
+    undoubling preferring lexicon hits; finally a derivational family
+    applied ONLY when the candidate is a lexicon word (KStem's defining
+    conservatism). Unknown words fall through to Krovetz's default
+    suffix rules.
+
+    The cascade is iterated to a FIXPOINT, which makes the stemmer
+    idempotent by construction: build and query sides stem
+    independently, so a doc token and the query typed against its base
+    form must conflate to the same stem ('aliases' and 'alias' both ->
+    'alias' via the lexicon; unknown unstable forms erode to the same
+    fixpoint on both sides). Each non-fixpoint pass either returns a
+    lexicon word (itself a fixpoint) or strictly shortens the word, so
+    the loop terminates. Reference behavior it replaces: the `en`
+    analyzer's light_english stage, app/connectors_service/connectors/
+    es/language_data.yml:10-13.
+    """
+    w = word
+    for _ in range(len(word) + 1):
+        s = _kstem_once(w, lexicon)
+        if s == w:
+            return w
+        w = s
     return w
 
 

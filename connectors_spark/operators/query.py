@@ -485,6 +485,8 @@ def percolate(docs: DataFrame, stored: DataFrame, mode: str = "and",
     per (doc, query) vs the query's term count — one agg shuffle keyed
     on (doc, query), no per-query scans, scales with |docs| not
     |docs| x |queries|."""
+    if mode not in ("and", "or"):
+        raise ValueError(f"percolate mode must be 'and' or 'or', got {mode!r}")
     qterms = stored.select(
         "query_id",
         F.explode(F.array_distinct(tokens_col(F.col("query_text")))).alias("term"),

@@ -6,7 +6,9 @@ connectors/sources/postgresql/queries.py:35-37, client.py:24;
 generic_database.py:77-111) and reads catalog metadata (tables, primary
 keys, row counts) from information_schema (queries.py:16-45). This
 module re-expresses both against any Python DBAPI connection factory
-(sqlite3 in-sandbox; psycopg/mysql connectors drop in unchanged):
+(sqlite3 in-sandbox; psycopg/mysql drop in by passing their paramstyle
+placeholder — `placeholder="%s"` — since they reject qmark, the
+default here):
 
 - `read_dbapi_table` drains a table through KEYSET pagination
   (`WHERE pk > last ORDER BY pk LIMIT n` — strictly better than the
@@ -44,32 +46,48 @@ def read_dbapi_table(
     spill_dir: str,
     fetch_size: int = FETCH_SIZE,
     columns: list[str] | None = None,
+    placeholder: str = "?",
 ) -> DataFrame:
     """Drain `table` ordered by `pk` through keyset pagination into a
     distributed DataFrame. `connect`: zero-arg factory returning a DBAPI
-    connection (opened once per drain). Identifiers are validated
-    (alnum/_ only) because DBAPI placeholders cannot bind them."""
+    connection — opened lazily and REOPENED after a failed page fetch,
+    so `read_paged`'s backoff retries get a fresh connection instead of
+    a possibly-dead one. `placeholder` is the driver's paramstyle
+    marker: "?" (qmark: sqlite3), "%s" (format/pyformat: psycopg,
+    MySQLdb). Identifiers are validated (alnum/_ only) because DBAPI
+    placeholders cannot bind them."""
     for ident in (table, pk, *(columns or [])):
         if not ident.replace("_", "").isalnum():
             raise ValueError(f"invalid identifier {ident!r}")
     cols = ", ".join(columns) if columns else "*"
-    con = connect()
+    ph = placeholder
+    state: dict = {"con": None}
 
     def fetch_page(cursor_val):
-        cur = con.cursor()
-        if cursor_val is None:
-            cur.execute(
-                f"SELECT {cols} FROM {table} ORDER BY {pk} LIMIT ?",
-                (fetch_size,),
-            )
-        else:
-            cur.execute(
-                f"SELECT {cols} FROM {table} WHERE {pk} > ? "
-                f"ORDER BY {pk} LIMIT ?",
-                (cursor_val, fetch_size),
-            )
-        names = [d[0] for d in cur.description]
-        rows = [dict(zip(names, r)) for r in cur.fetchall()]
+        if state["con"] is None:
+            state["con"] = connect()
+        try:
+            cur = state["con"].cursor()
+            if cursor_val is None:
+                cur.execute(
+                    f"SELECT {cols} FROM {table} ORDER BY {pk} LIMIT {ph}",
+                    (fetch_size,),
+                )
+            else:
+                cur.execute(
+                    f"SELECT {cols} FROM {table} WHERE {pk} > {ph} "
+                    f"ORDER BY {pk} LIMIT {ph}",
+                    (cursor_val, fetch_size),
+                )
+            names = [d[0] for d in cur.description]
+            rows = [dict(zip(names, r)) for r in cur.fetchall()]
+        except Exception:
+            try:
+                state["con"].close()
+            except Exception:
+                pass
+            state["con"] = None  # next retry reconnects
+            raise
         if len(rows) < fetch_size:
             return rows, None  # final page
         return rows, str(rows[-1][pk])
@@ -78,7 +96,8 @@ def read_dbapi_table(
         return read_paged(spark, _coerce_cursor(fetch_page, pk),
                           schema, spill_dir)
     finally:
-        con.close()
+        if state["con"] is not None:
+            state["con"].close()
 
 
 def _coerce_cursor(fetch_page, pk):

@@ -291,6 +291,58 @@ def test_kstem_build_matches_oracle(spark):
     assert "d6" in q3_docs
 
 
+def test_kstem_base_inflected_collision_recall(spark):
+    """Regression for the r3 recall bug: build and query stem
+    independently, so a doc token and a query typed against its base
+    form must conflate identically ('aliases' indexed and the query
+    'alias' must meet at the same stem). Engine vs NumPy oracle rank
+    identity on a base/inflected collision corpus."""
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, score_topk_dataframe
+    from connectors_spark.oracle import OracleIndex
+    from connectors_spark.functions.analysis import ENGLISH_STOP, tokenize_py
+    from connectors_spark.functions.stem import kstem_py
+
+    # every pair: (inflected in doc, base in query) and the reverse
+    pairs = [("aliases", "alias"), ("biases", "bias"), ("lenses", "lens"),
+             ("atlases", "atlas"), ("canvases", "canvas"),
+             ("analyses", "analysis"), ("crises", "crisis")]
+    for infl, base in pairs:
+        assert kstem_py(infl) == kstem_py(base), (infl, base)
+
+    rows = [("d%d" % i, "the %s were counted" % infl)
+            for i, (infl, _) in enumerate(pairs)]
+    rows += [("b%d" % i, "one %s was counted" % base)
+             for i, (_, base) in enumerate(pairs)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    idx = build_index(docs, stop_words=ENGLISH_STOP, with_positions=False,
+                      stemmer="kstem")
+    oracle = OracleIndex(rows, stop_words=ENGLISH_STOP, stemmer="kstem")
+
+    queries = ([{"query_id": "base%d" % i, "query_text": base, "k": 4}
+                for i, (_, base) in enumerate(pairs)]
+               + [{"query_id": "infl%d" % i, "query_text": infl, "k": 4}
+                  for i, (infl, _) in enumerate(pairs)])
+    qrows = [{"query_id": q["query_id"],
+              "query_text": " ".join(
+                  tokenize_py(q["query_text"], ENGLISH_STOP, "kstem")),
+              "k": q["k"]} for q in queries]
+    got = sorted(
+        score_topk_dataframe(idx, queries_df(spark, qrows)).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    )
+    exp = sorted(oracle.score_queryset(queries), key=lambda e: (e[0], e[1]))
+    assert [(g.query_id, g.rank, g.doc_id) for g in got] == [e[:3] for e in exp]
+    # the recall property itself: base query finds the inflected doc
+    # and vice versa, for every pair
+    by_q = {}
+    for g in got:
+        by_q.setdefault(g.query_id, []).append(g.doc_id)
+    for i in range(len(pairs)):
+        assert "d%d" % i in by_q.get("base%d" % i, []), pairs[i]
+        assert "b%d" % i in by_q.get("infl%d" % i, []), pairs[i]
+
+
 def test_kstem_properties_random_words():
     """Property coverage for kstem on arbitrary lowercase words:
     deterministic, non-empty, never longer than input+1 (e-restoration
