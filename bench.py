@@ -121,6 +121,15 @@ def main():
         reader.postings.count()  # warm cache
         timed_best_of("bm25_queryset_wand", lambda: reader.topk(
             queries, kernel="auto").write.format("noop").mode("overwrite").save())
+        # theta-seed A/B in the SAME JVM (cross-process comparisons on
+        # this host are weather; see BENCH/BASELINE.md): the headline
+        # above uses the seeded default; record the unseeded twin so a
+        # regression in either path is attributable to the engine
+        t0 = time.time()
+        reader.topk(queries, kernel="auto", seed_theta=False).write.format(
+            "noop").mode("overwrite").save()
+        extra["wand_batch_unseeded_sec"] = round(time.time() - t0, 3)
+        extra["wand_batch_seeded_sec"] = timings["bm25_queryset_wand"]
 
         # p95 single-query latency through the cached compressed index
         lat = []

@@ -53,6 +53,19 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _ranked_topk(df: DataFrame, order: list, k: int) -> DataFrame:
+    """Global top-k with a dense rank column, WITHOUT an unpartitioned
+    window over the full frame: orderBy().limit(k) compiles to a
+    distributed TakeOrderedAndProject (per-partition partial top-k,
+    driver merge of k-row partials), then the rank window runs over the
+    ALREADY k-row result — bounded at any input scale. The naive
+    row_number().over(Window.orderBy(...)) forces every row through one
+    task; invisible at gate scale, the classic bottleneck at 100x."""
+    top = df.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 
 # Gate-run index memo: the driver executes every gate in one session and
 # ~30 gates build the identical documents index — build it once per
@@ -3470,12 +3483,9 @@ def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_DF_BOOST * _DF_PIVOT_KM / (_DF_PIVOT_KM + dist), 6)
         .alias("score"),
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        s.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "score", "rank")
-    )
+    return _ranked_topk(
+        s, [F.desc("score"), F.asc("doc_id")], 20
+    ).select("doc_id", "score", "rank")
 
 
 _BOOSTING_POS, _BOOSTING_NEG, _NEG_BOOST = "data", "slow", 0.3
@@ -3538,12 +3548,9 @@ def q_bm25_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROUND_SCORE,
         ).alias("score"),
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        s.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "score", "rank")
-    )
+    return _ranked_topk(
+        s, [F.desc("score"), F.asc("doc_id")], 20
+    ).select("doc_id", "score", "rank")
 
 
 @register(
@@ -3623,12 +3630,9 @@ def q_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ord int, doc_id long",
     ).select("doc_id", (F.lit(1000000000.0) - F.col("ord")).alias("score"))
     unioned = pins.unionByName(organic)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        unioned.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("doc_id", "score", "rank")
-    )
+    return _ranked_topk(
+        unioned, [F.desc("score"), F.asc("doc_id")], 10
+    ).select("doc_id", "score", "rank")
 
 
 @register(
@@ -3673,13 +3677,10 @@ def q_has_child_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     j = orders.join(child, orders.o_orderkey == child.l_orderkey)
-    w = Window.orderBy(F.desc("child_score"), F.asc("o_orderkey"))
-    return (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("o_orderkey", "o_orderpriority", "child_score",
-                "n_children", "rank")
-    )
+    return _ranked_topk(
+        j, [F.desc("child_score"), F.asc("o_orderkey")], 20
+    ).select("o_orderkey", "o_orderpriority", "child_score",
+             "n_children", "rank")
 
 
 @register(

@@ -620,7 +620,8 @@ class IndexReader:
         )
 
     def _topk_partials(self, qterms: DataFrame, buckets: list[int],
-                       kernel: str, mode: str = "or") -> DataFrame:
+                       kernel: str, mode: str = "or",
+                       seed_theta: bool = True) -> DataFrame:
         """Per-(query, doc-space group) partial top-k — the pre-merge
         stage of `topk`, factored out so distribution tests can count
         groups. Output: (query_id, k, grp, doc_idx, score), <= k rows per
@@ -648,7 +649,8 @@ class IndexReader:
         # pristine single-generation index — tombstones could kill the
         # achieving doc, and a changed avgdl makes stored block maxima
         # bounds rather than achieved values
-        seed_ok = len(self.dead) == 0 and not self.meta.get("deltas")
+        seed_ok = (seed_theta and len(self.dead) == 0
+                   and not self.meta.get("deltas"))
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             dead_ids = dead_bc.value
@@ -703,7 +705,7 @@ class IndexReader:
 
     def topk(self, queries: list[dict], kernel: str = "auto",
              max_groups: int = DEFAULT_MAX_GROUPS,
-             mode: str = "or") -> DataFrame:
+             mode: str = "or", seed_theta: bool = True) -> DataFrame:
         """(query_id, rank, doc_id, score) for the query batch.
 
         mode='and': conjunctive retrieval (ES bool-must) — only docs
@@ -763,7 +765,7 @@ class IndexReader:
             "df_total long, n_terms int",
         )
         partials = self._topk_partials(qterms, sorted(buckets), kernel,
-                                       mode=mode)
+                                       mode=mode, seed_theta=seed_theta)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_idx")
         )

@@ -71,7 +71,8 @@ class ShardCursor:
     incremental updates (operators/delta.py)."""
 
     __slots__ = ("row", "idf", "k1", "b", "avgdl", "n", "n_blocks", "ub",
-                 "block_i", "docs", "tfs", "dls", "pos", "exhausted", "scale")
+                 "block_i", "docs", "tfs", "dls", "pos", "exhausted", "scale",
+                 "bl", "bmw")
 
     def __init__(self, row, idf: float, avgdl: float, k1: float, b: float,
                  ub_scale: float = 1.0):
@@ -80,9 +81,15 @@ class ShardCursor:
         self.k1, self.b, self.avgdl = k1, b, avgdl
         self.scale = max(1.0, float(ub_scale))
         self.n = int(row["n_docs"])
-        self.n_blocks = len(row["block_last_doc"])
+        # block metadata as ndarrays ONCE: seek() and the metadata
+        # fast-forward loop searchsorted these on every skip, and
+        # re-materializing them per call dominated kernel time on
+        # low-theta queries (the r3 bench regression)
+        self.bl = np.asarray(row["block_last_doc"], dtype=np.int64)
+        self.bmw = np.asarray(row["block_max_w"], dtype=np.float64)
+        self.n_blocks = len(self.bl)
         # list-level upper bound: idf * max block_max_w (scaled)
-        self.ub = self.idf * max(row["block_max_w"]) * self.scale
+        self.ub = self.idf * float(self.bmw.max()) * self.scale
         self.block_i = -1
         self.exhausted = False
         self._load_block(0)
@@ -102,10 +109,10 @@ class ShardCursor:
         return int(self.docs[self.pos])
 
     def block_ub(self) -> float:
-        return self.idf * float(self.row["block_max_w"][self.block_i]) * self.scale
+        return self.idf * float(self.bmw[self.block_i]) * self.scale
 
     def block_last(self) -> int:
-        return int(self.row["block_last_doc"][self.block_i])
+        return int(self.bl[self.block_i])
 
     def score_cur(self) -> float:
         tf, dl = float(self.tfs[self.pos]), float(self.dls[self.pos])
@@ -122,9 +129,7 @@ class ShardCursor:
         if self.exhausted:
             return
         if self.block_last() < target:
-            bi = int(np.searchsorted(
-                np.asarray(self.row["block_last_doc"], dtype=np.int64), target
-            ))
+            bi = int(np.searchsorted(self.bl, target))
             if bi >= self.n_blocks:
                 self.exhausted = True
                 return
@@ -276,13 +281,11 @@ def topk_wand(shards_by_term: list[tuple[float, list]], k: int,
                 while True:
                     bm, boundary = 0.0, None
                     for c in pivots:
-                        bl = np.asarray(c.row["block_last_doc"],
-                                        dtype=np.int64)
-                        bi = int(np.searchsorted(bl, target))
-                        if bi >= len(bl):
+                        bi = int(np.searchsorted(c.bl, target))
+                        if bi >= c.n_blocks:
                             continue  # no postings at/after target
-                        bm += c.idf * float(c.row["block_max_w"][bi]) * c.scale
-                        bend = int(bl[bi])
+                        bm += c.idf * float(c.bmw[bi]) * c.scale
+                        bend = int(c.bl[bi])
                         boundary = bend if boundary is None else min(boundary, bend)
                     if boundary is None:
                         # pivot set exhausted past target

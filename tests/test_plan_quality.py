@@ -144,3 +144,22 @@ def test_topk_prepass_prunes_blob_columns(spark, tmp_path):
     readschema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "doc_gaps" not in readschema and "tfs" not in readschema, readschema
     assert "bucket" in plan  # pruning filter present
+
+
+def test_ranked_topk_gates_use_take_ordered(spark, sf_dir):
+    """The four global-ranking gates (distance_feature, boosting,
+    pinned, has_child) must compile their top-k through a distributed
+    TakeOrderedAndProject, with any Window evaluated AFTER the limit
+    (over <= k rows) — never a full-frame single-task window."""
+    from connectors_spark import entry_queries as eq
+
+    for fn in (eq.q_distance_feature, eq.q_bm25_boosting_query,
+               eq.q_pinned_query, eq.q_has_child_query):
+        df = fn(spark, sf_dir)
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, (fn.__name__, plan)
+        # the Window (rank derivation) must sit ABOVE the take-ordered
+        # (i.e. consume its k-row output), not below it over the full frame
+        if "Window" in plan:
+            assert plan.index("Window") < plan.index("TakeOrderedAndProject"), \
+                fn.__name__
