@@ -72,6 +72,29 @@ def brute_force_cosine_topk(
     )
 
 
+DEFAULT_N_CENTROIDS = 256
+
+
+def init_centroids_fixed(vectors: DataFrame, n_centroids: int,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """(cell, cv): exactly min(n_centroids, |corpus|) seed centroids,
+    deterministically sampled by hash-rank over the id — the centroid
+    count (and hence the per-executor broadcast) is FIXED by the caller
+    (~sqrt(n) is the usual IVF choice), independent of corpus size.
+    This is the scale-correct seeding: the legacy every-mod-th sampler
+    (`init_centroids`) yields n/mod centroids, an O(n) broadcast at
+    10^9 vectors. orderBy(hash).limit(n) compiles to a distributed
+    TakeOrderedAndProject (per-partition partial top-n), never a full
+    sort. Refinable with kmeans_refine like any centroid set."""
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    return (
+        vectors.select(F.col(id_col).alias("cell"),
+                       F.col(vec_col).alias("cv"), h.alias("_h"))
+        .orderBy("_h", "cell").limit(int(n_centroids)).drop("_h")
+    )
+
+
 def init_centroids(vectors: DataFrame, centroid_mod: int,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id") -> DataFrame:
@@ -166,20 +189,34 @@ def ivf_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    centroid_mod: int = 50,
+    centroid_mod: int | None = None,
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     kmeans_rounds: int = 0,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, vec_id, cos) — IVF-pruned approximate top-k.
-    kmeans_rounds > 0 refines the deterministic seed centroids with
-    Lloyd iterations (better recall on clustered corpora; the rounds=0
-    path stays the DuckDB-mirrorable gate)."""
+
+    Centroid seeding: `n_centroids` (DEFAULT — fixed-size hash-rank
+    sample, broadcast size independent of corpus size; the 100 TB
+    shape) or `centroid_mod` (every mod-th vector — n/mod centroids,
+    kept because the DuckDB gate oracle can mirror it exactly; NOT a
+    scale default since its broadcast grows O(n)). kmeans_rounds > 0
+    refines either seed with Lloyd iterations (better recall on
+    clustered corpora; the rounds=0 mod path stays the
+    DuckDB-mirrorable gate)."""
+    if centroid_mod is not None and n_centroids is not None:
+        raise ValueError("pass centroid_mod OR n_centroids, not both")
     cents = None
+    if centroid_mod is None:
+        cents = init_centroids_fixed(
+            vectors, n_centroids or DEFAULT_N_CENTROIDS, vec_col, id_col)
     if kmeans_rounds > 0:
+        seed = cents if cents is not None else init_centroids(
+            vectors, centroid_mod, vec_col, id_col)
         cents = kmeans_refine(
-            vectors, init_centroids(vectors, centroid_mod, vec_col, id_col),
+            vectors, seed,
             rounds=kmeans_rounds, vec_col=vec_col, id_col=id_col,
         ).persist()
     cells = assign_cells(vectors, centroid_mod, vec_col, id_col, centroids=cents)

@@ -149,3 +149,54 @@ def test_ivf_kmeans_rounds_improve_recall(spark):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0, (r0, r2)
     assert r2 > 0.5, (r0, r2)  # refined centroids give usable recall
+
+
+def test_fixed_centroid_count_independent_of_corpus_size(spark):
+    """The scale-correct seeding: n_centroids fixes the broadcast size
+    regardless of corpus size (the legacy centroid_mod sampler yields
+    n/mod centroids — O(n) broadcast at 1e9 vectors, the r3 scale
+    finding). Also deterministic across calls."""
+    from connectors_spark.operators.similarity import init_centroids_fixed
+
+    rng = np.random.RandomState(7)
+    for n in (100, 1000):
+        rows = [(i, rng.randn(8).astype(np.float32).tolist())
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = init_centroids_fixed(df, 32)
+        assert cents.count() == 32, n
+        a = sorted(r.cell for r in cents.collect())
+        b = sorted(r.cell for r in init_centroids_fixed(df, 32).collect())
+        assert a == b  # deterministic
+
+
+def test_ivf_fixed_centroids_recall(spark, vecs, vecs_np):
+    """n_centroids default path: exact per-candidate scores and usable
+    recall vs brute force (approximate method — candidate SET may
+    differ, scores of returned candidates may not)."""
+    qids = [0, 100, 200, 300]
+    qdf = vecs.filter(F.col("vec_id").isin(qids))
+    got = ivf_cosine_topk(vecs, qdf, k=10, n_centroids=20, nprobe=8).collect()
+    exp = _oracle_topk(vecs_np, qids, 10)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    # scores of whatever candidates IVF returns are the exact cosines
+    v = vecs_np.astype(np.float64)
+    norms = np.sqrt((v * v).sum(axis=1))
+    hits = total = 0
+    for qi in qids:
+        assert len(by_q[qi]) > 0
+        for r in by_q[qi]:
+            true_cos = round(float(v[r.vec_id] @ v[qi]
+                                   / (norms[r.vec_id] * norms[qi])), 6)
+            assert abs(r.cos - true_cos) <= 1e-6
+        exact_ids = {i for _, i in exp[qi]}
+        hits += sum(1 for r in by_q[qi] if r.vec_id in exact_ids)
+        total += len(exp[qi])
+    assert hits / total > 0.3, hits / total  # pruned search, random corpus
+
+
+def test_ivf_rejects_both_seeding_modes(spark, vecs):
+    with pytest.raises(ValueError):
+        ivf_cosine_topk(vecs, vecs.limit(1), centroid_mod=10, n_centroids=10)
