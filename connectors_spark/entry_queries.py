@@ -4412,6 +4412,259 @@ def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GATE_QSF_QUERIES = [
+    ("qf0", "+lang:fr spark merge"),
+    ("qf1", "source:src2 +table -lang:de"),
+    ("qf2", "+source:src1 lang:en query^2 window^0.5"),
+    ("qf3", "author:smith spark -editor:jones"),
+]
+_QSF_FIELDS = ("lang", "source")
+
+
+def _query_string_fields_sql() -> str:
+    from connectors_spark.operators.query_string import parse_query_string
+
+    cvals = []
+    for qid, qs in GATE_QSF_QUERIES:
+        p = parse_query_string(qs)
+        assert not p["phrases"], "gate keeps scoped queries phrase-free"
+        for role, term, boost in p["clauses"]:
+            cvals.append(f"('{qid}', '', '{term}', '{role}', {boost})")
+        for role, fld, term, boost in p["scoped"]:
+            cvals.append(f"('{qid}', '{fld}', '{term}', '{role}', {boost})")
+    w_text = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                      dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    contribs = [f"""
+  SELECT cl.query_id, tf.doc_id, cl.fld, cl.term, cl.role, cl.boost,
+         {w_text} AS w
+  FROM cl JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  WHERE cl.fld = ''"""]
+    fctes = []
+    for f in _QSF_FIELDS:
+        wf = bm25_sql(n_expr=f"stats_{f}.n", df_expr=f"dfreq_{f}.df",
+                      tf_expr=f"tf_{f}.tf", dl_expr=f"dl_{f}.dl",
+                      avgdl_expr=f"stats_{f}.avgdl")
+        fctes.append(f"""
+toks_{f} AS (
+  SELECT doc_id, unnest({tokenize_sql_duckdb(f)}) AS term FROM documents
+),
+tf_{f} AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks_{f} GROUP BY doc_id, term
+),
+dl_{f} AS (
+  SELECT d.doc_id, coalesce(t.dl, 0) AS dl FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks_{f} GROUP BY doc_id) t
+    USING (doc_id)
+),
+stats_{f} AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl_{f}) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq_{f} AS (SELECT term, count(*) AS df FROM tf_{f} GROUP BY term)""")
+        contribs.append(f"""
+  SELECT cl.query_id, tf_{f}.doc_id, cl.fld, cl.term, cl.role, cl.boost,
+         {wf} AS w
+  FROM cl JOIN tf_{f} USING (term) JOIN dfreq_{f} USING (term)
+  JOIN dl_{f} ON dl_{f}.doc_id = tf_{f}.doc_id CROSS JOIN stats_{f}
+  WHERE cl.fld = '{f}'""")
+    ft = "fld || chr(1) || term"
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{','.join(fctes)},
+cl(query_id, fld, term, role, boost) AS (VALUES {', '.join(cvals)}),
+contrib AS ({' UNION ALL '.join(contribs)}),
+agg AS (
+  SELECT query_id, doc_id,
+    round(sum(CASE WHEN role IN ('must','should') THEN w * boost
+              ELSE 0 END), {ROUND_SCORE}) AS score,
+    count(DISTINCT CASE WHEN role = 'must' THEN {ft} END) AS n_must,
+    count(DISTINCT CASE WHEN role = 'must_not' THEN {ft} END) AS n_not
+  FROM contrib GROUP BY query_id, doc_id
+),
+req AS (
+  SELECT query_id,
+    count(DISTINCT CASE WHEN role = 'must' THEN {ft} END) AS req_must
+  FROM cl GROUP BY query_id
+),
+f AS (
+  SELECT a.query_id, a.doc_id, a.score FROM agg a JOIN req USING (query_id)
+  WHERE a.n_must = req.req_must AND a.n_not = 0
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM f
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("query_string_fields", _query_string_fields_sql())
+def q_query_string_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `query_string` with FIELD-SCOPED clauses (`lang:fr`,
+    `+source:src1`, `-lang:de`) — the search-box syntax every ES user
+    types (`author:smith`). Scoped clauses route to that field's index
+    with per-field BM25 statistics (multi_match machinery); unmapped
+    fields (`author:`, `editor:`) behave like ES: must empties, should
+    is inert, must_not excludes nothing. Oracle SQL is generated FROM
+    the same parse (operators/query_string.py)."""
+    from connectors_spark.operators.query_string import score_query_string
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = _docs_index(spark, sf_dir, with_positions=True)
+    fidx = {
+        f: build_index(docs.select("doc_id", F.col(f).alias("text")),
+                       with_positions=False)
+        for f in _QSF_FIELDS
+    }
+    return score_query_string(
+        idx,
+        [{"query_id": qid, "query_string": qs, "k": GATE_BM25_K}
+         for qid, qs in GATE_QSF_QUERIES],
+        round_scores=ROUND_SCORE,
+        field_indexes=fidx,
+    )
+
+
+GATE_QSP_QUERIES = [
+    ("qp0", '"table scan" merge'),
+    ("qp1", '+"hash join" data^2'),
+    ("qp2", 'spark -"slow scan" fast'),
+]
+
+
+def _query_string_phrase_scored_sql() -> str:
+    from connectors_spark.operators.query_string import parse_query_string
+    from connectors_spark.operators.score import idf_sql, tf_norm_sql
+
+    cvals, phm_ctes, ph_conds, phw_selects = [], [], [], []
+    for qid, qs in GATE_QSP_QUERIES:
+        p = parse_query_string(qs)
+        for role, term, boost in p["clauses"]:
+            cvals.append(f"('{qid}', '{term}', '{role}', {boost})")
+        for j, (role, terms) in enumerate(p["phrases"]):
+            name = f"phm_{qid}_{j}"
+            joins = " ".join(
+                f"JOIN tp t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {i} AND t{i}.t = '{t}'"
+                for i, t in enumerate(terms[1:], start=1)
+            )
+            phm_ctes.append(
+                f"{name} AS (SELECT t0.doc_id, count(*) AS pf "
+                f"FROM tp t0 {joins} WHERE t0.t = '{terms[0]}' "
+                f"GROUP BY t0.doc_id)"
+            )
+            op = "NOT IN" if role == "must_not" else "IN"
+            ph_conds.append(
+                f"AND (f.query_id <> '{qid}' "
+                f"OR f.doc_id {op} (SELECT doc_id FROM {name}))"
+            )
+            if role == "must":
+                # Lucene PhraseQuery under BM25: idf = SUM of the
+                # constituent terms' idfs, tf = phrase frequency
+                tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+                sidf = (f"(SELECT sum({idf_sql('stats.n', 'df')}) "
+                        f"FROM dfreq CROSS JOIN stats "
+                        f"WHERE term IN ({tlist}))")
+                tfn = tf_norm_sql("m.pf", "dl.dl", "stats.avgdl")
+                phw_selects.append(
+                    f"SELECT '{qid}' AS query_id, m.doc_id, "
+                    f"{sidf} * {tfn} AS pw "
+                    f"FROM {name} m JOIN dl ON dl.doc_id = m.doc_id "
+                    f"CROSS JOIN stats"
+                )
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    pw_ctes = ""
+    pw_join = ""
+    pw_expr = "f.score"
+    if phw_selects:
+        pw_ctes = (
+            "phw AS (" + " UNION ALL ".join(phw_selects) + "), "
+            "pws AS (SELECT query_id, doc_id, sum(pw) AS pw "
+            "FROM phw GROUP BY query_id, doc_id),"
+        )
+        pw_join = "LEFT JOIN pws ON pws.query_id = f.query_id AND pws.doc_id = f.doc_id"
+        pw_expr = "f.score + coalesce(pws.pw, 0)"
+    return f"""
+WITH {_DL_CTE},
+tp AS (SELECT doc_id, unnest(arr) AS t,
+       unnest(range(len(arr))) AS pos FROM
+       (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr
+        FROM documents)),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cl(query_id, term, role, boost) AS (VALUES {', '.join(cvals)}),
+contrib AS (
+  SELECT cl.query_id, tf.doc_id, cl.term, cl.role, cl.boost, {w} AS w
+  FROM cl JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+agg AS (
+  SELECT query_id, doc_id,
+    sum(CASE WHEN role IN ('must','should') THEN w * boost
+        ELSE 0 END) AS score,
+    count(DISTINCT CASE WHEN role = 'must' THEN term END) AS n_must,
+    count(DISTINCT CASE WHEN role = 'must_not' THEN term END) AS n_not
+  FROM contrib GROUP BY query_id, doc_id
+),
+req AS (
+  SELECT query_id,
+    count(DISTINCT CASE WHEN role = 'must' THEN term END) AS req_must
+  FROM cl GROUP BY query_id
+),
+{', '.join(phm_ctes) + ',' if phm_ctes else ''}
+{pw_ctes}
+f AS (
+  SELECT a.query_id, a.doc_id, a.score FROM agg a JOIN req USING (query_id)
+  WHERE a.n_must = req.req_must AND a.n_not = 0
+),
+ranked AS (
+  SELECT f.query_id, f.doc_id,
+         round({pw_expr}, {ROUND_SCORE}) AS score,
+         row_number() OVER (PARTITION BY f.query_id
+                            ORDER BY round({pw_expr}, {ROUND_SCORE}) DESC,
+                            f.doc_id ASC) AS rank
+  FROM f {pw_join} WHERE TRUE {' '.join(ph_conds)}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("query_string_phrase_scored", _query_string_phrase_scored_sql())
+def q_query_string_phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string with Lucene PhraseQuery SCORING for quoted clauses
+    (VERDICT r3 #6): a must-phrase contributes
+    sum(constituent idfs) * tf_norm(phrase_freq, dl) on top of the term
+    clauses — the positional kernel's adjacency counts drive score, not
+    just filter context. must_not phrases still gate only. Oracle SQL
+    generated FROM the same parse (position self-joins count phrase
+    occurrences)."""
+    from connectors_spark.operators.query_string import score_query_string
+
+    idx = _docs_index(spark, sf_dir, with_positions=True)
+    return score_query_string(
+        idx,
+        [{"query_id": qid, "query_string": qs, "k": GATE_BM25_K}
+         for qid, qs in GATE_QSP_QUERIES],
+        round_scores=ROUND_SCORE,
+        phrase_scoring=True,
+    )
+
+
 _SEARCH_TEMPLATES = [
     ("st0", '"{{ phrase }}" {{extra}}', {"phrase": "table scan",
                                          "extra": "fast"}),

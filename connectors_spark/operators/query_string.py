@@ -14,8 +14,16 @@ classic QueryParser semantics are public). Supported subset:
   not add score — a documented simplification vs Lucene PhraseQuery
   scoring (phrase-frequency BM25), kept identical on the DuckDB oracle.
 
+Field-scoped tokens (`author:smith`, `+lang:fr`, `-source:bad^2`)
+route to that field's index with per-field BM25 statistics (Lucene
+per-field term stats, same machinery as multi_match); a clause on a
+field with no index behaves like ES on an unmapped field — it matches
+no documents (so a scoped must empties the query, a scoped should is
+inert, a scoped must_not excludes nothing).
+
 Unsupported syntax, handled leniently (ES lenient-mode style):
-`field:term` scoped tokens are DROPPED (no field mapping here);
+`field:"phrase"` loses its scope — the phrase still gates, but on the
+default field (positional indexes are per-default-field here);
 `~` fuzziness markers are ignored (the term still matches exactly);
 parentheses act as whitespace; AND/OR/NOT connectives are not keywords
 (they normalize to ordinary lowercase terms). Terms are normalized with
@@ -49,12 +57,17 @@ _ROLE = {"+": "must", "-": "must_not", None: "should", "": "should"}
 
 
 def parse_query_string(q: str) -> dict:
-    """-> {"clauses": [(role, term, boost)], "phrases": [(role, [terms])]}.
+    """-> {"clauses": [(role, term, boost)],
+           "scoped": [(role, field, term, boost)],
+           "phrases": [(role, [terms])]}.
 
     Roles follow the Lucene classic parser: '+' requires, '-' prohibits,
     bare means optional-scoring. Multi-token bare "terms" that normalize
-    to several alnum runs (e.g. `don't`) contribute each run."""
+    to several alnum runs (e.g. `don't`) contribute each run.
+    `field:term` lands in "scoped" with the field name normalized like a
+    term (the default-field clause list keeps its 3-tuple shape)."""
     clauses: list[tuple[str, str, float]] = []
+    scoped: list[tuple[str, str, str, float]] = []
     phrases: list[tuple[str, list[str]]] = []
     for m in _TOKEN_RE.finditer(q):
         role = _ROLE[m.group("prefix")]
@@ -70,17 +83,27 @@ def parse_query_string(q: str) -> dict:
                                 else "must", terms))
         else:
             raw = m.group("term")
-            if ":" in raw:  # field-scoped token: dropped (lenient)
-                continue
+            if ":" in raw:
+                fld_raw, _, rest = raw.partition(":")
+                flds = _TERM_RE.findall(fld_raw.lower())
+                terms = _TERM_RE.findall(rest.lower())
+                if flds and terms:
+                    for t in terms:
+                        scoped.append((role, flds[-1], t, boost))
+                elif terms:  # `:term` — no field name: default field
+                    for t in terms:
+                        clauses.append((role, t, boost))
+                continue  # `field:` with no term, or `field:"p"`: dropped
             for t in _TERM_RE.findall(raw.lower()):
                 clauses.append((role, t, boost))
-    return {"clauses": clauses, "phrases": phrases}
+    return {"clauses": clauses, "scoped": scoped, "phrases": phrases}
 
 
-def _phrase_doc_ids(index: IndexFrames, terms: list[str]) -> DataFrame:
-    """doc_ids containing `terms` consecutively — incremental position
-    join over ONLY the phrase terms' postings (positions were stored at
-    build time; the join frame is |phrase| narrow posting slices)."""
+def _phrase_matches(index: IndexFrames, terms: list[str]) -> DataFrame:
+    """(doc_id, p0): one row per phrase OCCURRENCE (start position) —
+    incremental position join over ONLY the phrase terms' postings
+    (positions were stored at build time; the join frame is |phrase|
+    narrow posting slices)."""
     pos = index.postings.select(
         "term", "doc_id", F.explode("positions").alias("pos")
     )
@@ -94,7 +117,41 @@ def _phrase_doc_ids(index: IndexFrames, terms: list[str]) -> DataFrame:
         cur = cur.join(
             ti, (cur.doc_id == ti._d) & (ti[f"p{i}"] == F.col("p0") + i)
         ).drop("_d")
-    return cur.select("doc_id").distinct()
+    return cur.select("doc_id", "p0")
+
+
+def _phrase_doc_ids(index: IndexFrames, terms: list[str]) -> DataFrame:
+    """doc_ids containing `terms` consecutively (filter-context gate)."""
+    return _phrase_matches(index, terms).select("doc_id").distinct()
+
+
+def _phrase_weights(index: IndexFrames, terms: list[str],
+                    k1: float, b: float,
+                    broadcast_docs_max: int) -> DataFrame:
+    """(doc_id, _pw): Lucene PhraseQuery BM25 contribution — tf is the
+    PHRASE frequency (occurrences of the exact consecutive sequence),
+    idf is the SUM of the constituent terms' idfs (public Lucene
+    PhraseWeight semantics under BM25Similarity)."""
+    from connectors_spark.operators.score import idf_col, tf_norm_col
+
+    spark = index.postings.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    sidf = index.lexicon.join(F.broadcast(tdf), "term").agg(
+        F.sum(idf_col(index.n_docs, F.col("df"))).alias("_sidf"))
+    pf = _phrase_matches(index, terms).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("pf"))
+    docs_dl = index.docs.select("doc_id", "dl")
+    if index.n_docs <= broadcast_docs_max:
+        docs_dl = F.broadcast(docs_dl)
+    return (
+        pf.join(docs_dl, "doc_id").crossJoin(F.broadcast(sidf))
+        .select(
+            "doc_id",
+            (F.col("_sidf")
+             * tf_norm_col(F.col("pf"), F.col("dl"), index.avgdl, k1, b)
+             ).alias("_pw"),
+        )
+    )
 
 
 def score_query_string(
@@ -104,6 +161,8 @@ def score_query_string(
     b: float = BM25_B,
     round_scores: int | None = None,
     broadcast_docs_max: int = 2_000_000,
+    field_indexes: dict[str, IndexFrames] | None = None,
+    phrase_scoring: bool = False,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) for parsed query strings.
 
@@ -111,34 +170,75 @@ def score_query_string(
     (must + should) contribute boost * BM25 weight; must terms are all
     required, any must_not term excludes, phrases gate in filter
     context. Docs enter the candidate set only through a scoring-clause
-    term hit (matches the oracle contract; see module docstring)."""
+    term hit (matches the oracle contract; see module docstring).
+
+    `field_indexes` maps field names to their per-field indexes (built
+    over the same doc set) for `field:term` scoped clauses; each field
+    scores with its OWN BM25 statistics, like multi_match. A scoped
+    clause whose field has no index matches no documents (ES unmapped-
+    field semantics): its must is unsatisfiable, its should/must_not
+    are inert. The plan stays ONE (query, doc) agg shuffle — per-field
+    distinct-term weights are unioned with a field tag before the agg.
+
+    `phrase_scoring=True` upgrades quoted must-phrases from pure filter
+    context to Lucene PhraseQuery scoring: the phrase adds
+    sum(term idfs) * tf_norm(phrase_freq, dl) to matching docs (boosts
+    on phrases are ignored either way). must_not phrases always gate
+    only."""
     spark: SparkSession = index.postings.sparkSession
     rows, phrase_jobs = [], []
+    known = set(field_indexes or ())
     for q in queries:
         parsed = parse_query_string(q["query_string"])
         for role, term, boost in parsed["clauses"]:
-            rows.append((q["query_id"], int(q["k"]), role, term, boost))
+            rows.append((q["query_id"], int(q["k"]), role, "", term, boost))
+        for role, fld, term, boost in parsed["scoped"]:
+            # unknown field: keep the row (it must count toward the
+            # query's required-must total) but tag it unmatched
+            f = fld if fld in known else "\x00" + fld
+            rows.append((q["query_id"], int(q["k"]), role, f, term, boost))
         for role, terms in parsed["phrases"]:
             phrase_jobs.append((q["query_id"], role, terms))
     clauses = spark.createDataFrame(
-        rows, "query_id string, k int, role string, term string, boost double"
+        rows,
+        "query_id string, k int, role string, field string, "
+        "term string, boost double",
     )
 
-    dterms = clauses.select("term").distinct()
-    tw = _distinct_term_weights(index, dterms, k1, b, broadcast_docs_max)
-    contrib = tw.join(F.broadcast(clauses), "term")
+    tw_all = None
+    for fname in sorted({r[3] for r in rows}):
+        idx_f = index if fname == "" else (field_indexes or {}).get(fname)
+        if idx_f is None:
+            continue  # unmapped field: contributes nothing
+        dterms_f = clauses.filter(F.col("field") == fname) \
+            .select("term").distinct()
+        tw_f = _distinct_term_weights(idx_f, dterms_f, k1, b,
+                                      broadcast_docs_max) \
+            .withColumn("field", F.lit(fname))
+        tw_all = tw_f if tw_all is None else tw_all.unionByName(tw_f)
+    if tw_all is None:
+        # empty result, doc_id typed from the index (long or string)
+        return (
+            index.postings.select("doc_id").limit(0)
+            .withColumn("query_id", F.lit("").cast("string"))
+            .withColumn("rank", F.lit(0).cast("int"))
+            .withColumn("score", F.lit(0.0))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+    contrib = tw_all.join(F.broadcast(clauses), ["field", "term"])
     scoring = F.col("role").isin("must", "should")
+    fterm = F.concat_ws("\x01", F.col("field"), F.col("term"))
     scored = contrib.groupBy("query_id", "k", "doc_id").agg(
         F.sum(F.when(scoring, F.col("w") * F.col("boost"))
               .otherwise(F.lit(0.0))).alias("score"),
         F.count_distinct(
-            F.when(F.col("role") == "must", F.col("term"))).alias("_n_must"),
+            F.when(F.col("role") == "must", fterm)).alias("_n_must"),
         F.count_distinct(
-            F.when(F.col("role") == "must_not", F.col("term"))).alias("_n_not"),
+            F.when(F.col("role") == "must_not", fterm)).alias("_n_not"),
     )
     req = clauses.groupBy("query_id").agg(
         F.count_distinct(
-            F.when(F.col("role") == "must", F.col("term"))).alias("_req_must"),
+            F.when(F.col("role") == "must", fterm)).alias("_req_must"),
     )
     out = scored.join(F.broadcast(req), "query_id").filter(
         (F.col("_n_must") == F.col("_req_must")) & (F.col("_n_not") == 0)
@@ -151,6 +251,26 @@ def score_query_string(
         matched = (matched.join(ph, "doc_id", "left_semi") if role == "must"
                    else matched.join(ph, "doc_id", "left_anti"))
         out = out.filter(~in_q).unionByName(matched)
+    if phrase_scoring:
+        pw_all = None
+        for qid, role, terms in phrase_jobs:
+            if role != "must":
+                continue
+            pw = _phrase_weights(index, terms, k1, b, broadcast_docs_max) \
+                .withColumn("query_id", F.lit(qid))
+            pw_all = pw if pw_all is None else pw_all.unionByName(pw)
+        if pw_all is not None:
+            # phrase-gated docs all have pf >= 1; the broadcast left join
+            # adds the phrase contribution without a second agg shuffle
+            pw_all = pw_all.groupBy("query_id", "doc_id").agg(
+                F.sum("_pw").alias("_pw"))
+            out = (
+                out.join(F.broadcast(pw_all), ["query_id", "doc_id"], "left")
+                .withColumn(
+                    "score",
+                    F.col("score") + F.coalesce(F.col("_pw"), F.lit(0.0)))
+                .drop("_pw")
+            )
     if round_scores is not None:
         out = out.withColumn("score", F.round(F.col("score"), round_scores))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

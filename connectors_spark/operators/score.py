@@ -49,12 +49,23 @@ def tf_norm_np(tf, dl, avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
     return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
-def bm25_sql(n_expr: str, df_expr: str, tf_expr: str, dl_expr: str,
-             avgdl_expr: str, k1: float = BM25_K1, b: float = BM25_B) -> str:
-    """ANSI-SQL fragment (runs in both Spark SQL and DuckDB)."""
-    idf = f"ln(1.0 + (({n_expr}) - ({df_expr}) + 0.5) / (({df_expr}) + 0.5))"
-    tfn = (
+def idf_sql(n_expr: str, df_expr: str) -> str:
+    """ANSI-SQL idf fragment (runs in both Spark SQL and DuckDB)."""
+    return f"ln(1.0 + (({n_expr}) - ({df_expr}) + 0.5) / (({df_expr}) + 0.5))"
+
+
+def tf_norm_sql(tf_expr: str, dl_expr: str, avgdl_expr: str,
+                k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """ANSI-SQL tf-normalization fragment."""
+    return (
         f"(({tf_expr}) * 1.0) / (({tf_expr}) + {k1} * "
         f"(1.0 - {b} + {b} * ({dl_expr}) / ({avgdl_expr})))"
     )
+
+
+def bm25_sql(n_expr: str, df_expr: str, tf_expr: str, dl_expr: str,
+             avgdl_expr: str, k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """ANSI-SQL fragment (runs in both Spark SQL and DuckDB)."""
+    idf = idf_sql(n_expr, df_expr)
+    tfn = tf_norm_sql(tf_expr, dl_expr, avgdl_expr, k1, b)
     return f"({idf}) * ({tfn})"

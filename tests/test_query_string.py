@@ -99,3 +99,109 @@ def test_score_query_string_phrase_filter(spark):
                "k": 10}]
     ).collect()
     assert {r.doc_id for r in out2} == {2, 3}
+
+
+def test_parse_field_scoped():
+    p = parse_query_string('author:smith +lang:fr -source:bad^2 title:"a b"')
+    assert ("should", "author", "smith", 1.0) in p["scoped"]
+    assert ("must", "lang", "fr", 1.0) in p["scoped"]
+    assert ("must_not", "source", "bad", 2.0) in p["scoped"]
+    # scoped phrase loses its scope: gates on the default field
+    assert ("must", ["a", "b"]) in p["phrases"]
+    # scoped tokens never leak into the default-field clause list
+    assert all(t not in ("smith", "fr", "bad", "author", "lang", "source")
+               for _, t, _ in p["clauses"])
+
+
+def test_parse_fuzz_scoped_typed():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="ab:+-^\". 12", max_size=40))
+    def run(s):
+        p = parse_query_string(s)
+        for role, fld, term, boost in p["scoped"]:
+            assert role in ("must", "should", "must_not")
+            assert fld and fld == fld.lower()
+            assert term and term == term.lower()
+            assert boost >= 0
+
+    run()
+
+
+def test_score_query_string_field_scoped(spark):
+    rows = [
+        (1, "alpha beta", "fr", "src1"),
+        (2, "alpha beta", "en", "src1"),
+        (3, "alpha gamma", "fr", "src2"),
+        (4, "beta gamma", "fr", "src1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    idx = build_index(docs, with_positions=True)
+    fidx = {
+        "lang": build_index(docs.select("doc_id",
+                                        F.col("lang").alias("text")),
+                            with_positions=False),
+        "source": build_index(docs.select("doc_id",
+                                          F.col("source").alias("text")),
+                              with_positions=False),
+    }
+    def run(qs):
+        return {r.doc_id for r in score_query_string(
+            idx, [{"query_id": "q", "query_string": qs, "k": 10}],
+            field_indexes=fidx).collect()}
+
+    # scoped must restricts; default-field should still scores
+    assert run("+lang:fr alpha") == {1, 3, 4}
+    # scoped must_not excludes
+    assert run("alpha -source:src2") == {1, 2}
+    # scoped should pulls in docs by field match alone
+    assert run("gamma source:src1") == {1, 2, 3, 4}
+    # combined scoped must + scoped must_not + default must
+    assert run("+lang:fr -source:src2 +beta") == {1, 4}
+    # unmapped field: must empties, should inert, must_not excludes nothing
+    assert run("+author:smith alpha") == set()
+    assert run("author:smith alpha") == {1, 2, 3}
+    assert run("alpha -author:smith") == {1, 2, 3}
+    # field stats are per-field: lang:fr scores with the lang index's df
+    out = score_query_string(
+        idx, [{"query_id": "q", "query_string": "lang:fr^2 alpha", "k": 10}],
+        field_indexes=fidx).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3, 4}
+
+
+def test_score_query_string_phrase_scored(spark):
+    import math
+    from connectors_spark import BM25_B, BM25_K1
+
+    rows = [
+        (1, "table scan table scan x"),   # phrase twice
+        (2, "table scan x here"),         # phrase once
+        (3, "scan table x wrong order"),  # no phrase
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, with_positions=True)
+    # the shared term 'x' admits every doc as a candidate (docs enter
+    # only via scoring-clause hits); the phrase then gates and scores
+    q = [{"query_id": "q", "query_string": '"table scan" x', "k": 10}]
+    gated = {r.doc_id: r.score
+             for r in score_query_string(idx, q).collect()}
+    scored = {r.doc_id: r.score
+              for r in score_query_string(idx, q,
+                                          phrase_scoring=True).collect()}
+    assert set(gated) == set(scored) == {1, 2}
+    # filter-context run: phrase adds no score; with phrase_scoring the
+    # doc containing the phrase TWICE outranks the single occurrence by
+    # more than term stats alone
+    assert scored[1] > gated[1] and scored[2] > gated[2]
+    # exact contract: extra = sum(term idfs) * tf_norm(pf, dl)
+    n, avgdl = idx.n_docs, idx.avgdl
+    dfs = {r.term: r.df for r in idx.lexicon.collect()}
+    dls = {r.doc_id: r.dl for r in idx.docs.collect()}
+    for doc, pf in ((1, 2), (2, 1)):
+        sidf = sum(math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                   for t in ("table", "scan"))
+        tfn = pf / (pf + BM25_K1 * (1 - BM25_B + BM25_B * dls[doc] / avgdl))
+        assert abs((scored[doc] - gated[doc]) - sidf * tfn) < 1e-9, doc
