@@ -4665,6 +4665,49 @@ def q_query_string_phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "nested_query",
+    """
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_matching,
+       round(sum(l.l_extendedprice), 6) AS score
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag = 'R' AND l.l_quantity >= 45
+GROUP BY o.o_orderkey, o.o_orderpriority
+""",
+)
+def q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `nested` query: parent docs (orders) whose nested array of
+    sub-objects (their lineitems, collected into an array<struct>)
+    contains at least ONE element matching returnflag='R' AND qty>=45 —
+    both conditions on the SAME element, the cross-element false
+    positive that nested mappings exist to prevent — scored with
+    score_mode=sum over the matching elements' extendedprice
+    (operators/query.py:nested_query, pure higher-order JVM exprs: no
+    explode, no extra shuffle past the array build)."""
+    from connectors_spark.operators.query import nested_query
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_quantity", "l_returnflag", "l_extendedprice")
+        ).alias("items")
+    )
+    parents = orders.join(
+        nested, orders.o_orderkey == nested.l_orderkey).drop("l_orderkey")
+    out = nested_query(
+        parents, "items",
+        lambda e: (e["l_returnflag"] == "R") & (e["l_quantity"] >= 45),
+        score_expr=lambda e: e["l_extendedprice"],
+        score_mode="sum",
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", "n_matching",
+        F.round(F.col("nested_score"), 6).alias("score"),
+    )
+
+
 _SEARCH_TEMPLATES = [
     ("st0", '"{{ phrase }}" {{extra}}', {"phrase": "table scan",
                                          "extra": "fast"}),

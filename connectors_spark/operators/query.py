@@ -792,3 +792,51 @@ def with_runtime_fields(df: DataFrame, fields: dict[str, str]) -> DataFrame:
     for name, expr in fields.items():
         out = out.withColumn(name, F.expr(expr))
     return out
+
+
+def nested_query(df: DataFrame, array_col: str, pred,
+                 score_expr=None, score_mode: str = "none") -> DataFrame:
+    """ES `nested` query analog over an array-of-struct column.
+
+    A parent row matches when at least ONE element of `array_col`
+    satisfies `pred` — every condition inside `pred` evaluates against
+    the SAME element. That same-element scoping is the entire point of
+    ES nested mappings: a flat (object) mapping cross-matches condition
+    A on one sub-object with condition B on another (the classic false
+    positive; reference docs carry nested dicts, sdk/source.py:677-679).
+
+    `pred`: element -> boolean Column. `score_expr`: element -> numeric
+    Column, combined across MATCHING elements per `score_mode` in
+    ('none', 'sum', 'max', 'min', 'avg', 'count') — ES's nested query
+    score_mode contract. Output adds `_nested_hits` (the matching
+    elements), `n_matching`, and `nested_score` (omitted for 'none').
+
+    Scale shape: pure higher-order JVM expressions (F.filter/aggregate)
+    inside whole-stage codegen — no explode, no shuffle, no UDF; the
+    parent frame's partitioning is untouched."""
+    if score_mode not in ("none", "sum", "max", "min", "avg", "count"):
+        raise ValueError(f"unknown nested score_mode {score_mode!r}")
+    hits = F.filter(F.col(array_col), pred)
+    out = (
+        df.withColumn("_nested_hits", hits)
+        .filter(F.size("_nested_hits") > 0)
+        .withColumn("n_matching", F.size("_nested_hits").cast("long"))
+    )
+    if score_mode == "none":
+        return out
+    if score_mode == "count":
+        return out.withColumn("nested_score",
+                              F.col("n_matching").cast("double"))
+    total = F.aggregate(
+        F.col("_nested_hits"), F.lit(0.0),
+        lambda acc, e: acc + score_expr(e).cast("double"),
+    )
+    if score_mode == "sum":
+        score = total
+    elif score_mode == "avg":
+        score = total / F.col("n_matching")
+    else:  # max / min over matching elements
+        arr = F.transform(F.col("_nested_hits"),
+                          lambda e: score_expr(e).cast("double"))
+        score = F.array_max(arr) if score_mode == "max" else F.array_min(arr)
+    return out.withColumn("nested_score", score)

@@ -205,3 +205,46 @@ def test_score_query_string_phrase_scored(spark):
                    for t in ("table", "scan"))
         tfn = pf / (pf + BM25_K1 * (1 - BM25_B + BM25_B * dls[doc] / avgdl))
         assert abs((scored[doc] - gated[doc]) - sidf * tfn) < 1e-9, doc
+
+
+def test_nested_query_same_element_semantics(spark):
+    """ES nested vs flat-object mapping: conditions must hold on ONE
+    element. Doc 2 has qty>=45 in one element and flag='R' in ANOTHER —
+    a flat mapping would false-positive it; nested must not."""
+    from connectors_spark.operators.query import nested_query
+
+    rows = [
+        (1, [(50, "R", 10.0), (5, "N", 1.0)]),   # same-element match
+        (2, [(50, "N", 10.0), (5, "R", 1.0)]),   # cross-element only
+        (3, [(50, "R", 2.0), (60, "R", 3.0)]),   # two matching elements
+        (4, [(5, "N", 1.0)]),                     # none
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, items array<struct<qty:long,flag:string,price:double>>")
+    pred = lambda e: (e["flag"] == "R") & (e["qty"] >= 45)  # noqa: E731
+    price = lambda e: e["price"]  # noqa: E731
+
+    out = {r.id: r for r in nested_query(
+        df, "items", pred, price, "sum").collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_matching == 1 and out[1].nested_score == 10.0
+    assert out[3].n_matching == 2 and out[3].nested_score == 5.0
+    # the flat cross-element evaluation WOULD match doc 2 — pin the trap
+    flat = df.filter(
+        F.exists("items", lambda e: e["flag"] == "R")
+        & F.exists("items", lambda e: e["qty"] >= 45))
+    assert {r.id for r in flat.collect()} == {1, 2, 3}
+
+    for mode, exp in (("max", 3.0), ("min", 2.0), ("avg", 2.5),
+                      ("count", 2.0)):
+        got = {r.id: r.nested_score for r in nested_query(
+            df, "items", pred, price, mode).collect()}
+        assert got[3] == exp, (mode, got[3])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        nested_query(df, "items", pred, price, "bogus")
+    # plan stays JVM-side: no explode, no Python eval
+    plan = nested_query(df, "items", pred, price,
+                        "sum")._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan and "EvalPython" not in plan
