@@ -1006,15 +1006,21 @@ class IndexReader:
                 for t in order[1:]:
                     cand &= term_docs[t].keys()
                 matched = []
+                t0 = terms[0]
                 for doc in cand:
-                    starts = set(term_docs[terms[0]][doc][2].tolist())
-                    ok = True
+                    # vectorized adjacency check: positions are sorted
+                    # unique int arrays, so the candidate start set is a
+                    # C-side sorted intersection per phrase term (was
+                    # Python sets per doc — VERDICT r3 #8)
+                    starts = term_docs[t0][doc][2]
                     for i, t in enumerate(terms[1:], start=1):
-                        starts &= {int(p) - i for p in term_docs[t][doc][2]}
-                        if not starts:
-                            ok = False
+                        starts = np.intersect1d(
+                            starts, term_docs[t][doc][2] - i,
+                            assume_unique=True,
+                        )
+                        if starts.size == 0:
                             break
-                    if ok:
+                    else:
                         matched.append(doc)
                 scored = []
                 for doc in matched:
