@@ -4708,6 +4708,170 @@ def q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIGTEXT_QUERY = "spark"
+
+
+@register(
+    "significant_text",
+    f"""
+WITH dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+toks AS (SELECT doc_id, unnest({tokenize_sql_duckdb('text')}) AS term
+         FROM dd),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+fg AS (SELECT DISTINCT doc_id FROM dt WHERE term = '{_SIGTEXT_QUERY}'),
+fgt AS (SELECT term, count(*) AS fg_df FROM dt JOIN fg USING (doc_id)
+        GROUP BY term),
+bgt AS (SELECT term, count(*) AS bg_df FROM dt GROUP BY term),
+tot AS (
+  SELECT (SELECT count(*) FROM fg) * 1.0 AS fg_n,
+         (SELECT count(*) FROM dd) * 1.0 AS bg_n
+),
+scored AS (
+  SELECT f.term, f.fg_df, b.bg_df,
+         round(((f.fg_df / t.fg_n) - (b.bg_df / t.bg_n))
+               * ((f.fg_df / t.fg_n) / (b.bg_df / t.bg_n)), 6) AS score
+  FROM fgt f JOIN bgt b USING (term) CROSS JOIN tot t
+),
+r AS (
+  SELECT term, fg_df, bg_df, score,
+         row_number() OVER (ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT term, CAST(fg_df AS BIGINT) AS fg_df, CAST(bg_df AS BIGINT) AS bg_df,
+       score
+FROM r WHERE rk <= 15
+""",
+)
+def q_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_text aggregation: significant_terms over a free-
+    text field with filter_duplicate_text — exact-duplicate docs are
+    collapsed before counting so boilerplate can't fake significance;
+    the foreground is the hit set of the query term
+    (functions/text.py:significant_text)."""
+    from connectors_spark.functions.analysis import tokens_col
+    from connectors_spark.functions.text import significant_text
+
+    docs = _read(spark, sf_dir, "documents")
+    fg = F.array_contains(tokens_col(F.col("text")), _SIGTEXT_QUERY)
+    return significant_text(docs, fg, top_n=15)
+
+
+@register(
+    "auto_date_histogram",
+    """
+WITH span AS (
+  SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS mn,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS mx
+  FROM events
+),
+iv AS (
+  SELECT CASE __LADDER_CASE__
+         ELSE 86400 * CAST(ceil(s / (__TGT__ * 86400.0)) AS BIGINT)
+         END AS sec
+  FROM (SELECT mx - mn AS s FROM span)
+)
+SELECT CAST(to_timestamp(CAST(floor(floor(epoch(ts)) / iv.sec) AS BIGINT)
+            * iv.sec) AS TIMESTAMP) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(iv.sec AS BIGINT) AS interval_sec
+FROM events CROSS JOIN iv
+GROUP BY bucket_start, interval_sec
+""".replace("__LADDER_CASE__", '''WHEN s <= 20 * 1 THEN 1 WHEN s <= 20 * 5 THEN 5 WHEN s <= 20 * 10 THEN 10 WHEN s <= 20 * 30 THEN 30 WHEN s <= 20 * 60 THEN 60 WHEN s <= 20 * 300 THEN 300 WHEN s <= 20 * 600 THEN 600 WHEN s <= 20 * 1800 THEN 1800 WHEN s <= 20 * 3600 THEN 3600 WHEN s <= 20 * 10800 THEN 10800 WHEN s <= 20 * 43200 THEN 43200 WHEN s <= 20 * 86400 THEN 86400 WHEN s <= 20 * 604800 THEN 604800''').replace("__TGT__", "20"),
+)
+def q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram aggregation: the interval is picked FROM
+    the data (smallest ladder rung keeping <= target buckets; the pick
+    is an O(1) driver decision like the ES coordinator's rounding),
+    then one map-side-combined bucket agg
+    (operators/query.py:auto_date_histogram)."""
+    from connectors_spark.operators.query import auto_date_histogram
+
+    events = _read(spark, sf_dir, "events")
+    return auto_date_histogram(events, "ts", target_buckets=20)
+
+
+def _sampler_sql(diversify: bool) -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    div = ("WHERE dv <= 3" if diversify else "")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(term) AS (VALUES ('spark'), ('data')),
+scored AS (
+  SELECT tf.doc_id, round(sum({w}), {ROUND_SCORE}) AS score
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+enr AS (
+  SELECT s.doc_id, s.score, d.lang, d.source, d.n_chars
+  FROM scored s JOIN documents d USING (doc_id)
+),
+div AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, doc_id ASC) AS dv
+  FROM enr
+),
+samp AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM div {div}
+  ) WHERE rn <= 100
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       round(avg(n_chars), 6) AS avg_chars
+FROM samp GROUP BY lang
+"""
+
+
+def _q_sampler(spark: SparkSession, sf_dir: str,
+               diversify: bool) -> DataFrame:
+    from connectors_spark.operators.query import sampler_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "s", "query_text": "spark data",
+                              "k": 1_000_000}])
+    scored = score_topk_dataframe(
+        idx, qdf, round_scores=ROUND_SCORE).select("doc_id", "score")
+    enr = scored.join(
+        docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+    samp = (sampler_sample(enr, 100, "source", 3) if diversify
+            else sampler_sample(enr, 100))
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@register("sampler_agg", _sampler_sql(False))
+def q_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler aggregation: sub-aggregations (terms-by-lang with an
+    avg metric) run over only the best-scoring 100 docs of the query —
+    the accuracy/cost knob for expensive sub-aggs
+    (operators/query.py:sampler_sample; TakeOrdered global cut)."""
+    return _q_sampler(spark, sf_dir, diversify=False)
+
+
+@register("diversified_sampler", _sampler_sql(True))
+def q_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler: like sampler, but at most 3 docs per
+    source value survive before the global cut — one dominant source
+    cannot flood the sample (per-value window, then TakeOrdered)."""
+    return _q_sampler(spark, sf_dir, diversify=True)
+
+
 _SEARCH_TEMPLATES = [
     ("st0", '"{{ phrase }}" {{extra}}', {"phrase": "table scan",
                                          "extra": "fast"}),

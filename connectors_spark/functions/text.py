@@ -214,6 +214,29 @@ def significant_terms(df: DataFrame, fg: Column, text_col: str = "text",
     )
 
 
+def significant_text(df: DataFrame, fg: Column, text_col: str = "text",
+                     doc_id_col: str = "doc_id", top_n: int = 15,
+                     round_to: int = 6,
+                     filter_duplicate_text: bool = True) -> DataFrame:
+    """(term, fg_df, bg_df, score): the ES significant_text aggregation —
+    significant_terms semantics over a FREE-TEXT field, re-analyzed on
+    the fly, with ES's filter_duplicate_text behavior: exact-duplicate
+    texts (boilerplate, retweets) are collapsed to one representative
+    doc (lowest doc_id) BEFORE frequency counting, so copy-pasted
+    content cannot fake significance. The foreground is typically the
+    hit set of a query (`fg` boolean Column). One md5-keyed dedup
+    window + the significant_terms single term-keyed shuffle."""
+    from pyspark.sql import Window
+
+    base = df
+    if filter_duplicate_text:
+        w = Window.partitionBy(F.md5(F.col(text_col))) \
+            .orderBy(F.asc(doc_id_col))
+        base = base.withColumn("_dup_rn", F.row_number().over(w)) \
+            .filter(F.col("_dup_rn") == 1).drop("_dup_rn")
+    return significant_terms(base, fg, text_col, doc_id_col, top_n, round_to)
+
+
 # Training-data scrubbing: the classic pre-training PII pass. Patterns
 # deliberately conservative + engine-portable (same semantics in Java
 # regex and DuckDB/RE2 — no lookarounds, no backrefs).

@@ -840,3 +840,64 @@ def nested_query(df: DataFrame, array_col: str, pred,
                           lambda e: score_expr(e).cast("double"))
         score = F.array_max(arr) if score_mode == "max" else F.array_min(arr)
     return out.withColumn("nested_score", score)
+
+
+AUTO_DH_LADDER = (1, 5, 10, 30, 60, 300, 600, 1800,
+                  3600, 10800, 43200, 86400, 604800)
+
+
+def auto_date_histogram(df: DataFrame, ts_col: str,
+                        target_buckets: int = 20) -> DataFrame:
+    """ES auto_date_histogram analog: the bucket INTERVAL is chosen from
+    the data — smallest rung of a fixed ladder (1s..7d) such that
+    span <= target_buckets * interval, falling back to whole days of
+    ceil(span / target) beyond the ladder. Calendar (month/year)
+    rounding is the documented delta vs ES's ladder tail.
+
+    Two passes: an O(1) min/max agg to the driver (the interval pick is
+    the ES coordinator's rounding decision — scale-free), then ONE
+    map-side-combined bucket aggregation. Output: (bucket_start, n,
+    interval_sec); buckets anchor at the Unix epoch."""
+    import math
+
+    row = df.agg(F.min(F.unix_timestamp(F.col(ts_col))).alias("mn"),
+                 F.max(F.unix_timestamp(F.col(ts_col))).alias("mx")
+                 ).collect()[0]
+    if row.mn is None:
+        return df.sparkSession.createDataFrame(
+            [], "bucket_start timestamp, n bigint, interval_sec bigint")
+    span = int(row.mx) - int(row.mn)
+    iv = next((i for i in AUTO_DH_LADDER if span <= target_buckets * i),
+              None)
+    if iv is None:
+        iv = 86400 * math.ceil(span / (target_buckets * 86400.0))
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / iv).cast("long") * iv)
+    return (
+        df.groupBy(bucket.alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("interval_sec", F.lit(iv).cast("long"))
+    )
+
+
+def sampler_sample(scored: DataFrame, sample_size: int,
+                   diversify_field: str | None = None,
+                   max_per_value: int | None = None) -> DataFrame:
+    """ES sampler / diversified_sampler: restrict sub-aggregations to
+    the best-scoring `sample_size` docs (deterministic: score DESC,
+    doc_id ASC). `diversify_field` + `max_per_value` adds the
+    diversified_sampler constraint — at most max_per_value docs per
+    field value survive BEFORE the global cut, so one dominant source
+    cannot flood the sample. Plan: per-value window (keyed shuffle on
+    the diversify field), then orderBy().limit() =
+    TakeOrderedAndProject for the global cut — never a single-task
+    full-frame window."""
+    order = [F.desc("score"), F.asc("doc_id")]
+    out = scored
+    if diversify_field is not None:
+        if max_per_value is None:
+            raise ValueError("diversify_field requires max_per_value")
+        w = Window.partitionBy(diversify_field).orderBy(*order)
+        out = (out.withColumn("_dv_rn", F.row_number().over(w))
+               .filter(F.col("_dv_rn") <= max_per_value).drop("_dv_rn"))
+    return out.orderBy(*order).limit(sample_size)
