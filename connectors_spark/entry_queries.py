@@ -4872,6 +4872,95 @@ def q_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_sampler(spark, sf_dir, diversify=True)
 
 
+_IP_RANGES = [
+    ("low",  None,        "10.80.0.0"),
+    ("mid",  "10.80.0.0", "10.160.0.0"),
+    ("high", "10.160.0.0", None),
+    ("wide", "10.0.0.0",  None),        # overlaps the others (ES allows)
+]
+_IP_SQL = ("'10.' || CAST((event_id * 7) % 256 AS VARCHAR) || '.' || "
+           "CAST((event_id * 13) % 256 AS VARCHAR) || '.' || "
+           "CAST(event_id % 256 AS VARCHAR)")
+
+
+def _ip_range_sql() -> str:
+    from connectors_spark.operators.query import ip_to_long
+
+    rows = ", ".join(
+        f"('{k}', {ip_to_long(lo) if lo else 'NULL'}, "
+        f"{ip_to_long(hi) if hi else 'NULL'})"
+        for k, lo, hi in _IP_RANGES
+    )
+    return f"""
+WITH ips AS (
+  SELECT CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+       + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+       + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+       + CAST(split_part(ip, '.', 4) AS BIGINT) AS ipl
+  FROM (SELECT {_IP_SQL} AS ip FROM events)
+),
+rg(range_key, lo, hi) AS (VALUES {rows})
+SELECT rg.range_key, CAST(count(*) AS BIGINT) AS n
+FROM ips JOIN rg ON (rg.lo IS NULL OR ips.ipl >= rg.lo)
+              AND (rg.hi IS NULL OR ips.ipl < rg.hi)
+GROUP BY rg.range_key
+"""
+
+
+@register("ip_range", _ip_range_sql())
+def q_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_range aggregation: independent (overlappable) IP buckets,
+    from inclusive / to exclusive / open ends, over a deterministic
+    event-derived address (operators/query.py:ip_range_agg — matching
+    range keys exploded per row, ONE map-side-combined agg, never one
+    scan per range)."""
+    from connectors_spark.operators.query import ip_range_agg
+
+    events = _read(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".", F.lit("10"),
+        (F.col("event_id") * 7 % 256).cast("string"),
+        (F.col("event_id") * 13 % 256).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    return ip_range_agg(events.withColumn("_ip", ip), "_ip", _IP_RANGES)
+
+
+_GEOHASH_PRECISION = 3
+
+
+def _geohash_grid_sql() -> str:
+    from connectors_spark.operators.query import geohash_sql
+
+    gh = geohash_sql("lat", "lon", _GEOHASH_PRECISION)
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM documents
+)
+SELECT {gh} AS cell, CAST(count(*) AS BIGINT) AS n
+FROM pts GROUP BY cell
+"""
+
+
+@register("geohash_grid", _geohash_grid_sql())
+def q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohash_grid aggregation: Niemeyer geohash cells (base32,
+    alternating lon/lat subdivision) at precision 3 over the
+    deterministic doc coords — the encoder is ONE formula rendered to
+    both engines (operators/query.py:geohash_sql/geohash_col, pinned to
+    the public u4pru test vector), map-side combined."""
+    from connectors_spark.operators.query import geohash_col
+
+    docs = _read(spark, sf_dir, "documents")
+    lat = ((F.col("doc_id") * 7 % 120).cast("double") - 60.0)
+    lon = ((F.col("doc_id") * 13 % 360).cast("double") - 180.0)
+    return (
+        docs.select(
+            geohash_col(lat, lon, _GEOHASH_PRECISION).alias("cell"))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 _SEARCH_TEMPLATES = [
     ("st0", '"{{ phrase }}" {{extra}}', {"phrase": "table scan",
                                          "extra": "fast"}),

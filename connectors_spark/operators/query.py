@@ -901,3 +901,106 @@ def sampler_sample(scored: DataFrame, sample_size: int,
         out = (out.withColumn("_dv_rn", F.row_number().over(w))
                .filter(F.col("_dv_rn") <= max_per_value).drop("_dv_rn"))
     return out.orderBy(*order).limit(sample_size)
+
+
+def ip_to_long(ip: str) -> int:
+    a, b, c, d = (int(x) for x in ip.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def ip_range_agg(df: DataFrame, ip_col: str,
+                 ranges: list[tuple[str, str | None, str | None]]
+                 ) -> DataFrame:
+    """(range_key, n): the ES ip_range aggregation — each range is an
+    INDEPENDENT bucket (overlaps allowed), `from` inclusive, `to`
+    exclusive, either end open. One scan: the matching range keys are
+    built as an array expression per row and exploded (ranges are few),
+    so the count is a single map-side-combined agg, never one pass per
+    range. Empty ranges yield no row (matches the SQL-oracle shape)."""
+    parts = F.split(F.col(ip_col), r"\.")
+    ipl = (parts[0].cast("long") * 16777216 + parts[1].cast("long") * 65536
+           + parts[2].cast("long") * 256 + parts[3].cast("long"))
+    keys = []
+    for key, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ipl >= F.lit(ip_to_long(lo)))
+        if hi is not None:
+            cond = cond & (ipl < F.lit(ip_to_long(hi)))
+        keys.append(F.when(cond, F.lit(key)))
+    matched = F.filter(F.array(*keys), lambda x: x.isNotNull())
+    return (
+        df.select(F.explode(matched).alias("range_key"))
+        .groupBy("range_key").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
+    """ANSI-SQL geohash encoder (public Niemeyer geohash: alternating
+    lon/lat binary subdivision, base32 chars of 5 bits) — runs
+    identically in Spark SQL and DuckDB, so the engine column IS the
+    oracle's expression (parity by construction). Bit extraction uses
+    floor-division/modulo only (no dialect bit operators)."""
+    tot = 5 * precision
+    lonbits = (tot + 1) // 2
+    latbits = tot // 2
+    lon_q = (f"least(CAST(floor((({lon_expr}) + 180.0) / 360.0 "
+             f"* {1 << lonbits}) AS BIGINT), {(1 << lonbits) - 1})")
+    lat_q = (f"least(CAST(floor((({lat_expr}) + 90.0) / 180.0 "
+             f"* {1 << latbits}) AS BIGINT), {(1 << latbits) - 1})")
+    chars = []
+    li, ai = 0, 0  # consumed lon / lat bits (MSB first)
+    for c in range(precision):
+        val_terms = []
+        for j in range(5):
+            i = c * 5 + j  # global bit index; even -> lon, odd -> lat
+            if i % 2 == 0:
+                src, consumed, nbits = "lonq", li, lonbits
+                li += 1
+            else:
+                src, consumed, nbits = "latq", ai, latbits
+                ai += 1
+            shift = nbits - 1 - consumed
+            bit = f"(CAST(floor({src} / {1 << shift}) AS BIGINT) % 2)"
+            val_terms.append(f"{bit} * {1 << (4 - j)}")
+        idx = " + ".join(val_terms)
+        chars.append(f"substr('{_GEOHASH32}', CAST(({idx}) AS INT) + 1, 1)")
+    concat = " || ".join(chars)
+    return (f"(SELECT {concat} FROM (SELECT {lon_q} AS lonq, "
+            f"{lat_q} AS latq) _gh)")
+
+
+def geohash_col(lat, lon, precision: int):
+    """Column twin of geohash_sql (same formula rendered with the
+    functions API; scalar-subquery syntax is not valid in a Column, so
+    the quantizations inline)."""
+    tot = 5 * precision
+    lonbits = (tot + 1) // 2
+    latbits = tot // 2
+    lon_q = F.least(
+        F.floor((lon + 180.0) / 360.0 * (1 << lonbits)).cast("long"),
+        F.lit((1 << lonbits) - 1))
+    lat_q = F.least(
+        F.floor((lat + 90.0) / 180.0 * (1 << latbits)).cast("long"),
+        F.lit((1 << latbits) - 1))
+    alphabet = F.array(*[F.lit(ch) for ch in _GEOHASH32])
+    chars = []
+    li, ai = 0, 0
+    for c in range(precision):
+        idx = F.lit(0)
+        for j in range(5):
+            i = c * 5 + j
+            if i % 2 == 0:
+                q, consumed, nbits = lon_q, li, lonbits
+                li += 1
+            else:
+                q, consumed, nbits = lat_q, ai, latbits
+                ai += 1
+            shift = nbits - 1 - consumed
+            bit = F.floor(q / (1 << shift)).cast("long") % 2
+            idx = idx + bit * (1 << (4 - j))
+        chars.append(F.element_at(alphabet, (idx + 1).cast("int")))
+    return F.concat(*chars)
