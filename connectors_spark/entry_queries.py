@@ -4961,6 +4961,322 @@ def q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60
+_RRF_LIST_K = 50
+
+
+def _rrf_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(term) AS (VALUES ('spark'), ('data')),
+lex_scored AS (
+  SELECT tf.doc_id, round(sum({w}), {ROUND_SCORE}) AS s
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM lex_scored
+),
+{_NORMS_SQL},
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT d.vec_id AS doc_id,
+         sum(CAST(d.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)) AS dot
+  FROM embeddings d CROSS JOIN qv CROSS JOIN dims
+  WHERE d.vec_id <> 0
+  GROUP BY d.vec_id
+),
+sem_scored AS (
+  SELECT dots.doc_id,
+         round(dot / (nq.nrm * nd.nrm), 6) AS c
+  FROM dots
+  JOIN norms nq ON nq.vec_id = 0
+  JOIN norms nd ON nd.vec_id = dots.doc_id
+),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS rank
+  FROM sem_scored
+),
+fused AS (
+  SELECT doc_id, round(sum(1.0 / ({_RRF_K} + rank)), {ROUND_SCORE}) AS score
+  FROM (
+    SELECT doc_id, rank FROM lex WHERE rank <= {_RRF_LIST_K}
+    UNION ALL
+    SELECT doc_id, rank FROM sem WHERE rank <= {_RRF_LIST_K}
+  ) GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM r WHERE rank <= 20
+"""
+
+
+@register("rrf_hybrid", _rrf_sql())
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES reciprocal rank fusion (the 8.x hybrid-search headline):
+    lexical BM25 ranking and semantic cosine ranking (documents and
+    embeddings share the id space) fused as sum 1/(60+rank) without any
+    score calibration (operators/query.py:rrf_fuse — fusion cost is
+    O(lists x k), corpus-size independent)."""
+    from connectors_spark.operators.query import rrf_fuse
+    from connectors_spark.operators.similarity import brute_force_cosine_topk
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    emb = _read(spark, sf_dir, "embeddings")
+    qdf = queries_df(spark, [{"query_id": "h", "query_text": "spark data",
+                              "k": _RRF_LIST_K}])
+    lex = score_topk_dataframe(
+        idx, qdf, round_scores=ROUND_SCORE).select("doc_id", "rank")
+    sem = brute_force_cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=_RRF_LIST_K
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], rank_k=_RRF_K, top_n=20,
+                    round_to=ROUND_SCORE)
+
+
+def _collapse_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(term) AS (VALUES ('spark'), ('data')),
+scored AS (
+  SELECT tf.doc_id, round(sum({w}), {ROUND_SCORE}) AS score
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+enr AS (
+  SELECT s.doc_id, s.score, d.lang FROM scored s
+  JOIN documents d USING (doc_id)
+),
+g AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS group_size
+  FROM enr
+),
+b AS (
+  SELECT lang, doc_id, score, CAST(group_size AS BIGINT) AS group_size,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM g WHERE rn = 1
+)
+SELECT lang, doc_id, score, group_size FROM b WHERE rk <= 10
+"""
+
+
+@register("collapse_results", _collapse_sql())
+def q_collapse_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing: the result list collapses to the best hit
+    per lang (score DESC, doc_id ASC) with the group's total hit count
+    (inner_hits total) — one window keyed on the collapse field
+    (operators/query.py:collapse_field)."""
+    from connectors_spark.operators.query import collapse_field
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "c", "query_text": "spark data",
+                              "k": 1_000_000}])
+    scored = score_topk_dataframe(
+        idx, qdf, round_scores=ROUND_SCORE).select("doc_id", "score")
+    enr = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return collapse_field(enr, "lang", top_n=10)
+
+
+_RF_BOOST, _RF_PIVOT = 2.0, 300.0
+
+
+def _rank_feature_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(term) AS (VALUES ('spark')),
+scored AS (
+  SELECT tf.doc_id, round(sum({w}), {ROUND_SCORE}) AS bm25
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+full_s AS (
+  SELECT s.doc_id,
+         round(s.bm25 + {_RF_BOOST} * (d.n_chars
+               / (d.n_chars + {_RF_PIVOT})), {ROUND_SCORE}) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM full_s
+)
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 20
+"""
+
+
+@register("rank_feature_query", _rank_feature_sql())
+def q_rank_feature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature query (saturation function, the default): BM25
+    plus boost * x / (x + pivot) on a numeric feature (n_chars) — the
+    static-signal ranking knob (pagerank/url_length class). Pure JVM
+    arithmetic over the scored frame, TakeOrdered top-k."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "r", "query_text": "spark",
+                              "k": 1_000_000}])
+    scored = score_topk_dataframe(
+        idx, qdf, round_scores=ROUND_SCORE).select("doc_id", "score")
+    sat = F.col("n_chars") / (F.col("n_chars") + F.lit(_RF_PIVOT))
+    s = scored.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id",
+        F.round(F.col("score") + _RF_BOOST * sat, ROUND_SCORE).alias("score"),
+    )
+    return _ranked_topk(
+        s, [F.desc("score"), F.asc("doc_id")], 20
+    ).select("doc_id", "score", "rank")
+
+
+# ONE expression string, evaluated verbatim by both engines (parity by
+# construction — the ES script_score "script" analog)
+_SCRIPT_SCORE_EXPR = ("round(ln(1.0 + n_chars) * "
+                      "(1.0 + 0.1 * (doc_id % 7)), 6)")
+
+
+@register(
+    "script_score_query",
+    f"""
+WITH s AS (
+  SELECT doc_id, {_SCRIPT_SCORE_EXPR} AS score
+  FROM documents WHERE lang = 'en'
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 20
+""",
+)
+def q_script_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score query: the score is an arbitrary expression over
+    document fields, replacing the query score. The script is ONE SQL
+    expression string executed verbatim by Spark (F.expr) and DuckDB —
+    Catalyst folds it into the scan projection, and the lang filter
+    pushes down."""
+    docs = _read(spark, sf_dir, "documents")
+    s = docs.filter(F.col("lang") == "en").select(
+        "doc_id", F.expr(_SCRIPT_SCORE_EXPR).alias("score"))
+    return _ranked_topk(
+        s, [F.desc("score"), F.asc("doc_id")], 20
+    ).select("doc_id", "score", "rank")
+
+
+@register(
+    "extended_stats",
+    """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(n_chars) AS BIGINT) AS min_v,
+       CAST(max(n_chars) AS BIGINT) AS max_v,
+       CAST(sum(n_chars) AS BIGINT) AS sum_v,
+       round(avg(n_chars), 6) AS avg_v,
+       round(var_pop(n_chars), 6) AS variance,
+       round(stddev_pop(n_chars), 6) AS std_dev,
+       CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_of_squares
+FROM documents GROUP BY lang
+""",
+)
+def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats aggregation: stats + variance/std-dev/
+    sum-of-squares per bucket — all map-side-combinable aggregates, one
+    shuffle on the bucket key."""
+    docs = _read(spark, sf_dir, "documents")
+    c = F.col("n_chars")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(c).cast("long").alias("min_v"),
+        F.max(c).cast("long").alias("max_v"),
+        F.sum(c).cast("long").alias("sum_v"),
+        F.round(F.avg(c), 6).alias("avg_v"),
+        F.round(F.var_pop(c), 6).alias("variance"),
+        F.round(F.stddev_pop(c), 6).alias("std_dev"),
+        F.sum(c * c).cast("long").alias("sum_of_squares"),
+    )
+
+
+# ONE highlight expression shared verbatim by both engines
+_HL_TERM = "spark"
+_HL_EXPR = (f"replace(substr(text, greatest(1, instr(text, '{_HL_TERM}')"
+            f" - 20), 50), '{_HL_TERM}', '<em>{_HL_TERM}</em>')")
+
+
+@register(
+    "highlight_tagged",
+    f"SELECT doc_id, {_HL_EXPR} AS snippet FROM documents "
+    f"WHERE instr(text, '{_HL_TERM}') > 0",
+)
+def q_highlight_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlighter pre_tags/post_tags: a windowed snippet around the
+    first match with the hit wrapped in <em> tags (the plain
+    highlighter's default markup; the untagged snippet gate is
+    `highlight_snippets`). The fragment/tag expression is ONE SQL
+    string executed verbatim by Spark and DuckDB (instr/substr/replace
+    are common dialect); the match filter pushes to the scan."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.expr(f"instr(text, '{_HL_TERM}') > 0"))
+        .select("doc_id", F.expr(_HL_EXPR).alias("snippet"))
+    )
+
+
+_RS_PROB = 0.25
+
+
+@register(
+    "random_sampler_agg",
+    f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents
+WHERE (doc_id * {_KNUTH}) % {_U32} < {int(_RS_PROB * (1 << 32))}
+GROUP BY lang
+""",
+)
+def q_random_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES random_sampler aggregation: sub-aggs over a probability-p
+    random subset — here DETERMINISTIC (seedable Knuth multiplicative
+    hash, the stratified_sample primitive) so results are reproducible
+    across engines, partitionings and runs, unlike rand(). The sample
+    filter pushes down; no shuffle beyond the sub-agg's own."""
+    docs = _read(spark, sf_dir, "documents")
+    keep = (F.col("doc_id") * _KNUTH) % _U32 < int(_RS_PROB * (1 << 32))
+    return docs.filter(keep).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
 _SEARCH_TEMPLATES = [
     ("st0", '"{{ phrase }}" {{extra}}', {"phrase": "table scan",
                                          "extra": "fast"}),

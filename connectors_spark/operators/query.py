@@ -1004,3 +1004,48 @@ def geohash_col(lat, lon, precision: int):
             idx = idx + bit * (1 << (4 - j))
         chars.append(F.element_at(alphabet, (idx + 1).cast("int")))
     return F.concat(*chars)
+
+
+def rrf_fuse(rankings: list[DataFrame], rank_k: int = 60,
+             top_n: int = 20, round_to: int | None = 6) -> DataFrame:
+    """(rank, doc_id, score): ES reciprocal-rank-fusion (hybrid search:
+    lexical BM25 + vector ranking fused without score calibration).
+    Each input frame carries (doc_id, rank); a doc scores
+    sum over lists of 1 / (rank_k + rank) for the lists that retrieved
+    it (absent lists contribute 0 — the ES contract). Plan: union of
+    the k-row ranked lists (tiny), ONE (doc_id) agg, TakeOrdered cut —
+    the fusion cost is O(lists * k), independent of corpus size."""
+    u = None
+    for r in rankings:
+        c = r.select("doc_id",
+                     (1.0 / (F.lit(float(rank_k)) + F.col("rank")))
+                     .alias("_c"))
+        u = c if u is None else u.unionByName(c)
+    scored = u.groupBy("doc_id").agg(F.sum("_c").alias("score"))
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_n)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)) \
+        .select("rank", "doc_id", "score")
+
+
+def collapse_field(scored: DataFrame, field: str,
+                   top_n: int = 10) -> DataFrame:
+    """(field, doc_id, score, group_size): ES field collapsing — search
+    results collapse to the BEST hit per field value (score DESC,
+    doc_id ASC), each carrying its group's hit count (the inner_hits
+    total). One window keyed on the collapse field + a count over the
+    same key, then a TakeOrdered cut of the collapsed frame."""
+    order = [F.desc("score"), F.asc("doc_id")]
+    w = Window.partitionBy(field).orderBy(*order)
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("group_size",
+                    F.count(F.lit(1)).over(Window.partitionBy(field)))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+    return (
+        best.orderBy(*order).limit(top_n)
+        .select(field, "doc_id", "score", "group_size")
+    )

@@ -248,3 +248,34 @@ def test_nested_query_same_element_semantics(spark):
     plan = nested_query(df, "items", pred, price,
                         "sum")._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan and "EvalPython" not in plan
+
+
+def test_rrf_fuse_contract(spark):
+    """RRF: score = sum 1/(k+rank) over the lists that retrieved the
+    doc; absent lists contribute nothing; ties break doc_id ASC."""
+    from connectors_spark.operators.query import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rank int")
+    out = {r.doc_id: (r.rank, r.score)
+           for r in rrf_fuse([a, b], rank_k=60, top_n=10,
+                             round_to=None).collect()}
+    assert abs(out[20][1] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(out[10][1] - 1 / 61) < 1e-12
+    assert abs(out[40][1] - 1 / 62) < 1e-12
+    # 20 fused first; 10 (1/61) beats 40 (1/62); 30 last
+    assert [d for d, (rk, _) in sorted(out.items(), key=lambda kv: kv[1][0])] \
+        == [20, 10, 40, 30]
+
+
+def test_collapse_field_contract(spark):
+    from connectors_spark.operators.query import collapse_field
+
+    rows = [(1, 5.0, "en"), (2, 4.0, "en"), (3, 3.0, "fr"),
+            (4, 5.0, "fr"), (5, 1.0, "de")]
+    df = spark.createDataFrame(rows, "doc_id long, score double, lang string")
+    out = {r.lang: r for r in collapse_field(df, "lang", 10).collect()}
+    assert out["en"].doc_id == 1 and out["en"].group_size == 2
+    assert out["fr"].doc_id == 4 and out["fr"].group_size == 2
+    assert out["de"].doc_id == 5 and out["de"].group_size == 1

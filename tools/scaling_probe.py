@@ -21,8 +21,28 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def python_roundtrip(spark, par: int, rows_per_task: int = 2000) -> float:
+    """Python-worker startup/roundtrip micro-probe: a mapInPandas job
+    whose compute is ~zero, so wall time is task scheduling + Arrow
+    channel + Python worker spin-up. If THIS fails to scale N->4N, the
+    residual efficiency gap lives in worker startup, not shuffle."""
+    import time as _t
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(par))
+    df = spark.range(par * rows_per_task).repartition(par)
+
+    def ident(it):
+        for pdf in it:
+            yield pdf
+
+    t0 = _t.time()
+    df.mapInPandas(ident, schema="id long").write.format("noop") \
+        .mode("overwrite").save()
+    return round(_t.time() - t0, 3)
+
+
 def run_level(spark, par: int, n_convs: int, write: bool,
-              python_encode: bool = True) -> dict:
+              python_encode: bool = True, shuffle: bool = True) -> dict:
     from connectors_spark.functions.analysis import tokens_col
     from connectors_spark.operators.build import assign_doc_indices, with_doc_id
     from connectors_spark.operators.index import (
@@ -65,8 +85,15 @@ def run_level(spark, par: int, n_convs: int, write: bool,
         p = (postings.join(F.broadcast(lexicon), "term")
              .select("term", "doc_idx", "tf", "dl", "df", *shard_cols(1 << 18))
              .withColumn("bucket", bucket_col("term", 64)))
-        enc = p.repartition(par, "term", "shard").sortWithinPartitions(
-            "term", "shard", "doc_idx")
+        if shuffle:
+            enc = p.repartition(par, "term", "shard").sortWithinPartitions(
+                "term", "shard", "doc_idx")
+        else:
+            # no-shuffle variant: encode straight off the agg output
+            # (emitted index is NOT valid — term runs span partitions —
+            # but the compute volume matches; isolates the shuffle
+            # write+read from the rest of the pipeline)
+            enc = p
         if python_encode:
             enc = enc.mapInPandas(
                 make_encode_partition(avgdl, 1.2, 0.75),
@@ -103,17 +130,27 @@ def main():
     for par in (4 * n, n):
         run_level(spark, par, max(500, n_convs // 10), write=True)
     for i in range(rounds):
-        for write, py in ((True, True), (False, True), (False, False)):
-            a = run_level(spark, n, n_convs, write, py)
-            b = run_level(spark, 4 * n, n_convs, write, py)
+        for write, py, shuf in ((True, True, True), (False, True, True),
+                                (False, False, True), (False, True, False),
+                                (False, False, False)):
+            a = run_level(spark, n, n_convs, write, py, shuf)
+            b = run_level(spark, 4 * n, n_convs, write, py, shuf)
             eff = {
                 "round": i + 1, "write": write, "python_encode": py,
+                "shuffle": shuf,
                 "eff_total": round((a["total_sec"] / b["total_sec"]) / 4, 3),
                 "eff_docmap": round((a["docmap_sec"] / b["docmap_sec"]) / 4, 3),
                 "eff_encode": round((a["encode_sec"] / b["encode_sec"]) / 4, 3),
                 "N": a, "4N": b,
             }
             print(json.dumps(eff))
+        pr_n = python_roundtrip(spark, n)
+        pr_4n = python_roundtrip(spark, 4 * n)
+        print(json.dumps({
+            "round": i + 1, "probe": "python_roundtrip",
+            "N_sec": pr_n, "4N_sec": pr_4n,
+            "eff": round((pr_n / pr_4n) / 4, 3),
+        }))
 
 
 if __name__ == "__main__":
