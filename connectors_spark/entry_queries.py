@@ -5277,6 +5277,106 @@ def q_random_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_filtered_sql() -> str:
+    return f"""
+WITH allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+{_NORMS_SQL},
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT d.vec_id,
+         sum(CAST(d.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)) AS dot
+  FROM embeddings d CROSS JOIN qv CROSS JOIN dims
+  WHERE d.vec_id <> 0
+    AND d.vec_id IN (SELECT doc_id FROM allowed)
+  GROUP BY d.vec_id
+),
+scored AS (
+  SELECT dots.vec_id, round(dot / (nq.nrm * nd.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = 0
+  JOIN norms nd ON nd.vec_id = dots.vec_id
+),
+r AS (
+  SELECT vec_id, cos,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(rank AS INT) AS rank, vec_id, cos FROM r WHERE rank <= 10
+"""
+
+
+@register("knn_filtered", _knn_filtered_sql())
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kNN search WITH a metadata filter (the common production
+    shape: restrict candidates by a keyword field, THEN rank by vector
+    similarity — ES applies the filter DURING the graph search, never
+    post-filtering below k). Here: PRE-filter via broadcast semi-join
+    of the allowed doc set (documents and embeddings share ids), then
+    exact cosine top-k — the filter prunes the scan before any vector
+    math."""
+    from connectors_spark.operators.similarity import brute_force_cosine_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    allowed = docs.filter(F.col("lang") == "en") \
+        .select(F.col("doc_id").alias("vec_id"))
+    cand = emb.join(F.broadcast(allowed), "vec_id", "left_semi")
+    out = brute_force_cosine_topk(cand, emb.filter(F.col("vec_id") == 0),
+                                  k=10)
+    return out.select("rank", "vec_id", "cos")
+
+
+_BBOX = (-10.0, 30.0, 0.0, 90.0)  # lat_min, lat_max, lon_min, lon_max
+
+
+@register(
+    "geo_bounding_box",
+    f"""
+SELECT doc_id, lat, lon FROM (
+  SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon
+  FROM documents
+) WHERE lat >= {_BBOX[0]} AND lat <= {_BBOX[1]}
+    AND lon >= {_BBOX[2]} AND lon <= {_BBOX[3]}
+""",
+)
+def q_geo_bounding_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounding_box query: pure range predicates on the point
+    coordinates — filter-context, the whole query folds into the scan
+    (with materialized coordinates the predicates push to parquet)."""
+    docs = _read(spark, sf_dir, "documents")
+    lat = ((F.col("doc_id") * 7 % 120).cast("double") - 60.0)
+    lon = ((F.col("doc_id") * 13 % 360).cast("double") - 180.0)
+    return (
+        docs.select("doc_id", lat.alias("lat"), lon.alias("lon"))
+        .filter((F.col("lat") >= _BBOX[0]) & (F.col("lat") <= _BBOX[1])
+                & (F.col("lon") >= _BBOX[2]) & (F.col("lon") <= _BBOX[3]))
+    )
+
+
+@register(
+    "term_vectors",
+    f"""
+WITH {_TF_CTE},
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df
+FROM tf JOIN dfreq USING (term)
+WHERE tf.doc_id < 10
+""",
+)
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors API: per-(doc, term) statistics — term frequency
+    plus collection df — for a requested doc set. The df side is the
+    corpus-wide lexicon (shared with every scorer); the doc filter
+    prunes the tf side before the join."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs)
+    tf = (toks.filter(F.col("doc_id") < 10)
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (toks.select("doc_id", "term").distinct()
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    return tf.join(dfreq, "term").select("doc_id", "term", "tf", "df")
+
+
 _SEARCH_TEMPLATES = [
     ("st0", '"{{ phrase }}" {{extra}}', {"phrase": "table scan",
                                          "extra": "fast"}),
