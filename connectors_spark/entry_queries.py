@@ -5377,6 +5377,125 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf.join(dfreq, "term").select("doc_id", "term", "tf", "df")
 
 
+@register(
+    "boxplot_agg",
+    "SELECT event_type, round(min(value), 6) AS min_v, "
+    "round(quantile_cont(value, 0.25), 6) AS q1, "
+    "round(quantile_cont(value, 0.50), 6) AS q2, "
+    "round(quantile_cont(value, 0.75), 6) AS q3, "
+    "round(max(value), 6) AS max_v "
+    "FROM events GROUP BY event_type",
+)
+def q_boxplot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot aggregation: min/q1/median/q3/max per bucket (exact
+    interpolated quartiles — Spark `percentile` == DuckDB quantile_cont,
+    the facet_percentiles convention; swap percentile_approx at 100 TB
+    as ES swaps in TDigest)."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("q2"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )
+
+
+@register(
+    "median_absolute_deviation",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.50) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(quantile_cont(abs(e.value - med.m), 0.50), 6) AS mad
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def q_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation aggregation: median(|x - median|)
+    per bucket — robust dispersion. Two exact-percentile passes; the
+    per-bucket median frame is tiny and broadcast back onto the
+    events."""
+    events = _read(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.50)").alias("_m"))
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.round(
+            F.expr("percentile(abs(value - _m), 0.50)"), 6).alias("mad"))
+    )
+
+
+@register(
+    "t_test_agg",
+    """
+WITH g AS (
+  SELECT
+    avg(CASE WHEN event_type = 'error' THEN value END) AS m1,
+    avg(CASE WHEN event_type = 'click' THEN value END) AS m2,
+    var_samp(CASE WHEN event_type = 'error' THEN value END) AS v1,
+    var_samp(CASE WHEN event_type = 'click' THEN value END) AS v2,
+    count(CASE WHEN event_type = 'error' THEN 1 END) AS n1,
+    count(CASE WHEN event_type = 'click' THEN 1 END) AS n2
+  FROM events
+)
+SELECT round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+FROM g
+""",
+)
+def q_t_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test aggregation (heteroscedastic/Welch, the default):
+    t = (m1-m2)/sqrt(v1/n1 + v2/n2) between two filter populations —
+    ONE pass with conditional aggregates (no second scan per
+    population), map-side combined."""
+    events = _read(spark, sf_dir, "events")
+    err = F.when(F.col("event_type") == "error", F.col("value"))
+    clk = F.when(F.col("event_type") == "click", F.col("value"))
+    g = events.agg(
+        F.avg(err).alias("m1"), F.avg(clk).alias("m2"),
+        F.var_samp(err).alias("v1"), F.var_samp(clk).alias("v2"),
+        F.count(err).alias("n1"), F.count(clk).alias("n2"),
+    )
+    return g.select(
+        F.round((F.col("m1") - F.col("m2"))
+                / F.sqrt(F.col("v1") / F.col("n1")
+                         + F.col("v2") / F.col("n2")), 6).alias("t_stat"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    )
+
+
+@register(
+    "top_metrics",
+    """
+SELECT lang, doc_id AS top_doc_id, CAST(n_chars AS BIGINT) AS top_n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics aggregation: per bucket, the metric values of the
+    single top-sorted document (sort n_chars DESC, doc_id ASC tie) —
+    one window keyed on the bucket field, map-side prunable."""
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("lang", F.col("doc_id").alias("top_doc_id"),
+                F.col("n_chars").cast("long").alias("top_n_chars"))
+    )
+
+
 _SEARCH_TEMPLATES = [
     ("st0", '"{{ phrase }}" {{extra}}', {"phrase": "table scan",
                                          "extra": "fast"}),
