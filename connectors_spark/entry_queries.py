@@ -5496,6 +5496,48 @@ def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINE_TOKENS = 12
+
+
+@register(
+    "line_dedup",
+    f"""
+WITH tk AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr
+            FROM documents),
+lines AS (
+  SELECT doc_id, CAST(t.i AS INT) AS line_no,
+         array_to_string(
+           list_slice(arr, CAST(t.i AS BIGINT) * {_LINE_TOKENS} + 1,
+                      CAST(t.i AS BIGINT) * {_LINE_TOKENS} + {_LINE_TOKENS}),
+           ' ') AS line
+  FROM tk, unnest(range(CAST(ceil(len(arr) / {_LINE_TOKENS}.0) AS BIGINT))) t(i)
+  WHERE len(arr) > 0
+),
+f AS (
+  SELECT *, row_number() OVER (PARTITION BY line
+                               ORDER BY doc_id ASC, line_no ASC) AS rn
+  FROM lines
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                               ' ' ORDER BY line_no), '')) AS cleaned_md5
+FROM f GROUP BY doc_id
+""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level exact dedup — the corpus-cleaning step
+    between whole-doc dedup and n-gram near-dup: repeated boilerplate
+    lines (12-token windows here) keep only their first global
+    occurrence; each doc reports its line count, kept count and the md5
+    of its cleaned recomposition (operators/dedup.py:line_dedup — one
+    line-keyed shuffle, JVM higher-order windowing, no UDF)."""
+    from connectors_spark.operators.dedup import line_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return line_dedup(docs, line_tokens=_LINE_TOKENS)
+
+
 _SEARCH_TEMPLATES = [
     ("st0", '"{{ phrase }}" {{extra}}', {"phrase": "table scan",
                                          "extra": "fast"}),

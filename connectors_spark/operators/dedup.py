@@ -220,3 +220,56 @@ def simhash_bits(df: DataFrame, text_col: str = "text",
             "",
         ).alias("simhash")
     )
+
+
+def line_dedup(df, line_tokens: int = 12, text_col: str = "text",
+               doc_id_col: str = "doc_id"):
+    """(doc_id, n_lines, n_kept, cleaned_md5): C4-style LINE-level exact
+    deduplication — the corpus-cleaning step between whole-doc dedup and
+    n-gram near-dup: boilerplate lines (headers, navigation, license
+    blocks) repeat across documents that are NOT duplicates of each
+    other. Docs are segmented into fixed `line_tokens`-token windows
+    ("lines"); a line's FIRST global occurrence (doc_id ASC, line_no
+    ASC) is kept, every later exact repeat is dropped; the doc's
+    cleaned text is the kept lines re-joined in order (md5 here so the
+    gate stays narrow).
+
+    Plan: one tokenize pass, line windows built with JVM higher-order
+    functions (sequence/slice/array_join — no UDF), ONE shuffle keyed
+    on the line string for the first-occurrence window, one doc-keyed
+    agg for recomposition. Line strings are the shuffle key, so the
+    Zipf head (empty/boilerplate lines) is the skew to watch at 100 TB
+    — salt or pre-filter ubiquitous lines exactly as the df-capped
+    shard strategy does for hot terms."""
+    from pyspark.sql import Window
+    from connectors_spark.functions.analysis import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    L = int(line_tokens)
+    n_lines = F.ceil(F.size(toks) / F.lit(float(L))).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * L + 1, L), " "),
+    )
+    lines = (
+        df.select(F.col(doc_id_col).alias("doc_id"),
+                  n_lines.alias("_nl"), lines_arr.alias("_lines"))
+        .filter(F.col("_nl") > 0)  # sequence(0,-1) guard on empty docs
+        .select("doc_id", F.posexplode("_lines").alias("line_no", "line"))
+    )
+    w = Window.partitionBy("line").orderBy(F.asc("doc_id"), F.asc("line_no"))
+    flagged = lines.withColumn("_rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        F.col("_rn") == 1,
+                        F.struct("line_no", "line")))),
+                    lambda s: s["line"],
+                ), " ")).alias("cleaned_md5"),
+        )
+    )
