@@ -5538,6 +5538,148 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, line_tokens=_LINE_TOKENS)
 
 
+# =================================================================
+# kstem recall on base/inflected collisions (VERDICT r3 §wrong-1)
+# =================================================================
+
+# Deterministic token substitution injecting the s-final base words
+# that broke kstem in round 3 (alias/bias/lens/basis/...) into the
+# closed 31-word documents vocabulary.
+_KSTEM_SUB = {"agg": "alias", "dup": "bias", "big": "lens", "the": "atlas",
+              "fast": "canvas", "slow": "chaos", "small": "basis"}
+
+# FROZEN conflation table: for each base-form query term, the surface
+# forms (base + deterministic inflection) that kstem conflates to the
+# query's stem. Generated ONCE from kstem_py at the time the stemmer
+# was verified idempotent and pasted as literals — deliberately NOT
+# re-derived at import, so a future stemmer regression breaks this
+# gate's hash instead of silently shifting both sides. Honest quirks
+# kept: 'as' does NOT conflate to 'a'; the rule-based inflector gives
+# 'keies' for 'key' (kstem's ies->y step recovers it).
+_KSTEM_SURFACES = {
+    "a": ["a"],
+    "alias": ["alias", "aliases"],
+    "atlas": ["atlas", "atlases"],
+    "basis": ["basis", "basises"],
+    "batch": ["batch", "batches"],
+    "bias": ["bias", "biases"],
+    "canvas": ["canvas", "canvases"],
+    "chaos": ["chaos", "chaoses"],
+    "column": ["column", "columns"],
+    "customer": ["customer", "customers"],
+    "data": ["data", "datas"],
+    "filter": ["filter", "filters"],
+    "group": ["group", "groups"],
+    "hash": ["hash", "hashes"],
+    "join": ["join", "joins"],
+    "key": ["keies", "key"],
+    "lens": ["lens", "lenses"],
+    "line": ["line", "lines"],
+    "merge": ["merge", "merges"],
+    "order": ["order", "orders"],
+    "part": ["part", "parts"],
+    "query": ["queries", "query"],
+    "row": ["row", "rows"],
+    "scan": ["scan", "scans"],
+    "sort": ["sort", "sorts"],
+    "spark": ["spark", "sparks"],
+    "stream": ["stream", "streams"],
+    "table": ["table", "tables"],
+    "value": ["value", "values"],
+    "vector": ["vector", "vectors"],
+    "window": ["window", "windows"],
+}
+
+
+def _kstem_recall_oracle_sql() -> str:
+    sub_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(_KSTEM_SUB.items()))
+    pairs = ", ".join(
+        f"('{t}', '{s}')"
+        for t in sorted(_KSTEM_SURFACES) for s in _KSTEM_SURFACES[t])
+    return f"""
+WITH tk AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr
+            FROM documents),
+toks AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         arr[CAST(t.i AS BIGINT) + 1] AS tok
+  FROM tk, unnest(range(len(arr))) t(i)
+),
+sub AS (SELECT doc_id, pos, CASE tok {sub_case} ELSE tok END AS tok
+        FROM toks),
+surf AS (
+  SELECT doc_id,
+         CASE WHEN pos % 2 = 0 THEN
+           CASE WHEN regexp_matches(tok, '([szx]|ch|sh)$') THEN tok || 'es'
+                WHEN regexp_matches(tok, '.{{2,}}y$')
+                  THEN regexp_replace(tok, 'y$', 'ies')
+                ELSE tok || 's' END
+         ELSE tok END AS surface
+  FROM sub
+),
+m (term, surface) AS (VALUES {pairs})
+SELECT m.term AS term,
+       CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs
+FROM surf s JOIN m ON s.surface = m.surface
+GROUP BY m.term
+"""
+
+
+@register("kstem_recall", _kstem_recall_oracle_sql())
+def q_kstem_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the kstem-analyzed path on base/inflected collisions —
+    the round-3 bug class where a doc containing 'aliases' (indexed as
+    'alias') was MISSED by the query 'alias' (then stemmed to 'alia').
+    Derives an inflected corpus from `documents` (substitute s-final
+    collision words, pluralize every even-position token), stems doc
+    tokens through the ENGINE build path (stem_tokens_arr Arrow UDF)
+    and query terms through the engine query path (kstem_py), and
+    counts matching docs per base-form query. The oracle joins the raw
+    inflected surfaces against a FROZEN literal conflation table, so
+    any stemmer drift (either side of build/query) breaks the hash.
+    Reference semantics: the `en` analyzer's light_english stage,
+    svc/es/language_data.yml:10-13."""
+    from connectors_spark.functions.analysis import (
+        stem_tokens_arr, tokens_col)
+    from connectors_spark.functions.stem import kstem_py
+
+    docs = _read(spark, sf_dir, "documents")
+    sub = dict(_KSTEM_SUB)
+
+    def sub_expr(t):
+        e = None
+        for k, v in sorted(sub.items()):
+            e = (F.when(t == k, F.lit(v)) if e is None
+                 else e.when(t == k, F.lit(v)))
+        return e.otherwise(t)
+
+    def inflect_expr(t):
+        return (
+            F.when(t.rlike("([szx]|ch|sh)$"), F.concat(t, F.lit("es")))
+            .when(t.rlike(".{2,}y$"), F.regexp_replace(t, "y$", "ies"))
+            .otherwise(F.concat(t, F.lit("s")))
+        )
+
+    surf_arr = F.transform(
+        tokens_col(F.col("text")),
+        lambda t, i: F.when(i % 2 == 0, inflect_expr(sub_expr(t)))
+                      .otherwise(sub_expr(t)),
+    )
+    stems = docs.select(
+        "doc_id",
+        F.explode(stem_tokens_arr("kstem")(surf_arr)).alias("stem"),
+    )
+    terms = spark.createDataFrame(
+        [(t, kstem_py(t)) for t in sorted(_KSTEM_SURFACES)],
+        ["term", "qstem"],
+    )
+    return (
+        stems.join(F.broadcast(terms), stems.stem == terms.qstem)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
 _SEARCH_TEMPLATES = [
     ("st0", '"{{ phrase }}" {{extra}}', {"phrase": "table scan",
                                          "extra": "fast"}),
