@@ -5538,6 +5538,60 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, line_tokens=_LINE_TOKENS)
 
 
+def _dedup_components_sql() -> str:
+    """Transitive closure of the near-dup graph in DuckDB: the verified
+    LSH pair query runs as a nested-WITH CTE, exact-dup star edges are
+    unioned in, and WITH RECURSIVE reachability yields min-label
+    components — the SQL twin of dedup.connected_components."""
+    return f"""
+WITH RECURSIVE
+scored AS ({_minhash_oracle_sql()}),
+hdocs AS (SELECT doc_id, md5(array_to_string({_ARR}, ' ')) AS h
+          FROM documents),
+grp AS (SELECT h, min(doc_id) AS rep FROM hdocs GROUP BY h),
+exact_star AS (
+  SELECT g.rep AS doc_a, d.doc_id AS doc_b
+  FROM grp g JOIN hdocs d USING (h) WHERE d.doc_id <> g.rep
+),
+keep AS (
+  SELECT doc_a, doc_b FROM exact_star
+  UNION
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM keep
+  UNION SELECT doc_b, doc_a FROM keep
+),
+reach (a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT doc_id, component,
+       CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS INT)
+         AS is_canonical
+FROM comp
+"""
+
+
+@register("dedup_components", _dedup_components_sql())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS with canonical-doc election — transitive
+    closure over exact-dup star edges + Jaccard-verified (>= 0.5) LSH
+    near-dup pairs via distributed min-label propagation
+    (operators/dedup.py:connected_components — O(diameter) rounds, one
+    shuffle join + map-side-combined groupBy-min per round, driver
+    carries only the converged flag). The keep-one-per-cluster step a
+    web-scale corpus clean runs after pairwise near-dup detection; the
+    oracle computes the same closure with a DuckDB recursive CTE."""
+    from connectors_spark.operators.dedup import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_clusters(docs, jaccard_threshold=0.5)
+
+
 # =================================================================
 # kstem recall on base/inflected collisions (VERDICT r3 §wrong-1)
 # =================================================================

@@ -222,6 +222,94 @@ def simhash_bits(df: DataFrame, text_col: str = "text",
     )
 
 
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_id, component) — component = min doc_id reachable over the
+    undirected edge set (doc_a, doc_b).
+
+    Min-label propagation: every vertex starts labeled with itself; each
+    round takes least(own label, min over neighbor labels) until a round
+    changes nothing. Converges in O(diameter) rounds — dedup graphs are
+    unions of near-cliques and star-capped buckets (lsh_candidate_pairs),
+    so diameter is small by construction; `max_iter` bounds adversarial
+    chains. Each round is one broadcast-free shuffle join + groupBy-min
+    (map-side combine); the driver loop carries only the converged flag,
+    never data — the standard iterate-until-fixpoint shape (GraphX/
+    Kiveris et al., "Connected Components in MapReduce and Beyond").
+    """
+    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("comp", F.col("doc_id")).persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(
+                    labels.select(F.col("doc_id").alias("dst"),
+                                  F.col("comp").alias("nc")), "dst")
+                .groupBy("src").agg(F.min("nc").alias("nbr_comp"))
+                .withColumnRenamed("src", "doc_id")
+            )
+            new = (
+                labels.join(nbr, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("comp"),
+                            F.coalesce("nbr_comp", F.col("comp")))
+                    .alias("comp"),
+                ).persist()
+            )
+            changed = (
+                new.join(labels.withColumnRenamed("comp", "_old"), "doc_id")
+                .filter(F.col("comp") != F.col("_old")).limit(1).count()
+            )
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        return labels.select("doc_id", F.col("comp").alias("component"))
+    finally:
+        sym.unpersist()
+
+
+def dedup_clusters(df: DataFrame, jaccard_threshold: float = 0.5,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """(doc_id, component, is_canonical) duplicate CLUSTERS with a
+    canonical-doc election — the step after pairwise near-dup detection
+    that a keep-one-per-cluster corpus clean actually needs: transitive
+    closure over (a) exact-dup star edges (every doc -> its normalized-
+    text group's min doc_id) and (b) Jaccard-verified near-dup pairs
+    between group representatives (minhash_near_dups). component = min
+    doc_id in the cluster; is_canonical = 1 for the kept doc (the
+    member equal to the component id), 0 for the drops. Docs with no
+    duplicate edge do not appear (they are trivially canonical)."""
+    base = df.select(
+        F.md5(normalized_text(F.col(text_col))).alias("_h"),
+        F.col(id_col).alias("doc_id"),
+    )
+    grp = base.groupBy("_h").agg(F.min("doc_id").alias("_rep"))
+    star = (
+        base.join(grp, "_h")
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    near = (
+        minhash_near_dups(df, text_col, id_col, bucket_cap=bucket_cap)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b")
+    )
+    comps = connected_components(star.unionByName(near))
+    return comps.select(
+        "doc_id", "component",
+        F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0)
+        .cast("int").alias("is_canonical"),
+    )
+
+
 def line_dedup(df, line_tokens: int = 12, text_col: str = "text",
                doc_id_col: str = "doc_id"):
     """(doc_id, n_lines, n_kept, cleaned_md5): C4-style LINE-level exact

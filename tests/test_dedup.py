@@ -129,3 +129,33 @@ def test_oversize_bucket_emits_star_edges(spark):
     assert {(r.doc_a, r.doc_b) for r in pairs_small} == {
         (a, b) for a in range(5) for b in range(5) if a < b
     }
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation reaches the component min across a chain
+    longer than one hop (transitivity), keeps disjoint clusters apart,
+    and elects exactly one canonical doc per cluster."""
+    from connectors_spark.operators.dedup import (
+        connected_components, dedup_clusters)
+
+    # chain 10-20-30-40 plus disjoint pair (5, 7): diameter 3 > 1 hop
+    edges = spark.createDataFrame(
+        [(20, 10), (20, 30), (40, 30), (5, 7)], "doc_a long, doc_b long"
+    )
+    got = {(r.doc_id, r.component)
+           for r in connected_components(edges).collect()}
+    assert got == {(10, 10), (20, 10), (30, 10), (40, 10), (5, 5), (7, 5)}
+
+    # end-to-end: exact dups + a near-dup of the representative fold
+    # into ONE cluster with the min doc_id canonical
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, body), (2, body),                       # exact dups
+         (3, body + " tail"),                        # near-dup of rep 1
+         (9, "an entirely different document body about spark plans")],
+        "doc_id long, text string",
+    )
+    out = dedup_clusters(docs, jaccard_threshold=0.5).collect()
+    assert {(r.doc_id, r.component, r.is_canonical) for r in out} == {
+        (1, 1, 1), (2, 1, 0), (3, 1, 0)
+    }  # doc 9 has no edge -> absent (trivially canonical)
