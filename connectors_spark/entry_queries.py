@@ -5576,6 +5576,76 @@ FROM comp
 """
 
 
+_MIX_ALPHA = 0.7
+_MIX_BUDGET = 200
+
+
+@register(
+    "temperature_mix",
+    f"""
+WITH stats AS (SELECT lang AS stratum, count(*) AS n_s
+               FROM documents GROUP BY lang),
+z AS (SELECT sum(pow(n_s, {_MIX_ALPHA})) AS z FROM stats),
+rates AS (
+  SELECT stratum,
+         round(least(1.0, {_MIX_BUDGET} * pow(n_s, {_MIX_ALPHA}) / z.z / n_s),
+               6) AS rate
+  FROM stats, z
+)
+SELECT d.doc_id, d.lang AS stratum, r.rate
+FROM documents d JOIN rates r ON r.stratum = d.lang
+WHERE ((d.doc_id * {2654435761}) % {1 << 32}) * 1.0 / {1 << 32} < r.rate
+""",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data mixing (p_s ~ n_s^alpha, Conneau &
+    Lample 2019): per-stratum sampling rates DERIVED from corpus counts
+    to hit a doc budget, then deterministic Knuth-hash sampling
+    (operators/pretrain.py:temperature_mix — tiny stats agg broadcast
+    back, sampling is a pushed-down filter, zero corpus shuffle)."""
+    from connectors_spark.operators.pretrain import temperature_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    return temperature_mix(docs, alpha=_MIX_ALPHA, budget=_MIX_BUDGET)
+
+
+_SPAN_W = 8
+
+
+@register(
+    "substring_dedup",
+    f"""
+WITH tk AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr
+            FROM documents),
+wins AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_slice(arr, CAST(t.i AS BIGINT) + 1,
+                      CAST(t.i AS BIGINT) + {_SPAN_W}), ' ')) AS wh
+  FROM tk, unnest(range(len(arr) - {_SPAN_W - 1})) t(i)
+  WHERE len(arr) >= {_SPAN_W}
+),
+cnt AS (SELECT wh, count(*) AS n FROM wins GROUP BY wh)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)
+             / count(*), 6) AS dup_frac
+FROM wins w JOIN cnt c USING (wh)
+GROUP BY w.doc_id
+""",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span detection (Lee et al. 2022): every stride-1
+    8-token window hashed, globally counted, per-doc duplicated-window
+    fraction reported (operators/dedup.py:dup_span_stats — fixed-width
+    md5 keys before the shuffle, map-side-combined global counts)."""
+    from connectors_spark.operators.dedup import dup_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_span_stats(docs, window=_SPAN_W)
+
+
 @register("dedup_components", _dedup_components_sql())
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS with canonical-doc election — transitive

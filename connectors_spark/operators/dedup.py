@@ -310,6 +310,52 @@ def dedup_clusters(df: DataFrame, jaccard_threshold: float = 0.5,
     )
 
 
+def dup_span_stats(df: DataFrame, window: int = 8, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_windows, n_dup, dup_frac): exact duplicate-SPAN signal
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every stride-1 window of `window` tokens is hashed; a
+    window duplicated anywhere in the corpus (global occurrence count
+    >= 2, within- or cross-doc) marks its position as memorization-risk
+    text. Per doc: total windows, duplicated windows, duplicated
+    fraction. Docs shorter than `window` tokens have no window and are
+    absent.
+
+    Plan: one tokenize pass, windows via JVM sequence/slice (no UDF),
+    md5 BEFORE the shuffle so the agg key is fixed-width, ONE window-
+    keyed groupBy for global counts (map-side combine), one broadcast-
+    free join back, one doc-keyed agg. Window hashes are Zipf-skewed at
+    100 TB exactly like hot terms — the count agg combines map-side, and
+    the join key is (hash) so AQE skew-split applies."""
+    toks = tokens_col(F.col(text_col))
+    W = int(window)
+    nw = (F.size(toks) - F.lit(W - 1)).cast("int")
+    win_arr = F.transform(
+        F.sequence(F.lit(0), nw - 1),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, W), " ")),
+    )
+    wins = (
+        df.select(F.col(id_col).alias("doc_id"), nw.alias("_nw"),
+                  win_arr.alias("_w"))
+        .filter(F.col("_nw") > 0)  # sequence guard: short docs drop
+        .select("doc_id", F.explode("_w").alias("wh"))
+    )
+    counts = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        wins.join(counts, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_n") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_dup"),
+        )
+        .select(
+            "doc_id", "n_windows", "n_dup",
+            F.round(F.col("n_dup") / F.col("n_windows"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def line_dedup(df, line_tokens: int = 12, text_col: str = "text",
                doc_id_col: str = "doc_id"):
     """(doc_id, n_lines, n_kept, cleaned_md5): C4-style LINE-level exact

@@ -52,3 +52,56 @@ def pretrain_filter(
         keep_dedup.alias("keep_dedup"),
         (keep_lang & keep_len & keep_rep & keep_dedup).alias("keep"),
     )
+
+
+KNUTH = 2654435761  # Knuth multiplicative hash constant
+U32 = 1 << 32
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.7,
+    budget: int = 200,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — derive per-stratum sampling
+    rates FROM corpus statistics instead of taking them as input (the
+    multilingual-mix standard, p_s ~ n_s^alpha: alpha=1 is proportional,
+    alpha->0 uniform over strata; Conneau & Lample 2019 §3.1, used for
+    the mBERT/XLM-R language mixes): stratum weight n_s^alpha is
+    normalized to a target doc count budget * p_s, clamped at the
+    stratum size, and applied as a deterministic Knuth-hash sample.
+
+    -> (doc_id, stratum, rate) for the sampled docs; `rate` is rounded
+    to 6 dp BEFORE the keep comparison so the float power is never
+    compared at full precision (cross-engine pow() can differ in the
+    last ulp — rounding makes the decision identical everywhere).
+
+    Plan shape: one map-side-combined groupBy for stratum counts (tiny:
+    one row per stratum), broadcast back, sampling itself is a pushed-
+    down filter — no shuffle of the corpus at any scale."""
+    from pyspark.sql.functions import broadcast
+
+    stats = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    z = stats.agg(F.sum(F.pow("n_s", F.lit(alpha))).alias("z"))
+    rates = stats.crossJoin(broadcast(z)).select(
+        "stratum",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget)) * F.pow("n_s", F.lit(alpha))
+                / F.col("z") / F.col("n_s"),
+            ), 6,
+        ).alias("rate"),
+    )
+    u = ((F.col(id_col) * KNUTH) % U32) / F.lit(float(U32))
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(stratum_col).alias("stratum"), u.alias("_u"))
+        .join(broadcast(rates), "stratum")
+        .filter(F.col("_u") < F.col("rate"))
+        .select("doc_id", "stratum", "rate")
+    )
