@@ -5576,6 +5576,140 @@ FROM comp
 """
 
 
+GATE_SQS_QUERIES = [
+    ("sq0", "table + scan | merge"),
+    ("sq1", "fast quer* -slow"),
+    ("sq2", '"batch merge" window'),
+    ("sq3", "val* | cust* | window"),
+    ("sq4", "the data +row"),
+]
+
+
+def _simple_qs_sql(queries=None) -> str:
+    from connectors_spark.operators.query_string import (
+        parse_simple_query_string)
+
+    if queries is None:
+        queries = GATE_SQS_QUERIES
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    cvals, mnvals, ph_ctes, ph_conds = [], [], [], []
+    need_tp = False
+    for qid, qs in queries:
+        p = parse_simple_query_string(qs)
+        for ai, alt in enumerate(p["alts"]):
+            for ci, (kind, val) in enumerate(alt):
+                cvals.append(
+                    f"('{qid}', {ai}, '{ai}_{ci}', '{kind}', '{val}')")
+        for t in p["must_not"]:
+            mnvals.append(f"('{qid}', '{t}')")
+        for j, (role, terms) in enumerate(p["phrases"]):
+            need_tp = True
+            name = f"sph_{qid}_{j}"
+            joins = " ".join(
+                f"JOIN tp t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {i} AND t{i}.t = '{t}'"
+                for i, t in enumerate(terms[1:], start=1)
+            )
+            ph_ctes.append(
+                f"{name} AS (SELECT DISTINCT t0.doc_id FROM tp t0 {joins} "
+                f"WHERE t0.t = '{terms[0]}')"
+            )
+            op = "NOT IN" if role == "must_not" else "IN"
+            ph_conds.append(
+                f"AND (f.query_id <> '{qid}' "
+                f"OR f.doc_id {op} (SELECT doc_id FROM {name}))"
+            )
+    tp_cte = (
+        "tp AS (SELECT doc_id, unnest(arr) AS t, "
+        "unnest(range(len(arr))) AS pos FROM "
+        f"(SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr "
+        "FROM documents)), " if need_tp else ""
+    )
+    mn_cte = (
+        f"mn (query_id, term) AS (VALUES {', '.join(mnvals)}), "
+        "mndocs AS (SELECT DISTINCT mn.query_id, tf.doc_id "
+        "FROM mn JOIN tf USING (term)), " if mnvals else ""
+    )
+    mn_join = (
+        "LEFT JOIN mndocs m ON m.query_id = d.query_id "
+        "AND m.doc_id = d.doc_id WHERE m.doc_id IS NULL" if mnvals else ""
+    )
+    return f"""
+WITH {_DL_CTE},
+{tp_cte}
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cl (query_id, alt_id, clause_id, kind, pat) AS (VALUES {', '.join(cvals)}),
+clx AS (
+  SELECT cl.query_id, cl.alt_id, cl.clause_id, cl.kind, d.term
+  FROM cl JOIN dfreq d
+    ON (cl.kind = 'term' AND d.term = cl.pat)
+    OR (cl.kind = 'prefix' AND d.term LIKE cl.pat || '%')
+),
+contrib AS (
+  SELECT clx.query_id, clx.alt_id, clx.clause_id, clx.kind, tf.doc_id,
+         {w} AS w
+  FROM clx JOIN tf ON tf.term = clx.term
+  JOIN dfreq ON dfreq.term = clx.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+cagg AS (
+  SELECT query_id, alt_id, clause_id, doc_id,
+         CASE WHEN min(kind) = 'prefix' THEN 1.0 ELSE max(w) END AS sc
+  FROM contrib GROUP BY query_id, alt_id, clause_id, doc_id
+),
+aagg AS (
+  SELECT query_id, alt_id, doc_id, count(DISTINCT clause_id) AS nm,
+         sum(sc) AS ascore
+  FROM cagg GROUP BY query_id, alt_id, doc_id
+),
+areq AS (SELECT query_id, alt_id, count(DISTINCT clause_id) AS req
+         FROM cl GROUP BY query_id, alt_id),
+dagg AS (
+  SELECT a.query_id, a.doc_id, round(sum(a.ascore), {ROUND_SCORE}) AS score
+  FROM aagg a JOIN areq USING (query_id, alt_id)
+  WHERE nm = req GROUP BY a.query_id, a.doc_id
+),
+{mn_cte}
+{', '.join(ph_ctes) + ',' if ph_ctes else ''}
+f AS (SELECT d.query_id, d.doc_id, d.score FROM dagg d {mn_join}),
+ranked AS (
+  SELECT f.query_id, f.doc_id, f.score,
+         row_number() OVER (PARTITION BY f.query_id
+                            ORDER BY f.score DESC, f.doc_id ASC) AS rank
+  FROM f WHERE TRUE {' '.join(ph_conds)}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("simple_query_string", _simple_qs_sql())
+def q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `simple_query_string`: the lenient search-box syntax (`|` OR,
+    infix `+` AND, `-` not, trailing `*` prefix, quoted phrases; invalid
+    syntax is text, never an error). DNF semantics: a doc matches iff
+    some OR-alternative matches completely; score sums fully-matched
+    alternatives (BM25 terms + constant-score prefix clauses, the
+    Lucene PrefixQuery CONSTANT_SCORE rewrite). The oracle SQL is
+    generated FROM the same parse (operators/query_string.py:
+    parse_simple_query_string), pinning syntax handling mechanically."""
+    from connectors_spark.operators.query_string import (
+        score_simple_query_string)
+
+    idx = _docs_index(spark, sf_dir, with_positions=True)
+    return score_simple_query_string(
+        idx,
+        [{"query_id": qid, "query_string": qs, "k": GATE_BM25_K}
+         for qid, qs in GATE_SQS_QUERIES],
+        round_scores=ROUND_SCORE,
+    )
+
+
 _MIX_ALPHA = 0.7
 _MIX_BUDGET = 200
 

@@ -281,6 +281,191 @@ def score_query_string(
     )
 
 
+_SQS_TOKEN_RE = re.compile(r'(?P<neg>-)?(?:"(?P<phrase>[^"]*)"|(?P<body>\S+))')
+
+
+def parse_simple_query_string(q: str) -> dict:
+    """ES `simple_query_string` parser (lenient by contract — invalid
+    syntax is text, never an error). Supported operators:
+
+    - whitespace / `|`  -> OR between alternatives (default_operator=OR)
+    - `+`               -> AND: joins the next token into the current
+                           AND-group (infix, `a + b` or embedded `a+b`
+                           — the alnum runs of one body token always
+                           share a group)
+    - `-term`           -> global must_not; `-"phrase"` -> must_not
+                           phrase gate
+    - `term*`           -> prefix clause (trailing star only)
+    - `"quoted phrase"` -> phrase gate (filter context, like
+                           score_query_string's documented convention)
+
+    -> {"alts": [[(kind, value), ...], ...],   # OR of AND-groups
+        "must_not": [terms],
+        "phrases": [(role, [terms])]}
+    kind is 'term' | 'prefix'. Leniency: stray `+`/`|`/`*` connectives
+    are dropped; a negated prefix keeps only its terms (star ignored);
+    one-word phrases demote to plain terms."""
+    alts: list[list[tuple[str, str]]] = []
+    must_not: list[str] = []
+    phrases: list[tuple[str, list[str]]] = []
+    pending_join = False
+
+    def emit(clauses: list[tuple[str, str]], join: bool):
+        if not clauses:
+            return
+        if join and alts:
+            alts[-1].extend(clauses)
+        else:
+            alts.append(clauses)
+
+    for m in _SQS_TOKEN_RE.finditer(q):
+        neg = m.group("neg") == "-"
+        if m.group("phrase") is not None:
+            terms = _TERM_RE.findall(m.group("phrase").lower())
+            if len(terms) == 1 and not neg:
+                emit([("term", terms[0])], pending_join)
+            elif terms:
+                phrases.append(("must_not" if neg else "must", terms))
+            pending_join = False
+            continue
+        body = m.group("body")
+        # '|' and '+' are character-level infix connectives (Lucene
+        # SimpleQueryParser): 'a|b', '| b', 'a +b' all parse the same
+        for pi, part in enumerate(body.split("|")):
+            if pi > 0:
+                pending_join = False  # '|' -> OR
+            for si, sub in enumerate(part.split("+")):
+                if si > 0:
+                    pending_join = True  # '+' -> AND with previous
+                if not sub:
+                    continue
+                if neg:
+                    must_not.extend(_TERM_RE.findall(sub.lower()))
+                    pending_join = False
+                    continue
+                is_prefix = sub.endswith("*")
+                runs = _TERM_RE.findall(sub.lower())
+                if not runs:
+                    continue
+                clauses = [("term", t) for t in runs]
+                if is_prefix:
+                    clauses[-1] = ("prefix", runs[-1])
+                emit(clauses, pending_join)
+                pending_join = False
+    return {"alts": alts, "must_not": must_not, "phrases": phrases}
+
+
+def score_simple_query_string(
+    index: IndexFrames,
+    queries: list[dict],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_scores: int | None = None,
+    broadcast_docs_max: int = 2_000_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) for simple_query_string queries
+    (`queries`: [{"query_id", "query_string", "k"}]).
+
+    Lucene SimpleQueryParser semantics over the DNF from
+    parse_simple_query_string: a doc is a candidate iff at least one
+    OR-alternative matches COMPLETELY (every clause present); its score
+    is the sum over fully-matched alternatives of their clause scores —
+    BM25 weight for term clauses, constant 1.0 for prefix clauses
+    (Lucene PrefixQuery CONSTANT_SCORE rewrite). Global must_not terms
+    exclude; quoted phrases gate in filter context.
+
+    Plan: prefix clauses expand against the broadcast-joined lexicon
+    (startswith on the matched slice); all referenced terms run through
+    the shared distinct-term weight pipeline once; then three map-side-
+    combinable aggs keyed on (query, doc[, alt, clause]) — no per-query
+    work on the driver beyond parsing."""
+    spark: SparkSession = index.postings.sparkSession
+    crows, mnrows, phrase_jobs = [], [], []
+    for q in queries:
+        p = parse_simple_query_string(q["query_string"])
+        for ai, alt in enumerate(p["alts"]):
+            for ci, (kind, val) in enumerate(alt):
+                crows.append((q["query_id"], int(q["k"]), ai,
+                              f"{ai}_{ci}", kind, val))
+        for t in p["must_not"]:
+            mnrows.append((q["query_id"], t))
+        for role, terms in p["phrases"]:
+            phrase_jobs.append((q["query_id"], role, terms))
+    if not crows:
+        return (
+            index.postings.select("doc_id").limit(0)
+            .withColumn("query_id", F.lit("").cast("string"))
+            .withColumn("rank", F.lit(0).cast("int"))
+            .withColumn("score", F.lit(0.0))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+    cl = spark.createDataFrame(
+        crows,
+        "query_id string, k int, alt_id int, clause_id string, "
+        "kind string, pat string",
+    )
+    lex = index.lexicon.select("term")
+    clx = (
+        cl.filter(F.col("kind") == "term")
+        .withColumn("term", F.col("pat"))
+        .unionByName(
+            lex.join(
+                F.broadcast(cl.filter(F.col("kind") == "prefix")),
+                F.col("term").startswith(F.col("pat")),
+            ).select(*cl.columns, "term")
+        )
+    )
+    dterms = clx.select("term").distinct()
+    if mnrows:
+        mn = spark.createDataFrame(mnrows, "query_id string, term string")
+        dterms = dterms.unionByName(mn.select("term")).distinct()
+    tw = _distinct_term_weights(index, dterms, k1, b, broadcast_docs_max)
+    contrib = tw.join(F.broadcast(clx), "term")
+    cagg = (
+        contrib.groupBy("query_id", "k", "alt_id", "clause_id", "kind",
+                        "doc_id")
+        .agg(F.max("w").alias("_w"))
+        .select(
+            "query_id", "k", "alt_id", "clause_id", "doc_id",
+            F.when(F.col("kind") == "prefix", F.lit(1.0))
+            .otherwise(F.col("_w")).alias("sc"),
+        )
+    )
+    aagg = cagg.groupBy("query_id", "k", "alt_id", "doc_id").agg(
+        F.count_distinct(F.col("clause_id")).alias("_nm"),
+        F.sum("sc").alias("_ascore"),
+    )
+    areq = cl.groupBy("query_id", "alt_id").agg(
+        F.count_distinct(F.col("clause_id")).alias("_req"))
+    out = (
+        aagg.join(F.broadcast(areq), ["query_id", "alt_id"])
+        .filter(F.col("_nm") == F.col("_req"))
+        .groupBy("query_id", "k", "doc_id")
+        .agg(F.sum("_ascore").alias("score"))
+    )
+    if mnrows:
+        mndocs = tw.join(F.broadcast(mn), "term") \
+            .select("query_id", "doc_id").distinct()
+        out = out.join(F.broadcast(mndocs), ["query_id", "doc_id"],
+                       "left_anti")
+    for qid, role, terms in phrase_jobs:
+        ph = F.broadcast(_phrase_doc_ids(index, terms))
+        in_q = F.col("query_id") == qid
+        matched = out.filter(in_q)
+        matched = (matched.join(ph, "doc_id", "left_semi") if role == "must"
+                   else matched.join(ph, "doc_id", "left_anti"))
+        out = out.filter(~in_q).unionByName(matched)
+    if round_scores is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_scores))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 _TPL_VAR_RE = re.compile(r"\{\{\s*(\w+)\s*\}\}")
 
 

@@ -279,3 +279,45 @@ def test_collapse_field_contract(spark):
     assert out["en"].doc_id == 1 and out["en"].group_size == 2
     assert out["fr"].doc_id == 4 and out["fr"].group_size == 2
     assert out["de"].doc_id == 5 and out["de"].group_size == 1
+
+
+def test_parse_simple_query_string_operators():
+    from connectors_spark.operators.query_string import (
+        parse_simple_query_string as p)
+
+    assert p("table + scan | merge")["alts"] == [
+        [("term", "table"), ("term", "scan")], [("term", "merge")]]
+    assert p("a+b -c* | d") == {
+        "alts": [[("term", "a"), ("term", "b")], [("term", "d")]],
+        "must_not": ["c"], "phrases": []}
+    # trailing star -> prefix clause; quoted multiword -> phrase gate
+    got = p('fast quer* -slow "batch merge"')
+    assert got["alts"] == [[("term", "fast")], [("prefix", "quer")]]
+    assert got["must_not"] == ["slow"]
+    assert got["phrases"] == [("must", ["batch", "merge"])]
+    # leniency: connective garbage parses to nothing, never raises
+    assert p('+ | * ""') == {"alts": [], "must_not": [], "phrases": []}
+
+
+def test_simple_query_string_dnf_semantics(spark):
+    """A doc matching only part of an AND-group contributes nothing;
+    completing the group scores the sum; prefix clauses score 1.0."""
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query_string import (
+        score_simple_query_string)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "beta zeta")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, with_positions=False)
+    out = score_simple_query_string(
+        idx, [{"query_id": "q", "query_string": "alpha +beta | zet*",
+               "k": 10}],
+    ).collect()
+    by_doc = {r.doc_id: r.score for r in out}
+    # doc 2 has alpha but not beta -> alternative [alpha, beta] fails,
+    # and it has no zet* term -> absent entirely
+    assert set(by_doc) == {1, 3}
+    assert by_doc[3] == 1.0  # zet* only: constant prefix score
+    assert 0.0 < by_doc[1] != 1.0  # alpha+beta BM25 sum
