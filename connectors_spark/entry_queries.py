@@ -5576,6 +5576,79 @@ FROM comp
 """
 
 
+def _combined_fields_sql() -> str:
+    from connectors_spark.functions.analysis import tokenize_py
+
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tfc.tf",
+                 dl_expr="dlc.dl", avgdl_expr="stats.avgdl")
+    qvals = []
+    for qid, text in GATE_MULTI_MATCH:
+        for t in sorted(set(tokenize_py(text))):
+            qvals.append(f"('{qid}', '{t}')")
+    return f"""
+WITH ft AS (
+  SELECT doc_id, unnest({tokenize_sql_duckdb('text')}) AS term, 1.0 AS w
+  FROM documents
+  UNION ALL
+  SELECT doc_id, unnest({tokenize_sql_duckdb('source')}) AS term,
+         {_MM_BOOST_SOURCE} AS w
+  FROM documents
+),
+tfc AS (SELECT doc_id, term, sum(w) AS tf FROM ft GROUP BY doc_id, term),
+dlc AS (
+  SELECT d.doc_id, coalesce(s.dl, 0) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum(w) AS dl FROM ft GROUP BY doc_id) s
+    USING (doc_id)
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dlc) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+q (query_id, term) AS (VALUES {', '.join(qvals)}),
+contrib AS (
+  SELECT q.query_id, tfc.doc_id, {w} AS w
+  FROM q JOIN tfc USING (term) JOIN dfreq USING (term)
+  JOIN dlc ON dlc.doc_id = tfc.doc_id CROSS JOIN stats
+),
+agg AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("combined_fields", _combined_fields_sql())
+def q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `combined_fields` query — principled BM25F over (text x1,
+    source x2): weighted tf and field lengths merge into ONE combined
+    field with a single idf per term (docs where the term appears in
+    ANY field), vs multi_match most_fields' per-field statistics
+    (operators/query.py:score_combined_fields)."""
+    from connectors_spark.operators.query import (
+        queries_df, score_combined_fields)
+
+    docs = _read(spark, sf_dir, "documents")
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_MULTI_MATCH
+    ])
+    return score_combined_fields(
+        docs, [("text", 1.0), ("source", _MM_BOOST_SOURCE)], qdf,
+        round_scores=ROUND_SCORE,
+    )
+
+
 GATE_SQS_QUERIES = [
     ("sq0", "table + scan | merge"),
     ("sq1", "fast quer* -slow"),

@@ -1049,3 +1049,81 @@ def collapse_field(scored: DataFrame, field: str,
         best.orderBy(*order).limit(top_n)
         .select(field, "doc_id", "score", "group_size")
     )
+
+
+def score_combined_fields(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    qdf: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_scores: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `combined_fields` query — principled BM25F (Robertson et al.,
+    "Simple BM25 extension to multiple weighted fields", CIKM'04; the
+    documented ES semantics): the listed fields score as ONE combined
+    field. Per doc: combined tf(t) = sum_f weight_f * tf_f(t), combined
+    length dl = sum_f weight_f * dl_f; df(t) counts docs where t
+    appears in ANY field; one idf/tf_norm over the combined stats —
+    unlike multi_match most_fields (per-field statistics, summed), a
+    term's idf here cannot be inflated by being rare in just one field.
+
+    `qdf`: (query_id, query_text, k) with query_text pre-analyzed;
+    distinct query terms score once each.
+
+    Plan: fields union BEFORE any shuffle (one exploded frame), ONE
+    (doc, term) agg with map-side combine builds the combined postings,
+    corpus stats ride a 1-row broadcast crossJoin, query terms
+    broadcast, ONE (query, doc) agg — same two-shuffle shape as the
+    single-field scorer at any corpus size."""
+    ft = None
+    for col, wgt in fields:
+        part = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(col))).alias("term"),
+            F.lit(float(wgt)).alias("_w"),
+        )
+        ft = part if ft is None else ft.unionByName(part)
+    tfc = ft.groupBy("doc_id", "term").agg(F.sum("_w").alias("tf"))
+    dlc = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(ft.groupBy("doc_id").agg(F.sum("_w").alias("dl")),
+              "doc_id", "left")
+        .select("doc_id", F.coalesce("dl", F.lit(0.0)).alias("dl"))
+    )
+    stats = dlc.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        qdf.select(
+            "query_id", "k",
+            F.explode(tokens_col(F.col("query_text"))).alias("term"),
+        ).distinct()
+    )
+    contrib = (
+        tfc.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq.join(
+            F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        .join(dlc, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "k", "doc_id",
+            (idf_col(F.col("n"), F.col("df"))
+             * tf_norm_col(F.col("tf"), F.col("dl"), F.col("avgdl"), k1, b)
+             ).alias("w"),
+        )
+    )
+    out = contrib.groupBy("query_id", "k", "doc_id").agg(
+        F.sum("w").alias("score"))
+    if round_scores is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_scores))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
