@@ -5576,6 +5576,139 @@ FROM comp
 """
 
 
+_PR_VALUES = (10.0, 50.0, 200.0)
+
+
+@register(
+    "percentile_ranks",
+    f"""
+SELECT event_type,
+       {', '.join(f"round(100.0 * avg(CASE WHEN value <= {v} THEN 1.0 ELSE 0.0 END), 6) AS pr_{int(v)}" for v in _PR_VALUES)}
+FROM events GROUP BY event_type
+""",
+)
+def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks aggregation: for each probe value, the
+    percent of docs at or below it, per bucket (exact CDF evaluation —
+    the mergeable two-stage mean of an indicator; ES's t-digest is the
+    approximation of exactly this)."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(*[
+        F.round(100.0 * F.avg(F.when(F.col("value") <= v, 1.0)
+                              .otherwise(0.0)), 6).alias(f"pr_{int(v)}")
+        for v in _PR_VALUES
+    ])
+
+
+@register(
+    "string_stats",
+    """
+WITH v AS (SELECT source AS s FROM documents),
+chars AS (
+  SELECT substr(s, CAST(t.i AS INT) + 1, 1) AS c
+  FROM v, unnest(range(length(s))) t(i)
+),
+dist AS (SELECT c, count(*) AS n FROM chars GROUP BY c),
+tot AS (SELECT sum(n) * 1.0 AS tn FROM dist)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS cnt,
+       (SELECT CAST(min(length(s)) AS INT) FROM v) AS min_length,
+       (SELECT CAST(max(length(s)) AS INT) FROM v) AS max_length,
+       (SELECT round(avg(length(s)), 6) FROM v) AS avg_length,
+       round(-sum((n / tot.tn) * log2(n / tot.tn)), 6) AS entropy
+FROM dist, tot GROUP BY tot.tn
+""",
+)
+def q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats aggregation over a keyword field: count, min/max/
+    avg length, and Shannon entropy of the field's CHARACTER
+    distribution (the ES `show_distribution` statistic). Entropy is two
+    map-side-combined aggs — per-char counts then -sum(p log2 p); the
+    char explode is a JVM sequence/substring, no UDF."""
+    docs = _read(spark, sf_dir, "documents")
+    v = docs.select(F.col("source").alias("s"))
+    chars = v.select(
+        F.explode(F.sequence(F.lit(1), F.length("s"))).alias("i"),
+        F.col("s"),
+    ).select(F.expr("substr(s, i, 1)").alias("c"))
+    dist = chars.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    ent = dist.crossJoin(
+        F.broadcast(dist.agg(F.sum("n").cast("double").alias("tn")))
+    ).agg(F.round(
+        -F.sum((F.col("n") / F.col("tn"))
+               * F.log2(F.col("n") / F.col("tn"))), 6).alias("entropy"))
+    base = v.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.length("s")).alias("min_length"),
+        F.max(F.length("s")).alias("max_length"),
+        F.round(F.avg(F.length("s")), 6).alias("avg_length"),
+    )
+    return base.crossJoin(F.broadcast(ent))
+
+
+@register(
+    "geo_bounds_centroid",
+    f"""
+WITH pts AS (
+  SELECT lang, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM documents
+)
+SELECT lang,
+       round(max(lat), 6) AS top, round(min(lat), 6) AS bottom,
+       round(min(lon), 6) AS "left", round(max(lon), 6) AS "right",
+       round(avg(lat), 6) AS centroid_lat,
+       round(avg(lon), 6) AS centroid_lon,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts GROUP BY lang
+""",
+)
+def q_geo_bounds_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds + geo_centroid aggregations per bucket: bounding
+    box corners (non-wrapping min/max semantics) and the weighted
+    centroid — pure min/max/avg JVM aggs over the deterministic
+    synthetic coordinates shared by every geo gate."""
+    docs = _read(spark, sf_dir, "documents")
+    lat = ((F.col("doc_id") * 7 % 120).cast("double") - 60.0)
+    lon = ((F.col("doc_id") * 13 % 360).cast("double") - 180.0)
+    return (
+        docs.select("lang", lat.alias("lat"), lon.alias("lon"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.max("lat"), 6).alias("top"),
+            F.round(F.min("lat"), 6).alias("bottom"),
+            F.round(F.min("lon"), 6).alias("left"),
+            F.round(F.max("lon"), 6).alias("right"),
+            F.round(F.avg("lat"), 6).alias("centroid_lat"),
+            F.round(F.avg("lon"), 6).alias("centroid_lon"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+@register(
+    "rate_agg",
+    """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       round(sum(value) / 7.0, 3) AS rate_value_per_day,
+       round(count(*) / 7.0, 6) AS rate_docs_per_day
+FROM events GROUP BY date_trunc('week', ts)
+""",
+)
+def q_rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rate aggregation inside a date_histogram: per calendar-week
+    bucket, sum(value) and doc count normalized to a per-day rate
+    (unit smaller than the bucket — the documented ES division rule:
+    bucket total / days-in-bucket)."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("week", F.col("ts")),
+                          "yyyy-MM-dd").alias("week"))
+        .agg(
+            F.round(F.sum("value") / 7.0, 3).alias("rate_value_per_day"),
+            F.round(F.count(F.lit(1)) / 7.0, 6).alias("rate_docs_per_day"),
+        )
+    )
+
+
 def _combined_fields_sql() -> str:
     from connectors_spark.functions.analysis import tokenize_py
 
