@@ -5576,6 +5576,129 @@ FROM comp
 """
 
 
+@register(
+    "span_queries",
+    f"""
+WITH tp AS (
+  SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos
+  FROM (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr FROM documents)
+),
+tpos AS (SELECT doc_id, pos FROM tp WHERE t = 'table'),
+snot AS (
+  SELECT a.doc_id, count(*) AS n
+  FROM tpos a
+  LEFT JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    AND b.t = 'scan'
+  WHERE b.pos IS NULL GROUP BY a.doc_id
+),
+sfirst AS (SELECT doc_id, min(pos) AS mp FROM tpos GROUP BY doc_id),
+sor AS (SELECT DISTINCT doc_id FROM tp WHERE t IN ('scan', 'merge'))
+SELECT d.doc_id,
+       CAST(CASE WHEN sf.mp < 5 THEN 1 ELSE 0 END AS INT)
+         AS span_first_match,
+       CAST(CASE WHEN so.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS span_or_match,
+       CAST(coalesce(sn.n, 0) AS BIGINT) AS span_not_count
+FROM documents d
+LEFT JOIN sfirst sf ON sf.doc_id = d.doc_id
+LEFT JOIN sor so ON so.doc_id = d.doc_id
+LEFT JOIN snot sn ON sn.doc_id = d.doc_id
+WHERE coalesce(sf.mp < 5, FALSE) OR so.doc_id IS NOT NULL
+   OR coalesce(sn.n, 0) > 0
+""",
+)
+def q_span_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_first / span_or / span_not queries over term positions:
+    'table' starting before position 5 (span_first end=5), any of
+    {{scan, merge}} (span_or), and occurrences of 'table' NOT followed
+    by 'scan' (span_not, post=1). All three evaluate as JVM higher-
+    order functions over ONE tokenize pass — no posting join, no UDF;
+    at index scale the same predicates run on the positional postings
+    (IndexReader.phrase_topk's kernel)."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    arr = tokens_col(F.col("text"))
+    base = docs.select("doc_id", arr.alias("_a"))
+    idx = F.when(
+        F.size("_a") > 0, F.sequence(F.lit(0), F.size("_a") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    tpos = F.filter(idx, lambda i: F.element_at("_a", i + 1) == "table")
+    span_first = F.when(
+        (F.size(tpos) > 0) & (F.array_min(tpos) < 5), 1).otherwise(0)
+    span_or = F.when(
+        F.exists("_a", lambda t: t.isin("scan", "merge")), 1).otherwise(0)
+    span_not = F.size(F.filter(
+        tpos, lambda p: F.coalesce(
+            F.try_element_at("_a", p + 2) != "scan", F.lit(True))
+    ))
+    out = base.select(
+        "doc_id",
+        span_first.cast("int").alias("span_first_match"),
+        span_or.cast("int").alias("span_or_match"),
+        span_not.cast("long").alias("span_not_count"),
+    )
+    return out.filter(
+        (F.col("span_first_match") == 1) | (F.col("span_or_match") == 1)
+        | (F.col("span_not_count") > 0)
+    )
+
+
+@register(
+    "pipeline_normalize",
+    """
+WITH h AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+w AS (
+  SELECT day, n,
+         n - lag(n, 7) OVER (ORDER BY day) AS serial_diff_7,
+         round((n - min(n) OVER ()) * 1.0
+               / nullif(max(n) OVER () - min(n) OVER (), 0), 6)
+           AS rescaled
+  FROM h
+)
+SELECT day, CAST(n AS BIGINT) AS n, CAST(serial_diff_7 AS BIGINT)
+         AS serial_diff_7, rescaled
+FROM w ORDER BY n DESC, day ASC LIMIT 10
+""",
+)
+def q_pipeline_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations round 2: `serial_diff` (lag-7
+    differencing — the seasonality-removal shape), `normalize`
+    (rescale_0_1 across buckets) and `bucket_sort` (order buckets by
+    metric, truncate to 10). Windows run over the tiny bucket frame
+    (one row per day), never the raw events."""
+    events = _read(spark, sf_dir, "events")
+    h = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                               "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day")
+    out = h.select(
+        "day", "n",
+        (F.col("n") - F.lag("n", 7).over(w)).alias("serial_diff_7"),
+        F.round(
+            (F.col("n") - F.min("n").over(
+                Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing)))
+            / F.nullif(
+                (F.max("n").over(Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing))
+                 - F.min("n").over(Window.rowsBetween(
+                     Window.unboundedPreceding,
+                     Window.unboundedFollowing))).cast("double"),
+                F.lit(0.0)),
+            6,
+        ).alias("rescaled"),
+    )
+    return out.orderBy(F.desc("n"), F.asc("day")).limit(10)
+
+
 _PR_VALUES = (10.0, 50.0, 200.0)
 
 

@@ -49,8 +49,15 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    name_filter = argv[1] if len(argv) > 1 else ""
+    results = {}
 
     import __spark_entry__ as entry
     from connectors_spark.session import get_spark
@@ -74,15 +81,20 @@ def main():
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"err": f"spark {type(e).__name__}: {e}"}
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             continue
         if name not in osql:
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(got),
+                             "oracle_rows": None, "err": "no_oracle"}
             print(f"weak  {name}: rows={len(got)} (no oracle, rows-only check)")
             continue
         try:
             exp = con.execute(osql[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"err": f"duckdb {type(e).__name__}: {e}"}
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             continue
         problems = []
@@ -94,6 +106,14 @@ def main():
             hg, he = value_hash(got), value_hash(exp)
             if hg != he:
                 problems.append(f"hash {hg} != {he}")
+        results[name] = {
+            "rows_match": len(got) == len(exp),
+            "schema_match": sorted(got.columns) == sorted(exp.columns),
+            "hash_match": not problems,
+            "spark_rows": len(got),
+            "oracle_rows": len(exp),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
@@ -108,6 +128,12 @@ def main():
         else:
             print(f"OK    {name}: rows={len(got)}")
     print(f"\n{len(failures)} failures / {len(qs)} queries")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} entries)")
     sys.exit(1 if failures else 0)
 
 
