@@ -5576,6 +5576,199 @@ FROM comp
 """
 
 
+_VWH_N = 8
+
+
+@register(
+    "variable_width_histogram",
+    f"""
+WITH b AS (
+  SELECT {', '.join(f"round(quantile_cont(value, {i}.0 / {_VWH_N}), 6) AS b{i}" for i in range(1, _VWH_N))}
+  FROM events
+),
+assigned AS (
+  SELECT value,
+         ({' + '.join(f"CASE WHEN value > b.b{i} THEN 1 ELSE 0 END" for i in range(1, _VWH_N))}) AS bucket
+  FROM events, b
+)
+SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS lo, round(max(value), 6) AS hi,
+       round(avg(value), 6) AS centroid
+FROM assigned GROUP BY bucket
+""",
+)
+def q_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES variable_width_histogram: buckets sized by the DATA (narrow
+    where values crowd, wide where sparse) — deterministic variant via
+    exact quantile boundaries (ES's streaming 1D clustering is order-
+    dependent and unreproducible by contract; equal-frequency quantile
+    cuts are the canonical deterministic analog). Boundaries are ONE
+    tiny agg broadcast back; assignment is a pushed-down expression —
+    no global window, no single-task sort at any scale (at 100 TB swap
+    percentile_approx into the boundary agg)."""
+    events = _read(spark, sf_dir, "events")
+    b = events.agg(*[
+        F.round(F.expr(f"percentile(value, {i}.0 / {_VWH_N})"), 6)
+        .alias(f"b{i}") for i in range(1, _VWH_N)
+    ])
+    bucket = None
+    for i in range(1, _VWH_N):
+        c = F.when(F.col("value") > F.col(f"b{i}"), 1).otherwise(0)
+        bucket = c if bucket is None else bucket + c
+    return (
+        events.crossJoin(F.broadcast(b))
+        .select("value", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+            F.round(F.avg("value"), 6).alias("centroid"),
+        )
+    )
+
+
+@register(
+    "terms_lookup",
+    """
+WITH lookup AS (
+  SELECT DISTINCT source FROM documents WHERE lang = 'en' AND doc_id < 50
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN lookup l ON l.source = d.source
+WHERE d.lang <> 'en'
+""",
+)
+def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `terms` query with terms LOOKUP: the filter value set is
+    fetched from another document (here: the sources of the first 50
+    English docs) instead of inlined — the fetch is a subquery whose
+    distinct result broadcasts into a semi-join, never a driver-side
+    collect-and-inline."""
+    docs = _read(spark, sf_dir, "documents")
+    lookup = (
+        docs.filter((F.col("lang") == "en") & (F.col("doc_id") < 50))
+        .select("source").distinct()
+    )
+    return (
+        docs.join(F.broadcast(lookup), "source")
+        .filter(F.col("lang") != "en")
+        .select("doc_id", "source", "lang")
+    )
+
+
+def _rank_eval_sql() -> str:
+    return f"""
+WITH base AS ({_bm25_oracle_sql()}),
+hits AS (
+  SELECT query_id, rank,
+         CASE WHEN doc_id % 5 = 0 THEN 1.0 ELSE 0.0 END AS rel
+  FROM base
+),
+nrel AS (SELECT count(*) AS n_rel FROM documents WHERE doc_id % 5 = 0),
+perq AS (
+  SELECT query_id, sum(rel) AS nh,
+         min(CASE WHEN rel > 0 THEN rank END) AS fr,
+         sum(CASE WHEN rel > 0 THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg
+  FROM hits GROUP BY query_id
+),
+idcg AS (
+  SELECT sum(1.0 / log2(CAST(t.i AS DOUBLE) + 2)) AS v
+  FROM nrel, unnest(range(least({GATE_BM25_K}, n_rel))) t(i)
+)
+SELECT query_id,
+       round(nh / {GATE_BM25_K}, 6) AS precision_k,
+       round(nh / nrel.n_rel, 6) AS recall_k,
+       round(coalesce(1.0 / fr, 0), 6) AS mrr,
+       round(coalesce(dcg, 0) / idcg.v, 6) AS ndcg_k
+FROM perq, nrel, idcg
+"""
+
+
+@register("rank_eval", _rank_eval_sql())
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_rank_eval` API: precision@k, recall@k, MRR and NDCG@k for
+    the BM25 gate query set against deterministic binary judgments
+    (doc_id % 5 == 0 is 'relevant' — synthetic judgments, REAL metric
+    math; operators/query.py:rank_eval). The ranked input is the same
+    scorer the bm25_topk gate verifies."""
+    from connectors_spark.operators.query import rank_eval
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    ranked = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in GATE_BM25_QUERIES], "query_id string")
+    judgments = qids.crossJoin(
+        docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    ).withColumn("rel", F.lit(1.0))
+    return rank_eval(ranked, judgments, k=GATE_BM25_K)
+
+
+_SESSION_GAP_MIN = 30
+
+
+@register(
+    "sessionize",
+    f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {_SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM o
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(date_part('epoch', max(ts) - min(ts))) AS BIGINT)
+         AS duration_sec,
+       round(sum(value), 3) AS total_value
+FROM s GROUP BY user_id, session_no
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the canonical stateful event-stream
+    operator (user sessions close after {30} idle minutes): session id
+    = running count of gap breaks per user (lag + cumsum windows, both
+    inside ONE user-keyed shuffle partition — the partitionBy IS the
+    shuffle, so the plan scales with users, never a global window).
+    The same contract runs incrementally as the stateful streaming
+    path's applyInPandasWithState shape (streaming/stateful.py)."""
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_break = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("timestamp").cast("long")
+           - F.lag("ts").over(w).cast("timestamp").cast("long")
+           > _SESSION_GAP_MIN * 60), 1).otherwise(0)
+    s = events.select("user_id", "ts", "value",
+                      gap_break.alias("new_s")).withColumn(
+        "session_no",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max(F.col("ts").cast("timestamp").cast("double"))
+                - F.min(F.col("ts").cast("timestamp").cast("double")))
+        .cast("long").alias("duration_sec"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    )
+
+
 @register(
     "span_queries",
     f"""

@@ -1127,3 +1127,51 @@ def score_combined_fields(
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def rank_eval(ranked: DataFrame, judgments: DataFrame, k: int,
+              round_to: int = 6) -> DataFrame:
+    """ES `_rank_eval` API analog: ranking-quality metrics for a ranked
+    result set against relevance judgments.
+
+    `ranked`: (query_id, rank, doc_id, ...) — any scorer's output.
+    `judgments`: (query_id, doc_id, rel) with rel > 0 marking relevant.
+    -> per query: precision@k, recall@k (denominator = judged relevant
+    per query, ES's recall definition), MRR (reciprocal rank of the
+    first relevant hit, 0 if none) and NDCG@k (binary-gain DCG over
+    log2(rank+1), ideal DCG from min(k, n_relevant)).
+
+    One broadcast judgment join + one (query) agg: metric math is JVM
+    expressions (idcg via a higher-order aggregate over sequence), so
+    evaluation scales with the result set, not the corpus."""
+    j = judgments.filter(F.col("rel") > 0).select(
+        "query_id", "doc_id", F.lit(1.0).alias("rel"))
+    nrel = j.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = ranked.join(F.broadcast(j), ["query_id", "doc_id"], "left") \
+        .withColumn("rel", F.coalesce("rel", F.lit(0.0)))
+    perq = hits.groupBy("query_id").agg(
+        F.sum("rel").alias("_nh"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("_fr"),
+        F.sum(F.when(F.col("rel") > 0,
+                     1.0 / F.log2(F.col("rank") + 1)).otherwise(0.0))
+        .alias("_dcg"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(k), F.col("n_rel"))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    return (
+        perq.join(F.broadcast(nrel), "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.col("_nh") / k, round_to).alias("precision_k"),
+            F.round(F.coalesce(F.col("_nh") / F.col("n_rel"), F.lit(0.0)),
+                    round_to).alias("recall_k"),
+            F.round(F.coalesce(1.0 / F.col("_fr"), F.lit(0.0)),
+                    round_to).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("_dcg") / F.nullif(idcg, F.lit(0.0)),
+                           F.lit(0.0)), round_to).alias("ndcg_k"),
+        )
+    )
