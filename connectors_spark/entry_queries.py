@@ -5576,6 +5576,52 @@ FROM comp
 """
 
 
+@register(
+    "quantize_embeddings",
+    """
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, v, list_min(v) AS mn,
+         (list_max(v) - list_min(v)) / 255.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, v, mn, scale,
+         [CAST(floor(coalesce((x - mn) / nullif(scale, 0), 0) + 0.5) AS INT)
+          FOR x IN v] AS code
+  FROM p
+),
+d AS (
+  SELECT vec_id, v, mn, scale, code,
+         [mn + c * scale FOR c IN code] AS deq
+  FROM q
+)
+SELECT vec_id, CAST(len(v) AS INT) AS n_dims,
+       round(mn, 6) AS qmin, round(scale, 6) AS qscale,
+       md5(array_to_string(code, ',')) AS codes_md5,
+       round(coalesce(
+         list_dot_product(v, deq)
+           / nullif(sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(deq, deq)), 0), 1.0), 6)
+         AS cos_orig_deq
+FROM d
+""",
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embedding column (ES
+    dense_vector int8 index option; the standard 4x memory lever for
+    billion-vector ANN) with a per-vector original-vs-dequantized
+    cosine — operators/similarity.py:quantize_int8 (JVM higher-order
+    expressions, zero shuffle)."""
+    from connectors_spark.operators.similarity import quantize_int8
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return quantize_int8(emb)
+
+
 _VWH_N = 8
 
 

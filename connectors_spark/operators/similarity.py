@@ -361,3 +361,43 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id", round_to: int = 6) -> DataFrame:
+    """Per-vector scalar int8 quantization — the ES dense_vector
+    `int8_*` index option (and the standard 4x memory lever for
+    billion-vector ANN): code_i = floor((x_i - min) / scale + 0.5) with
+    scale = (max - min) / 255, dequantized x'_i = min + code_i * scale.
+
+    -> (vec_id, n_dims, qmin, qscale, codes_md5, cos_orig_deq): the
+    quantization parameters, an md5 over the code sequence (so the gate
+    pins every code without shipping arrays), and the cosine between
+    the original and dequantized vector — the per-vector recall-
+    preservation bound an ANN reader relies on.
+
+    All math is JVM higher-order expressions over the array column (no
+    UDF, no shuffle at all — embarrassingly parallel per row). floor(z
+    + 0.5) instead of round(): round() half-up/half-even conventions
+    differ across engines; floor is identical everywhere. Flat vectors
+    (max == min) quantize to all-zero codes."""
+    v = _as_double(F.col(vec_col))
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    code = F.transform(
+        v, lambda x: F.floor(
+            F.coalesce((x - mn) / F.nullif(scale, F.lit(0.0)), F.lit(0.0))
+            + F.lit(0.5)).cast("int"))
+    deq = F.transform(code, lambda c: mn + c.cast("double") * scale)
+    cos = _dot(v, deq) / F.nullif(
+        F.sqrt(_dot(v, v)) * F.sqrt(_dot(deq, deq)), F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(v).alias("n_dims"),
+        F.round(mn, round_to).alias("qmin"),
+        F.round(scale, round_to).alias("qscale"),
+        F.md5(F.array_join(
+            F.transform(code, lambda c: c.cast("string")), ",")
+        ).alias("codes_md5"),
+        F.round(F.coalesce(cos, F.lit(1.0)), round_to).alias("cos_orig_deq"),
+    )
