@@ -5576,6 +5576,62 @@ FROM comp
 """
 
 
+_PHONETIC_QUERY_WORDS = ("merj", "quary", "batsh", "streem", "tabel",
+                         "kustomer")
+_PHONETIC_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window").split()
+
+
+def _phonetic_sql() -> str:
+    from connectors_spark.functions.text import soundex_py
+
+    qvals = ", ".join(f"('{w}', '{soundex_py(w)}')"
+                      for w in _PHONETIC_QUERY_WORDS)
+    tvals = ", ".join(f"('{t}', '{soundex_py(t)}')"
+                      for t in _PHONETIC_VOCAB)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT unnest({tokenize_sql_duckdb('text')}) AS term
+  FROM documents
+),
+tc (term, code) AS (VALUES {tvals}),
+qc (query_word, code) AS (VALUES {qvals})
+SELECT qc.query_word, tc.term, qc.code
+FROM qc JOIN tc USING (code) JOIN toks USING (term)
+"""
+
+
+@register("phonetic_match", _phonetic_sql())
+def q_phonetic_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phonetic analysis plugin (soundex encoder): misspelled query
+    words match corpus terms sharing a soundex code ('merj' -> merge,
+    'tabel' -> table; 'kustomer' misses customer — K vs C first letter,
+    faithful soundex). The engine side encodes with the JVM soundex
+    (F.soundex, whole-stage codegen); the oracle embeds an INDEPENDENT
+    Python soundex's output as literals (functions/text.py:soundex_py),
+    cross-checking two implementations of the public algorithm. Terms
+    are restricted to the fixed vocabulary list (the closed-vocabulary
+    twin convention, as kstem_recall)."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    vocab = spark.createDataFrame(
+        [(t,) for t in _PHONETIC_VOCAB], "term string")
+    toks = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .distinct()
+        .join(F.broadcast(vocab), "term")
+        .withColumn("code", F.soundex("term"))
+    )
+    qwords = spark.createDataFrame(
+        [(w,) for w in _PHONETIC_QUERY_WORDS], "query_word string"
+    ).withColumn("code", F.soundex("query_word"))
+    return toks.join(F.broadcast(qwords), "code").select(
+        "query_word", "term", "code")
+
+
 @register(
     "quantize_embeddings",
     """

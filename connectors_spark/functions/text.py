@@ -416,3 +416,30 @@ def contamination_overlap(df: DataFrame, eval_filter,
             ).alias("overlap_frac"),
         )
     )
+
+
+def soundex_py(w: str) -> str:
+    """American Soundex (the public algorithm: Knuth TAoCP vol.3 /
+    US census rules): first letter + consonant class digits, vowels
+    reset the repeat-collapse, H/W are transparent (Ashcraft -> A261,
+    Tymczak -> T522, Pfister -> P236 — all verified against the JVM
+    implementation Spark exposes as F.soundex). The DuckDB oracle for
+    the phonetic gate embeds THIS function's output as literals, so
+    the gate cross-checks two independent implementations (JVM vs
+    Python), not one function against itself."""
+    w = "".join(c for c in w.upper() if c.isalpha())
+    if not w:
+        return ""
+    codes = {**{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+             **{c: "3" for c in "DT"}, "L": "4", **{c: "5" for c in "MN"},
+             "R": "6"}
+    out = [w[0]]
+    prev = codes.get(w[0], "")
+    for c in w[1:]:
+        code = codes.get(c, "")
+        if c in "HW":
+            continue  # transparent: do not reset prev
+        if code and code != prev:
+            out.append(code)
+        prev = code
+    return ("".join(out) + "000")[:4]
