@@ -5576,6 +5576,56 @@ FROM comp
 """
 
 
+_GROK_PATTERN = ("%{WORD:level} user=%{INT:user} value=%{NUMBER:val} "
+                 "at %{TIMESTAMP_ISO8601:when}")
+
+
+def _grok_sql() -> str:
+    from connectors_spark.functions.scalars import grok_to_regex
+
+    regex, fields = grok_to_regex(_GROK_PATTERN)
+    # DuckDB string literals are escape-free: only quotes need doubling
+    rex = regex.replace("'", "''")
+    cols = ", ".join(
+        f"regexp_extract(line, '{rex}', {i}) AS {f}"
+        for i, f in enumerate(fields, start=1))
+    return f"""
+WITH lines AS (
+  SELECT event_id,
+         event_type || ' user=' || CAST(user_id AS VARCHAR)
+           || ' value=' || printf('%.2f', value)
+           || ' at ' || strftime(ts, '%Y-%m-%dT%H:%M:%S') AS line
+  FROM events
+)
+SELECT event_id, {cols} FROM lines
+"""
+
+
+@register("grok_extract", _grok_sql())
+def q_grok_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ingest `grok` processor: log lines (synthesized here from the
+    event columns, identically on both engines) parsed by a grok
+    pattern compiled to ONE numbered-group regex
+    (functions/scalars.py:grok_to_regex — the public logstash pattern
+    subset; named-group syntax is avoided so the same compiled string
+    runs under Java regex and RE2). Extraction is JVM regexp_extract,
+    fully codegen'd."""
+    from connectors_spark.functions.scalars import grok_extract
+
+    events = _read(spark, sf_dir, "events")
+    lines = events.select(
+        "event_id",
+        F.concat(
+            F.col("event_type"), F.lit(" user="),
+            F.col("user_id").cast("string"), F.lit(" value="),
+            F.format_string("%.2f", F.col("value")), F.lit(" at "),
+            F.date_format(F.col("ts").cast("timestamp"),
+                          "yyyy-MM-dd'T'HH:mm:ss"),
+        ).alias("line"),
+    )
+    return grok_extract(lines, "line", _GROK_PATTERN).drop("line")
+
+
 _PHONETIC_QUERY_WORDS = ("merj", "quary", "batsh", "streem", "tabel",
                          "kustomer")
 _PHONETIC_VOCAB = (

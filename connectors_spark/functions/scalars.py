@@ -104,3 +104,66 @@ def deep_merge_dicts(base_dict: dict, new_dict: dict) -> dict:
         else:
             base_dict[key] = new_dict[key]
     return base_dict
+
+
+# ---- grok ingest processor ------------------------------------------
+# Reference: the ES ingest `grok` processor and the public logstash
+# pattern library (the subset below). Patterns compile to ONE plain
+# regex with numbered capture groups (named-group syntax differs
+# between Java regex and RE2, so the compiler avoids it) — the same
+# compiled string runs in Spark (Java) and the DuckDB oracle (RE2).
+
+GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "TIMESTAMP_ISO8601":
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+    "LOGLEVEL":
+        r"(?:TRACE|DEBUG|INFO|NOTICE|WARN|WARNING|ERROR|FATAL|"
+        r"SEVERE|CRITICAL)",
+}
+
+_GROK_REF = None  # compiled lazily (re import below)
+
+
+def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """Compile a grok pattern to (regex, field_names): each
+    %{NAME:field} becomes a numbered capture group (fields listed in
+    group order), %{NAME} without a field becomes non-capturing.
+    Literal text between references is regex, exactly like real grok.
+    Unknown pattern names raise KeyError (the ES processor errors the
+    same way)."""
+    import re as _re
+
+    global _GROK_REF
+    if _GROK_REF is None:
+        _GROK_REF = _re.compile(r"%\{(\w+)(?::(\w+))?\}")
+    fields: list[str] = []
+
+    def sub(m):
+        name, field = m.group(1), m.group(2)
+        body = GROK_PATTERNS[name]
+        if field:
+            fields.append(field)
+            return f"({body})"
+        return f"(?:{body})"
+
+    return _GROK_REF.sub(sub, pattern), fields
+
+
+def grok_extract(df, col: str, pattern: str):
+    """Apply a grok pattern to a string column: one new string column
+    per named field (empty string on no-match, the regexp_extract
+    convention). One compiled regex, JVM regexp_extract per field —
+    codegen'd, no UDF."""
+    regex, fields = grok_to_regex(pattern)
+    out = df
+    for i, f_name in enumerate(fields, start=1):
+        out = out.withColumn(
+            f_name, F.regexp_extract(F.col(col), regex, i))
+    return out
