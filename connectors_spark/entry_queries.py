@@ -5576,6 +5576,46 @@ FROM comp
 """
 
 
+_LM_ADD_K = 0.5
+
+
+@register(
+    "ngram_lm_score",
+    f"""
+WITH tk AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr
+            FROM documents),
+tp AS (
+  SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos FROM tk
+),
+pairs AS (
+  SELECT doc_id, t AS w1,
+         lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tp
+),
+bg AS (SELECT doc_id, w1, w1 || ' ' || w2 AS bigram FROM pairs
+       WHERE w2 IS NOT NULL),
+uni AS (SELECT t AS w1, count(*) AS c1 FROM tp GROUP BY t),
+bic AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+v AS (SELECT count(*) * 1.0 AS v FROM uni)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(log2((bic.c2 + {_LM_ADD_K})
+                      / (uni.c1 + {_LM_ADD_K} * v.v))), 6) AS avg_log2p
+FROM bg JOIN bic USING (bigram) JOIN uni USING (w1) CROSS JOIN v
+GROUP BY bg.doc_id
+""",
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score (CCNet/KenLM-style
+    perplexity-proxy pretraining filter, Wenzek et al. 2020): mean
+    log2 of add-k-smoothed transition probabilities, trained on the
+    corpus itself (functions/text.py:ngram_lm_score — JVM array-shift
+    bigrams, map-side-combined count aggs, no UDF)."""
+    from connectors_spark.functions.text import ngram_lm_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_lm_score(docs, add_k=_LM_ADD_K)
+
+
 _GROK_PATTERN = ("%{WORD:level} user=%{INT:user} value=%{NUMBER:val} "
                  "at %{TIMESTAMP_ISO8601:when}")
 

@@ -443,3 +443,56 @@ def soundex_py(w: str) -> str:
             out.append(code)
         prev = code
     return ("".join(out) + "000")[:4]
+
+
+def ngram_lm_score(df, text_col: str = "text", id_col: str = "doc_id",
+                   add_k: float = 0.5, round_to: int = 6):
+    """(doc_id, n_bigrams, avg_log2p): bigram language-model quality
+    score — the CCNet/KenLM-style perplexity-proxy filter (Wenzek et
+    al. 2020 §3.3) with the corpus itself as training data (standard
+    for RELATIVE outlier filtering: repetitive/boilerplate docs score
+    high, garbled docs score low): per doc, the mean log2 of add-k-
+    smoothed transition probabilities P(w2 | w1) = (c(w1 w2) + k) /
+    (c(w1) + k*V). Docs with fewer than 2 tokens have no transition and
+    are absent.
+
+    Plan: ONE tokenize pass; bigrams built with JVM array slicing
+    (zip_with over the shifted array — no per-doc window, no UDF);
+    bigram and unigram counts are map-side-combined aggs; V rides a
+    1-row broadcast. The Zipf head of bigram keys is the usual skew —
+    AQE skew-join handles the count join at 100 TB."""
+    from pyspark.sql import functions as F
+    from connectors_spark.functions.analysis import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    big = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("doc_id"), big.alias("_b"))
+        .filter(F.size("_b") > 0)
+        .select("doc_id", F.explode("_b").alias("bigram"))
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+    )
+    uni = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bic = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    scored = (
+        pairs.join(bic, "bigram")
+        .join(uni, "w1")  # vocab-sized: let AQE pick broadcast vs shuffle
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log2((F.col("c2") + add_k)
+                   / (F.col("c1") + add_k * F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), round_to).alias("avg_log2p"),
+    )
