@@ -330,10 +330,13 @@ def dup_span_stats(df: DataFrame, window: int = 8, text_col: str = "text",
     toks = tokens_col(F.col(text_col))
     W = int(window)
     nw = (F.size(toks) - F.lit(W - 1)).cast("int")
-    win_arr = F.transform(
+    # guard INSIDE the projection: sequence(0, n) with n < 0 generates a
+    # DESCENDING range, not an empty one, and the filter below runs
+    # after this expression is computed for every row
+    win_arr = F.when(nw > 0, F.transform(
         F.sequence(F.lit(0), nw - 1),
         lambda i: F.md5(F.array_join(F.slice(toks, i + 1, W), " ")),
-    )
+    )).otherwise(F.array().cast("array<string>"))
     wins = (
         df.select(F.col(id_col).alias("doc_id"), nw.alias("_nw"),
                   win_arr.alias("_w"))

@@ -1,0 +1,120 @@
+"""Round-4 operators: dup spans, temperature mix, rank_eval, int8
+quantization, grok, soundex, bigram LM — edge cases the DuckDB gates
+cannot reach (empty inputs, flat vectors, missing judgments)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_dup_span_stats_short_and_duplicated(spark):
+    from connectors_spark.operators.dedup import dup_span_stats
+
+    body = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, body),                          # 5 windows (12 - 8 + 1)
+        (2, body + " unique tail token"),   # shares doc 1's windows
+        (3, "too short"),                   # < 8 tokens: absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_span_stats(df, window=8).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_windows == 5 and out[1].n_dup == 5
+    assert out[2].n_dup == 5  # its copies of doc-1 windows are dups
+    assert out[2].n_windows == 8 and out[2].dup_frac == 0.625
+
+
+def test_temperature_mix_rates(spark):
+    """alpha=1 is proportional sampling; alpha=0 splits the budget
+    uniformly across strata regardless of size."""
+    from connectors_spark.operators.pretrain import temperature_mix
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("common")
+        .alias("lang"),
+    )
+    # alpha=1: rate = budget / corpus for every stratum
+    r1 = temperature_mix(df, alpha=1.0, budget=100)
+    rates = {r.stratum: r.rate for r in r1.select("stratum", "rate")
+             .distinct().collect()}
+    assert rates == {"rare": 0.1, "common": 0.1}
+    # alpha=0: each stratum targets budget/2 docs -> rare oversampled
+    r0 = temperature_mix(df, alpha=0.0, budget=100)
+    rates0 = {r.stratum: r.rate for r in r0.select("stratum", "rate")
+              .distinct().collect()}
+    assert rates0["rare"] == 0.5 and rates0["common"] == pytest.approx(
+        50 / 900, abs=1e-6)
+
+
+def test_rank_eval_metrics_exact(spark):
+    from connectors_spark.operators.query import rank_eval
+
+    ranked = spark.createDataFrame(
+        [("q", 1, 10, 9.0), ("q", 2, 11, 8.0), ("q", 3, 12, 7.0),
+         ("qq", 1, 20, 5.0)],
+        "query_id string, rank int, doc_id long, score double",
+    )
+    judgments = spark.createDataFrame(
+        [("q", 11, 1.0), ("q", 99, 1.0), ("qq", 77, 1.0)],
+        "query_id string, doc_id long, rel double",
+    )
+    out = {r.query_id: r for r in rank_eval(ranked, judgments, k=3).collect()}
+    q = out["q"]
+    assert q.precision_k == pytest.approx(1 / 3, abs=1e-6)
+    assert q.recall_k == 0.5          # 1 of 2 judged-relevant retrieved
+    assert q.mrr == 0.5               # first relevant at rank 2
+    dcg = 1 / math.log2(3)
+    idcg = 1 + 1 / math.log2(3)       # min(k, n_rel)=2 ideal hits
+    assert q.ndcg_k == pytest.approx(round(dcg / idcg, 6), abs=1e-6)
+    qq = out["qq"]                    # no relevant retrieved
+    assert (qq.precision_k, qq.recall_k, qq.mrr, qq.ndcg_k) == (0, 0, 0, 0)
+
+
+def test_quantize_int8_flat_and_roundtrip(spark):
+    from connectors_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0, 255.0]), (2, [3.5, 3.5, 3.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert out[1].qmin == 0.0 and out[1].qscale == 1.0
+    assert out[1].cos_orig_deq == 1.0  # ints on the grid: lossless
+    # flat vector: scale 0, all-zero codes, cosine defined as 1.0
+    assert out[2].qscale == 0.0 and out[2].cos_orig_deq == 1.0
+
+
+def test_grok_compiler_unknown_and_unnamed():
+    from connectors_spark.functions.scalars import grok_to_regex
+
+    rex, fields = grok_to_regex("%{INT} -> %{WORD:w}")
+    assert fields == ["w"] and rex.startswith("(?:")
+    with pytest.raises(KeyError):
+        grok_to_regex("%{NOSUCHPATTERN:x}")
+
+
+def test_soundex_reference_vectors():
+    from connectors_spark.functions.text import soundex_py
+
+    # the canonical Knuth/census vectors incl. the H/W rules
+    assert soundex_py("Robert") == soundex_py("Rupert") == "R163"
+    assert soundex_py("Ashcraft") == "A261"   # c after h collapses with s
+    assert soundex_py("Tymczak") == "T522"
+    assert soundex_py("Pfister") == "P236"
+    assert soundex_py("Honeyman") == "H555"
+    assert soundex_py("") == ""
+
+
+def test_ngram_lm_score_prefers_predictable(spark):
+    from connectors_spark.functions.text import ngram_lm_score
+
+    rows = [(1, "a b a b a b a b"),      # one dominant transition
+            (2, "a q b z a m b k"),      # scattered transitions
+            (3, "single")]               # no bigram: absent
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_lm_score(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].avg_log2p > out[2].avg_log2p
+    assert out[1].n_bigrams == 7
