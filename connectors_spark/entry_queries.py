@@ -5576,6 +5576,145 @@ FROM comp
 """
 
 
+_DECAY = {"origin": 50.0, "offset": 5.0, "scale": 40.0, "decay": 0.5}
+
+
+@register(
+    "function_score_decay",
+    f"""
+WITH d AS (
+  SELECT event_id,
+         greatest(abs(value - {_DECAY['origin']}) - {_DECAY['offset']}, 0)
+           AS dist
+  FROM events
+)
+SELECT event_id,
+       round(exp(- dist * dist
+                 / (2 * (- {_DECAY['scale']} * {_DECAY['scale']}
+                         / (2 * ln({_DECAY['decay']}))))), 6) AS gauss,
+       round(exp(ln({_DECAY['decay']}) / {_DECAY['scale']} * dist), 6)
+         AS expd,
+       round(greatest(({_DECAY['scale']} / (1 - {_DECAY['decay']}) - dist)
+                      / ({_DECAY['scale']} / (1 - {_DECAY['decay']})), 0), 6)
+         AS linear
+FROM d
+""",
+)
+def q_function_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score DECAY functions (gauss / exp / linear) on a
+    numeric field, the documented formulas exactly: distance past
+    `offset` from `origin` decays so that score(scale)=decay. Pure JVM
+    math, fully pushable; composes with any scorer as a multiplier
+    (the recency gate shows the exp variant on timestamps)."""
+    events = _read(spark, sf_dir, "events")
+    o, off, sc, dc = (_DECAY["origin"], _DECAY["offset"],
+                      _DECAY["scale"], _DECAY["decay"])
+    import math as _math
+
+    dist = F.greatest(F.abs(F.col("value") - o) - off, F.lit(0.0))
+    sigma2 = -sc * sc / (2 * _math.log(dc))
+    lam = _math.log(dc) / sc
+    s_lin = sc / (1 - dc)
+    return events.select(
+        "event_id",
+        F.round(F.exp(-dist * dist / (2 * sigma2)), 6).alias("gauss"),
+        F.round(F.exp(F.lit(lam) * dist), 6).alias("expd"),
+        F.round(F.greatest((F.lit(s_lin) - dist) / s_lin, F.lit(0.0)), 6)
+        .alias("linear"),
+    )
+
+
+_SPARSE_QUERIES = [
+    ("sv0", (("spark", 2.0), ("query", 1.0), ("merge", 1.5))),
+    ("sv1", (("table", 1.0), ("scan", 1.0))),
+]
+
+
+def _sparse_vector_sql() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}', {w})"
+        for qid, terms in _SPARSE_QUERIES for t, w in terms)
+    return f"""
+WITH {_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) * 1.0 AS n),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dw AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+),
+q (query_id, term, qw) AS (VALUES {qvals})
+SELECT q.query_id, dw.doc_id, round(sum(q.qw * dw.w), 6) AS score
+FROM q JOIN dw USING (term)
+GROUP BY q.query_id, dw.doc_id
+"""
+
+
+@register("sparse_vector_query", _sparse_vector_sql())
+def q_sparse_vector_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `sparse_vector` query (the ELSER/learned-sparse-retrieval
+    shape): docs as (term, weight) maps — tf * idf here, any expansion
+    model's weights in general — scored by the dot product with the
+    query's weighted token expansion. The query map broadcasts; one
+    (query, doc) agg shuffle, identical plan shape to BM25 scoring."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qrows = [(qid, t, w) for qid, terms in _SPARSE_QUERIES
+             for t, w in terms]
+    q = spark.createDataFrame(
+        qrows, "query_id string, term string, qw double")
+    from connectors_spark.operators.score import idf_col
+
+    dw = idx.postings.join(idx.lexicon.select("term", "df"), "term").select(
+        "doc_id", "term",
+        (F.col("tf") * idf_col(idx.n_docs, F.col("df"))).alias("w"),
+    )
+    return (
+        dw.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("qw") * F.col("w")), 6).alias("score"))
+    )
+
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@register(
+    "chunk_documents",
+    f"""
+WITH tk AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr
+            FROM documents),
+n AS (
+  SELECT doc_id, arr, len(arr) AS n,
+         CASE WHEN len(arr) <= 0 THEN 0
+              WHEN len(arr) <= {_CHUNK_W} THEN 1
+              ELSE CAST(ceil((len(arr) - {_CHUNK_W}) * 1.0 / {_CHUNK_S})
+                        AS INT) + 1 END AS n_chunks
+  FROM tk
+)
+SELECT doc_id, CAST(t.i AS INT) AS chunk_id,
+       CAST(t.i * {_CHUNK_S} AS INT) AS start_tok,
+       CAST(least({_CHUNK_W}, n - t.i * {_CHUNK_S}) AS INT) AS n_toks,
+       md5(array_to_string(
+         list_slice(arr, CAST(t.i AS BIGINT) * {_CHUNK_S} + 1,
+                    CAST(t.i AS BIGINT) * {_CHUNK_S} + {_CHUNK_W}), ' '))
+         AS chunk_md5
+FROM n, unnest(range(n_chunks)) t(i)
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for retrieval pipelines (ES
+    semantic_text chunking / RAG splitter): 32-token chunks, stride 24
+    (8-token overlap), per-chunk offsets + content digest
+    (operators/pretrain.py:chunk_documents — JVM sequence/slice, zero
+    shuffle, stays inside the scan stage)."""
+    from connectors_spark.operators.pretrain import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=_CHUNK_W, stride=_CHUNK_S)
+
+
 _LM_ADD_K = 0.5
 
 

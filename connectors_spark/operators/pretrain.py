@@ -105,3 +105,42 @@ def temperature_mix(
         .filter(F.col("_u") < F.col("rate"))
         .select("doc_id", "stratum", "rate")
     )
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 32, stride: int = 24,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, chunk_id, start_tok, n_toks, chunk_md5): overlapping
+    token-window chunking — the retrieval-pipeline prep step (ES
+    semantic_text chunking / the standard RAG splitter): chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens); stride < chunk_tokens
+    gives the overlap that keeps sentence context at chunk borders.
+    Docs shorter than one chunk emit a single chunk; empty docs none.
+
+    JVM sequence/slice/md5 per row — no shuffle, no UDF: chunking at
+    100 TB is embarrassingly parallel and stays inside the parquet
+    scan stage."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    W, S = int(chunk_tokens), int(stride)
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, 0).when(n <= W, 1).otherwise(
+        (F.ceil((n - W) / F.lit(float(S)))).cast("int") + 1)
+    chunks = F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            (i * S).cast("int").alias("start_tok"),
+            F.least(F.lit(W), n - i * S).cast("int").alias("n_toks"),
+            F.md5(F.array_join(F.slice(toks, i * S + 1, W), " "))
+            .alias("chunk_md5"),
+        ),
+    )).otherwise(F.array().cast(
+        "array<struct<chunk_id:int,start_tok:int,n_toks:int,"
+        "chunk_md5:string>>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), chunks.alias("_c"))
+        .select("doc_id", F.explode("_c").alias("c"))
+        .select("doc_id", "c.chunk_id", "c.start_tok", "c.n_toks",
+                "c.chunk_md5")
+    )
