@@ -92,3 +92,90 @@ def streaming_error_monitor(
         update, _OUT_SCHEMA, _STATE_SCHEMA, "Update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_SESS_OUT = ("user_id long, session_no long, n_events long, "
+             "duration_sec long, total_value double, closed boolean")
+_SESS_STATE = ("session_no long, first_ts double, last_ts double, "
+               "n_events long, total_value double")
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    idle_flush_minutes: float | None = None,
+) -> DataFrame:
+    """Streaming gap-based sessionization — the stateful twin of the
+    batch `sessionize` gate: per user, a session closes after
+    `gap_minutes` idle (event-time gap within the stream). Emits one
+    row per session TOUCHED in a micro-batch; `closed=True` rows are
+    final, `closed=False` rows are the live session's running state —
+    the Update-mode contract a downstream sink compacts on.
+
+    `idle_flush_minutes` additionally arms a processing-time GroupState
+    timeout that seals a silent user's LAST session. It is opt-in and
+    meant for continuously-running streams: with trigger(availableNow)
+    a pending processing-time timeout keeps the trigger alive
+    ("no new data but cleaning up state" forever), so batch-style
+    drains must leave it None.
+
+    Same execution model as streaming_error_monitor: one state cell per
+    user, parallel across users via the state store, sequential within
+    a user (sessionization is order-dependent by definition; chunks are
+    concatenated and sorted ONCE per the cross-chunk rule)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = float(gap_minutes) * 60.0
+    flush_ms = (None if idle_flush_minutes is None
+                else int(idle_flush_minutes * 60_000))
+
+    def update(key, pdfs, state: GroupState):
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                sno, fts, lts, n, tv = state.get
+                out.append({"user_id": key[0], "session_no": sno,
+                            "n_events": n,
+                            "duration_sec": int(round(lts - fts)),
+                            "total_value": tv, "closed": True})
+            state.remove()
+            yield pd.DataFrame(out, columns=[
+                "user_id", "session_no", "n_events", "duration_sec",
+                "total_value", "closed"])
+            return
+        if state.exists:
+            sno, fts, lts, n, tv = state.get
+        else:
+            sno, fts, lts, n, tv = 0, None, None, 0, 0.0
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0])
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, val in zip(
+            pdf["ts"].astype("datetime64[ns]").astype("int64") / 1e9,
+            pdf["value"].tolist(),
+        ):
+            if fts is not None and ts - lts > gap:
+                out.append({"user_id": key[0], "session_no": sno,
+                            "n_events": n,
+                            "duration_sec": int(round(lts - fts)),
+                            "total_value": tv, "closed": True})
+                sno, fts, n, tv = sno + 1, ts, 0, 0.0
+            if fts is None:
+                fts = ts
+            lts = ts
+            n += 1
+            tv += float(val)
+        state.update((sno, fts, lts, n, tv))
+        if flush_ms is not None:
+            state.setTimeoutDuration(flush_ms)
+        out.append({"user_id": key[0], "session_no": sno, "n_events": n,
+                    "duration_sec": int(round(lts - fts)),
+                    "total_value": tv, "closed": False})
+        yield pd.DataFrame(out)
+
+    timeout_conf = (GroupStateTimeout.NoTimeout if flush_ms is None
+                    else GroupStateTimeout.ProcessingTimeTimeout)
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, _SESS_OUT, _SESS_STATE, "Update", timeout_conf,
+    )

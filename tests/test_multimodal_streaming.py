@@ -273,3 +273,56 @@ def test_wav_pcm_decoder_and_audio_features(spark):
     from connectors_spark.operators.multimodal import decode_media
     with _pytest.raises(NotImplementedError):
         decode_media("image/jpeg", b"\xff\xd8\xff")
+
+
+def test_stateful_streaming_sessionize(spark, tmp_path):
+    """Gap-based sessions carry state ACROSS micro-batches: a batch-2
+    event within the gap extends the live session; one past the gap
+    seals the previous session (closed=True) and opens session 1."""
+    import datetime
+
+    from connectors_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    base = datetime.datetime(2025, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, base + datetime.timedelta(minutes=m), u, v)
+             for i, (u, m, v) in enumerate(rows)], schema,
+        )
+
+    def run_batch(df):
+        df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = []
+
+        def sink(bdf, _bid):
+            out.extend(bdf.collect())
+
+        q = (streaming_sessionize(stream, gap_minutes=30)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update").trigger(availableNow=True)
+             .option("checkpointLocation", ckpt).start())
+        q.awaitTermination()
+        return out
+
+    # batch 1: user 1 at minutes 0 and 10 -> one live session
+    got = run_batch(mk([(1, 0, 2.0), (1, 10, 3.0)]))
+    live = [r for r in got if r.user_id == 1]
+    assert len(live) == 1 and not live[0].closed
+    assert live[0].n_events == 2 and live[0].duration_sec == 600
+    assert live[0].total_value == 5.0
+
+    # batch 2: minute 25 extends session 0 (gap 15 < 30); minute 90
+    # seals it and opens session 1
+    got = run_batch(mk([(1, 25, 1.0), (1, 90, 7.0)]))
+    sealed = [r for r in got if r.closed]
+    live = [r for r in got if not r.closed]
+    assert len(sealed) == 1 and sealed[0].session_no == 0
+    assert sealed[0].n_events == 3 and sealed[0].duration_sec == 1500
+    assert sealed[0].total_value == 6.0
+    assert len(live) == 1 and live[0].session_no == 1
+    assert live[0].n_events == 1 and live[0].total_value == 7.0
