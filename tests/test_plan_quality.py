@@ -163,3 +163,33 @@ def test_ranked_topk_gates_use_take_ordered(spark, sf_dir):
         if "Window" in plan:
             assert plan.index("Window") < plan.index("TakeOrderedAndProject"), \
                 fn.__name__
+
+
+def test_round4_gates_partition_their_windows(spark, sf_dir):
+    """Round-4 gates that rank or sessionize must keep every Window
+    partitioned (query_id / user_id / line) — no full-frame single-task
+    window anywhere in the new surface."""
+    from connectors_spark import entry_queries as eq
+
+    for fn, keys in (
+        (eq.q_simple_query_string, ("query_id",)),
+        (eq.q_combined_fields, ("query_id",)),
+        (eq.q_sessionize, ("user_id",)),
+        (eq.q_line_dedup, ("line",)),
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        for frag in plan.split("Window")[1:]:
+            spec = frag.split("\n")[0]
+            assert any(k in spec for k in keys), (fn.__name__, spec)
+
+
+def test_broadcast_in_round4_lookup_gates(spark, sf_dir):
+    """terms_lookup and temperature_mix must broadcast their tiny side
+    (the lookup set / the per-stratum rate table), never shuffle the
+    corpus for it."""
+    from connectors_spark import entry_queries as eq
+
+    for fn in (eq.q_terms_lookup, eq.q_temperature_mix):
+        plan = _plan(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, \
+            (fn.__name__, plan)
