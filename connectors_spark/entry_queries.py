@@ -5576,6 +5576,108 @@ FROM comp
 """
 
 
+_SLOP_PHRASES = [("sp0", "table", "scan"), ("sp1", "batch", "merge"),
+                 ("sp2", "data", "stream")]
+_SLOP = 2
+
+
+def _phrase_slop_sql() -> str:
+    parts = []
+    for pid, a, b in _SLOP_PHRASES:
+        parts.append(f"""
+SELECT '{pid}' AS phrase_id, t0.doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM tp t0 JOIN tp t1
+  ON t1.doc_id = t0.doc_id AND t1.t = '{b}'
+  AND t1.pos > t0.pos AND t1.pos - t0.pos - 1 <= {_SLOP}
+WHERE t0.t = '{a}'
+GROUP BY t0.doc_id""")
+    return f"""
+WITH tp AS (
+  SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos
+  FROM (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr FROM documents)
+)
+{' UNION ALL '.join(parts)}
+"""
+
+
+@register("phrase_slop", _phrase_slop_sql())
+def q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase with slop: ordered proximity matching — the
+    second term within `slop` extra positions after the first (ordered
+    displacement semantics, the common Lucene sloppy-phrase subset;
+    exact adjacency is slop 0). Same position self-join shape as
+    phrase_match, with a range join condition instead of equality —
+    at index scale the positional kernel applies the same window to
+    decoded position arrays."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    out = None
+    for pid, a, b in _SLOP_PHRASES:
+        t0 = toks.filter(F.col("term") == a).select(
+            "doc_id", F.col("pos").alias("p0"))
+        t1 = toks.filter(F.col("term") == b).select(
+            F.col("doc_id").alias("_d"), F.col("pos").alias("p1"))
+        hits = (
+            t0.join(t1, (t0.doc_id == t1._d) & (t1.p1 > F.col("p0"))
+                    & (t1.p1 - F.col("p0") - 1 <= _SLOP))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(pid).alias("phrase_id"), "doc_id", "n_hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+_RING_EDGES = (1000.0, 3000.0, 6000.0)
+
+
+@register(
+    "geo_distance_rings",
+    f"""
+WITH pts AS (
+  SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM documents
+),
+d AS (
+  SELECT doc_id,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(lat - {_GEO_ORIGIN[0]}) / 2), 2)
+           + cos(radians({_GEO_ORIGIN[0]})) * cos(radians(lat))
+             * pow(sin(radians(lon - {_GEO_ORIGIN[1]}) / 2), 2)
+         )) AS dist_km
+  FROM pts
+)
+SELECT ({' + '.join(f"CASE WHEN dist_km >= {e} THEN 1 ELSE 0 END" for e in _RING_EDGES)}) AS ring,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(dist_km), 3) AS avg_dist_km
+FROM d GROUP BY ring
+""",
+)
+def q_geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance AGGREGATION: concentric ring buckets around the
+    query origin (0-1000 / 1000-3000 / 3000-6000 / 6000+ km), count and
+    mean haversine distance per ring — pure JVM trig + one map-side-
+    combined agg over the shared synthetic coordinates."""
+    docs = _read(spark, sf_dir, "documents")
+    lat = ((F.col("doc_id") * 7 % 120).cast("double") - 60.0)
+    lon = ((F.col("doc_id") * 13 % 360).cast("double") - 180.0)
+    olat, olon = _GEO_ORIGIN
+    dist = 2 * 6371.0 * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(lat - olat) / 2), 2)
+        + F.cos(F.radians(F.lit(olat))) * F.cos(F.radians(lat))
+        * F.pow(F.sin(F.radians(lon - olon) / 2), 2)))
+    ring = None
+    for e in _RING_EDGES:
+        c = F.when(dist >= e, 1).otherwise(0)
+        ring = c if ring is None else ring + c
+    return (
+        docs.select(ring.alias("ring"), dist.alias("dist_km"))
+        .groupBy("ring")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("dist_km"), 3).alias("avg_dist_km"))
+    )
+
+
 _DECAY = {"origin": 50.0, "offset": 5.0, "scale": 40.0, "decay": 0.5}
 
 
