@@ -118,3 +118,50 @@ def test_ngram_lm_score_prefers_predictable(spark):
     assert set(out) == {1, 2}
     assert out[1].avg_log2p > out[2].avg_log2p
     assert out[1].n_bigrams == 7
+
+
+def test_simple_query_string_parser_never_raises_property():
+    """The lenient contract, property-tested: ANY string parses without
+    raising, every clause value is a normalized alnum run, and terms
+    never leak into must_not (or vice versa)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from connectors_spark.operators.query_string import (
+        parse_simple_query_string)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(
+        alphabet=st.sampled_from('ab c"|+-*^:~()\\'), max_size=40))
+    def check(q):
+        p = parse_simple_query_string(q)
+        for alt in p["alts"]:
+            assert alt, "empty AND-group emitted"
+            for kind, val in alt:
+                assert kind in ("term", "prefix")
+                assert val and val == val.lower() and val.isalnum()
+        for t in p["must_not"]:
+            assert t and t.isalnum()
+        for role, terms in p["phrases"]:
+            assert role in ("must", "must_not") and len(terms) >= 2
+
+    check()
+
+
+def test_grok_regex_matches_python_re_and_spark_semantics():
+    """Compiled grok regexes stay inside the Java-regex/RE2 shared
+    subset: compile under Python re (RE2-compatible constructs only
+    are used) for every library pattern."""
+    import re
+
+    from connectors_spark.functions.scalars import (
+        GROK_PATTERNS, grok_to_regex)
+
+    for name in GROK_PATTERNS:
+        rex, fields = grok_to_regex(f"x %{{{name}:v}} y")
+        assert fields == ["v"]
+        re.compile(rex)  # must be a valid pattern
+
+    # literal regex text between references survives verbatim
+    rex, _ = grok_to_regex(r"^\[%{WORD:a}\]$")
+    assert re.match(rex, "[hello]")
