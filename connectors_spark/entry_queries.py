@@ -7349,3 +7349,387 @@ def q_phrase_topk_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+# --------------------------------------------------------------------
+# Tokens -> training rows: vocab ids + fixed-length sequence packing
+# --------------------------------------------------------------------
+
+_VOCAB_V = 16          # small so the OOV (<unk>=0) path is exercised
+_SEQ_LEN = 128         # training-row length
+
+_VOCAB_CTE = f"""
+tok AS (SELECT doc_id, unnest(a) AS term,
+               unnest(range(len(a))) AS pos FROM arrs),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+vocab AS (SELECT term,
+            CAST(row_number() OVER (ORDER BY c DESC, term) AS INT) AS tid
+          FROM cnt ORDER BY c DESC, term LIMIT {_VOCAB_V})
+"""
+
+
+@register(
+    "vocab_id_tokenize",
+    f"""
+WITH {_ARRS_CTE},
+{_VOCAB_CTE}
+SELECT t.doc_id, CAST(t.pos AS INT) AS pos,
+       CAST(coalesce(v.tid, 0) AS INT) AS token_id
+FROM tok t LEFT JOIN vocab v USING (term)
+""",
+)
+def q_vocab_id_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> training token IDs (operators/pretrain.py:vocab_table,
+    tokens_to_ids): frequency-ranked top-V vocabulary (id 1..V by
+    count DESC, term ASC), every out-of-vocabulary token mapped to the
+    reserved <unk>=0 — the id-ification step between corpus cleaning
+    and sequence packing in an LLM data pipeline. V=16 here so the OOV
+    path is actually exercised at gate scale. The vocab is broadcast
+    (bounded at V rows); the token stream never shuffles."""
+    from connectors_spark.operators.pretrain import (
+        tokens_to_ids, vocab_table)
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs)
+    vocab = vocab_table(toks, vocab_size=_VOCAB_V)
+    return tokens_to_ids(toks, vocab).select("doc_id", "pos", "token_id")
+
+
+@register(
+    "sequence_pack",
+    f"""
+WITH {_ARRS_CTE},
+{_VOCAB_CTE},
+ntok AS (SELECT doc_id, len(a) AS n FROM arrs WHERE len(a) > 0),
+off AS (SELECT doc_id,
+          sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n AS start
+        FROM ntok)
+SELECT CAST((o.start + t.pos) // {_SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST((o.start + t.pos) % {_SEQ_LEN} AS INT) AS pos_in_seq,
+       t.doc_id, CAST(t.pos AS INT) AS pos,
+       CAST(coalesce(v.tid, 0) AS INT) AS token_id
+FROM tok t
+JOIN off o USING (doc_id)
+LEFT JOIN vocab v USING (term)
+""",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequence packing (operators/pretrain.py:
+    pack_sequences): the id-ified token streams are concatenated in
+    stable (doc_id, pos) order and cut into 128-token training rows,
+    docs crossing row boundaries (GPT-style packed windows). The
+    global token offset comes from a DISTRIBUTED prefix-sum
+    (doc_offsets: range-partition, per-partition totals to the driver,
+    broadcast offsets, per-partition cumsum) — not a single-task
+    global window; driver traffic is O(partitions) at any corpus
+    size."""
+    from connectors_spark.operators.pretrain import (
+        pack_sequences, tokens_to_ids, vocab_table)
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs)
+    ids = tokens_to_ids(toks, vocab_table(toks, vocab_size=_VOCAB_V))
+    return pack_sequences(ids, seq_len=_SEQ_LEN)
+
+
+@register(
+    "sft_context_windows",
+    """
+SELECT user_id, event_id,
+  coalesce(string_agg(event_type, '|') OVER (
+     PARTITION BY user_id ORDER BY ts, event_id
+     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context,
+  event_type AS target
+FROM events
+""",
+)
+def q_sft_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example assembly — the context-window construction step of a
+    conversation fine-tuning pipeline: for every turn (event) of every
+    conversation (user stream) in stable (ts, id) order, gather the
+    previous K=3 turns as the training context and the current turn as
+    the target. The window is PARTITIONED by the conversation key, so
+    work distributes across conversations at any scale — no global
+    window, no driver loop."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.array_join(F.collect_list("event_type").over(w), "|")
+        .alias("context"),
+        F.col("event_type").alias("target"),
+    )
+
+
+# -- loss-mask packing over a transcripts-shaped corpus ----------------
+# The north-rule input shape (conv_id, turn_idx, role, text): built as a
+# deterministic Python constant so the Spark side and the DuckDB VALUES
+# twin derive from the SAME rows (no external data, no drift).
+
+_SFT_VOCAB = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+              "tool", "call", "reply", "ok")
+_SFT_SEQ_LEN = 16
+
+
+def _sft_transcript_rows() -> list[tuple[int, int, int, str, str]]:
+    rows = []
+    for c in range(12):
+        n_turns = 2 + (c * 7) % 5
+        for t in range(n_turns):
+            if t == 0 and c % 3 == 0:
+                role = "system"
+            else:
+                role = "user" if t % 2 == 0 else "assistant"
+            n_words = 3 + (c + t) % 6
+            words = [_SFT_VOCAB[(c * 13 + t * 5 + j) % len(_SFT_VOCAB)]
+                     for j in range(n_words)]
+            rows.append((c * 100 + t, c, t, role, " ".join(words)))
+    return rows
+
+
+def _sft_values_sql() -> str:
+    vals = ", ".join(
+        f"({d}, {c}, {t}, '{r}', '{x}')"
+        for d, c, t, r, x in _sft_transcript_rows()
+    )
+    return f"t(doc_id, conv_id, turn_idx, role, text) AS (VALUES {vals})"
+
+
+@register(
+    "loss_mask_pack",
+    f"""
+WITH {_sft_values_sql()},
+arrs AS (SELECT doc_id, role, {tokenize_sql_duckdb('text')} AS a FROM t),
+ntok AS (SELECT doc_id, len(a) AS n FROM arrs WHERE len(a) > 0),
+off AS (SELECT doc_id,
+          sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n AS start
+        FROM ntok),
+tok AS (SELECT doc_id, role, unnest(a) AS term,
+               unnest(range(len(a))) AS pos FROM arrs)
+SELECT CAST((o.start + t.pos) // {_SFT_SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST((o.start + t.pos) % {_SFT_SEQ_LEN} AS INT) AS pos_in_seq,
+       t.doc_id, CAST(t.pos AS INT) AS pos, t.term,
+       CAST(t.role = 'assistant' AS INT) AS loss_mask
+FROM tok t JOIN off o USING (doc_id)
+""",
+)
+def q_loss_mask_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-based loss masking over packed training sequences — the
+    SFT-data shape for multi-turn transcripts (the north-rule input
+    schema): tokens from assistant turns train (loss_mask=1), user /
+    system / tool turns are context only (loss_mask=0), and the mask
+    rides THROUGH fixed-length sequence packing so each 16-token
+    training row carries per-position mask bits even when turns cross
+    row boundaries. Mask computation is a broadcast join of the
+    turn-role table onto the token stream; packing is the distributed
+    prefix-sum of `pack_sequences` — nothing global, nothing
+    single-task."""
+    from connectors_spark.operators.pretrain import pack_sequences
+
+    rows = _sft_transcript_rows()
+    docs = spark.createDataFrame(
+        rows, "doc_id long, conv_id int, turn_idx int, role string, "
+              "text string")
+    toks = tokenize(docs).join(
+        F.broadcast(docs.select("doc_id", "role")), "doc_id")
+    toks = toks.select(
+        "doc_id", "pos", "term",
+        (F.col("role") == "assistant").cast("int").alias("loss_mask"))
+    return pack_sequences(toks, seq_len=_SFT_SEQ_LEN)
+
+
+@register(
+    "span_within_containing",
+    f"""
+WITH tp AS (
+  SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos
+  FROM (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr FROM documents)
+),
+big AS (  -- big span: 'table' followed by 'scan' within 3 positions
+  SELECT a.doc_id, a.pos AS lo, b.pos AS hi
+  FROM tp a JOIN tp b ON b.doc_id = a.doc_id
+    AND b.t = 'scan' AND b.pos > a.pos AND b.pos <= a.pos + 3
+  WHERE a.t = 'table'
+),
+little AS (SELECT doc_id, pos FROM tp WHERE t = 'merge'),
+w AS (  -- little spans inside a big span (span_within)
+  SELECT l.doc_id, count(DISTINCT l.pos) AS n_within
+  FROM little l JOIN big g ON g.doc_id = l.doc_id
+    AND l.pos BETWEEN g.lo AND g.hi
+  GROUP BY l.doc_id
+)
+SELECT doc_id, CAST(n_within AS INT) AS n_within,
+       CAST(1 AS INT) AS containing_match
+FROM w
+""",
+)
+def q_span_within_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_within / span_containing: big span = 'table' followed by
+    'scan' within 3 positions, little span = 'merge'. span_within
+    counts little spans enclosed by a big span; span_containing flags
+    docs whose big span encloses a little one. Evaluated as nested
+    higher-order array functions over ONE tokenize pass — per-doc,
+    JVM-side, embarrassingly parallel (the positional-postings kernel
+    runs the same predicate at index scale)."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("_a"))
+    idx = F.when(
+        F.size("_a") > 0, F.sequence(F.lit(0), F.size("_a") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pos_of = lambda term: F.filter(
+        idx, lambda i: F.element_at("_a", i + 1) == term)
+    t_pos, s_pos, m_pos = pos_of("table"), pos_of("scan"), pos_of("merge")
+    # merge positions enclosed by any (table..scan<=+3) big span
+    within = F.filter(
+        m_pos,
+        lambda m: F.exists(
+            t_pos,
+            lambda lo: F.exists(
+                s_pos,
+                lambda hi: (hi > lo) & (hi <= lo + 3)
+                & (m >= lo) & (m <= hi),
+            ),
+        ),
+    )
+    return (
+        base.select(
+            "doc_id", F.size(within).cast("int").alias("n_within"))
+        .filter(F.col("n_within") > 0)
+        .withColumn("containing_match", F.lit(1).cast("int"))
+    )
+
+
+@register(
+    "facet_bucket_selector",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 3) AS total
+FROM events GROUP BY event_type
+HAVING sum(value) / count(*) > 10.0
+""",
+)
+def q_facet_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_selector pipeline aggregation: parent terms buckets
+    are kept only where a script over their metrics holds (here
+    avg value > 10). In Spark this is exactly a HAVING — a filter on
+    the aggregated frame that Catalyst keeps in the same stage as the
+    (map-side combined) aggregation; bucket count is event_type
+    cardinality, so the filtered frame is tiny at any corpus size."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("total"),
+            (F.sum("value") / F.count(F.lit(1))).alias("_avg"),
+        )
+        .filter(F.col("_avg") > 10.0)
+        .select("event_type", "n", "total")
+    )
+
+
+@register(
+    "cumulative_cardinality",
+    """
+WITH fs AS (
+  SELECT user_id, min(strftime(date_trunc('day', ts), '%Y-%m-%d'))
+           AS first_day
+  FROM events GROUP BY user_id
+),
+d AS (SELECT first_day AS day, count(*) AS new_users
+      FROM fs GROUP BY first_day)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumulative_users
+FROM d
+""",
+)
+def q_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_cardinality pipeline aggregation (total distinct
+    users seen up to each day) — computed the scalable way: running
+    distinct-count is rewritten as first-seen-day per user (one
+    map-side-combined groupBy over the corpus) + a cumulative sum over
+    the DAY-level frame. The only ordered window runs over ~30 rows
+    (one per day), not the corpus — the corpus-scale stage is a plain
+    aggregation, so the plan survives any scale-up."""
+    ev = _read(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .alias("day"))
+    d = fs.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return d.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).cast("long")
+        .alias("cumulative_users"))
+
+
+@register(
+    "scripted_metric",
+    """
+WITH s AS (
+  SELECT event_type, ts, event_id,
+         CASE WHEN value > 10.0 THEN 1 ELSE 0 END AS hot,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+runs AS (
+  SELECT event_type, hot,
+         rn - row_number() OVER (PARTITION BY event_type, hot
+                                 ORDER BY rn) AS grp
+  FROM s
+),
+lens AS (
+  SELECT event_type, count(*) AS run_len
+  FROM runs WHERE hot = 1 GROUP BY event_type, hot, grp
+)
+,
+mx AS (SELECT event_type, max(run_len) AS m FROM lens GROUP BY event_type)
+SELECT e.event_type, CAST(coalesce(mx.m, 0) AS INT) AS max_hot_run
+FROM (SELECT DISTINCT event_type FROM events) e
+LEFT JOIN mx USING (event_type)
+""",
+)
+def q_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scripted_metric aggregation analog: a custom map/combine/
+    reduce metric no builtin aggregate expresses — the longest
+    consecutive run of 'hot' (value > 10) events per event_type in
+    (ts, id) order. Implemented as the UDAF surface a Spark engine
+    offers for scripted metrics: applyInPandas per bucket key, NumPy
+    run-length encoding inside (vectorized, Arrow-batched). Bucket
+    cardinality bounds the group count; each group streams through one
+    task — the same shape ES uses (map per shard, reduce on the
+    coordinator)."""
+    import numpy as np
+
+    ev = _read(spark, sf_dir, "events")
+
+    def longest_run(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        hot = (pdf["value"].to_numpy() > 10.0).astype(np.int64)
+        if hot.size == 0 or hot.max() == 0:
+            best = 0
+        else:
+            # run-length encode: boundaries where the hot flag changes
+            change = np.flatnonzero(np.diff(hot)) + 1
+            runs = np.split(hot, change)
+            best = max(int(r.sum()) for r in runs)
+        return pdf.iloc[:1][["event_type"]].assign(max_hot_run=best)
+
+    return (
+        ev.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandas(longest_run,
+                       "event_type string, max_hot_run int")
+    )

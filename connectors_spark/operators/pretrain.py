@@ -144,3 +144,119 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 32, stride: int = 24,
         .select("doc_id", "c.chunk_id", "c.start_tok", "c.n_toks",
                 "c.chunk_md5")
     )
+
+
+# --------------------------------------------------------------------
+# Tokens -> training rows: vocab ids + fixed-length sequence packing
+# --------------------------------------------------------------------
+
+def vocab_table(tokens: DataFrame, vocab_size: int = 1 << 15,
+                term_col: str = "term") -> DataFrame:
+    """(term, token_id) — frequency-ranked vocabulary: id 1..V assigned
+    by (count DESC, term ASC); id 0 is reserved for OOV/<unk>. The
+    corpus-wide term count is a map-side-combined groupBy (output is
+    lexicon-sized, not corpus-sized), and the ranking window runs over
+    an ALREADY LIMITed V-row frame (TakeOrderedAndProject first), never
+    over the full lexicon in one task."""
+    cnt = tokens.groupBy(F.col(term_col).alias("term")).agg(
+        F.count(F.lit(1)).alias("c"))
+    order = [F.col("c").desc(), F.col("term").asc()]
+    top = cnt.orderBy(*order).limit(int(vocab_size))
+    w = Window.orderBy(*order)
+    return top.select(
+        "term", F.row_number().over(w).cast("int").alias("token_id"))
+
+
+def tokens_to_ids(tokens: DataFrame, vocab: DataFrame,
+                  term_col: str = "term") -> DataFrame:
+    """Map a token stream to vocabulary ids; unknown terms -> 0 (<unk>).
+    The vocab is bounded (V rows) so the join is an explicit broadcast —
+    the corpus side never shuffles."""
+    return (
+        tokens.join(F.broadcast(vocab),
+                    tokens[term_col] == vocab["term"], "left")
+        .select(*[tokens[c] for c in tokens.columns if c != term_col],
+                F.coalesce(vocab["token_id"], F.lit(0)).alias("token_id"))
+    )
+
+
+def doc_offsets(counts: DataFrame, id_col: str = "doc_id",
+                n_col: str = "n_tokens", num_parts: int = 32) -> DataFrame:
+    """(id, n, start): exclusive running sum of `n_col` in `id_col`
+    order — the distributed prefix-sum that replaces the single-task
+    `sum().over(Window.orderBy(id))` global window. Two passes:
+    range-partition + sort by id, aggregate ONE total per partition
+    (num_parts rows to the driver), prefix-sum those on the driver,
+    broadcast, then a mapInPandas cumsum per partition adds its
+    partition's offset. Scales to any corpus: driver traffic is
+    O(partitions), each task touches only its own range."""
+    spark = counts.sparkSession
+    parts = (
+        counts.repartitionByRange(int(num_parts), id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in parts.groupBy("_pid").agg(F.sum(n_col).alias("t")).collect()
+    }
+    acc, offs = 0, {}
+    for pid in sorted(totals):
+        offs[pid] = acc
+        acc += int(totals[pid])
+    b = spark.sparkContext.broadcast(offs)
+
+    out_fields = ", ".join(
+        f"{name} {dtype}" for name, dtype in parts.drop("_pid").dtypes
+    ) + ", start bigint"
+
+    def gen(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = int(b.value.get(int(pdf["_pid"].iloc[0]), 0))
+            csum = pdf[n_col].cumsum()
+            out = pdf.drop(columns=["_pid"]).assign(
+                start=run + csum - pdf[n_col])
+            run += int(pdf[n_col].sum())
+            yield out
+
+    res = parts.mapInPandas(gen, out_fields)
+    parts.unpersist()
+    return res
+
+
+def pack_sequences(tokens: DataFrame, seq_len: int = 128,
+                   id_col: str = "doc_id", pos_col: str = "pos",
+                   num_parts: int = 32) -> DataFrame:
+    """Fixed-length sequence packing — the data-loader shape of LLM
+    pretraining: concatenate the per-doc token streams in stable
+    (doc_id, pos) order and cut the global stream into rows of exactly
+    `seq_len` tokens (last row ragged). Emits one row per token:
+    (seq_id, pos_in_seq, <original columns>). Documents cross sequence
+    boundaries, matching the GPT-style packed-window regime.
+
+    Plan: per-doc counts (map-side combine), distributed prefix-sum for
+    doc start offsets (`doc_offsets` — no global window), then one
+    equi-join back to the token stream; seq ids are pure integer
+    arithmetic on (start + pos). No stage touches more than its
+    partition; the only corpus-wide shuffle is the counts join."""
+    counts = tokens.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("_n"))
+    offs = doc_offsets(counts, id_col=id_col, n_col="_n",
+                       num_parts=num_parts).select(id_col, "start")
+    g = tokens.join(offs, id_col)
+    gpos = F.col("start") + F.col(pos_col)
+    return (
+        g.withColumn("_gpos", gpos.cast("bigint"))
+        .select(
+            F.expr(f"_gpos DIV {int(seq_len)}").cast("bigint")
+            .alias("seq_id"),
+            (F.col("_gpos") % int(seq_len)).cast("int")
+            .alias("pos_in_seq"),
+            *[c for c in tokens.columns],
+        )
+    )

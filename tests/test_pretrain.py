@@ -68,3 +68,47 @@ def test_pretrain_filter_rules_and_dedup(spark):
     assert not got[3].keep_lang and not got[3].keep
     assert not got[4].keep_len and not got[4].keep
     assert not got[5].keep_rep and not got[5].keep
+
+
+def test_vocab_table_ranking_and_oov(spark):
+    from connectors_spark.operators.pretrain import (
+        tokens_to_ids, vocab_table)
+
+    rows = [(1, 0, "b"), (1, 1, "b"), (1, 2, "a"), (1, 3, "a"),
+            (2, 0, "c"), (2, 1, "rare")]
+    toks = spark.createDataFrame(rows, "doc_id long, pos int, term string")
+    vocab = {r.term: r.token_id
+             for r in vocab_table(toks, vocab_size=3).collect()}
+    # count DESC then term ASC: a(2)=1, b(2)=2, c(1)=3; "rare" cut at V=3
+    assert vocab == {"a": 1, "b": 2, "c": 3}
+    ids = {(r.doc_id, r.pos): r.token_id
+           for r in tokens_to_ids(toks, vocab_table(toks, 3)).collect()}
+    assert ids[(2, 1)] == 0          # OOV -> <unk>
+    assert ids[(1, 2)] == 1 and ids[(1, 0)] == 2
+
+
+def test_pack_sequences_matches_serial_and_partition_invariant(spark):
+    import numpy as np
+
+    from connectors_spark.operators.pretrain import pack_sequences
+
+    rng = np.random.default_rng(7)
+    lens = rng.integers(1, 40, size=50)
+    rows = [(int(d), int(p), int(rng.integers(0, 9)))
+            for d in range(50) for p in range(lens[d])]
+    toks = spark.createDataFrame(
+        rows, "doc_id long, pos int, token_id int")
+
+    # serial oracle: concatenate streams in (doc_id, pos) order
+    serial = {}
+    g = 0
+    for d in range(50):
+        for p in range(lens[d]):
+            serial[(d, p)] = (g // 128, g % 128)
+            g += 1
+
+    for nparts in (3, 32):
+        got = {(r.doc_id, r.pos): (r.seq_id, r.pos_in_seq)
+               for r in pack_sequences(toks, seq_len=128,
+                                       num_parts=nparts).collect()}
+        assert got == serial, f"num_parts={nparts}"
