@@ -7733,3 +7733,194 @@ def q_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(longest_run,
                        "event_type string, max_hot_run int")
     )
+
+
+@register(
+    "categorize_text",
+    f"""
+WITH arrs AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS a
+              FROM documents),
+cat AS (
+  SELECT doc_id,
+         array_to_string(list_slice(
+           list_filter(a, t -> NOT regexp_matches(t, '^[0-9]+$')),
+           1, 4), ' ') AS category
+  FROM arrs
+)
+SELECT category, CAST(count(*) AS BIGINT) AS n
+FROM cat WHERE category <> ''
+GROUP BY category ORDER BY n DESC, category LIMIT 10
+""",
+)
+def q_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES categorize_text aggregation (log-message pattern clustering):
+    tokenize, DROP numeric tokens (the variable parts), key each doc by
+    its leading 4-token template, count docs per template, top-10. One
+    tokenize pass + one map-side-combined groupBy over template keys —
+    the category space is bounded by distinct templates, not docs."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    a = F.filter(tokens_col(F.col("text")),
+                 lambda t: ~t.rlike("^[0-9]+$"))
+    cat = F.array_join(F.slice(a, 1, 4), " ")
+    agg = (
+        docs.select(cat.alias("category"))
+        .filter(F.col("category") != "")
+        .groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _ranked_topk(
+        agg, [F.col("n").desc(), F.col("category").asc()], 10
+    ).drop("rank")
+
+
+@register(
+    "change_point",
+    """
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+c AS (
+  SELECT day, n,
+    avg(n * 1.0) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS before_avg,
+    avg(n * 1.0) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING) AS after_avg
+  FROM d
+)
+SELECT day, round(before_avg, 6) AS before_avg,
+       round(after_avg, 6) AS after_avg,
+       round(abs(after_avg - before_avg), 6) AS delta
+FROM c WHERE before_avg IS NOT NULL
+ORDER BY abs(after_avg - before_avg) DESC, day LIMIT 1
+""",
+)
+def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES change_point aggregation (simplified step detection): over
+    the daily error-count series, split at each day and take the split
+    maximizing |mean(after) - mean(before)|. The corpus-scale stage is
+    ONE aggregation to day granularity (~30 rows); the ordered windows
+    run on that tiny frame only — same shape as ES (the agg runs on a
+    parent histogram, never raw docs)."""
+    ev = _read(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                 .alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wb = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1)
+    wa = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing)
+    c = d.select(
+        "day",
+        F.avg(F.col("n") * 1.0).over(wb).alias("before_avg"),
+        F.avg(F.col("n") * 1.0).over(wa).alias("after_avg"),
+    ).filter(F.col("before_avg").isNotNull())
+    top = c.orderBy(
+        F.abs(F.col("after_avg") - F.col("before_avg")).desc(), "day"
+    ).limit(1)
+    return top.select(
+        "day", F.round("before_avg", 6).alias("before_avg"),
+        F.round("after_avg", 6).alias("after_avg"),
+        F.round(F.abs(F.col("after_avg") - F.col("before_avg")), 6)
+        .alias("delta"))
+
+
+@register(
+    "frequent_item_sets",
+    """
+WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+p AS (
+  SELECT a.event_type AS item_a, c.event_type AS item_b,
+         count(*) AS n
+  FROM b a JOIN b c ON c.user_id = a.user_id
+    AND c.event_type > a.event_type
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / (SELECT n_users FROM u), 6) AS support
+FROM p WHERE n * 1.0 / (SELECT n_users FROM u) >= 0.2
+""",
+)
+def q_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES frequent_item_sets aggregation (2-itemsets): baskets are the
+    distinct event_types per user; count co-occurring ordered pairs
+    (a < b) across baskets, keep support >= 0.2. The self-join is over
+    the DEDUPLICATED (user, item) frame — bounded by users x distinct
+    items, not raw events — and the item vocabulary is small, so the
+    pair space stays tiny at any event volume."""
+    ev = _read(spark, sf_dir, "events")
+    b = ev.select("user_id", "event_type").distinct()
+    n_users = ev.select("user_id").distinct().count()
+    a, c = b.alias("a"), b.alias("c")
+    p = (
+        a.join(c, (F.col("c.user_id") == F.col("a.user_id"))
+               & (F.col("c.event_type") > F.col("a.event_type")))
+        .groupBy(F.col("a.event_type").alias("item_a"),
+                 F.col("c.event_type").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        p.withColumn("support", F.round(F.col("n") / n_users, 6))
+        .filter(F.col("support") >= 0.2)
+        .select("item_a", "item_b", "n", "support")
+    )
+
+
+_COVERAGE_VS = (1, 2, 4, 8, 16, 32)
+
+
+@register(
+    "vocab_coverage",
+    f"""
+WITH {_ARRS_CTE},
+tok AS (SELECT unnest(a) AS term FROM arrs),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+rk AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS r
+       FROM cnt),
+tot AS (SELECT sum(c) AS t FROM cnt),
+vs AS (SELECT unnest(ARRAY{list(_COVERAGE_VS)}) AS v)
+SELECT CAST(v AS INT) AS v,
+       CAST(sum(CASE WHEN r <= v THEN c ELSE 0 END) AS BIGINT)
+         AS covered,
+       round(sum(CASE WHEN r <= v THEN c ELSE 0 END) * 1.0
+             / (SELECT t FROM tot), 6) AS coverage
+FROM vs CROSS JOIN rk GROUP BY v
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing diagnostic of
+    an LLM data pipeline: for each candidate vocab size V, the
+    fraction of all corpus tokens covered by the top-V terms (count
+    DESC, term ASC ranking, same convention as vocab_table). The
+    corpus collapses to lexicon-sized term counts in one map-side-
+    combined groupBy; the ranking window and the V cross-join run on
+    the lexicon frame only."""
+    from connectors_spark.operators.pretrain import vocab_table
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs)
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # rank only the top max(V) terms: TakeOrderedAndProject first, then
+    # the row_number window runs over an already max(V)-row frame —
+    # never an unpartitioned window over the full lexicon
+    order = [F.col("c").desc(), F.col("term").asc()]
+    top = cnt.orderBy(*order).limit(max(_COVERAGE_VS))
+    rk = top.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+    total = cnt.agg(F.sum("c")).collect()[0][0]
+    vs = F.explode(F.array(*[F.lit(v) for v in _COVERAGE_VS])).alias("v")
+    return (
+        rk.select(vs, "c", "r")
+        .groupBy("v")
+        .agg(F.sum(F.when(F.col("r") <= F.col("v"), F.col("c"))
+                   .otherwise(F.lit(0))).alias("covered"))
+        .select(F.col("v").cast("int"),
+                "covered",
+                F.round(F.col("covered") / float(total), 6)
+                .alias("coverage"))
+    )
