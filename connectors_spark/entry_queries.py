@@ -7924,3 +7924,42 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("covered") / float(total), 6)
                 .alias("coverage"))
     )
+
+
+@register(
+    "bpe_pair_stats",
+    f"""
+WITH {_ARRS_CTE},
+wd AS (SELECT unnest(a) AS w FROM arrs),
+wf AS (SELECT w, count(*) AS freq FROM wd GROUP BY w),
+sy AS (SELECT w, freq,
+         list_append(regexp_split_to_array(w, ''), '</w>') AS s
+       FROM wf),
+pr AS (
+  SELECT s[i] AS a, s[i+1] AS b, freq
+  FROM sy CROSS JOIN unnest(range(1, len(s))) AS t(i)
+  WHERE len(s) >= 2
+)
+SELECT a, b, CAST(sum(freq) AS BIGINT) AS c
+FROM pr GROUP BY a, b
+ORDER BY c DESC, a, b LIMIT 10
+""",
+)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, iteration-0 statistics (operators/
+    pretrain.py:bpe_pair_counts): frequency-weighted adjacent-symbol
+    pair counts over the DISTINCT-word table (chars + </w>), top-10 by
+    (count DESC, pair ASC) — the exact argmax frame each merge
+    iteration of learn_bpe_merges computes. The corpus collapses to
+    the word table in one map-side-combined groupBy; pair extraction
+    is a JVM higher-order transform, no UDF. The full iterative
+    trainer (learn_bpe_merges) is pinned against an independent
+    single-process Sennrich implementation in pytest."""
+    from connectors_spark.operators.pretrain import (
+        _word_symbols, bpe_pair_counts)
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = bpe_pair_counts(_word_symbols(docs, "text"))
+    return _ranked_topk(
+        pairs, [F.col("c").desc(), F.col("a").asc(), F.col("b").asc()],
+        10).drop("rank")

@@ -14,6 +14,8 @@ with no driver loop and no re-scan per rule.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -260,3 +262,134 @@ def pack_sequences(tokens: DataFrame, seq_len: int = 128,
             *[c for c in tokens.columns],
         )
     )
+
+
+# --------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, public algorithm)
+# --------------------------------------------------------------------
+
+_EOW = "</w>"
+
+
+def _word_symbols(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq, syms): distinct corpus words with frequencies, each as
+    its initial BPE symbol sequence (characters + end-of-word marker).
+    This is the ONE corpus-scale pass — everything after runs on the
+    lexicon-sized word table."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    words = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.select(
+        "w", "freq",
+        F.concat(F.split(F.col("w"), ""),
+                 F.array(F.lit(_EOW))).alias("syms"),
+    )
+
+
+def _merge_pair_udf(a: str, b: str):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def merge(col: pd.Series) -> pd.Series:
+        out = []
+        for seq in col:
+            r, i, n = [], 0, len(seq)
+            while i < n:
+                if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                    r.append(a + b)
+                    i += 2
+                else:
+                    r.append(seq[i])
+                    i += 1
+            out.append(r)
+        return pd.Series(out)
+
+    return merge
+
+
+def bpe_pair_counts(syms: DataFrame) -> DataFrame:
+    """(a, b, c): adjacent-symbol pair counts over the word table,
+    frequency-weighted — the statistic each BPE iteration maximizes.
+    Guards 1-symbol words against the F.sequence(1,0) descending
+    pitfall; one lexicon-sized shuffle."""
+    return (
+        syms.filter(F.size("syms") >= 2)
+        .select("freq", F.explode(F.expr(
+            "transform(sequence(1, size(syms)-1), "
+            "i -> struct(syms[i-1] AS a, syms[i] AS b))")).alias("p"))
+        .groupBy("p.a", "p.b").agg(F.sum("freq").alias("c"))
+    )
+
+
+def learn_bpe_merges(df: DataFrame, n_merges: int = 10,
+                     text_col: str = "text"):
+    """Train a byte-pair-encoding tokenizer on a corpus: returns
+    (merges, word_syms) where merges is the ordered list of learned
+    (left, right) symbol pairs and word_syms the final (w, freq, syms)
+    frame. Public algorithm (Sennrich, Haddow & Birch 2016 §3.2).
+
+    Scale shape: the corpus collapses to the DISTINCT-word table in one
+    map-side-combined groupBy; every merge iteration then runs on that
+    lexicon-sized frame only — one pair-count shuffle (guarded against
+    the F.sequence(1,0) descending pitfall on 1-symbol words) plus one
+    Arrow-batched merge map. The driver receives exactly ONE row per
+    iteration (the argmax pair, ties broken (count DESC, a, b) so the
+    learned merges are engine- and partition-deterministic). Iteration
+    count bounds the loop, as in the IVF k-means refiner."""
+    syms = _word_symbols(df, text_col).persist()
+    syms.count()
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs = bpe_pair_counts(syms)
+        best = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        nxt = syms.select(
+            "w", "freq", _merge_pair_udf(a, b)("syms").alias("syms")
+        ).persist()
+        nxt.count()
+        syms.unpersist()
+        syms = nxt
+    return merges, syms
+
+
+def bpe_encode_udf(merges: list):
+    """pandas_udf: encode a word (string) into its BPE symbols by
+    applying the learned merges in rank order — the inference twin of
+    learn_bpe_merges, usable in any projection."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def enc(word: str) -> list[str]:
+        seq = list(word) + [_EOW]
+        while len(seq) >= 2:
+            cand = [(ranks[(seq[i], seq[i + 1])], i)
+                    for i in range(len(seq) - 1)
+                    if (seq[i], seq[i + 1]) in ranks]
+            if not cand:
+                break
+            r, i = min(cand)
+            # merge EVERY occurrence of that pair, left to right
+            a, b = seq[i], seq[i + 1]
+            out, j, n = [], 0, len(seq)
+            while j < n:
+                if j + 1 < n and seq[j] == a and seq[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(seq[j])
+                    j += 1
+            seq = out
+        return seq
+
+    @pandas_udf("array<string>")
+    def encode(col: pd.Series) -> pd.Series:
+        return col.map(enc)
+
+    return encode

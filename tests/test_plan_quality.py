@@ -193,3 +193,21 @@ def test_broadcast_in_round4_lookup_gates(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, \
             (fn.__name__, plan)
+
+
+def test_pack_sequences_has_no_global_window(spark, sf_dir):
+    """The sequence packer's global token offsets must come from the
+    distributed prefix-sum, never a single-task Window over the corpus:
+    the physical plan contains NO Window operator, and the offsets
+    frame joins back to the token stream as a plain join (broadcast
+    under AQE at this scale)."""
+    from connectors_spark.functions.analysis import tokenize
+    from connectors_spark.operators.pretrain import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokenize(docs)  # vocab_table's own V-row rank window is
+    # bounded by design and tested elsewhere; this pins the PACKER
+    packed = pack_sequences(toks, seq_len=128, num_parts=8)
+    plan = _plan(packed)
+    assert "Window" not in plan, "packing must not use a global window"
+    assert "MapInPandas" in plan  # the per-partition cumsum stage

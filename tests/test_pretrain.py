@@ -112,3 +112,67 @@ def test_pack_sequences_matches_serial_and_partition_invariant(spark):
                for r in pack_sequences(toks, seq_len=128,
                                        num_parts=nparts).collect()}
         assert got == serial, f"num_parts={nparts}"
+
+
+def _py_bpe_reference(word_freqs, n_merges):
+    """Independent single-process Sennrich BPE for the oracle."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for seq, f in vocab.items():
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] = (
+                    counts.get((seq[i], seq[i + 1]), 0) + f)
+        if not counts:
+            break
+        # ties: count DESC then pair ASC — same rule as the engine
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(best)
+        a, b = best
+        nv = {}
+        for seq, f in vocab.items():
+            r, i, n = [], 0, len(seq)
+            while i < n:
+                if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                    r.append(a + b)
+                    i += 2
+                else:
+                    r.append(seq[i])
+                    i += 1
+            nv[tuple(r)] = nv.get(tuple(r), 0) + f
+        vocab = nv
+    return merges
+
+
+def test_learn_bpe_matches_reference_and_encode_roundtrip(spark):
+    from connectors_spark.functions.analysis import tokenize_py
+    from connectors_spark.operators.pretrain import (
+        bpe_encode_udf, learn_bpe_merges)
+
+    texts = [
+        "low lower lowest newer new news widest wide",
+        "low low lower newer newer newest wide wider",
+        "the newer the better the widest the lowest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    freqs = {}
+    for t in texts:
+        for w in tokenize_py(t):
+            freqs[w] = freqs.get(w, 0) + 1
+    expected = _py_bpe_reference(freqs, 12)
+
+    merges, syms = learn_bpe_merges(docs, n_merges=12)
+    assert merges == expected
+
+    # encoding each distinct word with the learned merges reproduces
+    # the training-side final symbol sequence exactly
+    enc = bpe_encode_udf(merges)
+    got = {r.w: (r.syms, r.enc) for r in
+           syms.withColumn("enc", enc(F.col("w"))).collect()}
+    assert set(got) == set(freqs)
+    for w, (train_syms, enc_syms) in got.items():
+        assert enc_syms == train_syms, w
+    syms.unpersist()
