@@ -64,3 +64,20 @@ def run_incremental_batches(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup(stream: DataFrame,
+                    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+                    watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once ingest over an at-least-once delivery stream:
+    drop re-delivered rows by business key across micro-batches, with
+    the dedup state BOUNDED by the event-time watermark (a key's state
+    is dropped once the watermark passes it — unbounded-key streams
+    can't OOM the state store). This is the streaming twin of the
+    sync classifier's unchanged-skip: re-deliveries inside the
+    redelivery horizon dedup exactly; anything later is, by contract,
+    a new version and flows through as an update."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
