@@ -7963,3 +7963,106 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(
         pairs, [F.col("c").desc(), F.col("a").asc(), F.col("b").asc()],
         10).drop("rank")
+
+
+def _sft_tool(c: int, t: int, role: str) -> str:
+    """Deterministic tool-call assignment for the transcript constants:
+    some assistant turns invoke a tool (the north-rule schema's `tool`
+    column), others don't."""
+    if role != "assistant":
+        return ""
+    return ("search", "code", "")[(c + t) % 3]
+
+
+def _tool_values_sql() -> str:
+    vals = ", ".join(
+        f"({d}, {c}, {t}, '{r}', '{_sft_tool(c, t, r)}', '{x}')"
+        for d, c, t, r, x in _sft_transcript_rows()
+    )
+    return (
+        "t(doc_id, conv_id, turn_idx, role, tool, text) "
+        f"AS (VALUES {vals})"
+    )
+
+
+@register(
+    "transcript_conv_stats",
+    f"""
+WITH {_tool_values_sql()}
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_assistant,
+  CAST(sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_tool_calls,
+  CAST(count(DISTINCT CASE WHEN tool <> '' THEN tool END) AS BIGINT)
+    AS n_distinct_tools,
+  CAST(sum(len({tokenize_sql_duckdb('text')})) AS BIGINT) AS n_tokens
+FROM t GROUP BY conv_id
+""",
+)
+def q_transcript_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level rollup over the north-rule transcript shape
+    (conv_id, turn_idx, role, tool, text): turns, assistant turns,
+    tool-call count, distinct tools, total tokens — the per-
+    conversation statistics a transcript-curation pipeline filters on
+    (too-short conversations, tool-free conversations, token budgets).
+    ONE map-side-combined groupBy on the conversation key; token
+    counts are JVM size(tokens) inside the same stage — the plan is a
+    single shuffle at any corpus size."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    rows = [
+        (d, c, t, r, _sft_tool(c, t, r), x)
+        for d, c, t, r, x in _sft_transcript_rows()
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, conv_id int, turn_idx int, role string, "
+              "tool string, text string")
+    return docs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .alias("n_assistant"),
+        F.sum((F.col("tool") != "").cast("long")).alias("n_tool_calls"),
+        F.count_distinct(
+            F.when(F.col("tool") != "", F.col("tool")))
+        .alias("n_distinct_tools"),
+        F.sum(F.size(tokens_col(F.col("text")))).alias("n_tokens"),
+    )
+
+
+@register(
+    "facet_sibling_buckets",
+    """
+WITH b AS (
+  SELECT event_type, sum(value) AS total
+  FROM events GROUP BY event_type
+)
+SELECT round(avg(total), 6) AS avg_bucket,
+       round(min(total), 6) AS min_bucket,
+       round(max(total), 6) AS max_bucket,
+       round(sum(total), 6) AS sum_bucket,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       round(median(total), 6) AS p50_bucket
+FROM b
+""",
+)
+def q_facet_sibling_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline aggregations (avg_bucket / min_bucket /
+    max_bucket / sum_bucket / stats_bucket / percentiles_bucket): a
+    second-level reduction over the METRIC VALUES of a parent terms
+    aggregation's buckets. The parent agg is the only corpus-scale
+    stage (map-side combined); the sibling reducers run over the
+    bucket-count-sized frame — a handful of rows at any corpus size.
+    p50 uses the exact median (percentile) since the frame is tiny;
+    at huge bucket counts approx_percentile is the drop-in."""
+    ev = _read(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(F.sum("value").alias("total"))
+    return b.agg(
+        F.round(F.avg("total"), 6).alias("avg_bucket"),
+        F.round(F.min("total"), 6).alias("min_bucket"),
+        F.round(F.max("total"), 6).alias("max_bucket"),
+        F.round(F.sum("total"), 6).alias("sum_bucket"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.expr("percentile(total, 0.5)"), 6).alias("p50_bucket"),
+    )
