@@ -1,0 +1,45 @@
+"""Parallelism-invariance of the gate surface: the SAME query must
+produce the SAME rows at different shuffle widths — the determinism
+a 1000-executor cluster run needs (task count must never leak into
+results via float summation order unrounded, window framing, hash
+sampling, or prefix-sum partitioning).
+
+Representative gates across the engine's shapes: aggregation, window
+ranking, LSH dedup, deterministic sampling, the distributed prefix-sum
+packer, and BM25 scoring."""
+
+import pytest
+
+from connectors_spark import entry_queries
+
+GATES = [
+    "tokenize_tf",          # corpus-scale agg
+    "topk_per_user",        # partitioned window ranking
+    "dedup_minhash_lsh",    # banded LSH + verify joins
+    "stratified_sample",    # hash sampling (must not use rand())
+    "corpus_shard_pack",    # per-stratum running sums
+    "sequence_pack",        # distributed prefix-sum packing
+    "bm25_topk",            # scoring + rounded rank
+    "facet_sibling_buckets",  # two-level float aggregation
+]
+
+
+def _rows(spark, name, sf_dir):
+    fn = entry_queries.queries()[name]
+    df = fn(spark, sf_dir)
+    return sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("gate", GATES)
+def test_gate_is_shuffle_width_invariant(spark, sf_dir, gate):
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    wide = _rows(spark, gate, sf_dir)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = _rows(spark, gate, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert wide == narrow, f"{gate}: rows depend on shuffle width"
+    assert len(wide) > 0
