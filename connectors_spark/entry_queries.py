@@ -3771,9 +3771,11 @@ def q_corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every shard holds consecutive docs totalling ~budget — the
     sharding step before sequence-packing in an LLM data pipeline.
     Window is hash-partitioned by the stratum key; within a stratum the
-    order is the stable doc_id (at 100 TB: range-partition each stratum
-    first, then cumsum per range + per-range offsets — two passes,
-    documented here as the scale path)."""
+    order is the stable doc_id. At 100 TB a per-stratum window puts
+    each whole language through one task — the IMPLEMENTED scale path
+    is operators/pretrain.py:pack_shards_scalable (range-partitioned
+    two-pass per-stratum prefix-sum, equality with this window version
+    pinned in tests/test_pretrain.py)."""
     docs = _read(spark, sf_dir, "documents")
     w = (
         Window.partitionBy("lang").orderBy("doc_id")

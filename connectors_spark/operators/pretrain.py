@@ -393,3 +393,79 @@ def bpe_encode_udf(merges: list):
         return col.map(enc)
 
     return encode
+
+
+def stratified_offsets(counts: DataFrame, stratum_col: str = "lang",
+                       id_col: str = "doc_id", n_col: str = "n",
+                       num_parts: int = 32) -> DataFrame:
+    """(stratum, id, n, start): exclusive running sum of `n_col` in
+    `id_col` order WITHIN each stratum — the scale path that
+    `corpus_shard_pack`'s single-window version documents: a
+    per-stratum window puts each whole stratum through ONE task, so at
+    100 TB the per-language token streams bottleneck on the largest
+    language. Here: range-partition by (stratum, id) so every task
+    holds a contiguous slice of at most a few strata, collect ONE
+    (partition, stratum) subtotal row per pair to the driver (O(parts
+    x strata-per-part), not corpus), prefix-sum per stratum across
+    partitions in range order, broadcast, and add the offsets in a
+    per-partition cumsum. Any single stratum spreads over MANY tasks."""
+    spark = counts.sparkSession
+    parts = (
+        counts.repartitionByRange(int(num_parts), stratum_col, id_col)
+        .sortWithinPartitions(stratum_col, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = parts.groupBy("_pid", stratum_col).agg(
+        F.sum(n_col).alias("t")).collect()
+    acc: dict = {}
+    offs: dict = {}
+    for r in sorted(totals, key=lambda r: (r[stratum_col], r["_pid"])):
+        s = r[stratum_col]
+        offs[(r["_pid"], s)] = acc.get(s, 0)
+        acc[s] = acc.get(s, 0) + int(r["t"])
+    b = spark.sparkContext.broadcast(offs)
+
+    out_fields = ", ".join(
+        f"{name} {dtype}" for name, dtype in parts.drop("_pid").dtypes
+    ) + ", start bigint"
+
+    def gen(batches):
+        run: dict = {}
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            starts = []
+            for s, n in zip(pdf[stratum_col], pdf[n_col]):
+                if s not in run:
+                    run[s] = int(b.value.get((pid, s), 0))
+                starts.append(run[s])
+                run[s] += int(n)
+            yield pdf.drop(columns=["_pid"]).assign(start=starts)
+
+    res = parts.mapInPandas(gen, out_fields)
+    parts.unpersist()
+    return res
+
+
+def pack_shards_scalable(df: DataFrame, budget: int,
+                         stratum_col: str = "lang",
+                         id_col: str = "doc_id",
+                         size_col: str = "n_chars",
+                         num_parts: int = 32) -> DataFrame:
+    """(id, stratum, shard): the two-pass, any-scale twin of the
+    window-based `corpus_shard_pack` gate — shard = floor(exclusive
+    per-stratum running size / budget), computed via
+    `stratified_offsets` instead of a one-task-per-stratum window.
+    Equality with the window version is pinned in pytest."""
+    counts = df.select(
+        F.col(stratum_col), F.col(id_col), F.col(size_col).alias("_n"))
+    offs = stratified_offsets(
+        counts, stratum_col=stratum_col, id_col=id_col, n_col="_n",
+        num_parts=num_parts)
+    return offs.select(
+        F.col(id_col), F.col(stratum_col),
+        F.floor(F.col("start") / int(budget)).alias("shard"))

@@ -176,3 +176,32 @@ def test_learn_bpe_matches_reference_and_encode_roundtrip(spark):
     for w, (train_syms, enc_syms) in got.items():
         assert enc_syms == train_syms, w
     syms.unpersist()
+
+
+def test_pack_shards_scalable_matches_window_version(spark):
+    """The two-pass per-stratum prefix-sum (stratified_offsets) must
+    reproduce the window-based shard assignment exactly, at any
+    partition count — the 100 TB path for corpus_shard_pack."""
+    from pyspark.sql import Window
+
+    from connectors_spark.operators.pretrain import pack_shards_scalable
+
+    import numpy as np
+    rng = np.random.default_rng(3)
+    rows = [(int(i), ["en", "fr", "de"][int(i) % 3],
+             int(rng.integers(50, 4000)))
+            for i in range(300)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long")
+
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    exp = {(r.doc_id): r.shard for r in docs.select(
+        "doc_id",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / 20000)
+        .alias("shard")).collect()}
+
+    for nparts in (2, 17):
+        got = {r.doc_id: r.shard for r in pack_shards_scalable(
+            docs, budget=20000, num_parts=nparts).collect()}
+        assert got == exp, f"num_parts={nparts}"
