@@ -8068,3 +8068,107 @@ def q_facet_sibling_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
         F.round(F.expr("percentile(total, 0.5)"), 6).alias("p50_bucket"),
     )
+
+
+_HLL_M = 256  # 2^8 buckets; alpha per Flajolet et al. 2007 §4
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+@register(
+    "hll_cardinality",
+    f"""
+WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS x FROM events),
+parts AS (
+  SELECT
+    (strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(x, 2, 1)) - 1) AS bucket,
+    substr(x, 3, 30) AS rest
+  FROM h
+),
+rho AS (
+  SELECT bucket,
+    CASE WHEN rest = repeat('0', 30) THEN 121
+      ELSE 4 * length(regexp_extract(rest, '^(0*)', 1))
+        + CASE
+            WHEN (strpos('0123456789abcdef',
+                  substr(ltrim(rest, '0'), 1, 1)) - 1) >= 8 THEN 0
+            WHEN (strpos('0123456789abcdef',
+                  substr(ltrim(rest, '0'), 1, 1)) - 1) >= 4 THEN 1
+            WHEN (strpos('0123456789abcdef',
+                  substr(ltrim(rest, '0'), 1, 1)) - 1) >= 2 THEN 2
+            ELSE 3
+          END + 1
+    END AS r
+  FROM parts
+),
+m AS (SELECT bucket, max(r) AS mr FROM rho GROUP BY bucket),
+s AS (SELECT sum(power(2.0, -mr)) AS sp,
+             count(*) AS n_present FROM m),
+e AS (
+  SELECT CASE
+    WHEN CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+         / (sp + ({_HLL_M} - n_present)) <= 2.5 * {_HLL_M}
+         AND n_present < {_HLL_M}
+    THEN {_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - n_present))
+    ELSE CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+         / (sp + ({_HLL_M} - n_present))
+    END AS est
+  FROM s
+)
+SELECT CAST({_HLL_M} AS INT) AS m,
+       CAST((SELECT count(DISTINCT event_id) FROM events) AS BIGINT)
+         AS exact_distinct,
+       round(est, 4) AS hll_estimate,
+       round(abs(est - (SELECT count(DISTINCT event_id) FROM events))
+             / (SELECT count(DISTINCT event_id) FROM events), 4)
+         AS rel_err
+FROM e
+""",
+)
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality (the sketch behind ES `cardinality`,
+    Flajolet et al. 2007), built from scratch with engine-portable
+    md5 math so the DuckDB twin constructs the IDENTICAL sketch:
+    bucket = first byte of md5 (m=256), rho = 1 + leading zero BITS of
+    the remainder (hex-char zeros x4 + first-nonzero-nibble zeros),
+    register = max rho per bucket, E = alpha*m^2 / sum 2^-reg with the
+    small-range linear-counting correction. All JVM expressions; the
+    corpus-scale stage is one map-side-combined max-per-bucket groupBy
+    to 256 rows — the exact shape a 100 TB cardinality estimate needs
+    (and 2^-k sums are exact in float64, so the estimate is engine-
+    and partition-order-identical). exact_distinct rides along to show
+    the estimate's error (8.1% at sf0.01 — within ~1.25 sigma of the
+    1.04/sqrt(m) = 6.5% theoretical std error)."""
+    ev = _read(spark, sf_dir, "events")
+    x = F.md5(F.col("event_id").cast("string"))
+    bucket = F.conv(F.substring(x, 1, 2), 16, 10).cast("int")
+    rest = F.substring(x, 3, 30)
+    nz = F.length(F.regexp_extract(rest, "^(0*)", 1))
+    v = F.conv(F.substring(F.regexp_replace(rest, "^0*", ""), 1, 1),
+               16, 10).cast("int")
+    zadd = (F.when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2)
+            .otherwise(3))
+    rho = F.when(rest == F.lit("0" * 30), F.lit(121)).otherwise(
+        nz * 4 + zadd + 1)
+    m = (
+        ev.select(bucket.alias("bucket"), rho.alias("r"))
+        .groupBy("bucket").agg(F.max("r").alias("mr"))
+    )
+    s = m.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("sp"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    raw = (F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+           / (F.col("sp") + (F.lit(_HLL_M) - F.col("n_present"))))
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("n_present") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_present"))),
+    ).otherwise(raw)
+    exact = ev.agg(F.count_distinct("event_id")).collect()[0][0]
+    return s.select(
+        F.lit(_HLL_M).cast("int").alias("m"),
+        F.lit(int(exact)).alias("exact_distinct"),
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(F.abs(est - exact) / exact, 4).alias("rel_err"),
+    )
