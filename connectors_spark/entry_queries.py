@@ -8172,3 +8172,81 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 4).alias("hll_estimate"),
         F.round(F.abs(est - exact) / exact, 4).alias("rel_err"),
     )
+
+
+_CMS_W = 1024   # counters per hash row
+_CMS_D = 4      # hash rows
+
+
+def _hex2int_sql(expr: str, n: int) -> str:
+    """DuckDB expr: first-n-hex-chars of `expr` as a BIGINT (twin of
+    Spark's conv(substr(x,1,n),16,10))."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+WITH {_ARRS_CTE},
+tok AS (SELECT unnest(a) AS term FROM arrs),
+rows_ AS (SELECT unnest(range({_CMS_D})) AS i),
+keyed AS (
+  SELECT i, ({_hex2int_sql("md5(CAST(i AS VARCHAR) || '|' || term)", 8)})
+           % {_CMS_W} AS bucket, term
+  FROM tok CROSS JOIN rows_
+),
+cnt AS (SELECT i, bucket, count(*) AS c FROM keyed GROUP BY i, bucket),
+exact AS (
+  SELECT term, count(*) AS exact_n FROM tok GROUP BY term
+  ORDER BY exact_n DESC, term LIMIT 10
+),
+est AS (
+  SELECT e.term, e.exact_n, min(c.c) AS cms_est
+  FROM exact e CROSS JOIN rows_ r
+  JOIN cnt c ON c.i = r.i
+    AND c.bucket = ({_hex2int_sql(
+        "md5(CAST(r.i AS VARCHAR) || '|' || e.term)", 8)}) % {_CMS_W}
+  GROUP BY e.term, e.exact_n
+)
+SELECT term, CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(cms_est AS BIGINT) AS cms_est
+FROM est
+""",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    d=4 x w=1024 counters, hashes from engine-portable md5 math so the
+    DuckDB twin builds the IDENTICAL sketch; per-term estimate =
+    min over rows of its counter (always >= exact — the one-sided CMS
+    guarantee). The corpus collapses to d*w counters in one map-side-
+    combined groupBy (4096 rows at ANY corpus size); the top-10 exact
+    counts ride along to exhibit the estimation error. This is the
+    fixed-memory path for hot-term/heavy-hitter detection when the
+    full lexicon groupBy is itself too large."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs).select("term")
+    ii = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
+    keyed = toks.select("term", ii).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.col("i").cast("string"),
+                                             F.col("term"))), 1, 8),
+               16, 10).cast("long") % _CMS_W)
+    cnt = keyed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "term").limit(10)
+    )
+    probes = exact.select("term", "exact_n", ii).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.col("i").cast("string"),
+                                             F.col("term"))), 1, 8),
+               16, 10).cast("long") % _CMS_W)
+    return (
+        probes.join(F.broadcast(cnt), ["i", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
