@@ -8250,3 +8250,85 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "exact_n")
         .agg(F.min("c").alias("cms_est"))
     )
+
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 4     # hash functions
+_BLOOM_PROBES = ("spark", "table", "merge", "quantum", "zebra",
+                 "index", "flux", "scan", "warp", "shard")
+_BLOOM_PROBES_SQL = "[" + ", ".join(f"'{t}'" for t in _BLOOM_PROBES) + "]"
+
+
+
+@register(
+    "bloom_membership",
+    f"""
+WITH {_ARRS_CTE},
+tok AS (SELECT DISTINCT unnest(a) AS term FROM arrs),
+ks AS (SELECT unnest(range({_BLOOM_K})) AS i),
+bits AS (
+  SELECT DISTINCT
+    ({_hex2int_sql("md5(CAST(i AS VARCHAR) || '|' || term)", 8)})
+      % {_BLOOM_M} AS bit
+  FROM tok CROSS JOIN ks
+),
+probes AS (SELECT unnest({_BLOOM_PROBES_SQL}) AS term),
+pb AS (
+  SELECT p.term, p.i, p.bit, b.bit IS NOT NULL AS hit
+  FROM (SELECT term, i,
+          ({_hex2int_sql("md5(CAST(i AS VARCHAR) || '|' || term)", 8)})
+            % {_BLOOM_M} AS bit
+        FROM probes CROSS JOIN ks) p
+  LEFT JOIN bits b ON b.bit = p.bit
+)
+SELECT term,
+       CAST(CASE WHEN bool_and(hit) THEN 1 ELSE 0 END AS INT)
+         AS in_bloom,
+       CAST(CASE WHEN term IN (SELECT term FROM tok) THEN 1 ELSE 0 END
+            AS INT) AS in_corpus
+FROM pb GROUP BY term
+""",
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (the semi-join pruning sketch: build a
+    k=4, m=8192-bit filter over the corpus lexicon, probe a term list)
+    with engine-portable md5 bit positions so the DuckDB twin builds
+    the IDENTICAL filter. in_bloom >= in_corpus always (no false
+    negatives); a probe set spanning present and absent terms
+    exhibits the contract. At 100 TB this is the shape of bloom-
+    pruned shuffle joins: the filter is a distinct-bit frame (<= m
+    rows) built map-side and broadcast to prune the big side before
+    the shuffle."""
+    docs = _read(spark, sf_dir, "documents")
+    tok = tokenize(docs).select("term").distinct()
+    ii = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i")
+
+    def bit(col_i, col_t):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(
+                "|", col_i.cast("string"), col_t)), 1, 8),
+            16, 10).cast("long") % _BLOOM_M
+
+    bits = (
+        tok.select("term", ii)
+        .select(bit(F.col("i"), F.col("term")).alias("bit"))
+        .distinct()
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in _BLOOM_PROBES], "term string")
+    pb = probes.select("term", ii).withColumn(
+        "bit", bit(F.col("i"), F.col("term")))
+    hit = (
+        pb.join(F.broadcast(bits.withColumn("_hit", F.lit(1))),
+                "bit", "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("_hit", F.lit(0))).alias("in_bloom"))
+    )
+    in_corpus = probes.join(
+        tok.withColumn("_c", F.lit(1)), "term", "left"
+    ).select("term", F.coalesce("_c", F.lit(0)).alias("in_corpus"))
+    return (
+        hit.join(in_corpus, "term")
+        .select("term", F.col("in_bloom").cast("int"),
+                F.col("in_corpus").cast("int"))
+    )

@@ -84,6 +84,15 @@ def main():
                                  "query_text": "t00001 t00002", "k": 5}])),
     ))
 
+    from connectors_spark.operators.pretrain import pack_sequences
+
+    sections.append((
+        "Sequence packing: distributed prefix-sum (range partition + "
+        "per-partition cumsum via MapInPandas) — NO Window operator, "
+        "offsets join back as a plain (broadcastable) join",
+        fmt(pack_sequences(tokenize(docs), seq_len=128, num_parts=4)),
+    ))
+
     out = ["# PLANS — physical plans of the flagship operators\n",
            "Regenerate: `python tools/dump_plans.py`\n"]
     for title, plan in sections:
