@@ -8332,3 +8332,99 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", F.col("in_bloom").cast("int"),
                 F.col("in_corpus").cast("int"))
     )
+
+
+@register(
+    "embedding_mean_pool",
+    """
+WITH ex AS (
+  SELECT label, unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+),
+mn AS (SELECT label, i, avg(v) AS m FROM ex GROUP BY label, i),
+nrm AS (SELECT label, sqrt(sum(m * m)) AS n FROM mn GROUP BY label)
+SELECT mn.label, CAST(mn.i AS INT) AS i,
+       round(mn.m, 6) AS mean_v,
+       round(mn.m / nrm.n, 6) AS unit_v
+FROM mn JOIN nrm USING (label)
+""",
+)
+def q_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding mean-pooling — the passage/class-centroid primitive of
+    retrieval pipelines (mean over a group's vectors, then L2
+    normalization so downstream cosine is a dot product): element-wise
+    avg via posexplode + (label, dim) groupBy — the shape that scales
+    (the shuffle key space is labels x dims, never rows x dims in one
+    task) — then a labels-sized norm frame broadcast back. Float
+    rounding (6 dp) happens after the full aggregation on both
+    engines, so summation order cannot flip the hash."""
+    emb = _read(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("i", "v"))
+    mn = ex.groupBy("label", "i").agg(F.avg("v").alias("m"))
+    nrm = mn.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("n"))
+    return (
+        mn.join(F.broadcast(nrm), "label")
+        .select("label", F.col("i").cast("int"),
+                F.round("m", 6).alias("mean_v"),
+                F.round(F.col("m") / F.col("n"), 6).alias("unit_v"))
+    )
+
+
+_GEOLINE_K = 5  # max points per track (ES geo_line `size`)
+
+
+@register(
+    "geo_line",
+    f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+    (CAST(event_id * 7 % 120 AS DOUBLE) - 60.0) AS lat,
+    (CAST(event_id * 13 % 360 AS DOUBLE) - 180.0) AS lon,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS rn
+  FROM events
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_points,
+  string_agg(round(lat, 1) || ',' || round(lon, 1), ';'
+             ORDER BY ts, event_id) AS path
+FROM pts WHERE rn <= {_GEOLINE_K} AND user_id < 10
+GROUP BY user_id
+""",
+)
+def q_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_line aggregation: per entity (user track), the first K=5
+    points in (sort-field, id) order joined into a path string —
+    synthetic coordinates derived from event_id by the same integer
+    formulas as the other geo gates. The window is PARTITIONED by the
+    track key (work distributes across entities) and the per-track
+    point cap bounds group state — the same size-capped contract ES
+    enforces. Path text is built from pre-rounded coordinates so both
+    engines render identical strings."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    lat = (F.col("event_id") * 7 % 120).cast("double") - 60.0
+    lon = (F.col("event_id") * 13 % 360).cast("double") - 180.0
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (
+        ev.select("user_id", "ts", "event_id",
+                  lat.alias("lat"), lon.alias("lon"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GEOLINE_K)
+    )
+    pt = F.concat_ws(",", F.round("lat", 1).cast("string"),
+                     F.round("lon", 1).cast("string"))
+    return (
+        pts.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("ts", "event_id", pt.alias("pt")))),
+                    lambda s: s["pt"]),
+                ";").alias("path"),
+        )
+    )
