@@ -8428,3 +8428,42 @@ def q_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ";").alias("path"),
         )
     )
+
+
+@register(
+    "downsample_rollup",
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(min(value), 3) AS min_v,
+  round(max(value), 3) AS max_v,
+  round(sum(value), 3) AS sum_v,
+  round(avg(value), 6) AS avg_v
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_downsample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rollup / TSDB downsampling: materialize the raw event stream
+    at a coarser time resolution (per day x dimension, with the
+    count/min/max/sum/avg metric set ES rollup jobs store) — the
+    pre-aggregation that lets dashboards query years of history
+    without touching raw data. ONE map-side-combined groupBy; output
+    cardinality is days x dimensions regardless of event volume, so
+    the rollup table stays queryable at any retention. (avg rides
+    along pre-rounded; in an incremental rollup it derives from
+    sum/count, which is why ES stores those.)"""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            .alias("day"),
+            "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 3).alias("min_v"),
+            F.round(F.max("value"), 3).alias("max_v"),
+            F.round(F.sum("value"), 3).alias("sum_v"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+        )
+    )
