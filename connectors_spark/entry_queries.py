@@ -7707,33 +7707,22 @@ def q_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES scripted_metric aggregation analog: a custom map/combine/
     reduce metric no builtin aggregate expresses — the longest
     consecutive run of 'hot' (value > 10) events per event_type in
-    (ts, id) order. Implemented as the UDAF surface a Spark engine
-    offers for scripted metrics: applyInPandas per bucket key, NumPy
-    run-length encoding inside (vectorized, Arrow-batched). Bucket
-    cardinality bounds the group count; each group streams through one
-    task — the same shape ES uses (map per shard, reduce on the
-    coordinator)."""
-    import numpy as np
+    (ts, id) order. Implemented at the 100 TB shape
+    (operators/segmented.py:longest_run): range-partition by
+    (key, order), one vectorized RLE chunk summary per partition
+    slice, then the run-length MONOID combine (prefix/suffix/best/len
+    — the segment-tree merge) over each key's <= num_parts summaries.
+    A key's full row stream never sits in one task, unlike the naive
+    applyInPandas-per-bucket version (kept as the pytest oracle)."""
+    from connectors_spark.operators.segmented import longest_run
 
-    ev = _read(spark, sf_dir, "events")
-
-    def longest_run(pdf):
-        pdf = pdf.sort_values(["ts", "event_id"])
-        hot = (pdf["value"].to_numpy() > 10.0).astype(np.int64)
-        if hot.size == 0 or hot.max() == 0:
-            best = 0
-        else:
-            # run-length encode: boundaries where the hot flag changes
-            change = np.flatnonzero(np.diff(hot)) + 1
-            runs = np.split(hot, change)
-            best = max(int(r.sum()) for r in runs)
-        return pdf.iloc[:1][["event_type"]].assign(max_hot_run=best)
-
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        (F.col("value") > 10.0).cast("int").alias("hot"))
     return (
-        ev.select("event_type", "ts", "event_id", "value")
-        .groupBy("event_type")
-        .applyInPandas(longest_run,
-                       "event_type string, max_hot_run int")
+        longest_run(ev, "event_type", ["ts", "event_id"], "hot")
+        .select("event_type", F.col("max_run").cast("int")
+                .alias("max_hot_run"))
     )
 
 

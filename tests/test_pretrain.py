@@ -205,3 +205,44 @@ def test_pack_shards_scalable_matches_window_version(spark):
         got = {r.doc_id: r.shard for r in pack_shards_scalable(
             docs, budget=20000, num_parts=nparts).collect()}
         assert got == exp, f"num_parts={nparts}"
+
+
+def test_longest_run_matches_naive_and_partition_invariant(spark):
+    """segmented.longest_run's monoid combine == naive per-group RLE,
+    at multiple partition counts, including boundary-straddling runs,
+    all-hot and no-hot keys."""
+    import numpy as np
+
+    from connectors_spark.operators.segmented import longest_run
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for k in ("a", "b", "allhot", "cold"):
+        for i in range(400):
+            if k == "allhot":
+                f = 1
+            elif k == "cold":
+                f = 0
+            else:
+                f = int(rng.integers(0, 2))
+            rows.append((k, i, f))
+    df = spark.createDataFrame(rows, "k string, i long, hot int")
+
+    def naive(flags):
+        best = run = 0
+        for f in flags:
+            run = run + 1 if f else 0
+            best = max(best, run)
+        return best
+
+    by_key = {}
+    for k, i, f in rows:
+        by_key.setdefault(k, []).append((i, f))
+    exp = {k: naive([f for _, f in sorted(v)]) for k, v in by_key.items()}
+    assert exp["allhot"] == 400 and exp["cold"] == 0
+
+    for nparts in (3, 32):
+        got = {r.k: r.max_run for r in
+               longest_run(df, "k", ["i"], "hot",
+                           num_parts=nparts).collect()}
+        assert got == exp, f"num_parts={nparts}"
