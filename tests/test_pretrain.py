@@ -246,3 +246,49 @@ def test_longest_run_matches_naive_and_partition_invariant(spark):
                longest_run(df, "k", ["i"], "hot",
                            num_parts=nparts).collect()}
         assert got == exp, f"num_parts={nparts}"
+
+
+def test_run_monoid_associative_and_split_invariant():
+    """The run-length chunk summary merge is associative and
+    split-invariant: any way of cutting a 0/1 sequence into chunks and
+    folding _merge over per-chunk summaries yields the naive answer.
+    Property-based — this is the algebra the distributed combine
+    relies on."""
+    from hypothesis import given, strategies as st
+
+    from connectors_spark.operators.segmented import _merge
+
+    def summary(seq):
+        best = run = prefix = 0
+        n = len(seq)
+        counting_prefix = True
+        for f in seq:
+            run = run + 1 if f else 0
+            best = max(best, run)
+            if counting_prefix:
+                if f:
+                    prefix += 1
+                else:
+                    counting_prefix = False
+        suffix = 0
+        for f in reversed(seq):
+            if f:
+                suffix += 1
+            else:
+                break
+        return (prefix, suffix, best, n)
+
+    @given(st.lists(st.integers(0, 1), max_size=60),
+           st.lists(st.integers(0, 59), max_size=5))
+    def check(seq, cutpoints):
+        cuts = sorted({c for c in cutpoints if c <= len(seq)})
+        bounds = [0] + cuts + [len(seq)]
+        acc = (0, 0, 0, 0)
+        for a, b in zip(bounds, bounds[1:]):
+            if b > a:
+                acc = _merge(acc, summary(seq[a:b]))
+        assert acc[2] == summary(seq)[2], (seq, cuts)
+        if seq:
+            assert acc == summary(seq)
+
+    check()
