@@ -8456,3 +8456,71 @@ def q_downsample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_v"),
         )
     )
+
+
+_MAXSIM_DOC_VECS = 20   # vectors per pseudo-doc (vec_id DIV 20)
+_MAXSIM_QUERY_IDS = (0, 1)
+
+
+@register(
+    "maxsim_late_interaction",
+    f"""
+WITH q AS (SELECT vec_id AS qvec_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN {_MAXSIM_QUERY_IDS}),
+{_DIMS_SQL},
+dots AS (
+  SELECT d.vec_id, q.qvec_id,
+         sum(CAST(d.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+           AS dot
+  FROM embeddings d CROSS JOIN q CROSS JOIN dims
+  GROUP BY 1, 2
+),
+mx AS (
+  SELECT CAST(vec_id // {_MAXSIM_DOC_VECS} AS BIGINT) AS doc_id,
+         qvec_id, max(round(dot, 6)) AS m
+  FROM dots GROUP BY 1, 2
+),
+sc AS (SELECT doc_id, round(sum(m), 6) AS maxsim FROM mx GROUP BY doc_id),
+rk AS (
+  SELECT doc_id, maxsim,
+         row_number() OVER (ORDER BY maxsim DESC, doc_id) AS rank
+  FROM sc ORDER BY maxsim DESC, doc_id LIMIT 10
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, maxsim FROM rk
+""",
+)
+def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT / ES rank_vectors maxSim
+    shape): documents hold MANY vectors (here: runs of
+    {_MAXSIM_DOC_VECS} consecutive embedding rows form a pseudo-doc),
+    a query holds several vectors, and score(doc) = sum over query
+    vectors of the MAX dot product against any doc vector. Brute-force
+    baseline shape: the bounded query-vector set broadcasts, the doc
+    side streams through one (doc, qvec) max + one doc sum — two
+    map-side-combinable aggregations, no corpus self-join (the
+    IVF-pruned variant composes with similarity.py's bucketing exactly
+    as for single-vector ANN). Dots are rounded (6 dp) BEFORE the max
+    so engine summation order cannot flip the hash."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id").isin(*_MAXSIM_QUERY_IDS))
+        .select(F.col("vec_id").alias("qvec_id"),
+                F.col("embedding").cast("array<double>").alias("qe"))
+    )
+    d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("de"))
+    dot = F.aggregate(
+        F.zip_with("de", "qe", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    mx = (
+        d.join(F.broadcast(q))
+        .select(
+            F.expr(f"vec_id DIV {_MAXSIM_DOC_VECS}").cast("bigint")
+            .alias("doc_id"),
+            "qvec_id", F.round(dot, 6).alias("dot"))
+        .groupBy("doc_id", "qvec_id").agg(F.max("dot").alias("m"))
+    )
+    sc = mx.groupBy("doc_id").agg(F.round(F.sum("m"), 6).alias("maxsim"))
+    return _ranked_topk(
+        sc, [F.col("maxsim").desc(), F.col("doc_id").asc()], 10
+    ).select(F.col("rank").cast("int"), "doc_id", "maxsim")
