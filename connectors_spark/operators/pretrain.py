@@ -358,6 +358,32 @@ def learn_bpe_merges(df: DataFrame, n_merges: int = 10,
     return merges, syms
 
 
+def bpe_encode_word(word: str, ranks: dict) -> list:
+    """Encode one word with learned merges in rank order (pure
+    function — the algorithm the pandas_udf vectorizes; property-
+    tested directly)."""
+    seq = list(word) + [_EOW]
+    while len(seq) >= 2:
+        cand = [(ranks[(seq[i], seq[i + 1])], i)
+                for i in range(len(seq) - 1)
+                if (seq[i], seq[i + 1]) in ranks]
+        if not cand:
+            break
+        r, i = min(cand)
+        # merge EVERY occurrence of that pair, left to right
+        a, b = seq[i], seq[i + 1]
+        out, j, n = [], 0, len(seq)
+        while j < n:
+            if j + 1 < n and seq[j] == a and seq[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(seq[j])
+                j += 1
+        seq = out
+    return seq
+
+
 def bpe_encode_udf(merges: list):
     """pandas_udf: encode a word (string) into its BPE symbols by
     applying the learned merges in rank order — the inference twin of
@@ -366,31 +392,9 @@ def bpe_encode_udf(merges: list):
 
     ranks = {tuple(m): i for i, m in enumerate(merges)}
 
-    def enc(word: str) -> list[str]:
-        seq = list(word) + [_EOW]
-        while len(seq) >= 2:
-            cand = [(ranks[(seq[i], seq[i + 1])], i)
-                    for i in range(len(seq) - 1)
-                    if (seq[i], seq[i + 1]) in ranks]
-            if not cand:
-                break
-            r, i = min(cand)
-            # merge EVERY occurrence of that pair, left to right
-            a, b = seq[i], seq[i + 1]
-            out, j, n = [], 0, len(seq)
-            while j < n:
-                if j + 1 < n and seq[j] == a and seq[j + 1] == b:
-                    out.append(a + b)
-                    j += 2
-                else:
-                    out.append(seq[j])
-                    j += 1
-            seq = out
-        return seq
-
     @pandas_udf("array<string>")
     def encode(col: pd.Series) -> pd.Series:
-        return col.map(enc)
+        return col.map(lambda w: bpe_encode_word(w, ranks))
 
     return encode
 

@@ -292,3 +292,40 @@ def test_run_monoid_associative_and_split_invariant():
             assert acc == summary(seq)
 
     check()
+
+
+def test_bpe_encode_word_invariants():
+    """Pure-function BPE encode invariants, property-based: (1) the
+    concatenated symbols always reconstruct word+</w> (lossless), (2)
+    with no merges the output is chars+</w>, (3) every emitted symbol
+    is either a single char, </w>, or the concatenation of a learned
+    merge (closure under the merge table)."""
+    from hypothesis import given, strategies as st
+
+    from connectors_spark.operators.pretrain import (
+        _EOW, bpe_encode_word)
+
+    words = st.text(alphabet="abcd", min_size=1, max_size=12)
+
+    @given(words, st.lists(
+        st.tuples(st.text("abcd", min_size=1, max_size=3),
+                  st.text("abcd", min_size=1, max_size=3)),
+        max_size=8))
+    def check(w, merge_list):
+        ranks = {m: i for i, m in enumerate(dict.fromkeys(merge_list))}
+        out = bpe_encode_word(w, ranks)
+        assert "".join(out) == w + _EOW
+        assert bpe_encode_word(w, {}) == list(w) + [_EOW]
+        vocab_closure = set("abcd") | {_EOW}
+        grown = True
+        while grown:
+            grown = False
+            for (a, b) in ranks:
+                if a in vocab_closure and b in vocab_closure \
+                        and a + b not in vocab_closure:
+                    vocab_closure.add(a + b)
+                    grown = True
+        for sym in out:
+            assert sym in vocab_closure, (w, sym, ranks)
+
+    check()
