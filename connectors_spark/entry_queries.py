@@ -776,6 +776,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_cosine_topk", _cosine_sql(ANN_QUERY_MOD, ANN_K))
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (operators/similarity.py:
+    brute_force_cosine_topk): broadcast query vectors, JVM zip_with/
+    aggregate dot products over one corpus scan — the exact-recall
+    reference the IVF path is measured against."""
     emb = _read(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return brute_force_cosine_topk(emb, qs, k=ANN_K)
@@ -847,6 +851,11 @@ FROM ranked WHERE rank <= {ANN_K}
 
 @register("ann_ivf_topk", _ivf_sql())
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.py:ivf_cosine_topk): assign
+    vectors to their nearest centroid, probe only the nprobe closest
+    cells per query — the oracle uses the deterministic centroid_mod
+    seeding so DuckDB reproduces the identical partition; the scale
+    default is fixed-size `n_centroids` (O(1) broadcast, r4 fix)."""
     emb = _read(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % IVF_QUERY_MOD == 0)
     return ivf_cosine_topk(
