@@ -268,6 +268,9 @@ def q_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count(*) AS n_matched FROM m GROUP BY rule_id",
 )
 def q_rule_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule match counts (F-rules A3, operators/rules.py:
+    rule_match_stats): how many documents each sync rule claimed, in
+    first-match-wins order."""
     events = _read(spark, sf_dir, "events")
     return rule_match_stats(events, GATE_RULES)
 
@@ -333,6 +336,9 @@ def q_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM ops LEFT JOIN sz USING (doc_id)",
 )
 def q_ingestion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sync ingestion counters (A1/A2, operators/sync.py:
+    ingestion_stats): docs created/updated/skipped/deleted + volume,
+    one map-side-combined rollup."""
     extracted, manifest = _sync_frames(spark, sf_dir)
     ops = classify_sync_ops(extracted, manifest)
     events = _read(spark, sf_dir, "events")
@@ -462,6 +468,9 @@ sh AS (
     "FROM norm GROUP BY text_md5 HAVING count(*) >= 2",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups (operators/dedup.py:exact_dup_groups):
+    md5 of normalized text, groups with >= 2 members — the first-pass
+    collapse every dedup pipeline runs before any near-dup work."""
     return exact_dup_groups(_read(spark, sf_dir, "documents"))
 
 
@@ -530,6 +539,10 @@ JOIN sizes nb ON nb.doc_id = p.doc_b
 
 @register("dedup_minhash_lsh", _minhash_oracle_sql())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs (operators/dedup.py:
+    minhash_near_dups): 16 md5 min-hashes over shingles, 4x4 banded
+    buckets (star-capped), exact n-gram Jaccard verification — never
+    an all-pairs join."""
     return minhash_near_dups(_read(spark, sf_dir, "documents"))
 
 
@@ -553,6 +566,8 @@ FROM per_bit GROUP BY doc_id
 
 @register("simhash", _SIMHASH_SQL)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit tf-weighted SimHash (operators/dedup.py:simhash_bits):
+    JVM bit expressions; hamming-near signatures flag near-dups."""
     return simhash_bits(_read(spark, sf_dir, "documents"))
 
 
@@ -592,6 +607,8 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE r = 1) b USING (doc_id)
 
 @register("lang_id", _lang_id_sql())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (functions/text.py:lang_id): stopword-
+    profile n-gram scoring, JVM expressions only."""
     return lang_id(_read(spark, sf_dir, "documents"))
 
 
@@ -623,6 +640,9 @@ FROM calc
 
 @register("quality_score", _quality_sql())
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features (functions/text.py:quality_features):
+    length / punctuation / stopword-ratio signals the pretrain filter
+    thresholds."""
     return quality_features(_read(spark, sf_dir, "documents"))
 
 
@@ -635,6 +655,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM documents",
 )
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (functions/text.py:token_counts): whitespace and
+    BPE-ish regex token counts per document — the budget column for
+    packing/sharding."""
     return token_counts(_read(spark, sf_dir, "documents"))
 
 
@@ -646,6 +669,9 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ELSE md5(lower(text)) END AS fp FROM documents",
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (functions/text.py:fingerprint): minimum
+    md5 over rolling 8-grams — the cheap containment/near-dup probe
+    key."""
     return fingerprint(_read(spark, sf_dir, "documents"))
 
 
