@@ -339,3 +339,32 @@ def test_denormalized_dl_scores_identical(spark):
     b = sorted((r.rank, r.doc_id, round(r.score, 9))
                for r in score_topk_dataframe(denorm, qdf).collect())
     assert a == b and a
+
+
+def test_hostile_query_normalization(spark, transcripts):
+    """Search-box inputs must score identically to their normalized
+    form: uppercase, punctuation, extra whitespace and leading/
+    trailing junk all pass through the SAME analyzer chain as the
+    index side, so top-k ranks AND scores are bit-identical."""
+    from connectors_spark.operators.build import build_index_transcripts
+
+    idx = build_index_transcripts(transcripts, with_positions=False)
+    clean = [{"query_id": "q", "query_text": "t00001 t00002", "k": 10}]
+    hostile = [
+        "T00001 T00002",
+        "  t00001\t t00002  ",
+        "t00001, t00002!!",
+        '"t00001" (t00002)',
+        "T00001...t00002",
+    ]
+    base = [(r.rank, r.doc_id, round(r.score, 9)) for r in
+            score_topk_dataframe(
+                idx, queries_df(spark, clean)).collect()]
+    assert base, "clean query must match documents"
+    for h in hostile:
+        got = [(r.rank, r.doc_id, round(r.score, 9)) for r in
+               score_topk_dataframe(
+                   idx, queries_df(
+                       spark, [{"query_id": "q", "query_text": h,
+                                "k": 10}])).collect()]
+        assert got == base, h
