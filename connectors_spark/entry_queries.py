@@ -8559,3 +8559,424 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(
         sc, [F.col("maxsim").desc(), F.col("doc_id").asc()], 10
     ).select(F.col("rank").cast("int"), "doc_id", "maxsim")
+
+
+# =================================================================
+# ES ingest pipeline processor chain (K4 made concrete: the public
+# ES ingest processors the reference's `pipeline` bulk param invokes)
+# =================================================================
+
+_INGEST_DISSECT = "%{kvpart}|%{tags_raw}|%{csvpart}"
+_INGEST_KV_KEYS = ("type", "user", "v")
+_INGEST_PIPELINE = [
+    {"dissect": {"field": "line", "pattern": _INGEST_DISSECT}},
+    {"kv": {"field": "kvpart", "field_split": " ", "value_split": "=",
+            "target_keys": list(_INGEST_KV_KEYS)}},
+    {"convert": {"field": "user", "type": "long"}},
+    {"convert": {"field": "v", "type": "double"}},
+    {"uppercase": {"field": "type"}},
+    {"gsub": {"field": "type", "pattern": "U", "replacement": "OU"}},
+    {"split": {"field": "tags_raw", "separator": ",",
+               "target_field": "tags_arr"}},
+    {"join": {"field": "tags_arr", "separator": ";",
+              "target_field": "tags"}},
+    {"csv": {"field": "csvpart", "separator": ",",
+             "target_fields": ["c_val", "c_cat"]}},
+    {"set": {"field": "pipeline_id", "value": "v1"}},
+    {"remove": {"field": "line"}},
+    {"remove": {"field": "kvpart"}},
+    {"remove": {"field": "tags_raw"}},
+    {"remove": {"field": "tags_arr"}},
+    {"remove": {"field": "csvpart"}},
+]
+
+
+def _ingest_sql() -> str:
+    from connectors_spark.operators.ingest import dissect_to_regex
+
+    regex, fields = dissect_to_regex(_INGEST_DISSECT)
+    rex = regex.replace("'", "''")
+    dis = {f: f"regexp_extract(line, '{rex}', {i})"
+           for i, f in enumerate(fields, start=1)}
+    kv = {k: f"regexp_extract({dis['kvpart']}, '(?:^| ){k}=([^ ]*)', 1)"
+          for k in _INGEST_KV_KEYS}
+    return f"""
+WITH lines AS (
+  SELECT event_id,
+         'type=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+           || ' v=' || printf('%.2f', value)
+           || '|' || 'tag' || CAST(event_id % 3 AS VARCHAR)
+           || ',' || 'tag' || CAST(event_id % 5 AS VARCHAR)
+           || '|' || printf('%.2f', value) || ',' || event_type AS line
+  FROM events
+)
+SELECT event_id,
+       regexp_replace(upper({kv['type']}), 'U', 'OU', 'g') AS type,
+       CAST({kv['user']} AS BIGINT) AS user,
+       CAST({kv['v']} AS DOUBLE) AS v,
+       array_to_string(string_split({dis['tags_raw']}, ','), ';') AS tags,
+       split_part({dis['csvpart']}, ',', 1) AS c_val,
+       split_part({dis['csvpart']}, ',', 2) AS c_cat,
+       'v1' AS pipeline_id
+FROM lines
+"""
+
+
+@register("ingest_pipeline_chain", _ingest_sql())
+def q_ingest_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ingest pipeline (operators/ingest.py:apply_pipeline): the
+    pure-function processor subset — dissect / kv / csv / convert /
+    uppercase / gsub / split / join / set / remove — compiled from the
+    ES-style JSON processor list into ONE Catalyst projection (zero
+    UDFs, zero shuffles; the whole chain rides the scan stage under
+    whole-stage codegen, so at 100 TB it adds no stage boundary). The
+    reference hands this exact mutation step to Elasticsearch's ingest
+    pipeline at bulk time (`pipeline` param, svc/es/sink.py); here the
+    processors run inside the engine. The oracle twin's dissect regex
+    is generated by the SAME compiler (dissect_to_regex) so the
+    pattern cannot drift between engines."""
+    from connectors_spark.operators.ingest import apply_pipeline
+
+    events = _read(spark, sf_dir, "events")
+    lines = events.select(
+        "event_id",
+        F.concat(
+            F.lit("type="), F.col("event_type"),
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" v="), F.format_string("%.2f", F.col("value")),
+            F.lit("|"),
+            F.lit("tag"), (F.col("event_id") % 3).cast("string"),
+            F.lit(","),
+            F.lit("tag"), (F.col("event_id") % 5).cast("string"),
+            F.lit("|"), F.format_string("%.2f", F.col("value")),
+            F.lit(","), F.col("event_type"),
+        ).alias("line"),
+    )
+    return apply_pipeline(lines, _INGEST_PIPELINE)
+
+
+# =================================================================
+# ES index aliases: filtered members + cross-index search merge
+# =================================================================
+
+_ALIAS_FILTER_SQL = "lang = 'en'"
+
+
+def _alias_member_cte(p: str, parity: int, w_tpl=bm25_sql) -> str:
+    pred = f"doc_id % 2 = {parity}"
+    w = w_tpl(n_expr=f"{p}stats.n", df_expr=f"{p}dfreq.df",
+              tf_expr=f"{p}tf.tf", dl_expr=f"{p}dl.dl",
+              avgdl_expr=f"{p}stats.avgdl")
+    return f"""
+{p}toks AS (SELECT doc_id, unnest({tokenize_sql_duckdb('text')}) AS term
+            FROM documents WHERE {pred}),
+{p}tf AS (SELECT doc_id, term, count(*) AS tf
+          FROM {p}toks GROUP BY doc_id, term),
+{p}dl AS (SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+          FROM (SELECT doc_id FROM documents WHERE {pred}) d
+          LEFT JOIN (SELECT doc_id, count(*) AS dl
+                     FROM {p}toks GROUP BY doc_id) t USING (doc_id)),
+{p}stats AS (SELECT count(*) * 1.0 AS n,
+                    (SELECT sum(dl) FROM {p}dl) * 1.0 / count(*) AS avgdl
+             FROM documents WHERE {pred}),
+{p}dfreq AS (SELECT term, count(*) AS df FROM {p}tf GROUP BY term),
+{p}scored AS (
+  SELECT qt.query_id, {p}tf.doc_id,
+         round(sum({w}), {ROUND_SCORE}) AS score
+  FROM qt JOIN {p}tf USING (term) JOIN {p}dfreq USING (term)
+  JOIN {p}dl ON {p}dl.doc_id = {p}tf.doc_id CROSS JOIN {p}stats
+  GROUP BY qt.query_id, {p}tf.doc_id)"""
+
+
+def _alias_sql() -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    return f"""
+WITH qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+{_alias_member_cte('m0', 0)},
+{_alias_member_cte('m1', 1)},
+m0hits AS (
+  SELECT s.query_id, s.doc_id, s.score FROM m0scored s
+  JOIN documents d USING (doc_id) WHERE d.{_ALIAS_FILTER_SQL}),
+allhits AS (
+  SELECT query_id, doc_id, score, 'docs-even' AS member FROM m0hits
+  UNION ALL
+  SELECT query_id, doc_id, score, 'docs-odd' AS member FROM m1scored),
+ranked AS (
+  SELECT query_id, doc_id, member, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM allhits)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, member, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("alias_search", _alias_sql())
+def q_alias_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filtered index aliases (operators/aliases.py): the documents
+    corpus is modeled as TWO backing indices (doc_id parity split, each
+    with its own corpus statistics — ES default query_then_fetch scores
+    per index), published behind one alias whose even member carries a
+    `lang = 'en'` alias filter. Faithful ES semantics: the alias filter
+    restricts the candidate set at query time but does NOT change
+    idf/avgdl (filter context never touches scoring stats); the
+    per-member top lists merge under one query-partitioned rank window
+    (alias_topk — G·k rows per query at any scale). The registry
+    applies the `_aliases` add/remove action list atomically
+    (all-or-nothing swap, same contract as the serving store's CURRENT
+    pointer)."""
+    from connectors_spark.operators.aliases import AliasRegistry, alias_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    reg = AliasRegistry()
+    reg.update_aliases([
+        {"add": {"alias": "docs-all", "index": "docs-even",
+                 "filter": _ALIAS_FILTER_SQL, "is_write_index": True}},
+        {"add": {"alias": "docs-all", "index": "docs-odd"}},
+    ])
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": 1_000_000}
+        for qid, text in GATE_BM25_QUERIES
+    ])
+    scored_members = []
+    for parity, m in enumerate(reg.members("docs-all")):
+        sub = docs.filter(F.col("doc_id") % 2 == parity)
+        idx = build_index(sub)
+        scored = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+        scored = scored.select("query_id", "doc_id", "score")
+        if m.filter_sql is not None:
+            scored = (
+                scored.join(docs.select("doc_id", "lang"), "doc_id")
+                .filter(F.expr(m.filter_sql))
+                .select("query_id", "doc_id", "score")
+            )
+        scored_members.append((m.index, scored))
+    return alias_topk(scored_members, GATE_BM25_K,
+                      round_scores=ROUND_SCORE)
+
+
+# =================================================================
+# LLM-pipeline tail: SFT rendering, split assignment, curriculum,
+# hard-negative mining, domain blocklist
+# =================================================================
+
+_ROLE_CASE_SQL = ("CASE event_type WHEN 'click' THEN 'user' "
+                  "WHEN 'view' THEN 'assistant' WHEN 'signup' THEN 'system' "
+                  "WHEN 'error' THEN 'tool' ELSE 'assistant' END")
+
+
+@register(
+    "chat_template_render",
+    f"""
+WITH t AS (
+  SELECT user_id AS conv_id, event_id,
+         {_ROLE_CASE_SQL} AS role,
+         event_type || ' k=' || json_extract_string(props, '$.k') AS text
+  FROM events)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg('<|im_start|>' || role || chr(10) || text
+                  || '<|im_end|>' || chr(10), '' ORDER BY event_id)
+         AS rendered
+FROM t GROUP BY conv_id
+""",
+)
+def q_chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template serialization (operators/pretrain.py:
+    render_chat_template): event streams mapped to the north-rule
+    transcript shape (conv_id, turn order, role, text) and rendered to
+    ONE ChatML training string per conversation. One conversation-keyed
+    aggregation: collect_list partials merge map-side, array_sort
+    orders turns INSIDE the array (no window, no second shuffle), a JVM
+    transform renders each turn. Conversations are bounded, so no group
+    blows executor memory at 100 TB."""
+    from connectors_spark.operators.pretrain import render_chat_template
+
+    ev = _read(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_type") == "click", "user")
+        .when(F.col("event_type") == "view", "assistant")
+        .when(F.col("event_type") == "signup", "system")
+        .when(F.col("event_type") == "error", "tool")
+        .otherwise("assistant")
+    )
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        role.alias("role"),
+        F.concat(F.col("event_type"), F.lit(" k="),
+                 F.get_json_object("props", "$.k")).alias("text"),
+    )
+    return render_chat_template(turns)
+
+
+_SPLIT_SALT = "split-v1"
+
+
+@register(
+    "split_assign",
+    f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(({_hex2int_sql(
+             f"md5('{_SPLIT_SALT}|' || CAST(doc_id AS VARCHAR))", 8)})
+              % 100 AS INT) AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 5 THEN 'test'
+            WHEN bucket < 10 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+""",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/pretrain.py:
+    assign_split): bucket = md5(salt|doc_id) mod 100, test < 5 <= val
+    < 10 <= train. Pure shuffle-free projection; a doc's split never
+    changes as the corpus grows (keyed on semantic id, not position) —
+    the property that keeps eval sets uncontaminated across dataset
+    versions. The md5->int construction is the engine-portable one the
+    sketch gates use, so both engines bucket identically."""
+    from connectors_spark.operators.pretrain import assign_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id", salt=_SPLIT_SALT).select(
+        "doc_id", "bucket", "split")
+
+
+@register(
+    "curriculum_stages",
+    f"""
+WITH cuts AS (
+  SELECT round(quantile_cont(n_chars, 0.25), 6) AS c0,
+         round(quantile_cont(n_chars, 0.5), 6) AS c1,
+         round(quantile_cont(n_chars, 0.75), 6) AS c2
+  FROM documents)
+SELECT doc_id,
+       CAST(1 + CAST(n_chars > c0 AS INT) + CAST(n_chars > c1 AS INT)
+              + CAST(n_chars > c2 AS INT) AS INT) AS stage
+FROM documents CROSS JOIN cuts
+""",
+)
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging (operators/pretrain.py:curriculum_stages):
+    docs binned into 4 training stages by exact length quantiles.
+    Deliberately NOT a global ntile window (one task at scale): the
+    cut points are one tiny partial-aggregable percentile agg,
+    broadcast back; assignment is a pure map. Cuts round to 6 dp on
+    both engines before comparison so interpolation order cannot flip
+    a boundary doc."""
+    from connectors_spark.operators.pretrain import curriculum_stages
+
+    docs = _read(spark, sf_dir, "documents")
+    return curriculum_stages(docs, "n_chars").select("doc_id", "stage")
+
+
+def _hard_neg_sql() -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+qn AS (SELECT query_id, count(DISTINCT term) AS nt FROM qt
+       GROUP BY query_id),
+scored AS (
+  SELECT qt.query_id, tf.doc_id, round(sum({w}), {ROUND_SCORE}) AS score
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id),
+matched AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT qt.term) AS m
+  FROM qt JOIN tf USING (term) GROUP BY qt.query_id, tf.doc_id),
+pos AS (
+  SELECT m.query_id, m.doc_id FROM matched m
+  JOIN qn USING (query_id) WHERE m.m = qn.nt),
+negs AS (
+  SELECT s.query_id, s.doc_id, s.score FROM scored s
+  LEFT JOIN pos p ON s.query_id = p.query_id AND s.doc_id = p.doc_id
+  WHERE p.doc_id IS NULL),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM negs)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("hard_negative_mining", _hard_neg_sql())
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining for retrieval training data
+    (operators/pretrain.py:mine_hard_negatives): per query, the top-k
+    BM25 candidates that are NOT exact positives (docs matching every
+    query term). Candidates and positives come from the SAME one-plan
+    query-set scorer (or-mode / and-mode share the aggregation shape),
+    positives drop via a LEFT ANTI join, and the final rank window is
+    partitioned by query — bounded per-query work at any corpus
+    size."""
+    from connectors_spark.operators.pretrain import mine_hard_negatives
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": 1_000_000}
+        for qid, text in GATE_BM25_QUERIES
+    ])
+    return mine_hard_negatives(idx, qdf, GATE_BM25_K,
+                               round_scores=ROUND_SCORE)
+
+
+_BLOCKED_DOMAINS = ("spam.test", "ads.example")
+
+
+@register(
+    "domain_blocklist_filter",
+    f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://www.' || source || '.'
+           || CASE WHEN doc_id % 5 = 0 THEN 'spam.test'
+                   ELSE 'example.org' END
+           || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         regexp_extract(regexp_extract(url, 'https?://([^/]+)', 1),
+                        '([^.]+\\.[^.]+)$', 1) AS domain
+  FROM u)
+SELECT doc_id, domain FROM d
+WHERE domain NOT IN {tuple(_BLOCKED_DOMAINS)!r}
+""",
+)
+def q_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain blocklist gate (operators/pretrain.py:
+    filter_blocked_domains): synthesize a deterministic URL per doc
+    (identically on both engines), extract host then registered domain
+    (last-two-labels public-suffix approximation), LEFT ANTI broadcast
+    join against the blocklist — corpus side streams, no shuffle. The
+    standard UT1-style pretraining filter."""
+    from connectors_spark.operators.pretrain import filter_blocked_domains
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit("."),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("spam.test"))
+        .otherwise(F.lit("example.org")),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    blocklist = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], ["domain"])
+    return filter_blocked_domains(
+        docs.select("doc_id", url.alias("url")), "url", blocklist
+    ).select("doc_id", "domain")

@@ -473,3 +473,137 @@ def pack_shards_scalable(df: DataFrame, budget: int,
     return offs.select(
         F.col(id_col), F.col(stratum_col),
         F.floor(F.col("start") / int(budget)).alias("shard"))
+
+
+# ---------------------------------------------------------------------
+# SFT rendering + dataset-split assignment + curriculum staging
+# ---------------------------------------------------------------------
+
+def render_chat_template(turns: DataFrame,
+                         conv_col: str = "conv_id",
+                         order_col: str = "turn_idx",
+                         role_col: str = "role",
+                         text_col: str = "text",
+                         start_tag: str = "<|im_start|>",
+                         end_tag: str = "<|im_end|>") -> DataFrame:
+    """Render multi-turn transcripts into one training string per
+    conversation (ChatML-shaped: `<|im_start|>role\\ntext<|im_end|>\\n`
+    per turn, concatenated in turn order) — the serialization step
+    between a cleaned transcript corpus and SFT tokenization.
+
+    Scale shape: ONE conversation-keyed aggregation. Turn structs are
+    collected per conversation (collect_list partials merge map-side),
+    sorted in-array by the order column (array_sort on struct sorts by
+    the first field — no window, no second shuffle), then rendered with
+    a JVM transform + array_join. Cost at 100 TB: one shuffle on the
+    conversation key; conversations are bounded (MAX_CONV_LEN-ish), so
+    no group blows memory."""
+    turn = F.struct(
+        F.col(order_col).alias("i"),
+        F.col(role_col).alias("r"),
+        F.col(text_col).alias("t"),
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(turn)),
+            lambda s: F.concat(
+                F.lit(start_tag), s["r"], F.lit("\n"),
+                s["t"], F.lit(end_tag), F.lit("\n")),
+        ),
+        "",
+    )
+    return turns.groupBy(F.col(conv_col)).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        rendered.alias("rendered"),
+    )
+
+
+def assign_split(df: DataFrame, key_col: str, salt: str = "split-v1",
+                 val_pct: int = 5, test_pct: int = 5) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed key: bucket =
+    md5(salt|key) mod 100; test gets the first `test_pct` buckets, val
+    the next `val_pct`, train the rest. Pure projection (md5 + conv are
+    JVM codegen'd): shuffle-free, reproducible across runs/engines, and
+    stable under corpus growth — a doc's split never changes when other
+    docs are added, the property that keeps eval sets uncontaminated
+    across dataset versions. Keyed on a SEMANTIC id (doc id / url /
+    conversation id), never on position."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt),
+                                      F.col(key_col).cast("string"))), 1, 8),
+        16, 10).cast("long") % 100
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("bucket", bucket.cast("int")) \
+             .withColumn("split", split)
+
+
+def curriculum_stages(df: DataFrame, score_col: str,
+                      quantiles: tuple = (0.25, 0.5, 0.75),
+                      round_cuts: int = 6) -> DataFrame:
+    """Curriculum staging: assign each doc a training stage (1..n+1) by
+    which exact score quantile it exceeds (stage 1 = easiest quartile).
+    NOT a global ntile window (single-task at scale): the cut points
+    are ONE tiny exact-percentile aggregate (partial-aggregable,
+    O(1) rows to the driver), broadcast back, and the assignment is a
+    pure map — shuffle-free on the data path. Cuts are rounded before
+    comparison so engine float interpolation cannot flip a boundary
+    doc."""
+    qs = list(quantiles)
+    cuts = df.agg(F.percentile(F.col(score_col), F.lit(qs)).alias("c"))
+    cuts = cuts.select(*[
+        F.round(F.element_at("c", i + 1), round_cuts).alias(f"c{i}")
+        for i in range(len(qs))
+    ])
+    out = df.join(F.broadcast(cuts))
+    stage = F.lit(1)
+    for i in range(len(qs)):
+        stage = stage + (F.col(score_col) > F.col(f"c{i}")).cast("int")
+    return out.withColumn("stage", stage).drop(
+        *[f"c{i}" for i in range(len(qs))])
+
+
+def filter_blocked_domains(df: DataFrame, url_col: str,
+                           blocklist: DataFrame) -> DataFrame:
+    """URL/domain blocklist filtering (the UT1/adult-list style gate every
+    web-scale pretraining pipeline runs): extract the host from the URL,
+    reduce it to the registered domain (last two labels — the public-
+    suffix approximation that needs no external list), and drop docs
+    whose registered domain appears in the blocklist. The blocklist is
+    broadcast (bounded — real lists are ~1M rows, far under broadcast
+    limits) and the join is LEFT ANTI, so the corpus side streams with
+    no shuffle."""
+    host = F.regexp_extract(F.col(url_col), r"https?://([^/]+)", 1)
+    out = df.withColumn(
+        "domain", F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+    return out.join(F.broadcast(blocklist), "domain", "left_anti")
+
+
+def mine_hard_negatives(index, qdf: DataFrame, k: int,
+                        round_scores: int | None = None) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training data: per
+    query, the top-k BM25 hits that are NOT exact positives (docs
+    matching EVERY query term — the conjunctive set). Both sides reuse
+    the engine's one-plan query-set scorer (or-mode for candidates,
+    and-mode for positives: same aggregation, no extra shuffle class),
+    the anti-join removes positives, and the final rank window is
+    PARTITIONED by query. This is the standard DPR-style mining loop
+    expressed as three DataFrame ops over the shared index."""
+    from connectors_spark.operators.query import score_topk_dataframe
+
+    scored = score_topk_dataframe(index, qdf, round_scores=round_scores)
+    pos = score_topk_dataframe(index, qdf, mode="and").select(
+        "query_id", "doc_id")
+    negs = scored.select("query_id", "doc_id", "score").join(
+        pos, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "doc_id", "score")
+    )
