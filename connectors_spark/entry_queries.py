@@ -8980,3 +8980,210 @@ def q_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_blocked_domains(
         docs.select("doc_id", url.alias("url")), "url", blocklist
     ).select("doc_id", "domain")
+
+
+# =================================================================
+# Aggregation tail: moving_percentiles, ip_prefix, bucket_correlation,
+# nested + reverse_nested aggs, geo_shape point-in-polygon
+# =================================================================
+
+@register(
+    "moving_percentiles",
+    """
+WITH buckets AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         round(sum(value), 6) AS daily
+  FROM events GROUP BY event_type, date_trunc('day', ts))
+SELECT event_type, day, daily,
+       round(quantile_cont(daily, 0.5) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS p50,
+       round(quantile_cont(daily, 0.9) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS p90
+FROM buckets
+""",
+)
+def q_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_percentiles pipeline aggregation: p50/p90 of the daily
+    metric over a trailing 7-bucket window, per event_type series. The
+    window is PARTITIONED by the series key and runs over the already-
+    aggregated bucket frame (days, not events) — bucket count is
+    bounded by the time range, so the window input stays tiny at any
+    event volume; the heavy lifting is the partial-aggregable daily
+    rollup. Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`), rounded before compare."""
+    ev = _read(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("daily"))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-6, 0))
+    return b.select(
+        "event_type", "day", "daily",
+        F.round(F.expr("percentile(daily, 0.5)").over(w), 6).alias("p50"),
+        F.round(F.expr("percentile(daily, 0.9)").over(w), 6).alias("p90"),
+    )
+
+
+@register(
+    "ip_prefix_agg",
+    """
+WITH ips AS (
+  SELECT user_id,
+         CAST(user_id % 200 AS VARCHAR) AS o2,
+         CAST((user_id // 3) % 256 AS VARCHAR) AS o3
+  FROM events)
+SELECT prefix, prefix_len, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (
+  SELECT user_id, '10.' || o2 || '.' || o3 || '.0/24' AS prefix,
+         24 AS prefix_len FROM ips
+  UNION ALL
+  SELECT user_id, '10.' || o2 || '.0.0/16' AS prefix,
+         16 AS prefix_len FROM ips)
+GROUP BY prefix, prefix_len
+""",
+)
+def q_ip_prefix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_prefix aggregation: events bucketed by /16 and /24 network
+    prefix of a deterministic per-user IPv4 (synthesized identically on
+    both engines — the events table carries no IP column). Prefix
+    truncation is pure string/int arithmetic in the projection; the agg
+    is one map-side-combinable groupBy per prefix length, unioned.
+    count(DISTINCT user_id) is exact here; at 100 TB swap in the HLL
+    sketch gate's estimator."""
+    ev = _read(spark, sf_dir, "events")
+    o2 = (F.col("user_id") % 200).cast("string")
+    o3 = ((F.col("user_id") / 3).cast("long") % 256).cast("string")
+    ips = ev.select(
+        "user_id",
+        F.concat(F.lit("10."), o2, F.lit("."), o3, F.lit(".0/24"))
+        .alias("p24"),
+        F.concat(F.lit("10."), o2, F.lit(".0.0/16")).alias("p16"),
+    )
+    u = (
+        ips.select("user_id", F.col("p24").alias("prefix"),
+                   F.lit(24).alias("prefix_len"))
+        .unionByName(
+            ips.select("user_id", F.col("p16").alias("prefix"),
+                       F.lit(16).alias("prefix_len")))
+    )
+    return u.groupBy("prefix", "prefix_len").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "bucket_correlation",
+    """
+WITH buckets AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) * 1.0 AS cnt
+  FROM events GROUP BY date_trunc('day', ts)),
+ind AS (
+  SELECT day, cnt,
+         CAST(datediff('day', DATE '2024-01-01', day) % 7 AS DOUBLE)
+           AS indicator
+  FROM buckets)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       round(corr(cnt, indicator), 6) AS correlation
+FROM ind
+""",
+)
+def q_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_correlation pipeline aggregation: Pearson correlation
+    between the date-histogram bucket counts and a caller-supplied
+    indicator series (here the day-of-week index, derived identically
+    on both engines). Two partial-aggregable passes — daily counts,
+    then one single-row corr — nothing driver-side."""
+    ev = _read(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg((F.count(F.lit(1)) * 1.0).alias("cnt"))
+    ind = b.withColumn(
+        "indicator",
+        (F.datediff("day", F.lit("2024-01-01").cast("date")) % 7)
+        .cast("double"))
+    return ind.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.corr("cnt", "indicator"), 6).alias("correlation"),
+    )
+
+
+@register(
+    "nested_reverse_agg",
+    """
+SELECT l.l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS n_nested,
+       round(avg(l.l_extendedprice), 6) AS avg_price,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_parents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY l.l_returnflag
+""",
+)
+def q_nested_reverse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `nested` aggregation + `reverse_nested`: step INTO the nested
+    items of filtered parent orders (status F), bucket the nested docs
+    by returnflag with a metric (avg price), and step BACK OUT with
+    reverse_nested to count distinct parent orders per bucket. The
+    nested scope distributes by exploding the parent's item array —
+    the natural Spark shape for aggregation over nested docs (the
+    nested QUERY gate stays explode-free; aggregation genuinely
+    iterates elements). One shuffle to the flag buckets."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_returnflag", "l_extendedprice")).alias("items"))
+    parents = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .join(nested, orders.o_orderkey == nested.l_orderkey)
+    )
+    ex = parents.select(
+        "o_orderkey", F.explode("items").alias("it"))
+    return ex.groupBy(F.col("it.l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n_nested"),
+        F.round(F.avg("it.l_extendedprice"), 6).alias("avg_price"),
+        F.countDistinct("o_orderkey").alias("n_parents"),
+    )
+
+
+_GEO_POLYGON = [(0.0, 0.0), (40.0, 10.0), (50.0, 50.0),
+                (10.0, 60.0), (-20.0, 30.0)]  # (lon, lat), no horiz edges
+
+
+def _geo_shape_sql() -> str:
+    from connectors_spark.functions.scalars import point_in_polygon_sql
+
+    pred = point_in_polygon_sql("lon", "lat", _GEO_POLYGON)
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon
+  FROM documents)
+SELECT doc_id, lat, lon FROM pts WHERE {pred}
+"""
+
+
+@register("geo_shape_contains", _geo_shape_sql())
+def q_geo_shape_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_shape query (point-vs-polygon intersects): crossing-number
+    ray cast compiled to one branch-per-edge expression from the
+    polygon constant (functions/scalars.py:point_in_polygon_sql). Edge
+    slopes are PRECOMPUTED in Python so the fragment holds identical
+    float literals on both engines — no division at runtime, bit-equal
+    verdicts, fully codegen'd and pushable into the scan. At 100 TB
+    compose with the geotile/geohash grid gates: pre-filter candidates
+    by covering tiles (partition-prunable), then run this exact test."""
+    from connectors_spark.functions.scalars import point_in_polygon_sql
+
+    docs = _read(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 7 % 120).cast("double") - 60.0).alias("lat"),
+        ((F.col("doc_id") * 13 % 360).cast("double") - 180.0).alias("lon"),
+    )
+    return pts.filter(F.expr(
+        point_in_polygon_sql("lon", "lat", _GEO_POLYGON)))

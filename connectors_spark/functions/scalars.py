@@ -167,3 +167,35 @@ def grok_extract(df, col: str, pattern: str):
         out = out.withColumn(
             f_name, F.regexp_extract(F.col(col), regex, i))
     return out
+
+
+# ---- geo_shape: point-in-polygon -------------------------------------
+# Reference: the ES geo_shape query (`relation: intersects/contains` for
+# point-vs-polygon). Crossing-number (ray-casting) test compiled to ONE
+# branch-per-edge SQL expression from the polygon constant: per edge,
+# the slope is PRECOMPUTED in Python, so the emitted fragment contains
+# only comparisons, one multiply and one add per edge — identical float
+# literals run under Spark SQL and DuckDB, so both engines agree
+# bit-for-bit and the expression is codegen'd/pushable on the Spark side.
+
+def point_in_polygon_sql(x_expr: str, y_expr: str,
+                         polygon: list[tuple[float, float]]) -> str:
+    """SQL boolean: is (x_expr, y_expr) strictly inside `polygon`
+    (list of (x, y) vertices, closed implicitly)? Crossing-number over
+    edges; horizontal edges (y1 == y2) are rejected at compile time
+    (slope undefined — split such an edge or nudge a vertex)."""
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        if y2 == y1:
+            raise ValueError(f"horizontal edge at vertex {i} "
+                             f"({x1},{y1})->({x2},{y2})")
+        slope = (x2 - x1) / (y2 - y1)
+        terms.append(
+            f"(CASE WHEN (({y1} > ({y_expr})) <> ({y2} > ({y_expr})))"
+            f" AND (({x_expr}) < {x1} + (({y_expr}) - {y1}) * {slope})"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
