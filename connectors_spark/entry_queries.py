@@ -9187,3 +9187,208 @@ def q_geo_shape_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pts.filter(F.expr(
         point_in_polygon_sql("lon", "lat", _GEO_POLYGON)))
+
+
+# =================================================================
+# Query-driven index maintenance + point-in-time search
+# (operators/delta.py delete_by_query/update_by_query; IndexReader
+# pit_gen — the ES _delete_by_query / _update_by_query / PIT surface)
+# =================================================================
+
+_MAINT_K = 10
+
+
+def _bm25_snapshot_block(docs_select: str, queries, k: int) -> str:
+    """One self-contained BM25 top-k SELECT over an arbitrary
+    (doc_id, text) corpus snapshot given as SQL. Self-contained WITH
+    chain => snapshot blocks can be UNION ALL'd (the pit gate)."""
+    qvals = []
+    for qid, text in queries:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM (
+  WITH snap AS ({docs_select}),
+  toks AS (
+    SELECT doc_id, unnest({tokenize_sql_duckdb('text')}) AS term FROM snap
+  ),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+  dl AS (
+    SELECT s.doc_id, coalesce(t.dl, 0) AS dl
+    FROM snap s LEFT JOIN (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ) t USING (doc_id)
+  ),
+  stats AS (
+    SELECT (SELECT count(*) FROM snap) * 1.0 AS n,
+           (SELECT sum(dl) FROM dl) * 1.0
+             / (SELECT count(*) FROM snap) AS avgdl
+  ),
+  dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+  qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+  contrib AS (
+    SELECT qt.query_id, tf.doc_id, {w} AS w
+    FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  ),
+  scored AS (
+    SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+    FROM contrib GROUP BY query_id, doc_id
+  )
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _maint_topk(spark: SparkSession, reader, queries, pit_label=None):
+    """reader.topk -> (query_id, rank, doc_id, score) re-ranked on
+    rounded scores (engine-neutral tie-break), materialized to pandas
+    before the temp index dir is deleted (output-sized, <= |q| * k)."""
+    res = reader.topk(
+        [{"query_id": qid, "query_text": text, "k": _MAINT_K}
+         for qid, text in queries],
+        kernel="wand",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", ROUND_SCORE)), F.asc("doc_id")
+    )
+    out = (
+        res.withColumn("score", F.round("score", ROUND_SCORE))
+        .withColumn("rank", F.row_number().over(w))
+        .select("query_id", "rank",
+                F.col("doc_id").cast("long").alias("doc_id"), "score")
+    )
+    pdf = out.toPandas()
+    if pit_label is not None:
+        pdf.insert(0, "pit", pit_label)
+    return pdf
+
+
+def _maint_index_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    from connectors_spark.operators.index import write_encoded_index
+
+    path = _tempfile.mkdtemp(prefix=prefix)
+    write_encoded_index(_docs_index(spark, sf_dir), path,
+                        n_buckets=16, shard_cap=200)
+    return path
+
+
+@register(
+    "delete_by_query",
+    _bm25_snapshot_block(
+        "SELECT doc_id, text FROM documents WHERE lang <> 'de'",
+        GATE_BM25_QUERIES, _MAINT_K,
+    ),
+)
+def q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_delete_by_query`: a filter query (lang='de') drives tombstone
+    deletes as a delete-only delta generation (no new postings, exact
+    live df/n_docs/avgdl correction — operators/delta.py:delete_by_query);
+    the surviving corpus then scores identically to plain SQL BM25 over
+    `WHERE lang <> 'de'`. Scale shape: the matched-id frame is an
+    engine-side anti-join input, tombstones broadcast once per reader,
+    bounded by the compaction policy (should_compact)."""
+    from connectors_spark.operators.delta import delete_by_query
+    from connectors_spark.operators.index import IndexReader
+
+    docs = _read(spark, sf_dir, "documents")
+    path = _maint_index_dir(spark, sf_dir, "gate_dbq_idx_")
+    try:
+        delete_by_query(spark, path,
+                        docs.filter(F.col("lang") == "de").select("doc_id"))
+        pdf = _maint_topk(spark, IndexReader(spark, path, cache=False),
+                          GATE_BM25_QUERIES)
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "query_id string, rank int, doc_id long, score double"
+    )
+
+
+_UBQ_QUERIES = GATE_BM25_QUERIES + [("u0", "pending update")]
+
+
+@register(
+    "update_by_query",
+    _bm25_snapshot_block(
+        "SELECT doc_id, CASE WHEN lang = 'zh' "
+        "THEN text || ' update pending' ELSE text END AS text "
+        "FROM documents",
+        _UBQ_QUERIES, _MAINT_K,
+    ),
+)
+def q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_update_by_query`: matched docs (lang='zh') are re-indexed
+    in place with transformed text (script analog: append ' update
+    pending') — old versions tombstoned, new text encoded as a fresh
+    delta generation (operators/delta.py:update_by_query). The 'u0'
+    query hits ONLY the injected tokens, proving the new postings are
+    searchable and the old ones dead; scores match SQL BM25 over the
+    transformed corpus exactly (live-stats correction)."""
+    from connectors_spark.operators.delta import update_by_query
+    from connectors_spark.operators.index import IndexReader
+
+    docs = _read(spark, sf_dir, "documents")
+    path = _maint_index_dir(spark, sf_dir, "gate_ubq_idx_")
+    try:
+        updated = (docs.filter(F.col("lang") == "zh")
+                   .select("doc_id",
+                           F.concat("text", F.lit(" update pending"))
+                           .alias("text")))
+        update_by_query(spark, path, updated)
+        pdf = _maint_topk(spark, IndexReader(spark, path, cache=False),
+                          _UBQ_QUERIES)
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "query_id string, rank int, doc_id long, score double"
+    )
+
+
+def _pit_sql() -> str:
+    snap = _bm25_snapshot_block(
+        "SELECT doc_id, text FROM documents",
+        GATE_BM25_QUERIES, _MAINT_K)
+    live = _bm25_snapshot_block(
+        "SELECT doc_id, text FROM documents WHERE lang <> 'de'",
+        GATE_BM25_QUERIES, _MAINT_K)
+    return (f"SELECT 'snapshot' AS pit, * FROM ({snap})"
+            f" UNION ALL SELECT 'live' AS pit, * FROM ({live})")
+
+
+@register("pit_search", _pit_sql())
+def q_pit_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES point-in-time (PIT) search: delta generations are append-only
+    and tombstones live in newer delta dirs, so `IndexReader(pit_gen=0)`
+    answers exactly as the index stood before a later _delete_by_query —
+    no snapshot copies, stats restored from per-delta live records
+    (operators/index.py:IndexReader pit_gen). The gate runs the same
+    query set at pit_gen=0 (pre-delete corpus) and at the live head
+    (post-delete) from ONE index directory and verifies both against
+    independent SQL BM25 over the corresponding corpus snapshots."""
+    from connectors_spark.operators.delta import delete_by_query
+    from connectors_spark.operators.index import IndexReader
+
+    docs = _read(spark, sf_dir, "documents")
+    path = _maint_index_dir(spark, sf_dir, "gate_pit_idx_")
+    try:
+        delete_by_query(spark, path,
+                        docs.filter(F.col("lang") == "de").select("doc_id"))
+        snap = _maint_topk(
+            spark, IndexReader(spark, path, cache=False, pit_gen=0),
+            GATE_BM25_QUERIES, pit_label="snapshot")
+        live = _maint_topk(
+            spark, IndexReader(spark, path, cache=False),
+            GATE_BM25_QUERIES, pit_label="live")
+    finally:
+        _shutil.rmtree(path, ignore_errors=True)
+    import pandas as _pd
+    return spark.createDataFrame(
+        _pd.concat([snap, live], ignore_index=True),
+        "pit string, query_id string, rank int, doc_id long, score double",
+    )

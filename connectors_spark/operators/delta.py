@@ -56,12 +56,23 @@ def _write_meta(path: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(path, "meta.json"))
 
 
-def _live_docmap(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+def _all_assigned_docmap(spark: SparkSession, path: str,
+                         meta: dict) -> DataFrame:
+    """Every docmap row ever written — tombstoned docs INCLUDED. This is
+    the frame to take max(doc_idx) over when assigning fresh indices;
+    the live view below must never be used for that (recycled-idx bug)."""
     dm = spark.read.parquet(f"{path}/docmap")
     for d in meta.get("deltas", []):
+        if d.get("delete_only"):
+            continue  # tombstones only — no docmap dir was written
         dm = dm.unionByName(
             spark.read.parquet(f"{path}/delta/{int(d['gen'])}/docmap")
         )
+    return dm
+
+
+def _live_docmap(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+    dm = _all_assigned_docmap(spark, path, meta)
     tombs = None
     for d in meta.get("deltas", []):
         t = spark.read.parquet(f"{path}/delta/{int(d['gen'])}/tombstones")
@@ -79,9 +90,6 @@ def incremental_update(spark: SparkSession, path: str,
     the live generation."""
     path = resolve_current(path)
     meta = read_meta(path)
-    gen = (max((int(d["gen"]) for d in meta.get("deltas", [])), default=0) + 1)
-    gdir = f"{path}/delta/{gen}"
-
     live = _live_docmap(spark, path, meta).persist()
     new_docs = with_doc_id(new_snapshot).persist()
 
@@ -94,37 +102,121 @@ def incremental_update(spark: SparkSession, path: str,
         return None
 
     dead_ids = ops.filter(F.col("op").isin("delete", "update")).select("doc_id")
+    changed_ids = ops.filter(F.col("op").isin("create", "update")).select("doc_id")
+    changed = new_docs.join(changed_ids, "doc_id", "left_semi")
+    rec = _apply_delta(spark, path, meta, live, dead_ids, changed,
+                       n_changed=int(n_changed))
+    ops.unpersist(); live.unpersist(); new_docs.unpersist()
+    return rec
+
+
+def delete_by_query(spark: SparkSession, path: str,
+                    match_ids: DataFrame) -> dict | None:
+    """ES `_delete_by_query` analog (reference deletes flow through the
+    bulk sink, app/connectors_service/connectors/es/sink.py:delete ops):
+    tombstone every live doc whose doc_id appears in `match_ids` — the
+    caller produces that frame by running any engine query/filter. Writes
+    a delete-only delta generation (tombstones + corrected per-term dead
+    counts, no new postings), so subsequent readers score survivors with
+    exact live df/n_docs/avgdl. Returns the delta record, or None when
+    nothing matched. `path` may be a store root (CURRENT pointer)."""
+    path = resolve_current(path)
+    meta = read_meta(path)
+    live = _live_docmap(spark, path, meta).persist()
+    dead_ids = (live.join(match_ids.select("doc_id").distinct(),
+                          "doc_id", "left_semi").select("doc_id"))
+    n_dead = dead_ids.count()
+    if n_dead == 0:
+        live.unpersist()
+        return None
+    rec = _apply_delta(spark, path, meta, live, dead_ids, changed=None,
+                       n_changed=int(n_dead))
+    live.unpersist()
+    return rec
+
+
+def update_by_query(spark: SparkSession, path: str,
+                    updated_docs: DataFrame) -> dict | None:
+    """ES `_update_by_query` analog: re-index matched docs in place.
+    `updated_docs` carries the NEW versions (doc_id + text [+ any docmap
+    columns]); only docs already live in the index are touched (ES
+    update_by_query rewrites matched existing docs — creates go through
+    the normal sync path). Old versions are tombstoned and the new text
+    is encoded as a fresh delta generation with exact live stats."""
+    path = resolve_current(path)
+    meta = read_meta(path)
+    live = _live_docmap(spark, path, meta).persist()
+    changed = updated_docs.join(
+        live.select("doc_id"), "doc_id", "left_semi"
+    ).persist()
+    n_changed = changed.count()
+    if n_changed == 0:
+        live.unpersist(); changed.unpersist()
+        return None
+    dead_ids = changed.select("doc_id")
+    rec = _apply_delta(spark, path, meta, live, dead_ids, changed,
+                       n_changed=int(n_changed))
+    live.unpersist(); changed.unpersist()
+    return rec
+
+
+def _apply_delta(spark: SparkSession, path: str, meta: dict,
+                 live: DataFrame, dead_ids: DataFrame,
+                 changed: DataFrame | None, *, n_changed: int) -> dict:
+    """Write one delta generation: tombstones for `dead_ids`, encoded
+    postings + docmap for `changed` (None/empty => a delete-only
+    generation, flagged `delete_only` so readers skip its postings/docmap
+    reads entirely), cumulative per-term dead counts, and the meta commit.
+    Shared core of incremental_update / delete_by_query / update_by_query."""
+    gen = (max((int(d["gen"]) for d in meta.get("deltas", [])), default=0) + 1)
+    gdir = f"{path}/delta/{gen}"
+
     tomb = live.join(dead_ids, "doc_id", "left_semi").select("doc_idx")
     tomb.write.mode("overwrite").parquet(f"{gdir}/tombstones")
     tomb = spark.read.parquet(f"{gdir}/tombstones")
     n_tombstones = tomb.count()
 
-    changed_ids = ops.filter(F.col("op").isin("create", "update")).select("doc_id")
-    changed = new_docs.join(changed_ids, "doc_id", "left_semi")
-
-    # delta generation must match the base index's positional setting,
-    # else phrase_topk breaks on any phrase term with delta postings
-    sub = build_index(changed, with_positions=bool(meta.get("positions", False)))
-    max_idx = live.agg(F.max("doc_idx")).first()[0] or 0
-    sub_docmap = assign_doc_indices(sub.docs, start_idx=int(max_idx) + 1)
-    sub_docmap.write.mode("overwrite").parquet(f"{gdir}/docmap")
-    sub_docmap = spark.read.parquet(f"{gdir}/docmap")
-
-    # live corpus stats (exact): survivors + new generation
     survivors = live.join(dead_ids, "doc_id", "left_anti")
-    stats = survivors.select("dl").unionByName(sub_docmap.select("dl")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).first()
-    n_live, avgdl_live = int(stats["n"]), float(stats["s"]) / float(stats["n"])
+    delete_only = changed is None or not changed.take(1)
+    if delete_only:
+        stats = survivors.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).first()
+        n_live = int(stats["n"])
+        avgdl_live = (float(stats["s"]) / n_live) if n_live else 0.0
+    else:
+        # delta generation must match the base index's positional setting,
+        # else phrase_topk breaks on any phrase term with delta postings
+        sub = build_index(changed,
+                          with_positions=bool(meta.get("positions", False)))
+        # new doc_idx must start past EVERY idx ever assigned — including
+        # tombstoned ones. max over the live docmap alone can recycle a
+        # tombstoned idx (deletes shrink the live max), and the readers'
+        # cumulative dead mask would then silently hide the new doc: a
+        # delete-heavy generation followed by any create/update made the
+        # recycled docs unsearchable (caught by the round-4 verify drive).
+        max_idx = _all_assigned_docmap(spark, path, meta).agg(
+            F.max("doc_idx")
+        ).first()[0] or 0
+        sub_docmap = assign_doc_indices(sub.docs, start_idx=int(max_idx) + 1)
+        sub_docmap.write.mode("overwrite").parquet(f"{gdir}/docmap")
+        sub_docmap = spark.read.parquet(f"{gdir}/docmap")
 
-    encoded = encode_postings(
-        sub.postings, sub_docmap, sub.lexicon, avgdl_live,
-        n_buckets=meta["n_buckets"], shard_cap=meta["shard_cap"],
-        k1=meta["k1"], b=meta["b"],
-    ).repartition(int(meta["n_buckets"]), "bucket")
-    encoded.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{gdir}/postings"
-    )
+        # live corpus stats (exact): survivors + new generation
+        stats = survivors.select("dl").unionByName(
+            sub_docmap.select("dl")
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
+        n_live = int(stats["n"])
+        avgdl_live = float(stats["s"]) / float(stats["n"])
+
+        encoded = encode_postings(
+            sub.postings, sub_docmap, sub.lexicon, avgdl_live,
+            n_buckets=meta["n_buckets"], shard_cap=meta["shard_cap"],
+            k1=meta["k1"], b=meta["b"],
+        ).repartition(int(meta["n_buckets"]), "bucket")
+        encoded.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{gdir}/postings"
+        )
 
     # exact per-term dead counts: decode every existing shard, count hits
     # against the cumulative tombstone set (compaction amortizes this).
@@ -160,7 +252,7 @@ def incremental_update(spark: SparkSession, path: str,
     from connectors_spark.operators.index import read_postings
     base_postings = read_postings(spark, path)
     prior = [spark.read.parquet(f"{path}/delta/{int(d['gen'])}/postings")
-             for d in meta.get("deltas", [])]
+             for d in meta.get("deltas", []) if not d.get("delete_only")]
     allp = base_postings
     for p in prior:
         allp = allp.unionByName(p)
@@ -172,11 +264,17 @@ def incremental_update(spark: SparkSession, path: str,
     dead_df.write.mode("overwrite").parquet(f"{gdir}/dead_df")
 
     rec = {"gen": gen, "avgdl_at_build": avgdl_live,
-           "n_changed": int(n_changed), "n_tombstones": int(n_tombstones)}
+           "n_changed": int(n_changed), "n_tombstones": int(n_tombstones),
+           "n_docs_live": n_live, "avgdl_live": avgdl_live}
+    if delete_only:
+        rec["delete_only"] = True
+    # pin the pristine gen-0 stats once, before the first delta mutates
+    # them — point-in-time readers (IndexReader pit_gen=0) restore these
+    meta.setdefault("gen0_n_docs", int(meta["n_docs"]))
+    meta.setdefault("gen0_avgdl", float(meta["avgdl"]))
     meta.setdefault("deltas", []).append(rec)
     meta["n_docs"], meta["avgdl"] = n_live, avgdl_live
     _write_meta(path, meta)
-    ops.unpersist(); live.unpersist(); new_docs.unpersist()
     return rec
 
 

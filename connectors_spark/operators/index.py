@@ -510,7 +510,17 @@ class IndexReader:
     term dead counts correct df for exact idf; stored block-max bounds are
     scaled by max(1, avgdl_live/avgdl_at_build)."""
 
-    def __init__(self, spark: SparkSession, path: str, cache: bool = True):
+    def __init__(self, spark: SparkSession, path: str, cache: bool = True,
+                 pit_gen: int | None = None):
+        """pit_gen: ES point-in-time analog. Delta generations are
+        append-only and tombstones live in NEWER delta dirs, so a reader
+        pinned to deltas <= pit_gen answers exactly as the index stood at
+        that watermark (pit_gen=0 = the pristine base build) — no file
+        copies, no frozen snapshot dirs; corpus stats are restored from
+        the per-delta `n_docs_live`/`avgdl_live` records. The default
+        (None) reads the full delta chain, and since meta is snapshotted
+        here at open, an already-open reader keeps its own point in time
+        while writers append deltas (ES PIT keep_alive semantics)."""
         import numpy as _np
 
         self.spark = spark
@@ -523,6 +533,21 @@ class IndexReader:
         self.path = path
         self.meta = read_meta(path)
         deltas = self.meta.get("deltas", [])
+        if pit_gen is not None:
+            deltas = [d for d in deltas if int(d["gen"]) <= int(pit_gen)]
+            if deltas:
+                last = deltas[-1]
+                self.meta["n_docs"] = int(
+                    last.get("n_docs_live", self.meta["n_docs"]))
+                self.meta["avgdl"] = float(
+                    last.get("avgdl_live", last["avgdl_at_build"]))
+            else:
+                self.meta["n_docs"] = int(
+                    self.meta.get("gen0_n_docs", self.meta["n_docs"]))
+                self.meta["avgdl"] = float(
+                    self.meta.get("gen0_avgdl", self.meta["avgdl"]))
+            self.meta["deltas"] = deltas
+        self.pit_gen = pit_gen
         self.gen_avgdl = {0: self.meta.get("gen0_avgdl", self.meta["avgdl"])}
         postings = read_postings(spark, path).withColumn("_gen", F.lit(0))
         docmap = spark.read.parquet(f"{path}/docmap").select("doc_idx", "doc_id")
@@ -532,15 +557,17 @@ class IndexReader:
             g = int(d["gen"])
             self.gen_avgdl[g] = float(d["avgdl_at_build"])
             gdir = f"{path}/delta/{g}"
+            t = spark.read.parquet(f"{gdir}/tombstones")
+            tombs.append(_np.array(
+                [r.doc_idx for r in t.collect()], dtype=_np.int64))
+            if d.get("delete_only"):
+                continue  # tombstones only — no postings/docmap dirs exist
             postings = postings.unionByName(
                 spark.read.parquet(f"{gdir}/postings").withColumn("_gen", F.lit(g))
             )
             docmap = docmap.unionByName(
                 spark.read.parquet(f"{gdir}/docmap").select("doc_idx", "doc_id")
             )
-            t = spark.read.parquet(f"{gdir}/tombstones")
-            tombs.append(_np.array(
-                [r.doc_idx for r in t.collect()], dtype=_np.int64))
         if deltas:
             # latest generation carries the cumulative per-term dead counts
             last = f"{path}/delta/{int(deltas[-1]['gen'])}"

@@ -322,7 +322,9 @@ def parse_simple_query_string(q: str) -> dict:
         neg = m.group("neg") == "-"
         if m.group("phrase") is not None:
             terms = _TERM_RE.findall(m.group("phrase").lower())
-            if len(terms) == 1 and not neg:
+            if len(terms) == 1 and neg:
+                must_not.append(terms[0])
+            elif len(terms) == 1:
                 emit([("term", terms[0])], pending_join)
             elif terms:
                 phrases.append(("must_not" if neg else "must", terms))
