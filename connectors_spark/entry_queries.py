@@ -4276,14 +4276,15 @@ GATE_BOOL_QUERIES = [
 ]
 
 
-def _bool_sql() -> str:
+def _bool_sql(queries=None) -> str:
     from connectors_spark.operators.query import bool_clause_rows
 
     w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
                  dl_expr="dl.dl", avgdl_expr="stats.avgdl")
     qvals = ", ".join(
         f"('{qid}', {k}, {msm}, '{term}', '{role}')"
-        for qid, k, msm, term, role in bool_clause_rows(GATE_BOOL_QUERIES)
+        for qid, k, msm, term, role in bool_clause_rows(
+            GATE_BOOL_QUERIES if queries is None else queries)
     )
     return f"""
 WITH {_DL_CTE},
@@ -9391,4 +9392,304 @@ def q_pit_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         _pd.concat([snap, live], ignore_index=True),
         "pit string, query_id string, rank int, doc_id long, score double",
+    )
+
+
+# =================================================================
+# DSL tail: wrapper query, parent_id query, function_score
+# random_score, global aggregation
+# =================================================================
+
+import base64 as _base64  # noqa: E402
+import json as _json  # noqa: E402
+
+# the wrapper payload is BUILT as base64 here (as an ES client would)
+# and both the Spark gate and the oracle SQL are derived from it through
+# the SAME decoder (parse_wrapper_query) — analysis cannot drift
+_WRAPPER_PAYLOAD = _base64.b64encode(_json.dumps([
+    {"query_id": "wr0",
+     "bool": {"must": "spark", "should": "merge query"}, "k": GATE_BM25_K},
+    {"query_id": "wr1",
+     "bool": {"should": "hash scan window", "minimum_should_match": 2},
+     "k": GATE_BM25_K},
+    {"query_id": "wr2",
+     "bool": {"must": "data", "must_not": "customer", "filter": "table"},
+     "k": GATE_BM25_K},
+]).encode("utf-8")).decode("ascii")
+
+
+def _wrapper_sql() -> str:
+    from connectors_spark.operators.query import parse_wrapper_query
+
+    return _bool_sql(parse_wrapper_query(_WRAPPER_PAYLOAD))
+
+
+@register("wrapper_query", _wrapper_sql())
+def q_wrapper_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `wrapper` query: a base64-encoded JSON query executed as if
+    sent inline (the client-SDK escape hatch). Decoded and validated on
+    the driver — where ES's coordinating node parses it — then
+    dispatched to the bool-query scorer; the oracle SQL is generated
+    from the SAME decoded payload (operators/query.py:
+    parse_wrapper_query), so a parser divergence fails the gate."""
+    from connectors_spark.operators.query import (
+        bool_clauses_df,
+        parse_wrapper_query,
+        score_bool_topk,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    clauses = bool_clauses_df(spark, parse_wrapper_query(_WRAPPER_PAYLOAD))
+    return score_bool_topk(idx, clauses, round_scores=ROUND_SCORE)
+
+
+_PARENT_IDS = [7, 68, 485]
+
+
+@register(
+    "parent_id_query",
+    "SELECT l.l_orderkey AS parent_id, l.l_linenumber, l.l_partkey, "
+    "l.l_quantity FROM lineitem l WHERE l.l_orderkey IN "
+    f"({', '.join(str(i) for i in _PARENT_IDS)})",
+)
+def q_parent_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `parent_id` query (join-field): fetch the CHILD docs of given
+    parent ids directly — the dual of has_parent without a child-side
+    predicate. ES routes this to the parent's shard; the Spark shape is
+    an IN-filter on the join key, which Catalyst pushes into the scan
+    (partition-prunable when the child table is partitioned/bucketed by
+    the parent key — the layout this engine's co-location docs
+    prescribe for parent/child at 100 TB)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey").isin(_PARENT_IDS)).select(
+        F.col("l_orderkey").alias("parent_id"),
+        "l_linenumber", "l_partkey", "l_quantity",
+    )
+
+
+_RANDOM_SEED = 42
+
+
+def _random_score_sql() -> str:
+    h = _hex2int_sql(f"md5('{_RANDOM_SEED}|' || CAST(doc_id AS VARCHAR))", 8)
+    return f"""
+WITH rs AS (
+  SELECT doc_id, lang,
+         round(({h}) / 4294967296.0, {ROUND_SCORE}) AS rscore
+  FROM documents WHERE lang = 'en'
+),
+ranked AS (
+  SELECT doc_id, lang, rscore,
+         row_number() OVER (ORDER BY rscore DESC, doc_id ASC) AS rank
+  FROM rs
+)
+SELECT doc_id, lang, rscore, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 20
+"""
+
+
+@register("function_score_random", _random_score_sql())
+def q_function_score_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score random_score(seed, field): a DETERMINISTIC
+    uniform [0,1) per doc from md5(seed|doc_id) — reproducible across
+    engines, partitionings and reruns, which rand() is not (ES itself
+    hashes seed+field for exactly this reason). Filter context lang='en';
+    top-20 by the random score via TakeOrderedAndProject (no
+    unpartitioned window over the full frame). The same md5->bigint
+    construction as the sketch gates keeps both engines bit-identical."""
+    docs = _read(spark, sf_dir, "documents")
+    rs = docs.filter(F.col("lang") == "en").select(
+        "doc_id", "lang",
+        F.round(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{_RANDOM_SEED}|"),
+                               F.col("doc_id").cast("string"))), 1, 8),
+                   16, 10).cast("long") / F.lit(4294967296.0),
+            ROUND_SCORE,
+        ).alias("rscore"),
+    )
+    return _ranked_topk(
+        rs, [F.desc("rscore"), F.asc("doc_id")], 20
+    ).select("doc_id", "lang", "rscore", F.col("rank").cast("int"))
+
+
+@register(
+    "global_agg",
+    """
+WITH filtered AS (
+  SELECT source, count(*) AS n_en, round(avg(n_chars), 6) AS avg_chars_en
+  FROM documents WHERE lang = 'en' GROUP BY source
+),
+g_all AS (
+  SELECT count(*) AS n_all, round(avg(n_chars), 6) AS avg_chars_all
+  FROM documents
+)
+SELECT f.source, f.n_en, f.avg_chars_en, g.n_all, g.avg_chars_all,
+       round(f.n_en * 1.0 / g.n_all, 6) AS share_of_corpus
+FROM filtered f CROSS JOIN g_all g
+""",
+)
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `global` aggregation: a bucket that IGNORES the query filter,
+    so filtered sub-aggs can be compared against corpus-wide baselines
+    in one request (the classic 'share of total' facet). Spark shape:
+    the global side is a 1-row aggregate broadcast-crossed into the
+    filtered groupBy — two passes over a pruned column set, no
+    unfiltered row ever joins row-to-row."""
+    docs = _read(spark, sf_dir, "documents")
+    filt = docs.filter(F.col("lang") == "en").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_en"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars_en"),
+    )
+    glob = docs.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars_all"),
+    )
+    return filt.crossJoin(F.broadcast(glob)).select(
+        "source", "n_en", "avg_chars_en", "n_all", "avg_chars_all",
+        F.round(F.col("n_en") / F.col("n_all"), 6).alias("share_of_corpus"),
+    )
+
+
+# =================================================================
+# LLM-pipeline tail: DPO preference-pair assembly, length-bucketed
+# batching (padding-waste-minimizing batch planner)
+# =================================================================
+
+_DPO_MARGIN = 0.5
+
+
+@register(
+    "preference_pairs",
+    f"""
+WITH cand AS (
+  SELECT user_id AS prompt_id, event_id AS cand_id,
+         round(value, 6) AS reward
+  FROM events WHERE event_type = 'click'
+),
+best AS (
+  SELECT prompt_id, cand_id, reward,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY reward DESC, cand_id ASC) AS r
+  FROM cand
+),
+worst AS (
+  SELECT prompt_id, cand_id, reward,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY reward ASC, cand_id DESC) AS r
+  FROM cand
+)
+SELECT b.prompt_id, b.cand_id AS chosen_id, w.cand_id AS rejected_id,
+       b.reward AS chosen_reward, w.reward AS rejected_reward,
+       round(b.reward - w.reward, 6) AS margin
+FROM best b JOIN worst w USING (prompt_id)
+WHERE b.r = 1 AND w.r = 1 AND b.cand_id <> w.cand_id
+  AND b.reward - w.reward >= {_DPO_MARGIN}
+""",
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair assembly: per prompt (user stream),
+    pair the highest-reward candidate generation (chosen) with the
+    lowest (rejected), keeping pairs whose reward margin clears a
+    threshold — the exact construction of a DPO training table from
+    scored candidates. Windows are PARTITIONED by prompt (bounded
+    per-prompt candidate sets), so assembly distributes across prompts
+    at any scale; ties break deterministically on candidate id."""
+    ev = _read(spark, sf_dir, "events")
+    cand = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("prompt_id"),
+        F.col("event_id").alias("cand_id"),
+        F.round("value", 6).alias("reward"),
+    )
+    wb = Window.partitionBy("prompt_id").orderBy(
+        F.desc("reward"), F.asc("cand_id"))
+    ww = Window.partitionBy("prompt_id").orderBy(
+        F.asc("reward"), F.desc("cand_id"))
+    best = (cand.withColumn("r", F.row_number().over(wb))
+            .filter(F.col("r") == 1).drop("r"))
+    worst = (cand.withColumn("r", F.row_number().over(ww))
+             .filter(F.col("r") == 1).drop("r")
+             .withColumnRenamed("cand_id", "rejected_id")
+             .withColumnRenamed("reward", "rejected_reward"))
+    return (
+        best.join(worst, "prompt_id")
+        .filter(F.col("cand_id") != F.col("rejected_id"))
+        .withColumn("margin",
+                    F.round(F.col("reward") - F.col("rejected_reward"), 6))
+        .filter(F.col("margin") >= _DPO_MARGIN)
+        .select(
+            "prompt_id", F.col("cand_id").alias("chosen_id"), "rejected_id",
+            F.col("reward").alias("chosen_reward"), "rejected_reward",
+            "margin",
+        )
+    )
+
+
+_LB_BATCH = 8          # examples per batch
+_LB_BUCKET_TOKENS = 16  # bucket granularity in tokens
+
+
+@register(
+    "length_bucket_batching",
+    f"""
+WITH ntok AS (
+  SELECT doc_id, len({tokenize_sql_duckdb('text')}) AS n FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n,
+         CAST(n // {_LB_BUCKET_TOKENS} AS BIGINT) AS bucket
+  FROM ntok WHERE n > 0
+),
+batched AS (
+  SELECT bucket, doc_id, n,
+         CAST((row_number() OVER (PARTITION BY bucket
+                                  ORDER BY n ASC, doc_id ASC) - 1)
+              // {_LB_BATCH} AS BIGINT) AS batch_id
+  FROM bucketed
+),
+per_batch AS (
+  SELECT bucket, batch_id, count(*) AS bsz, max(n) AS max_n, sum(n) AS sum_n
+  FROM batched GROUP BY bucket, batch_id
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(bsz) AS BIGINT) AS n_docs,
+       CAST(sum(bsz * max_n) AS BIGINT) AS padded_tokens,
+       CAST(sum(sum_n) AS BIGINT) AS real_tokens,
+       round(1.0 - sum(sum_n) * 1.0 / sum(bsz * max_n), 6) AS pad_waste
+FROM per_batch GROUP BY bucket
+""",
+)
+def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching — the batch planner that cuts
+    padding waste in LLM training/inference: docs bucket by token count
+    (granularity {_LB_BUCKET_TOKENS} tokens), sort within bucket, and
+    chunk into fixed-size batches so each batch pads only to its own
+    max length; output per bucket reports the padded-vs-real token
+    ratio that drives bucket-size tuning. The only window is
+    PARTITIONED by bucket (row_number within bucket), batch stats are
+    plain two-level aggs — no global ordering, map-side combinable."""
+    docs = _read(spark, sf_dir, "documents")
+    ntok = tokenize(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"))
+    bucketed = ntok.filter(F.col("n") > 0).withColumn(
+        "bucket", (F.col("n") / _LB_BUCKET_TOKENS).cast("long"))
+    w = Window.partitionBy("bucket").orderBy(F.asc("n"), F.asc("doc_id"))
+    batched = bucketed.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / _LB_BATCH).cast("long"))
+    per_batch = batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("bsz"),
+        F.max("n").alias("max_n"),
+        F.sum("n").alias("sum_n"),
+    )
+    return per_batch.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("bsz").alias("n_docs"),
+        F.sum(F.col("bsz") * F.col("max_n")).alias("padded_tokens"),
+        F.sum("sum_n").alias("real_tokens"),
+        F.round(
+            F.lit(1.0) - F.sum("sum_n")
+            / F.sum(F.col("bsz") * F.col("max_n")), 6
+        ).alias("pad_waste"),
     )

@@ -1175,3 +1175,41 @@ def rank_eval(ranked: DataFrame, judgments: DataFrame, k: int,
                            F.lit(0.0)), round_to).alias("ndcg_k"),
         )
     )
+
+
+def parse_wrapper_query(b64_payload: str) -> list[dict]:
+    """ES `wrapper` query: a base64-encoded JSON query executed as if it
+    had been sent inline (the SDK/client escape hatch). We decode on the
+    driver — exactly where ES's coordinating node parses it — validate,
+    and hand the inner `bool` spec(s) to score_bool_topk. Only the bool
+    shape is accepted here; anything else raises (strict like ES's
+    parser, which rejects unknown query names).
+
+    Accepts either one object or a list; each object:
+    {"query_id", "bool": {"must"/"should"/"must_not"/"filter": "terms...",
+     "minimum_should_match": int}, "k": int}.
+    """
+    import base64
+    import json
+
+    decoded = json.loads(base64.b64decode(b64_payload).decode("utf-8"))
+    if isinstance(decoded, dict):
+        decoded = [decoded]
+    out = []
+    for q in decoded:
+        if not isinstance(q, dict) or "bool" not in q:
+            raise ValueError(f"wrapper payload is not a bool query: {q!r}")
+        spec = q["bool"]
+        unknown = set(spec) - {"must", "should", "must_not", "filter",
+                               "minimum_should_match"}
+        if unknown:
+            raise ValueError(f"unknown bool clauses: {sorted(unknown)}")
+        row = {"query_id": str(q.get("query_id", f"w{len(out)}")),
+               "k": int(q.get("k", 10))}
+        for role in ("must", "should", "must_not", "filter"):
+            if role in spec:
+                row[role] = str(spec[role])
+        if "minimum_should_match" in spec:
+            row["minimum_should_match"] = int(spec["minimum_should_match"])
+        out.append(row)
+    return out
