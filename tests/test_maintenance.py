@@ -168,3 +168,37 @@ def test_compaction_after_maintenance(spark, maint, tmp_path):
     meta = read_meta(out)
     assert meta["deltas"] == [] and meta["n_docs"] == oracle2.n_docs
     _assert_identical(IndexReader(spark, out, cache=False), oracle2)
+
+
+def test_reshard_rank_identity_and_guards(spark, tmp_path):
+    """reshard_index (ES _split/_shrink): resized indexes answer
+    rank-identically at any bucket count; deltas are rejected."""
+    from connectors_spark.operators.index import (
+        read_meta as _rm,
+        reshard_index,
+        write_encoded_index,
+    )
+
+    t = synth_transcripts(spark, 25, seed=5).cache()
+    path = str(tmp_path / "src")
+    write_encoded_index(
+        build_index_transcripts(t, with_positions=False), path,
+        n_buckets=8, shard_cap=300,
+    )
+    docs = with_doc_id(t)
+    oracle = _oracle_for(docs.select("doc_id", "text").collect())
+    for nb in (1, 3, 32):
+        out = str(tmp_path / f"resized_{nb}")
+        reshard_index(spark, path, out, nb)
+        assert _rm(out)["n_buckets"] == nb
+        _assert_identical(IndexReader(spark, out, cache=False), oracle)
+        _assert_identical(IndexReader(spark, out, cache=False), oracle,
+                          kernel="exact")
+    # delta generations must be compacted away first
+    dead = docs.limit(0).select("doc_id")  # no-op delete returns None
+    assert delete_by_query(spark, path, dead) is None
+    real_dead = docs.filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0).select("doc_id")
+    assert delete_by_query(spark, path, real_dead) is not None
+    with pytest.raises(ValueError, match="compacted"):
+        reshard_index(spark, path, str(tmp_path / "bad"), 4)
