@@ -9693,3 +9693,47 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("bsz") * F.col("max_n")), 6
         ).alias("pad_waste"),
     )
+
+
+# =================================================================
+# Index resize (ES _split/_shrink analog): reshard the encoded index
+# =================================================================
+
+def _reshard_sql() -> str:
+    block = _bm25_snapshot_block(
+        "SELECT doc_id, text FROM documents", GATE_BM25_QUERIES, _MAINT_K)
+    return (f"SELECT CAST(4 AS INT) AS shards, * FROM ({block})"
+            f" UNION ALL SELECT CAST(32 AS INT) AS shards, * FROM ({block})")
+
+
+@register("reshard_search", _reshard_sql())
+def q_reshard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_split`/`_shrink` (index resize): the encoded index is
+    rewritten at 4 and at 32 buckets from a 16-bucket source WITHOUT
+    re-tokenizing — a shard row's bucket is a pure function of its term,
+    so resizing is one shuffle of compressed blobs, O(index bytes) not
+    O(corpus tokens) (operators/index.py:reshard_index). Both resized
+    indexes must answer the gate query set score-identically to SQL
+    BM25 — resharding changes pruning fan-out, never results."""
+    from connectors_spark.operators.index import IndexReader, reshard_index
+
+    path = _maint_index_dir(spark, sf_dir, "gate_reshard_idx_")
+    out4 = _tempfile.mkdtemp(prefix="gate_reshard4_")
+    out32 = _tempfile.mkdtemp(prefix="gate_reshard32_")
+    try:
+        reshard_index(spark, path, out4, 4)
+        reshard_index(spark, path, out32, 32)
+        pdf4 = _maint_topk(spark, IndexReader(spark, out4, cache=False),
+                           GATE_BM25_QUERIES)
+        pdf32 = _maint_topk(spark, IndexReader(spark, out32, cache=False),
+                            GATE_BM25_QUERIES)
+        pdf4.insert(0, "shards", 4)
+        pdf32.insert(0, "shards", 32)
+    finally:
+        for p in (path, out4, out32):
+            _shutil.rmtree(p, ignore_errors=True)
+    import pandas as _pd
+    return spark.createDataFrame(
+        _pd.concat([pdf4, pdf32], ignore_index=True),
+        "shards int, query_id string, rank int, doc_id long, score double",
+    )

@@ -1179,3 +1179,47 @@ def query_index(
 ) -> DataFrame:
     """One-shot convenience wrapper (no caching) around IndexReader."""
     return IndexReader(spark, path, cache=False).topk(queries, kernel)
+
+
+def reshard_index(spark: SparkSession, path: str, out_path: str,
+                  n_buckets_new: int) -> None:
+    """ES `_split` / `_shrink` analog: rewrite an encoded index at a
+    different bucket (shard) count WITHOUT re-tokenizing or re-encoding.
+    A shard row's bucket is a pure function of its term (bucket_col =
+    md5(term) % n_buckets), so resharding is exactly one shuffle of the
+    already-compressed shard blobs — no decode, no scoring math, no
+    touch of the corpus. That is what makes it viable at 10^12 turns:
+    cost is O(index bytes), not O(corpus tokens), and the shuffle key
+    (bucket) is uniform by construction (md5), so no skew.
+
+    Like ES's resize APIs (which demand a read-only source index), the
+    source must be fully compacted: delta generations carry their own
+    bucketed dirs and tombstone bookkeeping, so reshard-with-deltas
+    would silently change scoring; compact first (delta.compact_index).
+
+    Everything else (docmap, corpus stats, k1/b, shard_cap, positions)
+    carries over unchanged — readers of the new dir produce
+    rank-identical results, just with a different pruning fan-out
+    (gate `reshard_search` pins 4x and 2x against the SQL oracle).
+    """
+    meta = read_meta(path)
+    if meta.get("deltas"):
+        raise ValueError(
+            "reshard_index requires a compacted index (no delta "
+            "generations) — run delta.compact_index first"
+        )
+    if n_buckets_new < 1:
+        raise ValueError(f"n_buckets_new must be >= 1, got {n_buckets_new}")
+    os.makedirs(out_path, exist_ok=True)
+    spark.read.parquet(f"{path}/docmap").write.mode("overwrite").parquet(
+        f"{out_path}/docmap"
+    )
+    posts = read_postings(spark, path).drop("bucket")
+    posts = posts.withColumn("bucket", bucket_col("term", n_buckets_new))
+    posts.repartition(int(n_buckets_new), "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{out_path}/postings")
+    meta2 = dict(meta)
+    meta2["n_buckets"] = int(n_buckets_new)
+    with open(os.path.join(out_path, "meta.json"), "w") as f:
+        json.dump(meta2, f)
