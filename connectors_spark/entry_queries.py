@@ -9737,3 +9737,81 @@ def q_reshard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pd.concat([pdf4, pdf32], ignore_index=True),
         "shards int, query_id string, rank int, doc_id long, score double",
     )
+
+
+# =================================================================
+# Multi-index search (ES `GET /idx_a,idx_b/_search` & cross-cluster
+# search): per-index scoring stats, coordinating-node top-k merge
+# =================================================================
+
+def _multi_index_sql() -> str:
+    en = _bm25_snapshot_block(
+        "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        GATE_BM25_QUERIES, _MAINT_K)
+    rest = _bm25_snapshot_block(
+        "SELECT doc_id, text FROM documents WHERE lang <> 'en'",
+        GATE_BM25_QUERIES, _MAINT_K)
+    return f"""
+WITH merged AS (
+  SELECT 'idx_en' AS _index, * FROM ({en})
+  UNION ALL
+  SELECT 'idx_rest' AS _index, * FROM ({rest})
+),
+rr AS (
+  SELECT _index, query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM merged
+)
+SELECT _index, query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM rr WHERE rank <= {_MAINT_K}
+"""
+
+
+@register("multi_index_search", _multi_index_sql())
+def q_multi_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi-index / cross-cluster search (`/idx_en,idx_rest/_search`):
+    each index scores with ITS OWN corpus stats (query_then_fetch
+    semantics — per-index idf/avgdl, exactly what ES does without
+    dfs_query_then_fetch), the coordinating node merges per-index top-k
+    into the global top-k. Merging per-index top-k is EXACT for the
+    global ranking (any global top-k doc is in its own index's top-k) —
+    the property that lets a 1000-index federation return correct
+    results while each index ships only k rows. Oracle: independent SQL
+    BM25 per corpus partition, same merge."""
+    from connectors_spark.operators.index import IndexReader, write_encoded_index
+
+    docs = _read(spark, sf_dir, "documents")
+    from connectors_spark.operators.build import build_index
+
+    frames = []
+    paths = []
+    try:
+        for label, pred in (("idx_en", F.col("lang") == "en"),
+                            ("idx_rest", F.col("lang") != "en")):
+            path = _tempfile.mkdtemp(prefix=f"gate_multi_{label}_")
+            paths.append(path)
+            write_encoded_index(
+                build_index(docs.filter(pred), with_positions=False),
+                path, n_buckets=16, shard_cap=200,
+            )
+            pdf = _maint_topk(spark, IndexReader(spark, path, cache=False),
+                              GATE_BM25_QUERIES)
+            pdf.insert(0, "_index", label)
+            frames.append(pdf)
+    finally:
+        for p in paths:
+            _shutil.rmtree(p, ignore_errors=True)
+    import pandas as _pd
+    merged = spark.createDataFrame(
+        _pd.concat(frames, ignore_index=True),
+        "_index string, query_id string, rank int, doc_id long, score double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MAINT_K)
+        .select("_index", "query_id", F.col("rank").cast("int"),
+                "doc_id", "score")
+    )

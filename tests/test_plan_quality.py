@@ -237,3 +237,46 @@ def test_bloom_prune_filter_runs_before_shuffle(spark, sf_dir):
     # scan of lineitem below it
     assert "lineitem" in plan[i_filter:], \
         "mask filter must sit directly above the lineitem scan"
+
+
+def test_new_gates_partition_windows_and_take_ordered(spark, sf_dir):
+    """This session's gate batch: preference_pairs and
+    length_bucket_batching keep every Window partitioned (prompt_id /
+    bucket); function_score_random ranks through a distributed
+    TakeOrderedAndProject, never a full-frame single-task window."""
+    from connectors_spark import entry_queries as eq
+
+    for fn, keys in (
+        (eq.q_preference_pairs, ("prompt_id",)),
+        (eq.q_length_bucket_batching, ("bucket",)),
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        for frag in plan.split("Window")[1:]:
+            spec = frag.split("\n")[0]
+            assert any(k in spec for k in keys), (fn.__name__, spec)
+
+    plan = _plan(eq.q_function_score_random(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    if "Window" in plan:
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_global_agg_broadcasts_corpus_stats(spark, sf_dir):
+    """global_agg's corpus-wide side is one row — it must reach the
+    filtered buckets via a broadcast, never a shuffle join."""
+    from connectors_spark import entry_queries as eq
+
+    plan = _plan(eq.q_global_agg(spark, sf_dir))
+    assert "BroadcastNestedLoop" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_parent_id_filter_pushed_to_scan(spark, sf_dir):
+    """parent_id query = IN-filter on the join key; it must reach the
+    parquet scan as a pushed filter (partition-prunable when the child
+    table is bucketed by the parent key)."""
+    from connectors_spark import entry_queries as eq
+
+    plan = _plan(eq.q_parent_id_query(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_orderkey" in plan.split("PushedFilters")[1][:200], plan
