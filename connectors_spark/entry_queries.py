@@ -9815,3 +9815,678 @@ def q_multi_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_index", "query_id", F.col("rank").cast("int"),
                 "doc_id", "score")
     )
+
+
+# =================================================================
+# ES rescore: two-pass retrieve-then-rerank window
+# =================================================================
+
+_RESCORE_TEXT = "table window group"
+_RESCORE_WINDOW = 30
+_RESCORE_QW = 1.0
+_RESCORE_RW = 2.0
+
+
+def _rescore_sql() -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    rvals = []
+    rterms = sorted({t for t in _RESCORE_TEXT.lower().split() if t})
+    for qid, _ in GATE_BM25_QUERIES:
+        for term in rterms:
+            rvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {', '.join(qvals)}),
+rt(query_id, term) AS (VALUES {', '.join(rvals)}),
+c1 AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+s1 AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS s1
+  FROM c1 GROUP BY query_id, doc_id
+),
+win AS (
+  SELECT query_id, doc_id, s1 FROM (
+    SELECT query_id, doc_id, s1,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s1 DESC, doc_id ASC) AS rn
+    FROM s1
+  ) WHERE rn <= {_RESCORE_WINDOW}
+),
+c2 AS (
+  SELECT rt.query_id, tf.doc_id, {w} AS w
+  FROM rt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  JOIN win ON win.query_id = rt.query_id AND win.doc_id = tf.doc_id
+),
+s2 AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS s2
+  FROM c2 GROUP BY query_id, doc_id
+),
+comb AS (
+  SELECT w.query_id, w.doc_id,
+         round({_RESCORE_QW} * w.s1
+               + {_RESCORE_RW} * coalesce(s2.s2, 0.0),
+               {ROUND_SCORE}) AS score
+  FROM win w LEFT JOIN s2
+    ON s2.query_id = w.query_id AND s2.doc_id = w.doc_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM comb
+) WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("rescore_topk", _rescore_sql())
+def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rescore` (score_mode=total): pass 1 ranks the corpus with
+    BM25 and keeps a {_RESCORE_WINDOW}-doc window per query; pass 2
+    scores the rescore query ONLY inside the window; final score =
+    {_RESCORE_QW}*first + {_RESCORE_RW}*second, re-ranked, top-k.
+    The second pass's shuffle is candidate-bounded (|Q| x window)
+    regardless of corpus size (operators/query.py:rescore_window).
+    Reference: searches flow through the ES `_search` body unchanged
+    (svc/es/sink.py delegation), rescore included."""
+    from connectors_spark.operators.query import rescore_window
+
+    idx = _docs_index(spark, sf_dir)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_BM25_QUERIES
+    ])
+    rdf = queries_df(spark, [
+        {"query_id": qid, "query_text": _RESCORE_TEXT, "k": GATE_BM25_K}
+        for qid, _ in GATE_BM25_QUERIES
+    ])
+    return rescore_window(
+        idx, qdf, rdf, window_size=_RESCORE_WINDOW,
+        query_weight=_RESCORE_QW, rescore_query_weight=_RESCORE_RW,
+        round_scores=ROUND_SCORE,
+    )
+
+
+# =================================================================
+# ES multi_match type=cross_fields: term-centric blended scoring
+# =================================================================
+
+def _cross_fields_sql() -> str:
+    from connectors_spark.operators.score import idf_sql, tf_norm_sql
+
+    qvals = []
+    for qid, text in GATE_MULTI_MATCH:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    tfn1 = tf_norm_sql("tf.tf", "dl.dl", "stats.avgdl")
+    tfn2 = tf_norm_sql("tf2.tf", "dl2.dl", "stats2.avgdl")
+    idf = idf_sql("stats.n", "dfb.df")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+toks2 AS (
+  SELECT doc_id, unnest({tokenize_sql_duckdb('source')}) AS term
+  FROM documents
+),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl2 AS (
+  SELECT d.doc_id, coalesce(t.dl, 0) AS dl FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id) t
+    USING (doc_id)
+),
+stats2 AS (
+  SELECT (SELECT sum(dl) FROM dl2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+qt(query_id, term) AS (VALUES {', '.join(qvals)}),
+qterm AS (SELECT DISTINCT term FROM qt),
+dfb AS (
+  SELECT term, max(df) AS df FROM (
+    SELECT term, df FROM dfreq JOIN qterm USING (term)
+    UNION ALL
+    SELECT term, df FROM dfreq2 JOIN qterm USING (term)
+  ) GROUP BY term
+),
+tfn_all AS (
+  SELECT tf.term, tf.doc_id, {tfn1} AS tfn
+  FROM tf JOIN qterm USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  UNION ALL
+  SELECT tf2.term, tf2.doc_id, {tfn2} AS tfn
+  FROM tf2 JOIN qterm USING (term)
+  JOIN dl2 ON dl2.doc_id = tf2.doc_id CROSS JOIN stats2
+),
+td AS (
+  SELECT term, doc_id, max(tfn) AS tfn FROM tfn_all GROUP BY term, doc_id
+),
+wts AS (
+  SELECT td.term, td.doc_id, ({idf}) * td.tfn AS w
+  FROM td JOIN dfb USING (term) CROSS JOIN stats
+),
+scored AS (
+  SELECT qt.query_id, wts.doc_id,
+         round(sum(wts.w), {ROUND_SCORE}) AS score
+  FROM qt JOIN wts USING (term) GROUP BY qt.query_id, wts.doc_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("cross_fields_match", _cross_fields_sql())
+def q_cross_fields_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=cross_fields (Lucene BlendedTermQuery,
+    simplified: blended df = max across fields, shared idf; per-term
+    dis_max of per-field tf-norms, tie_breaker=0): the term-centric
+    mode for entities split across fields ("spark src18" matches text
+    on one term and the source keyword field on the other). Oracle
+    recomputes the identical blend in SQL
+    (operators/query.py:score_cross_fields)."""
+    from connectors_spark.operators.query import score_cross_fields
+
+    docs = _read(spark, sf_dir, "documents")
+    idx_text = _docs_index(spark, sf_dir)
+    idx_src = build_index(
+        docs.select("doc_id", F.col("source").alias("text")),
+        with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_MULTI_MATCH
+    ])
+    return score_cross_fields(
+        [(idx_text, 1.0), (idx_src, 1.0)], qdf,
+        round_scores=ROUND_SCORE,
+    )
+
+
+# =================================================================
+# ES children / parent aggregations (join field)
+# =================================================================
+
+@register(
+    "children_agg",
+    """
+SELECT o.o_orderpriority AS priority,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS parent_docs,
+       CAST(count(l.l_orderkey) AS BIGINT) AS child_docs,
+       CAST(round(sum(l.l_quantity), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(avg(l.l_extendedprice), 2) AS DOUBLE) AS avg_price
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `children` aggregation (join field): bucket PARENT docs
+    (orders by priority), then step INTO the child doc space (lineitem)
+    and aggregate child metrics per parent bucket — the aggregation
+    dual of the has_child query at :3694. Plan: the parent side
+    projects only (orderkey, priority) before the join, so the shuffle
+    carries two columns of the parent table; the per-bucket agg is
+    map-side combinable. ES computes this within one shard (children
+    co-routed with parents); the equi-join on the routing key is the
+    distributed equivalent."""
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("parent_docs"),
+            F.count("l_orderkey").alias("child_docs"),
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).cast("double")
+            .alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "parent_agg",
+    """
+WITH pairs AS (
+  SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem
+)
+SELECT p.l_returnflag AS returnflag,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS parent_customers,
+       CAST(count(*) AS BIGINT) AS parent_orders,
+       CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS sum_parent_total
+FROM pairs p JOIN orders o ON o.o_orderkey = p.l_orderkey
+GROUP BY p.l_returnflag
+""",
+)
+def q_parent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `parent` aggregation: bucket CHILD docs (lineitem by return
+    flag), then step UP to the parent space (orders) and aggregate
+    parent metrics ONCE PER PARENT per bucket — the (bucket, parent)
+    pairs are deduplicated BEFORE the parent join, because many
+    children share one parent and ES's parent agg must not
+    double-count it. Plan: the distinct runs on two narrow child
+    columns (map-side combinable), then one equi-join on the parent
+    routing key — co-partitionable at scale."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey").distinct()
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.countDistinct("o_custkey").alias("parent_customers"),
+            F.count(F.lit(1)).alias("parent_orders"),
+            F.round(F.sum("o_totalprice"), 2).cast("double")
+            .alias("sum_parent_total"),
+        )
+    )
+
+
+# =================================================================
+# ES indices_boost: per-index score multipliers in multi-index search
+# =================================================================
+
+_IDXBOOST = {"idx_en": 1.0, "idx_rest": 1.4}
+
+
+def _indices_boost_sql() -> str:
+    en = _bm25_snapshot_block(
+        "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        GATE_BM25_QUERIES, _MAINT_K)
+    rest = _bm25_snapshot_block(
+        "SELECT doc_id, text FROM documents WHERE lang <> 'en'",
+        GATE_BM25_QUERIES, _MAINT_K)
+    return f"""
+WITH merged AS (
+  SELECT 'idx_en' AS _index, query_id, doc_id,
+         round({_IDXBOOST['idx_en']} * score, {ROUND_SCORE}) AS score
+  FROM ({en})
+  UNION ALL
+  SELECT 'idx_rest' AS _index, query_id, doc_id,
+         round({_IDXBOOST['idx_rest']} * score, {ROUND_SCORE}) AS score
+  FROM ({rest})
+)
+SELECT _index, query_id, CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT _index, query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, _index ASC, doc_id ASC
+                           ) AS rank
+  FROM merged
+) WHERE rank <= {_MAINT_K}
+"""
+
+
+@register("indices_boost_search", _indices_boost_sql())
+def q_indices_boost_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `indices_boost` ({"idx_en": 1.0, "idx_rest": 1.4}): each
+    index scores with its OWN corpus statistics, then the per-index
+    boost multiplies the score BEFORE the coordinating-node merge —
+    how ES privileges fresh/premium indices in federated search.
+    Boost is monotonic within an index, so per-index top-k before the
+    merge remains exact for the global boosted top-k (each index still
+    ships only k rows)."""
+    from connectors_spark.operators.query import score_topk_dataframe
+
+    docs = _read(spark, sf_dir, "documents")
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": _MAINT_K}
+        for qid, text in GATE_BM25_QUERIES
+    ])
+    per = None
+    for label, pred in (("idx_en", F.col("lang") == "en"),
+                        ("idx_rest", F.col("lang") != "en")):
+        idx = build_index(docs.filter(pred), with_positions=False)
+        s = (
+            score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+            .drop("rank")
+            .withColumn("_index", F.lit(label))
+            .withColumn(
+                "score",
+                F.round(F.lit(_IDXBOOST[label]) * F.col("score"),
+                        ROUND_SCORE))
+        )
+        per = s if per is None else per.unionByName(s)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("_index"), F.asc("doc_id"))
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _MAINT_K)
+        .select("_index", "query_id", "rank", "doc_id", "score")
+    )
+
+
+# =================================================================
+# ES min_score + track_total_hits: search-hit accounting
+# =================================================================
+
+_MIN_SCORE = 1.5
+
+
+def _min_score_sql() -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {', '.join(qvals)}),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum({w}), {ROUND_SCORE}) AS score
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT q.query_id,
+       CAST(coalesce(s.total_hits, 0) AS BIGINT) AS total_hits,
+       CAST(coalesce(s.kept_hits, 0) AS BIGINT) AS kept_hits,
+       coalesce(s.max_score, 0.0) AS max_score
+FROM (SELECT DISTINCT query_id FROM qt) q
+LEFT JOIN (
+  SELECT query_id, count(*) AS total_hits,
+         sum(CASE WHEN score >= {_MIN_SCORE} THEN 1 ELSE 0 END) AS kept_hits,
+         max(score) AS max_score
+  FROM scored GROUP BY query_id
+) s USING (query_id)
+"""
+
+
+@register("min_score_hits", _min_score_sql())
+def q_min_score_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `min_score` + `track_total_hits: true`: per query report the
+    exact total hit count, the count surviving the min_score={_MIN_SCORE}
+    cutoff, and max_score — the hit-accounting header of every ES
+    response. One scoring pass, one (query) agg — no top-k window at
+    all, so the plan is two shuffles (score agg, query agg) regardless
+    of corpus size. A query with no matching terms reports 0 hits
+    (LEFT JOIN against the query list), mirroring ES's empty-hits
+    envelope."""
+    from connectors_spark.operators.query import (
+        _distinct_term_weights, query_terms)
+
+    idx = _docs_index(spark, sf_dir)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+        for qid, text in GATE_BM25_QUERIES
+    ])
+    qterms = query_terms(qdf)
+    tw = _distinct_term_weights(idx, qterms.select("term").distinct(),
+                                BM25_K1, BM25_B, 2_000_000)
+    scored = (
+        tw.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w"), ROUND_SCORE).alias("score"))
+    )
+    stats = scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("total_hits"),
+        F.sum(F.when(F.col("score") >= _MIN_SCORE, 1).otherwise(0))
+        .alias("kept_hits"),
+        F.max("score").alias("max_score"),
+    )
+    qids = qdf.select("query_id").distinct()
+    return (
+        qids.join(stats, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("total_hits", F.lit(0)).alias("total_hits"),
+            F.coalesce("kept_hits", F.lit(0)).cast("long")
+            .alias("kept_hits"),
+            F.coalesce("max_score", F.lit(0.0)).alias("max_score"),
+        )
+    )
+
+
+# =================================================================
+# Transcript context assembly + turn-sequence QA (north-rule shape)
+# =================================================================
+
+@register(
+    "conversation_context_window",
+    f"""
+WITH {_sft_values_sql()}
+SELECT doc_id, conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       coalesce(
+         string_agg(role || ': ' || text, ' | ')
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+         '') AS context
+FROM t
+""",
+)
+def q_conversation_context_window(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Rolling conversation-context assembly — the prompt-construction
+    primitive for SFT/eval over multi-turn transcripts (north-rule
+    schema): each turn carries the previous <=2 turns rendered as
+    'role: text | role: text'. One window PARTITIONED by conv_id and
+    ordered by turn_idx — per-conversation state never crosses
+    partitions, so the plan is a single partitioned sort at any scale
+    (the same shape ES/chat pipelines use to build context windows)."""
+    rows = _sft_transcript_rows()
+    docs = spark.createDataFrame(
+        rows, "doc_id long, conv_id int, turn_idx int, role string, "
+              "text string")
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(-2, -1))
+    rendered = F.concat_ws(": ", F.col("role"), F.col("text"))
+    ctx = F.array_join(
+        F.collect_list(rendered).over(w), " | ")
+    return docs.select(
+        "doc_id", "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.coalesce(ctx, F.lit("")).alias("context"),
+    )
+
+
+@register(
+    "transcript_turn_gaps",
+    f"""
+WITH {_sft_values_sql()},
+ts AS (
+  SELECT doc_id, conv_id, turn_idx, role,
+         conv_id * 1000 + turn_idx * (10 + (conv_id + turn_idx) % 7) AS sec
+  FROM t
+),
+lagged AS (
+  SELECT conv_id, turn_idx, role, sec,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lag(sec)  OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_sec
+  FROM ts
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+         AS same_role_adjacent,
+       CAST(round(coalesce(avg(CASE WHEN role = 'assistant'
+                                     AND prev_role = 'user'
+                                    THEN sec - prev_sec END), 0.0), 6)
+            AS DOUBLE) AS avg_reply_gap
+FROM lagged GROUP BY conv_id
+""",
+)
+def q_transcript_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-sequence QA over transcripts (north-rule schema): per
+    conversation, the count of adjacent same-role turns (role-
+    alternation violations — a standard SFT data-quality screen) and
+    the mean user->assistant reply gap from a deterministic per-turn
+    clock. lag() windows are PARTITIONED by conv_id; the roll-up is a
+    plain map-side-combinable agg — the whole check is one partitioned
+    sort + one shuffle at any corpus size."""
+    rows = _sft_transcript_rows()
+    docs = spark.createDataFrame(
+        rows, "doc_id long, conv_id int, turn_idx int, role string, "
+              "text string")
+    ts = docs.withColumn(
+        "sec",
+        F.col("conv_id") * 1000
+        + F.col("turn_idx")
+        * (F.lit(10) + (F.col("conv_id") + F.col("turn_idx")) % 7))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = ts.select(
+        "conv_id", "role", "sec",
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag("sec").over(w).alias("prev_sec"),
+    )
+    return lagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == F.col("prev_role"), 1).otherwise(0))
+        .alias("same_role_adjacent"),
+        F.round(
+            F.coalesce(
+                F.avg(F.when(
+                    (F.col("role") == "assistant")
+                    & (F.col("prev_role") == "user"),
+                    F.col("sec") - F.col("prev_sec"))),
+                F.lit(0.0)),
+            6).cast("double").alias("avg_reply_gap"),
+    )
+
+
+# =================================================================
+# Data-constrained epoch planning + quality-weighted upsampling
+# (LLM-pipeline: how many passes over each source fit the budget)
+# =================================================================
+
+_EPOCH_BUDGET = 50_000   # token budget for the training mix
+_EPOCH_CAP = 4.0         # max epochs per source (repetition decay cap)
+
+
+@register(
+    "epoch_mix_plan",
+    f"""
+WITH ntok AS (
+  SELECT source, CAST(len({tokenize_sql_duckdb('text')}) AS BIGINT) AS n
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS tokens
+  FROM ntok GROUP BY source
+),
+tot AS (SELECT sum(tokens) * 1.0 AS total FROM per_src)
+SELECT source, n_docs, tokens,
+       round(tokens / tot.total, 6) AS weight,
+       CAST(floor(tokens / tot.total * {_EPOCH_BUDGET}) AS BIGINT)
+         AS allocated_tokens,
+       round(least({_EPOCH_CAP},
+                   floor(tokens / tot.total * {_EPOCH_BUDGET})
+                     * 1.0 / tokens), 6) AS epochs
+FROM per_src CROSS JOIN tot
+""",
+)
+def q_epoch_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planning (the published multi-epoch
+    scaling recipe: allocate a fixed token budget across sources
+    proportionally to size, then cap repetition at {_EPOCH_CAP} epochs
+    because repeated tokens decay in value): per source reports token
+    mass, mix weight, allocated budget, and the resulting epoch count.
+    One tokenize pass + one per-source agg + a broadcast total — the
+    planner output is O(|sources|) rows from any corpus size."""
+    docs = _read(spark, sf_dir, "documents")
+    ntok = tokenize(docs.select("doc_id", "source", "text"),
+                    "text", "doc_id") \
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    per = (
+        docs.select("doc_id", "source")
+        .join(ntok, "doc_id", "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n").alias("tokens"))
+    )
+    total = per.agg(F.sum("tokens").cast("double").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_docs", "tokens",
+            F.round(F.col("tokens") / F.col("total"), 6).alias("weight"),
+            F.floor(F.col("tokens") / F.col("total") * _EPOCH_BUDGET)
+            .cast("long").alias("allocated_tokens"),
+            F.round(
+                F.least(
+                    F.lit(_EPOCH_CAP),
+                    F.floor(F.col("tokens") / F.col("total")
+                            * _EPOCH_BUDGET)
+                    / F.col("tokens")),
+                6).alias("epochs"),
+        )
+    )
+
+
+@register(
+    "quality_upsample",
+    f"""
+WITH ntok AS (
+  SELECT doc_id, lang, len({tokenize_sql_duckdb('text')}) AS n
+  FROM documents
+),
+scored AS (
+  -- deterministic quality proxy: token count band + language bonus
+  SELECT doc_id,
+         CASE WHEN n >= 40 THEN 3 WHEN n >= 20 THEN 2 ELSE 1 END
+           + CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS copies
+  FROM ntok WHERE n > 0
+)
+SELECT doc_id, CAST(unnest(range(1, copies + 1)) AS INT) AS epoch,
+       CAST(copies AS INT) AS copies
+FROM scored
+""",
+)
+def q_quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted upsampling (importance resampling at doc
+    granularity): a deterministic quality proxy assigns 1-4 copies per
+    doc; explode(sequence(1, copies)) materializes the epoch-tagged
+    duplicates — how high-quality slices are over-represented in a
+    training mix without a shuffle (explode is map-side; downstream
+    packing treats (doc_id, epoch) as the new row key). Guarded
+    against F.sequence's descending-range footgun by filtering n > 0
+    first."""
+    docs = _read(spark, sf_dir, "documents")
+    ntok = tokenize(docs.select("doc_id", "lang", "text"),
+                    "text", "doc_id") \
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(ntok, "doc_id")
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "copies",
+            F.when(F.col("n") >= 40, 3)
+            .when(F.col("n") >= 20, 2).otherwise(1)
+            + F.when(F.col("lang") == "en", 1).otherwise(0))
+    )
+    return scored.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("epoch"),
+        F.col("copies").cast("int").alias("copies"),
+    ).select("doc_id", F.col("epoch").cast("int").alias("epoch"), "copies")

@@ -1213,3 +1213,142 @@ def parse_wrapper_query(b64_payload: str) -> list[dict]:
             row["minimum_should_match"] = int(spec["minimum_should_match"])
         out.append(row)
     return out
+
+
+def rescore_window(index: IndexFrames, qdf: DataFrame,
+                   rescore_qdf: DataFrame,
+                   window_size: int = 30,
+                   query_weight: float = 1.0,
+                   rescore_query_weight: float = 1.0,
+                   k1: float = BM25_K1, b: float = BM25_B,
+                   round_scores: int | None = None,
+                   broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES `rescore` (score_mode=total).
+
+    Two-pass ranking, the classic cheap-retrieval / expensive-rerank
+    split: pass 1 ranks the full corpus with BM25 and keeps the top
+    `window_size` candidates per query; pass 2 evaluates the (more
+    expensive) rescore query ONLY on those candidates and combines
+      final = query_weight * first + rescore_query_weight * second
+    (missing second-pass match contributes 0, like ES). Docs outside
+    the window are never rescored, so top-k must satisfy k <= window.
+
+    Scale shape: the candidate set is |Q| * window rows — broadcast it
+    and join it into the second-pass contribution stream BEFORE the
+    (query, doc) aggregation, so pass 2's shuffle carries only
+    candidate rows no matter the corpus size. Pass 1 is the standard
+    distinct-term-weight pipeline (one agg shuffle + TakeOrdered).
+    Reference analog: ES search `rescore` block
+    (svc searches delegate the DSL unchanged, svc/es/sink.py).
+    """
+    first = score_topk_dataframe(
+        index, qdf.withColumn("k", F.lit(int(window_size))),
+        k1=k1, b=b, round_scores=round_scores,
+        broadcast_docs_max=broadcast_docs_max,
+    ).select("query_id", "doc_id", F.col("score").alias("_s1"))
+
+    qterms2 = query_terms(rescore_qdf)
+    dterms2 = qterms2.select("term").distinct()
+    tw2 = _distinct_term_weights(index, dterms2, k1, b, broadcast_docs_max)
+    contrib2 = (
+        tw2.join(F.broadcast(qterms2), "term")
+        .select("query_id", "doc_id", "w")
+        # candidate restriction BEFORE the agg: pass-2 shuffle is
+        # bounded by |Q| * window even at full-corpus postings
+        .join(F.broadcast(first.select("query_id", "doc_id")),
+              ["query_id", "doc_id"])
+    )
+    second = contrib2.groupBy("query_id", "doc_id").agg(
+        F.sum("w").alias("_s2"))
+    if round_scores is not None:
+        second = second.withColumn("_s2", F.round("_s2", round_scores))
+    combined = (
+        first.join(second, ["query_id", "doc_id"], "left")
+        .withColumn(
+            "score",
+            F.lit(float(query_weight)) * F.col("_s1")
+            + F.lit(float(rescore_query_weight))
+            * F.coalesce(F.col("_s2"), F.lit(0.0)))
+    )
+    if round_scores is not None:
+        combined = combined.withColumn(
+            "score", F.round("score", round_scores))
+    kmap = qdf.select("query_id", "k").distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        combined.join(F.broadcast(kmap), "query_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def score_cross_fields(indexes: list[tuple[IndexFrames, float]],
+                       qdf: DataFrame,
+                       k1: float = BM25_K1, b: float = BM25_B,
+                       tie_breaker: float = 0.0,
+                       round_scores: int | None = None,
+                       broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES multi_match
+    type=cross_fields — TERM-centric blending, the mode for entities
+    split across fields (first/last name, title/body): every query term
+    must be found in SOME field, and per term the fields compete.
+
+    Semantics (Lucene BlendedTermQuery, simplified and documented):
+    - blended document frequency per term: max(df_field) across fields
+      (one shared idf per term — the fields act as one virtual field,
+      so a term common in ANY field is discounted everywhere);
+    - per (term, doc): tf-normalization computed per field with that
+      field's dl/avgdl, boost applied, then dis_max across fields
+      (tie_breaker * losers added; default 0 = pure max);
+    - per (query, doc): blended-idf-weighted term scores SUM.
+
+    Plan: per-field postings joined to the broadcast distinct-term set,
+    unioned with a field tag, ONE (term, doc) dis_max agg, broadcast
+    blended-df join, broadcast query-term expansion, ONE final
+    (query, doc) agg — two shuffles total, both on pruned rows."""
+    qterms = query_terms(qdf)
+    dterms = qterms.select("term").distinct()
+    n_docs = indexes[0][0].n_docs
+    dfs = None
+    for idx, _ in indexes:
+        s = idx.lexicon.join(F.broadcast(dterms), "term").select("term", "df")
+        dfs = s if dfs is None else dfs.unionByName(s)
+    df_blend = dfs.groupBy("term").agg(F.max("df").alias("df_blend"))
+    per_field = None
+    for idx, boost in indexes:
+        matched = idx.postings.join(F.broadcast(dterms), "term")
+        if "dl" not in idx.postings.columns:
+            docs_dl = idx.docs.select("doc_id", "dl")
+            if idx.n_docs <= broadcast_docs_max:
+                docs_dl = F.broadcast(docs_dl)
+            matched = matched.join(docs_dl, "doc_id")
+        c = matched.select(
+            "term", "doc_id",
+            (tf_norm_col(F.col("tf"), F.col("dl"), idx.avgdl, k1, b)
+             * F.lit(float(boost))).alias("tfn"),
+        )
+        per_field = c if per_field is None else per_field.unionByName(c)
+    td = per_field.groupBy("term", "doc_id").agg(
+        (F.max("tfn")
+         + F.lit(float(tie_breaker)) * (F.sum("tfn") - F.max("tfn"))
+         ).alias("tfn")
+    )
+    td = td.join(F.broadcast(df_blend), "term").select(
+        "term", "doc_id",
+        (idf_col(n_docs, F.col("df_blend")) * F.col("tfn")).alias("w"),
+    )
+    contrib = td.join(F.broadcast(qterms), "term").select(
+        "query_id", "k", "doc_id", "w")
+    scored = contrib.groupBy("query_id", "k", "doc_id").agg(
+        F.sum("w").alias("score"))
+    if round_scores is not None:
+        scored = scored.withColumn("score", F.round("score", round_scores))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
