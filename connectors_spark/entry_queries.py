@@ -10490,3 +10490,138 @@ def q_quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("epoch"),
         F.col("copies").cast("int").alias("copies"),
     ).select("doc_id", F.col("epoch").cast("int").alias("epoch"), "copies")
+
+
+# =================================================================
+# Edge-ngram prefix INDEX (search_as_you_type's index-time scale path)
+# + terms_enum (index term-dictionary probe)
+# =================================================================
+
+_ENG_MIN, _ENG_MAX = 2, 6
+_ENG_QUERIES = [("p0", "spa"), ("p1", "mer"), ("p2", "wind"),
+                ("p3", "qu"), ("p4", "zz")]
+
+
+def _edge_ngram_sql() -> str:
+    qvals = ", ".join(f"('{qid}', '{p}')" for qid, p in _ENG_QUERIES)
+    return f"""
+WITH {_TF_CTE},
+grams AS (
+  -- index-time edge n-grams {_ENG_MIN}..{_ENG_MAX} of each distinct
+  -- posting term: gram -> (doc, source term, tf)
+  SELECT tf.doc_id, tf.term, tf.tf,
+         substr(tf.term, 1, n.n) AS gram
+  FROM tf, (SELECT unnest(range({_ENG_MIN}, {_ENG_MAX} + 1)) AS n) n
+  WHERE length(tf.term) >= n.n
+),
+qt(query_id, gram) AS (VALUES {qvals}),
+hits AS (
+  SELECT qt.query_id, g.doc_id,
+         count(DISTINCT g.term) AS n_terms,
+         sum(g.tf) AS sum_tf
+  FROM qt JOIN grams g USING (gram)
+  GROUP BY qt.query_id, g.doc_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       CAST(n_terms AS BIGINT) AS n_terms, CAST(sum_tf AS BIGINT) AS sum_tf
+FROM (
+  SELECT query_id, doc_id, n_terms, sum_tf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sum_tf DESC, doc_id ASC) AS rank
+  FROM hits
+) WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("edge_ngram_prefix", _edge_ngram_sql())
+def q_edge_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-ngram prefix INDEX — ES search_as_you_type's index-time
+    strategy, and the scale counterpart of match_bool_prefix (:7112):
+    that query expands a prefix against the lexicon at QUERY time
+    (O(lexicon) probe per search); here the expansion is precomputed
+    at INDEX time as {_ENG_MIN}..{_ENG_MAX}-char edge grams of every
+    posting term, so a prefix search is an exact-key join against the
+    gram index — O(1) dictionary probes, the only way interactive
+    autocomplete survives a 10^9-term lexicon. Ranked by summed tf of
+    the prefix-matched terms (constant-score-per-term, like ES's
+    bool_prefix rewrite); 'zz' matching nothing returns no rows."""
+    docs = _read(spark, sf_dir, "documents")
+    tf = (
+        tokenize(docs, "text", "doc_id")
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    grams = (
+        tf.withColumn(
+            "n",
+            F.explode(F.sequence(F.lit(_ENG_MIN),
+                                 F.least(F.length("term"),
+                                         F.lit(_ENG_MAX)))))
+        .filter(F.length("term") >= F.col("n"))
+        .select("doc_id", "term", "tf",
+                F.substring(F.col("term"), 1, 0).alias("_z"),
+                F.expr(f"substr(term, 1, n)").alias("gram"))
+        .drop("_z")
+    )
+    qdf = spark.createDataFrame(list(_ENG_QUERIES),
+                                "query_id string, gram string")
+    hits = (
+        grams.join(F.broadcast(qdf), "gram")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("n_terms"),
+             F.sum("tf").alias("sum_tf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sum_tf"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= GATE_BM25_K)
+        .select("query_id", "rank", "doc_id", "n_terms", "sum_tf")
+    )
+
+
+_TENUM_PREFIXES = [("t0", "s"), ("t1", "qu"), ("t2", "w")]
+
+
+def _terms_enum_sql() -> str:
+    qvals = ", ".join(f"('{qid}', '{p}')" for qid, p in _TENUM_PREFIXES)
+    return f"""
+WITH {_TF_CTE},
+lex AS (
+  SELECT term, count(*) AS df, sum(tf) AS cf
+  FROM tf GROUP BY term
+),
+qt(probe_id, prefix) AS (VALUES {qvals}),
+matched AS (
+  SELECT qt.probe_id, l.term, l.df, l.cf,
+         row_number() OVER (PARTITION BY qt.probe_id
+                            ORDER BY l.term ASC) AS rn
+  FROM qt JOIN lex l ON l.term LIKE qt.prefix || '%'
+)
+SELECT probe_id, CAST(rn AS INT) AS rn, term,
+       CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf
+FROM matched WHERE rn <= 5
+"""
+
+
+@register("terms_enum", _terms_enum_sql())
+def q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_terms_enum` API: enumerate the index's term dictionary by
+    prefix (the index-metadata probe behind field-value autocomplete
+    in Kibana), returning the first 5 matching terms with df/cf per
+    probe. Runs entirely on the LEXICON frame — never touches
+    postings, so cost is O(matched dictionary slice); the per-probe
+    window is partitioned by probe and bounded by the limit."""
+    idx = _docs_index(spark, sf_dir)
+    lex = idx.lexicon.select("term", "df", "cf")
+    qdf = spark.createDataFrame(list(_TENUM_PREFIXES),
+                                "probe_id string, prefix string")
+    matched = lex.join(
+        F.broadcast(qdf), F.col("term").startswith(F.col("prefix")))
+    w = Window.partitionBy("probe_id").orderBy(F.asc("term"))
+    return (
+        matched.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "rn", "term",
+                F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+    )
