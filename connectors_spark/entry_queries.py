@@ -10558,9 +10558,7 @@ def q_edge_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.lit(_ENG_MAX)))))
         .filter(F.length("term") >= F.col("n"))
         .select("doc_id", "term", "tf",
-                F.substring(F.col("term"), 1, 0).alias("_z"),
-                F.expr(f"substr(term, 1, n)").alias("gram"))
-        .drop("_z")
+                F.expr("substr(term, 1, n)").alias("gram"))
     )
     qdf = spark.createDataFrame(list(_ENG_QUERIES),
                                 "query_id string, gram string")
@@ -10587,18 +10585,17 @@ def _terms_enum_sql() -> str:
     return f"""
 WITH {_TF_CTE},
 lex AS (
-  SELECT term, count(*) AS df, sum(tf) AS cf
-  FROM tf GROUP BY term
+  SELECT term, count(*) AS df FROM tf GROUP BY term
 ),
 qt(probe_id, prefix) AS (VALUES {qvals}),
 matched AS (
-  SELECT qt.probe_id, l.term, l.df, l.cf,
+  SELECT qt.probe_id, l.term, l.df,
          row_number() OVER (PARTITION BY qt.probe_id
                             ORDER BY l.term ASC) AS rn
   FROM qt JOIN lex l ON l.term LIKE qt.prefix || '%'
 )
 SELECT probe_id, CAST(rn AS INT) AS rn, term,
-       CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf
+       CAST(df AS BIGINT) AS df
 FROM matched WHERE rn <= 5
 """
 
@@ -10607,12 +10604,12 @@ FROM matched WHERE rn <= 5
 def q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `_terms_enum` API: enumerate the index's term dictionary by
     prefix (the index-metadata probe behind field-value autocomplete
-    in Kibana), returning the first 5 matching terms with df/cf per
+    in Kibana), returning the first 5 matching terms with df per
     probe. Runs entirely on the LEXICON frame — never touches
     postings, so cost is O(matched dictionary slice); the per-probe
     window is partitioned by probe and bounded by the limit."""
     idx = _docs_index(spark, sf_dir)
-    lex = idx.lexicon.select("term", "df", "cf")
+    lex = idx.lexicon.select("term", "df")
     qdf = spark.createDataFrame(list(_TENUM_PREFIXES),
                                 "probe_id string, prefix string")
     matched = lex.join(
@@ -10622,6 +10619,5 @@ def q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 5)
         .select("probe_id", "rn", "term",
-                F.col("df").cast("long").alias("df"),
-                F.col("cf").cast("long").alias("cf"))
+                F.col("df").cast("long").alias("df"))
     )
