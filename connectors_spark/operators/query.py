@@ -1263,7 +1263,9 @@ def rescore_window(index: IndexFrames, qdf: DataFrame,
     if round_scores is not None:
         second = second.withColumn("_s2", F.round("_s2", round_scores))
     combined = (
-        first.join(second, ["query_id", "doc_id"], "left")
+        # second is candidate-restricted => <= |Q| * window rows; the
+        # combine join broadcasts it regardless of corpus size
+        first.join(F.broadcast(second), ["query_id", "doc_id"], "left")
         .withColumn(
             "score",
             F.lit(float(query_weight)) * F.col("_s1")

@@ -280,3 +280,35 @@ def test_parent_id_filter_pushed_to_scan(spark, sf_dir):
     plan = _plan(eq.q_parent_id_query(spark, sf_dir))
     assert "PushedFilters: [" in plan
     assert "l_orderkey" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_final_batch_gate_plan_shapes(spark, sf_dir):
+    """Final-session gate batch: rescore's second pass must broadcast
+    the candidate window (never shuffle-join postings against it);
+    cross_fields' blended-df and query-term joins broadcast; the
+    transcript window gates keep every Window partitioned by conv_id /
+    query-scoped keys; min_score_hits has no window at all."""
+    from connectors_spark import entry_queries as eq
+
+    plan = _plan(eq.q_rescore_topk(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    # both scoring passes stay broadcast-joined end to end
+    assert "SortMergeJoin" not in plan, plan
+
+    plan = _plan(eq.q_cross_fields_match(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+    for fn, keys in (
+        (eq.q_conversation_context_window, ("conv_id",)),
+        (eq.q_transcript_turn_gaps, ("conv_id",)),
+        (eq.q_edge_ngram_prefix, ("query_id",)),
+        (eq.q_terms_enum, ("probe_id",)),
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        for frag in plan.split("Window")[1:]:
+            spec = frag.split("\n")[0]
+            assert any(k in spec for k in keys), (fn.__name__, spec)
+
+    plan = _plan(eq.q_min_score_hits(spark, sf_dir))
+    assert "Window" not in plan, "hit accounting must not rank anything"

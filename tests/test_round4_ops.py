@@ -165,3 +165,98 @@ def test_grok_regex_matches_python_re_and_spark_semantics():
     # literal regex text between references survives verbatim
     rex, _ = grok_to_regex(r"^\[%{WORD:a}\]$")
     assert re.match(rex, "[hello]")
+
+
+# ---------------------------------------------------------------- rescore
+
+
+def test_rescore_outside_window_never_surfaces(spark):
+    """A doc that would win on the rescore query alone but misses the
+    first-pass window must not appear (ES contract: rescore reorders
+    the window, it does not recall new docs)."""
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, rescore_window
+
+    rows = [(1, "alpha alpha alpha"), (2, "alpha beta"),
+            (3, "zeta zeta zeta zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "q", "query_text": "alpha",
+                              "k": 2}])
+    rdf = queries_df(spark, [{"query_id": "q", "query_text": "zeta",
+                              "k": 2}])
+    out = rescore_window(idx, qdf, rdf, window_size=2,
+                         rescore_query_weight=100.0).collect()
+    got = {r.doc_id for r in out}
+    assert 3 not in got, "doc 3 matches only the rescore query"
+    assert got == {1, 2}
+
+
+def test_rescore_reorders_within_window(spark):
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, rescore_window
+
+    rows = [(1, "alpha alpha alpha"), (2, "alpha beta beta beta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "q", "query_text": "alpha",
+                              "k": 2}])
+    rdf = queries_df(spark, [{"query_id": "q", "query_text": "beta",
+                              "k": 2}])
+    base = {r.doc_id: r.rank for r in rescore_window(
+        idx, qdf, rdf, window_size=2, rescore_query_weight=0.0).collect()}
+    heavy = {r.doc_id: r.rank for r in rescore_window(
+        idx, qdf, rdf, window_size=2, rescore_query_weight=50.0).collect()}
+    assert base[1] == 1, "doc 1 wins on the base query"
+    assert heavy[2] == 1, "rescore weight flips the order inside the window"
+
+
+# ------------------------------------------------------------ cross_fields
+
+
+def test_cross_fields_blends_df_across_fields(spark):
+    """A term frequent in field B must be discounted in field A too
+    (shared blended idf) — the defining difference vs most_fields."""
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import (
+        queries_df, score_cross_fields, score_multi_match)
+
+    # 'common' is rare in text (1 doc) but ubiquitous in src (all docs)
+    rows = [(1, "common alpha", "common"), (2, "beta gamma", "common"),
+            (3, "delta beta", "common"), (4, "epsilon zeta", "common")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    idx_t = build_index(docs.select("doc_id", "text"), with_positions=False)
+    idx_s = build_index(
+        docs.select("doc_id", F.col("src").alias("text")),
+        with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "q", "query_text": "common",
+                              "k": 4}])
+    cross = {r.doc_id: r.score for r in score_cross_fields(
+        [(idx_t, 1.0), (idx_s, 1.0)], qdf).collect()}
+    most = {r.doc_id: r.score for r in score_multi_match(
+        [(idx_t, 1.0), (idx_s, 1.0)], qdf).collect()}
+    # every doc matches via src; blended df = max(1, 4) = 4 -> tiny idf
+    assert set(cross) == {1, 2, 3, 4}
+    # most_fields scores doc 1 with text-field idf for df=1 (rare) PLUS
+    # the src contribution; cross_fields uses the blended (large) df
+    # everywhere, so doc 1's cross score is far below its most score
+    assert cross[1] < most[1]
+
+
+def test_cross_fields_requires_known_tie_breaker_range(spark):
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import (
+        queries_df, score_cross_fields)
+
+    rows = [(1, "alpha beta", "gamma")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    idx_t = build_index(docs.select("doc_id", "text"), with_positions=False)
+    idx_s = build_index(
+        docs.select("doc_id", F.col("src").alias("text")),
+        with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "q", "query_text": "alpha gamma",
+                              "k": 1}])
+    # tie_breaker=1.0 degenerates to sum-over-fields of blended-idf terms
+    out = score_cross_fields([(idx_t, 1.0), (idx_s, 1.0)], qdf,
+                             tie_breaker=1.0).collect()
+    assert len(out) == 1 and out[0].doc_id == 1
