@@ -10621,3 +10621,212 @@ def q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "rn", "term",
                 F.col("df").cast("long").alias("df"))
     )
+
+
+# =================================================================
+# ES linear retriever (8.16 retriever tree): minmax-normalized
+# weighted fusion of BM25 + kNN lists
+# =================================================================
+
+_LIN_W_LEX, _LIN_W_SEM = 0.7, 0.3
+_LIN_LIST_K = 50
+_LIN_TOP = 20
+
+
+def _linear_retriever_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(term) AS (VALUES ('spark'), ('data')),
+lex_scored AS (
+  SELECT tf.doc_id, round(sum({w}), {ROUND_SCORE}) AS s
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lex_top AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rn
+    FROM lex_scored
+  ) WHERE rn <= {_LIN_LIST_K}
+),
+lex_norm AS (
+  SELECT doc_id,
+         round(CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+               ELSE (s - min(s) OVER ())
+                    / (max(s) OVER () - min(s) OVER ()) END,
+               {ROUND_SCORE}) AS ns
+  FROM lex_top
+),
+{_NORMS_SQL},
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT d.vec_id AS doc_id,
+         sum(CAST(d.embedding[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)) AS dot
+  FROM embeddings d CROSS JOIN qv CROSS JOIN dims
+  WHERE d.vec_id <> 0
+  GROUP BY d.vec_id
+),
+sem_scored AS (
+  SELECT dots.doc_id, round(dot / (nq.nrm * nd.nrm), 6) AS c
+  FROM dots
+  JOIN norms nq ON nq.vec_id = 0
+  JOIN norms nd ON nd.vec_id = dots.doc_id
+),
+sem_top AS (
+  SELECT doc_id, c FROM (
+    SELECT doc_id, c,
+           row_number() OVER (ORDER BY c DESC, doc_id ASC) AS rn
+    FROM sem_scored
+  ) WHERE rn <= {_LIN_LIST_K}
+),
+sem_norm AS (
+  SELECT doc_id,
+         round(CASE WHEN max(c) OVER () = min(c) OVER () THEN 1.0
+               ELSE (c - min(c) OVER ())
+                    / (max(c) OVER () - min(c) OVER ()) END,
+               {ROUND_SCORE}) AS ns
+  FROM sem_top
+),
+fused AS (
+  SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+         round({_LIN_W_LEX} * coalesce(l.ns, 0.0)
+               + {_LIN_W_SEM} * coalesce(m.ns, 0.0),
+               {ROUND_SCORE}) AS score
+  FROM lex_norm l FULL OUTER JOIN sem_norm m ON m.doc_id = l.doc_id
+)
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {_LIN_TOP}
+"""
+
+
+@register("linear_retriever_hybrid", _linear_retriever_sql())
+def q_linear_retriever_hybrid(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ES `linear` retriever (the 8.16 retriever-tree fusion mode,
+    sibling of rrf_hybrid at :5064): each child retriever's top-50
+    list is minmax-normalized IN-LIST (max==min degenerates to 1.0,
+    ES's normalizer convention), then fused as 0.7*lexical +
+    0.3*semantic; docs missing from one list contribute 0 from it
+    (FULL OUTER fusion). Normalization stats are per-list aggregates
+    over <=50 rows — the fusion cost is list-sized, corpus-size
+    independent, exactly like RRF but score-calibrated."""
+    from connectors_spark.operators.similarity import brute_force_cosine_topk
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    emb = _read(spark, sf_dir, "embeddings")
+    qdf = queries_df(spark, [{"query_id": "h", "query_text": "spark data",
+                              "k": _LIN_LIST_K}])
+    lex = (
+        score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+        .select("doc_id", F.col("score").alias("s"))
+    )
+    sem = (
+        brute_force_cosine_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=_LIN_LIST_K)
+        .select(F.col("vec_id").alias("doc_id"), F.col("cos").alias("c"))
+    )
+
+    def _minmax(df, col):
+        stats = df.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                F.round(
+                    F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0))
+                    .otherwise((F.col(col) - F.col("_mn"))
+                               / (F.col("_mx") - F.col("_mn"))),
+                    ROUND_SCORE).alias("ns"),
+            )
+        )
+
+    ln = _minmax(lex, "s")
+    sn = _minmax(sem, "c")
+    fused = (
+        ln.withColumnRenamed("ns", "lns")
+        .join(sn.withColumnRenamed("ns", "sns"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(_LIN_W_LEX) * F.coalesce("lns", F.lit(0.0))
+                + F.lit(_LIN_W_SEM) * F.coalesce("sns", F.lit(0.0)),
+                ROUND_SCORE).alias("score"),
+        )
+    )
+    return _ranked_topk(fused, [F.desc("score"), F.asc("doc_id")],
+                        _LIN_TOP).select(
+        "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+# =================================================================
+# Curriculum pacing: rarity-scored difficulty bands for ordered training
+# =================================================================
+
+def _curriculum_sql() -> str:
+    from connectors_spark.operators.score import idf_sql
+
+    idf = idf_sql("stats.n", "dfreq.df")
+    return f"""
+WITH {_TF_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) * 1.0 AS n),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+diff AS (
+  SELECT tf.doc_id, round(avg({idf}), {ROUND_SCORE}) AS difficulty
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+mm AS (SELECT min(difficulty) AS mn, max(difficulty) AS mx FROM diff)
+SELECT d.doc_id, d.difficulty,
+       CAST(least(3, CAST(floor((d.difficulty - mm.mn) * 4.0
+                                / (mm.mx - mm.mn)) AS INT)) AS INT)
+         AS stage
+FROM diff d CROSS JOIN mm
+"""
+
+
+@register("curriculum_pacing", _curriculum_sql())
+def q_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training (easy->hard pacing): per-doc
+    difficulty = mean idf of the doc's distinct terms (rare-word
+    density — the standard text-difficulty proxy), banded into 4
+    equal-width pacing stages between the corpus min and max. The
+    band bounds are a 1-row broadcast aggregate, so staging is
+    shuffle-free beyond the difficulty agg itself; a trainer consumes
+    stages in order, shuffling WITHIN a stage only. Floor on the
+    identically-parenthesized float expression keeps band assignment
+    bit-identical across engines."""
+    from connectors_spark.operators.score import idf_col
+
+    idx = _docs_index(spark, sf_dir)
+    diff = (
+        idx.postings.select("doc_id", "term")
+        .join(F.broadcast(idx.lexicon.select("term", "df")), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(idf_col(idx.n_docs, F.col("df"))),
+                     ROUND_SCORE).alias("difficulty"))
+    )
+    mm = diff.agg(F.min("difficulty").alias("mn"),
+                  F.max("difficulty").alias("mx"))
+    return (
+        diff.crossJoin(F.broadcast(mm))
+        .select(
+            "doc_id", "difficulty",
+            F.least(
+                F.lit(3),
+                F.floor((F.col("difficulty") - F.col("mn")) * 4.0
+                        / (F.col("mx") - F.col("mn"))).cast("int"))
+            .cast("int").alias("stage"),
+        )
+    )
