@@ -10830,3 +10830,108 @@ def q_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("stage"),
         )
     )
+
+
+# =================================================================
+# Assistant-turn template detection (cross-conversation dedup screen)
+# =================================================================
+
+@register(
+    "assistant_template_turns",
+    f"""
+WITH {_sft_values_sql()},
+a AS (
+  SELECT conv_id, turn_idx,
+         trim(regexp_replace(lower(text), '[0-9]+', '#')) AS norm
+  FROM t WHERE role = 'assistant'
+),
+g AS (
+  SELECT norm,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM a GROUP BY norm
+)
+SELECT norm, n_turns, n_convs,
+       CAST(n_convs > 1 AS INT) AS is_template
+FROM g
+""",
+)
+def q_assistant_template_turns(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Template-reply detection over transcripts (north-rule schema):
+    assistant turns normalized (lowercase, digits -> '#') and grouped;
+    a reply text recurring across DISTINCT conversations is a template
+    ('I cannot help with that') — SFT pipelines downweight or dedup
+    these to stop the model collapsing onto canned turns. One
+    normalize + one agg; the distinct-conv count is the map-side
+    combinable half of the classic (count, distinct) pair."""
+    rows = _sft_transcript_rows()
+    docs = spark.createDataFrame(
+        rows, "doc_id long, conv_id int, turn_idx int, role string, "
+              "text string")
+    a = docs.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        F.trim(F.regexp_replace(F.lower("text"), "[0-9]+", "#"))
+        .alias("norm"))
+    return (
+        a.groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.countDistinct("conv_id").alias("n_convs"))
+        .select("norm", "n_turns", "n_convs",
+                (F.col("n_convs") > 1).cast("int").alias("is_template"))
+    )
+
+
+# =================================================================
+# Tokenizer fertility by language (multilingual tokenizer audit)
+# =================================================================
+
+@register(
+    "tokenizer_fertility",
+    f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS n_words,
+         coalesce(list_sum(list_transform({_ARR},
+                  t -> CAST(ceil(length(t) / 4) AS BIGINT))), 0)
+           AS n_subwords
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS words,
+       CAST(sum(n_subwords) AS BIGINT) AS subwords,
+       round(sum(n_subwords) * 1.0 / sum(n_words), 6) AS fertility
+FROM per_doc WHERE n_words > 0
+GROUP BY lang
+""",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit (subword pieces per whitespace word,
+    per language) — the standard multilingual-tokenizer health metric:
+    a language with outlier fertility gets over-charged per token and
+    under-served per context window, which skews the data mix. Uses
+    the same BPE-ish subword proxy as token_counts (:657); corpus-size
+    independent output (one row per language), map-side combinable."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    nw = F.size(F.filter(F.split(F.col("text"), " "),
+                         lambda t: t != ""))
+    nsw = F.coalesce(
+        F.aggregate(
+            F.transform(tokens_col(F.col("text")),
+                        lambda t: F.ceil(F.length(t) / 4).cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x),
+        F.lit(0))
+    per = docs.select("lang", nw.alias("n_words"), nsw.alias("n_subwords"))
+    return (
+        per.filter(F.col("n_words") > 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_words").alias("words"),
+             F.sum("n_subwords").alias("subwords"),
+             F.round(F.sum("n_subwords") / F.sum("n_words"), 6)
+             .alias("fertility"))
+    )
