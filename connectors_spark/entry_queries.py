@@ -10935,3 +10935,337 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("n_subwords") / F.sum("n_words"), 6)
              .alias("fertility"))
     )
+
+
+# =================================================================
+# Pipeline-aggregation tail: derivative, serial_diff, bucket_sort
+# (ES pipeline aggs over a parent date_histogram / terms agg)
+# =================================================================
+
+@register(
+    "derivative_agg",
+    """
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 6) AS total
+  FROM events GROUP BY day
+)
+SELECT day, total,
+       round(total - lag(total) OVER (ORDER BY day), 6) AS deriv
+FROM d
+""",
+)
+def q_derivative_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `derivative` pipeline aggregation: day-over-day delta of a
+    date_histogram metric (first bucket null, as ES emits no value).
+    The corpus-scale stage is ONE map-side-combined groupBy; the
+    ordered lag window runs over the day-level frame (~tens of rows),
+    never the corpus — same scale split as cumulative_cardinality."""
+    ev = _read(spark, sf_dir, "events")
+    d = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                    .alias("day"))
+         .agg(F.round(F.sum("value"), 6).alias("total")))
+    w = Window.orderBy("day")
+    return d.select(
+        "day", "total",
+        F.round(F.col("total") - F.lag("total").over(w), 6).alias("deriv"))
+
+
+@register(
+    "serial_diff_agg",
+    """
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day
+)
+SELECT day, n,
+       CAST(n - lag(n, 7) OVER (ORDER BY day) AS BIGINT) AS diff7
+FROM d
+""",
+)
+def q_serial_diff_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `serial_diff` pipeline aggregation with lag=7 (week-over-week
+    seasonality removal on a daily count histogram). Null for the
+    first 7 buckets, matching ES. Corpus stage is a plain agg; the
+    lag-7 window is day-frame-sized only."""
+    ev = _read(spark, sf_dir, "events")
+    d = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                    .alias("day"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("day")
+    return d.select(
+        "day", "n",
+        (F.col("n") - F.lag("n", 7).over(w)).cast("long").alias("diff7"))
+
+
+@register(
+    "bucket_sort_agg",
+    """
+WITH d AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 3) AS total
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, total FROM d
+ORDER BY total DESC, event_type LIMIT 5 OFFSET 2
+""",
+)
+def q_bucket_sort_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bucket_sort` pipeline aggregation: re-sort the parent terms
+    agg's buckets by a sub-metric and apply from/size paging (from=2,
+    size=5) — the "top buckets by revenue, skip the first page" shape.
+    Deterministic tie-break on the bucket key. The sort runs over the
+    BUCKET frame (event_type cardinality), not the corpus; Spark's
+    sort+offset+limit on a frame that small is a single-stage no-op at
+    any corpus scale."""
+    ev = _read(spark, sf_dir, "events")
+    d = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 3).alias("total"))
+    return (d.orderBy(F.desc("total"), F.asc("event_type"))
+            .offset(2).limit(5))
+
+
+# =================================================================
+# _msearch: N searches, one request, one index pass
+# =================================================================
+
+_MSEARCH_SPECS = [
+    ("m0", "table", "en"),
+    ("m1", "data", "de"),
+    ("m2", "query", None),
+]
+
+
+def _msearch_sql() -> str:
+    vals = ", ".join(
+        f"('{qid}', '{term}', " + (f"'{lang}'" if lang else "NULL") + ")"
+        for qid, term, lang in _MSEARCH_SPECS)
+    return f"""
+WITH {_TF_CTE},
+specs AS (SELECT * FROM (VALUES {vals}) AS v(query_id, term, lang))
+SELECT s.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(max(tf.tf) AS BIGINT) AS max_tf
+FROM specs s
+JOIN tf USING (term)
+JOIN documents d ON d.doc_id = tf.doc_id
+WHERE s.lang IS NULL OR d.lang = s.lang
+GROUP BY s.query_id
+"""
+
+
+@register("msearch", _msearch_sql())
+def q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_msearch` analog: a batch of heterogeneous searches (each
+    with its own term + optional lang filter) executed in ONE pass over
+    the corpus — the coordinating-node batching that amortizes the
+    index scan across requests. The spec table is broadcast (requests
+    are always driver-small); per-query hit count + max term frequency
+    come out of one shared tokenize + one agg. Reference context: the
+    connector service funnels all content-index searches through one
+    ES client the same way (svc/es/sink.py bulk delegation)."""
+    spark_specs = spark.createDataFrame(
+        [(q, t, l) for q, t, l in _MSEARCH_SPECS],
+        "query_id string, term string, lang_filter string")
+    docs = _read(spark, sf_dir, "documents")
+    tf = (tokenize(docs, "text", "doc_id")
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    hits = (tf.join(F.broadcast(spark_specs), "term")
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .filter(F.col("lang_filter").isNull()
+                    | (F.col("lang") == F.col("lang_filter"))))
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.max("tf").alias("max_tf"))
+
+
+# =================================================================
+# _field_caps: per-field capabilities / usage statistics
+# =================================================================
+
+_FIELD_CAPS_COLS = [
+    ("event_id", "long"), ("ts", "date"), ("user_id", "long"),
+    ("event_type", "keyword"), ("value", "double"), ("props", "text"),
+]
+
+
+def _field_caps_sql() -> str:
+    parts = []
+    for fld, typ in _FIELD_CAPS_COLS:
+        aggregatable = 0 if typ == "text" else 1
+        parts.append(
+            f"SELECT '{fld}' AS field, '{typ}' AS es_type, "
+            f"CAST({aggregatable} AS INT) AS aggregatable, "
+            f"CAST(count({fld}) AS BIGINT) AS non_null, "
+            f"CAST(count(DISTINCT {fld}) AS BIGINT) AS n_distinct "
+            f"FROM events")
+    return " UNION ALL ".join(parts)
+
+
+@register("field_caps", _field_caps_sql())
+def q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_field_caps` analog: per-field type, aggregatability and
+    usage statistics (non-null + distinct counts — what a query planner
+    or index-mapping audit reads before choosing an agg strategy). ES
+    derives this from mappings; with schema-on-read parquet we derive
+    the same capabilities from the schema plus ONE single-pass agg
+    (Spark plans one expand for the multi-column distinct set — still
+    one scan, map-side combined). `text` fields are analyzed-only
+    (aggregatable=0), everything else doubles as a doc-values field."""
+    ev = _read(spark, sf_dir, "events")
+    aggs = []
+    for fld, _typ in _FIELD_CAPS_COLS:
+        aggs.append(F.count(fld).cast("long").alias(f"nn_{fld}"))
+        aggs.append(F.countDistinct(fld).cast("long").alias(f"nd_{fld}"))
+    one = ev.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(fld).alias("field"),
+            F.lit(typ).alias("es_type"),
+            F.lit(0 if typ == "text" else 1).cast("int")
+            .alias("aggregatable"),
+            F.col(f"nn_{fld}").alias("non_null"),
+            F.col(f"nd_{fld}").alias("n_distinct"),
+        )
+        for fld, typ in _FIELD_CAPS_COLS
+    ])
+    return (one.select(F.explode(rows).alias("r"))
+            .select("r.field", "r.es_type", "r.aggregatable",
+                    "r.non_null", "r.n_distinct"))
+
+
+# =================================================================
+# _mtermvectors: term vectors + corpus term statistics for a doc set
+# =================================================================
+
+_MTV_DOC_IDS = [3, 7, 11, 19]
+
+
+@register(
+    "mtermvectors",
+    f"""
+WITH {_TF_CTE},
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS ttf
+  FROM tf GROUP BY term
+)
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, stats.df, stats.ttf
+FROM tf JOIN stats USING (term)
+WHERE tf.doc_id IN ({', '.join(str(i) for i in _MTV_DOC_IDS)})
+""",
+)
+def q_mtermvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_mtermvectors` with term_statistics=true: for a requested
+    doc set, every term's in-doc frequency plus corpus-wide document
+    frequency and total term frequency. The doc-subset tf is a pruned
+    scan (doc_id IN pushdown); df/ttf here are recomputed from one
+    corpus agg for the oracle twin — at scale they are a broadcast
+    lookup against the prebuilt index lexicon (operators/build.py df
+    aggregates), so the per-request cost is the doc subset only."""
+    docs = _read(spark, sf_dir, "documents")
+    tf_all = (tokenize(docs, "text", "doc_id")
+              .groupBy("doc_id", "term")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    stats = tf_all.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("ttf"))
+    sel = tf_all.filter(F.col("doc_id").isin(_MTV_DOC_IDS))
+    return (sel.join(stats, "term")
+            .select("doc_id", "term", "tf", "df", "ttf"))
+
+
+# =================================================================
+# Span-query tail: span_first, span_or, span_not (Lucene span family;
+# span_near landed round 3 — same pruned position-join shape)
+# =================================================================
+
+_TP_CTE = (
+    "tp AS (SELECT doc_id, unnest(arr) AS t, "
+    "unnest(range(len(arr))) AS pos FROM "
+    f"(SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr "
+    "FROM documents))"
+)
+
+
+@register(
+    "span_first_query",
+    f"""
+WITH {_TP_CTE}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(pos) AS INT) AS first_pos
+FROM tp WHERE t = 'table' AND pos < 5
+GROUP BY doc_id
+""",
+)
+def q_span_first_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_first query: term must occur within the first `end`
+    positions of the field (here 'table' in positions 0..4) — the
+    "title-ish match in a body field" trick. Position predicate rides
+    the posting scan: only the term's postings are touched, and the
+    pos < end filter prunes before the per-doc agg."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    return (toks.filter((F.col("term") == "table") & (F.col("pos") < 5))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.min("pos").cast("int").alias("first_pos")))
+
+
+@register(
+    "span_or_query",
+    f"""
+WITH {_TP_CTE}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_variants
+FROM tp WHERE t IN ('merge', 'sort', 'join')
+GROUP BY doc_id
+""",
+)
+def q_span_or_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_or query: the union of several span clauses — every
+    position where ANY of the variant terms occurs (the synonym-set
+    span primitive that feeds span_near/span_not compositions).
+    n_variants records how many distinct variants matched per doc.
+    Only the three terms' postings are scanned (IN-list pushdown)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    return (toks.filter(F.col("term").isin("merge", "sort", "join"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.countDistinct("term").alias("n_variants")))
+
+
+@register(
+    "span_not_query",
+    f"""
+WITH {_TP_CTE}
+SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tp t0
+WHERE t0.t = 'table'
+  AND NOT EXISTS (
+    SELECT 1 FROM tp t1
+    WHERE t1.doc_id = t0.doc_id AND t1.t = 'scan'
+      AND abs(t1.pos - t0.pos) <= 2)
+GROUP BY t0.doc_id
+""",
+)
+def q_span_not_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_not query: keep spans of the include clause ('table')
+    that do NOT fall within `dist` positions of the exclude clause
+    ('scan') — "table but not near scan". Expressed as a left-anti
+    position join over only the two terms' postings: the anti side is
+    pruned to the exclude term before the join, so cost is posting-
+    sized, not corpus-sized, at any scale."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    t0 = toks.filter(F.col("term") == "table").select(
+        "doc_id", F.col("pos").alias("p0"))
+    t1 = toks.filter(F.col("term") == "scan").select(
+        F.col("doc_id").alias("_d"), F.col("pos").alias("p1"))
+    kept = t0.join(
+        t1, (t0.doc_id == t1._d)
+        & (F.abs(F.col("p1") - F.col("p0")) <= 2), "left_anti")
+    return kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
