@@ -11269,3 +11269,188 @@ def q_span_not_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         t1, (t0.doc_id == t1._d)
         & (F.abs(F.col("p1") - F.col("p0")) <= 2), "left_anti")
     return kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+# =================================================================
+# text_similarity_reranker retriever: BM25 window -> embedding rerank
+# =================================================================
+
+_TSR_TEXT = "merge sort table"
+_TSR_WINDOW = 40   # rank_window_size of the first-stage retriever
+_TSR_SEED_K = 3    # docs whose embedding mean stands in for the query vector
+_TSR_K = 10
+
+
+def _tsr_sql() -> str:
+    terms = sorted({t for t in _TSR_TEXT.split() if t})
+    qvals = ", ".join(f"('{t}')" for t in terms)
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(term) AS (VALUES {qvals}),
+c1 AS (
+  SELECT tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+s1 AS (
+  SELECT doc_id, round(sum(w), {ROUND_SCORE}) AS bm25_score
+  FROM c1 GROUP BY doc_id
+),
+win AS (
+  SELECT doc_id, bm25_score FROM (
+    SELECT doc_id, bm25_score,
+           row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC) AS rn
+    FROM s1
+  ) WHERE rn <= {_TSR_WINDOW}
+),
+seed AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC) AS rn
+    FROM win
+  ) WHERE rn <= {_TSR_SEED_K}
+),
+{_DIMS_SQL},
+qv AS (
+  SELECT i, avg(CAST(e.embedding[i] AS DOUBLE)) AS qv
+  FROM seed JOIN embeddings e ON e.vec_id = seed.doc_id CROSS JOIN dims
+  GROUP BY i
+),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qn FROM qv),
+cd AS (
+  SELECT w.doc_id, w.bm25_score,
+         sum(CAST(e.embedding[qv.i] AS DOUBLE) * qv.qv) AS dot,
+         sqrt(sum(CAST(e.embedding[qv.i] AS DOUBLE)
+                  * CAST(e.embedding[qv.i] AS DOUBLE))) AS nd
+  FROM win w JOIN embeddings e ON e.vec_id = w.doc_id CROSS JOIN qv
+  GROUP BY w.doc_id, w.bm25_score
+),
+sim AS (
+  SELECT doc_id, bm25_score,
+         round(dot / (nd * (SELECT qn FROM qn)), {ROUND_SCORE}) AS sim
+  FROM cd
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, bm25_score, sim FROM (
+  SELECT doc_id, bm25_score, sim,
+         row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rank
+  FROM sim
+) WHERE rank <= {_TSR_K}
+"""
+
+
+@register("text_similarity_reranker", _tsr_sql())
+def q_text_similarity_reranker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `text_similarity_reranker` retriever: a first-stage BM25
+    retriever keeps a rank_window_size candidate set, then a semantic
+    model re-scores ONLY that window and the final ranking is by the
+    semantic score. The sandbox has no inference service, so the query
+    embedding is the deterministic pseudo-relevance stand-in ES docs
+    describe for testing: the per-dimension mean of the top-3
+    first-stage docs' embeddings (rounded cosine thereafter).
+    Scale shape: stage 1 is the real index-backed retrieval; stages 2+
+    touch exactly `rank_window_size` rows — the embeddings join is a
+    k-row broadcast-able lookup, never a corpus scan, and the query
+    vector is an O(dim) broadcast. Reference context: the connector
+    service's content indices are the corpus ES reranks this way
+    (svc/es/sink.py delegation)."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": "tsr", "query_text": _TSR_TEXT, "k": _TSR_WINDOW}],
+    )
+    first = (score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+             .select("doc_id", F.col("score").alias("bm25_score"), "rank"))
+    emb = _read(spark, sf_dir, "embeddings")
+    win = first.join(emb, first.doc_id == emb.vec_id).select(
+        "doc_id", "bm25_score", "rank", "embedding")
+    # query vector: per-dimension mean over the seed docs (tiny frame)
+    qv = (win.filter(F.col("rank") <= _TSR_SEED_K)
+          .select(F.posexplode("embedding").alias("i", "v"))
+          .groupBy("i")
+          .agg(F.avg(F.col("v").cast("double")).alias("qv")))
+    qn = qv.agg(F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qn"))
+    cand = (win.select("doc_id", "bm25_score",
+                       F.posexplode("embedding").alias("i", "v"))
+            .withColumn("v", F.col("v").cast("double"))
+            .join(F.broadcast(qv), "i"))
+    cd = cand.groupBy("doc_id", "bm25_score").agg(
+        F.sum(F.col("v") * F.col("qv")).alias("dot"),
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nd"))
+    sim = (cd.crossJoin(F.broadcast(qn))
+           .select("doc_id", "bm25_score",
+                   F.round(F.col("dot") / (F.col("nd") * F.col("qn")),
+                           ROUND_SCORE).alias("sim")))
+    order = [F.desc("sim"), F.asc("doc_id")]
+    top = sim.orderBy(*order).limit(_TSR_K)
+    return (top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int"))
+        .select("rank", "doc_id", "bm25_score", "sim"))
+
+
+# =================================================================
+# bucket_count_ks_test: two-sample KS over date_histogram buckets
+# =================================================================
+
+_KS_FG_TYPE = "error"
+
+
+@register(
+    "bucket_count_ks_test",
+    f"""
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN event_type = '{_KS_FG_TYPE}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_fg
+  FROM events GROUP BY day
+),
+c AS (
+  SELECT day,
+         round(abs(
+           sum(n_fg) OVER (ORDER BY day) * 1.0 / (SELECT sum(n_fg) FROM d)
+           - sum(n_all) OVER (ORDER BY day) * 1.0 / (SELECT sum(n_all) FROM d)
+         ), {ROUND_SCORE}) AS dev
+  FROM d
+)
+SELECT day AS ks_day, dev AS ks_stat FROM (
+  SELECT day, dev,
+         row_number() OVER (ORDER BY dev DESC, day ASC) AS rn
+  FROM c
+) WHERE rn = 1
+""",
+)
+def q_bucket_count_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `bucket_count_ks_test` pipeline aggregation (the AIOps
+    change-detection sibling of bucket_correlation): a two-sample
+    Kolmogorov-Smirnov statistic between the foreground ('{_KS_FG_TYPE}'
+    events) and background (all events) daily-count distributions —
+    max |CDF_fg - CDF_bg| plus the day it occurs. ONE map-side-combined
+    corpus agg produces the day frame; the CDF windows and the argmax
+    run over ~30 bucket rows at any corpus size. Deviation is rounded
+    BEFORE the argmax ranking so engines agree on ties."""
+    ev = _read(spark, sf_dir, "events")
+    d = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                    .alias("day"))
+         .agg(F.count(F.lit(1)).alias("n_all"),
+              F.sum(F.when(F.col("event_type") == _KS_FG_TYPE, 1)
+                    .otherwise(0)).alias("n_fg")))
+    tot = d.agg(F.sum("n_all").alias("t_all"), F.sum("n_fg").alias("t_fg"))
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    c = (d.crossJoin(F.broadcast(tot))
+         .select("day", F.round(F.abs(
+             F.sum("n_fg").over(wc) / F.col("t_fg")
+             - F.sum("n_all").over(wc) / F.col("t_all")),
+             ROUND_SCORE).alias("dev")))
+    top = c.orderBy(F.desc("dev"), F.asc("day")).limit(1)
+    return top.select(F.col("day").alias("ks_day"),
+                      F.col("dev").alias("ks_stat"))

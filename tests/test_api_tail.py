@@ -106,3 +106,35 @@ def test_span_not_gate_runs(spark, sf_dir):
     n = q_span_not_query(spark, sf_dir).count()
     first = q_span_first_query(spark, sf_dir).count()
     assert n >= 0 and first >= 0
+
+
+def test_ks_stat_bounds_and_argmax(spark, sf_dir):
+    from connectors_spark.entry_queries import q_bucket_count_ks_test
+    row = q_bucket_count_ks_test(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert row["ks_day"].startswith("2024-01-")
+
+
+def test_reranker_window_subset_and_order(spark, sf_dir):
+    from connectors_spark.entry_queries import (
+        _TSR_K, _TSR_TEXT, _TSR_WINDOW, q_text_similarity_reranker,
+        _docs_index, queries_df, ROUND_SCORE,
+    )
+    from connectors_spark.operators.query import score_topk_dataframe
+
+    out = q_text_similarity_reranker(spark, sf_dir).orderBy("rank").collect()
+    assert len(out) == _TSR_K
+    sims = [r["sim"] for r in out]
+    assert sims == sorted(sims, reverse=True), "final order is semantic"
+    # every reranked doc must come from the first-stage window, with the
+    # first-stage score carried through unchanged
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": "tsr", "query_text": _TSR_TEXT, "k": _TSR_WINDOW}])
+    first = {r["doc_id"]: r["score"]
+             for r in score_topk_dataframe(
+                 idx, qdf, round_scores=ROUND_SCORE).collect()}
+    for r in out:
+        assert r["doc_id"] in first
+        assert abs(r["bm25_score"] - first[r["doc_id"]]) < 1e-9
