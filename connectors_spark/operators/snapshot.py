@@ -1,0 +1,173 @@
+"""ES `_snapshot` / restore analog for the index store.
+
+Reference context: connectors delegates durability to Elasticsearch,
+whose snapshot module copies immutable segment files into a blob
+repository, deduplicating unchanged segments across snapshots and
+restoring by materializing a snapshot's file set into a fresh index
+(docs: ES snapshot-restore module). This is the same design over this
+engine's index store (operators/delta.py generation dirs + CURRENT
+pointer; operators/index.py postings manifest):
+
+- A repository is a directory with a content-addressed `blobs/` pool
+  (sha256 of file bytes) plus one JSON manifest per snapshot mapping
+  index-relative paths -> blob hashes. Index files are immutable once
+  committed (postings/docmap/delta files are write-once; meta.json is
+  tiny), so snapshot N+1 re-links the blobs snapshot N already stored
+  and uploads only new generations/deltas — ES's incremental-snapshot
+  behavior.
+- Only MANIFESTED postings are captured (read through the same
+  postings_manifest.json the readers resolve), so loser-attempt orphan
+  files never enter the repository.
+- Restore materializes a snapshot into a destination dir (hard links
+  when the repo and destination share a filesystem, byte copies
+  otherwise) — an IndexReader over the restore answers exactly as the
+  source index did at snapshot time.
+- Deleting a snapshot drops its manifest and garbage-collects blobs no
+  remaining snapshot references (refcount at delete time, like ES).
+
+At cluster scale the blob pool is an object-store prefix and the
+hashing runs where the files live; the manifest/commit protocol is
+unchanged — the repository metadata is tiny (one JSON per snapshot),
+and all data movement is whole immutable files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from connectors_spark.operators.delta import resolve_current
+from connectors_spark.operators.index import POSTINGS_MANIFEST
+
+_SNAP_SUFFIX = ".snap.json"
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _index_files(index_dir: str) -> list[str]:
+    """Index-relative paths of every file a reader can resolve: meta,
+    docmap, manifested postings (orphans excluded), the manifest itself,
+    and the full delta chain."""
+    rels: list[str] = []
+    meta = os.path.join(index_dir, "meta.json")
+    if not os.path.exists(meta):
+        raise FileNotFoundError(f"not an index dir (no meta.json): {index_dir}")
+    rels.append("meta.json")
+    mf = os.path.join(index_dir, POSTINGS_MANIFEST)
+    if os.path.exists(mf):
+        rels.append(POSTINGS_MANIFEST)
+        with open(mf) as f:
+            for rel in json.load(f)["files"]:
+                rels.append(os.path.join("postings", rel))
+    else:  # committer-written index: the directory listing IS the truth
+        for root, _d, files in os.walk(os.path.join(index_dir, "postings")):
+            for fn in files:
+                rels.append(os.path.relpath(os.path.join(root, fn), index_dir))
+    for sub in ("docmap", "delta"):
+        top = os.path.join(index_dir, sub)
+        if os.path.isdir(top):
+            for root, _d, files in os.walk(top):
+                for fn in files:
+                    rels.append(
+                        os.path.relpath(os.path.join(root, fn), index_dir))
+    return sorted(rels)
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copyfile(src, dst)
+
+
+def snapshot_index(index_path: str, repo: str, name: str) -> dict:
+    """Snapshot the index's CURRENT generation into `repo` under `name`.
+    Returns the snapshot manifest. Incremental: blobs already present
+    in the repository (from any earlier snapshot) are not re-written."""
+    index_dir = resolve_current(index_path)
+    blob_dir = os.path.join(repo, "blobs")
+    os.makedirs(blob_dir, exist_ok=True)
+    snap_path = os.path.join(repo, name + _SNAP_SUFFIX)
+    if os.path.exists(snap_path):
+        raise FileExistsError(f"snapshot exists: {name}")
+    files, reused, uploaded = {}, 0, 0
+    for rel in _index_files(index_dir):
+        src = os.path.join(index_dir, rel)
+        digest = _sha256(src)
+        blob = os.path.join(blob_dir, digest)
+        if os.path.exists(blob):
+            reused += 1
+        else:
+            tmp = blob + f".tmp-{os.getpid()}"
+            _link_or_copy(src, tmp)
+            os.replace(tmp, blob)
+            uploaded += 1
+        files[rel] = digest
+    manifest = {"name": name, "files": files,
+                "n_files": len(files), "uploaded": uploaded, "reused": reused}
+    tmp = snap_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, snap_path)
+    return manifest
+
+
+def list_snapshots(repo: str) -> list[str]:
+    if not os.path.isdir(repo):
+        return []
+    return sorted(f[: -len(_SNAP_SUFFIX)] for f in os.listdir(repo)
+                  if f.endswith(_SNAP_SUFFIX))
+
+
+def _load_manifest(repo: str, name: str) -> dict:
+    with open(os.path.join(repo, name + _SNAP_SUFFIX)) as f:
+        return json.load(f)
+
+
+def restore_index(repo: str, name: str, dest: str) -> str:
+    """Materialize snapshot `name` into `dest` (must not exist). Hard
+    links from the blob pool when possible, so a same-filesystem restore
+    moves no bytes. Returns `dest`, ready for IndexReader."""
+    if os.path.exists(dest):
+        raise FileExistsError(f"restore destination exists: {dest}")
+    manifest = _load_manifest(repo, name)
+    blob_dir = os.path.join(repo, "blobs")
+    tmp = dest + f".restoring-{os.getpid()}"
+    for rel, digest in manifest["files"].items():
+        src, dst = os.path.join(blob_dir, digest), os.path.join(tmp, rel)
+        if rel.endswith(".json"):
+            # metadata is the one file class a later writer may replace
+            # in place — byte-copy it so no write path can ever reach a
+            # blob through a hard link; bulk parquet stays linked
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src, dst)
+        else:
+            _link_or_copy(src, dst)
+    os.replace(tmp, dest)
+    return dest
+
+
+def delete_snapshot(repo: str, name: str) -> int:
+    """Drop the snapshot and GC blobs no remaining snapshot references.
+    Returns the number of blobs removed."""
+    os.remove(os.path.join(repo, name + _SNAP_SUFFIX))
+    live: set[str] = set()
+    for other in list_snapshots(repo):
+        live.update(_load_manifest(repo, other)["files"].values())
+    removed = 0
+    blob_dir = os.path.join(repo, "blobs")
+    if os.path.isdir(blob_dir):
+        for fn in os.listdir(blob_dir):
+            if fn not in live and not fn.startswith("."):
+                os.remove(os.path.join(blob_dir, fn))
+                removed += 1
+    return removed
