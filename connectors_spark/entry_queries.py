@@ -11454,3 +11454,105 @@ def q_bucket_count_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = c.orderBy(F.desc("dev"), F.asc("day")).limit(1)
     return top.select(F.col("day").alias("ks_day"),
                       F.col("dev").alias("ks_stat"))
+
+
+# =================================================================
+# terms agg distributed approximation: doc_count_error_upper_bound
+# =================================================================
+
+_TSE_SHARDS = 4
+_TSE_SHARD_SIZE = 20
+_TSE_SIZE = 10
+
+
+def _terms_shard_error_sql() -> str:
+    h = _hex2int_sql("md5(CAST(doc_id AS VARCHAR))", 8)
+    return f"""
+WITH {_TF_CTE},
+sh AS (
+  SELECT doc_id, term, ({h}) % {_TSE_SHARDS} AS shard FROM tf
+),
+sdf AS (SELECT shard, term, count(*) AS df FROM sh GROUP BY shard, term),
+ranked AS (
+  SELECT shard, term, df,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY df DESC, term ASC) AS rn,
+         count(*) OVER (PARTITION BY shard) AS n_terms
+  FROM sdf
+),
+returned AS (SELECT shard, term, df FROM ranked WHERE rn <= {_TSE_SHARD_SIZE}),
+lasts AS (
+  SELECT shard,
+         CASE WHEN max(n_terms) > {_TSE_SHARD_SIZE}
+              THEN min(CASE WHEN rn <= {_TSE_SHARD_SIZE} THEN df END)
+              ELSE 0 END AS last_df
+  FROM ranked GROUP BY shard
+),
+merged AS (
+  SELECT term, CAST(sum(df) AS BIGINT) AS doc_count
+  FROM returned GROUP BY term
+),
+err AS (
+  SELECT m.term,
+         CAST(coalesce(sum(CASE WHEN r.term IS NULL THEN l.last_df END), 0)
+              AS BIGINT) AS err_upper
+  FROM merged m CROSS JOIN lasts l
+  LEFT JOIN returned r ON r.shard = l.shard AND r.term = m.term
+  GROUP BY m.term
+)
+SELECT term, doc_count, err_upper FROM (
+  SELECT m.term, m.doc_count, e.err_upper,
+         row_number() OVER (ORDER BY m.doc_count DESC, m.term ASC) AS rk
+  FROM merged m JOIN err e ON e.term = m.term
+) WHERE rk <= {_TSE_SIZE}
+"""
+
+
+@register("terms_shard_error", _terms_shard_error_sql())
+def q_terms_shard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation's DISTRIBUTED approximation, surfaced
+    honestly: each shard (deterministic doc-hash % {_TSE_SHARDS})
+    returns only its local top `shard_size` terms by document
+    frequency; the coordinator merges them, and every candidate's
+    `doc_count_error_upper_bound` is the sum of the LAST returned
+    count from each shard that did NOT report the term — exactly how
+    ES bounds what an unreported shard could have contributed. A shard
+    whose full term list fit inside shard_size contributes 0 error.
+    Scale shape: the per-shard ranking is a window PARTITIONED by
+    shard (each task ranks one shard's lexicon — what an ES data node
+    does with a size-bounded heap); the merge and error join run over
+    shards x returned-candidates, independent of corpus size; the
+    final cut is orderBy().limit()."""
+    docs = _read(spark, sf_dir, "documents")
+    tf = (tokenize(docs, "text", "doc_id")
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("_tf")))
+    sh = tf.withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                  1, 8), 16, 10).cast("long"),
+               F.lit(_TSE_SHARDS)))
+    sdf = sh.groupBy("shard", "term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("shard").orderBy(F.desc("df"), F.asc("term"))
+    ranked = (sdf.withColumn("rn", F.row_number().over(w))
+              .withColumn("n_terms",
+                          F.count(F.lit(1)).over(Window.partitionBy("shard"))))
+    returned = ranked.filter(F.col("rn") <= _TSE_SHARD_SIZE)
+    lasts = ranked.groupBy("shard").agg(
+        F.when(F.max("n_terms") > _TSE_SHARD_SIZE,
+               F.min(F.when(F.col("rn") <= _TSE_SHARD_SIZE, F.col("df"))))
+        .otherwise(F.lit(0)).cast("long").alias("last_df"))
+    merged = returned.groupBy("term").agg(
+        F.sum("df").cast("long").alias("doc_count"))
+    ret = returned.select(F.col("shard").alias("_rs"),
+                          F.col("term").alias("_rt"))
+    err = (merged.select("term").crossJoin(F.broadcast(lasts))
+           .join(ret, (F.col("shard") == F.col("_rs"))
+                 & (F.col("term") == F.col("_rt")), "left")
+           .groupBy("term")
+           .agg(F.coalesce(
+               F.sum(F.when(F.col("_rt").isNull(), F.col("last_df"))),
+               F.lit(0)).cast("long").alias("err_upper")))
+    out = merged.join(err, "term")
+    return (out.orderBy(F.desc("doc_count"), F.asc("term"))
+            .limit(_TSE_SIZE)
+            .select("term", "doc_count", "err_upper"))

@@ -138,3 +138,25 @@ def test_reranker_window_subset_and_order(spark, sf_dir):
     for r in out:
         assert r["doc_id"] in first
         assert abs(r["bm25_score"] - first[r["doc_id"]]) < 1e-9
+
+
+def test_terms_shard_error_bounds_true_df(spark, sf_dir):
+    """The ES contract for the distributed terms agg: the merged count
+    is a lower bound on the true document frequency and the true df
+    never exceeds doc_count + doc_count_error_upper_bound."""
+    from connectors_spark.entry_queries import q_terms_shard_error
+    from connectors_spark.functions.analysis import tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    true_df = {
+        r["term"]: r["df"]
+        for r in tokenize(docs, "text", "doc_id")
+        .select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+    rows = q_terms_shard_error(spark, sf_dir).collect()
+    assert rows, "gate returns candidates"
+    for r in rows:
+        t = true_df[r["term"]]
+        assert r["doc_count"] <= t <= r["doc_count"] + r["err_upper"], (
+            r["term"], r["doc_count"], r["err_upper"], t)
