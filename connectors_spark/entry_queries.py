@@ -11556,3 +11556,98 @@ def q_terms_shard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.orderBy(F.desc("doc_count"), F.asc("term"))
             .limit(_TSE_SIZE)
             .select("term", "doc_count", "err_upper"))
+
+
+# =================================================================
+# FIM (fill-in-the-middle) pretraining transform (PSM format)
+# =================================================================
+
+_FIM_MIN_LEN = 10  # docs shorter than this pass through unchanged
+
+
+def _fim_sql() -> str:
+    h1 = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':fim1')", 8)
+    h2 = _hex2int_sql("md5(CAST(doc_id AS VARCHAR) || ':fim2')", 8)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS l,
+         ({h1}) AS h1, ({h2}) AS h2
+  FROM documents
+),
+cut AS (
+  SELECT doc_id, text, l,
+         CASE WHEN (h1 % 2) = 0 AND l >= {_FIM_MIN_LEN}
+              THEN 1 ELSE 0 END AS fim,
+         CAST(1 + (h1 % greatest(CAST(floor(l / 2) AS BIGINT), 1))
+              AS BIGINT) AS c1,
+         h2
+  FROM base
+),
+cut2 AS (
+  SELECT doc_id, text, l, fim, c1,
+         CAST(c1 + 1 + (h2 % greatest(
+             CAST(floor((l - c1) / 2) AS BIGINT), 1)) AS BIGINT) AS c2
+  FROM cut
+)
+SELECT doc_id, CAST(fim AS INT) AS fim,
+       CAST(CASE WHEN fim = 1 THEN c1 ELSE l END AS BIGINT) AS n_prefix,
+       CAST(CASE WHEN fim = 1 THEN c2 - c1 ELSE 0 END AS BIGINT) AS n_middle,
+       CAST(CASE WHEN fim = 1 THEN l - c2 ELSE 0 END AS BIGINT) AS n_suffix,
+       CASE WHEN fim = 1
+            THEN '<PRE>' || substr(text, 1, c1)
+                 || '<SUF>' || substr(text, c2 + 1)
+                 || '<MID>' || substr(text, c1 + 1, c2 - c1)
+            ELSE text END AS packed
+FROM cut2
+"""
+
+
+@register("fim_transform", _fim_sql())
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    for a deterministic ~50% of documents (portable doc-hash parity),
+    split the text at two hash-derived cut points and re-emit in PSM
+    order — <PRE>prefix<SUF>suffix<MID>middle — so an autoregressive
+    model learns infilling; the rest pass through unchanged (the paper's
+    fim_rate). All string surgery is JVM substring/concat on one corpus
+    scan: no shuffle, no UDF, trivially row-parallel at any scale. The
+    cut arithmetic floors every division (Spark truncates where DuckDB
+    rounds) so engine twins agree character-for-character."""
+    docs = _read(spark, sf_dir, "documents")
+
+    def _h(salt: str):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+            1, 8), 16, 10).cast("long")
+
+    l = F.length("text")
+    base = docs.select(
+        "doc_id", "text", l.alias("l"),
+        _h(":fim1").alias("h1"), _h(":fim2").alias("h2"))
+    cut = base.select(
+        "doc_id", "text", "l", "h2",
+        F.when((F.col("h1") % 2 == 0) & (F.col("l") >= _FIM_MIN_LEN), 1)
+        .otherwise(0).alias("fim"),
+        (F.lit(1) + F.col("h1") % F.greatest(
+            F.floor(F.col("l") / 2).cast("long"), F.lit(1).cast("long")))
+        .cast("long").alias("c1"))
+    cut2 = cut.withColumn(
+        "c2",
+        (F.col("c1") + 1 + F.col("h2") % F.greatest(
+            F.floor((F.col("l") - F.col("c1")) / 2).cast("long"),
+            F.lit(1).cast("long"))).cast("long"))
+    is_fim = F.col("fim") == 1
+    return cut2.select(
+        "doc_id", F.col("fim").cast("int").alias("fim"),
+        F.when(is_fim, F.col("c1")).otherwise(F.col("l"))
+        .cast("long").alias("n_prefix"),
+        F.when(is_fim, F.col("c2") - F.col("c1")).otherwise(0)
+        .cast("long").alias("n_middle"),
+        F.when(is_fim, F.col("l") - F.col("c2")).otherwise(0)
+        .cast("long").alias("n_suffix"),
+        F.when(is_fim, F.concat(
+            F.lit("<PRE>"), F.expr("substr(text, 1, c1)"),
+            F.lit("<SUF>"), F.expr("substr(text, c2 + 1)"),
+            F.lit("<MID>"), F.expr("substr(text, c1 + 1, c2 - c1)")))
+        .otherwise(F.col("text")).alias("packed"))

@@ -160,3 +160,29 @@ def test_terms_shard_error_bounds_true_df(spark, sf_dir):
         t = true_df[r["term"]]
         assert r["doc_count"] <= t <= r["doc_count"] + r["err_upper"], (
             r["term"], r["doc_count"], r["err_upper"], t)
+
+
+def test_fim_packed_reconstructs_original(spark, sf_dir):
+    """PSM reorder is lossless: prefix + middle + suffix == text, and
+    the pass-through rows carry the text verbatim."""
+    from connectors_spark.entry_queries import q_fim_transform
+
+    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()}
+    rows = q_fim_transform(spark, sf_dir).collect()
+    n_fim = 0
+    for r in rows:
+        orig = docs[r["doc_id"]]
+        if r["fim"] == 0:
+            assert r["packed"] == orig
+            continue
+        n_fim += 1
+        body = r["packed"]
+        assert body.startswith("<PRE>")
+        pre, rest = body[len("<PRE>"):].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == orig
+        assert (len(pre), len(mid), len(suf)) == (
+            r["n_prefix"], r["n_middle"], r["n_suffix"])
+        assert len(mid) >= 1 and len(suf) >= 1
+    assert 0 < n_fim < len(rows), "fim_rate split actually splits"
