@@ -21,6 +21,10 @@ GATES = [
     "sequence_pack",        # distributed prefix-sum packing
     "bm25_topk",            # scoring + rounded rank
     "facet_sibling_buckets",  # two-level float aggregation
+    "terms_shard_error",    # per-shard top-N merge + error bounds
+    "fim_transform",        # hash-cut string surgery (row-local)
+    "text_similarity_reranker",  # retrieve window -> embedding rerank
+    "bucket_count_ks_test",  # CDF windows over the day frame
 ]
 
 
