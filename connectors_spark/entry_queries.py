@@ -811,6 +811,64 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_cosine_topk(emb, qs, k=ANN_K)
 
 
+SEMTEXT_CHUNKS_PER_DOC = 5
+SEMTEXT_QUERY_MOD = 97
+SEMTEXT_K = 10
+
+_SEMANTIC_TEXT_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id % {SEMTEXT_QUERY_MOD} = 0),
+{_NORMS_SQL},
+dots AS (
+  SELECT d.vec_id, q.query_id,
+         sum(CAST(d.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot
+  FROM embeddings d CROSS JOIN q CROSS JOIN dims
+  WHERE CAST(floor(d.vec_id / {SEMTEXT_CHUNKS_PER_DOC}) AS BIGINT)
+        <> CAST(floor(q.query_id / {SEMTEXT_CHUNKS_PER_DOC}) AS BIGINT)
+  GROUP BY d.vec_id, q.query_id
+),
+chunk_scores AS (
+  SELECT query_id,
+         CAST(floor(dots.vec_id / {SEMTEXT_CHUNKS_PER_DOC}) AS BIGINT) AS doc_id,
+         round(dot / (nq.nrm * nd.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nd ON nd.vec_id = dots.vec_id
+),
+doc_scores AS (
+  SELECT query_id, doc_id, max(cos) AS score
+  FROM chunk_scores GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM doc_scores
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {SEMTEXT_K}
+"""
+
+
+@register("semantic_text_knn", _SEMANTIC_TEXT_SQL)
+def q_semantic_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES semantic_text analog (operators/similarity.py:
+    semantic_chunk_topk): documents stored as chunk vectors
+    (doc_id = vec_id DIV 5), knn scores every chunk in one corpus scan,
+    doc score = max over its chunks (nested-knn score_mode:max), top-10
+    docs per query, self-doc excluded. Reference context: the service
+    ships `semantic_text` in its Elastic-Agent mapping palette
+    (svc/agent/mappings/google_drive.json) and delegates the chunk/embed/
+    knn mechanics to ES — this gate is that retrieval path, Spark-native."""
+    from connectors_spark.operators.similarity import semantic_chunk_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % SEMTEXT_QUERY_MOD == 0)
+    return semantic_chunk_topk(
+        emb, qs, chunks_per_doc=SEMTEXT_CHUNKS_PER_DOC, k=SEMTEXT_K
+    )
+
+
 IVF_QUERY_MOD = 100
 IVF_CENTROID_MOD = 25
 IVF_NPROBE = 4
@@ -11651,3 +11709,36 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<SUF>"), F.expr("substr(text, c2 + 1)"),
             F.lit("<MID>"), F.expr("substr(text, c1 + 1, c2 - c1)")))
         .otherwise(F.col("text")).alias("packed"))
+
+
+_TERMS_LOOKUP_SQL = """
+WITH lookup AS (SELECT DISTINCT event_type FROM events WHERE user_id = 7)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 3) AS total_value
+FROM events
+WHERE event_type IN (SELECT event_type FROM lookup)
+GROUP BY event_type
+"""
+
+
+@register("terms_lookup", _TERMS_LOOKUP_SQL)
+def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-lookup query (operators/joins.py:terms_lookup_filter):
+    the terms list is FETCHED from another document at search time — here
+    the "lookup document" is user 7's distinct event_type set — then
+    applied as a terms filter over the whole corpus (broadcast left-semi,
+    no shuffle on the big side), aggregated per matched term. Reference
+    DSL surface: svc/es/sink.py:212-248 delegation."""
+    from connectors_spark.operators.joins import terms_lookup_filter
+
+    ev = _read(spark, sf_dir, "events")
+    lookup = ev.filter(F.col("user_id") == 7).select("event_type")
+    return (
+        terms_lookup_filter(ev, lookup, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )

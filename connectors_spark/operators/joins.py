@@ -94,3 +94,32 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = bigs.join(smalls, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def terms_lookup_filter(
+    corpus: DataFrame,
+    lookup: DataFrame,
+    field: str,
+    lookup_field: str | None = None,
+) -> DataFrame:
+    """ES terms-lookup query analog: the term SET is not a literal in the
+    query body but fetched from another document at search time
+    ({"terms": {"f": {"index": ..., "id": ..., "path": ...}}} — the
+    reference's content indices are queried through exactly this DSL
+    surface; delegation point at reference
+    app/connectors_service/connectors/es/sink.py:212-248).
+
+    `lookup` is the (tiny) frame holding the fetched document's term
+    array, one term per row in `lookup_field`; `corpus` keeps rows whose
+    `field` matches ANY fetched term. Compiles to a broadcast LEFT SEMI
+    join — the 100 TB shape: the lookup doc is bounded (ES caps the
+    terms-lookup list at 65k terms), so it broadcasts; the corpus scan
+    keeps its partitioning, no shuffle, and the semi-join predicate is
+    pushable ahead of any downstream agg.
+    """
+    lf = lookup_field or field
+    keys = F.broadcast(
+        lookup.select(F.col(lf).alias(field)).where(F.col(field).isNotNull())
+        .distinct()
+    )
+    return corpus.join(keys, on=field, how="left_semi")

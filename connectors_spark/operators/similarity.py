@@ -72,6 +72,67 @@ def brute_force_cosine_topk(
     )
 
 
+def semantic_chunk_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    chunks_per_doc: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ES `semantic_text` field analog (the reference creates indices whose
+    text fields ES chunks + embeds server-side; mapping palette at
+    reference app/connectors_service/connectors/agent/mappings/
+    google_drive.json includes `semantic_text`): each document is stored
+    as several chunk vectors, a knn query scores every chunk, and the
+    DOCUMENT's score is the max over its chunks (ES nested-knn
+    `score_mode: max` rollup). Returns (query_id, rank, doc_id, score).
+
+    Chunk->doc identity is positional: doc_id = vec_id DIV chunks_per_doc.
+    The query's own document is excluded (self-hit suppression, matching
+    brute_force_cosine_topk's self-exclusion convention).
+
+    Scale shape: queries broadcast (a query set is small by construction);
+    one corpus scan computes all chunk cosines JVM-side (zip_with/
+    aggregate, no Python); the chunk->doc max is a map-side-combinable
+    agg keyed (query_id, doc_id); final top-k is a per-query window over
+    at most |docs| rows. No all-pairs, no driver collect — the same plan
+    survives 10^9 chunks.
+    """
+    corpus = with_norm(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        "v",
+    ).withColumn("doc_id", (F.col("vec_id") / chunks_per_doc).cast("long"))
+    qs = (
+        with_norm(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+            ),
+            "q",
+        )
+        .withColumnRenamed("_vnorm", "_qnorm")
+        .withColumn("q_doc", (F.col("query_id") / chunks_per_doc).cast("long"))
+    )
+    joined = corpus.crossJoin(F.broadcast(qs)).filter(
+        F.col("doc_id") != F.col("q_doc")
+    )
+    cos = F.round(
+        _dot(_as_double(F.col("q")), _as_double(F.col("v")))
+        / (F.col("_qnorm") * F.col("_vnorm")),
+        ROUND_COS,
+    )
+    chunk_scores = joined.select("query_id", "doc_id", cos.alias("cos"))
+    doc_scores = chunk_scores.groupBy("query_id", "doc_id").agg(
+        F.max("cos").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        doc_scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 DEFAULT_N_CENTROIDS = 256
 
 
