@@ -11742,3 +11742,154 @@ def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 3).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------- ES|QL
+# The reference's synced indices are queried through ES|QL (the piped
+# language, `POST /_query`). operators/esql.py implements the language
+# itself — tokenizer, Pratt parser, AST->Column compiler. These gates run
+# REAL ES|QL program strings through that compiler; the oracle is the
+# hand-written SQL a correct execution must equal.
+
+_ESQL_STATS_PROGRAM = """
+FROM events
+| WHERE value >= 0.2 AND event_type != "view"
+| EVAL day = DATE_TRUNC(1 day, ts), v2 = value * 1.5
+| STATS n = COUNT(*), total = ROUND(SUM(v2), 3),
+        users = COUNT_DISTINCT(user_id) BY event_type, day
+| SORT event_type, day
+"""
+
+_ESQL_STATS_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value * 1.5), 3) AS total,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events
+WHERE value >= 0.2 AND event_type <> 'view'
+GROUP BY event_type, day
+"""
+
+
+def _esql_tables(spark: SparkSession, sf_dir: str) -> dict:
+    return {t: _read(spark, sf_dir, t)
+            for t in ("events", "documents", "customer")}
+
+
+@register("esql_stats", _ESQL_STATS_SQL)
+def q_esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL end-to-end: WHERE -> EVAL (timespan DATE_TRUNC) -> grouped
+    STATS (COUNT/SUM/COUNT_DISTINCT) -> SORT, compiled from the actual
+    pipe-syntax program string by operators/esql.py. The WHERE lands in
+    the parquet scan's PushedFilters and STATS gets map-side partial
+    aggregation because every construct compiles to native Catalyst
+    expressions (plan-asserted in tests/test_esql.py). Reference surface:
+    ES|QL is the modern query entry point over the indices the reference
+    syncs (public Elastic query-language docs)."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_STATS_PROGRAM)
+
+
+_ESQL_EVAL_PROGRAM = """
+FROM documents
+| EVAL lang_up = TO_UPPER(lang), head = SUBSTRING(text, 1, 15),
+       bucket = CASE(n_chars > 900, "long", n_chars > 300, "mid", "short"),
+       toks = LENGTH(text) - LENGTH(REPLACE(text, " ", "")) + 1
+| RENAME doc_id AS id
+| KEEP id, lang_up, head, bucket, toks
+| SORT id
+| LIMIT 200
+"""
+
+_ESQL_EVAL_SQL = """
+SELECT doc_id AS id, upper(lang) AS lang_up,
+       substring(text, 1, 15) AS head,
+       CASE WHEN n_chars > 900 THEN 'long'
+            WHEN n_chars > 300 THEN 'mid' ELSE 'short' END AS bucket,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1
+            AS INT) AS toks
+FROM documents
+ORDER BY id
+LIMIT 200
+"""
+
+
+@register("esql_eval_keep", _ESQL_EVAL_SQL)
+def q_esql_eval_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL row-shaping commands: EVAL with string functions and a
+    multi-branch CASE, RENAME ... AS, KEEP projection, SORT|LIMIT (fuses
+    to TakeOrderedAndProject — the distributed top-k, no single-task
+    window). The column-pruning effect of KEEP reaches the scan: only
+    the four source columns are read."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_EVAL_PROGRAM)
+
+
+_ESQL_MV_PROGRAM = """
+FROM documents
+| EVAL words = SPLIT(SUBSTRING(text, 1, 30), " ")
+| MV_EXPAND words
+| WHERE LENGTH(words) > 0
+| STATS n = COUNT(*) BY words
+| SORT n DESC, words ASC
+| LIMIT 20
+"""
+
+_ESQL_MV_SQL = """
+WITH w AS (
+  SELECT unnest(string_split(substring(text, 1, 30), ' ')) AS words
+  FROM documents
+)
+SELECT words, CAST(count(*) AS BIGINT) AS n
+FROM w
+WHERE length(words) > 0
+GROUP BY words
+ORDER BY n DESC, words ASC
+LIMIT 20
+"""
+
+
+@register("esql_mv_expand", _ESQL_MV_SQL)
+def q_esql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL multivalue path: SPLIT builds an array column, MV_EXPAND
+    explodes it to rows (null-preserving, ES|QL semantics), then grouped
+    STATS + SORT|LIMIT. The explode is a generator in the same stage as
+    the scan — no shuffle until the STATS agg, whose top-20 cut is
+    TakeOrderedAndProject over the (bounded) word-count frame."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_MV_PROGRAM)
+
+
+_ESQL_ENRICH_PROGRAM = """
+FROM customer
+| ENRICH nations ON c_nationkey WITH n_name
+| STATS n = COUNT(*), spend = ROUND(SUM(c_acctbal), 3) BY n_name
+| SORT n_name
+"""
+
+_ESQL_ENRICH_SQL = """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n,
+       round(sum(c.c_acctbal), 3) AS spend
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("esql_enrich", _ESQL_ENRICH_SQL)
+def q_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ENRICH: the lookup join against a (bounded, ES-materialized)
+    enrich policy index. Compiles to a broadcast left-outer join — the
+    policy table is small by construction in ES (an enrich index), so the
+    corpus side keeps its partitioning and no shuffle happens
+    (plan-asserted in tests/test_esql.py)."""
+    from connectors_spark.operators.esql import esql
+
+    nation = _read(spark, sf_dir, "nation")
+    return esql(
+        spark, _esql_tables(spark, sf_dir), _ESQL_ENRICH_PROGRAM,
+        enrich_policies={"nations": (nation, "n_nationkey")},
+    )

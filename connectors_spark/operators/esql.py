@@ -1,0 +1,677 @@
+"""ES|QL subset compiler: pipe programs -> Spark DataFrame plans.
+
+The reference syncs content into Elasticsearch, where ES|QL is the
+modern query surface over those indices (`POST /_query {"query": "FROM
+idx | ..."}`; the piped language is public Elastic documentation).
+This module implements the language itself — tokenizer, Pratt
+expression parser, and a compiler from the AST to native Spark
+`Column`/`DataFrame` operations — so a reference user's ES|QL programs
+run against the same tables here.
+
+Supported commands (case-insensitive):
+
+    FROM t1[, t2]            union of registered tables (by name)
+    ROW a = 1, b = "x"       literal one-row source
+    WHERE <boolean expr>
+    EVAL n1 = e1, n2 = e2    sequential (n2 may reference n1)
+    STATS a = AGG(...) [, ...] BY k1 [, k2]    (BY optional)
+    SORT e [ASC|DESC] [NULLS FIRST|LAST], ...
+    LIMIT n
+    KEEP  c1, pat*           column projection, pattern order kept
+    DROP  c1, pat*
+    RENAME old AS new, ...
+    MV_EXPAND col            multivalue -> rows (null stays one row)
+    GROK  col "pattern"      reuses functions/scalars.py grok compiler
+    ENRICH policy ON key [WITH f1, ...]   broadcast lookup join
+
+Expression grammar (precedence low->high): OR, AND, NOT, comparison
+(`== != < <= > >=`, `IN (...)`, `[NOT] LIKE` (ES|QL `*`/`?` wildcards),
+`[NOT] RLIKE`, `IS [NOT] NULL`), additive, multiplicative, unary minus.
+String literals are double-quoted; timespan literals (`1 day`) are
+accepted where ES|QL takes them (DATE_TRUNC, BUCKET).
+
+Scale shape: every construct compiles to native Catalyst expressions —
+no UDF anywhere in the language. A `WHERE` ahead of `STATS` therefore
+reaches the parquet scan as a pushed filter, `STATS` gets map-side
+partial aggregation, `SORT|LIMIT` fuses to TakeOrderedAndProject, and
+`ENRICH` broadcasts the (bounded, ES-materialized) policy table — the
+same plans the hand-written DataFrame gates produce, because it IS the
+same API underneath. Parsing is driver-side over a program string of a
+few hundred bytes; nothing about program size scales with data.
+"""
+
+from __future__ import annotations
+
+import re
+from fnmatch import fnmatch
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- tokens
+
+_TOKEN_RE = re.compile(
+    r'\s*(?:'
+    r'(?P<str>"(?:[^"\\]|\\.)*")'
+    r'|(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)'
+    r'|(?P<ident>[A-Za-z_@][A-Za-z0-9_.@]*)'
+    r'|(?P<op>==|!=|<=|>=|[()<>,+\-*/%=])'
+    r')'
+)
+
+_TIME_UNITS = {
+    "year": "year", "years": "year", "quarter": "quarter",
+    "quarters": "quarter", "month": "month", "months": "month",
+    "week": "week", "weeks": "week", "day": "day", "days": "day",
+    "hour": "hour", "hours": "hour", "minute": "minute",
+    "minutes": "minute", "second": "second", "seconds": "second",
+}
+
+_KEYWORDS = {"and", "or", "not", "in", "like", "rlike", "is", "null",
+             "true", "false", "asc", "desc", "nulls", "first", "last",
+             "by", "as", "on", "with"}
+
+
+class EsqlError(ValueError):
+    pass
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip() == "":
+                break
+            raise EsqlError(f"bad token at: {text[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.group("str") is not None:
+            body = m.group("str")[1:-1]
+            toks.append(("str", re.sub(r"\\(.)", r"\1", body)))
+        elif m.group("num") is not None:
+            toks.append(("num", m.group("num")))
+        elif m.group("ident") is not None:
+            toks.append(("ident", m.group("ident")))
+        else:
+            toks.append(("op", m.group("op")))
+    return toks
+
+
+class _Cursor:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, ahead: int = 0):
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        k, v = self.peek()
+        return k == "ident" and v.lower() in words
+
+    def eat_kw(self, word: str):
+        if not self.at_kw(word):
+            raise EsqlError(f"expected {word!r}, got {self.peek()!r}")
+        self.next()
+
+    def eat_op(self, op: str):
+        k, v = self.next()
+        if k != "op" or v != op:
+            raise EsqlError(f"expected {op!r}, got {(k, v)!r}")
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+
+# ------------------------------------------------------------------- AST
+# Nodes are plain tuples: ("lit", v) ("col", name) ("call", fn, [args])
+# ("bin", op, l, r) ("not", x) ("neg", x) ("in", x, [exprs], negated)
+# ("like", x, pat, negated, regex?) ("isnull", x, negated)
+# ("span", n, unit)
+
+
+def _parse_expr(c: _Cursor):
+    return _parse_or(c)
+
+
+def _parse_or(c: _Cursor):
+    left = _parse_and(c)
+    while c.at_kw("or"):
+        c.next()
+        left = ("bin", "or", left, _parse_and(c))
+    return left
+
+
+def _parse_and(c: _Cursor):
+    left = _parse_not(c)
+    while c.at_kw("and"):
+        c.next()
+        left = ("bin", "and", left, _parse_not(c))
+    return left
+
+
+def _parse_not(c: _Cursor):
+    if c.at_kw("not"):
+        c.next()
+        return ("not", _parse_not(c))
+    return _parse_cmp(c)
+
+
+def _parse_cmp(c: _Cursor):
+    left = _parse_add(c)
+    k, v = c.peek()
+    if k == "op" and v in ("==", "!=", "<", "<=", ">", ">="):
+        c.next()
+        return ("bin", v, left, _parse_add(c))
+    negated = False
+    if c.at_kw("not") and c.peek(1)[1].lower() in ("in", "like", "rlike"):
+        c.next()
+        negated = True
+    if c.at_kw("in"):
+        c.next()
+        c.eat_op("(")
+        items = [_parse_expr(c)]
+        while c.peek() == ("op", ","):
+            c.next()
+            items.append(_parse_expr(c))
+        c.eat_op(")")
+        return ("in", left, items, negated)
+    if c.at_kw("like") or c.at_kw("rlike"):
+        is_regex = c.next()[1].lower() == "rlike"
+        k2, pat = c.next()
+        if k2 != "str":
+            raise EsqlError("LIKE/RLIKE needs a string pattern")
+        return ("like", left, pat, negated, is_regex)
+    if c.at_kw("is"):
+        c.next()
+        neg = False
+        if c.at_kw("not"):
+            c.next()
+            neg = True
+        c.eat_kw("null")
+        return ("isnull", left, neg)
+    return left
+
+
+def _parse_add(c: _Cursor):
+    left = _parse_mul(c)
+    while c.peek()[0] == "op" and c.peek()[1] in ("+", "-"):
+        op = c.next()[1]
+        left = ("bin", op, left, _parse_mul(c))
+    return left
+
+
+def _parse_mul(c: _Cursor):
+    left = _parse_unary(c)
+    while c.peek()[0] == "op" and c.peek()[1] in ("*", "/", "%"):
+        op = c.next()[1]
+        left = ("bin", op, left, _parse_unary(c))
+    return left
+
+
+def _parse_unary(c: _Cursor):
+    if c.peek() == ("op", "-"):
+        c.next()
+        return ("neg", _parse_unary(c))
+    return _parse_primary(c)
+
+
+def _parse_primary(c: _Cursor):
+    k, v = c.next()
+    if k == "num":
+        num = float(v) if ("." in v or "e" in v.lower()) else int(v)
+        # timespan literal: NUMBER UNIT (e.g. `1 day`, `3 hours`)
+        nk, nv = c.peek()
+        if nk == "ident" and nv.lower() in _TIME_UNITS:
+            c.next()
+            return ("span", num, _TIME_UNITS[nv.lower()])
+        return ("lit", num)
+    if k == "str":
+        return ("lit", v)
+    if k == "op" and v == "(":
+        e = _parse_expr(c)
+        c.eat_op(")")
+        return e
+    if k == "op" and v == "*":
+        # only valid as COUNT(*)'s argument; _compile rejects it elsewhere
+        return ("col", "*")
+    if k == "ident":
+        low = v.lower()
+        if low == "true":
+            return ("lit", True)
+        if low == "false":
+            return ("lit", False)
+        if low == "null":
+            return ("lit", None)
+        if c.peek() == ("op", "("):  # function call
+            c.next()
+            args = []
+            if c.peek() != ("op", ")"):
+                args.append(_parse_expr(c))
+                while c.peek() == ("op", ","):
+                    c.next()
+                    args.append(_parse_expr(c))
+            c.eat_op(")")
+            return ("call", v.upper(), args)
+        if v == "*":
+            return ("col", "*")
+        return ("col", v)
+    raise EsqlError(f"unexpected token {(k, v)!r}")
+
+
+# -------------------------------------------------------------- compiler
+
+def _like_to_sql(pat: str) -> str:
+    """ES|QL wildcard pattern (`*`/`?`) -> SQL LIKE pattern, escaping
+    SQL's own metacharacters."""
+    return (pat.replace("\\", "\\\\").replace("%", r"\%")
+            .replace("_", r"\_").replace("*", "%").replace("?", "_"))
+
+
+def _span_arg(ast, what: str) -> str:
+    if ast[0] == "span":
+        return ast[2]
+    if ast[0] == "lit" and isinstance(ast[1], str):
+        return ast[1]
+    raise EsqlError(f"{what} needs a timespan (e.g. `1 day`)")
+
+
+def _lit_arg(ast, what: str):
+    if ast[0] != "lit":
+        raise EsqlError(f"{what} must be a literal")
+    return ast[1]
+
+
+_DATE_PARTS = {
+    "year": F.year, "month": F.month, "day": F.dayofmonth,
+    "hour": F.hour, "minute": F.minute, "second": F.second,
+    "dayofweek": F.dayofweek, "dayofyear": F.dayofyear,
+    "week": F.weekofyear, "quarter": F.quarter,
+}
+
+# scalar registry: name -> fn(compiled_cols, raw_asts) -> Column
+_SCALARS = {
+    "ABS": lambda a, r: F.abs(a[0]),
+    "CEIL": lambda a, r: F.ceil(a[0]),
+    "FLOOR": lambda a, r: F.floor(a[0]),
+    "SQRT": lambda a, r: F.sqrt(a[0]),
+    "EXP": lambda a, r: F.exp(a[0]),
+    "LOG10": lambda a, r: F.log10(a[0]),
+    "LOG": lambda a, r: (F.log(a[0]) if len(a) == 1
+                         else F.log(float(_lit_arg(r[0], "LOG base")),
+                                    a[1])),
+    "POW": lambda a, r: F.pow(a[0], a[1]),
+    "ROUND": lambda a, r: F.round(a[0], int(_lit_arg(r[1], "ROUND digits"))
+                                  if len(a) > 1 else 0),
+    "CONCAT": lambda a, r: F.concat(*a),
+    "LENGTH": lambda a, r: F.length(a[0]),
+    "SUBSTRING": lambda a, r: (F.substring(a[0], a[1], a[2]) if len(a) == 3
+                               else a[0].substr(a[1], F.length(a[0]))),
+    "TO_UPPER": lambda a, r: F.upper(a[0]),
+    "TO_LOWER": lambda a, r: F.lower(a[0]),
+    "TRIM": lambda a, r: F.trim(a[0]),
+    "LTRIM": lambda a, r: F.ltrim(a[0]),
+    "RTRIM": lambda a, r: F.rtrim(a[0]),
+    "REPLACE": lambda a, r: F.regexp_replace(
+        a[0], _lit_arg(r[1], "REPLACE regex"), _lit_arg(r[2], "REPLACE new")),
+    "SPLIT": lambda a, r: F.split(a[0], re.escape(_lit_arg(r[1], "SPLIT"))),
+    "STARTS_WITH": lambda a, r: a[0].startswith(a[1]),
+    "ENDS_WITH": lambda a, r: a[0].endswith(a[1]),
+    "LOCATE": lambda a, r: F.locate(_lit_arg(r[1], "LOCATE"), a[0]),
+    "COALESCE": lambda a, r: F.coalesce(*a),
+    "GREATEST": lambda a, r: F.greatest(*a),
+    "LEAST": lambda a, r: F.least(*a),
+    "TO_STRING": lambda a, r: a[0].cast("string"),
+    "TO_LONG": lambda a, r: a[0].cast("long"),
+    "TO_INTEGER": lambda a, r: a[0].cast("int"),
+    "TO_INT": lambda a, r: a[0].cast("int"),
+    "TO_DOUBLE": lambda a, r: a[0].cast("double"),
+    "TO_BOOLEAN": lambda a, r: a[0].cast("boolean"),
+    "DATE_TRUNC": lambda a, r: F.date_trunc(_span_arg(r[0], "DATE_TRUNC"),
+                                            a[1]),
+    "DATE_EXTRACT": lambda a, r: _DATE_PARTS[
+        str(_lit_arg(r[0], "DATE_EXTRACT part")).lower()](a[1]),
+    "MV_COUNT": lambda a, r: F.size(a[0]),
+    "MV_MAX": lambda a, r: F.array_max(a[0]),
+    "MV_MIN": lambda a, r: F.array_min(a[0]),
+    "MV_SUM": lambda a, r: F.aggregate(
+        a[0], F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+    "MV_AVG": lambda a, r: F.aggregate(
+        a[0], F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        / F.size(a[0]),
+    "MV_CONCAT": lambda a, r: F.array_join(a[0], _lit_arg(r[1],
+                                                          "MV_CONCAT sep")),
+}
+
+
+def _case_fn(a, r):
+    # CASE(c1, v1, [c2, v2, ...][, default])
+    out = None
+    i = 0
+    while i + 1 < len(a):
+        out = (F.when(a[i], a[i + 1]) if out is None
+               else out.when(a[i], a[i + 1]))
+        i += 2
+    if out is None:
+        raise EsqlError("CASE needs at least (condition, value)")
+    return out.otherwise(a[i]) if i < len(a) else out
+
+
+_SCALARS["CASE"] = _case_fn
+
+# aggregate registry: name -> fn(compiled_cols, raw_asts) -> Column
+_AGGS = {
+    "COUNT": lambda a, r: (F.count(F.lit(1))
+                           if not r or r[0] == ("col", "*")
+                           else F.count(a[0])),
+    "COUNT_DISTINCT": lambda a, r: F.count_distinct(*a),
+    "SUM": lambda a, r: F.sum(a[0]),
+    "AVG": lambda a, r: F.avg(a[0]),
+    "MIN": lambda a, r: F.min(a[0]),
+    "MAX": lambda a, r: F.max(a[0]),
+    "MEDIAN": lambda a, r: F.median(a[0]),
+    "PERCENTILE": lambda a, r: F.percentile(
+        a[0], float(_lit_arg(r[1], "PERCENTILE p")) / 100.0),
+    "STD_DEV": lambda a, r: F.stddev_samp(a[0]),
+    "VALUES": lambda a, r: F.array_sort(F.collect_set(a[0])),
+    "TOP": lambda a, r: F.slice(
+        F.sort_array(F.collect_list(a[0]),
+                     asc=str(_lit_arg(r[2], "TOP order")).lower() == "asc"),
+        1, int(_lit_arg(r[1], "TOP n"))),
+    "WEIGHTED_AVG": lambda a, r: (F.sum(a[0] * a[1]) / F.sum(a[1])),
+}
+
+
+def _compile(ast, allow_agg: bool = False):
+    kind = ast[0]
+    if kind == "lit":
+        return F.lit(ast[1])
+    if kind == "col":
+        if ast[1] == "*":
+            raise EsqlError("`*` is only valid as COUNT(*)")
+        return F.col(ast[1])
+    if kind == "span":
+        raise EsqlError("timespan literal outside DATE_TRUNC/BUCKET")
+    if kind == "neg":
+        return -_compile(ast[1], allow_agg)
+    if kind == "not":
+        return ~_compile(ast[1], allow_agg)
+    if kind == "isnull":
+        c = _compile(ast[1], allow_agg)
+        return c.isNotNull() if ast[2] else c.isNull()
+    if kind == "in":
+        c = _compile(ast[1], allow_agg)
+        vals = [_lit_arg(x, "IN list item") for x in ast[2]]
+        return ~c.isin(vals) if ast[3] else c.isin(vals)
+    if kind == "like":
+        c = _compile(ast[1], allow_agg)
+        got = c.rlike(ast[2]) if ast[4] else c.like(_like_to_sql(ast[2]))
+        return ~got if ast[3] else got
+    if kind == "bin":
+        op = ast[1]
+        left = _compile(ast[2], allow_agg)
+        right = _compile(ast[3], allow_agg)
+        return {
+            "or": lambda: left | right, "and": lambda: left & right,
+            "==": lambda: left == right, "!=": lambda: left != right,
+            "<": lambda: left < right, "<=": lambda: left <= right,
+            ">": lambda: left > right, ">=": lambda: left >= right,
+            "+": lambda: left + right, "-": lambda: left - right,
+            "*": lambda: left * right, "/": lambda: left / right,
+            "%": lambda: left % right,
+        }[op]()
+    if kind == "call":
+        name, args = ast[1], ast[2]
+        if name in _AGGS:
+            if not allow_agg:
+                raise EsqlError(f"aggregate {name} outside STATS")
+            compiled = [] if args == [("col", "*")] else \
+                [_compile(x) for x in args]
+            return _AGGS[name](compiled, args)
+        if name in _SCALARS:
+            # span literals have no Column form — functions that take
+            # them (DATE_TRUNC) read the raw AST, so pass None through
+            compiled = [None if x[0] == "span" else _compile(x, allow_agg)
+                        for x in args]
+            return _SCALARS[name](compiled, args)
+        raise EsqlError(f"unknown function {name}")
+    raise EsqlError(f"unknown AST node {kind}")
+
+
+# ------------------------------------------------------- command parsing
+
+def _split_pipes(program: str) -> list[str]:
+    """Split on `|` outside double-quoted strings."""
+    parts, buf, in_str, esc = [], [], False, False
+    for ch in program:
+        if esc:
+            buf.append(ch)
+            esc = False
+            continue
+        if ch == "\\" and in_str:
+            buf.append(ch)
+            esc = True
+            continue
+        if ch == '"':
+            in_str = not in_str
+            buf.append(ch)
+            continue
+        if ch == "|" and not in_str:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    out = [p.strip() for p in parts if p.strip()]
+    if not out:
+        raise EsqlError("empty program")
+    return out
+
+
+def _parse_assignments(c: _Cursor, stop_kw: frozenset[str] = frozenset()):
+    """Comma-separated `name = expr` | bare expr list; bare exprs are
+    named by their source text with whitespace squeezed (the ES|QL
+    auto-naming convention)."""
+    out: list[tuple[str, object]] = []
+    while not c.done():
+        if c.peek()[0] == "ident" and c.peek()[1].lower() in stop_kw:
+            break
+        start = c.i
+        name = None
+        if (c.peek()[0] == "ident"
+                and c.peek()[1].lower() not in _KEYWORDS
+                and c.peek(1) == ("op", "=")):
+            name = c.next()[1]
+            c.next()
+            start = c.i
+        expr = _parse_expr(c)
+        if name is None:
+            name = _source_name(c.toks[start:c.i])
+        out.append((name, expr))
+        if c.peek() == ("op", ","):
+            c.next()
+            continue
+        break
+    return out
+
+
+def _source_name(toks: list[tuple[str, str]]) -> str:
+    frags = []
+    for k, v in toks:
+        frags.append(f'"{v}"' if k == "str" else v)
+    return "".join(frags)
+
+
+def _cmd_split(seg: str) -> tuple[str, str]:
+    m = re.match(r"\s*([A-Za-z_]+)\s*(.*)", seg, re.S)
+    if not m:
+        raise EsqlError(f"bad command: {seg!r}")
+    return m.group(1).upper(), m.group(2)
+
+
+def esql(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    program: str,
+    enrich_policies: dict[str, tuple[DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Compile and run an ES|QL program. `tables` maps FROM names to
+    DataFrames; `enrich_policies` maps ENRICH policy names to
+    (policy_frame, match_column). Returns the lazy result frame —
+    nothing is executed here."""
+    segments = _split_pipes(program)
+    cmd, body = _cmd_split(segments[0])
+    if cmd == "FROM":
+        names = [t.strip() for t in body.split(",")]
+        dfs = []
+        for n in names:
+            if n not in tables:
+                raise EsqlError(f"unknown table {n!r}")
+            dfs.append(tables[n])
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+    elif cmd == "ROW":
+        c = _Cursor(_tokenize(body))
+        cols = [_compile(e).alias(n) for n, e in _parse_assignments(c)]
+        df = spark.range(1).select(*cols)
+    else:
+        raise EsqlError(f"program must start with FROM or ROW, got {cmd}")
+
+    for seg in segments[1:]:
+        cmd, body = _cmd_split(seg)
+        df = _apply_command(df, cmd, body, enrich_policies or {})
+    return df
+
+
+def _require_done(c: _Cursor, cmd: str) -> None:
+    """Trailing tokens mean the parse stopped early — always an error,
+    never silently dropped (the bug class: `value * 1.5` mis-tokenized
+    would otherwise quietly become `value`)."""
+    if not c.done():
+        raise EsqlError(f"{cmd}: unparsed trailing input at {c.peek()!r}")
+
+
+def _apply_command(df: DataFrame, cmd: str, body: str,
+                   policies: dict[str, tuple[DataFrame, str]]) -> DataFrame:
+    if cmd == "WHERE":
+        c = _Cursor(_tokenize(body))
+        expr = _parse_expr(c)
+        _require_done(c, "WHERE")
+        return df.filter(_compile(expr))
+
+    if cmd == "EVAL":
+        c = _Cursor(_tokenize(body))
+        assigns = _parse_assignments(c)
+        _require_done(c, "EVAL")
+        for name, expr in assigns:
+            df = df.withColumn(name, _compile(expr))
+        return df
+
+    if cmd == "STATS":
+        c = _Cursor(_tokenize(body))
+        aggs = _parse_assignments(c, stop_kw=frozenset({"by"}))
+        keys: list[tuple[str, object]] = []
+        if c.at_kw("by"):
+            c.next()
+            keys = _parse_assignments(c)
+        _require_done(c, "STATS")
+        agg_cols = [_compile(e, allow_agg=True).alias(n) for n, e in aggs]
+        if not keys:
+            return df.agg(*agg_cols)
+        key_cols = [_compile(e).alias(n) for n, e in keys]
+        return df.groupBy(*key_cols).agg(*agg_cols)
+
+    if cmd == "SORT":
+        c = _Cursor(_tokenize(body))
+        order = []
+        while not c.done():
+            col = _compile(_parse_expr(c))
+            asc = True
+            if c.at_kw("asc", "desc"):
+                asc = c.next()[1].lower() == "asc"
+            nulls = None
+            if c.at_kw("nulls"):
+                c.next()
+                nulls = c.next()[1].lower()
+            if nulls == "first":
+                col = col.asc_nulls_first() if asc else col.desc_nulls_first()
+            elif nulls == "last":
+                col = col.asc_nulls_last() if asc else col.desc_nulls_last()
+            else:
+                col = col.asc() if asc else col.desc()
+            order.append(col)
+            if c.peek() == ("op", ","):
+                c.next()
+                continue
+            _require_done(c, "SORT")
+        return df.orderBy(*order)
+
+    if cmd == "LIMIT":
+        return df.limit(int(body.strip()))
+
+    if cmd == "KEEP":
+        pats = [p.strip() for p in body.split(",")]
+        cols, seen = [], set()
+        for p in pats:
+            for col in df.columns:
+                if fnmatch(col, p) and col not in seen:
+                    seen.add(col)
+                    cols.append(col)
+        if not cols:
+            raise EsqlError(f"KEEP matched no columns: {body!r}")
+        return df.select(*cols)
+
+    if cmd == "DROP":
+        pats = [p.strip() for p in body.split(",")]
+        drop = [col for col in df.columns
+                if any(fnmatch(col, p) for p in pats)]
+        return df.drop(*drop)
+
+    if cmd == "RENAME":
+        for clause in body.split(","):
+            m = re.match(r"\s*([\w.@]+)\s+[Aa][Ss]\s+([\w.@]+)\s*$", clause)
+            if not m:
+                raise EsqlError(f"bad RENAME clause: {clause!r}")
+            df = df.withColumnRenamed(m.group(1), m.group(2))
+        return df
+
+    if cmd == "MV_EXPAND":
+        col = body.strip()
+        # ES|QL: null/empty multivalue keeps its row (value null)
+        return df.withColumn(col, F.explode_outer(F.col(col)))
+
+    if cmd == "GROK":
+        m = re.match(r'\s*([\w.@]+)\s+"(.*)"\s*$', body, re.S)
+        if not m:
+            raise EsqlError(f"bad GROK clause: {body!r}")
+        from connectors_spark.functions.scalars import grok_extract
+        return grok_extract(df, m.group(1), m.group(2))
+
+    if cmd == "ENRICH":
+        m = re.match(
+            r"\s*([\w.@-]+)\s+[Oo][Nn]\s+([\w.@]+)"
+            r"(?:\s+[Ww][Ii][Tt][Hh]\s+(.*))?\s*$", body)
+        if not m:
+            raise EsqlError(f"bad ENRICH clause: {body!r}")
+        name, key, with_cols = m.group(1), m.group(2), m.group(3)
+        if name not in policies:
+            raise EsqlError(f"unknown enrich policy {name!r}")
+        policy, match_col = policies[name]
+        fields = ([f.strip() for f in with_cols.split(",")] if with_cols
+                  else [c2 for c2 in policy.columns if c2 != match_col])
+        small = policy.select(
+            F.col(match_col).alias("__esql_match"), *fields).dropDuplicates(
+            ["__esql_match"])
+        out = df.join(F.broadcast(small),
+                      df[key] == small["__esql_match"], "left")
+        return out.drop("__esql_match")
+
+    raise EsqlError(f"unknown command {cmd}")

@@ -1,0 +1,216 @@
+"""ES|QL compiler: expression semantics, command behavior, error
+handling, and plan quality (pushdown / partial agg / broadcast enrich).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark.operators.esql import EsqlError, esql
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        (1, "ada", "fr", 10.0, ["x", "y"]),
+        (2, "bob", "de", -3.5, []),
+        (3, "cat", None, 7.25, None),
+        (4, "dan", "fr", 2.0, ["z"]),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, name string, lang string, score double, "
+              "tags array<string>")
+
+
+def _run(spark, tables, prog, **kw):
+    return esql(spark, tables, prog, **kw)
+
+
+def test_precedence_and_arithmetic(spark, people):
+    out = _run(spark, {"t": people},
+               'FROM t | EVAL v = 2 + 3 * 4 - 1, w = (2 + 3) * 4, '
+               'm = 10 % 3, d = 7 / 2 | KEEP id, v, w, m, d | SORT id '
+               '| LIMIT 1').collect()[0]
+    assert (out.v, out.w, out.m, out.d) == (13, 20, 1, 3.5)
+
+
+def test_where_boolean_operators(spark, people):
+    got = _run(spark, {"t": people},
+               'FROM t | WHERE (lang == "fr" OR score < 0) '
+               'AND NOT name == "dan" | KEEP id').collect()
+    assert sorted(r.id for r in got) == [1, 2]
+
+
+def test_like_wildcards_and_rlike(spark, people):
+    got = _run(spark, {"t": people},
+               'FROM t | WHERE name LIKE "?a*" | KEEP id').collect()
+    assert sorted(r.id for r in got) == [3, 4]  # cat, dan
+    got2 = _run(spark, {"t": people},
+                'FROM t | WHERE name NOT RLIKE "^[abc]" '
+                '| KEEP name').collect()
+    assert [r.name for r in got2] == ["dan"]
+
+
+def test_in_and_is_null(spark, people):
+    got = _run(spark, {"t": people},
+               'FROM t | WHERE lang IN ("fr", "es") | KEEP id').collect()
+    assert sorted(r.id for r in got) == [1, 4]
+    got2 = _run(spark, {"t": people},
+                'FROM t | WHERE lang IS NULL | KEEP id').collect()
+    assert [r.id for r in got2] == [3]
+    got3 = _run(spark, {"t": people},
+                'FROM t | WHERE lang IS NOT NULL AND lang NOT IN ("fr") '
+                '| KEEP id').collect()
+    assert [r.id for r in got3] == [2]
+
+
+def test_stats_global_and_grouped(spark, people):
+    row = _run(spark, {"t": people},
+               'FROM t | STATS n = COUNT(*), s = ROUND(SUM(score), 2), '
+               'u = COUNT_DISTINCT(lang)').collect()[0]
+    assert (row.n, row.s, row.u) == (4, 15.75, 2)
+    got = _run(spark, {"t": people},
+               'FROM t | STATS n = COUNT(*) BY lang '
+               '| SORT lang NULLS FIRST').collect()
+    assert [(r.lang, r.n) for r in got] == [(None, 1), ("de", 1), ("fr", 2)]
+
+
+def test_stats_expression_of_aggregate(spark, people):
+    row = _run(spark, {"t": people},
+               'FROM t | STATS r = ROUND(SUM(score) / COUNT(*), 3)'
+               ).collect()[0]
+    assert row.r == pytest.approx(3.938)
+
+
+def test_sort_nulls_last_and_limit(spark, people):
+    got = _run(spark, {"t": people},
+               'FROM t | SORT lang DESC NULLS LAST, id ASC '
+               '| KEEP id | LIMIT 3').collect()
+    assert [r.id for r in got] == [1, 4, 2]
+
+
+def test_keep_wildcard_order_and_drop(spark, people):
+    df = _run(spark, {"t": people}, 'FROM t | KEEP na*, id')
+    assert df.columns == ["name", "id"]
+    df2 = _run(spark, {"t": people}, 'FROM t | DROP ta*, score')
+    assert df2.columns == ["id", "name", "lang"]
+
+
+def test_rename_and_row_source(spark, people):
+    df = _run(spark, {"t": people}, 'FROM t | RENAME name AS who')
+    assert "who" in df.columns and "name" not in df.columns
+    row = _run(spark, {}, 'ROW a = 1, b = "x" | EVAL c = a + 10'
+               ).collect()[0]
+    assert (row.a, row.b, row.c) == (1, "x", 11)
+
+
+def test_mv_expand_preserves_null_and_empty_rows(spark, people):
+    got = _run(spark, {"t": people},
+               'FROM t | MV_EXPAND tags | KEEP id, tags').collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.id, []).append(r.tags)
+    # ES|QL: empty/null multivalue keeps its row with a null value
+    assert by_id == {1: ["x", "y"], 2: [None], 3: [None], 4: ["z"]}
+
+
+def test_enrich_duplicate_policy_keys_do_not_duplicate(spark, people):
+    policy = spark.createDataFrame(
+        [("fr", "France"), ("fr", "FRANCE"), ("de", "Germany")],
+        "code string, country string")
+    got = _run(spark, {"t": people},
+               'FROM t | ENRICH geo ON lang WITH country | KEEP id, country',
+               enrich_policies={"geo": (policy, "code")}).collect()
+    assert len(got) == 4  # left join, no fan-out
+    by_id = {r.id: r.country for r in got}
+    assert by_id[2] == "Germany" and by_id[3] is None
+    assert by_id[1] in ("France", "FRANCE")
+
+
+def test_case_date_trunc_and_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-03-05 13:45:00")], "id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = esql(spark, {"t": df}, '''
+        FROM t
+        | EVAL d = DATE_TRUNC(1 hour, ts), y = DATE_EXTRACT("year", ts),
+               s = SUBSTRING(TO_UPPER(CONCAT("ab", "cd")), 2, 2),
+               c = CASE(id > 5, "big", "small"),
+               g = GREATEST(1, COALESCE(NULL, 3), 2)
+    ''').collect()[0]
+    assert str(row.d) == "2024-03-05 13:00:00"
+    assert (row.y, row.s, row.c, row.g) == (2024, "BC", "small", 3)
+
+
+def test_multi_table_from_unions(spark, people):
+    half = people.limit(2)
+    got = _run(spark, {"a": half, "b": half}, "FROM a, b")
+    assert got.count() == 4
+
+
+def test_errors(spark, people):
+    t = {"t": people}
+    with pytest.raises(EsqlError, match="unknown function"):
+        _run(spark, t, "FROM t | EVAL x = NOPE(1)")
+    with pytest.raises(EsqlError, match="outside STATS"):
+        _run(spark, t, "FROM t | EVAL x = SUM(score)")
+    with pytest.raises(EsqlError, match="unknown table"):
+        _run(spark, t, "FROM missing")
+    with pytest.raises(EsqlError, match="unknown enrich policy"):
+        _run(spark, t, "FROM t | ENRICH nope ON lang")
+    with pytest.raises(EsqlError, match="trailing"):
+        _run(spark, t, 'FROM t | WHERE id == 1 extra_garbage')
+    with pytest.raises(EsqlError, match="COUNT"):
+        _run(spark, t, "FROM t | EVAL x = ABS(*)")
+    with pytest.raises(EsqlError, match="FROM or ROW"):
+        _run(spark, t, "WHERE id == 1")
+
+
+def test_trailing_tokens_rejected_everywhere(spark, people):
+    # the mis-parse bug class: a dropped tail must never pass silently
+    for prog in [
+        "FROM t | EVAL x = 1 1",
+        "FROM t | STATS n = COUNT(*) BY lang lang",
+        "FROM t | SORT id ASC id",
+    ]:
+        with pytest.raises(EsqlError):
+            _run(spark, {"t": people}, prog)
+
+
+# ------------------------------------------------------------ plan tests
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_where_pushes_to_scan(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = esql(spark, {"events": ev},
+              'FROM events | WHERE event_type == "click" | KEEP event_id')
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" \
+        in plan
+    # KEEP prunes the scan to the two referenced columns
+    assert "ReadSchema: struct<event_id:bigint,event_type:string>" in plan
+
+
+def test_stats_has_partial_aggregation(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = esql(spark, {"events": ev},
+              'FROM events | STATS n = COUNT(*) BY event_type')
+    assert _plan(df).count("HashAggregate") == 2  # partial + final
+
+
+def test_enrich_is_broadcast(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    policy = spark.createDataFrame([(7, "vip")], "uid long, tier string")
+    df = esql(spark, {"events": ev},
+              'FROM events | ENRICH tiers ON user_id WITH tier',
+              enrich_policies={"tiers": (policy, "uid")})
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = esql(spark, {"events": ev},
+              'FROM events | SORT value DESC | LIMIT 5')
+    assert "TakeOrderedAndProject" in _plan(df)
