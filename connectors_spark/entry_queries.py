@@ -11893,3 +11893,68 @@ def q_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _esql_tables(spark, sf_dir), _ESQL_ENRICH_PROGRAM,
         enrich_policies={"nations": (nation, "n_nationkey")},
     )
+
+
+_ESQL_BUCKET_PROGRAM = """
+FROM events
+| STATS n = COUNT(*), big_users = COUNT_DISTINCT(user_id) WHERE value >= 100.0,
+        total = ROUND(SUM(value), 3)
+  BY vb = BUCKET(value, 50.0), week = BUCKET(ts, 1 week)
+| SORT vb, week
+"""
+
+_ESQL_BUCKET_SQL = """
+SELECT floor(value / 50.0) * 50.0 AS vb,
+       date_trunc('week', ts) AS week,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT CASE WHEN value >= 100.0 THEN user_id END)
+            AS BIGINT) AS big_users,
+       round(sum(value), 3) AS total
+FROM events
+GROUP BY vb, week
+"""
+
+
+@register("esql_bucket", _ESQL_BUCKET_SQL)
+def q_esql_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL BUCKET() grouping (numeric span + calendar timespan forms)
+    and per-aggregate WHERE filters (`STATS ... AGG(x) WHERE cond`):
+    rows failing the condition contribute NULL, which the aggregate
+    skips — one pass, one shuffle, no per-filter re-scan. BUCKET
+    compiles to floor(x/span)*span / date_trunc, both codegen'd key
+    expressions, so the histogram keeps map-side partial aggregation."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_BUCKET_PROGRAM)
+
+
+_ESQL_DISSECT_PROGRAM = """
+FROM events
+| EVAL line = CONCAT(event_type, " | ", TO_STRING(user_id), " | ",
+                     TO_STRING(event_id))
+| DISSECT line "%{etype} | %{uid} | %{eid}"
+| WHERE etype LIKE "c*"
+| STATS n = COUNT(*), users = COUNT_DISTINCT(uid) BY etype
+| SORT etype
+"""
+
+_ESQL_DISSECT_SQL = """
+SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT) AS users
+FROM events
+WHERE event_type LIKE 'c%'
+GROUP BY event_type
+"""
+
+
+@register("esql_dissect", _ESQL_DISSECT_SQL)
+def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DISSECT: delimiter-based field extraction
+    (functions/scalars.py:dissect_to_regex — `%{field}` captures between
+    literal delimiters, compiled to ONE regex evaluated by JVM
+    regexp_extract, no UDF), followed by a wildcard LIKE on an extracted
+    field and grouped STATS. The round-trip (CONCAT then DISSECT) makes
+    the oracle exact: extraction must recover the source columns."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_DISSECT_PROGRAM)

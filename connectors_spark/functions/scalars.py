@@ -169,6 +169,50 @@ def grok_extract(df, col: str, pattern: str):
     return out
 
 
+def dissect_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """Compile a dissect pattern (the ES/Logstash `dissect` processor /
+    ES|QL DISSECT command; public Elastic docs) to (regex, fields).
+    `%{name}` captures lazily between the literal delimiters, `%{}` and
+    `%{?name}` match without capturing, `%{name->}` absorbs trailing
+    padding spaces. A field in final position captures greedily (dissect
+    "rest of string" semantics)."""
+    import re as _re
+
+    parts = [p for p in _re.split(r"(%\{[^}]*\})", pattern) if p]
+    frags: list[str] = ["^"]
+    fields: list[str] = []
+    for idx, p in enumerate(parts):
+        if p.startswith("%{") and p.endswith("}"):
+            body = p[2:-1]
+            pad = body.endswith("->")
+            if pad:
+                body = body[:-2]
+            last = idx == len(parts) - 1
+            if not body or body.startswith("?"):
+                frags.append("(?:.*)" if last else "(?:.*?)")
+            else:
+                fields.append(body)
+                frags.append("(.*)" if last else "(.*?)")
+            if pad:
+                frags.append(" *")
+        else:
+            frags.append(_re.escape(p))
+    frags.append("$")
+    return "".join(frags), fields
+
+
+def dissect_extract(df, col: str, pattern: str):
+    """Apply a dissect pattern: one string column per captured field
+    (empty on no-match, the regexp_extract convention). Same JVM
+    regexp_extract shape as grok_extract — codegen'd, no UDF."""
+    regex, fields = dissect_to_regex(pattern)
+    out = df
+    for i, f_name in enumerate(fields, start=1):
+        out = out.withColumn(
+            f_name, F.regexp_extract(F.col(col), regex, i))
+    return out
+
+
 # ---- geo_shape: point-in-polygon -------------------------------------
 # Reference: the ES geo_shape query (`relation: intersects/contains` for
 # point-vs-polygon). Crossing-number (ray-casting) test compiled to ONE

@@ -14,7 +14,8 @@ Supported commands (case-insensitive):
     ROW a = 1, b = "x"       literal one-row source
     WHERE <boolean expr>
     EVAL n1 = e1, n2 = e2    sequential (n2 may reference n1)
-    STATS a = AGG(...) [, ...] BY k1 [, k2]    (BY optional)
+    STATS a = AGG(...) [WHERE cond] [, ...] BY k1 [, k2]   (BY optional;
+          per-aggregate WHERE filters; BUCKET() in BY keys)
     SORT e [ASC|DESC] [NULLS FIRST|LAST], ...
     LIMIT n
     KEEP  c1, pat*           column projection, pattern order kept
@@ -22,6 +23,7 @@ Supported commands (case-insensitive):
     RENAME old AS new, ...
     MV_EXPAND col            multivalue -> rows (null stays one row)
     GROK  col "pattern"      reuses functions/scalars.py grok compiler
+    DISSECT col "pattern"    delimiter-based extraction (dissect_extract)
     ENRICH policy ON key [WITH f1, ...]   broadcast lookup join
 
 Expression grammar (precedence low->high): OR, AND, NOT, comparison
@@ -69,7 +71,7 @@ _TIME_UNITS = {
 
 _KEYWORDS = {"and", "or", "not", "in", "like", "rlike", "is", "null",
              "true", "false", "asc", "desc", "nulls", "first", "last",
-             "by", "as", "on", "with"}
+             "by", "as", "on", "with", "where"}
 
 
 class EsqlError(ValueError):
@@ -351,6 +353,41 @@ _SCALARS = {
 }
 
 
+def _nice_span(lo: float, hi: float, target: int) -> float:
+    """ES|QL BUCKET(field, target, min, max) span selection: the first
+    1/2/5-ladder value whose bucket count is <= target (ES picks a
+    "nice" span and documents that the result may have fewer buckets
+    than asked). min/max/target are literals, so this is an O(1)
+    compile-time decision — exactly like the ES coordinator's rounding,
+    and reproducible in the oracle from the same constants."""
+    import math
+
+    raw = (hi - lo) / max(target, 1)
+    if raw <= 0:
+        return 1.0
+    mag = 10.0 ** math.floor(math.log10(raw))
+    for mult in (1.0, 2.0, 5.0, 10.0):
+        if mult * mag >= raw:
+            return mult * mag
+    return 10.0 * mag
+
+
+def _bucket_fn(a, r):
+    # BUCKET(ts, 1 day) | BUCKET(x, span) | BUCKET(x, target, min, max)
+    if r[1][0] == "span":
+        return F.date_trunc(r[1][2], a[0])
+    if len(r) == 4:
+        lo = float(_lit_arg(r[2], "BUCKET min"))
+        hi = float(_lit_arg(r[3], "BUCKET max"))
+        span = _nice_span(lo, hi, int(_lit_arg(r[1], "BUCKET target")))
+    else:
+        span = float(_lit_arg(r[1], "BUCKET span"))
+    return F.floor(a[0] / F.lit(span)) * F.lit(span)
+
+
+_SCALARS["BUCKET"] = _bucket_fn
+
+
 def _case_fn(a, r):
     # CASE(c1, v1, [c2, v2, ...][, default])
     out = None
@@ -389,7 +426,7 @@ _AGGS = {
 }
 
 
-def _compile(ast, allow_agg: bool = False):
+def _compile(ast, allow_agg: bool = False, agg_filter=None):
     kind = ast[0]
     if kind == "lit":
         return F.lit(ast[1])
@@ -400,24 +437,24 @@ def _compile(ast, allow_agg: bool = False):
     if kind == "span":
         raise EsqlError("timespan literal outside DATE_TRUNC/BUCKET")
     if kind == "neg":
-        return -_compile(ast[1], allow_agg)
+        return -_compile(ast[1], allow_agg, agg_filter)
     if kind == "not":
-        return ~_compile(ast[1], allow_agg)
+        return ~_compile(ast[1], allow_agg, agg_filter)
     if kind == "isnull":
-        c = _compile(ast[1], allow_agg)
+        c = _compile(ast[1], allow_agg, agg_filter)
         return c.isNotNull() if ast[2] else c.isNull()
     if kind == "in":
-        c = _compile(ast[1], allow_agg)
+        c = _compile(ast[1], allow_agg, agg_filter)
         vals = [_lit_arg(x, "IN list item") for x in ast[2]]
         return ~c.isin(vals) if ast[3] else c.isin(vals)
     if kind == "like":
-        c = _compile(ast[1], allow_agg)
+        c = _compile(ast[1], allow_agg, agg_filter)
         got = c.rlike(ast[2]) if ast[4] else c.like(_like_to_sql(ast[2]))
         return ~got if ast[3] else got
     if kind == "bin":
         op = ast[1]
-        left = _compile(ast[2], allow_agg)
-        right = _compile(ast[3], allow_agg)
+        left = _compile(ast[2], allow_agg, agg_filter)
+        right = _compile(ast[3], allow_agg, agg_filter)
         return {
             "or": lambda: left | right, "and": lambda: left & right,
             "==": lambda: left == right, "!=": lambda: left != right,
@@ -432,13 +469,21 @@ def _compile(ast, allow_agg: bool = False):
         if name in _AGGS:
             if not allow_agg:
                 raise EsqlError(f"aggregate {name} outside STATS")
+            if agg_filter is not None:
+                # per-aggregate WHERE (ES|QL `STATS n = AGG(x) WHERE c`):
+                # rows failing c contribute NULL, which every aggregate
+                # here skips — COUNT(*) counts a conditional literal
+                if name == "COUNT" and (not args or args == [("col", "*")]):
+                    return F.count(F.when(agg_filter, F.lit(1)))
+                compiled = [F.when(agg_filter, _compile(x)) for x in args]
+                return _AGGS[name](compiled, args)
             compiled = [] if args == [("col", "*")] else \
                 [_compile(x) for x in args]
             return _AGGS[name](compiled, args)
         if name in _SCALARS:
             # span literals have no Column form — functions that take
             # them (DATE_TRUNC) read the raw AST, so pass None through
-            compiled = [None if x[0] == "span" else _compile(x, allow_agg)
+            compiled = [None if x[0] == "span" else _compile(x, allow_agg, agg_filter)
                         for x in args]
             return _SCALARS[name](compiled, args)
         raise EsqlError(f"unknown function {name}")
@@ -475,11 +520,14 @@ def _split_pipes(program: str) -> list[str]:
     return out
 
 
-def _parse_assignments(c: _Cursor, stop_kw: frozenset[str] = frozenset()):
-    """Comma-separated `name = expr` | bare expr list; bare exprs are
-    named by their source text with whitespace squeezed (the ES|QL
-    auto-naming convention)."""
-    out: list[tuple[str, object]] = []
+def _parse_assignments(c: _Cursor, stop_kw: frozenset[str] = frozenset(),
+                       allow_where: bool = False):
+    """Comma-separated `name = expr [WHERE cond]` | bare expr list; bare
+    exprs are named by their source text with whitespace squeezed (the
+    ES|QL auto-naming convention). `WHERE` (per-aggregate filters, STATS
+    only) is parsed when allow_where. Returns (name, expr, where|None)
+    triples."""
+    out: list[tuple[str, object, object]] = []
     while not c.done():
         if c.peek()[0] == "ident" and c.peek()[1].lower() in stop_kw:
             break
@@ -494,7 +542,11 @@ def _parse_assignments(c: _Cursor, stop_kw: frozenset[str] = frozenset()):
         expr = _parse_expr(c)
         if name is None:
             name = _source_name(c.toks[start:c.i])
-        out.append((name, expr))
+        where = None
+        if allow_where and c.at_kw("where"):
+            c.next()
+            where = _parse_expr(c)
+        out.append((name, expr, where))
         if c.peek() == ("op", ","):
             c.next()
             continue
@@ -540,7 +592,7 @@ def esql(
             df = df.unionByName(other, allowMissingColumns=True)
     elif cmd == "ROW":
         c = _Cursor(_tokenize(body))
-        cols = [_compile(e).alias(n) for n, e in _parse_assignments(c)]
+        cols = [_compile(e).alias(n) for n, e, _ in _parse_assignments(c)]
         df = spark.range(1).select(*cols)
     else:
         raise EsqlError(f"program must start with FROM or ROW, got {cmd}")
@@ -571,22 +623,26 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
         c = _Cursor(_tokenize(body))
         assigns = _parse_assignments(c)
         _require_done(c, "EVAL")
-        for name, expr in assigns:
+        for name, expr, _w in assigns:
             df = df.withColumn(name, _compile(expr))
         return df
 
     if cmd == "STATS":
         c = _Cursor(_tokenize(body))
-        aggs = _parse_assignments(c, stop_kw=frozenset({"by"}))
-        keys: list[tuple[str, object]] = []
+        aggs = _parse_assignments(c, stop_kw=frozenset({"by"}),
+                                  allow_where=True)
+        keys: list[tuple[str, object, object]] = []
         if c.at_kw("by"):
             c.next()
             keys = _parse_assignments(c)
         _require_done(c, "STATS")
-        agg_cols = [_compile(e, allow_agg=True).alias(n) for n, e in aggs]
+        agg_cols = [
+            _compile(e, allow_agg=True,
+                     agg_filter=None if w is None else _compile(w)).alias(n)
+            for n, e, w in aggs]
         if not keys:
             return df.agg(*agg_cols)
-        key_cols = [_compile(e).alias(n) for n, e in keys]
+        key_cols = [_compile(e).alias(n) for n, e, _w in keys]
         return df.groupBy(*key_cols).agg(*agg_cols)
 
     if cmd == "SORT":
@@ -654,6 +710,13 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
             raise EsqlError(f"bad GROK clause: {body!r}")
         from connectors_spark.functions.scalars import grok_extract
         return grok_extract(df, m.group(1), m.group(2))
+
+    if cmd == "DISSECT":
+        m = re.match(r'\s*([\w.@]+)\s+"(.*)"\s*$', body, re.S)
+        if not m:
+            raise EsqlError(f"bad DISSECT clause: {body!r}")
+        from connectors_spark.functions.scalars import dissect_extract
+        return dissect_extract(df, m.group(1), m.group(2))
 
     if cmd == "ENRICH":
         m = re.match(

@@ -214,3 +214,44 @@ def test_sort_limit_is_take_ordered(spark, sf_dir):
     df = esql(spark, {"events": ev},
               'FROM events | SORT value DESC | LIMIT 5')
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_bucket_numeric_auto_and_time(spark):
+    from connectors_spark.operators.esql import _nice_span
+
+    assert _nice_span(0.0, 100.0, 20) == 5.0
+    assert _nice_span(0.0, 100.0, 3) == 50.0
+    assert _nice_span(0.0, 7.0, 100) == 0.1
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, x double")
+    got = esql(spark, {"t": df},
+               'FROM t | STATS n = COUNT(*) BY b = BUCKET(x, 20, 0, 100) '
+               '| SORT b').collect()
+    # span 5 -> ids 0..4 in bucket 0, 5..9 in bucket 5
+    assert [(r.b, r.n) for r in got] == [(0.0, 5), (5.0, 5)]
+
+
+def test_stats_per_agg_where(spark, people):
+    row = _run(spark, {"t": people},
+               'FROM t | STATS n = COUNT(*), pos = COUNT(*) WHERE score > 0, '
+               's = SUM(score) WHERE lang == "fr"').collect()[0]
+    assert (row.n, row.pos, row.s) == (4, 3, 12.0)
+
+
+def test_dissect_round_trip_and_final_greedy(spark):
+    from connectors_spark.functions.scalars import dissect_to_regex
+    import re as _re
+
+    regex, fields = dissect_to_regex("%{a} | %{b} rest=%{rest}")
+    assert fields == ["a", "b", "rest"]
+    m = _re.match(regex, "x | y z rest=p q r")
+    assert m.groups() == ("x", "y z", "p q r")  # final field greedy
+    # skip + padding modifiers
+    regex2, fields2 = dissect_to_regex("%{?skip}:%{val->} end")
+    assert fields2 == ["val"]
+    assert _re.match(regex2, "ignored:v   end").group(1) == "v"
+
+    df = spark.createDataFrame([(1, "a=1 b=2")], "id long, line string")
+    row = esql(spark, {"t": df},
+               'FROM t | DISSECT line "a=%{av} b=%{bv}"').collect()[0]
+    assert (row.av, row.bv) == ("1", "2")
