@@ -11958,3 +11958,252 @@ def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.esql import esql
 
     return esql(spark, _esql_tables(spark, sf_dir), _ESQL_DISSECT_PROGRAM)
+
+
+_SPAN_MULTI_QUERIES = [("m0", "tab", "scan", 3), ("m1", "fil", "group", 4)]
+
+
+def _span_multi_sql() -> str:
+    parts = []
+    for sid, prefix, other, slop in _SPAN_MULTI_QUERIES:
+        parts.append(
+            f"SELECT '{sid}' AS span_id, t0.doc_id, "
+            f"CAST(count(*) AS BIGINT) AS n_hits "
+            f"FROM tp t0 JOIN tp t1 ON t1.doc_id = t0.doc_id "
+            f"AND t1.pos > t0.pos AND t1.pos - t0.pos - 1 <= {slop} "
+            f"AND t1.t = '{other}' WHERE t0.t LIKE '{prefix}%' "
+            f"GROUP BY t0.doc_id"
+        )
+    tp = (
+        "tp AS (SELECT doc_id, unnest(arr) AS t, "
+        "unnest(range(len(arr))) AS pos FROM "
+        f"(SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr "
+        "FROM documents))"
+    )
+    return "WITH " + tp + " " + " UNION ALL ".join(parts)
+
+
+@register("span_multi_query", _span_multi_sql())
+def q_span_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_multi query: a multi-term query (here `prefix`) wrapped
+    as a span clause, positioned within `slop` of a literal term
+    (in_order, the span_near convention of the `span_near` gate). The
+    prefix side matches EVERY lexicon term starting with the prefix —
+    Lucene's SpanMultiTermQueryWrapper rewrite — so one position join
+    covers all expansions. Position join stays pruned to the prefix-
+    and literal-term postings (same kernel shape as phrase_match)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    out = None
+    for sid, prefix, other, slop in _SPAN_MULTI_QUERIES:
+        t0 = toks.filter(F.col("term").startswith(prefix)).select(
+            "doc_id", F.col("pos").alias("p0"))
+        t1 = toks.filter(F.col("term") == other).select(
+            F.col("doc_id").alias("_d"), F.col("pos").alias("p1"))
+        hits = (
+            t0.join(t1, (t0.doc_id == t1._d)
+                    & (F.col("p1") > F.col("p0"))
+                    & (F.col("p1") - F.col("p0") - 1 <= slop))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(sid).alias("span_id"), "doc_id", "n_hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+_ANOMALY_WINDOW = 7
+_ANOMALY_THRESHOLD = 2.5
+
+_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day
+),
+win AS (
+  SELECT event_type, day, cnt,
+         list_sort(list(cnt) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN {_ANOMALY_WINDOW - 1} PRECEDING AND CURRENT ROW
+         )) AS arr
+  FROM daily
+),
+m AS (
+  SELECT event_type, day, cnt, arr,
+         CAST((arr[CAST((len(arr) - 1) // 2 AS INT) + 1]
+          + arr[CAST(len(arr) // 2 AS INT) + 1]) / 2.0 AS DOUBLE) AS med
+  FROM win
+),
+d AS (
+  SELECT event_type, day, cnt, med,
+         list_sort(list_transform(arr, v -> abs(v - med))) AS devs
+  FROM m
+),
+s AS (
+  SELECT event_type, day, cnt, med,
+         CAST((devs[CAST((len(devs) - 1) // 2 AS INT) + 1]
+          + devs[CAST(len(devs) // 2 AS INT) + 1]) / 2.0 AS DOUBLE) AS mad
+  FROM d
+)
+SELECT event_type, day, cnt, med, mad,
+       round(abs(cnt - med)
+             / greatest(CAST(1.4826 AS DOUBLE) * mad, CAST(1.0 AS DOUBLE)),
+             6) AS score,
+       round(abs(cnt - med)
+             / greatest(CAST(1.4826 AS DOUBLE) * mad, CAST(1.0 AS DOUBLE)),
+             6) > {_ANOMALY_THRESHOLD} AS is_anomaly
+FROM s
+"""
+
+
+@register("anomaly_detection", _ANOMALY_SQL)
+def q_anomaly_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic ML single-metric anomaly job analog (count-per-day
+    datafeed): robust rolling z-score |x - med| / (1.4826*MAD) over a
+    trailing 7-day window per event_type
+    (operators/anomaly.py:rolling_mad_anomaly). The corpus collapses to
+    (event_type, day) buckets in ONE map-side agg before any window —
+    the rolling stats run over ~150 rows at every data scale."""
+    from connectors_spark.operators.anomaly import rolling_mad_anomaly
+
+    ev = _read(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return rolling_mad_anomaly(
+        daily, "event_type", "day", "cnt",
+        window=_ANOMALY_WINDOW, threshold=_ANOMALY_THRESHOLD,
+    )
+
+
+_CIH_INNER_N, _CIH_TOP_GROUPS = 3, 4
+
+
+def _collapse_inner_sql() -> str:
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(term) AS (VALUES ('spark'), ('data')),
+scored AS (
+  SELECT tf.doc_id, round(sum({w}), {ROUND_SCORE}) AS score
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+enr AS (
+  SELECT s.doc_id, s.score, d.lang FROM scored s
+  JOIN documents d USING (doc_id)
+),
+g AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id ASC) AS inner_rank,
+         count(*) OVER (PARTITION BY lang) AS group_size
+  FROM enr
+),
+grp AS (
+  SELECT lang, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           AS group_rank
+  FROM g WHERE inner_rank = 1
+)
+SELECT g.lang, CAST(grp.group_rank AS INT) AS group_rank,
+       CAST(g.inner_rank AS INT) AS inner_rank, g.doc_id, g.score,
+       CAST(g.group_size AS BIGINT) AS group_size
+FROM g JOIN grp USING (lang)
+WHERE g.inner_rank <= {_CIH_INNER_N}
+  AND grp.group_rank <= {_CIH_TOP_GROUPS}
+"""
+
+
+@register("collapse_inner_hits", _collapse_inner_sql())
+def q_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing with inner_hits (collapse_results' sibling):
+    the top 3 hits INSIDE each of the best 4 lang groups, with group
+    rank and group total (operators/query.py:collapse_inner_hits). The
+    inner window is partitioned by the collapse field; group ranking is
+    a TakeOrdered over the one-row-per-group frame joined back
+    broadcast."""
+    from connectors_spark.operators.query import collapse_inner_hits
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(spark, [{"query_id": "c", "query_text": "spark data",
+                              "k": 1_000_000}])
+    scored = score_topk_dataframe(
+        idx, qdf, round_scores=ROUND_SCORE).select("doc_id", "score")
+    enr = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return collapse_inner_hits(
+        enr, "lang", inner_n=_CIH_INNER_N, top_groups=_CIH_TOP_GROUPS)
+
+
+BBQ_QUERY_MOD, BBQ_K, BBQ_OVERSAMPLE = 250, 10, 4
+
+_BBQ_SQL = f"""
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, v, list_min(v) AS mn,
+         (list_max(v) - list_min(v)) / 255.0 AS scale
+  FROM v
+),
+dq AS (
+  SELECT vec_id, v,
+         [mn + CAST(floor(coalesce((x - mn) / nullif(scale, 0), 0) + 0.5)
+                    AS INT) * scale FOR x IN v] AS deq
+  FROM p
+),
+n AS (
+  SELECT vec_id, v, deq,
+         sqrt(list_dot_product(v, v)) AS vn,
+         sqrt(list_dot_product(deq, deq)) AS dn
+  FROM dq
+),
+qs AS (
+  SELECT vec_id AS query_id, v AS q, vn AS qn FROM n
+  WHERE vec_id % {BBQ_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT qs.query_id, n.vec_id,
+         round(list_dot_product(qs.q, n.deq) / (qs.qn * n.dn), 6) AS coarse,
+         round(list_dot_product(qs.q, n.v) / (qs.qn * n.vn), 6) AS exact
+  FROM n CROSS JOIN qs WHERE n.vec_id <> qs.query_id
+),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY coarse DESC, vec_id ASC) AS crk
+  FROM scored
+),
+top AS (
+  SELECT query_id, vec_id, coarse, exact AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exact DESC, vec_id ASC) AS rank
+  FROM cand WHERE crk <= {BBQ_K * BBQ_OVERSAMPLE}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, coarse, score
+FROM top WHERE rank <= {BBQ_K}
+"""
+
+
+@register("knn_quantized_rescore", _BBQ_SQL)
+def q_knn_quantized_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES quantized kNN with full-precision rescore (the int8/BBQ search
+    path + `rescore_vector.oversample`): coarse cosine against
+    dequantized int8 codes prunes to k*oversample candidates per query,
+    exact f64 cosine re-ranks only those
+    (operators/similarity.py:bbq_rescore_topk). Output keeps BOTH
+    scores so the gate pins the quantization math end-to-end."""
+    from connectors_spark.operators.similarity import bbq_rescore_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % BBQ_QUERY_MOD == 0)
+    return bbq_rescore_topk(emb, qs, k=BBQ_K, oversample=BBQ_OVERSAMPLE)

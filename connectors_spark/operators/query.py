@@ -1354,3 +1354,39 @@ def score_cross_fields(indexes: list[tuple[IndexFrames, float]],
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def collapse_inner_hits(scored: DataFrame, field: str,
+                        inner_n: int = 3, top_groups: int = 5) -> DataFrame:
+    """ES field collapsing WITH inner_hits: instead of only the best hit
+    per group (collapse_field), return the top `inner_n` hits inside
+    each of the best `top_groups` groups, each row carrying its group's
+    total hit count and the group's rank. Groups rank by their best
+    hit (score DESC, doc_id ASC) — the ES collapse sort.
+
+    Scale shape: the inner window is PARTITIONED by the collapse field;
+    the group ranking runs on the one-row-per-group best frame via
+    orderBy().limit() (TakeOrderedAndProject) and joins back broadcast —
+    no unpartitioned window anywhere."""
+    order = [F.desc("score"), F.asc("doc_id")]
+    w = Window.partitionBy(field).orderBy(*order)
+    per = (
+        scored.withColumn("inner_rank", F.row_number().over(w))
+        .filter(F.col("inner_rank") <= inner_n)
+    )
+    sizes = scored.groupBy(field).agg(
+        F.count(F.lit(1)).alias("group_size"))
+    best = (
+        per.filter(F.col("inner_rank") == 1)
+        .select(field, F.col("score").alias("_bs"),
+                F.col("doc_id").alias("_bd"))
+        .orderBy(F.desc("_bs"), F.asc("_bd")).limit(top_groups)
+    )
+    gw = Window.orderBy(F.desc("_bs"), F.asc("_bd"))
+    gr = best.withColumn("group_rank", F.row_number().over(gw))
+    return (
+        per.join(F.broadcast(gr.select(field, "group_rank")), field)
+        .join(F.broadcast(sizes), field)
+        .select(field, "group_rank", "inner_rank", "doc_id", "score",
+                "group_size")
+    )

@@ -462,3 +462,69 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
         ).alias("codes_md5"),
         F.round(F.coalesce(cos, F.lit(1.0)), round_to).alias("cos_orig_deq"),
     )
+
+
+def bbq_rescore_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    oversample: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ES quantized-kNN-with-rescore (the `dense_vector` int8/BBQ search
+    path: quantized index scores cheaply, then `rescore_vector`
+    re-scores an oversampled candidate set against the ORIGINAL float
+    vectors): coarse pass = cosine of the query against the
+    int8-dequantized corpus vector (quantize_int8's floor(z+0.5)
+    engine-portable codes), keep k*oversample candidates per query,
+    exact pass = full-precision cosine over candidates only, final
+    top-k. -> (query_id, rank, vec_id, coarse, score).
+
+    Scale shape: quantization is per-row JVM math (no shuffle); the
+    coarse pass is the one corpus scan (queries broadcast); the exact
+    pass touches exactly k*oversample rows per query. At a billion
+    vectors the coarse representation is what an index stores — 4x
+    smaller, and the expensive f64 math runs on 40 rows per query
+    instead of 10^9. Both ranking cuts round scores first and break
+    ties by vec_id, so candidate sets are engine-stable."""
+    v = _as_double(F.col(vec_col))
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    code = F.transform(
+        v, lambda x: F.floor(
+            F.coalesce((x - mn) / F.nullif(scale, F.lit(0.0)), F.lit(0.0))
+            + F.lit(0.5)).cast("int"))
+    deq = F.transform(code, lambda c: mn + c.cast("double") * scale)
+    corpus = vectors.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), deq.alias("deq"),
+        F.sqrt(_dot(v, v)).alias("vn"),
+        F.sqrt(_dot(deq, deq)).alias("dn"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q"),
+    ).withColumn("qn", F.sqrt(_dot(F.col("q"), F.col("q"))))
+    joined = corpus.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id"))
+    coarse = F.round(
+        _dot(F.col("q"), F.col("deq")) / (F.col("qn") * F.col("dn")),
+        ROUND_COS)
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse"), F.asc("vec_id"))
+    cand = (
+        joined.withColumn("coarse", coarse)
+        .withColumn("_crk", F.row_number().over(wc))
+        .filter(F.col("_crk") <= k * oversample)
+    )
+    exact = F.round(
+        _dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")),
+        ROUND_COS)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id"))
+    return (
+        cand.withColumn("score", exact)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "coarse", "score")
+    )
