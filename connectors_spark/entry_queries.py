@@ -12207,3 +12207,130 @@ def q_knn_quantized_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % BBQ_QUERY_MOD == 0)
     return bbq_rescore_topk(emb, qs, k=BBQ_K, oversample=BBQ_OVERSAMPLE)
+
+
+_TREE_RRF_K, _TREE_TOP = 60, 15
+_TREE_QB_TERMS = ("filter", "group")
+
+
+def _retriever_tree_sql() -> str:
+    # root: rrf( childA = linear(bm25 'spark data', knn vec0),
+    #            childB = bm25 'filter group' )
+    linear_body = _linear_retriever_sql().strip()
+    assert linear_body.startswith("WITH ")
+    # final SELECT of the linear SQL becomes the childA CTE
+    head, final = linear_body.rsplit("SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (", 1)
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    qb = ", ".join(f"('{t}')" for t in _TREE_QB_TERMS)
+    return f"""{head.strip().rstrip(',')},
+child_a AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM fused
+  ) WHERE rank <= {_LIN_TOP}
+),
+qtb(term) AS (VALUES {qb}),
+lexb_scored AS (
+  SELECT tf.doc_id, round(sum({w}), {ROUND_SCORE}) AS s
+  FROM qtb JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+child_b AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+    FROM lexb_scored
+  ) WHERE rank <= {_LIN_TOP}
+),
+tree_fused AS (
+  SELECT doc_id,
+         round(sum(1.0 / ({_TREE_RRF_K} + rank)), {ROUND_SCORE}) AS score
+  FROM (
+    SELECT doc_id, rank FROM child_a
+    UNION ALL
+    SELECT doc_id, rank FROM child_b
+  ) GROUP BY doc_id
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM tree_fused
+) WHERE rank <= {_TREE_TOP}
+"""
+
+
+@register("retriever_tree", _retriever_tree_sql())
+def q_retriever_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES retriever TREE (nested composition, the 8.16+ search API
+    shape): rrf at the root over [ linear(bm25, knn) , bm25 ] — a
+    two-level tree where one child is itself a compound retriever.
+    Exercises that the fusion operators (rrf_fuse,
+    linear_retriever_hybrid's minmax fusion) COMPOSE: every child's
+    output is a (doc_id, rank) list, so trees of any depth reduce to
+    list-sized fusions, each O(lists x k) and corpus-size
+    independent."""
+    from connectors_spark.operators.query import rrf_fuse
+
+    child_a = q_linear_retriever_hybrid(spark, sf_dir).select(
+        "doc_id", "rank")
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(spark, [{
+        "query_id": "b", "query_text": " ".join(_TREE_QB_TERMS),
+        "k": _LIN_TOP}])
+    child_b = score_topk_dataframe(
+        idx, qdf, round_scores=ROUND_SCORE).select("doc_id", "rank")
+    return rrf_fuse([child_a, child_b], rank_k=_TREE_RRF_K,
+                    top_n=_TREE_TOP, round_to=ROUND_SCORE)
+
+
+# _validate/query analog: the fixed probe set is the gate input; the
+# oracle VALUES are HAND-WRITTEN expectations (not generated from the
+# parser), so any parser behavior change trips the hash.
+_VALIDATE_PROBES = [
+    "spark data",
+    "+spark -hive",
+    "title:fast^2 +lang:fr",
+    '"group by" order',
+    "don't stop",
+    "AND OR NOT",
+    "???",
+    "field: :orphan",
+    'a^0.5 -b^3 +"c d"',
+]
+
+_VALIDATE_SQL = """
+SELECT * FROM (VALUES
+  ('spark data', TRUE, 'spark data'),
+  ('+spark -hive', TRUE, '+spark -hive'),
+  ('title:fast^2 +lang:fr', TRUE, 'title:fast^2 +lang:fr'),
+  ('"group by" order', TRUE, 'order +"group by"'),
+  ('don''t stop', TRUE, 'don t stop'),
+  ('AND OR NOT', TRUE, 'and or not'),
+  ('???', FALSE, ''),
+  ('field: :orphan', TRUE, 'orphan'),
+  ('a^0.5 -b^3 +"c d"', TRUE, 'a^0.5 -b^3 +"c d"')
+) AS t(query, valid, rewritten)
+"""
+
+
+@register("validate_query", _VALIDATE_SQL)
+def q_validate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_validate/query?rewrite=true` analog
+    (operators/query_string.py:validate_query_string): each probe query
+    is parsed by the real query_string grammar and rendered back as the
+    canonical rewrite that would execute; valid=false when lenient
+    parsing leaves nothing. Parsing is driver-side over the tiny probe
+    set (exactly like ES's coordinate-node validate), so this gate pins
+    the PARSER against hand-written expectations — the oracle VALUES
+    are written by hand, not generated."""
+    from connectors_spark.operators.query_string import validate_query_string
+
+    rows = []
+    for probe in _VALIDATE_PROBES:
+        valid, rewritten = validate_query_string(probe)
+        rows.append((probe, valid, rewritten))
+    return spark.createDataFrame(
+        rows, "query string, valid boolean, rewritten string")

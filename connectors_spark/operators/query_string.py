@@ -485,3 +485,32 @@ def render_search_template(template: str, params: dict) -> str:
         return str(params[name])
 
     return _TPL_VAR_RE.sub(sub, template)
+
+
+def validate_query_string(q: str) -> tuple[bool, str]:
+    """ES `_validate/query?rewrite=true` analog for the query_string
+    entry point: parse the query leniently (this module's grammar) and
+    return (valid, rewritten) where `rewritten` is the canonical
+    Lucene-ish rendering of what WILL execute — the rewrite ES returns
+    so users can see how their query was understood. valid=False only
+    when nothing parseable remains (ES reports a query that matches no
+    syntax as invalid; lenient-mode drops are visible in the rewrite).
+
+    Rendering order is parse order within each clause family:
+    default-field clauses, field-scoped clauses, then phrases; roles
+    render as Lucene prefixes (`+` must / `-` must_not / bare should)
+    and non-1 boosts as `^b`."""
+    parsed = parse_query_string(q)
+    frags: list[str] = []
+    pre = {"must": "+", "must_not": "-", "should": ""}
+    for role, term, boost in parsed["clauses"]:
+        b = f"^{boost:g}" if boost != 1.0 else ""
+        frags.append(f"{pre[role]}{term}{b}")
+    for role, field, term, boost in parsed["scoped"]:
+        b = f"^{boost:g}" if boost != 1.0 else ""
+        frags.append(f"{pre[role]}{field}:{term}{b}")
+    for role, terms in parsed["phrases"]:
+        frags.append(f"{pre[role]}\"{' '.join(terms)}\"")
+    if not frags:
+        return False, ""
+    return True, " ".join(frags)
