@@ -12334,3 +12334,42 @@ def q_validate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((probe, valid, rewritten))
     return spark.createDataFrame(
         rows, "query string, valid boolean, rewritten string")
+
+
+_TRANSFORM_CUT = "2024-01-20"
+
+_TRANSFORM_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 3) AS total_value,
+       max(ts) AS last_seen
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("transform_pivot", _TRANSFORM_SQL)
+def q_transform_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES continuous transform (entity-centric pivot,
+    operators/transform.py:transform_tick): the gate REPLAYS the
+    continuous protocol — bootstrap tick over events before a cut
+    date, then an incremental tick over the full source with the
+    bootstrap's checkpoint — and returns the resulting dest. The oracle
+    is the one-shot batch pivot over everything: hash equality proves
+    incremental-recompute-of-dirty-entities == full recompute, the
+    transform correctness contract."""
+    from connectors_spark.operators.transform import transform_tick
+
+    ev = _read(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+        F.max("ts").alias("last_seen"),
+    ]
+    early = ev.filter(F.col("ts") < F.lit(_TRANSFORM_CUT))
+    dest1, ckpt1 = transform_tick(
+        early, None, ["user_id"], aggs, "ts", None)
+    checkpoint = ckpt1.collect()[0]["checkpoint"]
+    dest2, _ = transform_tick(
+        ev, dest1, ["user_id"], aggs, "ts", checkpoint)
+    return dest2
