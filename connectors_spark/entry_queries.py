@@ -11773,7 +11773,7 @@ GROUP BY event_type, day
 
 def _esql_tables(spark: SparkSession, sf_dir: str) -> dict:
     return {t: _read(spark, sf_dir, t)
-            for t in ("events", "documents", "customer")}
+            for t in ("events", "documents", "customer", "nation")}
 
 
 @register("esql_stats", _ESQL_STATS_SQL)
@@ -12373,3 +12373,73 @@ def q_transform_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest2, _ = transform_tick(
         ev, dest1, ["user_id"], aggs, "ts", checkpoint)
     return dest2
+
+
+_ESQL_LOOKUP_PROGRAM = """
+FROM customer
+| RENAME c_nationkey AS n_nationkey
+| LOOKUP JOIN nation ON n_nationkey
+| STATS n = COUNT(*), maxbal = ROUND(MAX(c_acctbal), 3) BY n_name
+| SORT n_name
+"""
+
+_ESQL_LOOKUP_SQL = """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n,
+       round(max(c.c_acctbal), 3) AS maxbal
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("esql_lookup_join", _ESQL_LOOKUP_SQL)
+def q_esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL LOOKUP JOIN (the 9.x lookup-mode-index join, ENRICH's
+    sibling that PRESERVES fan-out on duplicate lookup keys): equality
+    join on a same-named field against a registered lookup table,
+    compiled to a broadcast left join — lookup indices are bounded by
+    construction, so the big side keeps its partitioning."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_LOOKUP_PROGRAM)
+
+
+_WATCHER_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(avg(value), 6) AS metric
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT *, metric >= 52.0 AS breached FROM daily
+), lb AS (
+  SELECT *, max(CASE WHEN breached THEN day END) OVER (
+      PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_breach
+  FROM b
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, metric, breached,
+       breached AND (last_breach IS NULL
+         OR date_diff('day', last_breach, day) > 2) AS fired
+FROM lb
+"""
+
+
+@register("watcher_alerts", _WATCHER_SQL)
+def q_watcher_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES Watcher analog (X-Pack watcher: schedule -> input search ->
+    condition -> throttle_period-gated action; reference connectors feed
+    the indices such watches run on). Daily avg(value) per event_type
+    breaches at >= 52; an action FIRES only at episode starts (no breach
+    in the prior 2 days) — throttle_period semantics. One map-side agg
+    collapses the corpus to (type x day) rows, so the per-key ordered
+    window is O(days) regardless of corpus scale."""
+    from connectors_spark.operators.anomaly import alert_episodes
+
+    ev = _read(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("metric")))
+    out = alert_episodes(
+        daily, "event_type", "day", "metric", 52.0, throttle_days=2)
+    return out.withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd"))

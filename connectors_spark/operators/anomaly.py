@@ -76,3 +76,40 @@ def rolling_mad_anomaly(
         .withColumn("is_anomaly", F.col("score") > threshold)
         .drop("_arr", "_devs")
     )
+
+
+def alert_episodes(
+    daily: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    threshold: float,
+    throttle_days: int = 2,
+) -> DataFrame:
+    """ES Watcher analog (public X-Pack watcher docs: input search ->
+    condition -> action with `throttle_period`): a bucket BREACHES when
+    its metric crosses the condition threshold; an action FIRES only at
+    the start of a breach episode — a breach with no prior breach
+    within `throttle_days` — so a sustained incident produces one
+    action, not one per bucket, exactly what throttle_period exists
+    for. Adds columns breached, fired.
+
+    Deterministic lag formulation (no sequential state): fired =
+    breached AND (previous breached bucket is absent or older than the
+    throttle window). Runs on the already-aggregated bucket frame
+    (entities x days), so the lag window is partitioned per key over a
+    tiny series at any corpus scale."""
+    breached = daily.withColumn(
+        "breached", F.col(value_col) >= F.lit(threshold))
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    # carry the last breach time forward: max over strictly-prior rows
+    last_breach = F.max(
+        F.when(F.col("breached"), F.col(time_col))).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    fired = (
+        F.col("breached")
+        & (last_breach.isNull()
+           | (F.datediff(F.col(time_col), last_breach)
+              > F.lit(throttle_days)))
+    )
+    return breached.withColumn("fired", fired)

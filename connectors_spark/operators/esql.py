@@ -24,7 +24,8 @@ Supported commands (case-insensitive):
     MV_EXPAND col            multivalue -> rows (null stays one row)
     GROK  col "pattern"      reuses functions/scalars.py grok compiler
     DISSECT col "pattern"    delimiter-based extraction (dissect_extract)
-    ENRICH policy ON key [WITH f1, ...]   broadcast lookup join
+    ENRICH policy ON key [WITH f1, ...]   broadcast lookup join (deduped)
+    LOOKUP JOIN table ON field   broadcast left join, fan-out preserved
 
 Expression grammar (precedence low->high): OR, AND, NOT, comparison
 (`== != < <= > >=`, `IN (...)`, `[NOT] LIKE` (ES|QL `*`/`?` wildcards),
@@ -579,6 +580,7 @@ def esql(
     (policy_frame, match_column). Returns the lazy result frame —
     nothing is executed here."""
     segments = _split_pipes(program)
+    tables = dict(tables)
     cmd, body = _cmd_split(segments[0])
     if cmd == "FROM":
         names = [t.strip() for t in body.split(",")]
@@ -599,7 +601,7 @@ def esql(
 
     for seg in segments[1:]:
         cmd, body = _cmd_split(seg)
-        df = _apply_command(df, cmd, body, enrich_policies or {})
+        df = _apply_command(df, cmd, body, enrich_policies or {}, tables)
     return df
 
 
@@ -612,7 +614,8 @@ def _require_done(c: _Cursor, cmd: str) -> None:
 
 
 def _apply_command(df: DataFrame, cmd: str, body: str,
-                   policies: dict[str, tuple[DataFrame, str]]) -> DataFrame:
+                   policies: dict[str, tuple[DataFrame, str]],
+                   tables: dict[str, DataFrame]) -> DataFrame:
     if cmd == "WHERE":
         c = _Cursor(_tokenize(body))
         expr = _parse_expr(c)
@@ -717,6 +720,25 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
             raise EsqlError(f"bad DISSECT clause: {body!r}")
         from connectors_spark.functions.scalars import dissect_extract
         return dissect_extract(df, m.group(1), m.group(2))
+
+    if cmd == "LOOKUP":
+        # ES|QL `LOOKUP JOIN lookup_index ON field` (9.x): equality
+        # join against a lookup-mode index on a SAME-NAMED field.
+        # Unlike ENRICH, multiple lookup matches FAN OUT into multiple
+        # result rows (the documented difference). Lookup indices are
+        # bounded by construction -> broadcast left join.
+        m = re.match(
+            r"\s*[Jj][Oo][Ii][Nn]\s+([\w.@-]+)\s+[Oo][Nn]\s+"
+            r"([\w.@]+)\s*$", body)
+        if not m:
+            raise EsqlError(f"bad LOOKUP JOIN clause: {body!r}")
+        name, key = m.group(1), m.group(2)
+        if name not in tables:
+            raise EsqlError(f"unknown lookup table {name!r}")
+        lk = tables[name]
+        if key not in lk.columns:
+            raise EsqlError(f"lookup table {name!r} has no field {key!r}")
+        return df.join(F.broadcast(lk), on=key, how="left")
 
     if cmd == "ENRICH":
         m = re.match(

@@ -125,3 +125,34 @@ def test_bbq_flat_vector_quantizes_without_nan(spark):
                            k=2, oversample=2).collect()
     assert len(got) == 2
     assert all(r.score is not None and r.coarse is not None for r in got)
+
+
+def test_alert_episodes_throttle(spark):
+    from connectors_spark.operators.anomaly import alert_episodes
+    import datetime as dt
+
+    d = dt.date
+    rows = [
+        # k=a: breach days 2,3,4 (one episode -> fires once at day 2),
+        # then a gap > throttle, breach day 8 fires again
+        ("a", d(2024, 1, 1), 1.0), ("a", d(2024, 1, 2), 9.0),
+        ("a", d(2024, 1, 3), 9.0), ("a", d(2024, 1, 4), 9.0),
+        ("a", d(2024, 1, 5), 1.0), ("a", d(2024, 1, 6), 1.0),
+        ("a", d(2024, 1, 7), 1.0), ("a", d(2024, 1, 8), 9.0),
+        # k=b: breaches separated by exactly throttle_days (2) do NOT
+        # re-fire (datediff must EXCEED the throttle)
+        ("b", d(2024, 1, 1), 9.0), ("b", d(2024, 1, 3), 9.0),
+        ("b", d(2024, 1, 6), 9.0),
+    ]
+    daily = spark.createDataFrame(rows, "k string, day date, m double")
+    out = alert_episodes(daily, "k", "day", "m", 5.0, throttle_days=2)
+    got = {(r.k, str(r.day)): (r.breached, r.fired)
+           for r in out.collect()}
+    assert got[("a", "2024-01-02")] == (True, True)
+    assert got[("a", "2024-01-03")] == (True, False)   # throttled
+    assert got[("a", "2024-01-04")] == (True, False)   # throttled
+    assert got[("a", "2024-01-05")] == (False, False)
+    assert got[("a", "2024-01-08")] == (True, True)    # new episode
+    assert got[("b", "2024-01-01")] == (True, True)
+    assert got[("b", "2024-01-03")] == (True, False)   # gap == throttle
+    assert got[("b", "2024-01-06")] == (True, True)    # gap > throttle

@@ -255,3 +255,22 @@ def test_dissect_round_trip_and_final_greedy(spark):
     row = esql(spark, {"t": df},
                'FROM t | DISSECT line "a=%{av} b=%{bv}"').collect()[0]
     assert (row.av, row.bv) == ("1", "2")
+
+
+def test_lookup_join_fans_out_and_broadcasts(spark, people):
+    lk = spark.createDataFrame(
+        [("fr", "France"), ("fr", "Francophone"), ("de", "Germany")],
+        "lang string, label string")
+    df = esql(spark, {"t": people, "labels": lk},
+              'FROM t | LOOKUP JOIN labels ON lang | KEEP id, label')
+    rows = df.collect()
+    # ids 1 and 4 are fr -> two rows EACH (fan-out, unlike ENRICH)
+    assert len(rows) == 6
+    assert sorted(r.label for r in rows if r.id == 1) == \
+        ["France", "Francophone"]
+    assert "BroadcastHashJoin" in _plan(df)
+    with pytest.raises(EsqlError, match="unknown lookup table"):
+        esql(spark, {"t": people}, "FROM t | LOOKUP JOIN nope ON lang")
+    with pytest.raises(EsqlError, match="no field"):
+        esql(spark, {"t": people, "labels": lk},
+             "FROM t | LOOKUP JOIN labels ON name")
