@@ -12443,3 +12443,195 @@ def q_watcher_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, "event_type", "day", "metric", 52.0, throttle_days=2)
     return out.withColumn(
         "day", F.date_format("day", "yyyy-MM-dd"))
+
+
+_ESQL_INLINESTATS_PROGRAM = """
+FROM events
+| INLINESTATS avg_v = AVG(value), n = COUNT(*) BY event_type
+| EVAL delta = ROUND(value - avg_v, 6)
+| KEEP event_id, event_type, delta, n
+"""
+
+_ESQL_INLINESTATS_SQL = """
+SELECT event_id, event_type,
+       round(value - avg(value) OVER (PARTITION BY event_type), 6)
+         AS delta,
+       CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+FROM events
+"""
+
+
+@register("esql_inlinestats", _ESQL_INLINESTATS_SQL)
+def q_esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL INLINESTATS (STATS appended to every row): per-key
+    aggregates compile to a window over the BY keys — one shuffle,
+    same as the STATS it shadows; the keyless form broadcast-cross-
+    joins the 1-row aggregate instead of a single-partition window."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir),
+                _ESQL_INLINESTATS_PROGRAM)
+
+
+_ESQL_SAMPLE_PROGRAM = """
+FROM events
+| KEEP event_id
+| EVAL k = TO_STRING(event_id)
+| KEEP k
+| SAMPLE 0.25
+"""
+
+_ESQL_SAMPLE_SQL = f"""
+SELECT CAST(event_id AS VARCHAR) AS k
+FROM events
+WHERE ({_hex2int_sql(
+    "md5('{' || chr(34) || 'k' || chr(34) || ':' || chr(34) "
+    "|| CAST(event_id AS VARCHAR) || chr(34) || '}')", 8)})
+  / 4294967296.0 < 0.25
+"""
+
+
+@register("esql_sample", _ESQL_SAMPLE_SQL)
+def q_esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL SAMPLE p with the engine's deterministic row-content
+    Bernoulli draw (md5 of the row JSON -> uniform [0,1)): idempotent
+    across re-runs and exactly replayable by the oracle — the same
+    reproducibility convention as stratified_sample. One JVM map pass,
+    no shuffle, filter fully pushed."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_SAMPLE_PROGRAM)
+
+
+_ESQL_FORK_PROGRAM = """
+FROM events
+| FORK (WHERE event_type == "error"  | STATS n = COUNT(*) BY user_id
+        | WHERE n >= 3)
+       (WHERE event_type == "signup" | STATS n = COUNT(*) BY user_id
+        | WHERE n >= 3)
+"""
+
+_ESQL_FORK_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n, 'fork1' AS _fork
+FROM events WHERE event_type = 'error' GROUP BY user_id
+HAVING count(*) >= 3
+UNION ALL
+SELECT user_id, CAST(count(*) AS BIGINT) AS n, 'fork2' AS _fork
+FROM events WHERE event_type = 'signup' GROUP BY user_id
+HAVING count(*) >= 3
+"""
+
+
+@register("esql_fork", _ESQL_FORK_SQL)
+def q_esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FORK: run parenthesized sub-pipelines against the SAME
+    input frame, tag each branch's rows with _fork, union by name.
+    The shared scan is reused across branches; each branch keeps its
+    own aggregation shuffle."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_FORK_PROGRAM)
+
+
+_ESQL_CHANGE_POINT_PROGRAM = """
+FROM events
+| WHERE event_type == "error"
+| STATS m = TO_DOUBLE(COUNT(*)) BY day = DATE_TRUNC(1 day, ts)
+| SORT day
+| CHANGE_POINT m ON day
+| WHERE type IS NOT NULL
+| EVAL day = DATE_FORMAT("yyyy-MM-dd", day), pvalue = ROUND(pvalue, 6)
+| KEEP day, m, type, pvalue
+"""
+
+# the oracle replays the engine's EXACT arithmetic: pooled-variance
+# standardized mean shift per candidate split (stat rounded to 9,
+# earliest argmax), then the same A&S 7.1.26 erfc for the p-value
+_ESQL_CHANGE_POINT_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS m
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), ser AS (
+  SELECT day, m, row_number() OVER (ORDER BY day) AS i,
+         count(*) OVER () AS n
+  FROM daily
+), cand AS (
+  SELECT c.i AS ci, any_value(c.day) AS day, any_value(c.m) AS m,
+         any_value(c.n) AS n,
+         avg(s.m) FILTER (s.i < c.i) AS m1,
+         avg(s.m) FILTER (s.i >= c.i) AS m2,
+         var_samp(s.m) FILTER (s.i < c.i) AS v1,
+         var_samp(s.m) FILTER (s.i >= c.i) AS v2,
+         count(*) FILTER (s.i < c.i) AS n1,
+         count(*) FILTER (s.i >= c.i) AS n2
+  FROM ser c, ser s
+  WHERE c.i BETWEEN 3 AND c.n - 1
+  GROUP BY c.i
+), scored AS (
+  SELECT *,
+    round(abs(m1 - m2) / sqrt(
+      greatest(((n1 - 1) * v1 + (n2 - 1) * v2) / (n - 2),
+               CAST(1e-9 AS DOUBLE))
+      * (1.0 / n1 + 1.0 / n2)), 9) AS stat
+  FROM cand
+), best AS (
+  SELECT * FROM scored ORDER BY stat DESC, ci ASC LIMIT 1
+), pv AS (
+  SELECT day, m,
+    round((((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+       - 0.284496736) * t + 0.254829592) * t) * exp(-x * x), 9) AS p
+  FROM (SELECT day, m, x, 1.0 / (1.0 + 0.3275911 * x) AS t
+        FROM (SELECT day, m,
+                     stat * 0.7071067811865476 AS x FROM best))
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, m,
+       CASE WHEN p <= 0.05 THEN 'step_change'
+            ELSE 'indeterminable' END AS type,
+       round(p, 6) AS pvalue
+FROM pv
+"""
+
+
+@register("esql_change_point", _ESQL_CHANGE_POINT_SQL)
+def q_esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL CHANGE_POINT over daily error counts: binary-segmentation
+    step detection (pooled-variance standardized mean shift, argmax
+    split) with an A&S-erfc p-value — both chosen to be exactly
+    replayable in the oracle SQL. The command is spec-bounded to a
+    small series, so ONE applyInPandas group over the already-
+    aggregated day frame is the correct physical plan."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir),
+                _ESQL_CHANGE_POINT_PROGRAM)
+
+
+_ESQL_MVF_PROGRAM = """
+FROM documents
+| EVAL words = SPLIT(text, " ")
+| EVAL nw = MV_COUNT(words), first = MV_FIRST(words),
+       last = MV_LAST(words), uniq = MV_COUNT(MV_DEDUPE(words)),
+       head3 = MV_CONCAT(MV_SLICE(MV_SORT(words), 0, 2), "-")
+| KEEP doc_id, nw, first, last, uniq, head3
+"""
+
+_ESQL_MVF_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+)
+SELECT doc_id, CAST(len(words) AS INT) AS nw,
+       words[1] AS first, words[-1] AS last,
+       CAST(len(list_distinct(words)) AS INT) AS uniq,
+       array_to_string(list_slice(list_sort(words), 1, 3), '-') AS head3
+FROM w
+"""
+
+
+@register("esql_mv_functions", _ESQL_MVF_SQL)
+def q_esql_mv_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL multivalue-function tail (MV_SORT / MV_DEDUPE / MV_SLICE /
+    MV_FIRST / MV_LAST / MV_CONCAT) over tokenized document text — all
+    JVM array expressions inside one codegen stage, no UDF."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_MVF_PROGRAM)

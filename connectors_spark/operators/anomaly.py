@@ -20,8 +20,11 @@ JVM higher-order functions; no UDF, no unpartitioned window.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SIGMA_SCALE = 1.4826  # MAD -> sigma under normality (public constant)
 # Integer count windows frequently have MAD exactly 0 (a majority-equal
@@ -113,3 +116,96 @@ def alert_episodes(
               > F.lit(throttle_days)))
     )
     return breached.withColumn("fired", fired)
+
+
+# ES|QL CHANGE_POINT processes a BOUNDED series (the published command
+# truncates its input; values beyond the cap are ignored with a
+# warning). We guard instead of silently truncating.
+CHANGE_POINT_CAP = 10_000
+
+_ERFC_P = 0.3275911
+_ERFC_A = (0.254829592, -0.284496736, 1.421413741,
+           -1.453152027, 1.061405429)
+
+
+def _erfc_as(x: float) -> float:
+    """Abramowitz & Stegun 7.1.26 erfc approximation (|err| < 1.5e-7),
+    chosen over math.erfc deliberately: the identical closed form is
+    expressible in the DuckDB oracle SQL, so engine and oracle compute
+    bit-matching p-values (same Horner order, same IEEE doubles)."""
+    t = 1.0 / (1.0 + _ERFC_P * x)
+    poly = ((((_ERFC_A[4] * t + _ERFC_A[3]) * t + _ERFC_A[2]) * t
+             + _ERFC_A[1]) * t + _ERFC_A[0]) * t
+    return poly * math.exp(-x * x)
+
+
+def change_point(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    type_col: str = "type",
+    pvalue_col: str = "pvalue",
+) -> DataFrame:
+    """ES|QL `CHANGE_POINT value ON key` analog: detect the single most
+    likely step change in a time-ordered metric series and annotate THAT
+    row with (type, pvalue); every other row gets nulls — the documented
+    ES|QL output shape. Detection is the classic binary-segmentation
+    step: for every split with >= 2 points on each side, the pooled-
+    variance standardized mean shift |m1-m2| / sqrt(s2p*(1/n1+1/n2));
+    the argmax split (statistic rounded to 9, earliest split wins ties)
+    is the change point, its two-sided normal p-value comes from the
+    A&S erfc above, and type is `step_change` when p <= 0.05 else
+    `indeterminable` (ES's own "no significant change" verdict).
+
+    Scale shape: the ES command is spec-bounded to a small series (cap
+    guarded at CHANGE_POINT_CAP), so ONE applyInPandas group is the
+    correct physical plan — the input is an already-aggregated bucket
+    frame, never raw events."""
+    out_fields = list(df.schema.fields) + [
+        T.StructField(type_col, T.StringType()),
+        T.StructField(pvalue_col, T.DoubleType()),
+    ]
+    schema = T.StructType(
+        [T.StructField("_g", T.IntegerType())] + out_fields)
+    in_cols = df.columns
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        n = len(pdf)
+        if n > CHANGE_POINT_CAP:
+            raise ValueError(
+                f"CHANGE_POINT input has {n} rows > cap {CHANGE_POINT_CAP};"
+                " aggregate first")
+        types = [None] * n
+        pvals = [None] * n
+        if n >= 4:
+            x = pdf[value_col].astype(float).to_numpy()
+            best_stat, best_i = -1.0, None
+            for i in range(2, n - 1):
+                a, b = x[:i], x[i:]
+                s2p = (((len(a) - 1) * a.var(ddof=1)
+                        + (len(b) - 1) * b.var(ddof=1)) / (n - 2))
+                stat = (abs(float(a.mean()) - float(b.mean()))
+                        / math.sqrt(max(s2p, 1e-9)
+                                    * (1.0 / len(a) + 1.0 / len(b))))
+                stat = round(stat, 9)
+                if stat > best_stat:
+                    best_stat, best_i = stat, i
+            pv = round(_erfc_as(best_stat * 0.7071067811865476), 9)
+            types[best_i] = ("step_change" if pv <= 0.05
+                             else "indeterminable")
+            pvals[best_i] = pv
+        out = pdf[in_cols].copy()
+        out[type_col] = pd.Series(types, dtype=object)
+        out[pvalue_col] = pd.Series(pvals, dtype=float)
+        return out
+
+    return (
+        df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: fn(pdf).assign(_g=1), schema)
+        .drop("_g")
+    )

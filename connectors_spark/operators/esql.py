@@ -26,6 +26,10 @@ Supported commands (case-insensitive):
     DISSECT col "pattern"    delimiter-based extraction (dissect_extract)
     ENRICH policy ON key [WITH f1, ...]   broadcast lookup join (deduped)
     LOOKUP JOIN table ON field   broadcast left join, fan-out preserved
+    INLINESTATS aggs [BY keys]   STATS appended to rows (window / bcast)
+    SAMPLE p                 deterministic row-content Bernoulli sample
+    CHANGE_POINT v [ON k] [AS t, p]   step-change detection (bounded)
+    FORK (branch) (branch)   sub-pipelines over same input, _fork tag
 
 Expression grammar (precedence low->high): OR, AND, NOT, comparison
 (`== != < <= > >=`, `IN (...)`, `[NOT] LIKE` (ES|QL `*`/`?` wildcards),
@@ -48,7 +52,7 @@ from __future__ import annotations
 import re
 from fnmatch import fnmatch
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- tokens
@@ -287,6 +291,8 @@ def _span_arg(ast, what: str) -> str:
 
 
 def _lit_arg(ast, what: str):
+    if ast[0] == "neg" and ast[1][0] == "lit":
+        return -ast[1][1]
     if ast[0] != "lit":
         raise EsqlError(f"{what} must be a literal")
     return ast[1]
@@ -298,6 +304,60 @@ _DATE_PARTS = {
     "dayofweek": F.dayofweek, "dayofyear": F.dayofyear,
     "week": F.weekofyear, "quarter": F.quarter,
 }
+
+_DATE_DIFF_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+    "week": 604_800_000_000, "weeks": 604_800_000_000,
+}
+
+
+def _date_diff_fn(a, r):
+    unit = str(_lit_arg(r[0], "DATE_DIFF unit")).lower()
+    if unit in _DATE_DIFF_US:
+        delta = (F.unix_micros(a[2].cast("timestamp"))
+                 - F.unix_micros(a[1].cast("timestamp")))
+        # double division + long cast truncates toward zero, matching
+        # ES; micros fit a double exactly out to year ~2255
+        return (delta.cast("double") / F.lit(float(_DATE_DIFF_US[unit]))
+                ).cast("long")
+    mb = F.months_between(a[2], a[1], roundOff=False)
+    if unit in ("month", "months"):
+        return mb.cast("long")
+    if unit in ("quarter", "quarters"):
+        return (mb / F.lit(3.0)).cast("long")
+    if unit in ("year", "years"):
+        return (mb / F.lit(12.0)).cast("long")
+    raise EsqlError(f"DATE_DIFF: unknown unit {unit!r}")
+
+
+def _mv_slice_fn(a, r):
+    # MV_SLICE(col, start [, end]): 0-based INCLUSIVE bounds, negatives
+    # count from the end — the ES|QL contract, mapped onto Spark's
+    # 1-based slice(col, start, length) with clamping instead of the
+    # ANSI out-of-bounds error
+    start = int(_lit_arg(r[1], "MV_SLICE start"))
+    end = int(_lit_arg(r[2], "MV_SLICE end")) if len(r) > 2 else start
+    n = F.size(a[0])
+
+    def norm(i: int):
+        return F.lit(i + 1) if i >= 0 else n + F.lit(i + 1)
+
+    s = F.greatest(norm(start), F.lit(1))
+    length = F.greatest(norm(end) - s + F.lit(1), F.lit(0))
+    return F.slice(a[0], s, length)
+
+
+def _mv_median_fn(a, r):
+    srt = F.array_sort(a[0])
+    n = F.size(srt)
+    i1 = ((n - F.lit(1)) / F.lit(2)).cast("int")
+    i2 = (n / F.lit(2)).cast("int")
+    return ((F.get(srt, i1).cast("double")
+             + F.get(srt, i2).cast("double")) / F.lit(2.0))
+
 
 # scalar registry: name -> fn(compiled_cols, raw_asts) -> Column
 _SCALARS = {
@@ -351,6 +411,27 @@ _SCALARS = {
         / F.size(a[0]),
     "MV_CONCAT": lambda a, r: F.array_join(a[0], _lit_arg(r[1],
                                                           "MV_CONCAT sep")),
+    # MV_SORT(col [, "DESC"]) — ES|QL default ASC
+    "MV_SORT": lambda a, r: (
+        F.reverse(F.array_sort(a[0]))
+        if len(r) > 1 and str(_lit_arg(r[1], "MV_SORT order")).upper()
+        == "DESC" else F.array_sort(a[0])),
+    "MV_DEDUPE": lambda a, r: F.array_distinct(a[0]),
+    # F.get is 0-based and null-safe (no ANSI element_at error on empty)
+    "MV_FIRST": lambda a, r: F.get(a[0], 0),
+    "MV_LAST": lambda a, r: F.get(a[0], F.size(a[0]) - 1),
+    "MV_SLICE": _mv_slice_fn,
+    "MV_MEDIAN": _mv_median_fn,
+    # DATE_DIFF(unit, start, end): ES truncates toward zero ("multiples
+    # of unit"); fixed units via exact microsecond arithmetic,
+    # month/quarter/year via months_between
+    "DATE_DIFF": _date_diff_fn,
+    # DATE_FORMAT([java-pattern,] date) — same DateTimeFormatter pattern
+    # family in ES|QL and Spark
+    "DATE_FORMAT": lambda a, r: (
+        F.date_format(a[1], _lit_arg(r[0], "DATE_FORMAT pattern"))
+        if len(a) == 2
+        else F.date_format(a[0], "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
 }
 
 
@@ -494,8 +575,10 @@ def _compile(ast, allow_agg: bool = False, agg_filter=None):
 # ------------------------------------------------------- command parsing
 
 def _split_pipes(program: str) -> list[str]:
-    """Split on `|` outside double-quoted strings."""
-    parts, buf, in_str, esc = [], [], False, False
+    """Split on `|` outside double-quoted strings and outside parens
+    (FORK branches are parenthesized sub-pipelines whose own pipes must
+    stay with their branch)."""
+    parts, buf, in_str, esc, depth = [], [], False, False, 0
     for ch in program:
         if esc:
             buf.append(ch)
@@ -509,7 +592,11 @@ def _split_pipes(program: str) -> list[str]:
             in_str = not in_str
             buf.append(ch)
             continue
-        if ch == "|" and not in_str:
+        if not in_str and ch == "(":
+            depth += 1
+        elif not in_str and ch == ")":
+            depth -= 1
+        if ch == "|" and not in_str and depth == 0:
             parts.append("".join(buf))
             buf = []
             continue
@@ -534,8 +621,13 @@ def _parse_assignments(c: _Cursor, stop_kw: frozenset[str] = frozenset(),
             break
         start = c.i
         name = None
+        # an ident directly followed by `=` is an assignment target even
+        # when it collides with a clause keyword (ES|QL allows columns
+        # named `first`, `on`, ...); only expression literals and unary
+        # operators can never be names
         if (c.peek()[0] == "ident"
-                and c.peek()[1].lower() not in _KEYWORDS
+                and c.peek()[1].lower() not in ("true", "false", "null",
+                                                "not")
                 and c.peek(1) == ("op", "=")):
             name = c.next()[1]
             c.next()
@@ -560,6 +652,52 @@ def _source_name(toks: list[tuple[str, str]]) -> str:
     for k, v in toks:
         frags.append(f'"{v}"' if k == "str" else v)
     return "".join(frags)
+
+
+def _split_fork_branches(body: str) -> list[str]:
+    """Split a FORK body `( ... ) ( ... )` into branch programs,
+    respecting nested parens and double-quoted strings."""
+    branches, buf, depth, in_str, esc = [], [], 0, False, False
+    for ch in body:
+        if esc:
+            buf.append(ch)
+            esc = False
+            continue
+        if ch == "\\" and in_str:
+            buf.append(ch)
+            esc = True
+            continue
+        if ch == '"':
+            in_str = not in_str
+            buf.append(ch)
+            continue
+        if in_str:
+            buf.append(ch)
+            continue
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                buf = []
+                continue
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise EsqlError("FORK: unbalanced parens")
+            if depth == 0:
+                branches.append("".join(buf).strip())
+                buf = []
+                continue
+        elif depth == 0:
+            if not ch.isspace():
+                raise EsqlError(
+                    f"FORK: unexpected text outside branch parens: {ch!r}")
+            continue
+        buf.append(ch)
+    if depth != 0:
+        raise EsqlError("FORK: unbalanced parens")
+    if not all(branches):
+        raise EsqlError("FORK: empty branch")
+    return branches
 
 
 def _cmd_split(seg: str) -> tuple[str, str]:
@@ -647,6 +785,41 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
             return df.agg(*agg_cols)
         key_cols = [_compile(e).alias(n) for n, e, _w in keys]
         return df.groupBy(*key_cols).agg(*agg_cols)
+
+    if cmd == "INLINESTATS":
+        # ES|QL INLINESTATS: STATS semantics but the aggregates are
+        # APPENDED to every input row instead of collapsing them. With
+        # BY keys this is a per-key window aggregate (one shuffle on the
+        # keys, same as the STATS it shadows); with no keys the 1-row
+        # global aggregate is broadcast-cross-joined — never a
+        # single-partition global window.
+        c = _Cursor(_tokenize(body))
+        aggs = _parse_assignments(c, stop_kw=frozenset({"by"}),
+                                  allow_where=True)
+        keys = []
+        if c.at_kw("by"):
+            c.next()
+            keys = _parse_assignments(c)
+        _require_done(c, "INLINESTATS")
+
+        def agg_col(e, wf):
+            return _compile(
+                e, allow_agg=True,
+                agg_filter=None if wf is None else _compile(wf))
+
+        if not keys:
+            stats = df.agg(*[agg_col(e, wf).alias(n)
+                             for n, e, wf in aggs])
+            keep = [col for col in df.columns
+                    if col not in {n for n, _e, _w in aggs}]
+            return df.select(*keep).crossJoin(F.broadcast(stats))
+        for n, e, _w in keys:
+            if (e != ("col", n)) or n not in df.columns:
+                df = df.withColumn(n, _compile(e))
+        w = Window.partitionBy(*[n for n, _e, _w in keys])
+        for n, e, wf in aggs:
+            df = df.withColumn(n, agg_col(e, wf).over(w))
+        return df
 
     if cmd == "SORT":
         c = _Cursor(_tokenize(body))
@@ -739,6 +912,60 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
         if key not in lk.columns:
             raise EsqlError(f"lookup table {name!r} has no field {key!r}")
         return df.join(F.broadcast(lk), on=key, how="left")
+
+    if cmd == "SAMPLE":
+        # ES|QL SAMPLE probability. ES draws pseudorandomly per row; we
+        # make the draw a DETERMINISTIC function of row content
+        # (md5 of the row's JSON -> uniform in [0,1)) so re-running a
+        # program is idempotent and the oracle can replay the exact
+        # draw — the same reproducibility convention as the
+        # stratified_sample gate. One JVM-side map pass, no shuffle.
+        try:
+            p = float(body.strip())
+        except ValueError:
+            raise EsqlError(f"SAMPLE needs a probability, got {body!r}")
+        if not 0.0 < p <= 1.0:
+            raise EsqlError(f"SAMPLE probability out of (0, 1]: {p}")
+        j = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        u = (F.conv(F.substring(F.md5(j), 1, 8), 16, 10).cast("double")
+             / F.lit(float(16 ** 8)))
+        return df.filter(u < F.lit(p))
+
+    if cmd == "CHANGE_POINT":
+        # CHANGE_POINT value [ON key] [AS type_col, pvalue_col]
+        m = re.match(
+            r"\s*([\w.@]+)(?:\s+[Oo][Nn]\s+([\w.@]+))?"
+            r"(?:\s+[Aa][Ss]\s+([\w.@]+)\s*,\s*([\w.@]+))?\s*$", body)
+        if not m:
+            raise EsqlError(f"bad CHANGE_POINT clause: {body!r}")
+        value, key = m.group(1), m.group(2) or "@timestamp"
+        tname, pname = m.group(3) or "type", m.group(4) or "pvalue"
+        for col in (value, key):
+            if col not in df.columns:
+                raise EsqlError(f"CHANGE_POINT: no column {col!r}")
+        from connectors_spark.operators.anomaly import change_point
+        return change_point(df, value, key, tname, pname)
+
+    if cmd == "FORK":
+        # ES|QL FORK (branch) (branch) ...: run each parenthesized
+        # sub-pipeline against the SAME input frame, tag rows with
+        # _fork = "fork1".., union the branches (missing columns null).
+        # The input plan is shared lazily; Spark's AQE reuses the
+        # common scan across branches.
+        branches = _split_fork_branches(body)
+        if not 2 <= len(branches) <= 8:   # ES's documented branch cap
+            raise EsqlError("FORK takes 2..8 parenthesized branches")
+        outs = []
+        for i, br in enumerate(branches, 1):
+            b = df
+            for seg in _split_pipes(br):
+                c2, body2 = _cmd_split(seg)
+                b = _apply_command(b, c2, body2, policies, tables)
+            outs.append(b.withColumn("_fork", F.lit(f"fork{i}")))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o, allowMissingColumns=True)
+        return out
 
     if cmd == "ENRICH":
         m = re.match(

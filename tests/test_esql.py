@@ -274,3 +274,142 @@ def test_lookup_join_fans_out_and_broadcasts(spark, people):
     with pytest.raises(EsqlError, match="no field"):
         esql(spark, {"t": people, "labels": lk},
              "FROM t | LOOKUP JOIN labels ON name")
+
+
+def test_mv_function_tail(spark, people):
+    row = _run(spark, {"t": people}, '''
+ROW x = 1
+| EVAL arr = SPLIT("d b c a b", " ")
+| EVAL s = MV_SORT(arr), sd = MV_SORT(arr, "DESC"),
+       dd = MV_DEDUPE(arr), first = MV_FIRST(arr), last = MV_LAST(arr),
+       sl = MV_SLICE(arr, 1, 2), neg = MV_SLICE(arr, -2, -1),
+       one = MV_SLICE(arr, 2),
+       med = MV_MEDIAN(SPLIT("4 1 3 2", " ")),
+       medo = MV_MEDIAN(SPLIT("9 1 5", " "))
+| KEEP s, sd, dd, first, last, sl, neg, one, med, medo
+''').collect()[0]
+    assert row.s == ["a", "b", "b", "c", "d"]
+    assert row.sd == ["d", "c", "b", "b", "a"]
+    assert row.dd == ["d", "b", "c", "a"]
+    assert (row.first, row.last) == ("d", "b")
+    assert row.sl == ["b", "c"]
+    assert row.neg == ["a", "b"]
+    assert row.one == ["c"]
+    assert row.med == 2.5 and row.medo == 5.0
+    # empty / null arrays: null-safe, no ANSI element_at error
+    r2 = _run(spark, {"t": people},
+              'FROM t | EVAL f = MV_FIRST(tags), l = MV_LAST(tags), '
+              's = MV_SLICE(tags, 0, 1) | KEEP id, f, l, s').collect()
+    by_id = {r.id: r for r in r2}
+    assert by_id[2].f is None and by_id[2].s == []
+    assert by_id[3].f is None and by_id[3].s is None
+
+
+def test_date_diff_and_format(spark):
+    row = _run(spark, {}, '''
+ROW a = 1
+| EVAL t0 = TO_STRING("2024-01-10 06:30:00"),
+       t1 = TO_STRING("2024-03-01 07:00:00")
+| EVAL dd = DATE_DIFF("day", t0, t1), dn = DATE_DIFF("day", t1, t0),
+       dh = DATE_DIFF("hour", t0, t1), dm = DATE_DIFF("month", t0, t1),
+       dw = DATE_DIFF("week", t0, t1), dq = DATE_DIFF("quarter", t0, t1),
+       fmt = DATE_FORMAT("yyyy/MM/dd HH", t0)
+| KEEP dd, dn, dh, dm, dw, dq, fmt
+''').collect()[0]
+    # 51 days + 30 min elapsed -> truncation toward zero, sign-symmetric
+    assert (row.dd, row.dn) == (51, -51)
+    assert row.dh == 51 * 24
+    assert (row.dm, row.dw, row.dq) == (1, 7, 0)
+    assert row.fmt == "2024/01/10 06"
+    with pytest.raises(EsqlError, match="unknown unit"):
+        _run(spark, {},
+             'ROW a = 1 | EVAL x = DATE_DIFF("fortnight", a, a)')
+
+
+def test_inlinestats_by_key_window(spark, people):
+    out = _run(spark, {"t": people}, '''
+FROM t | WHERE lang IS NOT NULL
+| INLINESTATS avg_s = AVG(score), n = COUNT(*) BY lang
+| EVAL d = ROUND(score - avg_s, 6) | KEEP id, lang, d, n | SORT id''')
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].n == 2 and rows[1].d == 4.0   # fr avg = 6.0
+    assert rows[4].d == -4.0
+    assert rows[2].n == 1 and rows[2].d == 0.0
+    # keyless form: broadcast cross join, NOT a global window
+    g = _run(spark, {"t": people},
+             'FROM t | INLINESTATS m = MAX(score) | KEEP id, m')
+    assert all(r.m == 10.0 for r in g.collect())
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan and "Window" not in plan
+
+
+def test_inlinestats_per_agg_where_and_computed_key(spark, people):
+    out = _run(spark, {"t": people}, '''
+FROM t | INLINESTATS pos = COUNT(*) WHERE score > 0 BY half = id % 2
+| KEEP id, half, pos | SORT id''').collect()
+    by_id = {r.id: r for r in out}
+    # half=1 -> ids 1,3 (10.0, 7.25 both > 0); half=0 -> ids 2,4 (one > 0)
+    assert by_id[1].pos == 2 and by_id[3].pos == 2
+    assert by_id[2].pos == 1 and by_id[4].pos == 1
+
+
+def test_sample_deterministic_and_bounded(spark):
+    big = spark.range(4000).withColumn("k", F.col("id").cast("string"))
+    s1 = _run(spark, {"b": big}, "FROM b | SAMPLE 0.3")
+    n1 = s1.count()
+    assert 900 < n1 < 1500
+    assert s1.count() == n1                      # same rows every run
+    ids1 = {r.id for r in s1.collect()}
+    ids2 = {r.id for r in
+            _run(spark, {"b": big}, "FROM b | SAMPLE 0.3").collect()}
+    assert ids1 == ids2
+    with pytest.raises(EsqlError, match="probability"):
+        _run(spark, {"b": big}, "FROM b | SAMPLE 1.5")
+
+
+def test_fork_branches_and_errors(spark, people):
+    out = _run(spark, {"t": people}, '''
+FROM t | FORK (WHERE score > 0 | STATS n = COUNT(*))
+              (STATS m = MIN(score))
+              (WHERE lang == "fr" | EVAL s2 = score * 2 | KEEP id, s2)
+| SORT _fork, id''').collect()
+    forks = [r._fork for r in out]
+    assert forks == ["fork1", "fork2", "fork3", "fork3"]
+    assert out[0].n == 3 and out[1].m == -3.5
+    assert [r.s2 for r in out[2:]] == [20.0, 4.0]
+    with pytest.raises(EsqlError, match="2..8|branches"):
+        _run(spark, {"t": people}, "FROM t | FORK (WHERE score > 0)")
+    with pytest.raises(EsqlError, match="unbalanced"):
+        _run(spark, {"t": people},
+             "FROM t | FORK (WHERE a > 0) (WHERE b > 0")
+
+
+def test_change_point_detects_step_and_indeterminable(spark):
+    rows = [(i, 5.0 + (4.0 if i >= 12 else 0.0) + 0.2 * (i % 3))
+            for i in range(24)]
+    ser = spark.createDataFrame(rows, "i int, m double")
+    out = _run(spark, {"s": ser},
+               "FROM s | CHANGE_POINT m ON i").collect()
+    hits = [r for r in out if r.type is not None]
+    assert len(hits) == 1
+    assert hits[0].i == 12 and hits[0].type == "step_change"
+    assert hits[0].pvalue <= 0.05
+    assert len(out) == 24                        # every row preserved
+    # flat noise -> indeterminable, custom AS names
+    flat = spark.createDataFrame(
+        [(i, 5.0 + 0.3 * ((i * 7) % 5)) for i in range(20)],
+        "i int, m double")
+    out2 = _run(spark, {"s": flat},
+                "FROM s | CHANGE_POINT m ON i AS kind, p").collect()
+    hit2 = [r for r in out2 if r.kind is not None]
+    assert len(hit2) == 1 and hit2[0].kind == "indeterminable"
+    with pytest.raises(EsqlError, match="no column"):
+        _run(spark, {"s": flat}, "FROM s | CHANGE_POINT nope ON i")
+
+
+def test_keyword_named_assignment_targets(spark, people):
+    # ES|QL allows columns named like clause keywords when followed by =
+    row = _run(spark, {"t": people},
+               'FROM t | EVAL first = 1, last = 2, on = 3 '
+               '| KEEP first, last, on | LIMIT 1').collect()[0]
+    assert (row.first, row.last, row.on) == (1, 2, 3)
