@@ -12635,3 +12635,159 @@ def q_esql_mv_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.esql import esql
 
     return esql(spark, _esql_tables(spark, sf_dir), _ESQL_MVF_PROGRAM)
+
+
+# ES query rules: ruleset applied by the `rule` retriever on top of the
+# organic BM25 retriever. Criteria exercise exact / contains / prefix /
+# suffix / fuzzy and AND-ed criteria; actions exercise pin precedence
+# (doc 3 pinned by two rules), exclude-wins-over-pin (doc 11), and
+# pinned-doc-not-in-organic (doc 499 for q5: "hash" never matches it).
+GATE_QUERY_RULESET = [
+    {"rule_id": "promote-spark", "type": "pinned",
+     "criteria": [{"type": "contains", "values": ["spark"]}],
+     "actions": [3, 7]},
+    {"rule_id": "promote-hash", "type": "pinned",
+     "criteria": [{"type": "exact", "values": ["hash"]}],
+     "actions": [11, 3, 499]},
+    {"rule_id": "fuzzy-merge", "type": "pinned",
+     "criteria": [{"type": "fuzzy", "values": ["merge sort tables"]}],
+     "actions": [25]},
+    {"rule_id": "pin-the-data", "type": "pinned",
+     "criteria": [{"type": "suffix", "values": ["the", "slow"]},
+                  {"type": "prefix", "values": ["data", "vector"]}],
+     "actions": [42, 3]},
+    {"rule_id": "ban-on-hash", "type": "exclude",
+     "criteria": [{"type": "exact", "values": ["hash"]}],
+     "actions": [11, 0, 1, 2]},
+]
+
+
+def _query_rules_oracle_sql() -> str:
+    qvals, tvals = [], []
+    for qid, text in GATE_BM25_QUERIES:
+        qvals.append(f"('{qid}', '{text}')")
+        for term in sorted({t for t in text.lower().split() if t}):
+            tvals.append(f"('{qid}', '{term}')")
+    crit_rows, pin_rows, exc_rows = [], [], []
+    for rule_ord, rule in enumerate(GATE_QUERY_RULESET):
+        for ci, crit in enumerate(rule["criteria"]):
+            for v in crit["values"]:
+                crit_rows.append(
+                    f"({rule_ord}, {ci}, '{crit['type']}', '{v}')")
+        for ai, doc in enumerate(rule["actions"]):
+            if rule["type"] == "pinned":
+                pin_rows.append(
+                    f"({rule_ord}, {rule_ord * 1000 + ai}, {doc})")
+            else:
+                exc_rows.append(f"({rule_ord}, {doc})")
+    w = bm25_sql(
+        n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+        dl_expr="dl.dl", avgdl_expr="stats.avgdl",
+    )
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+queries AS (SELECT * FROM (VALUES {', '.join(qvals)})
+            AS v(query_id, query_text)),
+qt AS (SELECT * FROM (VALUES {', '.join(tvals)}) AS v(query_id, term)),
+crits AS (SELECT * FROM (VALUES {', '.join(crit_rows)})
+          AS v(rule_ord, crit_idx, ctype, val)),
+pacts AS (SELECT * FROM (VALUES {', '.join(pin_rows)})
+          AS v(rule_ord, pin_ord, doc_id)),
+eacts AS (SELECT * FROM (VALUES {', '.join(exc_rows)})
+          AS v(rule_ord, doc_id)),
+crit_match AS (
+  SELECT q.query_id, c.rule_ord, c.crit_idx,
+         max(CASE c.ctype
+             WHEN 'exact' THEN (q.query_text = c.val)::INT
+             WHEN 'contains' THEN contains(q.query_text, c.val)::INT
+             WHEN 'prefix' THEN starts_with(q.query_text, c.val)::INT
+             WHEN 'suffix' THEN ends_with(q.query_text, c.val)::INT
+             WHEN 'fuzzy'
+               THEN (levenshtein(q.query_text, c.val) <= 1)::INT
+             ELSE 0 END) AS hit
+  FROM queries q CROSS JOIN crits c
+  GROUP BY 1, 2, 3
+),
+rule_match AS (
+  SELECT query_id, rule_ord FROM crit_match
+  GROUP BY 1, 2 HAVING min(hit) = 1
+),
+excluded AS (
+  SELECT DISTINCT rm.query_id, e.doc_id
+  FROM rule_match rm JOIN eacts e USING (rule_ord)
+),
+pins AS (
+  SELECT rm.query_id, p.doc_id, min(p.pin_ord) AS pin_ord
+  FROM rule_match rm JOIN pacts p USING (rule_ord)
+  WHERE NOT EXISTS (SELECT 1 FROM excluded x
+                    WHERE x.query_id = rm.query_id
+                      AND x.doc_id = p.doc_id)
+  GROUP BY 1, 2
+),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+merged AS (
+  SELECT s.query_id, s.doc_id, s.score, FALSE AS pinned
+  FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM excluded x
+                    WHERE x.query_id = s.query_id
+                      AND x.doc_id = s.doc_id)
+    AND NOT EXISTS (SELECT 1 FROM pins p
+                    WHERE p.query_id = s.query_id
+                      AND p.doc_id = s.doc_id)
+  UNION ALL
+  SELECT query_id, doc_id,
+         1000000000.0 - pin_ord AS score, TRUE AS pinned
+  FROM pins
+),
+ranked AS (
+  SELECT query_id, doc_id, score, pinned,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM merged
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score, pinned
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("query_rules_retriever", _query_rules_oracle_sql())
+def q_query_rules_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rule` retriever: a published query ruleset (typed criteria
+    over query metadata -> pinned/exclude actions) applied on top of the
+    organic BM25 retriever. Bounded-by-spec ruleset -> broadcast pin/
+    exclude joins; organic over-fetch of top-(k + excludable) makes the
+    final top-k EXACT without ever ranking the full scored set
+    (operators/query_rules.py)."""
+    from connectors_spark.operators.query_rules import (
+        apply_query_rules, ruleset_budgets)
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    _pins, excs = ruleset_budgets(GATE_QUERY_RULESET)
+    m = GATE_BM25_K + excs
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": m}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    organic = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+    queries = spark.createDataFrame(
+        list(GATE_BM25_QUERIES), "query_id string, query_text string")
+    return apply_query_rules(
+        organic, queries, GATE_QUERY_RULESET, GATE_BM25_K)
