@@ -12791,3 +12791,64 @@ def q_query_rules_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(GATE_BM25_QUERIES), "query_id string, query_text string")
     return apply_query_rules(
         organic, queries, GATE_QUERY_RULESET, GATE_BM25_K)
+
+
+_DSIR_BUCKETS = 4096
+_DSIR_K = 100
+
+_DSIR_SQL = f"""
+WITH {_ARRS_CTE},
+feats AS (
+  SELECT doc_id, gram FROM ({_ddb_doc_grams(1)})
+  UNION ALL
+  SELECT doc_id, gram FROM ({_ddb_doc_grams(2)})
+),
+bc AS (
+  SELECT doc_id, ({_hex2int_sql("md5(gram)", 8)}) % {_DSIR_BUCKETS}
+           AS bucket, count(*) AS c
+  FROM feats GROUP BY 1, 2
+),
+flag AS (SELECT doc_id, (lang = 'en') AS is_t FROM documents),
+buckets AS (
+  SELECT bucket,
+         sum(CASE WHEN f.is_t THEN c ELSE 0 END) AS ct,
+         sum(c) AS cs
+  FROM bc JOIN flag f USING (doc_id) GROUP BY 1
+),
+totals AS (SELECT sum(ct) AS tot_t, sum(cs) AS tot_s FROM buckets),
+ratio AS (
+  SELECT bucket,
+         ln((ct + 1.0) / (tot_t + {_DSIR_BUCKETS}.0))
+           - ln((cs + 1.0) / (tot_s + {_DSIR_BUCKETS}.0)) AS lr
+  FROM buckets CROSS JOIN totals
+),
+docw AS (
+  SELECT doc_id, round(sum(c * lr), 6) AS logw
+  FROM bc JOIN ratio USING (bucket) GROUP BY 1
+),
+ranked AS (
+  SELECT doc_id, logw,
+         row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS rank
+  FROM docw
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, logw
+FROM ranked WHERE rank <= {_DSIR_K}
+"""
+
+
+@register("dsir_importance", _DSIR_SQL)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+
+    bigram bucket distributions, target = lang='en' docs, source = full
+    corpus; per-doc log importance weight, top-100 selected. The bucket
+    ratio table is bounded (4096 rows) -> broadcast; the top-k is a
+    distributed TakeOrderedAndProject (operators/pretrain.py:
+    dsir_importance)."""
+    from connectors_spark.operators.pretrain import dsir_importance
+
+    docs = _read(spark, sf_dir, "documents")
+    weights = dsir_importance(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS)
+    return _ranked_topk(
+        weights, [F.desc("logw"), F.asc("doc_id")], _DSIR_K
+    ).select("rank", "doc_id", "logw")

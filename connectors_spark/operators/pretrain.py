@@ -607,3 +607,72 @@ def mine_hard_negatives(index, qdf: DataFrame, k: int,
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "doc_id", "score")
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023,
+    arXiv:2302.03169): score every document by how target-like its
+    hashed-n-gram feature distribution is. Features are unigrams +
+    bigrams hashed into `n_buckets`; the target (rows matching
+    `target_pred`, e.g. a high-quality subset) and source (ALL rows)
+    bucket distributions are Laplace-smoothed, and each doc's log
+    importance weight is sum over its grams of log p_target(bucket) -
+    log p_source(bucket). Selecting the top weights (or Gumbel-top-k
+    over them) is the paper's resampling step: `orderBy(logw.desc)
+    .limit(n)` — a distributed TakeOrderedAndProject.
+
+    -> (id_col, logw) with logw rounded to 6 (rank-stable across
+    engines; the DuckDB twin replays the identical arithmetic — md5
+    bucketing, same smoothing — so gates hash-match).
+
+    Scale shape: the bucket table is bounded (n_buckets rows) ->
+    broadcast; per-doc work is one (doc, bucket) count and one doc-keyed
+    sum — two map-side-combined shuffles on doc id, independent of
+    corpus size per row. The target distribution needs no separate
+    scan: it aggregates the same gram stream under a predicate flag."""
+    from connectors_spark.functions.text import _doc_grams
+
+    grams = _doc_grams(df, 1, text_col, id_col).unionByName(
+        _doc_grams(df, 2, text_col, id_col))
+    flags = df.select(
+        F.col(id_col), target_pred.cast("boolean").alias("_is_target"))
+    feats = (
+        grams.withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("long") % F.lit(n_buckets))
+        .join(flags, id_col)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"),
+             F.first("_is_target").alias("_is_target"))
+    )
+    buckets = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_target"), F.col("c")).otherwise(0))
+        .alias("ct"),
+        F.sum("c").alias("cs"),
+    )
+    totals = buckets.agg(
+        F.sum("ct").alias("tot_t"), F.sum("cs").alias("tot_s"))
+    lam = float(smoothing)
+    ratio = (
+        buckets.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (F.log((F.col("ct") + F.lit(lam))
+                   / (F.col("tot_t") + F.lit(lam * n_buckets)))
+             - F.log((F.col("cs") + F.lit(lam))
+                     / (F.col("tot_s") + F.lit(lam * n_buckets))))
+            .alias("lr"))
+    )
+    return (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"))
+    )

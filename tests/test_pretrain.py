@@ -329,3 +329,28 @@ def test_bpe_encode_word_invariants():
             assert sym in vocab_closure, (w, sym, ranks)
 
     check()
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from connectors_spark.operators.pretrain import dsir_importance
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox sleeps near the lazy dog", "en"),
+        (3, "der schnelle braune fuchs springt faul hund", "de"),
+        (4, "le renard brun rapide saute par dessus chien", "fr"),
+        (5, "the quick dog jumps over the brown fox", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = dsir_importance(df, F.col("lang") == "en", n_buckets=512)
+    got = {r.doc_id: r.logw for r in w.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # English-n-gram docs score above the German/French ones; doc 5
+    # shares the target's n-grams despite its lang tag (DSIR scores
+    # CONTENT, not metadata)
+    assert min(got[1], got[2], got[5]) > max(got[3], got[4])
+    # deterministic across runs
+    again = {r.doc_id: r.logw for r in
+             dsir_importance(df, F.col("lang") == "en",
+                             n_buckets=512).collect()}
+    assert again == got
