@@ -12852,3 +12852,62 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(
         weights, [F.desc("logw"), F.asc("doc_id")], _DSIR_K
     ).select("rank", "doc_id", "logw")
+
+
+_SEMDEDUP_MOD = 40
+_SEMDEDUP_TAU = NEARDUP_COS_THRESHOLD
+
+_SEMDEDUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM v),
+cents AS (
+  SELECT vec_id AS cell, v AS cv, vn AS cn FROM n
+  WHERE vec_id % {_SEMDEDUP_MOD} = 0
+),
+cosed AS (
+  SELECT n.vec_id, c.cell,
+         round(list_dot_product(n.v, c.cv) / (n.vn * c.cn), 6) AS ccos
+  FROM n CROSS JOIN cents c
+),
+asg AS (
+  SELECT vec_id, cell, ccos FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell ASC) AS r
+    FROM cosed) WHERE r = 1
+),
+pairs AS (
+  SELECT a.vec_id AS xa, a.ccos AS ca, b.vec_id AS xb, b.ccos AS cb
+  FROM asg a
+  JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE round(list_dot_product(na.v, nb.v) / (na.vn * nb.vn), 6)
+        >= {_SEMDEDUP_TAU}
+),
+dropped AS (
+  SELECT DISTINCT xa AS vec_id FROM pairs
+  WHERE cb < ca OR (cb = ca AND xb < xa)
+)
+SELECT a.vec_id, a.cell, a.ccos,
+       (d.vec_id IS NULL) AS keep
+FROM asg a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+@register("semdedup", _SEMDEDUP_SQL)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
+    the embeddings table — nearest-centroid assignment, within-cluster
+    cosine pairs >= tau, keep the most peripheral member of each
+    duplicate pair (operators/similarity.py:semdedup). The gate seeds
+    centroids with the mod sampler so the oracle can mirror them; the
+    scale default is init_centroids_fixed (+ kmeans_refine)."""
+    from connectors_spark.operators.similarity import (
+        init_centroids, semdedup)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = init_centroids(emb, _SEMDEDUP_MOD)
+    return semdedup(emb, _SEMDEDUP_TAU, cents)

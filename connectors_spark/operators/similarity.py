@@ -528,3 +528,73 @@ def bbq_rescore_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "coarse", "score")
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    tau: float,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped by embedding clusters. Assign every vector to
+    its nearest centroid (broadcast argmin, same convention as
+    _nearest_cell: cosine rounded to ROUND_COS, cell-id tie-break);
+    within each cluster, any pair with cosine >= tau is a semantic
+    duplicate, and the member KEPT is the one with the LOWEST
+    similarity to its centroid (the paper's keep-peripheral rule —
+    retains the least redundant exemplar), ties to the lower id.
+    -> (vec_id, cell, ccos, keep).
+
+    The drop rule is pairwise (x drops if SOME in-cluster duplicate y
+    is more peripheral), so it needs no sequential greedy pass — one
+    self-join per cluster, deterministic, and expressible verbatim in
+    the oracle SQL.
+
+    Scale shape: centroids are caller-fixed (init_centroids_fixed ->
+    O(k) broadcast; kmeans_refine optional); the pairwise stage is
+    cluster-scoped — its cost is sum of cell^2, controlled by k exactly
+    as the paper runs it (they use k-means precisely to avoid corpus-
+    level all-pairs). For uncapped corpora the SRP-LSH path
+    (embedding_near_dups) is the bucketed alternative; semdedup is the
+    cluster-scoped published method."""
+    base = with_norm(
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("v")), "v")
+    cents = with_norm(centroids, "cv").withColumnRenamed(
+        "_vnorm", "_cnorm")
+    ccos = F.round(
+        _dot(_as_double(F.col("v")), _as_double(F.col("cv")))
+        / (F.col("_vnorm") * F.col("_cnorm")), ROUND_COS)
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "_vnorm", "cell", ccos.alias("ccos"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cell"))
+    asg = (scored.withColumn("_r", F.row_number().over(w))
+           .filter("_r = 1").drop("_r"))
+
+    a = asg.select(F.col("vec_id").alias("xa"), F.col("cell"),
+                   F.col("v").alias("va"), F.col("_vnorm").alias("na"),
+                   F.col("ccos").alias("ca"))
+    b = asg.select(F.col("vec_id").alias("xb"), F.col("cell"),
+                   F.col("v").alias("vb"), F.col("_vnorm").alias("nb"),
+                   F.col("ccos").alias("cb"))
+    pair_cos = F.round(
+        _dot(_as_double(F.col("va")), _as_double(F.col("vb")))
+        / (F.col("na") * F.col("nb")), ROUND_COS)
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("xa") != F.col("xb"))
+        .filter(pair_cos >= F.lit(tau))
+        .filter((F.col("cb") < F.col("ca"))
+                | ((F.col("cb") == F.col("ca"))
+                   & (F.col("xb") < F.col("xa"))))
+        .select(F.col("xa").alias("vec_id")).distinct()
+    )
+    return (
+        asg.join(dropped.withColumn("_drop", F.lit(True)),
+                 "vec_id", "left")
+        .select("vec_id", "cell", "ccos",
+                F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+    )

@@ -200,3 +200,41 @@ def test_ivf_fixed_centroids_recall(spark, vecs, vecs_np):
 def test_ivf_rejects_both_seeding_modes(spark, vecs):
     with pytest.raises(ValueError):
         ivf_cosine_topk(vecs, vecs.limit(1), centroid_mod=10, n_centroids=10)
+
+
+def test_semdedup_keeps_peripheral_member(spark):
+    from connectors_spark.operators.similarity import (
+        init_centroids_fixed, kmeans_refine, semdedup)
+
+    # two tight clusters on orthogonal axes; within cluster A, vectors
+    # 1 and 2 are near-identical (cos ~1), 3 is distinct; cluster B has
+    # a lone vector plus a near-dup pair (5, 6)
+    rows = [
+        (1, [1.0, 0.02, 0.0]), (2, [1.0, 0.021, 0.0]),
+        (3, [0.6, 0.8, 0.0]),
+        (4, [0.0, 0.8, 0.6]), (5, [0.01, 0.0, 1.0]),
+        (6, [0.011, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])],
+        "cell long, cv array<double>")
+    out = semdedup(emb, 0.995, cents)
+    got = {r.vec_id: (r.cell, r.keep) for r in out.collect()}
+    assert len(got) == 6
+    assert got[3] == (0, True)                  # distinct -> kept
+    # pair (1,2): keep the LOWER centroid-similarity member
+    ccos = {r.vec_id: r.ccos for r in out.collect()}
+    kept_a = 1 if ccos[1] < ccos[2] else 2
+    assert got[kept_a][1] is True
+    assert got[3 - kept_a][1] is False
+    # cluster B: 4 is kept (not a dup of 5/6 at tau), one of 5/6 drops
+    assert got[4][1] is True
+    assert sorted([got[5][1], got[6][1]]) == [False, True]
+    # fixed-size seeding + refine path still yields a full assignment
+    seeds = init_centroids_fixed(emb, 2)
+    ref = kmeans_refine(emb, seeds, rounds=1)
+    out2 = semdedup(emb, 0.995, ref)
+    assert out2.count() == 6
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
