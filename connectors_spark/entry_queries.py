@@ -12911,3 +12911,68 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     cents = init_centroids(emb, _SEMDEDUP_MOD)
     return semdedup(emb, _SEMDEDUP_TAU, cents)
+
+
+_ANALYZE_PROBES = [
+    ("a0", "The QUICK brown-fox, (jumps)!"),
+    ("a1", "  spaced   out  "),
+    ("a2", "mixed42numbers x9"),
+    ("a3", "don't stop-the-data"),
+    ("a4", ""),
+    ("a5", "filtering the tables quickly"),
+]
+_ANALYZE_STOPS = ("the",)
+
+
+def _analyze_oracle_sql() -> str:
+    from connectors_spark.functions.stem import minimal_english_sql
+
+    probes = ", ".join(
+        "('{}', '{}')".format(pid, txt.replace("'", "''"))
+        for pid, txt in _ANALYZE_PROBES)
+    stops = ", ".join(f"'{s}'" for s in _ANALYZE_STOPS)
+    return f"""
+WITH probes(input_id, text) AS (VALUES {probes}),
+low AS (SELECT input_id, lower(text) AS t FROM probes),
+chars AS (
+  SELECT input_id, i, substr(t, CAST(i AS INT), 1) AS c
+  FROM low, unnest(range(1, len(t) + 1)) AS u(i)
+),
+tokc AS (SELECT * FROM chars WHERE regexp_matches(c, '[a-z0-9]')),
+isl AS (
+  SELECT input_id, i, c,
+         i - row_number() OVER (PARTITION BY input_id ORDER BY i) AS g
+  FROM tokc
+),
+toks AS (
+  SELECT input_id, g, string_agg(c, '' ORDER BY i) AS token,
+         CAST(min(i) - 1 AS INT) AS start_offset,
+         CAST(max(i) AS INT) AS end_offset
+  FROM isl GROUP BY 1, 2
+),
+pos AS (
+  SELECT input_id, token, start_offset, end_offset,
+         CAST(row_number() OVER (PARTITION BY input_id
+                                 ORDER BY start_offset) - 1 AS INT)
+           AS position
+  FROM toks
+)
+SELECT input_id, position, token,
+       {minimal_english_sql('token')} AS stemmed,
+       start_offset, end_offset
+FROM pos WHERE token NOT IN ({stops})
+"""
+
+
+@register("analyze_api", _analyze_oracle_sql())
+def q_analyze_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_analyze` API analog over a fixed probe set: per-token debug
+    output with ES conventions — original-string offsets, position gaps
+    where stopwords were removed, post-filter (minimal_english) stemmed
+    form (functions/analysis.py:analyze_text)."""
+    from connectors_spark.functions.analysis import analyze_text
+
+    probes = spark.createDataFrame(
+        list(_ANALYZE_PROBES), "input_id string, text string")
+    return analyze_text(probes, text_col="text", id_col="input_id",
+                        stop_words=list(_ANALYZE_STOPS))

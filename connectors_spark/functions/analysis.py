@@ -242,3 +242,61 @@ def fold_ascii_py(text: str) -> str:
 def fold_ascii_sql(text_expr: str) -> str:
     """DuckDB twin of fold_ascii (translate has identical semantics)."""
     return f"translate(lower({text_expr}), '{FOLD_FROM}', '{FOLD_TO}')"
+
+
+def analyze_text(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "input_id",
+    stop_words: list[str] | None = None,
+    stemmer: str = "minimal_english",
+) -> "DataFrame":
+    """ES `_analyze` API analog: run the analysis chain over probe
+    strings and return per-token debug output — (id, position, token,
+    stemmed, start_offset, end_offset) — with ES's exact conventions:
+    offsets index the ORIGINAL string (0-based start, exclusive end),
+    positions are assigned BEFORE stopword removal so removed stopwords
+    leave position gaps (Lucene enable_position_increments), and the
+    stemmed column shows the token after the filter chain.
+
+    Offsets come from a character-island pass (explode characters, mark
+    token chars, gaps-and-islands grouping) — pure JVM expressions that
+    the DuckDB oracle mirrors verbatim. O(text length) rows per input:
+    this is the bounded DEBUG surface (ES caps _analyze payloads);
+    corpus-scale tokenization stays on tokens_col, which never
+    materializes per-character rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    low = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t"))
+    # guard: sequence(1, 0) would yield a DESCENDING [1, 0]
+    seq = F.when(F.length("_t") > 0,
+                 F.sequence(F.lit(1), F.length("_t"))
+                 ).otherwise(F.array().cast("array<int>"))
+    chars = low.select(
+        id_col, F.explode(seq).alias("i"), F.col("_t")
+    ).select(id_col, "i", F.substring(F.col("_t"), F.col("i"), 1)
+             .alias("c")).filter(F.col("c").rlike("[a-z0-9]"))
+    wrn = Window.partitionBy(id_col).orderBy("i")
+    isl = chars.withColumn("g", F.col("i") - F.row_number().over(wrn))
+    toks = isl.groupBy(id_col, "g").agg(
+        F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s["c"])).alias("token"),
+        (F.min("i") - 1).cast("int").alias("start_offset"),
+        F.max("i").cast("int").alias("end_offset"),
+    )
+    wpos = Window.partitionBy(id_col).orderBy("start_offset")
+    out = toks.withColumn(
+        "position", (F.row_number().over(wpos) - 1).cast("int"))
+    if stop_words:
+        out = out.filter(~F.col("token").isin(*stop_words))
+    if stemmer == "minimal_english":
+        stemmed = minimal_english_col(F.col("token"))
+    elif stemmer == "none":
+        stemmed = F.col("token")
+    else:
+        raise ValueError(f"analyze_text: unsupported stemmer {stemmer!r}")
+    return out.select(
+        id_col, "position", "token", stemmed.alias("stemmed"),
+        "start_offset", "end_offset")

@@ -95,3 +95,28 @@ def test_highlight_snippets(spark):
     assert r.pos == 5  # 'quick' (case-insensitive) before 'fox' at 17
     assert r.snippet == "The QUICK brown fox!"[:20].replace("!", " ")
     assert got[("q1", 3)].pos == 1 and got[("q1", 3)].snippet == "fox"
+
+
+def test_analyze_text_offsets_positions_gaps(spark):
+    from connectors_spark.functions.analysis import analyze_text
+
+    probes = spark.createDataFrame(
+        [("p0", "The QUICK brown-fox!"), ("p1", ""), ("p2", "  x  ")],
+        "input_id string, text string")
+    out = analyze_text(probes, stop_words=["the"])
+    rows = sorted(
+        (r.input_id, r.position, r.token, r.start_offset, r.end_offset)
+        for r in out.collect())
+    # "the" removed but its position 0 stays a GAP; offsets index the
+    # ORIGINAL string (0-based start, exclusive end)
+    assert rows == [
+        ("p0", 1, "quick", 4, 9),
+        ("p0", 2, "brown", 10, 15),
+        ("p0", 3, "fox", 16, 19),
+        ("p2", 0, "x", 2, 3),
+    ]
+    src = "The QUICK brown-fox!"
+    for _, _, tok, s, e in rows[:3]:
+        assert src[s:e].lower() == tok
+    stemmed = {r.token: r.stemmed for r in out.collect()}
+    assert stemmed["quick"] == "quick"
