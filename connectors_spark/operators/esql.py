@@ -763,6 +763,8 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
     if cmd == "EVAL":
         c = _Cursor(_tokenize(body))
         assigns = _parse_assignments(c)
+        if not assigns:
+            raise EsqlError("EVAL needs at least one assignment")
         _require_done(c, "EVAL")
         for name, expr, _w in assigns:
             df = df.withColumn(name, _compile(expr))
@@ -772,6 +774,8 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
         c = _Cursor(_tokenize(body))
         aggs = _parse_assignments(c, stop_kw=frozenset({"by"}),
                                   allow_where=True)
+        if not aggs:
+            raise EsqlError("STATS needs at least one aggregate")
         keys: list[tuple[str, object, object]] = []
         if c.at_kw("by"):
             c.next()
@@ -796,6 +800,8 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
         c = _Cursor(_tokenize(body))
         aggs = _parse_assignments(c, stop_kw=frozenset({"by"}),
                                   allow_where=True)
+        if not aggs:
+            raise EsqlError("INLINESTATS needs at least one aggregate")
         keys = []
         if c.at_kw("by"):
             c.next()
@@ -823,6 +829,8 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
 
     if cmd == "SORT":
         c = _Cursor(_tokenize(body))
+        if c.done():
+            raise EsqlError("SORT needs at least one sort key")
         order = []
         while not c.done():
             col = _compile(_parse_expr(c))
@@ -847,7 +855,13 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
         return df.orderBy(*order)
 
     if cmd == "LIMIT":
-        return df.limit(int(body.strip()))
+        try:
+            n = int(body.strip())
+        except ValueError:
+            raise EsqlError(f"LIMIT needs an integer, got {body!r}")
+        if n < 0:
+            raise EsqlError(f"LIMIT must be >= 0, got {n}")
+        return df.limit(n)
 
     if cmd == "KEEP":
         pats = [p.strip() for p in body.split(",")]
@@ -877,6 +891,8 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
 
     if cmd == "MV_EXPAND":
         col = body.strip()
+        if col not in df.columns:
+            raise EsqlError(f"MV_EXPAND: no column {col!r}")
         # ES|QL: null/empty multivalue keeps its row (value null)
         return df.withColumn(col, F.explode_outer(F.col(col)))
 

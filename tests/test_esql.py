@@ -413,3 +413,32 @@ def test_keyword_named_assignment_targets(spark, people):
                'FROM t | EVAL first = 1, last = 2, on = 3 '
                '| KEEP first, last, on | LIMIT 1').collect()[0]
     assert (row.first, row.last, row.on) == (1, 2, 3)
+
+
+def test_esql_parser_fuzz_typed_errors_only(spark, people):
+    """Any input either compiles, raises EsqlError (parser/compiler
+    contract), or raises Spark's AnalysisException (unresolved columns /
+    type mismatches — Catalyst's job, surfaced as-is) — never a raw
+    Python exception. Plans are built but not executed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.errors import AnalysisException
+
+    commands = st.sampled_from([
+        "WHERE", "EVAL", "STATS", "SORT", "LIMIT", "KEEP", "DROP",
+        "RENAME", "MV_EXPAND", "INLINESTATS", "SAMPLE", "FORK",
+        "CHANGE_POINT", "LOOKUP", "ENRICH", "GROK", "DISSECT"])
+    frags = st.text(
+        alphabet='abz019 =<>!|,()*"%+-.:', min_size=0, max_size=24)
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.lists(st.tuples(commands, frags), min_size=0, max_size=3))
+    def run(segs):
+        prog = "FROM t" + "".join(
+            f" | {c} {body}" for c, body in segs)
+        try:
+            esql(spark, {"t": people}, prog)
+        except (EsqlError, AnalysisException):
+            pass
+
+    run()
