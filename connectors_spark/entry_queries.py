@@ -12976,3 +12976,68 @@ def q_analyze_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_ANALYZE_PROBES), "input_id string, text string")
     return analyze_text(probes, text_col="text", id_col="input_id",
                         stop_words=list(_ANALYZE_STOPS))
+
+
+_TOOL_CHAIN_SQL = f"""
+WITH {{tool_vals}},
+calls AS (
+  SELECT conv_id, turn_idx, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_tool
+  FROM t WHERE tool <> ''
+),
+per_conv AS (
+  SELECT conv_id,
+         string_agg(tool, '->' ORDER BY turn_idx) AS chain,
+         CAST(count(*) AS BIGINT) AS n_calls,
+         CAST(coalesce(sum(CASE WHEN tool = prev_tool THEN 1 END), 0)
+              AS BIGINT) AS n_retries
+  FROM calls GROUP BY conv_id
+)
+SELECT c.conv_id, coalesce(p.chain, '') AS chain,
+       coalesce(p.n_calls, 0) AS n_calls,
+       coalesce(p.n_retries, 0) AS n_retries
+FROM (SELECT DISTINCT conv_id FROM t) c
+LEFT JOIN per_conv p USING (conv_id)
+"""
+
+
+@register("tool_chain_stats",
+          _TOOL_CHAIN_SQL.format(tool_vals=_tool_values_sql()))
+def q_tool_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-transcript tool-chain mining (north-rule schema's `tool`
+    column): per conversation, the ordered tool-call sequence, call
+    count, and retry count (adjacent identical tool = retry signal) —
+    the curation statistics an agentic-SFT pipeline filters on
+    (tool-free convs, retry-storm convs). Tool-free conversations are
+    kept with an empty chain. One conv-keyed shuffle; the chain is an
+    in-array render (sorted struct collect), no per-turn self-join."""
+    rows = [
+        (d, c, t, r, _sft_tool(c, t, r), x)
+        for d, c, t, r, x in _sft_transcript_rows()
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, conv_id int, turn_idx int, role string, "
+              "tool string, text string")
+    calls = docs.filter(F.col("tool") != "")
+    wlag = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = calls.withColumn("prev_tool", F.lag("tool").over(wlag))
+    per_conv = calls.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "tool"))),
+                lambda s: s["tool"]), "->").alias("chain"),
+        F.count(F.lit(1)).alias("n_calls"),
+        F.coalesce(
+            F.sum((F.col("tool") == F.col("prev_tool")).cast("long")),
+            F.lit(0)).alias("n_retries"),
+    )
+    return (
+        docs.select("conv_id").distinct()
+        .join(per_conv, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce("chain", F.lit("")).alias("chain"),
+            F.coalesce("n_calls", F.lit(0)).alias("n_calls"),
+            F.coalesce("n_retries", F.lit(0)).alias("n_retries"))
+    )
