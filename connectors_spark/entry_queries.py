@@ -13041,3 +13041,67 @@ def q_tool_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_calls", F.lit(0)).alias("n_calls"),
             F.coalesce("n_retries", F.lit(0)).alias("n_retries"))
     )
+
+
+_ESQL_COMPLETION_PROGRAM = """
+FROM documents
+| COMPLETION summary = text WITH test_completion
+| KEEP doc_id, summary
+"""
+
+_ESQL_COMPLETION_SQL = f"""
+SELECT doc_id,
+       'completion: ' || array_to_string(
+         list_slice({tokenize_sql_duckdb('text')}, 1, 6), ' ') AS summary
+FROM documents
+"""
+
+
+@register("esql_completion", _ESQL_COMPLETION_SQL)
+def q_esql_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL COMPLETION through the inference-endpoint registry
+    (operators/inference.py): Arrow-batched mapInPandas over a
+    registered endpoint. The default test endpoint is a deterministic
+    prompt summarizer chosen to be SQL-replayable, so this gate
+    hash-verifies the inference PLUMBING end-to-end; a real model
+    client registers over it (the declared-stub convention)."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir),
+                _ESQL_COMPLETION_PROGRAM)
+
+
+_DATACARD_SQL = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({tokenize_sql_duckdb('text')})) AS BIGINT)
+         AS n_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+         AS pct_en,
+       round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM documents
+GROUP BY source
+"""
+
+
+@register("corpus_datacard", _DATACARD_SQL)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (the per-source reporting table a training-data
+    release ships): doc count, token count, language spread, English
+    fraction, exact-dup rate — ONE map-side-combined groupBy over one
+    corpus scan; token counts are JVM size(tokens) inside the same
+    stage, dup rate a distinct-md5 within the same agg."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(F.avg((F.col("lang") == "en").cast("double")), 6)
+        .alias("pct_en"),
+        F.round(F.lit(1.0) - F.count_distinct(F.md5("text"))
+                / F.count(F.lit(1)), 6).alias("dup_rate"),
+    )

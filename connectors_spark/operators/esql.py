@@ -30,6 +30,7 @@ Supported commands (case-insensitive):
     SAMPLE p                 deterministic row-content Bernoulli sample
     CHANGE_POINT v [ON k] [AS t, p]   step-change detection (bounded)
     FORK (branch) (branch)   sub-pipelines over same input, _fork tag
+    COMPLETION [col =] prompt WITH endpoint   registered inference fn
 
 Expression grammar (precedence low->high): OR, AND, NOT, comparison
 (`== != < <= > >=`, `IN (...)`, `[NOT] LIKE` (ES|QL `*`/`?` wildcards),
@@ -961,6 +962,36 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
                 raise EsqlError(f"CHANGE_POINT: no column {col!r}")
         from connectors_spark.operators.anomaly import change_point
         return change_point(df, value, key, tname, pname)
+
+    if cmd == "COMPLETION":
+        # ES|QL 9.x: `COMPLETION [col =] prompt WITH endpoint`. The
+        # prompt is any string expression; the endpoint is a registered
+        # inference function (operators/inference.py) — Arrow-batched
+        # mapInPandas, the one legitimately-Python stage.
+        c = _Cursor(_tokenize(body))
+        out_name = "completion"
+        if (c.peek()[0] == "ident"
+                and c.peek()[1].lower() not in ("true", "false", "null",
+                                                "not")
+                and c.peek(1) == ("op", "=")):
+            out_name = c.next()[1]
+            c.next()
+        prompt = _parse_expr(c)
+        if not c.at_kw("with"):
+            raise EsqlError("COMPLETION needs `WITH <endpoint>`")
+        c.next()
+        k, endpoint = c.next()
+        if k != "ident":
+            raise EsqlError(f"bad COMPLETION endpoint: {endpoint!r}")
+        _require_done(c, "COMPLETION")
+        from connectors_spark.operators.inference import complete
+        try:
+            return complete(
+                df.withColumn("_prompt", _compile(prompt)),
+                "_prompt", endpoint, out_name,
+            ).drop("_prompt")
+        except ValueError as e:
+            raise EsqlError(str(e))
 
     if cmd == "FORK":
         # ES|QL FORK (branch) (branch) ...: run each parenthesized

@@ -442,3 +442,25 @@ def test_esql_parser_fuzz_typed_errors_only(spark, people):
             pass
 
     run()
+
+
+def test_completion_registry_and_errors(spark, people):
+    from connectors_spark.operators.inference import register_endpoint
+
+    out = _run(spark, {"t": people}, '''
+FROM t | COMPLETION s = CONCAT(name, " Speaks ", lang)
+         WITH test_completion
+| KEEP id, s''').collect()
+    by_id = {r.id: r.s for r in out}
+    assert by_id[1] == "completion: ada speaks fr"
+    with pytest.raises(EsqlError, match="unknown inference endpoint"):
+        _run(spark, {"t": people},
+             "FROM t | COMPLETION name WITH nope")
+    with pytest.raises(EsqlError, match="WITH"):
+        _run(spark, {"t": people}, "FROM t | COMPLETION name")
+    register_endpoint("shout", lambda s: s.map(
+        lambda p: None if p is None else p.upper()))
+    row = _run(spark, {"t": people}, '''
+FROM t | COMPLETION c = name WITH shout | KEEP id, c
+| SORT id | LIMIT 1''').collect()[0]
+    assert row.c == "ADA"
