@@ -10,7 +10,8 @@ run against the same tables here.
 
 Supported commands (case-insensitive):
 
-    FROM t1[, t2]            union of registered tables (by name)
+    FROM t1[, t2] [METADATA _index]   union of registered tables; the
+                             METADATA clause adds source provenance
     ROW a = 1, b = "x"       literal one-row source
     WHERE <boolean expr>
     EVAL n1 = e1, n2 = e2    sequential (n2 may reference n1)
@@ -722,12 +723,26 @@ def esql(
     tables = dict(tables)
     cmd, body = _cmd_split(segments[0])
     if cmd == "FROM":
+        # `FROM t1[, t2] [METADATA _index]`: the METADATA clause adds
+        # the ES _index pseudo-field — source-table provenance, which
+        # is what makes a multi-index union navigable downstream
+        m = re.match(r"(.*?)\s+[Mm][Ee][Tt][Aa][Dd][Aa][Tt][Aa]\s+"
+                     r"(_\w+)\s*$", body, re.S)
+        meta_field = None
+        if m:
+            body, meta_field = m.group(1), m.group(2)
+            if meta_field != "_index":
+                raise EsqlError(
+                    f"unsupported METADATA field {meta_field!r}")
         names = [t.strip() for t in body.split(",")]
         dfs = []
         for n in names:
             if n not in tables:
                 raise EsqlError(f"unknown table {n!r}")
-            dfs.append(tables[n])
+            t = tables[n]
+            if meta_field:
+                t = t.withColumn(meta_field, F.lit(n))
+            dfs.append(t)
         df = dfs[0]
         for other in dfs[1:]:
             df = df.unionByName(other, allowMissingColumns=True)

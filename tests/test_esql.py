@@ -464,3 +464,13 @@ FROM t | COMPLETION s = CONCAT(name, " Speaks ", lang)
 FROM t | COMPLETION c = name WITH shout | KEEP id, c
 | SORT id | LIMIT 1''').collect()[0]
     assert row.c == "ADA"
+
+
+def test_from_metadata_index(spark, people):
+    half = people.limit(2)
+    got = _run(spark, {"a": half, "b": half},
+               'FROM a, b METADATA _index | STATS n = COUNT(*) '
+               'BY _index | SORT _index').collect()
+    assert [(r._index, r.n) for r in got] == [("a", 2), ("b", 2)]
+    with pytest.raises(EsqlError, match="unsupported METADATA"):
+        _run(spark, {"a": half}, "FROM a METADATA _score")
