@@ -171,3 +171,66 @@ def delete_snapshot(repo: str, name: str) -> int:
                 os.remove(os.path.join(blob_dir, fn))
                 removed += 1
     return removed
+
+
+# ---------------------------------------------------------------- CCR
+
+def ccr_follow(repo: str, follower_dir: str, state_path: str) -> dict:
+    """ES cross-cluster replication (CCR) analog over the snapshot
+    repository: one follower catch-up tick. ES's follower pulls the
+    leader's newly-written immutable segment files and advances a
+    checkpoint; here the leader's durability stream IS the repository
+    (content-addressed blobs + per-snapshot manifests), so following =
+    restore-the-delta: for the newest snapshot not yet applied,
+    materialize only files whose blob hash differs from what the
+    follower already has, delete follower files the snapshot no longer
+    lists, and advance the checkpoint file. Idempotent: a re-run after
+    a crash (or with no new snapshot) is a no-op. Returns the tick
+    report {applied, copied, deleted, up_to_date}.
+
+    Scale shape: file-level and incremental — per tick the work is
+    O(changed blobs), never a full re-copy; the state is one tiny JSON
+    (snapshot name + per-file hashes), exactly ES's shard-level
+    retention-lease bookkeeping made explicit."""
+    import json
+    import os
+    import shutil
+
+    snaps = list_snapshots(repo)
+    state = {"applied": None, "files": {}}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            state = json.load(fh)
+    if not snaps:
+        return {"applied": state["applied"], "copied": 0, "deleted": 0,
+                "up_to_date": True}
+    target = snaps[-1]
+    if target == state["applied"]:
+        return {"applied": target, "copied": 0, "deleted": 0,
+                "up_to_date": True}
+    manifest = _load_manifest(repo, target)
+    want: dict = manifest["files"]
+    have: dict = state.get("files", {})
+    copied = 0
+    for rel, digest in want.items():
+        if have.get(rel) == digest:
+            continue
+        dst = os.path.join(follower_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.exists(dst):
+            os.remove(dst)              # hard-linked blobs are immutable
+        _link_or_copy(os.path.join(repo, "blobs", digest), dst)
+        copied += 1
+    deleted = 0
+    for rel in set(have) - set(want):
+        path = os.path.join(follower_dir, rel)
+        if os.path.exists(path):
+            os.remove(path)
+            deleted += 1
+    # checkpoint LAST (crash before this line -> clean re-apply)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"applied": target, "files": want}, fh)
+    os.replace(tmp, state_path)
+    return {"applied": target, "copied": copied, "deleted": deleted,
+            "up_to_date": False}

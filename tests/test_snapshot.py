@@ -95,3 +95,52 @@ def test_delete_gc_keeps_shared_blobs(spark, snapped, tmp_path):
     assert list_snapshots(repo) == ["snap-gen1"]
     r = restore_index(repo, "snap-gen1", str(tmp_path / "after_gc"))
     assert _topk(spark, r) == res1, "surviving snapshot restores intact"
+
+
+def test_ccr_follow_incremental_and_idempotent(spark, snapped,
+                                               tmp_path_factory):
+    from connectors_spark.operators.snapshot import ccr_follow
+
+    idx, repo, res0, res1, m0, m1 = snapped
+    base = tmp_path_factory.mktemp("ccr")
+    follower = str(base / "follower")
+    state = str(base / "follow_state.json")
+
+    # first tick applies the NEWEST snapshot (gen1) from scratch
+    r1 = ccr_follow(repo, follower, state)
+    assert r1["applied"] == "snap-gen1" and not r1["up_to_date"]
+    assert r1["copied"] == len(m1["files"])
+    # follower answers queries rank-identically to the leader at gen1
+    assert _topk(spark, follower) == res1
+
+    # second tick: no new snapshot -> no-op
+    r2 = ccr_follow(repo, follower, state)
+    assert r2 == {"applied": "snap-gen1", "copied": 0, "deleted": 0,
+                  "up_to_date": True}
+
+    # a new leader snapshot -> the next tick copies ONLY changed blobs
+    from connectors_spark.operators.delta import incremental_update
+    from tests.test_delta import _snapshots
+    _s0, s1 = _snapshots(spark)
+    extra = s1.limit(40)
+    rec = incremental_update(spark, idx, extra)
+    assert rec is not None
+    from connectors_spark.operators.snapshot import snapshot_index
+    m2 = snapshot_index(idx, repo, "snap-gen2")
+    unchanged = set(m1["files"].items()) & set(m2["files"].items())
+    r3 = ccr_follow(repo, follower, state)
+    assert r3["applied"] == "snap-gen2"
+    assert r3["copied"] == len(m2["files"]) - len(unchanged)
+    assert r3["copied"] < len(m2["files"])      # incremental, not full
+    assert _topk(spark, follower) == _topk(spark, idx)
+
+    # crash-safety: stale state file replay is clean (idempotent apply)
+    import json
+    with open(state) as fh:
+        st = json.load(fh)
+    st["applied"] = "snap-gen1"
+    with open(state, "w") as fh:
+        json.dump(st, fh)
+    r4 = ccr_follow(repo, follower, state)
+    assert r4["applied"] == "snap-gen2" and r4["copied"] == 0
+    assert _topk(spark, follower) == _topk(spark, idx)
