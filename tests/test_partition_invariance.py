@@ -25,6 +25,13 @@ GATES = [
     "fim_transform",        # hash-cut string surgery (row-local)
     "text_similarity_reranker",  # retrieve window -> embedding rerank
     "bucket_count_ks_test",  # CDF windows over the day frame
+    "query_rules_retriever",  # pin/exclude joins + bounded over-fetch
+    "dsir_importance",      # hashed-bucket ratio table + doc sums
+    "semdedup",             # centroid argmin + within-cluster pairs
+    "watcher_alerts",       # last-breach carry-forward window
+    "esql_sample",          # row-content Bernoulli (must not use rand())
+    "esql_change_point",    # single-group argmax split
+    "tool_chain_stats",     # in-array ordered chain render
 ]
 
 
