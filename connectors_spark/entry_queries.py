@@ -13105,3 +13105,41 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) - F.count_distinct(F.md5("text"))
                 / F.count(F.lit(1)), 6).alias("dup_rate"),
     )
+
+
+_RERANK_QUERY_TERMS = ("data", "table", "merge")
+
+_ESQL_RERANK_PROGRAM = f"""
+FROM documents
+| RERANK s = "{' '.join(_RERANK_QUERY_TERMS)}" ON text WITH test_rerank
+| WHERE s > 0
+| SORT s DESC, doc_id ASC
+| LIMIT 20
+| KEEP doc_id, s
+"""
+
+_ESQL_RERANK_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         round(len(list_intersect(
+             list_distinct({tokenize_sql_duckdb('text')}),
+             [{', '.join(repr(t) for t in _RERANK_QUERY_TERMS)}]))
+           / {len(_RERANK_QUERY_TERMS)}.0, 6) AS s
+  FROM documents
+)
+SELECT doc_id, s FROM scored WHERE s > 0
+ORDER BY s DESC, doc_id ASC LIMIT 20
+"""
+
+
+@register("esql_rerank", _ESQL_RERANK_SQL)
+def q_esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL RERANK through the reranker-endpoint registry
+    (operators/inference.py): Arrow-batched scoring of a field against
+    a query, composing with SORT/LIMIT. The test endpoint (distinct-
+    token overlap) is SQL-replayable so the gate hash-verifies the
+    plumbing; at scale RERANK follows a first-stage retrieval cut, so
+    the model touches only the rank window."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_RERANK_PROGRAM)

@@ -32,6 +32,7 @@ Supported commands (case-insensitive):
     CHANGE_POINT v [ON k] [AS t, p]   step-change detection (bounded)
     FORK (branch) (branch)   sub-pipelines over same input, _fork tag
     COMPLETION [col =] prompt WITH endpoint   registered inference fn
+    RERANK [col =] "query" ON field WITH endpoint   registered reranker
 
 Expression grammar (precedence low->high): OR, AND, NOT, comparison
 (`== != < <= > >=`, `IN (...)`, `[NOT] LIKE` (ES|QL `*`/`?` wildcards),
@@ -1005,6 +1006,39 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
                 df.withColumn("_prompt", _compile(prompt)),
                 "_prompt", endpoint, out_name,
             ).drop("_prompt")
+        except ValueError as e:
+            raise EsqlError(str(e))
+
+    if cmd == "RERANK":
+        # ES|QL 9.x: `RERANK [col =] "query" ON field WITH endpoint`.
+        # Emits scores (ordering composes with SORT/LIMIT, as in ES|QL).
+        c = _Cursor(_tokenize(body))
+        out_name = "_score"
+        if (c.peek()[0] == "ident"
+                and c.peek()[1].lower() not in ("true", "false", "null",
+                                                "not")
+                and c.peek(1) == ("op", "=")):
+            out_name = c.next()[1]
+            c.next()
+        k, qtext = c.next()
+        if k != "str":
+            raise EsqlError("RERANK needs a quoted query string")
+        if not c.at_kw("on"):
+            raise EsqlError("RERANK needs `ON <field>`")
+        c.next()
+        kf, field = c.next()
+        if kf != "ident" or field not in df.columns:
+            raise EsqlError(f"RERANK: no column {field!r}")
+        if not c.at_kw("with"):
+            raise EsqlError("RERANK needs `WITH <endpoint>`")
+        c.next()
+        ke, endpoint = c.next()
+        if ke != "ident":
+            raise EsqlError(f"bad RERANK endpoint: {endpoint!r}")
+        _require_done(c, "RERANK")
+        from connectors_spark.operators.inference import rerank
+        try:
+            return rerank(df, qtext, field, endpoint, out_name)
         except ValueError as e:
             raise EsqlError(str(e))
 

@@ -75,3 +75,58 @@ def complete(
             yield pdf
 
     return df.mapInPandas(gen, schema)
+
+
+def _test_rerank(query, texts):
+    """Deterministic fake reranker: distinct-token overlap fraction
+    |tokens(query) ∩ tokens(text)| / |tokens(query)|, rounded to 6 —
+    SQL-replayable so the RERANK gate hash-verifies the plumbing."""
+    q = {t for t in _SPLIT.split(query.lower()) if t}
+
+    def one(x):
+        if x is None or not q:
+            return None
+        d = {t for t in _SPLIT.split(x.lower()) if t}
+        return round(len(q & d) / len(q), 6)
+
+    return texts.map(one)
+
+
+RERANK_REGISTRY: dict[str, Callable] = {
+    "test_rerank": _test_rerank,
+}
+
+
+def register_reranker(name: str, fn: Callable) -> None:
+    """fn: (query: str, texts: pandas.Series[str]) ->
+    pandas.Series[float] (batch API)."""
+    RERANK_REGISTRY[name] = fn
+
+
+def rerank(
+    df: DataFrame,
+    query: str,
+    text_col: str,
+    endpoint: str,
+    out_col: str = "_score",
+) -> DataFrame:
+    """Add `out_col` = endpoint(query, text_col) — the ES|QL RERANK
+    command's scoring half (ordering is the caller's SORT, matching
+    ES|QL where RERANK emits scores and composes with SORT/LIMIT).
+    Arrow-batched mapInPandas; at scale this runs AFTER a first-stage
+    retrieval cut, so the per-row model cost touches only the rank
+    window (the text_similarity_reranker shape)."""
+    if endpoint not in RERANK_REGISTRY:
+        raise ValueError(
+            f"unknown rerank endpoint {endpoint!r}; registered: "
+            f"{sorted(RERANK_REGISTRY)}")
+    fn = RERANK_REGISTRY[endpoint]
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())])
+
+    def gen(batches):
+        for pdf in batches:
+            pdf[out_col] = fn(query, pdf[text_col])
+            yield pdf
+
+    return df.mapInPandas(gen, schema)

@@ -474,3 +474,18 @@ def test_from_metadata_index(spark, people):
     assert [(r._index, r.n) for r in got] == [("a", 2), ("b", 2)]
     with pytest.raises(EsqlError, match="unsupported METADATA"):
         _run(spark, {"a": half}, "FROM a METADATA _score")
+
+
+def test_rerank_command(spark, people):
+    out = _run(spark, {"t": people}, '''
+FROM t | RERANK r = "ada bob zz" ON name WITH test_rerank
+| SORT r DESC, id ASC | KEEP id, r''').collect()
+    assert [(r.id, r.r) for r in out[:2]] == [
+        (1, round(1 / 3, 6)), (2, round(1 / 3, 6))]
+    assert all(r.r == 0.0 for r in out[2:])
+    with pytest.raises(EsqlError, match="unknown rerank endpoint"):
+        _run(spark, {"t": people},
+             'FROM t | RERANK "x" ON name WITH nope')
+    with pytest.raises(EsqlError, match="no column"):
+        _run(spark, {"t": people},
+             'FROM t | RERANK "x" ON missing WITH test_rerank')
