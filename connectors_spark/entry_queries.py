@@ -13143,3 +13143,61 @@ def q_esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.esql import esql
 
     return esql(spark, _esql_tables(spark, sf_dir), _ESQL_RERANK_PROGRAM)
+
+
+_VALUE_TIERS = [(0.0, 25.0, "low"), (25.0, 50.0, "mid"),
+                (50.0, 75.0, "high"), (75.0, 1000.0, "extreme")]
+
+_ENRICH_RANGE_SQL = f"""
+WITH tiers(lo, hi, tier) AS (VALUES {', '.join(
+    f"({lo}, {hi}, '{t}')" for lo, hi, t in _VALUE_TIERS)})
+SELECT t.tier, CAST(count(*) AS BIGINT) AS n,
+       round(avg(e.value), 6) AS avg_value
+FROM events e
+LEFT JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+"""
+
+
+@register("esql_enrich_range", _ENRICH_RANGE_SQL)
+def q_esql_enrich_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range-type enrich policy (ip_range / numeric-range lookup
+    indices) through ES|QL ENRICH: input values land in a policy row's
+    [lo, hi) interval via a broadcast range join — the non-overlap
+    invariant of ES range enrich indices is VALIDATED over the bounded
+    policy frame, so no dedup pass is needed."""
+    from connectors_spark.operators.esql import esql
+
+    tiers = spark.createDataFrame(
+        _VALUE_TIERS, "lo double, hi double, tier string")
+    return esql(
+        spark, _esql_tables(spark, sf_dir), """
+FROM events
+| ENRICH tiers ON value WITH tier
+| STATS n = COUNT(*), avg_value = ROUND(AVG(value), 6) BY tier
+""", enrich_policies={"tiers": (tiers, ("range", "lo", "hi"))})
+
+
+_ESQL_MATCH_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM documents
+WHERE len(list_intersect(
+    list_distinct({tokenize_sql_duckdb('text')}),
+    ['data', 'table'])) = 2
+"""
+
+
+@register("esql_match_function", _ESQL_MATCH_SQL)
+def q_esql_match_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL MATCH(field, "query") full-text predicate: every analyzed
+    query term present in the analyzed field (match + operator:AND in
+    filter context) — pure JVM array expressions over the engine's
+    analyzer chain, pushable ahead of STATS."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), """
+FROM documents
+| WHERE MATCH(text, "Data, TABLE")
+| STATS n = COUNT(*), first_doc = MIN(doc_id)
+""")

@@ -488,6 +488,30 @@ def _case_fn(a, r):
 
 _SCALARS["CASE"] = _case_fn
 
+
+def _match_fn(a, r):
+    # ES|QL MATCH(field, "query"): full-text match predicate — true
+    # when EVERY analyzed query term occurs in the analyzed field
+    # (the ES default `match` + operator AND filter-context shape).
+    # Pure JVM array expressions over the engine's own analyzer chain.
+    from connectors_spark import TOKEN_SPLIT_RE
+    from connectors_spark.functions.analysis import tokens_col
+
+    qtext = str(_lit_arg(r[1], "MATCH query"))
+    terms = sorted({t for t in re.split(TOKEN_SPLIT_RE, qtext.lower())
+                    if t})
+    if not terms:
+        raise EsqlError("MATCH needs a non-empty query string")
+    toks = tokens_col(a[0])
+    return (
+        F.size(F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(t) for t in terms]))) == F.lit(len(terms))
+    )
+
+
+_SCALARS["MATCH"] = _match_fn
+
 # aggregate registry: name -> fn(compiled_cols, raw_asts) -> Column
 _AGGS = {
     "COUNT": lambda a, r: (F.count(F.lit(1))
@@ -1073,6 +1097,35 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
         if name not in policies:
             raise EsqlError(f"unknown enrich policy {name!r}")
         policy, match_col = policies[name]
+        if isinstance(match_col, tuple) and match_col[0] == "range":
+            # ES range-type enrich policy (ip_range / numeric range
+            # lookup indices): the input value falls inside a policy
+            # row's [lo, hi) interval. Range enrich indices are
+            # non-overlapping by construction in ES; the policy table
+            # is bounded -> validate that invariant outright (driver-
+            # side over the broadcast-sized frame), then a broadcast
+            # range join needs no dedup pass.
+            _kind, lo_col, hi_col = match_col
+            fields = ([f.strip() for f in with_cols.split(",")]
+                      if with_cols else
+                      [c2 for c2 in policy.columns
+                       if c2 not in (lo_col, hi_col)])
+            spans = sorted(
+                (r[0], r[1])
+                for r in policy.select(lo_col, hi_col).collect())
+            for (alo, ahi), (blo, _bhi) in zip(spans, spans[1:]):
+                if blo < ahi:
+                    raise EsqlError(
+                        f"enrich policy {name!r} has overlapping ranges "
+                        f"[{alo}, {ahi}) and [{blo}, ...)")
+            small = policy.select(
+                F.col(lo_col).alias("__esql_lo"),
+                F.col(hi_col).alias("__esql_hi"), *fields)
+            out = df.join(
+                F.broadcast(small),
+                (df[key] >= small["__esql_lo"])
+                & (df[key] < small["__esql_hi"]), "left")
+            return out.drop("__esql_lo", "__esql_hi")
         fields = ([f.strip() for f in with_cols.split(",")] if with_cols
                   else [c2 for c2 in policy.columns if c2 != match_col])
         small = policy.select(

@@ -489,3 +489,38 @@ FROM t | RERANK r = "ada bob zz" ON name WITH test_rerank
     with pytest.raises(EsqlError, match="no column"):
         _run(spark, {"t": people},
              'FROM t | RERANK "x" ON missing WITH test_rerank')
+
+
+def test_enrich_range_policy_and_overlap_validation(spark, people):
+    tiers = spark.createDataFrame(
+        [(0.0, 5.0, "low"), (5.0, 100.0, "high")],
+        "lo double, hi double, tier string")
+    out = _run(spark, {"t": people}, '''
+FROM t | ENRICH tiers ON score WITH tier | KEEP id, tier''',
+               enrich_policies={"tiers": (tiers, ("range", "lo", "hi"))}
+               ).collect()
+    by_id = {r.id: r.tier for r in out}
+    # -3.5 falls in no tier (left join null); 2.0 low; 7.25/10.0 high
+    assert by_id == {1: "high", 2: None, 3: "high", 4: "low"}
+    bad = spark.createDataFrame(
+        [(0.0, 6.0, "a"), (5.0, 9.0, "b")],
+        "lo double, hi double, tier string")
+    with pytest.raises(EsqlError, match="overlapping ranges"):
+        _run(spark, {"t": people}, "FROM t | ENRICH bad ON score",
+             enrich_policies={"bad": (bad, ("range", "lo", "hi"))})
+
+
+def test_match_function_semantics(spark, people):
+    got = _run(spark, {"t": people}, '''
+FROM t | WHERE MATCH(name, "Ada") | KEEP id''').collect()
+    assert [r.id for r in got] == [1]
+    # AND semantics: both terms must appear
+    df = spark.createDataFrame(
+        [(1, "big data table scan"), (2, "data only"), (3, "table only")],
+        "id int, text string")
+    got2 = _run(spark, {"d": df},
+                'FROM d | WHERE MATCH(text, "data table") | KEEP id'
+                ).collect()
+    assert [r.id for r in got2] == [1]
+    with pytest.raises(EsqlError, match="non-empty"):
+        _run(spark, {"d": df}, 'FROM d | WHERE MATCH(text, "  !! ")')
