@@ -637,18 +637,34 @@ def dsir_importance(
     sum — two map-side-combined shuffles on doc id, independent of
     corpus size per row. The target distribution needs no separate
     scan: it aggregates the same gram stream under a predicate flag."""
-    from connectors_spark.functions.text import _doc_grams
+    from connectors_spark.functions.analysis import tokens_col
 
-    grams = _doc_grams(df, 1, text_col, id_col).unionByName(
-        _doc_grams(df, 2, text_col, id_col))
-    flags = df.select(
-        F.col(id_col), target_pred.cast("boolean").alias("_is_target"))
+    # the target flag rides THROUGH the gram explosion (no doc-keyed
+    # join back onto the gram stream — at corpus scale that join would
+    # shuffle O(total grams) rows a second time for one boolean)
+    base = df.select(
+        F.col(id_col),
+        target_pred.cast("boolean").alias("_is_target"),
+        tokens_col(F.col(text_col)).alias("_toks"))
+
+    def explode_grams(n: int):
+        arr = F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("_toks", i + j)
+                           for j in range(n)]))
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(
+            id_col, "_is_target", F.explode(arr).alias("gram"))
+
+    grams = explode_grams(1).unionByName(explode_grams(2))
     feats = (
         grams.withColumn(
             "bucket",
             F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
             .cast("long") % F.lit(n_buckets))
-        .join(flags, id_col)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"),
              F.first("_is_target").alias("_is_target"))
