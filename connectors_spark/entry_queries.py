@@ -13201,3 +13201,79 @@ FROM documents
 | WHERE MATCH(text, "Data, TABLE")
 | STATS n = COUNT(*), first_doc = MIN(doc_id)
 """)
+
+
+_GRAPH_SYN_RULES = [
+    ("hash join", "merge"),
+    ("merge", "hash join"),
+    ("window group", "agg"),
+]
+_GRAPH_SYN_QUERIES = [
+    ("g0", "hash join query"),
+    ("g1", "merge slow"),
+    ("g2", "window group filter"),
+    ("g3", "table scan"),
+]
+
+
+def _graph_synonyms_sql() -> str:
+    from connectors_spark.operators.query import expand_query_graph
+
+    paths = expand_query_graph(_GRAPH_SYN_QUERIES, _GRAPH_SYN_RULES)
+    tvals = []
+    for qid, p, text in paths:
+        for term in sorted({t for t in text.split() if t}):
+            tvals.append(f"('{qid}', {p}, '{term}')")
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(tvals)})
+       AS v(query_id, path, term)),
+contrib AS (
+  SELECT qt.query_id, qt.path, tf.doc_id, {w} AS w
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+path_scored AS (
+  SELECT query_id, path, doc_id, round(sum(w), {ROUND_SCORE}) AS s
+  FROM contrib GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(s), {ROUND_SCORE}) AS score
+  FROM path_scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_synonym_graph", _graph_synonyms_sql())
+def q_bm25_synonym_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-word synonym_graph at query time ('hash join' <-> 'merge',
+    'window group' -> 'agg'): each rewrite is an independent scoring
+    PATH (Lucene graph-query decomposition into SHOULD clauses), path
+    scores SUM per doc, combined top-k — the multi-token case the
+    single-token synonym expander (bm25_topk_synonyms) cannot express
+    (operators/query.py:expand_query_graph, score_topk_graph)."""
+    from connectors_spark.operators.query import score_topk_graph
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    return score_topk_graph(
+        idx, spark, _GRAPH_SYN_QUERIES, _GRAPH_SYN_RULES, GATE_BM25_K,
+        round_scores=ROUND_SCORE)

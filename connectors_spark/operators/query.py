@@ -1390,3 +1390,76 @@ def collapse_inner_hits(scored: DataFrame, field: str,
         .select(field, "group_rank", "inner_rank", "doc_id", "score",
                 "group_size")
     )
+
+
+def expand_query_graph(
+    queries: list[tuple[str, str]],
+    rules: list[tuple[str, str]],
+) -> list[tuple[str, int, str]]:
+    """Multi-word synonym_graph expansion (Lucene's graph token filter
+    at query time): each rule maps a source PHRASE to a replacement
+    phrase; a rule whose tokens appear consecutively in the query
+    yields one alternative PATH with the phrase replaced. Returns
+    (query_id, path_idx, path_text) with path 0 = the original query —
+    one rule application per path (the common single-rewrite case;
+    Lucene's full graph would take the cartesian product over
+    non-overlapping matches).
+
+    Driver-side on purpose: the query set and rule set are bounded
+    configured artifacts (same boundedness as the synonym table the
+    single-token expander broadcasts); nothing here touches the corpus.
+    """
+    out = []
+    for qid, text in queries:
+        toks = [t for t in text.lower().split() if t]
+        out.append((qid, 0, " ".join(toks)))
+        p = 1
+        for src, dst in rules:
+            s = [t for t in src.lower().split() if t]
+            for i in range(len(toks) - len(s) + 1):
+                if toks[i:i + len(s)] == s:
+                    variant = toks[:i] + dst.lower().split() \
+                        + toks[i + len(s):]
+                    out.append((qid, p, " ".join(variant)))
+                    p += 1
+    return out
+
+
+def score_topk_graph(
+    index: "IndexFrames",
+    spark: SparkSession,
+    queries: list[tuple[str, str]],
+    rules: list[tuple[str, str]],
+    k: int,
+    round_scores: int = 6,
+) -> DataFrame:
+    """BM25 over a synonym_graph-expanded query: every path scores
+    independently (each path is one SHOULD clause of the rewritten
+    BooleanQuery, Lucene's graph-query decomposition), per-doc scores
+    SUM over matching paths, final top-k ranks the combined score.
+    Per-path scoring reuses the distinct-term pipeline; the path
+    count is bounded by the rule set, so the extra cost is one more
+    (query, doc) aggregation over path-tagged rows — no new scan."""
+    paths = expand_query_graph(queries, rules)
+    pqdf = queries_df(spark, [
+        {"query_id": f"{qid}\x1f{p}", "query_text": text,
+         "k": 1_000_000_000}
+        for qid, p, text in paths
+    ])
+    per_path = score_topk_dataframe(
+        index, pqdf, round_scores=round_scores)
+    combined = (
+        per_path
+        .withColumn(
+            "query_id",
+            F.split(F.col("query_id"), "\x1f").getItem(0))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("score"), round_scores).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        combined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -321,3 +321,42 @@ def test_simple_query_string_dnf_semantics(spark):
     assert set(by_doc) == {1, 3}
     assert by_doc[3] == 1.0  # zet* only: constant prefix score
     assert 0.0 < by_doc[1] != 1.0  # alpha+beta BM25 sum
+
+
+def test_expand_query_graph_paths():
+    from connectors_spark.operators.query import expand_query_graph
+
+    paths = expand_query_graph(
+        [("q", "a hash join b"), ("r", "merge x merge")],
+        [("hash join", "merge"), ("merge", "hash join")])
+    by_q = {}
+    for qid, p, text in paths:
+        by_q.setdefault(qid, []).append(text)
+    assert by_q["q"] == ["a hash join b", "a merge b"]
+    # two occurrences -> two single-application paths
+    assert by_q["r"] == ["merge x merge", "hash join x merge",
+                         "merge x hash join"]
+
+
+def test_score_topk_graph_sums_paths(spark):
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import (
+        score_topk_dataframe, score_topk_graph, queries_df)
+
+    docs = spark.createDataFrame(
+        [(1, "hash join fast"), (2, "merge fast"), (3, "other text")],
+        "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    out = score_topk_graph(
+        idx, spark, [("q", "hash join")],
+        [("hash join", "merge")], k=10, round_scores=6)
+    got = {r.doc_id: r.score for r in out.collect()}
+    # doc 1 matches path 0, doc 2 matches path 1 — both returned
+    assert set(got) == {1, 2}
+    # path-sum equals the plain per-path scores summed
+    p0 = score_topk_dataframe(
+        idx, queries_df(spark, [{"query_id": "q", "query_text":
+                                 "hash join", "k": 100}]),
+        round_scores=6)
+    s1 = {r.doc_id: r.score for r in p0.collect()}
+    assert got[1] == s1[1]
