@@ -13277,3 +13277,111 @@ def q_bm25_synonym_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_topk_graph(
         idx, spark, _GRAPH_SYN_QUERIES, _GRAPH_SYN_RULES, GATE_BM25_K,
         round_scores=ROUND_SCORE)
+
+
+_GAPFILL_BUCKET_SEC = 21600  # 6h: ~120 buckets over the 30-day events span
+
+
+@register("asof_join_events", """
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id,
+         max_by(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY 1, 2
+),
+pur AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts,
+       v.view_event_id, round(v.view_value, 6) AS view_value
+FROM pur p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase picks the user's latest view at or
+    before the purchase timestamp (DuckDB ASOF JOIN semantics; the
+    attribution/sync-cursor "state as of ts" lookup). Union-tag
+    formulation — ONE key shuffle + one ordered window, never the
+    per-key cross product a range join materializes
+    (operators/timeseries.py:asof_join). Right side pre-deduped to one
+    row per (user, ts) so tie-breaking is engine-independent."""
+    from connectors_spark.operators.timeseries import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    pur = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"),
+             F.expr("max_by(value, event_id)").alias("view_value"))
+    )
+    out = asof_join(pur, views, on="user_id", left_ts="ts",
+                    right_cols=["view_event_id", "view_value"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r").alias("view_ts"),
+        "view_event_id",
+        F.round("view_value", ROUND_SCORE).alias("view_value"),
+    )
+
+
+@register("gapfill_timeseries", f"""
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / {_GAPFILL_BUCKET_SEC})
+              * {_GAPFILL_BUCKET_SEC} AS BIGINT) AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+           FROM b GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(range(mn, mx + 1, {_GAPFILL_BUCKET_SEC})) AS BIGINT)
+           AS bucket
+  FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.bucket, b.v
+  FROM spine s LEFT JOIN b ON b.user_id = s.user_id AND b.bucket = s.bucket
+),
+f AS (
+  SELECT user_id, bucket, v,
+    last_value(v IGNORE NULLS) OVER w AS locf,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER w AS pb,
+    first_value(v IGNORE NULLS) OVER w2 AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER w2 AS nb
+  FROM j
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket, round(v, 6) AS v, round(locf, 6) AS locf_v,
+  round(CASE WHEN v IS NOT NULL THEN v
+             WHEN locf IS NOT NULL AND nv IS NOT NULL
+               THEN locf + (nv - locf) * (bucket - pb) / (nb - pb)
+             ELSE locf END, 6) AS interp_v
+FROM f
+""")
+def q_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill: 6-hour buckets of avg(value) per user,
+    densified to a contiguous per-user bucket spine (sequence+explode,
+    no driver loop), with LOCF and linear-interpolation fill columns —
+    TimescaleDB time_bucket_gapfill/locf/interpolate semantics, all
+    inside one per-user shuffle (operators/timeseries.py:gapfill)."""
+    from connectors_spark.operators.timeseries import gapfill
+
+    ev = _read(spark, sf_dir, "events")
+    g = gapfill(ev, key="user_id", ts="ts", value="value",
+                bucket_sec=_GAPFILL_BUCKET_SEC)
+    return g.select(
+        "user_id", "bucket",
+        F.round("v", ROUND_SCORE).alias("v"),
+        F.round("locf_v", ROUND_SCORE).alias("locf_v"),
+        F.round("interp_v", ROUND_SCORE).alias("interp_v"),
+    )

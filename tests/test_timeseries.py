@@ -1,0 +1,143 @@
+"""as-of join + gap-fill unit semantics (operators/timeseries.py)."""
+
+import math
+
+import pytest
+
+from connectors_spark.operators.timeseries import asof_join, gapfill
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    # left: lookups; right: quotes — classic as-of fixture
+    left = spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:00:05"),
+         (2, "a", "2024-01-01 10:00:10"),
+         (3, "b", "2024-01-01 10:00:01"),
+         (4, "c", "2024-01-01 10:00:10")],
+        "id long, k string, ts string",
+    ).selectExpr("id", "k", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1.0),
+         ("a", "2024-01-01 10:00:10", 2.0),
+         ("b", "2024-01-01 10:00:02", 5.0)],
+        "k string, ts string, px double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "px")
+    return left, right
+
+
+def test_asof_backward_inclusive(trades):
+    left, right = trades
+    out = asof_join(left, right, on="k", left_ts="ts",
+                    right_cols=["px"])
+    got = {r.id: r.px for r in out.collect()}
+    # id 1: latest quote <= 10:00:05 is 10:00:00 -> 1.0
+    # id 2: quote AT 10:00:10 matches (inclusive) -> 2.0
+    # id 3: no quote <= 10:00:01 for b -> NULL
+    # id 4: key c has no quotes at all -> NULL (left outer)
+    assert got == {1: 1.0, 2: 2.0, 3: None, 4: None}
+    assert out.count() == left.count()  # left-preserving
+
+
+def test_asof_strict_excludes_equal_ts(trades):
+    left, right = trades
+    out = asof_join(left, right, on="k", left_ts="ts",
+                    right_cols=["px"], strict=True)
+    got = {r.id: r.px for r in out.collect()}
+    # id 2: the 10:00:10 quote is now excluded -> falls back to 1.0
+    assert got[2] == 1.0
+    assert got[1] == 1.0 and got[3] is None
+
+
+def test_asof_tolerance_drops_stale_match(trades):
+    left, right = trades
+    out = asof_join(left, right, on="k", left_ts="ts",
+                    right_cols=["px"], tolerance_sec=3)
+    got = {r.id: r.px for r in out.collect()}
+    # id 1: match is 5s old > 3s tolerance -> NULL; id 2: 0s old -> 2.0
+    assert got[1] is None and got[2] == 2.0
+    assert out.count() == left.count()
+
+
+def test_asof_matched_ts_column_suffixed(trades):
+    left, right = trades
+    out = asof_join(left, right, on="k", left_ts="ts",
+                    right_cols=["px"])
+    assert "ts_r" in out.columns  # collision with left's ts -> suffix
+    by_id = {r.id: r.ts_r for r in out.collect()}
+    assert str(by_id[2]) == "2024-01-01 10:00:10"
+
+
+def test_asof_reserved_column_rejected(spark, trades):
+    left, right = trades
+    bad = left.withColumnRenamed("id", "__tag")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(bad, right, on="k", left_ts="ts")
+
+
+def test_gapfill_locf_and_interp(spark):
+    df = spark.createDataFrame(
+        [("u", 0, 10.0), ("u", 40, 30.0), ("v", 25, 7.0)],
+        "k string, sec long, val double",
+    ).selectExpr("k", "cast(sec as timestamp) ts", "val")
+    out = gapfill(df, key="k", ts="ts", value="val", bucket_sec=10)
+    rows = {(r.k, r.bucket): (r.v, r.locf_v, r.interp_v)
+            for r in out.collect()}
+    # u spans buckets 0..40: gaps at 10,20,30 lerp 10->30 over 4 steps
+    assert rows[("u", 0)] == (10.0, 10.0, 10.0)
+    assert rows[("u", 10)] == (None, 10.0, 15.0)
+    assert rows[("u", 20)] == (None, 10.0, 20.0)
+    assert rows[("u", 30)] == (None, 10.0, 25.0)
+    assert rows[("u", 40)] == (30.0, 30.0, 30.0)
+    # v: single bucket -> one-element spine (sequence(mn, mn) is valid)
+    assert rows[("v", 20)] == (7.0, 7.0, 7.0)
+    assert len(rows) == 6
+
+
+def test_gapfill_trailing_gap_is_locf_leading_stays_null(spark):
+    # two real buckets with a spine that still starts/ends on data:
+    # force a leading gap by checking interp semantics on a crafted
+    # frame where the first spine bucket is a gap is impossible by
+    # construction (bounds come from data) — instead verify the
+    # branch orders: a gap between points lerps, after-last would locf.
+    df = spark.createDataFrame(
+        [("u", 0, 1.0), ("u", 10, 1.0), ("u", 30, 4.0)],
+        "k string, sec long, val double",
+    ).selectExpr("k", "cast(sec as timestamp) ts", "val")
+    out = gapfill(df, key="k", ts="ts", value="val", bucket_sec=10)
+    rows = {r.bucket: (r.locf_v, r.interp_v) for r in out.collect()}
+    assert rows[20] == (1.0, 2.5)  # midpoint of 1.0 -> 4.0
+    assert rows[30] == (4.0, 4.0)
+
+
+def test_gapfill_agg_validation(spark):
+    df = spark.createDataFrame([("u", 0, 1.0)], "k string, sec long, "
+                               "val double").selectExpr(
+        "k", "cast(sec as timestamp) ts", "val")
+    with pytest.raises(ValueError, match="unknown agg"):
+        gapfill(df, key="k", ts="ts", value="val", bucket_sec=10,
+                agg="median")
+
+
+def test_gapfill_sum_agg(spark):
+    df = spark.createDataFrame(
+        [("u", 1, 2.0), ("u", 3, 3.0), ("u", 21, 1.0)],
+        "k string, sec long, val double",
+    ).selectExpr("k", "cast(sec as timestamp) ts", "val")
+    out = gapfill(df, key="k", ts="ts", value="val", bucket_sec=10,
+                  agg="sum")
+    rows = {r.bucket: r.v for r in out.collect()}
+    assert rows[0] == 5.0 and rows[10] is None and rows[20] == 1.0
+
+
+def test_asof_plan_has_no_cartesian(trades):
+    left, right = trades
+    out = asof_join(left, right, on="k", left_ts="ts",
+                    right_cols=["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
