@@ -13385,3 +13385,86 @@ def q_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("locf_v", ROUND_SCORE).alias("locf_v"),
         F.round("interp_v", ROUND_SCORE).alias("interp_v"),
     )
+
+
+_PAGERANK_K = 3
+_PAGERANK_DAMPING = 0.85
+_PAGERANK_ITERS = 5
+
+
+def _pagerank_sql(k: int, damping: float, iters: int) -> str:
+    """DuckDB twin of the kNN-graph PageRank gate: same deterministic
+    kNN edges (rounded-cosine rank, id tie-break — the ann_cosine_topk
+    oracle pattern), then `iters` power iterations as a chained CTE
+    (r1..r{iters}), each the literal rank'(v) = (1-d)/N + d·Σ p·rank
+    recurrence the Spark loop builds."""
+    sql = f"""
+WITH {_NORMS_SQL},
+dots AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         sum(CAST(a.embedding[i] AS DOUBLE)
+             * CAST(b.embedding[i] AS DOUBLE)) AS dot
+  FROM embeddings a CROSS JOIN embeddings b CROSS JOIN dims
+  WHERE a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT src, dst, round(dot / (ns.nrm * nd.nrm), 6) AS cos
+  FROM dots
+  JOIN norms ns ON ns.vec_id = src
+  JOIN norms nd ON nd.vec_id = dst
+),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {k}
+),
+outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY 1),
+en AS (SELECT e.src, e.dst, 1.0 / od AS p FROM edges e JOIN outd USING (src)),
+nodes AS (SELECT vec_id AS node FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS (
+  SELECT n.node,
+         (1.0 - {damping}) / nn.n
+           + {damping} * coalesce(sum(en.p * p.rank), 0.0) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN en ON en.dst = n.node
+  LEFT JOIN {prev} p ON p.node = en.src
+  GROUP BY n.node, nn.n
+)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT node AS vec_id, round(rank * 1000, {ROUND_SCORE}) AS score_x1000
+FROM {prev}
+"""
+    return sql
+
+
+@register("graph_pagerank",
+          _pagerank_sql(_PAGERANK_K, _PAGERANK_DAMPING, _PAGERANK_ITERS))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the embeddings kNN cosine graph
+    (k=3, d=0.85, 5 synchronous power iterations): similarity-graph
+    centrality for canonical-document election / quality propagation.
+    Iterative-algorithm shape: transition frame computed once and
+    persisted, each iteration one join + one groupBy on the edge key —
+    no driver-side data loop (operators/graph.py:pagerank). Edge
+    builder is the exact-kNN baseline; the IVF/LSH candidate
+    generators swap in at corpus scale."""
+    from connectors_spark.operators.graph import knn_edges, pagerank
+
+    emb = _read(spark, sf_dir, "embeddings")
+    edges = knn_edges(emb, k=_PAGERANK_K)
+    ranks = pagerank(edges, nodes=emb.select("vec_id"),
+                     damping=_PAGERANK_DAMPING, iters=_PAGERANK_ITERS)
+    return ranks.select(
+        F.col("node").alias("vec_id"),
+        F.round(F.col("rank") * 1000, ROUND_SCORE).alias("score_x1000"),
+    )

@@ -1,0 +1,79 @@
+"""PageRank + kNN-graph semantics (operators/graph.py)."""
+
+import pytest
+
+from connectors_spark.operators.graph import knn_edges, pagerank
+
+
+def _ranks(df):
+    return {r.node: r.rank for r in df.collect()}
+
+
+def test_pagerank_uniform_ring_stays_uniform(spark):
+    # directed ring: every node has in-degree 1 = out-degree 1 ->
+    # uniform 1/n is the exact fixed point at every iteration
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long")
+    got = _ranks(pagerank(edges, iters=4))
+    for v in got.values():
+        assert v == pytest.approx(1.0 / n, rel=1e-12)
+
+
+def test_pagerank_mass_conserved_without_danglers(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (1, 0), (2, 1)], "src long, dst long")
+    got = _ranks(pagerank(edges, damping=0.85, iters=5))
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_star_matches_hand_computation(spark):
+    # 3 leaves all point at hub 0; hub points at leaf 1.
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long")
+    d, n = 0.85, 4
+    # one iteration by hand from uniform 1/4
+    base = (1 - d) / n
+    r = {v: 1 / n for v in range(4)}
+    expect1 = {
+        0: base + d * (r[1] + r[2] + r[3]),
+        1: base + d * r[0],
+        2: base,
+        3: base,
+    }
+    got = _ranks(pagerank(edges, damping=d, iters=1))
+    for v in range(4):
+        assert got[v] == pytest.approx(expect1[v], rel=1e-12)
+
+
+def test_pagerank_explicit_nodes_include_isolated(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,), (9,)], "node long")
+    got = _ranks(pagerank(edges, nodes=nodes, damping=0.85, iters=3))
+    assert set(got) == {0, 1, 9}
+    assert got[9] == pytest.approx((1 - 0.85) / 3, rel=1e-12)
+
+
+def test_pagerank_weighted_edges(spark):
+    # src 0 splits 3:1 between 1 and 2
+    edges = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double")
+    got = _ranks(pagerank(edges, damping=1.0, iters=1, weight="w"))
+    assert got[1] / got[2] == pytest.approx(3.0, rel=1e-12)
+
+
+def test_knn_edges_shape(spark):
+    vs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+         (3, [0.1, 0.9])],
+        "vec_id long, embedding array<float>")
+    e = knn_edges(vs, k=2)
+    rows = [(r.src, r.dst) for r in e.collect()]
+    # every node emits exactly k edges, never to itself
+    from collections import Counter
+    out = Counter(s for s, _ in rows)
+    assert set(out.values()) == {2}
+    assert all(s != t for s, t in rows)
+    # 0's nearest is 1 (cos ~0.994) before 3
+    assert (0, 1) in rows
