@@ -13468,3 +13468,147 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("vec_id"),
         F.round(F.col("rank") * 1000, ROUND_SCORE).alias("score_x1000"),
     )
+
+
+_TPCH_Q3_CUT = "1998-03-15"
+_TPCH_Q5_LO, _TPCH_Q5_HI = "1995-01-01", "1997-01-01"
+
+
+@register("tpch_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+         AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical scan-heavy partial-agg
+    query: ONE pass over the fact table, filter pushed to the parquet
+    scan, map-side combine into 4 groups (hash agg, no sort). The OLAP
+    face of the engine's fact-table path; plan pinned in
+    tests/test_tpch.py."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), ROUND_SCORE).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), ROUND_SCORE)
+         .alias("sum_base_price"),
+        F.round(F.sum(disc), ROUND_SCORE).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), ROUND_SCORE)
+         .alias("sum_charge"),
+        F.round(F.avg("l_quantity"), ROUND_SCORE).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), ROUND_SCORE).alias("avg_price"),
+        F.round(F.avg("l_discount"), ROUND_SCORE).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register("tpch_shipping_priority", f"""
+WITH rev AS (
+  SELECT l.l_orderkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+         o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '{_TPCH_Q3_CUT}'
+    AND l.l_shipdate > TIMESTAMP '{_TPCH_Q3_CUT}'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_orderdate ASC,
+                               l_orderkey ASC) AS INT) AS rank,
+       l_orderkey, revenue, o_orderdate, o_orderpriority
+FROM rev
+ORDER BY rank LIMIT 10
+""")
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: fact-to-fact shuffle join
+    (lineitem ⋈ orders on orderkey) with the filtered customer dim
+    broadcast, revenue rounded BEFORE ranking (hash-stability
+    convention), global top-10 via TakeOrderedAndProject — never an
+    unpartitioned full-frame window."""
+    cut = F.lit(_TPCH_Q3_CUT).cast("timestamp")
+    c = (_read(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey"))
+    o = (_read(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") < cut)
+         .select("o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"))
+    li = (_read(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > cut)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))),
+                     ROUND_SCORE).alias("revenue"))
+    )
+    top = _ranked_topk(
+        rev, [F.desc("revenue"), F.asc("o_orderdate"),
+              F.asc("l_orderkey")], 10)
+    return top.select(F.col("rank").cast("int").alias("rank"),
+                      "l_orderkey", "revenue", "o_orderdate",
+                      "o_orderpriority")
+
+
+@register("tpch_regional_revenue", f"""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '{_TPCH_Q5_LO}'
+  AND o.o_orderdate < TIMESTAMP '{_TPCH_Q5_HI}'
+GROUP BY n.n_name
+""")
+def q_tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier revenue — the star-join shape: fact
+    shuffles only on its join keys, every dimension (supplier, nation,
+    region — and at this cardinality customer) broadcasts; Catalyst
+    prunes columns to the scan. The region filter cuts nation before
+    the broadcast, so the supplier-side probe table is 1/5th."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (_read(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit(_TPCH_Q5_LO).cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit(_TPCH_Q5_HI).cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name",
+                                              "n_regionkey")
+    r = (_read(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    sn = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn),
+              (li.l_suppkey == sn.s_suppkey)
+              & (c.c_nationkey == sn.s_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))),
+                     ROUND_SCORE).alias("revenue"))
+    )
