@@ -13612,3 +13612,65 @@ def q_tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (1 - F.col("l_discount"))),
                      ROUND_SCORE).alias("revenue"))
     )
+
+
+# Deterministic mojibake fixture: inject non-ASCII into the (all-ASCII)
+# documents text, corrupt with the cp1252 mangle table, then repair.
+_MOJI_INJECT = [("table", "tablé—“x”"), ("sort", "sört…"),
+                ("data", "d’ata€")]
+
+
+def _mojibake_sql() -> str:
+    from connectors_spark.functions.encoding import (
+        mangle_sql_duckdb, repair_sql_duckdb)
+
+    inj = "text"
+    for src, dst in _MOJI_INJECT:
+        d = dst.replace("'", "''")
+        inj = f"replace({inj}, '{src}', '{d}')"
+    corrupted = mangle_sql_duckdb(inj)
+    repaired = repair_sql_duckdb("corrupted")
+    return f"""
+WITH staged AS (
+  SELECT doc_id, {inj} AS injected, {corrupted} AS corrupted
+  FROM documents
+),
+fixed AS (
+  SELECT doc_id, injected, corrupted, {repaired} AS repaired FROM staged
+)
+SELECT doc_id, md5(repaired) AS repaired_md5,
+       CAST(repaired = injected AS INT) AS roundtrip_ok,
+       CAST(length(corrupted) - length(injected) AS BIGINT)
+         AS artifact_extra_chars
+FROM fixed
+"""
+
+
+@register("mojibake_repair", _mojibake_sql())
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-repair cleaning op (ftfy's core fix): cp1252-mojibake
+    artifacts ('Ã©', 'â€™', …) inverted by a frozen longest-first
+    replacement table compiled to a JVM literal-replace chain — no
+    UDF (functions/encoding.py). The gate corrupts the clean corpus
+    deterministically with the SAME table (both engines), repairs it,
+    and pins the round-trip + repaired-content hash."""
+    from connectors_spark.functions.encoding import (
+        mangle_col, repair_mojibake_col)
+
+    docs = _read(spark, sf_dir, "documents")
+    inj = F.col("text")
+    for src, dst in _MOJI_INJECT:
+        inj = F.replace(inj, F.lit(src), F.lit(dst))
+    staged = docs.select(
+        "doc_id", inj.alias("injected"),
+        mangle_col(inj).alias("corrupted"))
+    fixed = staged.withColumn(
+        "repaired", repair_mojibake_col(F.col("corrupted")))
+    return fixed.select(
+        "doc_id",
+        F.md5(F.col("repaired")).alias("repaired_md5"),
+        (F.col("repaired") == F.col("injected")).cast("int")
+        .alias("roundtrip_ok"),
+        (F.length("corrupted") - F.length("injected")).cast("long")
+        .alias("artifact_extra_chars"),
+    )
