@@ -13674,3 +13674,27 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("corrupted") - F.length("injected")).cast("long")
         .alias("artifact_extra_chars"),
     )
+
+
+@register("ngram_novelty", f"""
+WITH {_ARRS_CTE},
+g AS (SELECT DISTINCT doc_id, gram FROM ({_ddb_doc_grams(3)})),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+o AS (SELECT g.doc_id, count(*) AS n_grams,
+             count(*) FILTER (WHERE f.first_doc = g.doc_id) AS n_novel
+      FROM g JOIN f USING (gram) GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(o.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(o.n_novel, 0) AS BIGINT) AS n_novel,
+       round(coalesce(o.n_novel * 1.0 / nullif(o.n_grams, 0), 0.0), 6)
+         AS novelty_frac
+FROM documents d LEFT JOIN o USING (doc_id)
+""")
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty (fraction of distinct grams first seen
+    in this doc, by min doc id): the diversity/memorization probe for
+    training-mix curation (functions/text.py:ngram_novelty). Exact
+    duplicates in the synth corpus score 0.0; early docs score high."""
+    from connectors_spark.functions.text import ngram_novelty
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3)

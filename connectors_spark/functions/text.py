@@ -496,3 +496,44 @@ def ngram_lm_score(df, text_col: str = "text", id_col: str = "doc_id",
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), round_to).alias("avg_log2p"),
     )
+
+
+def ngram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty_frac) — per document, the
+    fraction of its DISTINCT n-grams whose corpus-wide first occurrence
+    (min doc id) is this document. A diversity/memorization probe for
+    training mixes: near-duplicate and boilerplate-heavy corpora show
+    collapsing novelty curves when docs are ordered by ingest id.
+
+    Shape: distinct (doc, gram) → gram-keyed min-id agg (map-side
+    combinable) → one gram-keyed join back — both shuffles linear in
+    the gram stream, never all-pairs. Docs with fewer than n tokens
+    report 0 grams / 0.0 novelty (kept, not dropped)."""
+    grams = _doc_grams(df, n, text_col, id_col).distinct()
+    first = grams.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    o = (
+        grams.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+            .alias("n_novel"),
+        )
+    )
+    return (
+        df.select(id_col).join(o, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(
+                    F.col("n_novel")
+                    / F.nullif(F.col("n_grams"), F.lit(0)).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )

@@ -120,3 +120,20 @@ def test_analyze_text_offsets_positions_gaps(spark):
         assert src[s:e].lower() == tok
     stemmed = {r.token: r.stemmed for r in out.collect()}
     assert stemmed["quick"] == "quick"
+
+
+def test_ngram_novelty_semantics(spark):
+    from connectors_spark.functions.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),          # first doc: all grams novel
+         (2, "a b c d"),          # exact dup: zero novelty
+         (3, "a b c x"),          # shares "a b c", adds "b c x"
+         (4, "q r")],             # < 3 tokens: no grams, kept
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_novel, r.novelty_frac)
+           for r in ngram_novelty(docs, n=3).collect()}
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 1, 0.5)
+    assert got[4] == (0, 0, 0.0)
