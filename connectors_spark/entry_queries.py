@@ -13698,3 +13698,77 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return ngram_novelty(docs, n=3)
+
+
+def _mapping_infer_sql() -> str:
+    from connectors_spark.operators.mapping_infer import (
+        RESOLVE_SQL_DUCKDB, classify_sql_duckdb)
+
+    kv = """
+  SELECT 'event_type' AS field, event_type AS val FROM events
+  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL SELECT 'value', printf('%.2f', value) FROM events
+  UNION ALL SELECT 'ts', strftime(ts, '%Y-%m-%d %H:%M:%S') FROM events
+  UNION ALL SELECT 'k', nullif(regexp_extract(props, '[0-9]+', 0), '')
+            FROM events
+  UNION ALL SELECT 'is_error',
+            CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END
+            FROM events
+  UNION ALL SELECT 'mixed',
+            CASE WHEN event_id % 2 = 0 THEN CAST(user_id AS VARCHAR)
+                 ELSE event_type END
+            FROM events"""
+    cls = classify_sql_duckdb("val")
+    return f"""
+WITH kv AS ({kv}),
+tagged AS (SELECT field, {cls} AS cls FROM kv),
+flags AS (
+  SELECT field,
+         bool_or(cls = 'boolean') AS h_boolean,
+         bool_or(cls = 'long') AS h_long,
+         bool_or(cls = 'double') AS h_double,
+         bool_or(cls = 'date') AS h_date,
+         bool_or(cls = 'text') AS h_text,
+         CAST(count(cls) AS BIGINT) AS n_values
+  FROM tagged GROUP BY field
+)
+SELECT field, {RESOLVE_SQL_DUCKDB} AS es_type, n_values FROM flags
+"""
+
+
+@register("dynamic_mapping_infer", _mapping_infer_sql())
+def q_dynamic_mapping_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dynamic-mapping inference analog: classify string values
+    (boolean/long/double/date detection, text fallback) and resolve a
+    per-field type with the promotion lattice (long+double→double,
+    conflicts→text) — what ES does when the connector bulk-indexes
+    without explicit mappings (operators/mapping_infer.py). One
+    map-side-combinable agg over the (field, value) stream; the
+    'mixed' field pins the conflict→text rule."""
+    from connectors_spark.operators.mapping_infer import infer_mapping
+
+    ev = _read(spark, sf_dir, "events")
+    parts = [
+        ev.select(F.lit("event_type").alias("field"),
+                  F.col("event_type").alias("val")),
+        ev.select(F.lit("user_id").alias("field"),
+                  F.col("user_id").cast("string").alias("val")),
+        ev.select(F.lit("value").alias("field"),
+                  F.format_string("%.2f", F.col("value")).alias("val")),
+        ev.select(F.lit("ts").alias("field"),
+                  F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("val")),
+        ev.select(F.lit("k").alias("field"),
+                  F.nullif(F.regexp_extract("props", "[0-9]+", 0),
+                           F.lit("")).alias("val")),
+        ev.select(F.lit("is_error").alias("field"),
+                  F.when(F.col("event_type") == "error", "true")
+                   .otherwise("false").alias("val")),
+        ev.select(F.lit("mixed").alias("field"),
+                  F.when(F.col("event_id") % 2 == 0,
+                         F.col("user_id").cast("string"))
+                   .otherwise(F.col("event_type")).alias("val")),
+    ]
+    kv = parts[0]
+    for p in parts[1:]:
+        kv = kv.unionByName(p)
+    return infer_mapping(kv)

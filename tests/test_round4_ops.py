@@ -260,3 +260,28 @@ def test_cross_fields_requires_known_tie_breaker_range(spark):
     out = score_cross_fields([(idx_t, 1.0), (idx_s, 1.0)], qdf,
                              tie_breaker=1.0).collect()
     assert len(out) == 1 and out[0].doc_id == 1
+
+
+def test_mapping_infer_promotion_lattice(spark):
+    from connectors_spark.operators.mapping_infer import infer_mapping
+
+    kv = spark.createDataFrame(
+        [("a", "1"), ("a", "2.5"),            # long+double -> double
+         ("b", "true"), ("b", "false"),       # boolean
+         ("c", "2024-01-01"), ("c", "2024-01-02 03:04:05"),  # date
+         ("d", "1"), ("d", "x"),              # long+text -> text
+         ("e", "true"), ("e", "7"),           # bool+numeric -> text
+         ("f", "2024-01-01"), ("f", "9"),     # date+numeric -> text
+         ("g", None), ("g", None),            # all null -> no mapping
+         ("h", "123456789012345678901234")],  # >18 digits -> text
+        "field string, val string")
+    got = {r.field: (r.es_type, r.n_values)
+           for r in infer_mapping(kv).collect()}
+    assert got["a"] == ("double", 2)
+    assert got["b"] == ("boolean", 2)
+    assert got["c"] == ("date", 2)
+    assert got["d"] == ("text", 2)
+    assert got["e"] == ("text", 2)
+    assert got["f"] == ("text", 2)
+    assert got["g"] == (None, 0)
+    assert got["h"] == ("text", 1)
