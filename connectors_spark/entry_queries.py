@@ -13772,3 +13772,43 @@ def q_dynamic_mapping_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         kv = kv.unionByName(p)
     return infer_mapping(kv)
+
+
+@register("nfc_normalize_docs", """
+WITH staged AS (
+  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS decomposed
+  FROM documents
+),
+normed AS (
+  SELECT doc_id, decomposed, nfc_normalize(decomposed) AS normalized
+  FROM staged
+)
+SELECT doc_id, md5(normalized) AS norm_md5,
+       CAST(length(decomposed) - length(normalized) AS BIGINT)
+         AS composed_chars,
+       CAST(normalized <> decomposed AS INT) AS changed
+FROM normed
+""")
+def q_nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (functions/encoding.py): the gate
+    decomposes every 'e' into 'e'+COMBINING ACUTE on both engines,
+    then normalizes — Spark via the Arrow-batched stdlib-unicodedata
+    pandas UDF, DuckDB via nfc_normalize — and pins content hash +
+    per-doc composed-codepoint counts. Canonically-equivalent
+    sequences must collapse before dedup/tokenization."""
+    from connectors_spark.functions.encoding import nfc_normalize
+
+    docs = _read(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit("e"),
+                  F.lit("é")).alias("decomposed"))
+    normed = nfc_normalize(staged, "decomposed", out_col="normalized")
+    return normed.select(
+        "doc_id",
+        F.md5(F.col("normalized")).alias("norm_md5"),
+        (F.length("decomposed") - F.length("normalized")).cast("long")
+        .alias("composed_chars"),
+        (F.col("normalized") != F.col("decomposed")).cast("int")
+        .alias("changed"),
+    )

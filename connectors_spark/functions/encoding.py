@@ -107,3 +107,35 @@ def mangle_col(col: Column, chars: str = MOJIBAKE_CHARS) -> Column:
                             key=lambda kv: (len(kv[0]), kv[0])):
         out = F.replace(out, F.lit(good), F.lit(bad))
     return out
+
+
+# ---------------------------------------------------------------- NFC
+# Unicode normalization: the other half of encoding hygiene (mojibake
+# repair fixes byte-level damage; NFC canonicalizes equivalent
+# codepoint sequences so 'é' and 'e'+COMBINING ACUTE dedup/tokenize
+# identically). No JVM builtin exists, so this is a declared
+# Arrow-batched pandas UDF over stdlib unicodedata — the sanctioned
+# slow path, vectorized per batch, never per-row Python.
+
+import unicodedata
+
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
+
+def nfc_normalize(df: DataFrame, text_col: str = "text",
+                  out_col: str | None = None,
+                  form: str = "NFC") -> DataFrame:
+    """Canonical-composition normalization of a string column (NFC by
+    default; NFD/NFKC/NFKD accepted). The UDF is built per call — a
+    pandas_udf decorator needs an active session, so module import
+    stays session-free."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None
+                     else unicodedata.normalize(form, v))
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))

@@ -76,3 +76,23 @@ def test_repair_is_noop_on_clean_ascii(spark):
         [(1, "just plain text, no damage.")], "id long, text string")
     assert repair_mojibake(df, "text").collect()[0].text == \
         "just plain text, no damage."
+
+
+def test_nfc_normalize_composes_and_validates(spark):
+    from connectors_spark.functions.encoding import nfc_normalize
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "cafe\u0301"),  # e + combining acute -> e-acute
+         (2, "ﬁne"),          # fi ligature: NFC keeps, NFKC folds
+         (3, None)],
+        "id long, text string")
+    nfc = {r.id: r.text for r in nfc_normalize(df, "text").collect()}
+    assert nfc[1] == "caf\u00e9" and len(nfc[1]) == 4
+    assert nfc[2] == "ﬁne"
+    assert nfc[3] is None
+    nfkc = {r.id: r.text
+            for r in nfc_normalize(df, "text", form="NFKC").collect()}
+    assert nfkc[2] == "fine"
+    with _pytest.raises(ValueError, match="normalization form"):
+        nfc_normalize(df, "text", form="NFX")
