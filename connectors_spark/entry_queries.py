@@ -13812,3 +13812,104 @@ def q_nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("normalized") != F.col("decomposed")).cast("int")
         .alias("changed"),
     )
+
+
+@register("quality_percentile_by_source", """
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY n_chars ASC, doc_id ASC) AS pct_src
+  FROM documents
+)
+SELECT doc_id, source, round(pct_src, 6) AS pct_src,
+       CAST(least(floor(pct_src * 10), 9) AS INT) AS decile_src
+FROM p
+""")
+def q_quality_percentile_by_source(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile calibration: a raw quality signal
+    (length here; any scorer drops in) is percent-ranked WITHIN each
+    source so thresholds mean the same thing across domains — the
+    normalization step before cross-domain mix thresholds (a web
+    source's median differs wildly from curated text). Per-source
+    window = per-source shuffle — the partitionBy IS the shuffle key,
+    so no unpartitioned window anywhere; doc_id tie-break keeps ranks
+    engine-deterministic. (A GLOBAL percentile would need the
+    range-sort + prefix-sum shape of pretrain.doc_offsets — per-source
+    is the signal mixing pipelines actually threshold on.)"""
+    docs = _read(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        F.asc("n_chars"), F.asc("doc_id"))
+    p = docs.select(
+        "doc_id", "source",
+        F.percent_rank().over(w_src).alias("_ps"),
+    )
+    return p.select(
+        "doc_id", "source",
+        F.round("_ps", ROUND_SCORE).alias("pct_src"),
+        F.least(F.floor(F.col("_ps") * 10), F.lit(9)).cast("int")
+        .alias("decile_src"),
+    )
+
+
+_BLOCKLIST_TOPK = 20
+_BLOCKLIST_MAX_FRAC = 0.5
+
+
+@register("ngram_blocklist_filter", f"""
+WITH {_ARRS_CTE},
+g AS (SELECT DISTINCT doc_id, gram FROM ({_ddb_doc_grams(3)})),
+top AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS df FROM g GROUP BY 1
+    ORDER BY df DESC, gram ASC LIMIT {_BLOCKLIST_TOPK})
+),
+cov AS (
+  SELECT doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE gram IN (SELECT gram FROM top))
+           AS n_block
+  FROM g GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(c.n_block, 0) AS BIGINT) AS n_block,
+       round(coalesce(c.n_block * 1.0 / nullif(c.n_grams, 0), 0.0), 6)
+         AS block_frac,
+       CAST(coalesce(c.n_block * 1.0 / nullif(c.n_grams, 0), 0.0)
+            <= {_BLOCKLIST_MAX_FRAC} AS INT) AS keep
+FROM documents d LEFT JOIN cov c USING (doc_id)
+""")
+def q_ngram_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-gram blocklist filter: the corpus's top-{20}
+    most document-frequent 3-grams form the blocklist (the global
+    boilerplate head); each doc is scored by the fraction of its
+    distinct grams that are blocklisted and dropped past 50%. Top-K =
+    distributed TakeOrderedAndProject over the gram-df agg (map-side
+    combinable); the blocklist is K rows — broadcast back, never a
+    shuffle on the corpus side."""
+    from connectors_spark.functions.text import _doc_grams
+
+    docs = _read(spark, sf_dir, "documents")
+    g = _doc_grams(docs, 3, "text", "doc_id").distinct()
+    top = (g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+           .orderBy(F.desc("df"), F.asc("gram"))
+           .limit(_BLOCKLIST_TOPK)
+           .select("gram", F.lit(1).alias("_blk")))
+    cov = (
+        g.join(F.broadcast(top), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(F.coalesce("_blk", F.lit(0))).alias("n_block"))
+    )
+    frac = F.coalesce(
+        F.col("n_block") / F.nullif(F.col("n_grams"), F.lit(0))
+        .cast("double"), F.lit(0.0))
+    return (
+        docs.select("doc_id").join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_block", F.lit(0)).cast("long").alias("n_block"),
+            F.round(frac, ROUND_SCORE).alias("block_frac"),
+            (frac <= F.lit(_BLOCKLIST_MAX_FRAC)).cast("int").alias("keep"),
+        )
+    )

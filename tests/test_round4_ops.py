@@ -285,3 +285,52 @@ def test_mapping_infer_promotion_lattice(spark):
     assert got["f"] == ("text", 2)
     assert got["g"] == (None, 0)
     assert got["h"] == ("text", 1)
+
+
+def test_ngram_blocklist_filter_semantics(spark, tmp_path):
+    import shutil, os
+    # build a private sf dir with a crafted documents table
+    # blocklist anatomy (top-20 by df desc, gram asc): the 4 shared
+    # boilerplate grams (df>=2) lead; doc 4's 28 aaa-prefixed df-1
+    # grams fill the lexicographic tail, so docs 2/3's unique grams
+    # (q-/z-prefixed) stay OFF the list
+    filler = " ".join(f"aaa{i:03d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, "the same old thing " * 5),       # all grams df=2 (doc 5)
+         (2, "the same old thing qone qtwo qthree qfour qfive"),
+         (3, "zebra zonal zoom zest zeal zinc zing zip zone zero "
+             "zoned zoningx zippy zesty zealot"),
+         (4, filler),
+         (5, "the same old thing " * 5)],      # exact dup of doc 1
+        "doc_id long, text string")
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    from connectors_spark.entry_queries import q_ngram_blocklist_filter
+    got = {r.doc_id: (r.block_frac, r.keep)
+           for r in q_ngram_blocklist_filter(spark, d).collect()}
+    # doc 1: every distinct gram is in the global head -> dropped
+    assert got[1][0] == 1.0 and got[1][1] == 0
+    # doc 3: z-prefixed grams stay off the blocklist -> kept, frac 0
+    assert got[3] == (0.0, 1)
+    # doc 2 shares the boilerplate head but keeps its unique tail
+    assert 0.0 < got[2][0] < 1.0 and got[2][1] == 1
+
+
+def test_quality_percentile_ranks_within_source(spark, tmp_path):
+    import os
+    docs = spark.createDataFrame(
+        [(1, "a", "s1", 10), (2, "b", "s1", 20), (3, "c", "s1", 30),
+         (4, "d", "s2", 5)],
+        "doc_id long, text string, source string, n_chars long")
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    from connectors_spark.entry_queries import (
+        q_quality_percentile_by_source)
+    got = {r.doc_id: (r.pct_src, r.decile_src)
+           for r in q_quality_percentile_by_source(spark, d).collect()}
+    assert got[1] == (0.0, 0)
+    assert got[2] == (0.5, 5)
+    assert got[3] == (1.0, 9)
+    assert got[4] == (0.0, 0)  # singleton source: percent_rank 0
