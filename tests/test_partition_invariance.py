@@ -32,6 +32,14 @@ GATES = [
     "esql_sample",          # row-content Bernoulli (must not use rand())
     "esql_change_point",    # single-group argmax split
     "tool_chain_stats",     # in-array ordered chain render
+    "asof_join_events",     # union-tag ordered window match
+    "gapfill_timeseries",   # sequence spine + LOCF/interp windows
+    "graph_pagerank",       # 5 iterations of join+agg float sums
+    "tpch_shipping_priority",  # rounded-revenue TakeOrdered top-k
+    "ngram_novelty",        # gram-keyed min-id + linear join
+    "ngram_blocklist_filter",  # TakeOrdered gram head, broadcast back
+    "dynamic_mapping_infer",   # bool_or lattice agg
+    "mojibake_repair",      # row-local literal-replace chain
 ]
 
 
