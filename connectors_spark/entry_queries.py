@@ -13913,3 +13913,23 @@ def q_ngram_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac <= F.lit(_BLOCKLIST_MAX_FRAC)).cast("int").alias("keep"),
         )
     )
+
+
+@register("global_quality_rank", """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM documents
+""")
+def q_global_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number WITHOUT a single-task window: rank all docs
+    by (n_chars desc, doc_id asc) via range-partition + in-partition
+    sort + O(partitions) prefix-sum + per-partition Arrow rank
+    (operators/ordering.py:global_rank — the distributed replacement
+    for Window.orderBy at corpus scale; doc_id tie-break makes the
+    order total so ranks are partitioning-invariant)."""
+    from connectors_spark.operators.ordering import global_rank
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_rank(docs, ["n_chars", "doc_id"],
+                       ascending=[False, True])

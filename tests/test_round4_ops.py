@@ -334,3 +334,43 @@ def test_quality_percentile_ranks_within_source(spark, tmp_path):
     assert got[2] == (0.5, 5)
     assert got[3] == (1.0, 9)
     assert got[4] == (0.0, 0)  # singleton source: percent_rank 0
+
+
+def test_global_rank_matches_window_and_is_part_invariant(spark):
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+    from connectors_spark.operators.ordering import global_rank
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(200)], "id long, v long")
+    expect = {
+        r.id: r.rank for r in df.withColumn(
+            "rank", F.row_number().over(
+                Window.orderBy(F.desc("v"), F.asc("id")))).collect()}
+    for parts in (3, 32):
+        got = {r.id: r.rank
+               for r in global_rank(df, ["v", "id"],
+                                    ascending=[False, True],
+                                    num_parts=parts).collect()}
+        assert got == expect, f"num_parts={parts}"
+
+
+def test_global_rank_plan_has_no_window(spark):
+    from connectors_spark.operators.ordering import global_rank
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS v")
+    out = global_rank(df, ["v", "id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
+
+
+def test_global_rank_validates_inputs(spark):
+    import pytest as _pytest
+    from connectors_spark.operators.ordering import global_rank
+
+    df = spark.range(5).selectExpr("id", "id AS rank")
+    with _pytest.raises(ValueError, match="already exists"):
+        global_rank(df, ["id"])
+    with _pytest.raises(ValueError, match="ascending"):
+        global_rank(df.selectExpr("id"), ["id"], ascending=[True, False])
