@@ -48,6 +48,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` synchronous power iterations of
     PageRank with uniform teleport:
@@ -61,7 +62,13 @@ def pagerank(
     add; omitted here because every intended edge source (kNN graphs)
     has out-degree k. ``weight``: optional edge-weight column,
     normalized per source; None = uniform 1/out-degree.
-    """
+
+    ``teleport``: optional (node, weight) frame for PERSONALIZED
+    PageRank / TrustRank — the teleport term becomes (1-d)·t(v) with
+    t normalized to sum 1 (nodes absent from the frame get 0), so
+    authority flows out from the seed set instead of uniformly. The
+    LLM-data use: seed trusted/curated sources and propagate quality
+    through the document-similarity graph. Initial rank = t(v)."""
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      w.alias("w"))
@@ -83,8 +90,28 @@ def pagerank(
              .persist())
     trans.count()  # materialize once; reused every iteration
 
-    base = (1.0 - damping) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if teleport is None:
+        base_col = F.lit((1.0 - damping) / n)
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        with_base = nodes.select("node", base_col.alias("_base"))
+    else:
+        tc = teleport.columns
+        t = teleport.select(F.col(tc[0]).alias("node"),
+                            F.col(tc[1]).cast("double").alias("_tw"))
+        tot = t.agg(F.sum("_tw")).collect()[0][0]
+        if not tot or tot <= 0:
+            raise ValueError("teleport weights must sum > 0")
+        norm = (
+            nodes.join(t, "node", "left")
+            .select("node",
+                    (F.coalesce("_tw", F.lit(0.0)) / F.lit(float(tot)))
+                    .alias("_t"))
+            .persist()
+        )
+        ranks = norm.select("node", F.col("_t").alias("rank"))
+        with_base = norm.select(
+            "node", (F.lit(1.0 - damping) * F.col("_t")).alias("_base"))
+    with_base = with_base.persist()
     for _ in range(int(iters)):
         inflow = (
             trans.join(ranks, trans["src"] == ranks["node"])
@@ -92,10 +119,11 @@ def pagerank(
             .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
         )
         ranks = (
-            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            with_base.join(inflow, with_base["node"] == inflow["dst"],
+                           "left")
             .select(
                 "node",
-                (F.lit(base)
+                (F.col("_base")
                  + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                  ).alias("rank"),
             )

@@ -77,3 +77,36 @@ def test_knn_edges_shape(spark):
     assert all(s != t for s, t in rows)
     # 0's nearest is 1 (cos ~0.994) before 3
     assert (0, 1) in rows
+
+
+def test_personalized_pagerank_seeds_hold_authority(spark):
+    # ring of 4; seed all teleport mass on node 0
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src long, dst long")
+    seeds = spark.createDataFrame([(0, 1.0)], "node long, w double")
+    got = _ranks(pagerank(edges, damping=0.85, iters=8, teleport=seeds))
+    # mass conserved; node 0 holds the most (teleport returns there)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+    assert got[0] == max(got.values())
+    # downstream decay: 1 > 2 > 3 (authority decays along the ring)
+    assert got[1] > got[2] > got[3]
+
+
+def test_personalized_teleport_validation(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    zero = spark.createDataFrame([(0, 0.0)], "node long, w double")
+    with pytest.raises(ValueError, match="sum > 0"):
+        pagerank(edges, teleport=zero)
+
+
+def test_uniform_teleport_equals_default(spark):
+    n = 5
+    edges = spark.createDataFrame(
+        [(i, (i + 2) % n) for i in range(n)] +
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long")
+    uni = spark.createDataFrame([(i, 3.0) for i in range(n)],
+                                "node long, w double")
+    a = _ranks(pagerank(edges, iters=4))
+    b = _ranks(pagerank(edges, iters=4, teleport=uni))
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-12)
