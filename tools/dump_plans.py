@@ -93,6 +93,30 @@ def main():
         fmt(pack_sequences(tokenize(docs), seq_len=128, num_parts=4)),
     ))
 
+    from connectors_spark.operators.timeseries import asof_join
+
+    pur = events.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts")
+    views = events.filter("event_type = 'view'").select(
+        "user_id", "ts", "value")
+    sections.append((
+        "As-of join: union-tag formulation — ONE hash shuffle on the "
+        "key + one ordered window (last ignorenulls), no per-key range "
+        "cross product, no CartesianProduct/BroadcastNestedLoopJoin",
+        fmt(asof_join(pur, views, on="user_id", left_ts="ts")),
+    ))
+
+    from connectors_spark.operators.ordering import global_rank
+
+    sections.append((
+        "Distributed global row_number: range partition + in-partition "
+        "sort + per-partition Arrow rank (MapInPandas) — NO Window "
+        "operator, no single-task stage",
+        fmt(global_rank(docs.select("doc_id", "n_chars"),
+                        ["n_chars", "doc_id"], ascending=[False, True],
+                        num_parts=4)),
+    ))
+
     out = ["# PLANS — physical plans of the flagship operators\n",
            "Regenerate: `python tools/dump_plans.py`\n"]
     for title, plan in sections:
