@@ -13933,3 +13933,46 @@ def q_global_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return global_rank(docs, ["n_chars", "doc_id"],
                        ascending=[False, True])
+
+
+_CIDR_A, _CIDR_B = "10.64.0.0/10", "10.0.128.0/17"
+
+
+def _cidr_query_sql() -> str:
+    from connectors_spark.operators.query import cidr_match_sql
+
+    ip = ("concat('10.', CAST(event_id * 7 % 256 AS VARCHAR), '.', "
+          "CAST(event_id * 13 % 256 AS VARCHAR), '.', "
+          "CAST(event_id % 256 AS VARCHAR))")
+    a = cidr_match_sql("ip", _CIDR_A)
+    b = cidr_match_sql("ip", _CIDR_B)
+    return f"""
+WITH t AS (SELECT event_id, {ip} AS ip FROM events)
+SELECT event_id, ip,
+       CAST({a} AS INT) AS in_a, CAST({b} AS INT) AS in_b
+FROM t WHERE {a} OR {b}
+"""
+
+
+@register("cidr_term_query", _cidr_query_sql())
+def q_cidr_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term query on an ip field with CIDR values ('10.64.0.0/10'):
+    pure JVM bit math — (ipv4_as_long & mask) == masked_base — over the
+    same deterministic event-derived address the ip_range gate uses;
+    both CIDR flags emitted, rows filtered to either network
+    (operators/query.py:cidr_match; stdlib-validated CIDR parse)."""
+    from connectors_spark.operators.query import cidr_match
+
+    ev = _read(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".", F.lit("10"),
+        (F.col("event_id") * 7 % 256).cast("string"),
+        (F.col("event_id") * 13 % 256).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    t = ev.select("event_id", ip.alias("ip"))
+    a, b = cidr_match(F.col("ip"), _CIDR_A), cidr_match(F.col("ip"), _CIDR_B)
+    return (t.filter(a | b)
+            .select("event_id", "ip",
+                    a.cast("int").alias("in_a"),
+                    b.cast("int").alias("in_b")))

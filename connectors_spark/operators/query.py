@@ -1463,3 +1463,42 @@ def score_topk_graph(
         .filter(F.col("rank") <= F.lit(k))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def ipv4_to_long_col(col: Column) -> Column:
+    """Dotted-quad string -> uint32-as-long (JVM split + arithmetic)."""
+    parts = F.split(col, r"\.")
+    return (parts[0].cast("long") * 16777216
+            + parts[1].cast("long") * 65536
+            + parts[2].cast("long") * 256 + parts[3].cast("long"))
+
+
+def parse_cidr(cidr: str) -> tuple[int, int]:
+    """(masked_base, mask) for an IPv4 CIDR literal — computed driver-
+    side once (the CIDR is a query constant), validated via stdlib."""
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    if net.version != 4:
+        raise ValueError(f"only IPv4 CIDRs supported, got {cidr!r}")
+    mask = int(net.netmask)
+    return int(net.network_address) & mask, mask
+
+
+def cidr_match(col: Column, cidr: str) -> Column:
+    """ES term-query-on-ip-field semantics: does the dotted-quad string
+    in `col` fall inside `cidr`? Pure JVM bit math — (ip & mask) ==
+    masked_base — usable as a pushable filter or a SELECT flag."""
+    base, mask = parse_cidr(cidr)
+    return ipv4_to_long_col(col).bitwiseAND(F.lit(mask)) == F.lit(base)
+
+
+def cidr_match_sql(expr: str, cidr: str) -> str:
+    """DuckDB twin generated from the SAME parse (oracle-parity
+    convention): expr is a dotted-quad VARCHAR expression."""
+    base, mask = parse_cidr(cidr)
+    ipl = (f"(CAST(split_part({expr}, '.', 1) AS BIGINT) * 16777216 "
+           f"+ CAST(split_part({expr}, '.', 2) AS BIGINT) * 65536 "
+           f"+ CAST(split_part({expr}, '.', 3) AS BIGINT) * 256 "
+           f"+ CAST(split_part({expr}, '.', 4) AS BIGINT))")
+    return f"(({ipl} & {mask}) = {base})"

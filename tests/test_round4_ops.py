@@ -374,3 +374,25 @@ def test_global_rank_validates_inputs(spark):
         global_rank(df, ["id"])
     with _pytest.raises(ValueError, match="ascending"):
         global_rank(df.selectExpr("id"), ["id"], ascending=[True, False])
+
+
+def test_cidr_match_semantics(spark):
+    import pytest as _pytest
+    from connectors_spark.operators.query import cidr_match, parse_cidr
+
+    df = spark.createDataFrame(
+        [(1, "10.0.0.1"), (2, "10.63.255.255"), (3, "10.64.0.0"),
+         (4, "10.127.255.255"), (5, "10.128.0.0"), (6, "192.168.1.1")],
+        "id long, ip string")
+    got = {r.id: r.m for r in df.select(
+        "id", cidr_match(F.col("ip"), "10.64.0.0/10").alias("m")
+    ).collect()}
+    # /10 network 10.64.0.0 spans 10.64.0.0 - 10.127.255.255
+    assert got == {1: False, 2: False, 3: True, 4: True,
+                   5: False, 6: False}
+    # non-strict base normalization + /32 exact + validation
+    assert parse_cidr("10.64.1.2/10") == parse_cidr("10.64.0.0/10")
+    base, mask = parse_cidr("1.2.3.4/32")
+    assert mask == 0xFFFFFFFF
+    with _pytest.raises(ValueError):
+        parse_cidr("::1/128")
