@@ -312,3 +312,20 @@ def test_final_batch_gate_plan_shapes(spark, sf_dir):
 
     plan = _plan(eq.q_min_score_hits(spark, sf_dir))
     assert "Window" not in plan, "hit accounting must not rank anything"
+
+
+def test_hive_partition_pruning_on_date_partitioned_write(spark, sf_dir,
+                                                          tmp_path):
+    """Time-partitioned lake layout: a date filter must land in
+    PartitionFilters (directory pruning — zero IO for other days), not
+    in the row-level PushedFilters."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "events_by_day")
+    (events.withColumn("day", F.to_date("ts"))
+     .write.partitionBy("day").parquet(out))
+    back = spark.read.parquet(out).filter(
+        F.col("day") == "2024-01-05").select("event_id")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters:")[1][:200]
+    assert "day" in seg, plan
+    assert back.count() > 0
