@@ -141,3 +141,48 @@ def test_asof_plan_has_no_cartesian(trades):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Independent oracle: pandas.merge_asof implements the same
+    backward as-of semantics from a separate codebase — 600 random
+    lookups against 300 quotes across 8 keys, all three variants."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    left_pd = pd.DataFrame({
+        "id": np.arange(600),
+        "k": rng.integers(0, 8, 600).astype("int64"),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, 600), unit="s"),
+    })
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 8, 300).astype("int64"),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, 300), unit="s"),
+        "px": np.round(rng.random(300), 6),
+    })
+    # merge_asof needs unique (k, ts) on the right for determinism —
+    # same precondition asof_join documents; dedupe keeping max px
+    right_pd = (right_pd.sort_values(["k", "ts", "px"])
+                .drop_duplicates(["k", "ts"], keep="last")
+                .reset_index(drop=True))
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+
+    for kwargs, pd_kwargs in [
+        (dict(), dict(allow_exact_matches=True)),
+        (dict(strict=True), dict(allow_exact_matches=False)),
+        (dict(tolerance_sec=500),
+         dict(allow_exact_matches=True,
+              tolerance=pd.Timedelta(seconds=500))),
+    ]:
+        got = {r.id: r.px for r in asof_join(
+            left, right, on="k", left_ts="ts",
+            right_cols=["px"], **kwargs).collect()}
+        exp_df = pd.merge_asof(
+            left_pd.sort_values("ts"), right_pd.sort_values("ts"),
+            on="ts", by="k", direction="backward", **pd_kwargs)
+        exp = {int(r.id): (None if pd.isna(r.px) else float(r.px))
+               for r in exp_df.itertuples()}
+        assert got == exp, f"variant {kwargs} diverged from merge_asof"
