@@ -110,3 +110,49 @@ def test_uniform_teleport_equals_default(spark):
     b = _ranks(pagerank(edges, iters=4, teleport=uni))
     for k in a:
         assert a[k] == pytest.approx(b[k], rel=1e-12)
+
+
+def test_pagerank_matches_dense_numpy_oracle(spark):
+    """Independent oracle: dense NumPy power iteration on a random
+    60-node graph (seeded), uniform and personalized variants."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 60
+    pairs = {(int(a), int(b))
+             for a, b in zip(rng.integers(0, n, 300),
+                             rng.integers(0, n, 300)) if a != b}
+    # ensure no dangling nodes (operator documents that precondition)
+    srcs = {a for a, _ in pairs}
+    for v in range(n):
+        if v not in srcs:
+            pairs.add((v, (v + 1) % n))
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+
+    d, iters = 0.85, 6
+    P = np.zeros((n, n))
+    for a, b in pairs:
+        P[a, b] = 1.0
+    P = P / P.sum(axis=1, keepdims=True)
+
+    def dense(t):
+        r = t.copy()
+        for _ in range(iters):
+            r = (1 - d) * t + d * (P.T @ r)
+        return r
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    got = _ranks(pagerank(edges, nodes=nodes, damping=d, iters=iters))
+    exp = dense(np.full(n, 1.0 / n))
+    for v in range(n):
+        assert got[v] == pytest.approx(exp[v], rel=1e-9), v
+
+    t = np.zeros(n)
+    t[3], t[11] = 0.75, 0.25
+    seeds = spark.createDataFrame([(3, 3.0), (11, 1.0)],
+                                  "node long, w double")
+    gotp = _ranks(pagerank(edges, nodes=nodes, damping=d, iters=iters,
+                           teleport=seeds))
+    expp = dense(t)
+    for v in range(n):
+        assert gotp[v] == pytest.approx(expp[v], rel=1e-9, abs=1e-15), v
