@@ -81,3 +81,29 @@ def streaming_dedup(stream: DataFrame,
         stream.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(list(keys))
     )
+
+
+def session_window_stats(df: DataFrame, gap: str = "30 minutes",
+                         user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         value_col: str | None = "value") -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE session_window — the
+    built-in that supersedes hand-rolled lag/cumsum sessionization
+    when only per-session aggregates are needed. Works identically
+    over batch frames and streams (with a watermark upstream); the
+    custom applyInPandasWithState path (stateful.streaming_sessionize)
+    remains for per-event session ids. Cross-validated against the
+    lag/cumsum sessionizer in tests/test_streaming_sessions.py."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 3).alias("total_value"))
+    return (
+        df.groupBy(F.col(user_col),
+                   F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(*aggs)
+        .select(user_col, F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), *[
+                    F.col(c) for c in
+                    (["n_events", "total_value"] if value_col
+                     else ["n_events"])])
+    )
