@@ -341,3 +341,62 @@ def frame_sample(media: DataFrame, n_frames: int = 4,
     return media.mapInPandas(
         sample, schema="doc_id string, frame_idx int, frame binary"
     )
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed 24-bit Windows BMP (public BITMAPINFOHEADER spec)
+    -> (H, W, 3) uint8 RGB. Handles the 4-byte row padding, BGR
+    channel order, and both bottom-up (positive height) and top-down
+    (negative height) row layouts; compressed/other-depth BMPs raise —
+    they stay on the declared codec-stub boundary."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = int.from_bytes(content[10:14], "little")
+    hdr_size = int.from_bytes(content[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMPs unsupported")
+    w = int.from_bytes(content[18:22], "little", signed=True)
+    h = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression}) — compressed BMPs are on the "
+            f"declared stub boundary")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    need = pixel_off + row_bytes * h
+    if len(content) < need:
+        raise ValueError("truncated BMP pixel array")
+    raw = np.frombuffer(content, dtype=np.uint8,
+                        count=row_bytes * h, offset=pixel_off)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> bottom-up uncompressed 24-bit BMP
+    (round-trip fixture for decode_bmp)."""
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):
+        body += img[r, :, ::-1].tobytes() + b"\x00" * pad
+    size = 54 + len(body)
+    hdr = (b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+           + (54).to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+           + b"\x00" * 16)
+    return bytes(hdr + body)
+
+
+register_decoder("image/bmp", decode_bmp)

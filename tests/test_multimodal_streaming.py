@@ -356,3 +356,42 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     assert got == 0, "re-delivered keys must dedup across micro-batches"
     n = spark.sql("SELECT count(*) FROM dedup_sink").first()[0]
     assert n == t.count(), "every distinct key survives exactly once"
+
+
+def test_bmp_roundtrip_and_layouts():
+    import numpy as np
+    from connectors_spark.operators.multimodal import (
+        decode_bmp, decode_media, encode_bmp)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)  # odd width: pad
+    blob = encode_bmp(img)
+    back = decode_bmp(blob)
+    assert back.shape == (5, 3, 3) and (back == img).all()
+    # registry dispatch
+    assert (decode_media("image/bmp", blob) == img).all()
+    # top-down variant (negative height, no row flip)
+    td = bytearray(blob)
+    td[22:26] = (-5).to_bytes(4, "little", signed=True)
+    rows = bytearray()
+    row_bytes = (3 * 3 + 3) & ~3
+    for r in range(5):
+        rows += img[r, :, ::-1].tobytes() + b"\x00" * (row_bytes - 9)
+    td[54:] = rows
+    assert (decode_bmp(bytes(td)) == img).all()
+
+
+def test_bmp_rejects_compressed_and_truncated():
+    import numpy as np
+    import pytest as _pytest
+    from connectors_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(img))
+    blob[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with _pytest.raises(ValueError, match="compression"):
+        decode_bmp(bytes(blob))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(img)[:-5])
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"JUNK")
