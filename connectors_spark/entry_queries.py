@@ -13976,3 +13976,31 @@ def q_cidr_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "ip",
                     a.cast("int").alias("in_a"),
                     b.cast("int").alias("in_b")))
+
+
+def _zorder_sql() -> str:
+    from connectors_spark.operators.zorder import zorder_key2_sql
+
+    z = zorder_key2_sql("(user_id & 65535)",
+                        "(CAST(floor(epoch(ts)) AS BIGINT) & 65535)")
+    return f"""
+SELECT event_id, CAST({z} AS BIGINT) AS zkey
+FROM events
+"""
+
+
+@register("zorder_keys", _zorder_sql())
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (user_id, ts): the
+    lakehouse data-layout technique that makes parquet row-group
+    min/max stats prune on BOTH dimensions (Delta OPTIMIZE ZORDER's
+    public core). Pure JVM bit interleave — no UDF
+    (operators/zorder.py; locality + reference-equality pinned in
+    tests/test_round4_ops.py)."""
+    from connectors_spark.operators.zorder import zorder_key2
+
+    ev = _read(spark, sf_dir, "events")
+    a = F.col("user_id").bitwiseAND(F.lit(65535))
+    b = (F.floor(F.col("ts").cast("timestamp").cast("double"))
+         .cast("long").bitwiseAND(F.lit(65535)))
+    return ev.select("event_id", zorder_key2(a, b).alias("zkey"))

@@ -396,3 +396,25 @@ def test_cidr_match_semantics(spark):
     assert mask == 0xFFFFFFFF
     with _pytest.raises(ValueError):
         parse_cidr("::1/128")
+
+
+def test_zorder_key_reference_and_locality(spark):
+    from connectors_spark.operators.zorder import (
+        zorder_key2, zorder_layout, zorder_py)
+
+    pts = [(a, b) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    got = {(r.a, r.b): r.z for r in df.select(
+        "a", "b", zorder_key2(F.col("a"), F.col("b")).alias("z")
+    ).collect()}
+    for a, b in pts:
+        assert got[(a, b)] == zorder_py(a, b), (a, b)
+    # locality: quadrant ordering — all of [0,4)x[0,4) sorts before
+    # any of [4,8)x[4,8) (the defining Z-curve property)
+    lo = max(got[(a, b)] for a in range(4) for b in range(4))
+    hi = min(got[(a, b)] for a in range(4, 8) for b in range(4, 8))
+    assert lo < hi
+    # layout runs end-to-end and preserves rows
+    laid = zorder_layout(df, "a", "b")
+    assert sorted((r.a, r.b) for r in laid.collect()) == sorted(pts)
+    assert "zkey" in laid.columns
