@@ -116,7 +116,7 @@ def decode_wav_pcm(content: bytes) -> np.ndarray:
         body = content[i + 8:i + 8 + size]
         if cid == b"fmt ":
             fmt = int.from_bytes(body[0:2], "little")
-            if fmt != 1:
+            if fmt not in (1, 7):  # PCM / G.711 mu-law
                 raise ValueError(f"compressed WAV (format {fmt}) unsupported")
             channels = int.from_bytes(body[2:4], "little")
             bits = int.from_bytes(body[14:16], "little")
@@ -125,6 +125,19 @@ def decode_wav_pcm(content: bytes) -> np.ndarray:
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if data is None or channels is None:
         raise ValueError("missing fmt/data chunk")
+    if fmt == 7:
+        # G.711 mu-law (public ITU-T spec): 8-bit companded -> int16
+        if bits != 8:
+            raise ValueError(f"{bits}-bit mu-law unsupported (want 8)")
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        u = ~u & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = ((mant << 3) + 0x84) << exp
+        pcm = (mag - 0x84).astype(np.int64)
+        pcm = np.where(sign != 0, -pcm, pcm)
+        return pcm.astype(np.int16).reshape(-1, channels)
     if bits != 16:
         raise ValueError(f"{bits}-bit PCM unsupported (want 16)")
     samples = np.frombuffer(data, dtype="<i2")

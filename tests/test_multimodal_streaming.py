@@ -395,3 +395,23 @@ def test_bmp_rejects_compressed_and_truncated():
         decode_bmp(encode_bmp(img)[:-5])
     with _pytest.raises(ValueError, match="not a BMP"):
         decode_bmp(b"JUNK")
+
+
+def test_wav_mulaw_decode_known_vectors():
+    import numpy as np
+    from connectors_spark.operators.multimodal import decode_wav_pcm
+
+    # ITU-T G.711 reference points: 0x00 -> -32124, 0x80 -> +32124,
+    # 0xFF / 0x7F -> 0
+    codes = bytes([0x00, 0x80, 0xFF, 0x7F])
+    body = (b"fmt " + (18).to_bytes(4, "little")
+            + (7).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + (0).to_bytes(2, "little"))
+    data = b"data" + len(codes).to_bytes(4, "little") + codes
+    riff = (b"RIFF" + (4 + len(body) + len(data)).to_bytes(4, "little")
+            + b"WAVE" + body + data)
+    out = decode_wav_pcm(riff)
+    assert out.dtype == np.int16 and out.shape == (4, 1)
+    assert out[:, 0].tolist() == [-32124, 32124, 0, 0]
