@@ -14004,3 +14004,35 @@ def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (F.floor(F.col("ts").cast("timestamp").cast("double"))
          .cast("long").bitwiseAND(F.lit(65535)))
     return ev.select("event_id", zorder_key2(a, b).alias("zkey"))
+
+
+_WSAMP_K = 50
+
+
+@register("weighted_sample_wor", f"""
+WITH raced AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         round(-ln(({_hex2int_sql("md5('wsamp|' || CAST(doc_id AS VARCHAR))", 8)} + 1)
+                   / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), {ROUND_SCORE}) AS race_key
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, weight, race_key,
+         row_number() OVER (ORDER BY race_key ASC, doc_id ASC) AS rank
+  FROM raced
+)
+SELECT doc_id, weight, race_key, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_WSAMP_K}
+""")
+def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement (Efraimidis-
+    Spirakis exponential race with deterministic md5 uniforms,
+    operators/pretrain.py:weighted_sample_wor): inclusion probability
+    proportional to n_chars, no rand(), selection via distributed
+    TakeOrderedAndProject — the training-mix subsampling primitive."""
+    from connectors_spark.operators.pretrain import weighted_sample_wor
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_sample_wor(docs, "n_chars", _WSAMP_K,
+                               round_key=ROUND_SCORE)

@@ -692,3 +692,33 @@ def dsir_importance(
         .groupBy(id_col)
         .agg(F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"))
     )
+
+
+def weighted_sample_wor(df: DataFrame, weight_col: str, k: int,
+                        id_col: str = "doc_id",
+                        salt: str = "wsamp",
+                        round_key: int = 6) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis exponential race (published algorithm; here with
+    DETERMINISTIC uniforms): each row draws u = md5(salt|id) mapped to
+    (0,1], races with key = -ln(u)/w, and the k smallest keys win —
+    inclusion probability proportional to weight, no replacement, no
+    rand() (idempotent, oracle-replayable, partitioning-invariant).
+    Selection is one TakeOrderedAndProject over the keyed scan — never
+    a global window. Rows with weight <= 0 are excluded (can't race).
+
+    Returns (id, weight, race_key, rank) for the k winners."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt),
+                          F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    key = F.round(-F.log(u) / w, round_key)
+    raced = (df.filter(w > 0)
+             .select(F.col(id_col), w.alias("weight"),
+                     key.alias("race_key")))
+    top = raced.orderBy(F.asc("race_key"), F.asc(id_col)).limit(int(k))
+    win = Window.orderBy(F.asc("race_key"), F.asc(id_col))
+    return (top.withColumn("rank", F.row_number().over(win).cast("int"))
+            .select(id_col, "weight", "race_key", "rank"))

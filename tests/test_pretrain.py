@@ -354,3 +354,29 @@ def test_dsir_importance_prefers_target_like_docs(spark):
              dsir_importance(df, F.col("lang") == "en",
                              n_buckets=512).collect()}
     assert again == got
+
+
+def test_weighted_sample_wor_bias_and_determinism(spark):
+    from connectors_spark.operators.pretrain import weighted_sample_wor
+
+    # 2000 rows: half weight 10, half weight 1 -> heavy rows should win
+    # far more of the 200 slots (ES race: P(inclusion) grows with w)
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 10.0).otherwise(1.0).alias("w"))
+    out = weighted_sample_wor(df, "w", 200)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == \
+        list(range(1, 201))
+    heavy = sum(1 for r in rows if r.weight == 10.0)
+    assert heavy > 150  # ~10:1 odds per slot; binomial tail is tiny
+    # determinism: rerun identical
+    again = weighted_sample_wor(df, "w", 200).collect()
+    assert sorted((r.doc_id, r.rank) for r in again) == \
+        sorted((r.doc_id, r.rank) for r in rows)
+    # zero/negative weights never race
+    df2 = df.withColumn("w", F.when(F.col("doc_id") < 1990, 0.0)
+                        .otherwise(F.col("w")))
+    out2 = weighted_sample_wor(df2, "w", 200)
+    assert out2.count() == 10
