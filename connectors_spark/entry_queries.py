@@ -14036,3 +14036,41 @@ def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return weighted_sample_wor(docs, "n_chars", _WSAMP_K,
                                round_key=ROUND_SCORE)
+
+
+_DM_GTE, _DM_LT = "2024-01-03||/w", "2024-01-10||+5d/d"
+
+
+def _date_math_sql() -> str:
+    from connectors_spark.functions.datemath import parse_date_math
+
+    lo = parse_date_math(_DM_GTE).isoformat(sep=" ")
+    hi = parse_date_math(_DM_LT).isoformat(sep=" ")
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events
+WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'
+GROUP BY event_type
+"""
+
+
+@register("date_math_range", _date_math_sql())
+def q_date_math_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range query with date-math endpoints ('2024-01-03||/w' =
+    round down to that Monday; '2024-01-10||+5d/d'): the expressions
+    resolve driver-side to Catalyst literals so the ts bounds PUSH to
+    the parquet scan (functions/datemath.py — the grammar every ES
+    range query and date-math index name runs through; month-clamp /
+    Monday-week rounding pinned in tests/test_datemath.py)."""
+    from connectors_spark.functions.datemath import parse_date_math
+
+    lo = parse_date_math(_DM_GTE)
+    hi = parse_date_math(_DM_LT)
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("user_id").alias("users"))
+    )
