@@ -466,3 +466,56 @@ def compact_index(spark: SparkSession, path: str, out_path: str) -> None:
     write_encoded_index(idx, out_path, n_buckets=meta["n_buckets"],
                         shard_cap=meta["shard_cap"], k1=meta["k1"],
                         b=meta["b"])
+
+
+def upsert_docs(spark: SparkSession, path: str,
+                batch: DataFrame) -> dict | None:
+    """Apply a MICRO-BATCH of documents as upserts (create/update by
+    doc freshness; never deletes — absence from a micro-batch means
+    nothing, unlike the full-snapshot contract of incremental_update).
+    This is the foreachBatch body for streaming index maintenance:
+    replaying the same batch is a no-op (equal timestamps classify as
+    skip), so checkpoint-replayed micro-batches are idempotent.
+    Returns the delta record, or None if the batch changed nothing."""
+    path = resolve_current(path)
+    meta = read_meta(path)
+    live = _live_docmap(spark, path, meta).persist()
+    new_docs = with_doc_id(batch).persist()
+    # restrict the live side to the batch's keys: docs outside the
+    # batch must never classify as deletes
+    live_sub = live.join(new_docs.select("doc_id"), "doc_id",
+                         "left_semi")
+    ops = classify_sync_ops(
+        new_docs.select("doc_id", "ts"), live_sub.select("doc_id", "ts")
+    ).persist()
+    changed_ids = ops.filter(
+        F.col("op").isin("create", "update")).select("doc_id")
+    n_changed = changed_ids.count()
+    if n_changed == 0:
+        ops.unpersist(); live.unpersist(); new_docs.unpersist()
+        return None
+    dead_ids = ops.filter(F.col("op") == "update").select("doc_id")
+    changed = new_docs.join(changed_ids, "doc_id", "left_semi")
+    rec = _apply_delta(spark, path, meta, live, dead_ids, changed,
+                       n_changed=int(n_changed))
+    ops.unpersist(); live.unpersist(); new_docs.unpersist()
+    return rec
+
+
+def streaming_index_maintenance(spark: SparkSession, path: str,
+                                stream: DataFrame, checkpoint: str,
+                                trigger_available_now: bool = True):
+    """Wire a transcript stream into the index as foreachBatch
+    upserts — Structured Streaming owns offsets/exactly-once replay,
+    upsert_docs owns idempotent application. Returns the started
+    StreamingQuery (caller awaits/stops)."""
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_docs(spark, path, batch_df)
+
+    w = (stream.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -219,3 +219,56 @@ def test_store_pointer_compaction_zero_downtime(spark, tmp_path):
     # grace expiry: a zero-grace GC removes the old generation
     removed = gc_store(store, keep_previous=0)
     assert os.path.basename(gen1) in removed and not os.path.isdir(gen1)
+
+
+def test_upsert_docs_never_deletes_absent_docs(spark, tmp_path):
+    path = str(tmp_path / "ups_idx")
+    s0 = synth_transcripts(spark, 30, seed=9).cache()
+    write_encoded_index(
+        build_index_transcripts(s0, with_positions=False), path,
+        n_buckets=8, shard_cap=300)
+    from connectors_spark.operators.delta import upsert_docs
+
+    # a micro-batch touching ONE conversation: bump its ts + text
+    batch = (s0.filter(F.col("conv_id") == "conv-00000003")
+             .withColumn("text", F.concat("text", F.lit(" upserted")))
+             .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")))
+    rec = upsert_docs(spark, path, batch)
+    assert rec is not None
+    reader = IndexReader(spark, path, cache=False)
+    # untouched docs still retrievable; updated doc carries the new term
+    hits = reader.topk([{"query_id": "q", "query_text": "upserted",
+                         "k": 5}], kernel="exact").collect()
+    assert len(hits) > 0
+    meta = read_meta(path)
+    from connectors_spark.operators.delta import _live_docmap
+    n_live = _live_docmap(spark, path, meta).count()
+    assert n_live == s0.count()  # upsert replaced, never deleted
+    # replaying the identical batch is a no-op (idempotent foreachBatch)
+    assert upsert_docs(spark, path, batch) is None
+
+
+def test_streaming_index_maintenance_end_to_end(spark, tmp_path):
+    from connectors_spark.operators.delta import (
+        streaming_index_maintenance)
+
+    path = str(tmp_path / "stream_idx")
+    s0 = synth_transcripts(spark, 25, seed=11).cache()
+    write_encoded_index(
+        build_index_transcripts(s0, with_positions=False), path,
+        n_buckets=8, shard_cap=300)
+    # stage a micro-batch source dir: updates to one conv + a new conv
+    upd = (s0.filter(F.col("conv_id") == "conv-00000001")
+           .withColumn("text", F.concat("text", F.lit(" streamterm")))
+           .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS")))
+    src = str(tmp_path / "batches")
+    upd.write.parquet(src)
+    stream = (spark.readStream.schema(upd.schema).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    q = streaming_index_maintenance(
+        spark, path, stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    reader = IndexReader(spark, path, cache=False)
+    hits = reader.topk([{"query_id": "q", "query_text": "streamterm",
+                         "k": 10}], kernel="exact").collect()
+    assert len(hits) > 0
