@@ -14074,3 +14074,41 @@ def q_date_math_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              F.countDistinct("user_id").alias("users"))
     )
+
+
+_KANON_K = 5
+_KANON_CHARS_BUCKET = 50
+
+
+@register("k_anonymity_filter", f"""
+WITH q AS (
+  SELECT doc_id, lang, source,
+         CAST(floor(n_chars / {_KANON_CHARS_BUCKET}) AS BIGINT) AS len_b
+  FROM documents
+),
+g AS (SELECT lang, source, len_b, count(*) AS grp_n
+      FROM q GROUP BY 1, 2, 3)
+SELECT q.doc_id, q.lang, q.source, q.len_b,
+       CAST(g.grp_n AS BIGINT) AS grp_n,
+       CAST(g.grp_n >= {_KANON_K} AS INT) AS keep
+FROM q JOIN g USING (lang, source, len_b)
+""")
+def q_k_anonymity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen over quasi-identifiers (lang, source,
+    bucketed length): rows whose quasi-identifier group has fewer than
+    k={5} members are flagged for suppression — the standard privacy
+    screen before releasing/training on user-adjacent corpora
+    (public Sweeney 2002 model). One groupBy + one broadcastable
+    group-size join; the quasi-identifier set is pluggable."""
+    docs = _read(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "lang", "source",
+        F.floor(F.col("n_chars") / _KANON_CHARS_BUCKET).cast("long")
+        .alias("len_b"))
+    g = q.groupBy("lang", "source", "len_b").agg(
+        F.count(F.lit(1)).alias("grp_n"))
+    return (q.join(g, ["lang", "source", "len_b"])
+            .select("doc_id", "lang", "source", "len_b",
+                    F.col("grp_n").cast("long").alias("grp_n"),
+                    (F.col("grp_n") >= _KANON_K).cast("int")
+                    .alias("keep")))
