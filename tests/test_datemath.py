@@ -56,3 +56,30 @@ def test_errors():
         parse_date_math("now-7dx", now=NOW)
     with pytest.raises(DateMathError, match="empty"):
         parse_date_math("  ")
+
+
+def test_date_math_fuzz_never_crashes_untyped():
+    """Property: any string either parses or raises DateMathError —
+    never an untyped exception; rounding is idempotent; +Nd / -Nd
+    cancel."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(alphabet="now0123456789yMwdhHms+-/|T:. ", max_size=24))
+    def check(s):
+        try:
+            parse_date_math(s, now=NOW)
+        except DateMathError:
+            pass
+
+    check()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(0, 500), st.sampled_from("yMwdhHms"))
+    def invariants(n, unit):
+        once = parse_date_math(f"now/{unit}", now=NOW)
+        assert parse_date_math(f"now/{unit}/{unit}", now=NOW) == once
+        assert parse_date_math(f"now+{n}d-{n}d", now=NOW) == NOW
+
+    invariants()

@@ -186,3 +186,44 @@ def test_asof_matches_pandas_merge_asof_randomized(spark):
         exp = {int(r.id): (None if pd.isna(r.px) else float(r.px))
                for r in exp_df.itertuples()}
         assert got == exp, f"variant {kwargs} diverged from merge_asof"
+
+
+def test_gapfill_matches_pandas_resample_oracle(spark):
+    """Independent oracle: pandas resample + ffill/interpolate on a
+    seeded random series per key."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for k in ("a", "b"):
+        ts = np.sort(rng.choice(np.arange(0, 600, 10), 12,
+                                replace=False))
+        for t in ts:
+            rows.append((k, int(t), float(np.round(rng.random(), 6))))
+    pdf = pd.DataFrame(rows, columns=["k", "sec", "val"])
+    df = (spark.createDataFrame(pdf)
+          .selectExpr("k", "cast(sec as timestamp) ts", "val"))
+    got = {(r.k, r.bucket): (r.locf_v, r.interp_v)
+           for r in gapfill(df, key="k", ts="ts", value="val",
+                            bucket_sec=10).collect()}
+
+    for k in ("a", "b"):
+        sub = pdf[pdf.k == k].copy()
+        sub["ts"] = pd.to_datetime(sub.sec, unit="s")
+        ser = sub.set_index("ts").val.resample("10s").mean()
+        locf = ser.ffill()
+        # pandas interpolate(method="time") == our lerp on the spine;
+        # trailing NaNs (none here: series ends on data) ffill
+        interp = ser.interpolate(method="time").ffill()
+        for t, lv in locf.items():
+            b = int(t.timestamp())
+            gl, gi = got[(k, b)]
+            assert gl == pytest.approx(lv, rel=1e-9), (k, b, "locf")
+            assert gi == pytest.approx(interp[t], rel=1e-9), (k, b)
+    assert len(got) == sum(
+        1 for k in ("a", "b")
+        for _ in pd.date_range(
+            pd.to_datetime(pdf[pdf.k == k].sec.min(), unit="s"),
+            pd.to_datetime(pdf[pdf.k == k].sec.max(), unit="s"),
+            freq="10s"))
