@@ -363,6 +363,17 @@ def _mv_median_fn(a, r):
 
 
 # scalar registry: name -> fn(compiled_cols, raw_asts) -> Column
+
+def _cidr_match_any(col, blocks):
+    from connectors_spark.operators.query import cidr_match
+
+    if not blocks:
+        raise EsqlError("CIDR_MATCH needs at least one block")
+    cond = cidr_match(col, blocks[0])
+    for blk in blocks[1:]:
+        cond = cond | cidr_match(col, blk)
+    return cond
+
 _SCALARS = {
     "ABS": lambda a, r: F.abs(a[0]),
     "CEIL": lambda a, r: F.ceil(a[0]),
@@ -390,6 +401,10 @@ _SCALARS = {
     "SPLIT": lambda a, r: F.split(a[0], re.escape(_lit_arg(r[1], "SPLIT"))),
     "STARTS_WITH": lambda a, r: a[0].startswith(a[1]),
     "ENDS_WITH": lambda a, r: a[0].endswith(a[1]),
+    # ES|QL CIDR_MATCH(ip, "block", ...): true if the ip falls in ANY
+    # of the literal CIDR blocks (operators/query.py bit math)
+    "CIDR_MATCH": lambda a, r: _cidr_match_any(
+        a[0], [_lit_arg(x, "CIDR_MATCH block") for x in r[1:]]),
     "LOCATE": lambda a, r: F.locate(_lit_arg(r[1], "LOCATE"), a[0]),
     "COALESCE": lambda a, r: F.coalesce(*a),
     "GREATEST": lambda a, r: F.greatest(*a),

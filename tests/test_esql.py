@@ -524,3 +524,16 @@ FROM t | WHERE MATCH(name, "Ada") | KEEP id''').collect()
     assert [r.id for r in got2] == [1]
     with pytest.raises(EsqlError, match="non-empty"):
         _run(spark, {"d": df}, 'FROM d | WHERE MATCH(text, "  !! ")')
+
+
+def test_cidr_match_function(spark):
+    df = spark.createDataFrame(
+        [(1, "10.64.0.1"), (2, "10.0.0.1"), (3, "192.168.0.9"),
+         (4, "10.127.255.255")],
+        "id long, ip string")
+    out = esql(spark, {"t": df},
+               'FROM t | WHERE CIDR_MATCH(ip, "10.64.0.0/10", '
+               '"192.168.0.0/24") | SORT id | KEEP id')
+    assert [r.id for r in out.collect()] == [1, 3, 4]
+    with pytest.raises(EsqlError, match="at least one block"):
+        esql(spark, {"t": df}, 'FROM t | WHERE CIDR_MATCH(ip)')
