@@ -14112,3 +14112,84 @@ def q_k_anonymity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("grp_n").cast("long").alias("grp_n"),
                     (F.col("grp_n") >= _KANON_K).cast("int")
                     .alias("keep")))
+
+
+_LR_DIM, _LR_ITERS, _LR_LR, _LR_L2 = 256, 6, 2.0, 0.001
+
+
+def _logreg_sql() -> str:
+    from connectors_spark.functions.analysis import tokenize_sql_duckdb
+
+    tok = tokenize_sql_duckdb("text")
+    bucket = _hex2int_sql("md5('lrfeat|' || term)", 8)
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+),
+counts AS (
+  SELECT doc_id, ({bucket}) % {_LR_DIM} AS f, count(*) AS c
+  FROM toks GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(c) AS dl FROM counts GROUP BY 1),
+trip AS (
+  SELECT counts.doc_id, f, c * 1.0 / dl AS x
+  FROM counts JOIN dl USING (doc_id)
+  UNION ALL
+  SELECT doc_id, {_LR_DIM} AS f, 1.0 AS x FROM documents
+),
+lab AS (
+  SELECT doc_id, CASE WHEN source = 'src1' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+feats AS (SELECT CAST(unnest(range({_LR_DIM + 1})) AS BIGINT) AS f),
+w0 AS (SELECT f, 0.0 AS w FROM feats)"""
+    prev = "w0"
+    for i in range(1, _LR_ITERS + 1):
+        sql += f""",
+z{i} AS (
+  SELECT t.doc_id, sum(t.x * w.w) AS z
+  FROM trip t JOIN {prev} w USING (f) GROUP BY 1
+),
+p{i} AS (
+  SELECT l.doc_id, l.y,
+         1.0 / (1.0 + exp(-coalesce(z.z, 0.0))) AS p
+  FROM lab l LEFT JOIN z{i} z USING (doc_id)
+),
+g{i} AS (
+  SELECT t.f, sum(t.x * (p.p - p.y)) AS g
+  FROM trip t JOIN p{i} p USING (doc_id) GROUP BY 1
+),
+w{i} AS (
+  SELECT fe.f,
+         w.w - {_LR_LR} * (coalesce(g.g, 0.0) / nn.n + {_LR_L2} * w.w)
+           AS w
+  FROM feats fe CROSS JOIN nn
+  LEFT JOIN g{i} g ON g.f = fe.f
+  JOIN {prev} w ON w.f = fe.f
+)"""
+        prev = f"w{i}"
+    sql += f"""
+SELECT f, round(w, {ROUND_SCORE}) AS w FROM {prev}
+"""
+    return sql
+
+
+@register("quality_classifier_train", _logreg_sql())
+def q_quality_classifier_train(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """In-engine distributed logistic regression (the fastText/CCNet
+    quality-filter shape): hashed-unigram tf/dl features, full-batch
+    GD from zero init, y = (source=='src1') as the curated-reference
+    label. Parameter-server plan — O(D) weights broadcast per round,
+    two linear corpus shuffles per iteration, no MLlib, no UDF, no
+    rand() (operators/classifier.py; separation + scoring pinned in
+    tests/test_classifier.py). Oracle = the same recurrence as a
+    chained CTE."""
+    from connectors_spark.operators.classifier import train_logreg
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("source") == "src1").cast("double"))
+    w = train_logreg(docs, label_col="y", dim=_LR_DIM,
+                     iters=_LR_ITERS, lr=_LR_LR, l2=_LR_L2)
+    return w.select("f", F.round("w", ROUND_SCORE).alias("w"))

@@ -1,0 +1,131 @@
+"""In-engine quality classifier: distributed logistic regression over
+hashed bag-of-words features — the trainable analog of the
+fastText/CCNet quality filters LLM pipelines use to score web text
+against a curated reference corpus.
+
+Everything is DataFrame algebra (no MLlib, no UDF):
+
+- features: md5-hashed unigram buckets (engine-portable hash — the
+  same construction the sketch gates use), value = tf / doc_len, plus
+  a constant bias feature;
+- training: full-batch gradient descent. Each iteration is
+  (1) score: triples ⋈ broadcast weights → per-doc z → p = σ(z),
+  (2) gradient: triples ⋈ per-doc (p−y) → per-feature sum,
+  (3) update: weights − lr·(grad/N + λ·w).
+  The weight frame is D+1 rows — broadcast each round (the
+  parameter-server shape); the corpus-side work is two linear
+  shuffles per iteration, so the plan scales with the corpus while
+  the model stays O(D).
+
+Iterations loop in Python over PLAN CONSTRUCTION (like
+operators/graph.pagerank); weights persist per round to bound
+lineage. Deterministic end-to-end: no rand() — init is zeros, data
+order never matters (sums are the only reduction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connectors_spark.functions.analysis import tokens_col
+
+DEFAULT_DIM = 256
+
+
+def _bucket(term, dim: int):
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit("lrfeat"), term)),
+                           1, 8), 16, 10).cast("long") % dim
+    )
+
+
+def doc_features(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 dim: int = DEFAULT_DIM) -> DataFrame:
+    """(id, f, x): hashed-unigram tf/dl triples + bias feature f=dim
+    with x=1. Docs with no tokens still get the bias row."""
+    toks = df.select(F.col(id_col),
+                     F.explode_outer(tokens_col(F.col(text_col)))
+                     .alias("term"))
+    counts = (
+        toks.filter(F.col("term").isNotNull())
+        .select(id_col, _bucket(F.col("term"), dim).alias("f"))
+        .groupBy(id_col, "f").agg(F.count(F.lit(1)).alias("c"))
+    )
+    dl = counts.groupBy(id_col).agg(F.sum("c").alias("dl"))
+    feats = (counts.join(dl, id_col)
+             .select(id_col, "f",
+                     (F.col("c") / F.col("dl")).alias("x")))
+    bias = df.select(F.col(id_col), F.lit(dim).alias("f"),
+                     F.lit(1.0).alias("x"))
+    return feats.unionByName(bias)
+
+
+def train_logreg(
+    df: DataFrame,
+    label_col: str = "y",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = DEFAULT_DIM,
+    iters: int = 6,
+    lr: float = 2.0,
+    l2: float = 0.001,
+) -> DataFrame:
+    """(f, w) after `iters` full-batch GD steps from zero init.
+    `label_col` must be 0.0/1.0."""
+    spark = df.sparkSession
+    triples = doc_features(df, text_col, id_col, dim).persist()
+    labels = df.select(F.col(id_col),
+                       F.col(label_col).cast("double").alias("y"))
+    n = labels.count()
+    # Parameter-server loop: the O(D) weight vector round-trips
+    # through the driver each iteration (that IS the PS shape — model
+    # state is small, data never moves). The round-trip also resets
+    # plan lineage: expressing w_{i+1} as a DataFrame over w_i's plan
+    # references w_i twice (score path + update join), which DOUBLES
+    # the logical plan per iteration — exponential analysis blow-up by
+    # ~8 iterations. collect()/createDataFrame keeps plan depth
+    # constant and is float64-exact.
+    w_vals = {f: 0.0 for f in range(dim + 1)}
+    for _ in range(int(iters)):
+        w = spark.createDataFrame(
+            sorted(w_vals.items()), "f long, w double")
+        z = (triples.join(F.broadcast(w), "f")
+             .groupBy(id_col)
+             .agg(F.sum(F.col("x") * F.col("w")).alias("z")))
+        p = (labels.join(z, id_col, "left")
+             .select(id_col, "y",
+                     (F.lit(1.0)
+                      / (F.lit(1.0) + F.exp(-F.coalesce("z", F.lit(0.0))))
+                      ).alias("p")))
+        resid = p.select(id_col, (F.col("p") - F.col("y")).alias("r"))
+        grad = {
+            r.f: r.g
+            for r in triples.join(resid, id_col)
+            .groupBy("f")
+            .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+            .collect()
+        }
+        w_vals = {
+            f: wv - lr * (grad.get(f, 0.0) / n + l2 * wv)
+            for f, wv in w_vals.items()
+        }
+    triples.unpersist()
+    return spark.createDataFrame(sorted(w_vals.items()),
+                                 "f long, w double")
+
+
+def score_logreg(df: DataFrame, weights: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 dim: int = DEFAULT_DIM) -> DataFrame:
+    """(id, score): σ(w·x) per doc under a trained weight frame."""
+    triples = doc_features(df, text_col, id_col, dim)
+    z = (triples.join(F.broadcast(weights), "f")
+         .groupBy(id_col)
+         .agg(F.sum(F.col("x") * F.col("w")).alias("z")))
+    return (df.select(id_col).join(z, id_col, "left")
+            .select(id_col,
+                    (F.lit(1.0)
+                     / (F.lit(1.0) + F.exp(-F.coalesce("z", F.lit(0.0))))
+                     ).alias("score")))
