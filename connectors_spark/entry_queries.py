@@ -14193,3 +14193,37 @@ def q_quality_classifier_train(spark: SparkSession,
     w = train_logreg(docs, label_col="y", dim=_LR_DIM,
                      iters=_LR_ITERS, lr=_LR_LR, l2=_LR_L2)
     return w.select("f", F.round("w", ROUND_SCORE).alias("w"))
+
+
+@register("embedding_standardize", f"""
+WITH {_DIMS_SQL},
+ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       FROM embeddings CROSS JOIN dims),
+st AS (SELECT i, avg(v) AS mu,
+              sqrt(greatest(avg(v * v) - avg(v) * avg(v), 0.0)) AS sd
+       FROM ex GROUP BY 1),
+o AS (SELECT vec_id, i,
+             round(CASE WHEN sd > 1e-12 THEN (v - mu) / sd
+                        ELSE 0.0 END, {ROUND_SCORE}) AS sv
+      FROM ex JOIN st USING (i))
+SELECT vec_id, CAST(i AS BIGINT) AS dim, sv
+FROM o
+""")
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature standardization of the embedding column
+    ((x-mu)/sd, population std, zero-variance dims -> 0): the
+    normalization step before cosine/k-means/PCA when dims carry
+    different scales. One posexplode agg for the dim stats (map-side
+    combinable), broadcast-literal transform back — no per-dim scan,
+    no UDF (operators/similarity.py:standardize_embeddings)."""
+    from connectors_spark.operators.similarity import (
+        standardize_embeddings)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = standardize_embeddings(emb)
+    # long format for the hash compare (array cells don't normalize)
+    return out.select(
+        "vec_id",
+        F.posexplode("std_embedding").alias("i", "sv")
+    ).select("vec_id", (F.col("i") + 1).cast("long").alias("dim"),
+             F.round("sv", ROUND_SCORE).alias("sv"))

@@ -598,3 +598,45 @@ def semdedup(
         .select("vec_id", "cell", "ccos",
                 F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
     )
+
+
+def standardize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           eps: float = 1e-12) -> DataFrame:
+    """Per-dimension standardization (x - mean) / std over an
+    array<float> column — the feature-normalization step before
+    cosine/kmeans/PCA when dimensions carry different scales.
+    Population std (1/N), zero-variance dims map to 0 (eps floor).
+
+    One pass computes every dim's mean and mean-of-squares via
+    `posexplode` + groupBy(dim) (map-side combinable, never a per-dim
+    scan); the stats table is `dim` rows — broadcast back and the
+    transform is a JVM `transform(...)` over the array, no UDF."""
+    ex = df.select(F.col(id_col),
+                   F.posexplode(F.col(vec_col)).alias("i", "v"))
+    stats = (ex.groupBy("i")
+             .agg(F.avg(F.col("v").cast("double")).alias("mu"),
+                  F.avg(F.col("v").cast("double")
+                        * F.col("v").cast("double")).alias("m2"))
+             .select("i", "mu",
+                     F.sqrt(F.greatest(
+                         F.col("m2") - F.col("mu") * F.col("mu"),
+                         F.lit(0.0))).alias("sd"))
+             .orderBy("i"))
+    row = stats.agg(
+        F.collect_list(F.struct("i", "mu", "sd")).alias("s")).collect()[0]
+    mus = [x["mu"] for x in sorted(row["s"], key=lambda x: x["i"])]
+    sds = [x["sd"] for x in sorted(row["s"], key=lambda x: x["i"])]
+    mu_arr = F.array(*[F.lit(float(m)) for m in mus])
+    sd_arr = F.array(*[F.lit(float(s)) for s in sds])
+    dim = len(mus)
+    out = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.element_at(sd_arr, i + 1) > eps,
+            (F.element_at(F.col(vec_col), i + 1).cast("double")
+             - F.element_at(mu_arr, i + 1))
+            / F.element_at(sd_arr, i + 1),
+        ).otherwise(F.lit(0.0)),
+    )
+    return df.select(F.col(id_col), out.alias("std_embedding"))

@@ -238,3 +238,28 @@ def test_semdedup_keeps_peripheral_member(spark):
     assert out2.count() == 6
     plan = out2._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+
+
+def test_standardize_embeddings_stats(spark):
+    import numpy as np
+    from connectors_spark.operators.similarity import (
+        standardize_embeddings)
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(loc=[5.0, -3.0, 0.0], scale=[2.0, 0.5, 1.0],
+                      size=(50, 3))
+    vecs[:, 2] = 7.0  # zero-variance dim
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    out = standardize_embeddings(df)
+    mat = np.array([r.std_embedding for r in
+                    sorted(out.collect(), key=lambda r: r.vec_id)])
+    # standardized: mean ~0, population std ~1 per non-constant dim
+    assert np.allclose(mat[:, :2].mean(axis=0), 0.0, atol=1e-9)
+    assert np.allclose(mat[:, :2].std(axis=0), 1.0, atol=1e-9)
+    # zero-variance dim maps to exactly 0
+    assert (mat[:, 2] == 0.0).all()
+    # matches the NumPy reference transform
+    ref = (vecs[:, :2] - vecs[:, :2].mean(axis=0)) / vecs[:, :2].std(axis=0)
+    assert np.allclose(mat[:, :2], ref, atol=1e-9)
