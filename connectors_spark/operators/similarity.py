@@ -18,6 +18,8 @@ across engines regardless of float summation order.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -640,3 +642,70 @@ def standardize_embeddings(df: DataFrame, vec_col: str = "embedding",
         ).otherwise(F.lit(0.0)),
     )
     return df.select(F.col(id_col), out.alias("std_embedding"))
+
+
+def pca_fit(df: DataFrame, k: int, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> tuple:
+    """(components, mean, explained_ratio): top-k principal components
+    of the embedding column.
+
+    Scale shape: each partition accumulates its OWN d×d Gram matrix
+    and d-vector sum in NumPy (mapInPandas — one output row per
+    partition, carrying d*d+d+1 doubles), the driver sums O(partitions)
+    partials and eigendecomposes the d×d covariance locally (d is the
+    embedding width, 64 here — model-sized, not data-sized). The data
+    never moves; driver traffic is partitions × d². Deterministic:
+    sign convention fixes each component's largest-|coord| to +."""
+    d = len(df.select(vec_col).first()[0])
+
+    def gram(batches):
+        g = np.zeros((d, d)); s = np.zeros(d); n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            g += m.T @ m
+            s += m.sum(axis=0)
+            n += len(m)
+        yield pd.DataFrame({"g": [g.ravel().tolist()],
+                            "s": [s.tolist()], "n": [n]})
+
+    parts = df.select(vec_col).mapInPandas(
+        gram, schema="g array<double>, s array<double>, n long").collect()
+    G = sum(np.array(p["g"]).reshape(d, d) for p in parts)
+    S = sum(np.array(p["s"]) for p in parts)
+    N = sum(p["n"] for p in parts)
+    mean = S / N
+    cov = G / N - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # (k, d)
+    for i in range(comps.shape[0]):  # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(np.clip(vals, 0, None).sum())
+    ratio = float(np.clip(vals[order], 0, None).sum() / total) \
+        if total > 0 else 0.0
+    return comps, mean, ratio
+
+
+def pca_project(df: DataFrame, components, mean,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id",
+                out_col: str = "pc") -> DataFrame:
+    """(id, pc array<double>): project each vector onto the fitted
+    components — the transform is a broadcast-literal JVM expression
+    (k dot products per row, aggregate over zip_with), no UDF."""
+    k, d = len(components), len(mean)
+    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    outs = []
+    for i in range(k):
+        comp = F.array(*[F.lit(float(c)) for c in components[i]])
+        centered = F.zip_with(F.col(vec_col).cast("array<double>"),
+                              mean_arr, lambda a, b: a - b)
+        outs.append(F.aggregate(
+            F.zip_with(centered, comp, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x))
+    return df.select(F.col(id_col), F.array(*outs).alias(out_col))

@@ -263,3 +263,51 @@ def test_standardize_embeddings_stats(spark):
     # matches the NumPy reference transform
     ref = (vecs[:, :2] - vecs[:, :2].mean(axis=0)) / vecs[:, :2].std(axis=0)
     assert np.allclose(mat[:, :2], ref, atol=1e-9)
+
+
+def test_pca_matches_numpy_reference(spark):
+    import numpy as np
+    from connectors_spark.operators.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(4)
+    # anisotropic cloud: variance concentrated in 2 known directions
+    base = rng.normal(size=(200, 2)) @ np.diag([5.0, 2.0])
+    mix = rng.normal(size=(2, 6)) * 0.2
+    X = base @ np.array([[1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0]]) \
+        + rng.normal(size=(200, 6)) * 0.05 + np.arange(6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    comps, mean, ratio = pca_fit(df, k=2)
+    # NumPy reference on the same data
+    Xc = X - X.mean(axis=0)
+    vals, vecs = np.linalg.eigh(np.cov(X.T, bias=True))
+    order = np.argsort(vals)[::-1][:2]
+    ref = vecs[:, order].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-8)
+    assert ratio > 0.95  # two directions dominate by construction
+    # distributed projection == NumPy projection
+    proj = {r.vec_id: r.pc for r in pca_project(df, comps, mean).collect()}
+    ref_proj = Xc @ np.asarray(comps).T
+    for i in range(200):
+        assert np.allclose(proj[i], ref_proj[i], atol=1e-8)
+
+
+def test_pca_partition_invariant(spark):
+    import numpy as np
+    from connectors_spark.operators.similarity import pca_fit
+
+    rng = np.random.default_rng(8)
+    X = rng.normal(size=(90, 4))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(90)]
+    a = pca_fit(spark.createDataFrame(rows, "vec_id long, "
+                "embedding array<double>").repartition(1), k=2)
+    b = pca_fit(spark.createDataFrame(rows, "vec_id long, "
+                "embedding array<double>").repartition(7), k=2)
+    assert np.allclose(a[0], b[0], atol=1e-9)
+    assert np.allclose(a[1], b[1], atol=1e-12)
