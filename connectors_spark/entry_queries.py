@@ -14117,7 +14117,7 @@ def q_k_anonymity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LR_DIM, _LR_ITERS, _LR_LR, _LR_L2 = 256, 6, 2.0, 0.001
 
 
-def _logreg_sql() -> str:
+def _logreg_sql(output: str = "weights") -> str:
     from connectors_spark.functions.analysis import tokenize_sql_duckdb
 
     tok = tokenize_sql_duckdb("text")
@@ -14169,7 +14169,21 @@ w{i} AS (
   JOIN {prev} w ON w.f = fe.f
 )"""
         prev = f"w{i}"
-    sql += f"""
+    if output == "scores":
+        sql += f""",
+zf AS (
+  SELECT t.doc_id, sum(t.x * w.w) AS z
+  FROM trip t JOIN {prev} w USING (f) GROUP BY 1
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-coalesce(zf.z, 0.0))), {ROUND_SCORE})
+         AS score,
+       CAST(1.0 / (1.0 + exp(-coalesce(zf.z, 0.0))) >= 0.5 AS INT)
+         AS keep
+FROM documents d LEFT JOIN zf USING (doc_id)
+"""
+    else:
+        sql += f"""
 SELECT f, round(w, {ROUND_SCORE}) AS w FROM {prev}
 """
     return sql
@@ -14227,3 +14241,24 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("std_embedding").alias("i", "sv")
     ).select("vec_id", (F.col("i") + 1).cast("long").alias("dim"),
              F.round("sv", ROUND_SCORE).alias("sv"))
+
+
+@register("quality_classifier_scores", _logreg_sql(output="scores"))
+def q_quality_classifier_scores(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Corpus scoring under the in-engine-trained quality classifier
+    (sigma(w.x) per doc + the >=0.5 keep flag) — the filtering face of
+    quality_classifier_train; same recurrence, one extra broadcast
+    score join (operators/classifier.py:score_logreg)."""
+    from connectors_spark.operators.classifier import (
+        score_logreg, train_logreg)
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("source") == "src1").cast("double"))
+    w = train_logreg(docs, label_col="y", dim=_LR_DIM,
+                     iters=_LR_ITERS, lr=_LR_LR, l2=_LR_L2)
+    scored = score_logreg(docs, w, dim=_LR_DIM)
+    return scored.select(
+        "doc_id",
+        F.round("score", ROUND_SCORE).alias("score"),
+        (F.col("score") >= 0.5).cast("int").alias("keep"))
