@@ -14262,3 +14262,155 @@ def q_quality_classifier_scores(spark: SparkSession,
         "doc_id",
         F.round("score", ROUND_SCORE).alias("score"),
         (F.col("score") >= 0.5).cast("int").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# EQL (Event Query Language) — sequence / sample over the events stream
+# ---------------------------------------------------------------------------
+_EQL_STAGES = ("view", "click", "purchase")
+_EQL_UNTIL = "error"
+_EQL_MAXSPAN_US = 48 * 3600 * 1_000_000  # with maxspan=48h
+
+_EQL_WIN = ("PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
+
+
+@register("eql_sequence", f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         event_type = '{_EQL_STAGES[0]}' AS p0,
+         event_type = '{_EQL_STAGES[1]}' AS p1,
+         event_type = '{_EQL_STAGES[2]}' AS p2,
+         event_type = '{_EQL_UNTIL}' AS pu
+  FROM events
+),
+w1 AS (
+  SELECT user_id, event_id, t, p1, p2, pu,
+    last_value(CASE WHEN pu THEN t END IGNORE NULLS) OVER win AS u,
+    last_value(CASE WHEN p0 THEN t END IGNORE NULLS) OVER win AS q_t1,
+    last_value(CASE WHEN p0 THEN event_id END IGNORE NULLS) OVER win AS q_i1
+  FROM e WINDOW win AS ({_EQL_WIN})
+),
+c2 AS (
+  SELECT user_id, event_id, t, p2, pu,
+    CASE WHEN p1 AND q_t1 IS NOT NULL AND t - q_t1 <= {_EQL_MAXSPAN_US}
+              AND (u IS NULL OR u <= q_t1) THEN q_t1 END AS c_t1,
+    CASE WHEN p1 AND q_t1 IS NOT NULL AND t - q_t1 <= {_EQL_MAXSPAN_US}
+              AND (u IS NULL OR u <= q_t1) THEN q_i1 END AS c_i1,
+    CASE WHEN p1 AND q_t1 IS NOT NULL AND t - q_t1 <= {_EQL_MAXSPAN_US}
+              AND (u IS NULL OR u <= q_t1) THEN t END AS c_t2,
+    CASE WHEN p1 AND q_t1 IS NOT NULL AND t - q_t1 <= {_EQL_MAXSPAN_US}
+              AND (u IS NULL OR u <= q_t1) THEN event_id END AS c_i2
+  FROM w1
+),
+w2 AS (
+  SELECT user_id, event_id, t, p2,
+    last_value(CASE WHEN pu THEN t END IGNORE NULLS) OVER win AS u,
+    last_value(c_t1 IGNORE NULLS) OVER win AS q_t1,
+    last_value(c_i1 IGNORE NULLS) OVER win AS q_i1,
+    last_value(c_t2 IGNORE NULLS) OVER win AS q_t2,
+    last_value(c_i2 IGNORE NULLS) OVER win AS q_i2
+  FROM c2 WINDOW win AS ({_EQL_WIN})
+)
+SELECT user_id,
+       q_t1 AS ts_us_1, q_i1 AS id_1,
+       q_t2 AS ts_us_2, q_i2 AS id_2,
+       t AS ts_us_3, event_id AS id_3
+FROM w2
+WHERE p2 AND q_t1 IS NOT NULL AND t - q_t1 <= {_EQL_MAXSPAN_US}
+  AND (u IS NULL OR u <= q_t2)
+""")
+def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL `sequence by user_id with maxspan=48h [view] [click]
+    [purchase] until [error]` (operators/eql.py:eql_sequence — module
+    docstring carries the full expiry contract): ordered per-user
+    event chains matched by the last-pending-candidate state machine,
+    N window passes over ONE key shuffle, no self-join. The oracle is
+    the identical recurrence in SQL window form."""
+    from connectors_spark.operators.eql import eql_sequence
+
+    ev = _read(spark, sf_dir, "events")
+    out = eql_sequence(
+        ev,
+        stages=[F.col("event_type") == s for s in _EQL_STAGES],
+        key="user_id", ts_col="ts", id_col="event_id",
+        maxspan_sec=_EQL_MAXSPAN_US / 1e6,
+        until=F.col("event_type") == _EQL_UNTIL,
+    )
+    sel = [F.col("user_id")]
+    for j in (1, 2, 3):
+        sel.append(F.unix_micros(F.col(f"ts_{j}")).alias(f"ts_us_{j}"))
+        sel.append(F.col(f"id_{j}"))
+    return out.select(*sel)
+
+
+_EQL_SAMPLE_FILTERS = ("signup", "error", "purchase")
+
+
+@register("eql_sample", f"""
+SELECT user_id,
+  {', '.join(
+    f"(max(CASE WHEN event_type = '{t}' "
+    f"THEN {{'t': epoch_us(ts), 'i': event_id}} END)).t AS ts_us_{t}, "
+    f"(max(CASE WHEN event_type = '{t}' "
+    f"THEN {{'t': epoch_us(ts), 'i': event_id}} END)).i AS id_{t}"
+    for t in _EQL_SAMPLE_FILTERS)}
+FROM events GROUP BY user_id
+HAVING {' AND '.join(
+    f"count(CASE WHEN event_type = '{t}' THEN 1 END) > 0"
+    for t in _EQL_SAMPLE_FILTERS)}
+""")
+def q_eql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL `sample by user_id` analog (operators/eql.py:eql_sample):
+    users with at least one event per filter (unordered — the
+    join-key co-occurrence face of EQL), returning the LATEST matching
+    event per filter via ONE map-side-combinable struct-max groupBy —
+    no window, no join; struct max is lexicographic (t, id) in both
+    engines, so ties are deterministic."""
+    from connectors_spark.operators.eql import eql_sample
+
+    ev = _read(spark, sf_dir, "events")
+    out = eql_sample(
+        ev,
+        filters=[(t, F.col("event_type") == t)
+                 for t in _EQL_SAMPLE_FILTERS],
+        key="user_id", ts_col="ts", id_col="event_id",
+    )
+    sel = [F.col("user_id")]
+    for t in _EQL_SAMPLE_FILTERS:
+        sel.append(F.unix_micros(F.col(f"ts_{t}")).alias(f"ts_us_{t}"))
+        sel.append(F.col(f"id_{t}"))
+    return out.select(*sel)
+
+
+@register("transform_latest", f"""
+SELECT user_id,
+       (b).t AS ts_us, (b).i AS event_id, (b).et AS event_type,
+       round((b).v, {ROUND_SCORE}) AS value
+FROM (
+  SELECT user_id,
+         max({{'t': epoch_us(ts), 'i': event_id,
+              'et': event_type, 'v': value}}) AS b
+  FROM events GROUP BY user_id
+)
+""")
+def q_transform_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `latest` transform analog (the sibling of transform_pivot):
+    the most recent full event row per entity, continuously
+    materializable — ONE struct-max groupBy (map-side combinable,
+    argmax rides the lexicographic (t, id) struct order; no window,
+    no shuffle beyond the key agg). ES keeps this view fresh per
+    checkpoint; operators/transform.py's dirty-key ticks provide the
+    same incremental path."""
+    ev = _read(spark, sf_dir, "events")
+    b = F.max(F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("event_id").alias("i"),
+        F.col("event_type").alias("et"),
+        F.col("value").alias("v"))).alias("b")
+    return (ev.groupBy("user_id").agg(b)
+            .select("user_id",
+                    F.col("b.t").alias("ts_us"),
+                    F.col("b.i").alias("event_id"),
+                    F.col("b.et").alias("event_type"),
+                    F.round("b.v", ROUND_SCORE).alias("value")))

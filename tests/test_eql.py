@@ -1,0 +1,116 @@
+"""EQL sequence/sample state-machine semantics (operators/eql.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from connectors_spark.operators.eql import eql_sample, eql_sequence
+
+
+def _ev(spark, rows):
+    # rows: (id, key, second-offset, type)
+    df = spark.createDataFrame(
+        [(i, k, f"2024-01-01 00:00:{s:02d}", t) for i, k, s, t in rows],
+        "event_id long, user_id string, ts string, event_type string",
+    )
+    return df.selectExpr("event_id", "user_id",
+                         "cast(ts as timestamp) ts", "event_type")
+
+
+def _stages(*types):
+    return [F.col("event_type") == t for t in types]
+
+
+def _seqs(df, n=3):
+    cols = ["user_id"] + [f"id_{j}" for j in range(1, n + 1)]
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_basic_three_stage_chain(spark):
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "u", 2, "b"), (3, "u", 3, "c"),
+                     (4, "v", 1, "a"), (5, "v", 2, "c")])  # v: no b
+    out = eql_sequence(ev, _stages("a", "b", "c"), key="user_id")
+    assert _seqs(out) == [("u", 1, 2, 3)]
+
+
+def test_last_pending_candidate_wins(spark):
+    # a1 .. a2 .. b: the chain uses the MOST RECENT a (EQL runs-ahead).
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "u", 2, "a"), (3, "u", 3, "b")])
+    out = eql_sequence(ev, _stages("a", "b"), key="user_id")
+    assert _seqs(out, n=2) == [("u", 2, 3)]
+
+
+def test_maxspan_expires_chain(spark):
+    # a at t=1; b at t=30 — dead under maxspan=10s, alive under 60s.
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "u", 30, "b")])
+    tight = eql_sequence(ev, _stages("a", "b"), key="user_id",
+                         maxspan_sec=10)
+    wide = eql_sequence(ev, _stages("a", "b"), key="user_id",
+                        maxspan_sec=60)
+    assert _seqs(tight, n=2) == []
+    assert _seqs(wide, n=2) == [("u", 1, 2)]
+
+
+def test_maxspan_measured_from_first_stage(spark):
+    # a t=1, b t=5, c t=20: span(first..last)=19 > 10 — the 3-stage
+    # completion must check against t1, not t2.
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "u", 5, "b"), (3, "u", 20, "c")])
+    out = eql_sequence(ev, _stages("a", "b", "c"), key="user_id",
+                       maxspan_sec=10)
+    assert _seqs(out) == []
+
+
+def test_until_expires_pending(spark):
+    # a t=1, X t=2 (until), b t=3: the pending a died at X.
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "u", 2, "x"), (3, "u", 3, "b"),
+                     (4, "v", 1, "a"), (5, "v", 3, "b")])
+    out = eql_sequence(ev, _stages("a", "b"), key="user_id",
+                       until=F.col("event_type") == "x")
+    assert _seqs(out, n=2) == [("v", 4, 5)]
+
+
+def test_until_only_kills_older_state(spark):
+    # X t=1 BEFORE a t=2 must not kill the later chain.
+    ev = _ev(spark, [(1, "u", 1, "x"), (2, "u", 2, "a"), (3, "u", 3, "b")])
+    out = eql_sequence(ev, _stages("a", "b"), key="user_id",
+                       until=F.col("event_type") == "x")
+    assert _seqs(out, n=2) == [("u", 2, 3)]
+
+
+def test_chains_never_cross_keys(spark):
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "v", 2, "b")])
+    out = eql_sequence(ev, _stages("a", "b"), key="user_id")
+    assert _seqs(out, n=2) == []
+
+
+def test_each_completion_event_emits_at_most_one_chain(spark):
+    # two b's after one a: each b completes a chain (the a stays
+    # pending), but each emits exactly once.
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "u", 2, "b"), (3, "u", 3, "b")])
+    out = eql_sequence(ev, _stages("a", "b"), key="user_id")
+    assert _seqs(out, n=2) == [("u", 1, 2), ("u", 1, 3)]
+
+
+def test_sequence_partition_invariance(spark):
+    ev = _ev(spark, [(i, f"u{i % 2}", i, "abc"[i % 3])
+                     for i in range(60)])
+    args = dict(stages=_stages("a", "b", "c"), key="user_id",
+                maxspan_sec=25)
+    one = _seqs(eql_sequence(ev.coalesce(1), **args))
+    many = _seqs(eql_sequence(ev.repartition(13), **args))
+    assert one == many and one
+
+
+def test_sample_requires_all_filters_and_picks_latest(spark):
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "u", 5, "a"), (3, "u", 2, "b"),
+                     (4, "v", 1, "a")])  # v lacks b
+    out = eql_sample(ev, [("a", F.col("event_type") == "a"),
+                          ("b", F.col("event_type") == "b")],
+                     key="user_id")
+    rows = {r["user_id"]: (r["id_a"], r["id_b"]) for r in out.collect()}
+    assert rows == {"u": (2, 3)}
+
+
+def test_sequence_rejects_single_stage(spark):
+    ev = _ev(spark, [(1, "u", 1, "a")])
+    with pytest.raises(ValueError):
+        eql_sequence(ev, _stages("a"), key="user_id")
