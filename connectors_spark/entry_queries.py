@@ -14414,3 +14414,76 @@ def q_transform_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("b.i").alias("event_id"),
                     F.col("b.et").alias("event_type"),
                     F.round("b.v", ROUND_SCORE).alias("value")))
+
+
+_GRAPH_SEED = "hash"
+_GRAPH_PER_HOP = 5
+_GRAPH_JLH = ("round(((f.fg_df / fn.n) - (b.bg_df / nd.n)) "
+              "* ((f.fg_df / fn.n) / (b.bg_df / nd.n)), 6)")
+
+
+@register("graph_explore", f"""
+WITH {_TOKS_CTE},
+td AS (SELECT DISTINCT term, doc_id FROM toks),
+nd AS (SELECT count(*) * 1.0 AS n FROM documents),
+bg AS (SELECT term, count(*) AS bg_df FROM td GROUP BY term),
+sd AS (SELECT doc_id FROM td WHERE term = '{_GRAPH_SEED}'),
+f1n AS (SELECT count(*) * 1.0 AS n FROM sd),
+f1t AS (SELECT term, count(*) AS fg_df FROM td JOIN sd USING (doc_id)
+        WHERE term <> '{_GRAPH_SEED}' GROUP BY term),
+s1 AS (SELECT f.term, f.fg_df, {_GRAPH_JLH} AS score
+       FROM f1t f JOIN bg b USING (term)
+       CROSS JOIN f1n fn CROSS JOIN nd),
+v1 AS (SELECT term, fg_df, score,
+              row_number() OVER (ORDER BY score DESC, term ASC) AS rk
+       FROM s1),
+e1 AS (SELECT 1 AS hop, '{_GRAPH_SEED}' AS source, term,
+              fg_df AS overlap_df, score
+       FROM v1 WHERE rk <= {_GRAPH_PER_HOP}),
+fd AS (SELECT DISTINCT doc_id FROM td
+       JOIN (SELECT term FROM v1 WHERE rk <= {_GRAPH_PER_HOP}) USING (term)),
+f2n AS (SELECT count(*) * 1.0 AS n FROM fd),
+f2t AS (SELECT term, count(*) AS fg_df FROM td JOIN fd USING (doc_id)
+        WHERE term <> '{_GRAPH_SEED}'
+          AND term NOT IN (SELECT term FROM v1 WHERE rk <= {_GRAPH_PER_HOP})
+        GROUP BY term),
+s2 AS (SELECT f.term, f.fg_df, {_GRAPH_JLH} AS score
+       FROM f2t f JOIN bg b USING (term)
+       CROSS JOIN f2n fn CROSS JOIN nd),
+v2 AS (SELECT term, fg_df, score,
+              row_number() OVER (ORDER BY score DESC, term ASC) AS rk
+       FROM s2),
+co AS (SELECT a.term, b.term AS source, count(*) AS overlap_df
+       FROM td a JOIN td b USING (doc_id)
+       WHERE a.term IN (SELECT term FROM v2 WHERE rk <= {_GRAPH_PER_HOP})
+         AND b.term IN (SELECT term FROM v1 WHERE rk <= {_GRAPH_PER_HOP})
+       GROUP BY 1, 2),
+best AS (SELECT term, source, overlap_df,
+                row_number() OVER (PARTITION BY term
+                                   ORDER BY overlap_df DESC, source ASC) AS rk
+         FROM co),
+e2 AS (SELECT 2 AS hop, bb.source, v.term, bb.overlap_df, v.score
+       FROM v2 v JOIN best bb ON v.term = bb.term AND bb.rk = 1
+       WHERE v.rk <= {_GRAPH_PER_HOP})
+SELECT CAST(hop AS INT) AS hop, source, term,
+       CAST(overlap_df AS BIGINT) AS overlap_df, score
+FROM e1
+UNION ALL
+SELECT CAST(hop AS INT) AS hop, source, term,
+       CAST(overlap_df AS BIGINT) AS overlap_df, score
+FROM e2
+""")
+def q_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_graph/explore` API analog (operators/graph.py:
+    graph_explore): 2-hop significant-term spidering from the seed
+    '{seed}' — JLH-scored vertices per hop, edges carrying co-doc
+    overlap, the whole spider one Catalyst plan (persisted distinct
+    (term, doc) pairs, broadcast frontiers, TakeOrdered top-k — never
+    a global window over the vocabulary).""".replace(
+        "{seed}", _GRAPH_SEED)
+    from connectors_spark.operators.graph import graph_explore
+
+    docs = _read(spark, sf_dir, "documents")
+    out = graph_explore(docs, _GRAPH_SEED, per_hop=_GRAPH_PER_HOP)
+    return out.select(F.col("hop").cast("int").alias("hop"),
+                      "source", "term", "overlap_df", "score")

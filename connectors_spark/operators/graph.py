@@ -129,3 +129,93 @@ def pagerank(
             )
         )
     return ranks
+
+
+def graph_explore(docs: DataFrame, seed_term: str, per_hop: int = 5,
+                  text_col: str = "text", doc_id_col: str = "doc_id",
+                  round_to: int = 6) -> DataFrame:
+    """ES ``_graph/explore`` analog (public Graph API semantics): spider
+    out from a seed term to its most SIGNIFICANT co-occurring terms,
+    two hops, returning ``(hop, source, term, overlap_df, score)``
+    vertex/edge rows.
+
+    Hop 1: docs containing the seed are the foreground; candidate
+    terms in those docs are JLH-scored vs the whole corpus
+    ((fg%-bg%)*(fg%/bg%), the significant_terms heuristic ES Graph
+    uses to avoid spidering to stopword-ish hubs); top ``per_hop``
+    (score DESC, term ASC) become vertices with edge (seed -> term,
+    overlap_df = co-doc count).
+
+    Hop 2: the frontier's docs (any hop-1 vertex) are the new
+    foreground; terms already seen (seed + hop-1) are excluded; each
+    new vertex's edge connects to the hop-1 vertex it co-occurs with
+    most (ties: source ASC).
+
+    Plan shape: ONE tokenize pass reduced to distinct (term, doc)
+    pairs and persisted for the hop joins; foregrounds are semi-joins
+    on doc_id; every top-k is orderBy().limit() (TakeOrderedAndProject
+    — per-partition heaps, never a single-task global window); the
+    tiny vertex frontiers broadcast. No driver-side iteration — both
+    hops are one Catalyst plan, the oracle is the same recurrence in
+    CTE form.
+    """
+    from connectors_spark.functions.analysis import tokenize
+
+    td = (tokenize(docs, text_col, doc_id_col)
+          .select("term", "doc_id").distinct()
+          .persist())
+    n_docs = docs.count() * 1.0
+    bg = td.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+
+    def _hop(fg_docs: DataFrame, exclude: DataFrame) -> DataFrame:
+        """Top per_hop JLH terms among fg_docs (term, fg_df, score)."""
+        fg_n = fg_docs.count() * 1.0
+        fgt = (td.join(F.broadcast(fg_docs), "doc_id")
+               .groupBy("term").agg(F.count(F.lit(1)).alias("fg_df"))
+               .join(F.broadcast(exclude), "term", "left_anti")
+               .join(bg, "term"))
+        fg_pct = F.col("fg_df") / F.lit(fg_n)
+        bg_pct = F.col("bg_df") / F.lit(n_docs)
+        return (fgt.select(
+                    "term", "fg_df",
+                    F.round((fg_pct - bg_pct) * (fg_pct / bg_pct),
+                            round_to).alias("score"))
+                .orderBy(F.desc("score"), F.asc("term")).limit(per_hop))
+
+    seed = F.lit(seed_term)
+    seed_docs = td.filter(F.col("term") == seed).select("doc_id")
+    v1 = _hop(seed_docs, td.sparkSession.createDataFrame(
+        [(seed_term,)], "term string")).persist()
+
+    # hop-1 edges: overlap with the seed's docs IS fg_df
+    e1 = v1.select(F.lit(1).alias("hop"), seed.alias("source"), "term",
+                   F.col("fg_df").alias("overlap_df"), "score")
+
+    # hop-2 foreground: docs containing any hop-1 vertex
+    frontier_docs = (td.join(F.broadcast(v1.select("term")), "term")
+                     .select("doc_id").distinct())
+    seen = v1.select("term").union(
+        td.sparkSession.createDataFrame([(seed_term,)], "term string"))
+    v2 = _hop(frontier_docs, seen)
+
+    # hop-2 edge source: the hop-1 vertex with max co-doc count
+    co = (td.join(F.broadcast(v2.select("term")), "term")
+          .join(td.select(F.col("term").alias("source"),
+                          "doc_id")
+                .join(F.broadcast(v1.select(F.col("term").alias("source"))),
+                      "source"),
+                "doc_id")
+          .groupBy("term", "source")
+          .agg(F.count(F.lit(1)).alias("overlap_df")))
+    rk = F.row_number().over(
+        Window.partitionBy("term").orderBy(F.desc("overlap_df"),
+                                           F.asc("source")))
+    best = (co.withColumn("_rk", rk).filter(F.col("_rk") == 1)
+            .select("term", "source", "overlap_df"))
+    e2 = (v2.join(best, "term")
+          .select(F.lit(2).alias("hop"), "source", "term",
+                  "overlap_df", "score"))
+    out = e1.unionByName(e2)
+    return out.select("hop", "source", "term",
+                      F.col("overlap_df").cast("long").alias("overlap_df"),
+                      "score")

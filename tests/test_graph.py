@@ -156,3 +156,31 @@ def test_pagerank_matches_dense_numpy_oracle(spark):
     expp = dense(t)
     for v in range(n):
         assert gotp[v] == pytest.approx(expp[v], rel=1e-9, abs=1e-15), v
+
+
+def test_graph_explore_planted_structure(spark):
+    # seed docs: "seed alpha", twice; alpha docs also carry "beta";
+    # "gamma" lives only outside the frontier; "noise" is everywhere.
+    rows = [
+        (1, "seed alpha noise"),
+        (2, "seed alpha noise"),
+        (3, "alpha beta noise"),
+        (4, "alpha beta noise"),
+        (5, "gamma noise"),
+        (6, "gamma noise"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from connectors_spark.operators.graph import graph_explore
+
+    out = graph_explore(docs, "seed", per_hop=1)
+    got = {(r["hop"], r["source"], r["term"]): r["overlap_df"]
+           for r in out.collect()}
+    # hop 1: alpha (in both seed docs, rare in corpus) beats noise
+    # (everywhere -> JLH ~ 0)
+    assert (1, "seed", "alpha") in got
+    assert got[(1, "seed", "alpha")] == 2
+    # hop 2: frontier = alpha docs {1,2,3,4}; beta is the significant
+    # new term (seed/alpha excluded as seen), edge sourced at alpha
+    assert (2, "alpha", "beta") in got
+    assert got[(2, "alpha", "beta")] == 2
+    assert len(got) == 2
