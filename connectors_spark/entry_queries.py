@@ -14487,3 +14487,93 @@ def q_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = graph_explore(docs, _GRAPH_SEED, per_hop=_GRAPH_PER_HOP)
     return out.select(F.col("hop").cast("int").alias("hop"),
                       "source", "term", "overlap_df", "score")
+
+
+_OUTLIER_MOD = 8
+_OUTLIER_K = 5
+_OUTLIER_TOP = 20
+
+
+@register("outlier_knn", f"""
+WITH s AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % {_OUTLIER_MOD} = 0),
+{_DIMS_SQL},
+norms AS (
+  SELECT vec_id,
+         sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+           AS nrm
+  FROM s CROSS JOIN dims GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+           AS dot
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id CROSS JOIN dims
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT qid, vid, round(dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots JOIN norms na ON na.vec_id = qid
+            JOIN norms nb ON nb.vec_id = vid
+),
+rk AS (
+  SELECT qid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vid ASC) AS r
+  FROM cosd
+),
+kth AS (SELECT qid AS vec_id, cos AS kth_cos, round(1.0 - cos, 6) AS score
+        FROM rk WHERE r = {_OUTLIER_K}),
+top AS (SELECT vec_id, kth_cos, score,
+               row_number() OVER (ORDER BY score DESC, vec_id ASC) AS r
+        FROM kth)
+SELECT vec_id, kth_cos, score FROM top WHERE r <= {_OUTLIER_TOP}
+""")
+def q_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ML outlier-detection analog (operators/similarity.py:
+    knn_distance_outliers): cosine distance to the 5th nearest
+    neighbor as the outlier score over a deterministic corpus sample
+    (vec_id % 64 — the exact all-pairs baseline runs on the sample;
+    the scale path is per-LSH-bucket kNN, see operator docstring).
+    Top-20 outliers via TakeOrdered."""
+    from connectors_spark.operators.similarity import knn_distance_outliers
+
+    emb = _read(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % _OUTLIER_MOD == 0)
+    return knn_distance_outliers(sample, k=_OUTLIER_K, top_n=_OUTLIER_TOP)
+
+
+@register("token_entropy", f"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, sum(tf) * 1.0 AS dl FROM tf GROUP BY doc_id),
+h AS (
+  SELECT t.doc_id,
+         -sum((t.tf / d.dl) * log2(t.tf / d.dl)) AS ent
+  FROM tf t JOIN dl d USING (doc_id)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, CAST(d.dl AS BIGINT) AS dl,
+       round(coalesce(h.ent, 0.0), {ROUND_SCORE}) AS entropy
+FROM dl d LEFT JOIN h USING (doc_id)
+""")
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (bits): -sum (tf/dl) log2(tf/dl)
+    over the doc's token distribution — the standard repetitiveness /
+    boilerplate quality signal (low entropy = repeated tokens; the
+    continuous counterpart of the Gopher top-word fraction). One
+    tokenize pass, two doc-keyed aggs inside the same shuffle key, all
+    JVM expressions."""
+    from connectors_spark.functions.analysis import tokenize
+
+    docs = _read(spark, sf_dir, "documents")
+    tf = (tokenize(docs, "text", "doc_id")
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    p = F.col("tf") / F.col("dl")
+    h = (tf.join(dl, "doc_id")
+         .groupBy("doc_id")
+         .agg((-F.sum(p * F.log2(p))).alias("ent")))
+    return (dl.join(h, "doc_id", "left")
+            .select("doc_id", F.col("dl").cast("long").alias("dl"),
+                    F.round(F.coalesce("ent", F.lit(0.0)),
+                            ROUND_SCORE).alias("entropy")))

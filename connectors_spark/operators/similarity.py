@@ -709,3 +709,28 @@ def pca_project(df: DataFrame, components, mean,
             F.zip_with(centered, comp, lambda a, b: a * b),
             F.lit(0.0), lambda acc, x: acc + x))
     return df.select(F.col(id_col), F.array(*outs).alias(out_col))
+
+
+def knn_distance_outliers(vectors: DataFrame, k: int = 5, top_n: int = 20,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """ES ML outlier-detection analog (the `outlier_detection` data-frame
+    analytics job; public distance-based scoring): each vector's outlier
+    score is its cosine DISTANCE to its k-th nearest neighbor — points
+    in dense neighborhoods score ~0, isolated points score high.
+    Returns the ``top_n`` outliers ``(vec_id, kth_cos, score)``.
+
+    This composes the exact brute-force kNN kernel, so it is the
+    all-pairs baseline: run it on a bounded sample/partition (as the
+    gate does). The scale path reuses the SRP-LSH bucketing of
+    ``embedding_cosine_dups`` — per-bucket kNN gives each point a
+    distance UNDER-estimate-free neighbor set without the n^2 sweep.
+    Top-n via orderBy().limit() (TakeOrderedAndProject)."""
+    nn = brute_force_cosine_topk(vectors, vectors, k=k,
+                                 vec_col=vec_col, id_col=id_col)
+    kth = nn.filter(F.col("rank") == k).select(
+        F.col("query_id").alias(id_col),
+        F.col("cos").alias("kth_cos"))
+    return (kth.withColumn("score", F.round(1.0 - F.col("kth_cos"), ROUND_COS))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(top_n))

@@ -311,3 +311,19 @@ def test_pca_partition_invariant(spark):
                 "embedding array<double>").repartition(7), k=2)
     assert np.allclose(a[0], b[0], atol=1e-9)
     assert np.allclose(a[1], b[1], atol=1e-12)
+
+
+def test_knn_outliers_planted_isolate(spark):
+    # 6 clustered vectors + 1 isolate: the isolate must top the ranking
+    import numpy as np
+    from connectors_spark.operators.similarity import knn_distance_outliers
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 0.05, 8)
+    rows = [(i, (base + rng.normal(0, 0.01, 8) + 1.0).tolist())
+            for i in range(6)]
+    rows.append((99, (-np.ones(8)).tolist()))  # opposite direction
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_distance_outliers(df, k=3, top_n=7).collect()
+    assert out[0]["vec_id"] == 99
+    assert out[0]["score"] > out[1]["score"] + 0.5  # decisively isolated
