@@ -14577,3 +14577,49 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("dl").cast("long").alias("dl"),
                     F.round(F.coalesce("ent", F.lit(0.0)),
                             ROUND_SCORE).alias("entropy")))
+
+
+_WCF_PATTERNS = [
+    ("w1", "*window*merge*"),   # leading wildcard: free under gram pruning
+    ("w2", "*cust?mer*"),       # '?' splits the run -> grams cus/ust/mer
+    ("w3", "*vector*stream*"),
+    ("w4", "key*"),             # anchored prefix
+    ("w5", "*agg"),             # anchored suffix
+    ("w6", "*qu??y*"),          # runs all < 3 chars -> verify-scan fallback
+]
+
+
+def _wildcard_field_sql() -> str:
+    from connectors_spark.operators.wildcard_field import glob_to_like
+
+    parts = [
+        f"SELECT '{qid}' AS query_id, doc_id FROM documents "
+        f"WHERE lower(text) LIKE '{glob_to_like(pat.lower())}'"
+        for qid, pat in _WCF_PATTERNS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("wildcard_field_query", _wildcard_field_sql())
+def q_wildcard_field_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `wildcard` FIELD TYPE analog (Lucene WildcardField): glob
+    matching on long values accelerated by a 3-gram postings index —
+    pattern's literal runs -> required grams -> posting intersection
+    (pushed-down isin + one groupBy) -> exact LIKE verify on the
+    candidates only. Leading wildcards, which the lexicon-expansion
+    wildcard TERM query must drop, are fully supported here; patterns
+    with no run >= 3 fall back to the verify scan
+    (operators/wildcard_field.py; equality-vs-fnmatch + pruning pinned
+    in tests/test_wildcard_field.py)."""
+    from connectors_spark.operators.wildcard_field import (
+        build_gram_postings, wildcard_field_match)
+
+    docs = _read(spark, sf_dir, "documents")
+    postings = build_gram_postings(docs, "text", "doc_id")
+    out = None
+    for qid, pat in _WCF_PATTERNS:
+        m = (wildcard_field_match(docs, "text", "doc_id", pat,
+                                  postings=postings)
+             .select(F.lit(qid).alias("query_id"), "doc_id"))
+        out = m if out is None else out.unionByName(m)
+    return out
