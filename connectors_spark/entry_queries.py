@@ -14623,3 +14623,126 @@ def q_wildcard_field_query(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit(qid).alias("query_id"), "doc_id"))
         out = m if out is None else out.unionByName(m)
     return out
+
+
+_SAYT_QUERIES = [("sa0", "big batch wi"), ("sa1", "window merge sc")]
+
+
+def _sayt_clause_rows():
+    """Shared clause derivation: root field = match_bool_prefix clauses
+    (terms + trailing prefix); _2gram subfield = consecutive-term
+    shingles + the trailing (last-full-term, prefix) shingle."""
+    root, shg = [], []
+    for qid, text in _SAYT_QUERIES:
+        parts = text.split()
+        for t in parts[:-1]:
+            root.append((qid, t, False))
+        root.append((qid, parts[-1], True))
+        for a, b in zip(parts[:-2], parts[1:-1]):
+            shg.append((qid, f"{a} {b}", False))
+        shg.append((qid, f"{parts[-2]} {parts[-1]}", True))
+    return root, shg
+
+
+def _sayt_sql() -> str:
+    root, shg = _sayt_clause_rows()
+    fmt = lambda rows: ", ".join(  # noqa: E731
+        f"('{q}', '{p}', {'TRUE' if ip else 'FALSE'})" for q, p, ip in rows)
+    w_root = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                      dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    w_sh = bm25_sql(n_expr="shstats.n", df_expr="shdf.df", tf_expr="shtf.tf",
+                    dl_expr="shdl.dl", avgdl_expr="shstats.avgdl")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+rq(query_id, part, is_prefix) AS (VALUES {fmt(root)}),
+rexp AS (
+  SELECT DISTINCT rq.query_id, d.term
+  FROM rq JOIN dfreq d
+    ON (rq.is_prefix AND d.term LIKE rq.part || '%')
+    OR (NOT rq.is_prefix AND d.term = rq.part)
+),
+rcontrib AS (
+  SELECT e.query_id, tf.doc_id, {w_root} AS w
+  FROM rexp e JOIN tf ON tf.term = e.term
+  JOIN dfreq ON dfreq.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+tk AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr FROM documents),
+tp AS (SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos
+       FROM tk),
+prs AS (SELECT doc_id, t AS w1,
+               lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tp),
+sh AS (SELECT doc_id, w1 || ' ' || w2 AS shingle FROM prs
+       WHERE w2 IS NOT NULL),
+shtf AS (SELECT doc_id, shingle, count(*) AS tf FROM sh
+         GROUP BY doc_id, shingle),
+shdl AS (SELECT doc_id, count(*) AS dl FROM sh GROUP BY doc_id),
+shdf AS (SELECT shingle, count(*) AS df FROM shtf GROUP BY shingle),
+shstats AS (SELECT count(*) * 1.0 AS n, avg(dl * 1.0) AS avgdl FROM shdl),
+sq(query_id, part, is_prefix) AS (VALUES {fmt(shg)}),
+sexp AS (
+  SELECT DISTINCT sq.query_id, d.shingle
+  FROM sq JOIN shdf d
+    ON (sq.is_prefix AND d.shingle LIKE sq.part || '%')
+    OR (NOT sq.is_prefix AND d.shingle = sq.part)
+),
+scontrib AS (
+  SELECT e.query_id, shtf.doc_id, {w_sh} AS w
+  FROM sexp e JOIN shtf ON shtf.shingle = e.shingle
+  JOIN shdf ON shdf.shingle = e.shingle
+  JOIN shdl ON shdl.doc_id = shtf.doc_id CROSS JOIN shstats
+),
+allc AS (SELECT * FROM rcontrib UNION ALL SELECT * FROM scontrib),
+scored AS (SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+           FROM allc GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("search_as_you_type", _sayt_sql())
+def q_search_as_you_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `search_as_you_type` field analog: multi_match bool_prefix
+    across the root field AND a `_2gram` shingle subfield — terms +
+    trailing prefix on the root, consecutive-term shingles + trailing
+    shingle prefix on the subfield, each scored with its OWN BM25
+    stats and summed per doc, so adjacent-term docs outrank scattered
+    ones (operators/sayt.py; adjacency-boost property pinned in
+    tests/test_sayt.py)."""
+    from connectors_spark.operators.query import _distinct_term_weights
+    from connectors_spark.operators.sayt import shingle_rows, subfield_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    root, shg = _sayt_clause_rows()
+    schema = "query_id string, part string, is_prefix boolean"
+    rq = spark.createDataFrame(root, schema)
+    rexp = (idx.lexicon.select("term")
+            .join(F.broadcast(rq),
+                  (F.col("is_prefix") & F.col("term").startswith(F.col("part")))
+                  | (~F.col("is_prefix") & (F.col("term") == F.col("part"))))
+            .select("query_id", "term").distinct())
+    tw = _distinct_term_weights(idx, rexp.select("term").distinct(),
+                                BM25_K1, BM25_B, 2_000_000)
+    rcontrib = (tw.join(F.broadcast(rexp), "term")
+                .select("query_id", "doc_id", "w"))
+    scontrib = subfield_weights(shingle_rows(docs),
+                                spark.createDataFrame(shg, schema))
+    scored = (rcontrib.unionByName(scontrib)
+              .groupBy("query_id", "doc_id")
+              .agg(F.round(F.sum("w"), ROUND_SCORE).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= GATE_BM25_K)
+            .select("query_id", "rank", "doc_id", "score"))
