@@ -14746,3 +14746,57 @@ def q_search_as_you_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= GATE_BM25_K)
             .select("query_id", "rank", "doc_id", "score"))
+
+
+_CCNET_MOD = 5
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    f"""
+WITH tk AS (SELECT doc_id, lang, {tokenize_sql_duckdb('text')} AS arr
+            FROM documents),
+tp AS (SELECT doc_id, lang, unnest(arr) AS t, unnest(range(len(arr))) AS pos
+       FROM tk),
+prs AS (SELECT doc_id, lang, t AS w1,
+               lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tp),
+bg AS (SELECT doc_id, lang, w1, w1 || ' ' || w2 AS bigram FROM prs
+       WHERE w2 IS NOT NULL),
+refuni AS (SELECT lang, t AS w1, count(*) AS c1 FROM tp
+           WHERE doc_id % {_CCNET_MOD} = 0 GROUP BY lang, t),
+refbic AS (SELECT lang, bigram, count(*) AS c2 FROM bg
+           WHERE doc_id % {_CCNET_MOD} = 0 GROUP BY lang, bigram),
+v AS (SELECT lang, count(*) * 1.0 AS v FROM refuni GROUP BY lang),
+lp AS (
+  SELECT bg.doc_id, bg.lang,
+         log2((coalesce(refbic.c2, 0) + {_LM_ADD_K})
+              / (coalesce(refuni.c1, 0) + {_LM_ADD_K} * v.v)) AS lp
+  FROM bg
+  LEFT JOIN refbic ON refbic.lang = bg.lang AND refbic.bigram = bg.bigram
+  LEFT JOIN refuni ON refuni.lang = bg.lang AND refuni.w1 = bg.w1
+  JOIN v ON v.lang = bg.lang
+),
+sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(avg(lp), {ROUND_SCORE}) AS avg_log2p
+       FROM lp GROUP BY doc_id, lang)
+SELECT doc_id, lang, n_bigrams, avg_log2p,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_log2p DESC, doc_id ASC)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM sc
+""",
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): per-language
+    bigram LM trained on the deterministic reference slice
+    (doc_id % 5 == 0), all docs scored, head/middle/tail terciles per
+    language — the public CommonCrawl quality-partition recipe
+    (functions/text.py:ccnet_perplexity_buckets; lang-partitioned
+    ntile, no global window)."""
+    from connectors_spark.functions.text import ccnet_perplexity_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return ccnet_perplexity_buckets(docs, ref_mod=_CCNET_MOD,
+                                    add_k=_LM_ADD_K, round_to=ROUND_SCORE)

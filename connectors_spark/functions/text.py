@@ -537,3 +537,65 @@ def ngram_novelty(df: DataFrame, n: int = 3, text_col: str = "text",
             ).alias("novelty_frac"),
         )
     )
+
+
+def ccnet_perplexity_buckets(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", lang_col: str = "lang",
+                             ref_mod: int = 5, add_k: float = 0.5,
+                             round_to: int = 6) -> DataFrame:
+    """(doc_id, lang, n_bigrams, avg_log2p, bucket): CCNet's
+    perplexity bucketing (Wenzek et al. 2020 §3.3): a PER-LANGUAGE
+    bigram LM is trained on a deterministic reference slice
+    (doc_id % ref_mod == 0 — CCNet uses Wikipedia; in-engine the slice
+    is the clean-reference stand-in), every doc of that language is
+    scored by mean log2 transition probability, and docs are cut into
+    head / middle / tail TERCILES per language (head = most
+    reference-like). Downstream mixes keep head+middle — the public
+    CommonCrawl-filtering recipe.
+
+    Unseen transitions smooth to add_k / (c1 + add_k*V_lang); languages
+    with no reference docs drop out (inner join on the per-lang vocab).
+    Plan: one tokenize pass each for corpus and reference slice,
+    lang-keyed count aggs (map-side combinable), one lang-partitioned
+    ntile window — no global window, no UDF."""
+    from pyspark.sql import Window as W
+
+    from connectors_spark.functions.analysis import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    big = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(lang_col).alias("lang"),
+                     toks.alias("_t"), big.alias("_b"))
+    is_ref = F.col("doc_id") % ref_mod == 0
+    pairs = (base.filter(F.size("_b") > 0)
+             .select("doc_id", "lang", F.explode("_b").alias("bigram"))
+             .withColumn("w1", F.split("bigram", " ").getItem(0)))
+    ref_uni = (base.filter(is_ref)
+               .select("lang", F.explode("_t").alias("w1"))
+               .groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1")))
+    ref_bic = (pairs.filter(is_ref)
+               .groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("c2")))
+    vocab = ref_uni.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("v"))
+    lp = (pairs
+          .join(ref_bic, ["lang", "bigram"], "left")
+          .join(ref_uni, ["lang", "w1"], "left")
+          .join(vocab, "lang")  # inner: langs with no reference drop out
+          .select("doc_id", "lang",
+                  F.log2((F.coalesce("c2", F.lit(0)) + add_k)
+                         / (F.coalesce("c1", F.lit(0)) + add_k * F.col("v")))
+                  .alias("lp")))
+    sc = lp.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), round_to).alias("avg_log2p"))
+    w = W.partitionBy("lang").orderBy(F.desc("avg_log2p"), F.asc("doc_id"))
+    tile = F.ntile(3).over(w)
+    return sc.select(
+        "doc_id", "lang", "n_bigrams", "avg_log2p",
+        F.when(tile == 1, "head").when(tile == 2, "middle")
+         .otherwise("tail").alias("bucket"))
