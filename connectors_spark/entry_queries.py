@@ -14800,3 +14800,82 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return ccnet_perplexity_buckets(docs, ref_mod=_CCNET_MOD,
                                     add_k=_LM_ADD_K, round_to=ROUND_SCORE)
+
+
+def _qc_transcript_rows():
+    """The well-formed SFT transcript synth with DETERMINISTIC planted
+    structural corruptions: user-user adjacency (conv 1), a turn_idx
+    gap (conv 2), a late system turn (conv 4), an empty turn (conv 5),
+    an assistant-first swap (conv 7)."""
+    out = []
+    for d, c, t, r, x in _sft_transcript_rows():
+        if c == 1 and t == 1:
+            r = "user"
+        if c == 2 and t == 1:
+            continue
+        if c == 4 and t == 2:
+            r = "system"
+        if c == 5 and t == 0:
+            x = ""
+        if c == 7:
+            if t == 0:
+                r = "assistant"
+            elif t == 1:
+                r = "user"
+        out.append((d, c, t, r, x))
+    return out
+
+
+def _transcript_qc_sql() -> str:
+    vals = ", ".join(f"({c}, {t}, '{r}', '{x}')"
+                     for _d, c, t, r, x in _qc_transcript_rows())
+    return f"""
+WITH t(conv_id, turn_idx, role, text) AS (VALUES {vals}),
+tq AS (SELECT conv_id, turn_idx, role,
+              len({tokenize_sql_duckdb('text')}) AS ntok FROM t),
+seq AS (SELECT conv_id, turn_idx, role, ntok,
+               row_number() OVER w AS rn, lag(turn_idx) OVER w AS prev_idx
+        FROM tq WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+alt AS (SELECT conv_id,
+               bool_and(prev_role IS NULL OR role <> prev_role)
+                 AS alternates_ok
+        FROM (SELECT conv_id, role,
+                     lag(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev_role
+              FROM tq WHERE role <> 'system')
+        GROUP BY conv_id),
+agg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+               bool_and(CASE WHEN rn = 1 THEN role IN ('system', 'user')
+                             ELSE TRUE END) AS starts_ok,
+               bool_and(rn = 1 OR role <> 'system') AS system_ok,
+               (bool_and(rn = 1 OR turn_idx = prev_idx + 1)
+                AND min(turn_idx) = 0) AS no_gaps,
+               bool_and(ntok > 0) AS no_empty
+        FROM seq GROUP BY conv_id)
+SELECT agg.conv_id, n_turns,
+       CAST(starts_ok AS INT) AS starts_ok,
+       CAST(coalesce(alt.alternates_ok, TRUE) AS INT) AS alternates_ok,
+       CAST(system_ok AS INT) AS system_ok,
+       CAST(no_gaps AS INT) AS no_gaps,
+       CAST(no_empty AS INT) AS no_empty,
+       CAST(starts_ok AND coalesce(alt.alternates_ok, TRUE) AND system_ok
+            AND no_gaps AND no_empty AS INT) AS valid
+FROM agg LEFT JOIN alt USING (conv_id)
+"""
+
+
+@register("transcript_structure_qc", _transcript_qc_sql())
+def q_transcript_structure_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript structure validation over the north-rule conversation
+    shape: starts-with-system/user, non-system role alternation,
+    system-only-at-0, contiguous turn_idx, no empty turns — the
+    SFT-ingest sanity screen, run over the synth corpus with planted
+    corruptions (operators/transcript_qc.py; conv-partitioned windows
+    + one conv-keyed bool_and agg, no global window)."""
+    from connectors_spark.operators.transcript_qc import (
+        transcript_structure_qc)
+
+    rows = [(c, t, r, x) for _d, c, t, r, x in _qc_transcript_rows()]
+    df = spark.createDataFrame(
+        rows, "conv_id int, turn_idx int, role string, text string")
+    return transcript_structure_qc(df)

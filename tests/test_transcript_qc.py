@@ -1,0 +1,53 @@
+"""Transcript structure QC: each planted corruption trips exactly its flag."""
+
+from __future__ import annotations
+
+from connectors_spark.operators.transcript_qc import transcript_structure_qc
+
+SCHEMA = "conv_id int, turn_idx int, role string, text string"
+
+
+def _qc(spark, rows):
+    return {r.conv_id: r for r in
+            transcript_structure_qc(
+                spark.createDataFrame(rows, SCHEMA)).collect()}
+
+
+def test_well_formed_conversation_valid(spark):
+    rows = [(0, 0, "system", "be helpful"), (0, 1, "user", "hi there"),
+            (0, 2, "assistant", "hello friend"), (0, 3, "user", "thanks a lot")]
+    r = _qc(spark, rows)[0]
+    assert (r.starts_ok, r.alternates_ok, r.system_ok, r.no_gaps,
+            r.no_empty, r.valid) == (1, 1, 1, 1, 1, 1)
+
+
+def test_each_corruption_trips_its_flag(spark):
+    rows = [
+        # c1: user-user adjacency
+        (1, 0, "user", "a b"), (1, 1, "user", "c d"),
+        # c2: gap in turn_idx
+        (2, 0, "user", "a b"), (2, 2, "assistant", "c d"),
+        # c3: starts with assistant
+        (3, 0, "assistant", "a b"), (3, 1, "user", "c d"),
+        # c4: system mid-conversation
+        (4, 0, "user", "a b"), (4, 1, "system", "c d"),
+        # c5: empty turn
+        (5, 0, "user", "a b"), (5, 1, "assistant", ""),
+        # c6: turn_idx not starting at 0
+        (6, 1, "user", "a b"), (6, 2, "assistant", "c d"),
+    ]
+    out = _qc(spark, rows)
+    assert out[1].alternates_ok == 0 and out[1].valid == 0
+    assert out[2].no_gaps == 0 and out[2].alternates_ok == 1
+    assert out[3].starts_ok == 0 and out[3].no_gaps == 1
+    assert out[4].system_ok == 0
+    assert out[5].no_empty == 0
+    assert out[6].no_gaps == 0
+    # flags not implicated stay green
+    assert out[2].starts_ok == out[4].starts_ok == out[5].starts_ok == 1
+
+
+def test_system_only_conversation(spark):
+    # no non-system turns: alternation vacuously true
+    r = _qc(spark, [(9, 0, "system", "be nice")])[9]
+    assert r.alternates_ok == 1 and r.system_ok == 1 and r.valid == 1
