@@ -14879,3 +14879,25 @@ def q_transcript_structure_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         rows, "conv_id int, turn_idx int, role string, text string")
     return transcript_structure_qc(df)
+
+
+_BPE_MERGES = 10
+
+
+@register("bpe_learn_merges")
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training loop (Sennrich et al. 2016): 10 merge
+    rounds over the documents word-frequency table — each round one
+    map-side-combined pair agg + TakeOrdered(1) argmax + Arrow-batched
+    greedy re-merge, state localCheckpoint'ed per round so the plan
+    stays flat. Iterative argmax recurrences have no SQL twin — gate
+    declared rows-only; rank-identity vs the published algorithm's
+    pure-Python reference is pinned in tests/test_bpe.py
+    (operators/bpe.py)."""
+    from connectors_spark.operators.bpe import learn_bpe, word_symbol_frame
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = learn_bpe(word_symbol_frame(docs), _BPE_MERGES)
+    rows = [(i, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair string, freq long")
