@@ -14901,3 +14901,84 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair string, freq long")
+
+
+_C4_BAD_WORDS = ["badword"]
+
+_C4_LINES = [
+    # doc 0: clean, 3+ sentences -> kept
+    (0, 0, "the quick brown fox jumps over the lazy dog."),
+    (0, 1, "a table scan reads every row of the table twice!"),
+    (0, 2, "what does the merge operator do with late rows?"),
+    (0, 3, "short line."),
+    # doc 1: lines fine but only 2 sentences -> dropped
+    (1, 0, "the first sentence of this document is here."),
+    (1, 1, "the second sentence of this document follows."),
+    # doc 2: lorem ipsum -> dropped
+    (2, 0, "lorem ipsum dolor sit amet consectetur elit."),
+    (2, 1, "the rest of the page looks perfectly normal today."),
+    (2, 2, "another fine sentence appears right here now."),
+    (2, 3, "and one more sentence closes the page out."),
+    # doc 3: curly brace -> dropped
+    (3, 0, "function foo() { return 1; }"),
+    (3, 1, "the surrounding prose is otherwise acceptable text."),
+    (3, 2, "a second real sentence lives in this page."),
+    (3, 3, "a third real sentence finishes the page off."),
+    # doc 4: policy bad word -> dropped
+    (4, 0, "this page contains badword somewhere in the text."),
+    (4, 1, "every other sentence here is completely clean."),
+    (4, 2, "one more clean sentence pads the page length."),
+    # doc 5: multi-sentence lines + unkept junk lines -> kept
+    (5, 0, "first point. second point. third point."),
+    (5, 1, "this line has no terminal punctuation"),
+    (5, 2, "menu home about contact"),
+]
+
+
+def _c4_sql() -> str:
+    vals = ", ".join(f"({d}, {i}, '{x}')" for d, i, x in _C4_LINES)
+    bad = " OR ".join(
+        f"contains(lower(line), '{w}')" for w in _C4_BAD_WORDS)
+    return f"""
+WITH t(doc_id, line_no, line) AS (VALUES {vals}),
+lr AS (
+  SELECT doc_id, line,
+         (regexp_matches(line, '[.!?"]$')
+          AND len(regexp_split_to_array(trim(line), ' +')) >= 5) AS kept,
+         ({bad}) AS is_bad
+  FROM t
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept_lines,
+         CAST(sum(CASE WHEN kept
+                       THEN len(regexp_extract_all(line, '[.!?]'))
+                       ELSE 0 END) AS BIGINT) AS n_sentences,
+         max(CASE WHEN contains(lower(line), 'lorem ipsum')
+                  THEN 1 ELSE 0 END) AS has_lorem,
+         max(CASE WHEN contains(line, '{{') THEN 1 ELSE 0 END) AS has_brace,
+         max(CASE WHEN is_bad THEN 1 ELSE 0 END) AS has_badword
+  FROM lr GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+       has_lorem, has_brace, has_badword,
+       CAST(has_lorem = 0 AND has_brace = 0 AND has_badword = 0
+            AND n_sentences >= 3 AS INT) AS keep
+FROM agg
+"""
+
+
+@register("c4_quality_rules", _c4_sql())
+def q_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's cleaning recipe (Raffel et al. 2020 §2.2): terminal-
+    punctuation + >=5-word line filter, lorem-ipsum / curly-brace /
+    policy-word page drops, >=3-sentence page minimum — over a
+    deterministic line corpus with one planted violation per rule
+    (functions/text.py:c4_line_rules; one doc-keyed agg, all JVM)."""
+    from connectors_spark.functions.text import c4_line_rules
+
+    df = spark.createDataFrame(
+        _C4_LINES, "doc_id int, line_no int, line string")
+    return c4_line_rules(df, bad_words=_C4_BAD_WORDS)

@@ -599,3 +599,43 @@ def ccnet_perplexity_buckets(df: DataFrame, text_col: str = "text",
         "doc_id", "lang", "n_bigrams", "avg_log2p",
         F.when(tile == 1, "head").when(tile == 2, "middle")
          .otherwise("tail").alias("bucket"))
+
+
+def c4_line_rules(lines: DataFrame, bad_words: list[str] | None = None,
+                  min_words: int = 5, min_sentences: int = 3,
+                  doc_col: str = "doc_id", line_col: str = "line"):
+    """C4's cleaning heuristics (Raffel et al. 2020 §2.2, public) over a
+    (doc_id, line) frame: a line is KEPT iff it ends in terminal
+    punctuation and has >= min_words words; a document is DROPPED if it
+    contains "lorem ipsum", a curly brace `{`, any policy bad word, or
+    fewer than min_sentences sentences across its kept lines.
+
+    Returns (doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, has_badword, keep) — flags as ints. One doc-keyed agg
+    over line rows (map-side combinable), all JVM expressions; at
+    100 TB lines arrive pre-split from ingest, so there is no
+    per-doc explode hotspot."""
+    line = F.col(line_col)
+    low = F.lower(line)
+    kept = (line.rlike('[.!?"]$')
+            & (F.size(F.split(F.trim(line), " +")) >= min_words))
+    n_sent = F.when(kept, F.size(F.regexp_extract_all(
+        line, F.lit("[.!?]"), F.lit(0)))).otherwise(F.lit(0))
+    bw = bad_words or []
+    has_bad = F.lit(False)
+    for w in bw:
+        has_bad = has_bad | low.contains(w.lower())
+    agg = lines.groupBy(F.col(doc_col).alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(kept.cast("long")).alias("n_kept_lines"),
+        F.sum(n_sent).alias("n_sentences"),
+        F.max(low.contains("lorem ipsum").cast("int")).alias("has_lorem"),
+        F.max(line.contains("{").cast("int")).alias("has_brace"),
+        F.max(has_bad.cast("int")).alias("has_badword"),
+    )
+    keep = ((F.col("has_lorem") == 0) & (F.col("has_brace") == 0)
+            & (F.col("has_badword") == 0)
+            & (F.col("n_sentences") >= min_sentences))
+    return agg.select("doc_id", "n_lines", "n_kept_lines", "n_sentences",
+                      "has_lorem", "has_brace", "has_badword",
+                      keep.cast("int").alias("keep"))
