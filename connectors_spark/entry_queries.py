@@ -14982,3 +14982,35 @@ def q_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         _C4_LINES, "doc_id int, line_no int, line string")
     return c4_line_rules(df, bad_words=_C4_BAD_WORDS)
+
+
+def _turn_boilerplate_sql() -> str:
+    vals = ", ".join(f"({c}, {t}, '{r}', '{x}')"
+                     for _d, c, t, r, x in _sft_transcript_rows())
+    return f"""
+WITH t(conv_id, turn_idx, role, text) AS (VALUES {vals}),
+b AS (SELECT conv_id, turn_idx, role,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM t),
+cdf AS (SELECT norm, CAST(count(*) AS BIGINT) AS conv_df
+        FROM (SELECT DISTINCT norm, conv_id FROM b) GROUP BY norm)
+SELECT b.conv_id, b.turn_idx, b.role, b.norm, cdf.conv_df,
+       CAST(cdf.conv_df >= 2 AS INT) AS is_boilerplate
+FROM b JOIN cdf USING (norm)
+"""
+
+
+@register("turn_boilerplate", _turn_boilerplate_sql())
+def q_turn_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation boilerplate turns over the transcript shape:
+    normalized turn texts recurring in >= 2 distinct conversations are
+    flagged as template noise (canned greetings / tool banners) — the
+    turn-level counterpart of the n-gram blocklist
+    (operators/transcript_qc.py:turn_boilerplate; text-keyed distinct
+    + count agg, one join back)."""
+    from connectors_spark.operators.transcript_qc import turn_boilerplate
+
+    rows = [(c, t, r, x) for _d, c, t, r, x in _sft_transcript_rows()]
+    df = spark.createDataFrame(
+        rows, "conv_id int, turn_idx int, role string, text string")
+    return turn_boilerplate(df, min_convs=2)

@@ -78,3 +78,32 @@ def transcript_structure_qc(df: DataFrame,
         "conv_id", "n_turns",
         *[F.col(f).cast("int").alias(f) for f in flags],
         valid.cast("int").alias("valid"))
+
+
+def turn_boilerplate(df: DataFrame, min_convs: int = 2,
+                     conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                     role_col: str = "role",
+                     text_col: str = "text") -> DataFrame:
+    """Cross-conversation boilerplate turns: a normalized turn text that
+    recurs in >= min_convs DISTINCT conversations is template noise
+    (canned greetings, tool banners, refusal templates) — the
+    transcript-level counterpart of the n-gram boilerplate blocklist.
+
+    Returns every turn with (norm, conv_df, is_boilerplate). Shape: one
+    text-keyed agg for conv_df (map-side combinable count-distinct via
+    two-level agg) + one join back on the text key; the Zipf head of
+    template texts is the usual skew — AQE skew-join territory at
+    100 TB."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(conv_col).alias("conv_id"),
+                     F.col(turn_col).alias("turn_idx"),
+                     F.col(role_col).alias("role"),
+                     norm.alias("norm"))
+    # exact distinct, expressed as two stacked aggs so the first stage
+    # combines map-side on (norm, conv)
+    conv_df = (base.select("norm", "conv_id").distinct()
+               .groupBy("norm").agg(F.count(F.lit(1)).alias("conv_df")))
+    return (base.join(conv_df, "norm")
+            .select("conv_id", "turn_idx", "role", "norm", "conv_df",
+                    (F.col("conv_df") >= min_convs).cast("int")
+                    .alias("is_boilerplate")))

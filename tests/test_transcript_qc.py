@@ -51,3 +51,26 @@ def test_system_only_conversation(spark):
     # no non-system turns: alternation vacuously true
     r = _qc(spark, [(9, 0, "system", "be nice")])[9]
     assert r.alternates_ok == 1 and r.system_ok == 1 and r.valid == 1
+
+
+def test_turn_boilerplate_flags_cross_conv_templates(spark):
+    from connectors_spark.operators.transcript_qc import turn_boilerplate
+    rows = [
+        (0, 0, "user", "Hello   There"),
+        (0, 1, "assistant", "How can I help you today?"),
+        (1, 0, "user", "hello there"),            # same after normalize
+        (1, 1, "assistant", "How can I help you today?"),
+        (2, 0, "user", "completely unique ask"),
+    ]
+    out = turn_boilerplate(
+        spark.createDataFrame(rows, SCHEMA), min_convs=2).collect()
+    by = {(r.conv_id, r.turn_idx): r for r in out}
+    assert by[(0, 0)].is_boilerplate == 1      # normalization unifies
+    assert by[(0, 0)].conv_df == 2
+    assert by[(1, 1)].is_boilerplate == 1
+    assert by[(2, 0)].is_boilerplate == 0
+    # repeat WITHIN one conv does not count as cross-conv boilerplate
+    rows2 = [(0, 0, "user", "same text"), (0, 1, "user", "same text")]
+    out2 = turn_boilerplate(
+        spark.createDataFrame(rows2, SCHEMA), min_convs=2).collect()
+    assert all(r.is_boilerplate == 0 for r in out2)
