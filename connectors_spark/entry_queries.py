@@ -15014,3 +15014,30 @@ def q_turn_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         rows, "conv_id int, turn_idx int, role string, text string")
     return turn_boilerplate(df, min_convs=2)
+
+
+@register("bpe_encode_fertility")
+def q_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fertility under the in-engine-learned BPE tokenizer
+    (10 merges over the same corpus): encode runs once over the
+    DISTINCT vocabulary (Arrow-batched lowest-rank-first merge loop),
+    then one join back to the doc word stream — tokens never touch
+    Python per-corpus-row. Iterative learned-merge encode has no SQL
+    twin (rows-only); encode rank-identity is pinned vs the published
+    algorithm in tests/test_bpe.py (operators/bpe.py:encode_words)."""
+    from connectors_spark.functions.analysis import tokenize
+    from connectors_spark.operators.bpe import (
+        encode_words, learn_bpe, word_symbol_frame)
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = learn_bpe(word_symbol_frame(docs), _BPE_MERGES)
+    words = tokenize(docs, "text", "doc_id").select(
+        "doc_id", F.col("term").alias("word"))
+    enc = encode_words(words, merges)
+    return (words.join(enc, "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_bpe").alias("n_bpe_tokens"))
+            .select("doc_id", "n_words", "n_bpe_tokens",
+                    F.round(F.col("n_bpe_tokens") / F.col("n_words"),
+                            ROUND_SCORE).alias("fertility")))

@@ -129,3 +129,46 @@ def bpe_reference(word_freqs: dict[str, int], n_merges: int,
             new[tuple(out)] = new.get(tuple(out), 0) + f
         vocab = new
     return merges
+
+
+def _encode_syms(syms: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge application (the published encode
+    loop: repeatedly merge the adjacent pair with the smallest learned
+    rank until none applies)."""
+    syms = list(syms)
+    while len(syms) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def encode_words(words: DataFrame, merges: list[tuple[str, str, int]],
+                 word_col: str = "word", marker: str = _MARKER) -> DataFrame:
+    """(word, n_bpe) — token count per DISTINCT word under the learned
+    merges. Encode runs over the vocabulary, never the corpus: at
+    100 TB you encode |distinct words| rows once and JOIN the counts
+    back to the word stream (tokenizer_fertility pattern). Arrow-
+    batched; the merge table is a broadcast-sized Python dict."""
+    ranks = {(a, b): i for i, (a, b, _c) in enumerate(merges)}
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ns = []
+            for w in pdf[word_col]:
+                ns.append(len(_encode_syms(list(w) + [marker], ranks)))
+            yield pd.DataFrame({word_col: pdf[word_col], "n_bpe": ns})
+    return words.select(word_col).distinct().mapInPandas(
+        fn, f"{word_col} string, n_bpe int")
+
+
+def encode_reference(word: str, merges: list[tuple[str, str, int]],
+                     marker: str = _MARKER) -> list[str]:
+    """Pure-Python encode for pinning (same loop, dict-free surface)."""
+    ranks = {(a, b): i for i, (a, b, _c) in enumerate(merges)}
+    return _encode_syms(list(word) + [marker], ranks)

@@ -54,3 +54,24 @@ def test_word_symbol_frame_shape(spark):
             for r in word_symbol_frame(docs).collect()}
     assert rows["big"] == (2, ["b", "i", "g", "▁"])
     assert rows["batch"][0] == 1
+
+
+def test_encode_matches_reference(spark):
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_reference(wf, 8)
+    from connectors_spark.operators.bpe import encode_reference, encode_words
+    words = spark.createDataFrame(
+        [(w,) for w in ["lowest", "newer", "wide", "low", "unseen"]],
+        ["word"])
+    got = {r.word: r.n_bpe for r in encode_words(words, merges).collect()}
+    for w in got:
+        assert got[w] == len(encode_reference(w, merges)), w
+    # 'low' was fully merged during learning -> encodes to 1 symbol
+    assert got["low"] == len(encode_reference("low", merges))
+
+
+def test_encode_no_merges_is_chars(spark):
+    from connectors_spark.operators.bpe import encode_words
+    words = spark.createDataFrame([("abc",)], ["word"])
+    got = encode_words(words, []).collect()[0]
+    assert got.n_bpe == 4  # a b c marker
