@@ -680,7 +680,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =================================================================
 
 from connectors_spark.operators.similarity import (  # noqa: E402
-    brute_force_cosine_topk, ivf_cosine_topk,
+    brute_force_cosine_topk, ivf_cosine_topk, matryoshka_truncate,
 )
 
 EMB_DIM = 64  # embeddings.embedding is FLOAT[64] in the testdata
@@ -15041,3 +15041,56 @@ def q_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_words", "n_bpe_tokens",
                     F.round(F.col("n_bpe_tokens") / F.col("n_words"),
                             ROUND_SCORE).alias("fertility")))
+
+
+MRL_DIM = 16
+
+
+def _mrl_cosine_sql(query_mod: int, k: int, dim: int) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id % {query_mod} = 0),
+dims AS (SELECT unnest(range(1, {dim + 1})) AS i),
+norms AS (
+  SELECT vec_id,
+         sqrt(sum(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN dims GROUP BY vec_id
+),
+dots AS (
+  SELECT d.vec_id, q.query_id,
+         sum(CAST(d.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot
+  FROM embeddings d CROSS JOIN q CROSS JOIN dims
+  WHERE d.vec_id <> q.query_id
+  GROUP BY d.vec_id, q.query_id
+),
+scored AS (
+  SELECT query_id, dots.vec_id,
+         round(dot / (nq.nrm * nd.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nd ON nd.vec_id = dots.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("mrl_truncated_topk", _mrl_cosine_sql(ANN_QUERY_MOD, ANN_K, MRL_DIM))
+def q_mrl_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncated-embedding retrieval: cosine top-k
+    over the FIRST 16 of 64 dims — the public low-cost first-stage
+    retrieval recipe (truncate, renorm, search; rerank with full dims
+    if needed). Truncation is a JVM slice; cosine ranking is invariant
+    to the renorm (operators/similarity.py:matryoshka_truncate;
+    renorm unit-norm + rank-invariance pinned in pytest)."""
+    emb = matryoshka_truncate(_read(spark, sf_dir, "embeddings"), MRL_DIM,
+                              renorm=False)
+    qs = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return brute_force_cosine_topk(emb, qs, k=ANN_K)

@@ -734,3 +734,24 @@ def knn_distance_outliers(vectors: DataFrame, k: int = 5, top_n: int = 20,
     return (kth.withColumn("score", F.round(1.0 - F.col("kth_cos"), ROUND_COS))
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(top_n))
+
+
+def matryoshka_truncate(df: DataFrame, dim: int, vec_col: str = "embedding",
+                        renorm: bool = True) -> DataFrame:
+    """Matryoshka representation truncation (Kusupati et al. 2022, MRL):
+    keep the first `dim` coordinates of an MRL-trained embedding and
+    (optionally) L2-renormalize — the public recipe for trading recall
+    for a `d/dim`-fold cut in vector storage, transfer, and dot-product
+    cost. Renormalization does not change cosine RANKINGS (it cancels
+    in the cosine ratio) but restores unit norm for downstream
+    dot-product-as-cosine consumers. Pure JVM: one slice + one
+    aggregate per row, no shuffle."""
+    sliced = F.slice(F.col(vec_col), 1, dim)
+    if renorm:
+        nrm = F.sqrt(F.aggregate(
+            sliced, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        out = F.transform(sliced, lambda x: x.cast("double") / nrm)
+    else:
+        out = sliced
+    return df.withColumn(vec_col, out)
