@@ -15094,3 +15094,251 @@ def q_mrl_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               renorm=False)
     qs = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return brute_force_cosine_topk(emb, qs, k=ANN_K)
+
+
+# =================================================================
+# Round-4 continuation: dedup excision, analyzer/API tail, transcripts
+# =================================================================
+
+_EXCISE_W = 8
+
+
+@register(
+    "dup_span_excise",
+    f"""
+WITH tk AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr
+            FROM documents),
+base AS (SELECT doc_id, len(arr) AS n_tokens, arr FROM tk),
+wins AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         md5(array_to_string(
+           list_slice(arr, CAST(t.i AS BIGINT) + 1,
+                      CAST(t.i AS BIGINT) + {_EXCISE_W}), ' ')) AS wh
+  FROM base, unnest(range(n_tokens - {_EXCISE_W} + 1)) t(i)
+  WHERE n_tokens >= {_EXCISE_W}
+),
+exc AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY wh
+                              ORDER BY doc_id ASC, pos ASC) AS rn
+    FROM wins
+  ) WHERE rn >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) <= {_EXCISE_W}
+              THEN 0 ELSE 1 END AS brk
+  FROM exc
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM isl
+),
+spans AS (SELECT doc_id, isl_id, min(pos) AS s, max(pos) AS e
+          FROM isl2 GROUP BY doc_id, isl_id),
+pd AS (SELECT doc_id,
+              CAST(sum(e - s + {_EXCISE_W}) AS BIGINT) AS n_excised,
+              CAST(count(*) AS BIGINT) AS n_spans
+       FROM spans GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(pd.n_excised, CAST(0 AS BIGINT)) AS n_excised,
+       coalesce(pd.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       CASE WHEN b.n_tokens > 0
+            THEN round((b.n_tokens - coalesce(pd.n_excised, 0))
+                       / CAST(b.n_tokens AS DOUBLE), 6)
+            ELSE 1.0 END AS kept_frac
+FROM base b LEFT JOIN pd USING (doc_id)
+""",
+)
+def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span EXCISION (Lee et al. 2022 removal step): every
+    8-token window repeated from earlier in the corpus is cut,
+    keep-first globally; overlapping cuts merge into maximal spans
+    (gaps-and-islands, all windows PARTITIONED by doc). Per doc: token
+    count, excised-position count, merged-span count, surviving
+    fraction (operators/dedup.py:dup_span_excise — one corpus-wide
+    window-hash shuffle, everything else doc-local)."""
+    from connectors_spark.operators.dedup import dup_span_excise
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_span_excise(docs, window=_EXCISE_W)
+
+
+@register(
+    "fingerprint_analyzer",
+    f"""
+WITH tk AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr
+            FROM documents),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(arr)), ' '))
+           AS fp_md5,
+         CAST(len(list_distinct(arr)) AS INT) AS n_unique
+  FROM tk
+)
+SELECT doc_id, fp_md5, n_unique,
+       CAST(count(*) OVER (PARTITION BY fp_md5) AS BIGINT)
+         AS fp_group_size
+FROM fp
+""",
+)
+def q_fingerprint_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fingerprint ANALYZER (the analyzer, distinct from the
+    rolling-hash `fingerprint` gate): lowercase tokenize -> dedupe ->
+    sort ascending -> single-space join, the canonical form ES uses for
+    duplicate detection; emitted as md5 plus the per-fingerprint group
+    size (docs sharing a fingerprint are token-set duplicates). Pure
+    JVM array exprs + one fingerprint-keyed window — at corpus scale
+    the window is a count agg join, same shuffle shape as exact
+    dedup."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    arr = tokens_col(F.col("text"))
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(arr)), " "))
+        .alias("fp_md5"),
+        F.size(F.array_distinct(arr)).cast("int").alias("n_unique"),
+    )
+    w = Window.partitionBy("fp_md5")
+    return fp.withColumn(
+        "fp_group_size", F.count(F.lit(1)).over(w).cast("long"))
+
+
+_MGET_IDS = [3, 7, 42, 250, 499, 123456789, 100000]
+
+
+@register(
+    "mget_docs",
+    f"""
+WITH req(req_id, doc_id) AS (VALUES {", ".join(
+        f"({i}, {d})" for i, d in enumerate(_MGET_IDS))})
+SELECT CAST(req.req_id AS INT) AS req_id,
+       CAST(req.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+         AS found,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM req LEFT JOIN documents d ON d.doc_id = req.doc_id
+""",
+)
+def q_mget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mget analog: a multi-id point-lookup that PRESERVES request
+    order and reports found/missing per id (missing ids return
+    found=0 with null fields, exactly ES's docs[] contract). The id
+    list broadcasts onto the table — a broadcast left join that
+    Catalyst turns into a pushed-down semi-scan; never a driver-side
+    loop of point reads."""
+    docs = _read(spark, sf_dir, "documents")
+    req = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(_MGET_IDS)],
+        "req_id int, doc_id long")
+    return (
+        F.broadcast(req).join(docs, "doc_id", "left")
+        .select(
+            "req_id", "doc_id",
+            F.when(F.col("n_chars").isNull(), 0).otherwise(1)
+            .cast("int").alias("found"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "path_hierarchy_tokens",
+    """
+WITH p AS (
+  SELECT doc_id,
+         [source, lang, 'd' || CAST(doc_id % 10 AS VARCHAR)] AS parts
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, CAST(t.i AS INT) AS depth,
+         '/' || array_to_string(
+           list_slice(parts, 1, CAST(t.i AS BIGINT)), '/') AS path
+  FROM p, unnest(range(1, 4)) t(i)
+)
+SELECT path, depth, CAST(count(*) AS BIGINT) AS n_docs
+FROM pre GROUP BY path, depth
+""",
+)
+def q_path_hierarchy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES path_hierarchy tokenizer: a path-like field (synthesized
+    /source/lang/d<bucket> here) emits EVERY ancestor prefix as a
+    token, so a filter on '/web' matches all docs under it —
+    aggregated to doc counts per directory prefix (the faceted
+    directory-listing use case). Prefix expansion is a JVM
+    transform/slice over a 3-element array (no UDF, fan-out exactly
+    `depth`); the roll-up is one map-side-combinable agg."""
+    docs = _read(spark, sf_dir, "documents")
+    parts = F.array(
+        F.col("source"), F.col("lang"),
+        F.concat(F.lit("d"), (F.col("doc_id") % 10).cast("string")))
+    pre = (
+        docs.select(F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.lit(3)),
+            lambda i: F.concat(F.lit("/"), F.array_join(
+                F.slice(parts, 1, i), "/")),
+        )).alias("_d0", "path"))
+        .select((F.col("_d0") + 1).cast("int").alias("depth"), "path")
+    )
+    return (pre.groupBy("path", "depth")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
+_CTX_BUDGET = 12
+
+
+@register(
+    "context_budget_truncate",
+    f"""
+WITH {_sft_values_sql()},
+tok AS (
+  SELECT doc_id, conv_id, turn_idx, role,
+         len(string_split(text, ' ')) AS n_tok
+  FROM t
+),
+ns AS (
+  SELECT *, sum(CASE WHEN role = 'system' THEN 0 ELSE n_tok END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                    ROWS UNBOUNDED PRECEDING) AS rcum
+  FROM tok
+)
+SELECT doc_id, conv_id, CAST(turn_idx AS INT) AS turn_idx, role,
+       CAST(n_tok AS INT) AS n_tok,
+       CAST(CASE WHEN role = 'system' OR rcum <= {_CTX_BUDGET}
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM ns
+""",
+)
+def q_context_budget_truncate(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Chat-history truncation under a context budget — the standard
+    inference/SFT recipe over multi-turn transcripts (north-rule
+    schema): system turns are always pinned (reserved tokens), and the
+    LONGEST SUFFIX of non-system turns whose token total fits the
+    budget is kept (drop-from-the-front). One reverse-ordered cumsum
+    window PARTITIONED by conv_id — per-conversation state never
+    crosses partitions, no global window, linear at any corpus
+    size."""
+    rows = _sft_transcript_rows()
+    docs = spark.createDataFrame(
+        rows, "doc_id long, conv_id int, turn_idx int, role string, "
+              "text string")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rcum = F.sum(
+        F.when(F.col("role") == "system", 0).otherwise(n_tok)).over(w)
+    return docs.select(
+        "doc_id", "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"), "role",
+        n_tok.cast("int").alias("n_tok"),
+        F.when((F.col("role") == "system")
+               | (rcum <= _CTX_BUDGET), 1).otherwise(0)
+        .cast("int").alias("keep"),
+    )

@@ -410,3 +410,76 @@ def line_dedup(df, line_tokens: int = 12, text_col: str = "text",
                 ), " ")).alias("cleaned_md5"),
         )
     )
+
+
+def dup_span_excise(df: DataFrame, window: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_excised, n_spans, kept_frac): duplicate-span
+    EXCISION accounting — the removal step of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), which
+    cuts every repeated substring but keeps one global copy. Every
+    stride-1 window of `window` tokens is hashed; a window occurrence is
+    excised iff the same window text appears EARLIER in the corpus
+    (global first occurrence by (doc_id, pos) is kept — keep-first).
+    Overlapping/adjacent excised windows merge into maximal spans
+    (gaps-and-islands); `n_excised` counts covered token positions,
+    `n_spans` the merged spans, `kept_frac` the surviving fraction.
+    Docs shorter than `window` tokens have no window and report zero
+    excision.
+
+    Plan: one tokenize pass; fixed-width md5 BEFORE the shuffle; ONE
+    window-hash-keyed window function for the global first-occurrence
+    rank (same key as dup_span_stats' count agg — Zipf-skewed like hot
+    terms, AQE skew-split applies); then everything else is PARTITIONED
+    BY doc (lag + cumsum islands) — no global window, no UDF, no
+    collect. At 100 TB the only corpus-wide exchange is the window-hash
+    shuffle, identical in shape to the detection pass."""
+    toks = tokens_col(F.col(text_col))
+    W = int(window)
+    nw = (F.size(toks) - F.lit(W - 1)).cast("int")
+    win_arr = F.when(nw > 0, F.transform(
+        F.sequence(F.lit(0), nw - 1),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, W), " ")),
+    )).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.size(toks).cast("long").alias("n_tokens"),
+                     nw.alias("_nw"), win_arr.alias("_w"))
+    wins = (base.filter(F.col("_nw") > 0)
+            .select("doc_id", F.posexplode("_w").alias("pos", "wh")))
+    # global keep-first: rank within window-hash by (doc_id, pos)
+    first_w = Window.partitionBy("wh").orderBy(F.asc("doc_id"),
+                                               F.asc("pos"))
+    excise = (wins.withColumn("_rn", F.row_number().over(first_w))
+              .filter(F.col("_rn") >= 2)
+              .select("doc_id", "pos"))
+    # gaps-and-islands per doc: windows sorted by pos merge while the
+    # next start is within W of the previous (coverage stays contiguous)
+    doc_w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (excise
+           .withColumn("_brk", F.when(
+               F.col("pos") - F.lag("pos").over(doc_w) <= W, 0)
+               .otherwise(1))
+           .withColumn("_isl", F.sum("_brk").over(
+               doc_w.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))))
+    spans = (isl.groupBy("doc_id", "_isl")
+             .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e")))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("_e") - F.col("_s") + W).cast("long")
+        .alias("n_excised"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    return (base.select("doc_id", "n_tokens")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                F.coalesce("n_excised", F.lit(0)).cast("long")
+                .alias("n_excised"),
+                F.coalesce("n_spans", F.lit(0)).cast("long")
+                .alias("n_spans"),
+                F.when(F.col("n_tokens") > 0, F.round(
+                    (F.col("n_tokens")
+                     - F.coalesce("n_excised", F.lit(0)))
+                    / F.col("n_tokens"), 6)).otherwise(F.lit(1.0))
+                .alias("kept_frac"),
+            ))
