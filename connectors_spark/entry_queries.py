@@ -15342,3 +15342,77 @@ def q_context_budget_truncate(spark: SparkSession,
                | (rcum <= _CTX_BUDGET), 1).otherwise(0)
         .cast("int").alias("keep"),
     )
+
+
+_BT_ITER = 10
+
+
+def _bt_sql(n_iter: int) -> str:
+    h = _hex2int_sql("md5('bt|' || CAST(doc_id AS VARCHAR))", 8)
+    ctes = [f"""
+cmp AS (
+  SELECT CAST(doc_id % 6 AS INT) AS a,
+         CAST((doc_id // 6) % 6 AS INT) AS b,
+         ({h}) % 12 AS t
+  FROM documents
+  WHERE doc_id % 6 <> (doc_id // 6) % 6
+),
+wl AS (SELECT CASE WHEN t < 6 + (b - a) THEN a ELSE b END AS w,
+              CASE WHEN t < 6 + (b - a) THEN b ELSE a END AS l
+       FROM cmp),
+m0 AS MATERIALIZED (SELECT w, l, CAST(count(*) AS DOUBLE) AS n FROM wl GROUP BY w, l),
+mm AS MATERIALIZED (SELECT i, j, sum(n) AS n FROM (
+         SELECT w AS i, l AS j, n FROM m0
+         UNION ALL SELECT l AS i, w AS j, n FROM m0
+       ) GROUP BY i, j),
+wins AS MATERIALIZED (SELECT w AS i, sum(n) AS wi FROM m0 GROUP BY w),
+s0 AS MATERIALIZED (SELECT i, 1.0 / (SELECT count(DISTINCT i) FROM mm) AS s
+       FROM (SELECT DISTINCT i FROM mm))"""]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""
+r{t} AS MATERIALIZED (
+  SELECT mm.i, w.wi / sum(mm.n / (si.s + sj.s)) AS raw
+  FROM mm JOIN s{t - 1} si ON si.i = mm.i
+          JOIN s{t - 1} sj ON sj.i = mm.j
+          JOIN wins w ON w.i = mm.i
+  GROUP BY mm.i, w.wi
+),
+s{t} AS MATERIALIZED (SELECT i, raw / (SELECT sum(raw) FROM r{t}) AS s FROM r{t})""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+SELECT s{n_iter}.i AS item, CAST(w.wi AS BIGINT) AS wins,
+       round(s{n_iter}.s, 6) AS strength
+FROM s{n_iter} JOIN wins w ON w.i = s{n_iter}.i
+""")
+
+
+@register("bradley_terry_arena", _bt_sql(_BT_ITER))
+def q_bradley_terry_arena(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength leaderboard (Hunter 2004 MM) —
+    the chatbot-arena / reward-model analysis over pairwise outcomes:
+    deterministic comparisons are synthesized from the documents table
+    (items = doc_id mod 6, integer-exact md5 winner rule so both
+    engines agree bit-for-bit), reduced distributedly to the k x k
+    count matrix, then fitted with 10 MM rounds
+    (operators/graph.py:bradley_terry_strengths — the matrix collect is
+    O(k^2), never corpus-sized; the oracle replays the identical
+    recurrence as chained CTEs)."""
+    from connectors_spark.operators.graph import bradley_terry_strengths
+
+    docs = _read(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 6).cast("int")
+    b = (F.expr("doc_id div 6") % 6).cast("int")
+    t = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("bt|"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 12)
+    cmp_df = (docs.select(a.alias("a"), b.alias("b"), t.alias("t"))
+              .filter(F.col("a") != F.col("b")))
+    win = F.col("t") < 6 + (F.col("b") - F.col("a"))
+    comps = cmp_df.select(
+        F.when(win, F.col("a")).otherwise(F.col("b")).alias("winner"),
+        F.when(win, F.col("b")).otherwise(F.col("a")).alias("loser"),
+    )
+    fitted = bradley_terry_strengths(comps, n_iter=_BT_ITER)
+    return fitted.select(
+        "item", "wins", F.round("strength", ROUND_SCORE).alias("strength"))

@@ -219,3 +219,58 @@ def graph_explore(docs: DataFrame, seed_term: str, per_hop: int = 5,
     return out.select("hop", "source", "term",
                       F.col("overlap_df").cast("long").alias("overlap_df"),
                       "score")
+
+
+def bradley_terry_strengths(comparisons: DataFrame, n_iter: int = 10,
+                            winner_col: str = "winner",
+                            loser_col: str = "loser") -> DataFrame:
+    """Bradley-Terry preference-strength fitting via Hunter 2004's MM
+    algorithm — the standard model behind RLHF reward-model data
+    analysis and chatbot-arena-style leaderboards: given a stream of
+    pairwise outcomes (winner, loser), fit strengths s_i with
+    P(i beats j) = s_i / (s_i + s_j).
+
+    MM update (Hunter 2004, eq. 1.5, guaranteed monotone convergence):
+        s_i <- W_i / sum_{j != i} n_ij / (s_i + s_j)
+    normalized to sum 1 each round.
+
+    Scale shape: the 100 TB part is the REDUCTION — one groupBy
+    (winner, loser) with map-side combine collapses billions of raw
+    comparisons to a k x k count matrix (k = number of compared
+    models/policies, small by construction). The MM iteration then
+    runs driver-side in NumPy on that tiny matrix — the same
+    collect-the-sufficient-statistics shape as distributed PCA
+    (similarity.py): never an iterative DataFrame loop whose update
+    references the previous frame twice (exponential plan growth, see
+    classifier.py's parameter-server note).
+
+    Returns (item, wins, strength) with strength summing to 1.
+    """
+    import numpy as np
+
+    counts = (comparisons
+              .groupBy(F.col(winner_col).alias("w"),
+                       F.col(loser_col).alias("l"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .collect())
+    items = sorted({r.w for r in counts} | {r.l for r in counts})
+    pos = {it: i for i, it in enumerate(items)}
+    k = len(items)
+    n = np.zeros((k, k))            # total comparisons between i and j
+    wins = np.zeros(k)
+    for r in counts:
+        i, j = pos[r.w], pos[r.l]
+        n[i, j] += r.n
+        n[j, i] += r.n
+        wins[i] += r.n
+    s = np.full(k, 1.0 / k)
+    for _ in range(int(n_iter)):
+        # diagonal terms are exactly 0 (n[i,i] == 0, s > 0)
+        denom = (n / (s[:, None] + s[None, :])).sum(axis=1)
+        s = wins / denom
+        s = s / s.sum()
+    spark = comparisons.sparkSession
+    return spark.createDataFrame(
+        [(it, int(wins[pos[it]]), float(s[pos[it]])) for it in items],
+        "item int, wins long, strength double",
+    )
