@@ -107,3 +107,36 @@ def session_window_stats(df: DataFrame, gap: str = "30 minutes",
                     (["n_events", "total_value"] if value_col
                      else ["n_events"])])
     )
+
+
+def stream_stream_attribute(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the canonical
+    impression->click attribution shape: a click matches an impression
+    with the same key that happened no more than `within` BEFORE it.
+    Both sides carry event-time watermarks so Spark's symmetric-hash
+    join state store can evict matched/expired rows; without the time
+    bound + watermarks the state would grow without limit (the join
+    would be rejected for append output). Columns: impressions
+    (key, imp_ts, imp_id), clicks (key, click_ts, click_id).
+
+    Scale shape: state is partitioned by the join key across
+    executors; eviction is driven by the GLOBAL watermark, so skewed
+    keys bound memory per partition, not per cluster. This is the
+    Structured Streaming analog of the enrichment join (J5) when both
+    sides move."""
+    imp = impressions.withWatermark("imp_ts", watermark)
+    clk = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (imp[key] == clk[key])
+        & (clk["click_ts"] >= imp["imp_ts"])
+        & (clk["click_ts"] <= imp["imp_ts"] + F.expr(f"interval {within}"))
+    )
+    return imp.join(clk, cond, "inner").select(
+        imp[key].alias(key), "imp_id", "imp_ts", "click_id", "click_ts",
+    )
