@@ -15416,3 +15416,77 @@ def q_bradley_terry_arena(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted = bradley_terry_strengths(comps, n_iter=_BT_ITER)
     return fitted.select(
         "item", "wins", F.round("strength", ROUND_SCORE).alias("strength"))
+
+
+# char-filter table shared by both engines (mapping char filter) —
+# applied longest-first so overlapping keys behave like Lucene's
+# mapping filter (greedy single pass)
+_CHARFILTER_MAP = [("&", " and "), ("+", " plus ")]
+_CHARFILTER_STRIP_RE = "[0-9]+"  # pattern_replace: digits out
+
+
+def _charfilter_sql(expr: str) -> str:
+    out = expr
+    for k, v in _CHARFILTER_MAP:
+        out = f"replace({out}, '{k}', '{v}')"
+    return f"regexp_replace({out}, '{_CHARFILTER_STRIP_RE}', '', 'g')"
+
+
+# the testdata corpus is clean, so the gate first RE-DIRTIES it
+# deterministically (both engines share the rule), then the char
+# filters must normalize it back
+_DIRTY_RULES = [("table", "table&desk"), ("scan", "scan+probe"),
+                ("row", "row99")]
+_CF_PROBE_TERMS = ("and", "plus", "desk", "probe", "row99")
+
+
+def _dirty_sql(expr: str) -> str:
+    out = expr
+    for k, v in _DIRTY_RULES:
+        out = f"replace({out}, '{k}', '{v}')"
+    return out
+
+
+@register(
+    "charfilter_analyze",
+    f"""
+WITH cf AS (
+  SELECT doc_id, {_charfilter_sql(_dirty_sql('text'))} AS ctext
+  FROM documents
+),
+tk AS (SELECT doc_id, {tokenize_sql_duckdb('ctext')} AS arr FROM cf),
+t AS (SELECT doc_id, unnest(arr) AS term FROM tk)
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM t WHERE term IN {_CF_PROBE_TERMS!r} GROUP BY term
+""".replace('"', "'"),
+)
+def q_charfilter_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES char filters ahead of the tokenizer: a `mapping` char filter
+    ('&' -> ' and ', '+' -> ' plus ') composed with a `pattern_replace`
+    char filter (strip digits), then the standard tokenize chain. The
+    clean testdata corpus is first re-dirtied by a deterministic shared
+    rule ('table' -> 'table&desk', 'scan' -> 'scan+probe', 'row' ->
+    'row99'); the filters must split the '&'/'+' compounds into real
+    terms and strip the digits, so tf/df of {{and, plus, desk, probe}}
+    match the dirty-term frequencies and 'row99' NEVER appears (its
+    absence in the probe output proves pattern_replace ran before the
+    tokenizer). Pure JVM string exprs feeding the shared tokenize
+    pass; the replacement tables are shared Python constants so the
+    oracle cannot drift."""
+    docs = _read(spark, sf_dir, "documents")
+    raw = F.col("text")
+    for k, v in _DIRTY_RULES:
+        raw = F.replace(raw, F.lit(k), F.lit(v))
+    ctext = raw
+    for k, v in _CHARFILTER_MAP:
+        ctext = F.replace(ctext, F.lit(k), F.lit(v))
+    ctext = F.regexp_replace(ctext, _CHARFILTER_STRIP_RE, "")
+    from connectors_spark.functions.analysis import tokens_col
+
+    t = (docs.select("doc_id", F.explode(tokens_col(ctext)).alias("term"))
+         .filter(F.col("term").isin(*_CF_PROBE_TERMS)))
+    return t.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )

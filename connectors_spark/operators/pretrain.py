@@ -722,3 +722,88 @@ def weighted_sample_wor(df: DataFrame, weight_col: str, k: int,
     win = Window.orderBy(F.asc("race_key"), F.asc(id_col))
     return (top.withColumn("rank", F.row_number().over(win).cast("int"))
             .select(id_col, "weight", "race_key", "rank"))
+
+
+def bestfit_pack(counts: DataFrame, seq_len: int = 128,
+                 id_col: str = "doc_id", len_col: str = "n_tokens",
+                 num_parts: int | None = None) -> DataFrame:
+    """Best-fit-decreasing document packing (Ding et al. 2024, "Fewer
+    Truncations Improve Language Modeling"): pack WHOLE documents into
+    fixed-capacity training bins instead of concatenate-and-split
+    (`pack_sequences`), so documents never cross sequence boundaries
+    and nothing is truncated except documents longer than a bin, which
+    get a solo bin with `truncated = 1`.
+
+    Within each partition, docs are sorted by length descending and
+    each is placed into the fullest bin that still fits (best fit,
+    bisect on the sorted remaining-capacity list), else a new bin
+    opens. Global BFD is inherently sequential, so the distributed
+    recipe is the paper's: partition-local BFD — with thousands of
+    docs per partition the packing-efficiency loss vs global BFD is
+    negligible, and bin ids are made globally unique as
+    (partition << 33) | local (the doc-index convention,
+    operators/build.py). Returns (doc_id, n_tokens, bin_id, bin_fill,
+    truncated): `bin_fill` is the bin's total PACKED tokens (capped at
+    seq_len for solo-truncated docs), identical for every doc in the
+    bin.
+
+    Scale shape: ONE shuffle (the repartition), then a per-partition
+    Arrow pass; output is one row per doc. No global state, no
+    driver loop."""
+    import pandas as pd  # noqa: F401  (module-level import contract)
+
+    L = int(seq_len)
+    src = counts.select(F.col(id_col).alias("doc_id"),
+                        F.col(len_col).cast("long").alias("n_tokens"))
+    if num_parts:
+        src = src.repartition(num_parts, "doc_id")
+
+    def pack(pdfs):
+        from bisect import bisect_left, insort
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        # Arrow may hand one partition as several chunks; BFD state is
+        # partition-scoped, so concat ONCE (the frame is one row per
+        # doc — bounded by docs-per-partition, not tokens)
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(
+                ["n_tokens", "doc_id"], ascending=[False, True])
+            rem = []           # sorted list of [remaining, bin_local]
+            out_bin, out_tr = [], []
+            next_bin = 0
+            fills: dict = {}
+            for n in pdf["n_tokens"].tolist():
+                n_fit = min(n, L)
+                tr = 1 if n > L else 0
+                if tr:
+                    b = next_bin; next_bin += 1  # solo bin, never reused
+                else:
+                    # best fit: smallest remaining >= n
+                    i = bisect_left(rem, [n_fit, -1])
+                    if i < len(rem):
+                        r, b = rem.pop(i)
+                        if r - n_fit > 0:
+                            insort(rem, [r - n_fit, b])
+                    else:
+                        b = next_bin; next_bin += 1
+                        if L - n_fit > 0:
+                            insort(rem, [L - n_fit, b])
+                fills[b] = fills.get(b, 0) + n_fit
+                out_bin.append(b)
+                out_tr.append(tr)
+            pdf = pdf.assign(
+                bin_id=[(pid << 33) | b for b in out_bin],
+                bin_fill=[fills[b] for b in out_bin],
+                truncated=out_tr,
+            )
+            yield pdf[["doc_id", "n_tokens", "bin_id", "bin_fill",
+                       "truncated"]]
+
+    return src.mapInPandas(
+        pack,
+        "doc_id long, n_tokens long, bin_id long, bin_fill long, "
+        "truncated int",
+    )
