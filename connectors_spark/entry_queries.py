@@ -15490,3 +15490,24 @@ def q_charfilter_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("tf"),
         F.countDistinct("doc_id").cast("long").alias("df"),
     )
+
+
+@register("bestfit_pack")  # no DuckDB twin: BFD is a sequential greedy
+def q_bestfit_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing document packing (Ding et al. 2024): whole
+    documents into 256-token bins, never split, oversize docs solo +
+    truncated-flagged (operators/pretrain.py:bestfit_pack —
+    partition-local BFD over one repartition + Arrow pass; the greedy
+    recurrence is not SQL-expressible, so this gate is rows-only and
+    the invariants — no overflow, one placement per doc, fill
+    consistency, known-answer BFD — are pinned in
+    tests/test_bestfit_pack.py). Token counts are derived
+    deterministically from n_chars so every engine run packs the
+    identical multiset."""
+    from connectors_spark.operators.pretrain import bestfit_pack
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") / 16).cast("long").alias("n_tokens"))
+    out = bestfit_pack(docs, seq_len=256, num_parts=4)
+    # bin ids are partition-relative; project the stable per-doc view
+    return out.select("doc_id", "n_tokens", "bin_fill", "truncated")
