@@ -40,6 +40,15 @@ GATES = [
     "ngram_blocklist_filter",  # TakeOrdered gram head, broadcast back
     "dynamic_mapping_infer",   # bool_or lattice agg
     "mojibake_repair",      # row-local literal-replace chain
+    "mrl_truncated_topk",   # truncated-dim cosine rank (rounded)
+    "dup_span_excise",      # global keep-first rank + island cumsum
+    "fingerprint_analyzer",  # token-set canonical form + group count
+    "mget_docs",            # broadcast point-lookup order
+    "path_hierarchy_tokens",  # prefix fan-out agg
+    "context_budget_truncate",  # reverse cumsum per conversation
+    "bradley_terry_arena",  # matrix reduction + driver MM solve
+    "charfilter_analyze",   # char filters ahead of tokenize
+    "bestfit_pack",         # pinned-width repartition + local BFD
 ]
 
 
