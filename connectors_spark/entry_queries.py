@@ -15511,3 +15511,145 @@ def q_bestfit_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bestfit_pack(docs, seq_len=256, num_parts=4)
     # bin ids are partition-relative; project the stable per-doc view
     return out.select("doc_id", "n_tokens", "bin_fill", "truncated")
+
+
+_ECONT_MOD = 25      # eval set: vec_id % 25 == 0
+_ECONT_THRESH = 0.3
+
+
+@register(
+    "embedding_contamination",
+    f"""
+WITH ev AS (SELECT vec_id AS eval_id, embedding AS qe FROM embeddings
+            WHERE vec_id % {_ECONT_MOD} = 0),
+{_NORMS_SQL},
+dots AS (
+  SELECT d.vec_id, ev.eval_id,
+         sum(CAST(d.embedding[i] AS DOUBLE) * CAST(ev.qe[i] AS DOUBLE))
+           AS dot
+  FROM embeddings d CROSS JOIN ev CROSS JOIN dims
+  WHERE d.vec_id % {_ECONT_MOD} <> 0
+  GROUP BY d.vec_id, ev.eval_id
+),
+scored AS (
+  SELECT dots.vec_id, eval_id,
+         round(dot / (nq.nrm * nd.nrm), 6) AS cos
+  FROM dots
+  JOIN norms nq ON nq.vec_id = eval_id
+  JOIN norms nd ON nd.vec_id = dots.vec_id
+),
+ranked AS (
+  SELECT vec_id, eval_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, eval_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, eval_id, cos AS max_cos,
+       CAST(CASE WHEN cos >= {_ECONT_THRESH} THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM ranked WHERE rn = 1
+""",
+)
+def q_embedding_contamination(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Embedding-space train/eval contamination: max cosine of every
+    train vector against the benchmark slice (vec_id mod 25) with a
+    contaminated flag — catches paraphrase-level leakage the n-gram
+    `contamination_overlap` audit misses
+    (operators/similarity.py:embedding_contamination — eval side
+    broadcast, train side streams once, per-vector top-1 window)."""
+    from connectors_spark.operators.similarity import (
+        embedding_contamination,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % _ECONT_MOD == 0)
+    tr = emb.filter(F.col("vec_id") % _ECONT_MOD != 0)
+    return embedding_contamination(tr, ev, threshold=_ECONT_THRESH)
+
+
+def _agent_transcript_rows() -> list[tuple[int, int, int, str, str]]:
+    """Deterministic agent transcripts WITH tool turns (north-rule
+    roles): user -> assistant -> tool -> assistant, where the final
+    assistant turn cites a conv-dependent number of the tool output's
+    words — known grounding fractions for the groundedness gate."""
+    rows = []
+    v = _SFT_VOCAB
+    for c in range(10):
+        doc = c * 100
+        rows.append((doc + 0, c, 0, "user",
+                     " ".join(v[(c + j) % len(v)] for j in range(3))))
+        rows.append((doc + 1, c, 1, "assistant", "call tool ok"))
+        tool_words = [v[(c * 3 + j) % len(v)] for j in range(4)]
+        rows.append((doc + 2, c, 2, "tool", " ".join(tool_words)))
+        cite = 1 + c % 4  # cite 1..4 of the tool's 4 words
+        ans = tool_words[:cite] + ["reply", "ok"]
+        rows.append((doc + 3, c, 3, "assistant", " ".join(ans)))
+    return rows
+
+
+def _agent_values_sql() -> str:
+    vals = ", ".join(
+        f"({d}, {c}, {t}, '{r}', '{x}')"
+        for d, c, t, r, x in _agent_transcript_rows()
+    )
+    return f"t(doc_id, conv_id, turn_idx, role, text) AS (VALUES {vals})"
+
+
+@register(
+    "tool_groundedness",
+    f"""
+WITH {_agent_values_sql()},
+tk AS (
+  SELECT doc_id, conv_id, turn_idx, role,
+         list_distinct({tokenize_sql_duckdb('text')}) AS toks,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role,
+         lag(list_distinct({tokenize_sql_duckdb('text')}))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_toks
+  FROM t
+)
+SELECT doc_id, conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(len(toks) AS INT) AS n_terms,
+       CAST(len(list_filter(toks, x -> list_contains(prev_toks, x)))
+            AS INT) AS n_grounded,
+       round(len(list_filter(toks, x -> list_contains(prev_toks, x)))
+             / CAST(len(toks) AS DOUBLE), 6) AS grounding
+FROM tk
+WHERE role = 'assistant' AND prev_role = 'tool' AND len(toks) > 0
+""",
+)
+def q_tool_groundedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-output groundedness over agent transcripts (north-rule
+    roles incl. `tool`): for every assistant turn that directly
+    follows a tool turn, the fraction of its distinct terms that
+    appear in that tool output — the RAG/agent faithfulness screen
+    (low grounding = the model answered past its tool evidence; SFT
+    pipelines downweight those turns). One lag window PARTITIONED by
+    conv_id over the shared tokenize chain, JVM array intersection —
+    per-conversation state never crosses partitions."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    rows = _agent_transcript_rows()
+    docs = spark.createDataFrame(
+        rows, "doc_id long, conv_id int, turn_idx int, role string, "
+              "text string")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    toks = F.array_distinct(tokens_col(F.col("text")))
+    tk = docs.select(
+        "doc_id", "conv_id", "turn_idx", "role", toks.alias("toks"),
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag(toks).over(w).alias("prev_toks"),
+    )
+    inter = F.size(F.array_intersect(F.col("toks"), F.col("prev_toks")))
+    return (tk.filter((F.col("role") == "assistant")
+                      & (F.col("prev_role") == "tool")
+                      & (F.size("toks") > 0))
+            .select(
+                "doc_id", "conv_id",
+                F.col("turn_idx").cast("int").alias("turn_idx"),
+                F.size("toks").cast("int").alias("n_terms"),
+                inter.cast("int").alias("n_grounded"),
+                F.round(inter / F.size("toks"), ROUND_SCORE)
+                .alias("grounding"),
+            ))

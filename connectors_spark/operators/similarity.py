@@ -755,3 +755,44 @@ def matryoshka_truncate(df: DataFrame, dim: int, vec_col: str = "embedding",
     else:
         out = sliced
     return df.withColumn(vec_col, out)
+
+
+def embedding_contamination(train: DataFrame, eval_df: DataFrame,
+                            threshold: float = 0.3,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Embedding-space train/eval contamination audit — the semantic
+    sibling of the n-gram `contamination_overlap` check: for every
+    TRAIN vector, the max cosine against the eval/benchmark set and a
+    contaminated flag at `threshold` (near-duplicate paraphrases that
+    n-gram overlap misses). Returns (vec_id, eval_id, max_cos,
+    contaminated).
+
+    Scale shape: the EVAL side is broadcast — benchmark sets are small
+    by construction (10^3-10^5 vectors), the train side streams once;
+    one partitioned top-1 window per train vector, no shuffle of the
+    corpus. For eval sets too big to broadcast, pre-bucket both sides
+    with the SRP-LSH signatures (embedding_near_dups) and verify only
+    bucket collisions — the documented degradation path of
+    contamination_overlap applies unchanged."""
+    ev = with_norm(
+        eval_df.select(F.col(id_col).alias("eval_id"),
+                       F.col(vec_col).alias("q")), "q"
+    ).withColumnRenamed("_vnorm", "_qnorm")
+    tr = with_norm(
+        train.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("v")), "v")
+    cos = F.round(
+        _dot(_as_double(F.col("q")), _as_double(F.col("v")))
+        / (F.col("_qnorm") * F.col("_vnorm")), ROUND_COS)
+    scored = (tr.crossJoin(F.broadcast(ev))
+              .select("vec_id", "eval_id", cos.alias("cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"),
+                                             F.asc("eval_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "vec_id", "eval_id", F.col("cos").alias("max_cos"),
+                (F.col("cos") >= threshold).cast("int")
+                .alias("contaminated"),
+            ))

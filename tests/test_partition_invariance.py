@@ -49,6 +49,8 @@ GATES = [
     "bradley_terry_arena",  # matrix reduction + driver MM solve
     "charfilter_analyze",   # char filters ahead of tokenize
     "bestfit_pack",         # pinned-width repartition + local BFD
+    "embedding_contamination",  # broadcast-eval max-cos top-1
+    "tool_groundedness",    # conv-partitioned lag + array intersect
 ]
 
 
