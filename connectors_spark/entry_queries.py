@@ -15653,3 +15653,45 @@ def q_tool_groundedness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(inter / F.size("toks"), ROUND_SCORE)
                 .alias("grounding"),
             ))
+
+
+_PREFIX_TOKENS = 4
+
+
+@register(
+    "prefix_dup_groups",
+    f"""
+WITH tk AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr
+            FROM documents),
+p AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(arr, 1, {_PREFIX_TOKENS}), ' '))
+           AS prefix_md5
+  FROM tk WHERE len(arr) >= {_PREFIX_TOKENS}
+)
+SELECT prefix_md5, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+FROM p GROUP BY prefix_md5 HAVING count(*) >= 2
+""",
+)
+def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-document-prefix detection — the mirror/boilerplate-header
+    screen between whole-doc dedup and span excision: documents whose
+    first {4} tokens are identical (crawler mirrors, templated intros,
+    shared few-shot prefixes in transcript dumps) group under one md5
+    with a keep-min canonical. One tokenize pass, md5 BEFORE the
+    shuffle, one map-side-combinable groupBy — the cheapest member of
+    the dedup family and the usual first pass before MinHash."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    arr = tokens_col(F.col("text"))
+    p = (docs.select(
+            "doc_id",
+            F.md5(F.array_join(F.slice(arr, 1, _PREFIX_TOKENS), " "))
+            .alias("prefix_md5"), F.size(arr).alias("_n"))
+         .filter(F.col("_n") >= _PREFIX_TOKENS))
+    return (p.groupBy("prefix_md5")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("canonical_doc"))
+            .filter(F.col("n_docs") >= 2))

@@ -61,3 +61,38 @@ def test_disjoint_repeats_count_two_spans(spark):
     assert got[2].n_spans == 2
     assert got[2].n_excised == 8
     assert got[1].n_excised == 0
+
+
+def test_excise_properties_random_corpora(spark):
+    """Hypothesis-driven invariants, verified against a brute-force
+    Python oracle: n_excised == |union of non-first dup windows'
+    covered positions|, never exceeding n_tokens."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    W = 3
+    word = st.sampled_from(list("abcde"))
+    doc = st.lists(word, min_size=0, max_size=12)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def check(docs):
+        rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+        got = _run(spark, rows, window=W)
+        # brute-force oracle: global first-occurrence keep, coverage
+        seen: dict = {}
+        covered = {i: set() for i in range(len(docs))}
+        for i, d in enumerate(docs):
+            for p in range(len(d) - W + 1):
+                key = tuple(d[p:p + W])
+                if key in seen:
+                    covered[i].update(range(p, p + W))
+                else:
+                    seen[key] = (i, p)
+        for i, d in enumerate(docs):
+            r = got[i]
+            assert r.n_tokens == len(d)
+            assert r.n_excised == len(covered[i])
+            assert r.n_excised <= r.n_tokens
+
+    check()

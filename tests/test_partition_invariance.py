@@ -51,6 +51,7 @@ GATES = [
     "bestfit_pack",         # pinned-width repartition + local BFD
     "embedding_contamination",  # broadcast-eval max-cos top-1
     "tool_groundedness",    # conv-partitioned lag + array intersect
+    "prefix_dup_groups",    # prefix-md5 groupBy
 ]
 
 
