@@ -15695,3 +15695,93 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.min("doc_id").cast("long").alias("canonical_doc"))
             .filter(F.col("n_docs") >= 2))
+
+
+_PQ_M = 8      # subspaces over the 64-dim embeddings
+_PQ_K = 16     # codewords per subspace
+_PQ_DS = EMB_DIM // _PQ_M
+
+
+def _pq_sql(query_mod: int, k: int) -> str:
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+params AS (SELECT greatest(1, CAST(n // {_PQ_K} AS BIGINT)) AS step
+           FROM nn),
+cbv AS (
+  SELECT CAST(e.vec_id // p.step AS INT) AS code, e.embedding
+  FROM embeddings e, params p
+  WHERE e.vec_id % p.step = 0 AND e.vec_id < {_PQ_K} * p.step
+),
+ms AS (SELECT CAST(unnest(range({_PQ_M})) AS INT) AS m),
+js AS (SELECT CAST(unnest(range({_PQ_DS})) AS INT) AS j),
+cw AS (
+  SELECT code, m, j,
+         CAST(embedding[m * {_PQ_DS} + j + 1] AS DOUBLE) AS c
+  FROM cbv CROSS JOIN ms CROSS JOIN js
+),
+sv AS (
+  SELECT vec_id, m, j,
+         CAST(embedding[m * {_PQ_DS} + j + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN ms CROSS JOIN js
+),
+dist AS (
+  SELECT sv.vec_id, sv.m, cw.code,
+         round(sum((sv.x - cw.c) * (sv.x - cw.c)), 6) AS d
+  FROM sv JOIN cw ON cw.m = sv.m AND cw.j = sv.j
+  GROUP BY sv.vec_id, sv.m, cw.code
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d ASC, code ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id % {query_mod} = 0),
+lut AS (
+  SELECT q.query_id, cw.m, cw.code,
+         round(sum(CAST(q.qe[cw.m * {_PQ_DS} + cw.j + 1] AS DOUBLE)
+                   * cw.c), 6) AS p
+  FROM q CROSS JOIN cw GROUP BY q.query_id, cw.m, cw.code
+),
+scored AS (
+  SELECT l.query_id, c.vec_id, round(sum(l.p), 6) AS approx_dot
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+rk AS (
+  SELECT query_id, vec_id, approx_dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_dot DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, approx_dot
+FROM rk WHERE rank <= {k}
+"""
+
+
+@register("ann_pq_topk", _pq_sql(ANN_QUERY_MOD, ANN_K))
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN with asymmetric distance computation
+    (Jegou et al. 2011, the FAISS core): 64-dim vectors compress to 8
+    codes of 16 codewords each (32x smaller), queries stay full
+    precision and score via per-subspace dot-product lookup tables —
+    top-k by summed LUT entries. Codebooks here are the deterministic
+    sampled seeding so the oracle replays them; kmeans_refine is the
+    production training path (operators/similarity.py:
+    pq_codebooks_sampled/pq_encode/pq_adc_topk — codebooks and LUTs
+    broadcast, the corpus moves as codes only, distances/LUT partials
+    rounded to 6 so every argmin and rank is engine-reproducible)."""
+    from connectors_spark.operators.similarity import (
+        pq_adc_topk, pq_codebooks_sampled, pq_encode,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = pq_codebooks_sampled(emb, m_subs=_PQ_M, k_codes=_PQ_K)
+    codes = pq_encode(emb, cb, m_subs=_PQ_M)
+    qs = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return pq_adc_topk(codes, cb, qs, k=ANN_K, m_subs=_PQ_M)

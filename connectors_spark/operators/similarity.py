@@ -796,3 +796,105 @@ def embedding_contamination(train: DataFrame, eval_df: DataFrame,
                 (F.col("cos") >= threshold).cast("int")
                 .alias("contaminated"),
             ))
+
+
+# ---------------------------------------------------------------- PQ
+# Product Quantization (Jegou et al. 2011) with asymmetric distance
+# computation — the FAISS-shape memory/compute trade: d-dim vectors
+# become M uint8 codes (M*log2(K) bits), queries stay full-precision
+# and score against per-subspace lookup tables.
+
+def pq_codebooks_sampled(vectors: DataFrame, m_subs: int = 8,
+                         k_codes: int = 16,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """(m, code, cw): deterministic sampled codebooks — codeword c of
+    subspace m is the m-th subvector of the vector with id c*floor(n/K)
+    (the IVF centroid_mod convention, so the DuckDB oracle reproduces
+    it); production training refines each subspace with kmeans_refine,
+    which only improves recall (pytest-pinned). Selection is a pushed-
+    down id filter — no window, no sort, O(M*K) rows out."""
+    n = vectors.count()
+    step = max(1, n // k_codes)
+    picked = (vectors.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("v"))
+              .filter((F.col("vec_id") % step == 0)
+                      & (F.col("vec_id") < k_codes * step)))
+    subs = picked.select(
+        F.expr(f"vec_id div {step}").cast("int").alias("code"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {m_subs - 1}), "
+            f"m -> slice(v, m * (size(v) div {m_subs}) + 1, "
+            f"size(v) div {m_subs}))")).alias("m", "cw"),
+    )
+    return subs.select("m", "code", "cw")
+
+
+def pq_encode(vectors: DataFrame, codebooks: DataFrame,
+              m_subs: int = 8, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, m, code): nearest codeword per subspace (L2, distances
+    rounded to 6 so the argmin is engine-reproducible, ties to the
+    lowest code). Codebooks broadcast (O(M*K)); the argmin is
+    min(struct(dist, code)) — one groupBy per (vec, m), map-side
+    combinable, no window."""
+    sub = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {m_subs - 1}), "
+            f"m -> slice({vec_col}, "
+            f"m * (size({vec_col}) div {m_subs}) + 1, "
+            f"size({vec_col}) div {m_subs}))")).alias("m", "sv"),
+    )
+    j = sub.join(F.broadcast(codebooks), "m")
+    dist = F.round(F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cw"),
+                   lambda a, b: (a.cast("double") - b.cast("double"))
+                   * (a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x), ROUND_COS)
+    scored = j.select("vec_id", "m",
+                      F.struct(dist.alias("d"),
+                               F.col("code").alias("code")).alias("s"))
+    return (scored.groupBy("vec_id", "m")
+            .agg(F.min("s").alias("s"))
+            .select("vec_id", "m", F.col("s.code").alias("code")))
+
+
+def pq_adc_topk(codes: DataFrame, codebooks: DataFrame,
+                queries: DataFrame, k: int = 10, m_subs: int = 8,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """(query_id, rank, vec_id, approx_dot): asymmetric distance
+    computation — per query, dot each subquery against every codeword
+    ONCE (the M x K lookup table, rounded to 6), then every encoded
+    vector scores as the sum of M table lookups. LUT broadcast-joins
+    the code stream on (m, code); one (query, vec) agg; top-k via
+    per-query window over the scored frame. The corpus is touched as
+    codes only — the full vectors never move."""
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {m_subs - 1}), "
+            f"m -> slice({vec_col}, "
+            f"m * (size({vec_col}) div {m_subs}) + 1, "
+            f"size({vec_col}) div {m_subs}))")).alias("m", "qv"),
+    )
+    lut = qsub.join(F.broadcast(codebooks), "m").select(
+        "query_id", "m", "code",
+        F.round(F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cw"),
+                       lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x), ROUND_COS).alias("p"),
+    )
+    scored = (codes.join(F.broadcast(lut), ["m", "code"])
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .groupBy("query_id", "vec_id")
+              .agg(F.round(F.sum("p"), ROUND_COS).alias("approx_dot"))
+              # docs missing any subspace row cannot occur: pq_encode
+              # emits exactly m_subs rows per vec
+              )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "approx_dot"))

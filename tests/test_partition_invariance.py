@@ -52,6 +52,7 @@ GATES = [
     "embedding_contamination",  # broadcast-eval max-cos top-1
     "tool_groundedness",    # conv-partitioned lag + array intersect
     "prefix_dup_groups",    # prefix-md5 groupBy
+    "ann_pq_topk",          # PQ encode argmin + LUT sum rank
 ]
 
 
