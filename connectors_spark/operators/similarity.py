@@ -811,9 +811,11 @@ def pq_codebooks_sampled(vectors: DataFrame, m_subs: int = 8,
     """(m, code, cw): deterministic sampled codebooks — codeword c of
     subspace m is the m-th subvector of the vector with id c*floor(n/K)
     (the IVF centroid_mod convention, so the DuckDB oracle reproduces
-    it); production training refines each subspace with kmeans_refine,
-    which only improves recall (pytest-pinned). Selection is a pushed-
-    down id filter — no window, no sort, O(M*K) rows out."""
+    it). Production training refines each subspace codebook with
+    kmeans_refine (cosine Lloyd; for L2-faithful PQ swap the assignment
+    metric — encode/ADC are metric-agnostic over any (m, code, cw)
+    frame, pytest-pinned). Selection is a pushed-down id filter — no
+    window, no sort, O(M*K) rows out."""
     n = vectors.count()
     step = max(1, n // k_codes)
     picked = (vectors.select(F.col(id_col).alias("vec_id"),

@@ -81,3 +81,29 @@ def test_recall_vs_exact_dot(spark):
         # top-k and the exact top-k draw from the same cluster set
         assert {v // n_per for v in got} == {v // n_per for v in exact}, \
             (qid, sorted(got), exact)
+
+
+def test_refined_codebooks_plug_into_encode_and_adc(spark):
+    """kmeans_refine output (any (m, code, cw) frame) drives the same
+    encode/ADC pipeline — the production training hook."""
+    from connectors_spark.operators.similarity import kmeans_refine
+
+    df, rows = _clustered(spark)
+    cb = pq_codebooks_sampled(df, m_subs=M, k_codes=K)
+    # refine subspace 0's codebook with one Lloyd round over the
+    # subspace-0 data, then splice it back
+    ds = D // M
+    sub0 = df.select(
+        "vec_id", F.slice("embedding", 1, ds).alias("embedding"))
+    cents0 = cb.filter(F.col("m") == 0).select(
+        F.col("code").alias("cell"), F.col("cw").alias("cv"))
+    refined0 = kmeans_refine(sub0, cents0, rounds=1).select(
+        F.lit(0).alias("m"), F.col("cell").alias("code"),
+        F.col("cv").alias("cw"))
+    cb2 = cb.filter(F.col("m") != 0).unionByName(refined0)
+    codes = pq_encode(df, cb2, m_subs=M)
+    qs = df.filter(F.col("vec_id") % 7 == 0)
+    top = pq_adc_topk(codes, cb2, qs, k=3, m_subs=M).collect()
+    assert len(top) == 3 * qs.count()
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == M for r in per_vec)
