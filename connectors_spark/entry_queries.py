@@ -15785,3 +15785,118 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, cb, m_subs=_PQ_M)
     qs = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return pq_adc_topk(codes, cb, qs, k=ANN_K, m_subs=_PQ_M)
+
+
+def _ivf_pq_sql() -> str:
+    return f"""
+WITH {_NORMS_SQL},
+cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
+          WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+ccos AS (
+  SELECT d.vec_id, c.cell,
+         round(sum(CAST(d.embedding[i] AS DOUBLE)
+                   * CAST(c.ce[i] AS DOUBLE))
+               / (any_value(nd.nrm) * any_value(nc.nrm)), 6) AS ccos
+  FROM embeddings d CROSS JOIN cents c CROSS JOIN dims
+  JOIN norms nd ON nd.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = c.cell
+  GROUP BY d.vec_id, c.cell
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cell ASC) AS r
+    FROM ccos) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id % {IVF_QUERY_MOD} = 0),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY cc.ccos DESC, c.cell ASC) AS r
+    FROM q JOIN ccos cc ON cc.vec_id = q.query_id
+    JOIN cents c ON c.cell = cc.cell)
+  WHERE r <= {IVF_NPROBE}
+),
+nn AS (SELECT count(*) AS n FROM embeddings),
+params AS (SELECT greatest(1, CAST(n // {_PQ_K} AS BIGINT)) AS step
+           FROM nn),
+cbv AS (
+  SELECT CAST(e.vec_id // p.step AS INT) AS code, e.embedding
+  FROM embeddings e, params p
+  WHERE e.vec_id % p.step = 0 AND e.vec_id < {_PQ_K} * p.step
+),
+ms AS (SELECT CAST(unnest(range({_PQ_M})) AS INT) AS m),
+js AS (SELECT CAST(unnest(range({_PQ_DS})) AS INT) AS j),
+cw AS (
+  SELECT code, m, j,
+         CAST(embedding[m * {_PQ_DS} + j + 1] AS DOUBLE) AS c
+  FROM cbv CROSS JOIN ms CROSS JOIN js
+),
+sv AS (
+  SELECT vec_id, m, j,
+         CAST(embedding[m * {_PQ_DS} + j + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN ms CROSS JOIN js
+),
+dist AS (
+  SELECT sv.vec_id, sv.m, cw.code,
+         round(sum((sv.x - cw.c) * (sv.x - cw.c)), 6) AS d
+  FROM sv JOIN cw ON cw.m = sv.m AND cw.j = sv.j
+  GROUP BY sv.vec_id, sv.m, cw.code
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d ASC, code ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.query_id, cw.m, cw.code,
+         round(sum(CAST(q.qe[cw.m * {_PQ_DS} + cw.j + 1] AS DOUBLE)
+                   * cw.c), 6) AS p
+  FROM q CROSS JOIN cw GROUP BY q.query_id, cw.m, cw.code
+),
+cand AS (
+  SELECT p.query_id, cl.vec_id
+  FROM probes p JOIN cells cl ON cl.cell = p.cell
+  WHERE cl.vec_id <> p.query_id
+),
+scored AS (
+  SELECT ca.query_id, c.vec_id, round(sum(l.p), 6) AS approx_dot
+  FROM cand ca
+  JOIN codes c ON c.vec_id = ca.vec_id
+  JOIN lut l ON l.query_id = ca.query_id AND l.m = c.m
+            AND l.code = c.code
+  GROUP BY ca.query_id, c.vec_id
+),
+rk AS (
+  SELECT query_id, vec_id, approx_dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_dot DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, approx_dot
+FROM rk WHERE rank <= {ANN_K}
+"""
+
+
+@register("ann_ivf_pq_topk", _ivf_pq_sql())
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full FAISS index shape: the coarse quantizer
+    (centroid_mod cells, nprobe probing, the ann_ivf_topk machinery)
+    prunes the candidate set, Product-Quantization codes score the
+    survivors via ADC lookup tables (the ann_pq_topk machinery). At
+    query time the corpus moves as (cell, 8 codes) per vector — the
+    raw embeddings are never touched
+    (operators/similarity.py:ivf_pq_topk)."""
+    from connectors_spark.operators.similarity import ivf_pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % IVF_QUERY_MOD == 0)
+    return ivf_pq_topk(emb, qs, k=ANN_K, centroid_mod=IVF_CENTROID_MOD,
+                       nprobe=IVF_NPROBE, m_subs=_PQ_M, k_codes=_PQ_K)

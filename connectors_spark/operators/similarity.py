@@ -873,6 +873,25 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame,
     the code stream on (m, code); one (query, vec) agg; top-k via
     per-query window over the scored frame. The corpus is touched as
     codes only — the full vectors never move."""
+    lut = _pq_lut(queries, codebooks, m_subs, vec_col, id_col)
+    scored = (codes.join(F.broadcast(lut), ["m", "code"])
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .groupBy("query_id", "vec_id")
+              .agg(F.round(F.sum("p"), ROUND_COS).alias("approx_dot"))
+              # docs missing any subspace row cannot occur: pq_encode
+              # emits exactly m_subs rows per vec
+              )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "approx_dot"))
+
+
+def _pq_lut(queries: DataFrame, codebooks: DataFrame, m_subs: int,
+            vec_col: str, id_col: str) -> DataFrame:
+    """(query_id, m, code, p): per-query dot of each subquery against
+    every codeword, rounded to 6 — the ADC lookup table (O(Q*M*K))."""
     qsub = queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(F.expr(
@@ -881,20 +900,45 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame,
             f"m * (size({vec_col}) div {m_subs}) + 1, "
             f"size({vec_col}) div {m_subs}))")).alias("m", "qv"),
     )
-    lut = qsub.join(F.broadcast(codebooks), "m").select(
+    return qsub.join(F.broadcast(codebooks), "m").select(
         "query_id", "m", "code",
         F.round(F.aggregate(
             F.zip_with(F.col("qv"), F.col("cw"),
                        lambda a, b: a.cast("double") * b.cast("double")),
             F.lit(0.0), lambda acc, x: acc + x), ROUND_COS).alias("p"),
     )
-    scored = (codes.join(F.broadcast(lut), ["m", "code"])
-              .filter(F.col("vec_id") != F.col("query_id"))
+
+
+def ivf_pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                centroid_mod: int | None = None, nprobe: int = 4,
+                m_subs: int = 8, k_codes: int = 16,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                centroids: DataFrame | None = None,
+                codebooks: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ — the full FAISS index shape: coarse quantizer routes
+    each query to its nprobe nearest cells, fine Product-Quantization
+    codes score ONLY the probed cells' members via ADC lookup tables.
+    The corpus moves as (cell, M codes) per vector — neither the
+    vectors nor the un-probed cells are touched at query time; the
+    centroid set and codebooks broadcast (O(cells + M*K)). Same
+    deterministic seeding conventions as ivf_cosine_topk /
+    pq_codebooks_sampled so the DuckDB oracle replays the identical
+    index; production swaps in kmeans-refined centroids/codebooks
+    through the `centroids`/`codebooks` hooks."""
+    cells = assign_cells(vectors, centroid_mod, vec_col, id_col,
+                         centroids=centroids)
+    qcells = assign_probes(vectors, queries, centroid_mod, nprobe,
+                           vec_col, id_col, centroids=centroids)
+    cb = codebooks if codebooks is not None else pq_codebooks_sampled(
+        vectors, m_subs, k_codes, vec_col, id_col)
+    codes = pq_encode(vectors, cb, m_subs, vec_col, id_col)
+    lut = _pq_lut(queries, cb, m_subs, vec_col, id_col)
+    cand = (codes.join(cells, "vec_id")
+            .join(F.broadcast(qcells), "cell")
+            .filter(F.col("vec_id") != F.col("query_id")))
+    scored = (cand.join(F.broadcast(lut), ["query_id", "m", "code"])
               .groupBy("query_id", "vec_id")
-              .agg(F.round(F.sum("p"), ROUND_COS).alias("approx_dot"))
-              # docs missing any subspace row cannot occur: pq_encode
-              # emits exactly m_subs rows per vec
-              )
+              .agg(F.round(F.sum("p"), ROUND_COS).alias("approx_dot")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_dot"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -53,6 +53,7 @@ GATES = [
     "tool_groundedness",    # conv-partitioned lag + array intersect
     "prefix_dup_groups",    # prefix-md5 groupBy
     "ann_pq_topk",          # PQ encode argmin + LUT sum rank
+    "ann_ivf_pq_topk",      # coarse-cell pruning + ADC scoring
 ]
 
 
