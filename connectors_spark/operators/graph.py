@@ -245,6 +245,10 @@ def bradley_terry_strengths(comparisons: DataFrame, n_iter: int = 10,
     classifier.py's parameter-server note).
 
     Returns (item, wins, strength) with strength summing to 1.
+    Items with ZERO wins get strength 0 under the MM update (the MLE
+    degenerates at the boundary — standard BT behavior; regularize by
+    adding pseudo-comparisons upstream if every item must stay
+    positive).
     """
     import numpy as np
 
