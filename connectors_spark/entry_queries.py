@@ -698,11 +698,22 @@ norms AS (
 )"""
 
 
-def _cosine_sql(query_mod: int, k: int) -> str:
+def _cosine_sql(query_mod: int, k: int, dim: int | None = None) -> str:
+    """Brute-force cosine top-k oracle; `dim` truncates to the first
+    `dim` coordinates (the MRL gate) and defaults to the full
+    embedding width. One definition serves every brute-force gate so
+    rounding / tie-break conventions can never drift between them."""
+    d = EMB_DIM if dim is None else dim
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
            WHERE vec_id % {query_mod} = 0),
-{_NORMS_SQL},
+dims AS (SELECT unnest(range(1, {d + 1})) AS i),
+norms AS (
+  SELECT vec_id,
+         sqrt(sum(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN dims GROUP BY vec_id
+),
 dots AS (
   SELECT d.vec_id, q.query_id,
          sum(CAST(d.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot
@@ -15046,43 +15057,8 @@ def q_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 MRL_DIM = 16
 
 
-def _mrl_cosine_sql(query_mod: int, k: int, dim: int) -> str:
-    return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-           WHERE vec_id % {query_mod} = 0),
-dims AS (SELECT unnest(range(1, {dim + 1})) AS i),
-norms AS (
-  SELECT vec_id,
-         sqrt(sum(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE))) AS nrm
-  FROM embeddings CROSS JOIN dims GROUP BY vec_id
-),
-dots AS (
-  SELECT d.vec_id, q.query_id,
-         sum(CAST(d.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot
-  FROM embeddings d CROSS JOIN q CROSS JOIN dims
-  WHERE d.vec_id <> q.query_id
-  GROUP BY d.vec_id, q.query_id
-),
-scored AS (
-  SELECT query_id, dots.vec_id,
-         round(dot / (nq.nrm * nd.nrm), 6) AS cos
-  FROM dots
-  JOIN norms nq ON nq.vec_id = query_id
-  JOIN norms nd ON nd.vec_id = dots.vec_id
-),
-ranked AS (
-  SELECT query_id, vec_id, cos,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos DESC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
-FROM ranked WHERE rank <= {k}
-"""
-
-
-@register("mrl_truncated_topk", _mrl_cosine_sql(ANN_QUERY_MOD, ANN_K, MRL_DIM))
+@register("mrl_truncated_topk",
+          _cosine_sql(ANN_QUERY_MOD, ANN_K, dim=MRL_DIM))
 def q_mrl_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka (MRL) truncated-embedding retrieval: cosine top-k
     over the FIRST 16 of 64 dims — the public low-cost first-stage
@@ -15237,12 +15213,19 @@ def q_mget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     req = spark.createDataFrame(
         [(i, d) for i, d in enumerate(_MGET_IDS)],
         "req_id int, doc_id long")
+    # pushed-down id scan first (PushedFilters: In(doc_id, ...)), then
+    # the tiny hit set broadcasts as the RIGHT side of the left join —
+    # Spark cannot broadcast-build the left/outer side, so the naive
+    # broadcast(req).join(docs, "left") would silently SortMergeJoin
+    # the whole corpus. Presence rides an explicit literal so a stored
+    # NULL field can never flip `found`.
+    hits = (docs.filter(F.col("doc_id").isin(_MGET_IDS))
+            .select("doc_id", "n_chars", F.lit(1).alias("_present")))
     return (
-        F.broadcast(req).join(docs, "doc_id", "left")
+        req.join(F.broadcast(hits), "doc_id", "left")
         .select(
             "req_id", "doc_id",
-            F.when(F.col("n_chars").isNull(), 0).otherwise(1)
-            .cast("int").alias("found"),
+            F.coalesce("_present", F.lit(0)).cast("int").alias("found"),
             F.col("n_chars").cast("long").alias("n_chars"),
         )
     )
@@ -15365,7 +15348,11 @@ mm AS MATERIALIZED (SELECT i, j, sum(n) AS n FROM (
          SELECT w AS i, l AS j, n FROM m0
          UNION ALL SELECT l AS i, w AS j, n FROM m0
        ) GROUP BY i, j),
-wins AS MATERIALIZED (SELECT w AS i, sum(n) AS wi FROM m0 GROUP BY w),
+wins AS MATERIALIZED (
+  SELECT it.i, coalesce(w0.wi, 0.0) AS wi
+  FROM (SELECT DISTINCT i FROM mm) it
+  LEFT JOIN (SELECT w AS i, sum(n) AS wi FROM m0 GROUP BY w) w0
+    ON w0.i = it.i),
 s0 AS MATERIALIZED (SELECT i, 1.0 / (SELECT count(DISTINCT i) FROM mm) AS s
        FROM (SELECT DISTINCT i FROM mm))"""]
     for t in range(1, n_iter + 1):
@@ -15425,9 +15412,16 @@ _CHARFILTER_MAP = [("&", " and "), ("+", " plus ")]
 _CHARFILTER_STRIP_RE = "[0-9]+"  # pattern_replace: digits out
 
 
+def _charfilter_ordered() -> list:
+    # longest key first = Lucene mapping-filter greedy semantics; both
+    # engines iterate this one ordering so overlapping keys cannot
+    # diverge
+    return sorted(_CHARFILTER_MAP, key=lambda kv: -len(kv[0]))
+
+
 def _charfilter_sql(expr: str) -> str:
     out = expr
-    for k, v in _CHARFILTER_MAP:
+    for k, v in _charfilter_ordered():
         out = f"replace({out}, '{k}', '{v}')"
     return f"regexp_replace({out}, '{_CHARFILTER_STRIP_RE}', '', 'g')"
 
@@ -15479,7 +15473,7 @@ def q_charfilter_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in _DIRTY_RULES:
         raw = F.replace(raw, F.lit(k), F.lit(v))
     ctext = raw
-    for k, v in _CHARFILTER_MAP:
+    for k, v in _charfilter_ordered():
         ctext = F.replace(ctext, F.lit(k), F.lit(v))
     ctext = F.regexp_replace(ctext, _CHARFILTER_STRIP_RE, "")
     from connectors_spark.functions.analysis import tokens_col
@@ -15583,7 +15577,10 @@ def _agent_transcript_rows() -> list[tuple[int, int, int, str, str]]:
         tool_words = [v[(c * 3 + j) % len(v)] for j in range(4)]
         rows.append((doc + 2, c, 2, "tool", " ".join(tool_words)))
         cite = 1 + c % 4  # cite 1..4 of the tool's 4 words
-        ans = tool_words[:cite] + ["reply", "ok"]
+        # filler words are OUTSIDE _SFT_VOCAB so they can never collide
+        # with tool_words — grounding is exactly cite/(cite+2), a
+        # graded distribution instead of a saturated one
+        ans = tool_words[:cite] + ["done", "sure"]
         rows.append((doc + 3, c, 3, "assistant", " ".join(ans)))
     return rows
 
@@ -15702,9 +15699,11 @@ _PQ_K = 16     # codewords per subspace
 _PQ_DS = EMB_DIM // _PQ_M
 
 
-def _pq_sql(query_mod: int, k: int) -> str:
-    return f"""
-WITH nn AS (SELECT count(*) AS n FROM embeddings),
+# Shared PQ oracle fragments — ONE definition of the codebook /
+# encode / LUT SQL so ann_pq_topk and ann_ivf_pq_topk can never drift
+# (seeding rule, rounding, argmin tie-break all live here).
+_PQ_CODE_CTES = f"""
+nn AS (SELECT count(*) AS n FROM embeddings),
 params AS (SELECT greatest(1, CAST(n // {_PQ_K} AS BIGINT)) AS step
            FROM nn),
 cbv AS (
@@ -15737,15 +15736,24 @@ codes AS (
                               ORDER BY d ASC, code ASC) AS rn
     FROM dist
   ) WHERE rn = 1
-),
-q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-      WHERE vec_id % {query_mod} = 0),
+)"""
+
+# requires a CTE `q(query_id, qe)` and the `cw` fragment above
+_PQ_LUT_CTE = f"""
 lut AS (
   SELECT q.query_id, cw.m, cw.code,
          round(sum(CAST(q.qe[cw.m * {_PQ_DS} + cw.j + 1] AS DOUBLE)
                    * cw.c), 6) AS p
   FROM q CROSS JOIN cw GROUP BY q.query_id, cw.m, cw.code
-),
+)"""
+
+
+def _pq_sql(query_mod: int, k: int) -> str:
+    return f"""
+WITH {_PQ_CODE_CTES},
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id % {query_mod} = 0),
+{_PQ_LUT_CTE},
 scored AS (
   SELECT l.query_id, c.vec_id, round(sum(l.p), 6) AS approx_dot
   FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
@@ -15820,46 +15828,8 @@ probes AS (
     JOIN cents c ON c.cell = cc.cell)
   WHERE r <= {IVF_NPROBE}
 ),
-nn AS (SELECT count(*) AS n FROM embeddings),
-params AS (SELECT greatest(1, CAST(n // {_PQ_K} AS BIGINT)) AS step
-           FROM nn),
-cbv AS (
-  SELECT CAST(e.vec_id // p.step AS INT) AS code, e.embedding
-  FROM embeddings e, params p
-  WHERE e.vec_id % p.step = 0 AND e.vec_id < {_PQ_K} * p.step
-),
-ms AS (SELECT CAST(unnest(range({_PQ_M})) AS INT) AS m),
-js AS (SELECT CAST(unnest(range({_PQ_DS})) AS INT) AS j),
-cw AS (
-  SELECT code, m, j,
-         CAST(embedding[m * {_PQ_DS} + j + 1] AS DOUBLE) AS c
-  FROM cbv CROSS JOIN ms CROSS JOIN js
-),
-sv AS (
-  SELECT vec_id, m, j,
-         CAST(embedding[m * {_PQ_DS} + j + 1] AS DOUBLE) AS x
-  FROM embeddings CROSS JOIN ms CROSS JOIN js
-),
-dist AS (
-  SELECT sv.vec_id, sv.m, cw.code,
-         round(sum((sv.x - cw.c) * (sv.x - cw.c)), 6) AS d
-  FROM sv JOIN cw ON cw.m = sv.m AND cw.j = sv.j
-  GROUP BY sv.vec_id, sv.m, cw.code
-),
-codes AS (
-  SELECT vec_id, m, code FROM (
-    SELECT vec_id, m, code,
-           row_number() OVER (PARTITION BY vec_id, m
-                              ORDER BY d ASC, code ASC) AS rn
-    FROM dist
-  ) WHERE rn = 1
-),
-lut AS (
-  SELECT q.query_id, cw.m, cw.code,
-         round(sum(CAST(q.qe[cw.m * {_PQ_DS} + cw.j + 1] AS DOUBLE)
-                   * cw.c), 6) AS p
-  FROM q CROSS JOIN cw GROUP BY q.query_id, cw.m, cw.code
-),
+{_PQ_CODE_CTES},
+{_PQ_LUT_CTE},
 cand AS (
   SELECT p.query_id, cl.vec_id
   FROM probes p JOIN cells cl ON cl.cell = p.cell

@@ -746,14 +746,18 @@ def matryoshka_truncate(df: DataFrame, dim: int, vec_col: str = "embedding",
     in the cosine ratio) but restores unit norm for downstream
     dot-product-as-cosine consumers. Pure JVM: one slice + one
     aggregate per row, no shuffle."""
-    sliced = F.slice(F.col(vec_col), 1, dim)
-    if renorm:
-        nrm = F.sqrt(F.aggregate(
-            sliced, F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double")))
-        out = F.transform(sliced, lambda x: x.cast("double") / nrm)
-    else:
-        out = sliced
+    sliced = F.transform(F.slice(F.col(vec_col), 1, dim),
+                         lambda x: x.cast("double"))
+    if not renorm:
+        # same array<double> schema on both paths — downstream code
+        # must not change dtype based on a flag
+        return df.withColumn(vec_col, sliced)
+    nrm = F.sqrt(F.aggregate(
+        sliced, F.lit(0.0), lambda acc, x: acc + x * x))
+    # zero-prefix vectors stay zero instead of becoming all-NULL via
+    # non-ANSI x/0; they rank last by cosine as callers expect
+    out = F.when(nrm > 0, F.transform(sliced, lambda x: x / nrm)) \
+        .otherwise(sliced)
     return df.withColumn(vec_col, out)
 
 
@@ -862,6 +866,20 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame,
             .select("vec_id", "m", F.col("s.code").alias("code")))
 
 
+def _adc_rank(scored_pairs: DataFrame, k: int) -> DataFrame:
+    """Shared ADC scoring tail: sum the per-subspace LUT partials per
+    (query, vec), round to ROUND_COS, rank desc with vec_id tie-break —
+    ONE definition so plain-PQ and IVF-PQ can never rank differently
+    for identical codes."""
+    scored = (scored_pairs.groupBy("query_id", "vec_id")
+              .agg(F.round(F.sum("p"), ROUND_COS).alias("approx_dot")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "approx_dot"))
+
+
 def pq_adc_topk(codes: DataFrame, codebooks: DataFrame,
                 queries: DataFrame, k: int = 10, m_subs: int = 8,
                 vec_col: str = "embedding",
@@ -874,18 +892,11 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame,
     per-query window over the scored frame. The corpus is touched as
     codes only — the full vectors never move."""
     lut = _pq_lut(queries, codebooks, m_subs, vec_col, id_col)
-    scored = (codes.join(F.broadcast(lut), ["m", "code"])
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .groupBy("query_id", "vec_id")
-              .agg(F.round(F.sum("p"), ROUND_COS).alias("approx_dot"))
-              # docs missing any subspace row cannot occur: pq_encode
-              # emits exactly m_subs rows per vec
-              )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_dot"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "approx_dot"))
+    pairs = (codes.join(F.broadcast(lut), ["m", "code"])
+             .filter(F.col("vec_id") != F.col("query_id")))
+    # docs missing any subspace row cannot occur: pq_encode emits
+    # exactly m_subs rows per vec
+    return _adc_rank(pairs, k)
 
 
 def _pq_lut(queries: DataFrame, codebooks: DataFrame, m_subs: int,
@@ -936,11 +947,5 @@ def ivf_pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     cand = (codes.join(cells, "vec_id")
             .join(F.broadcast(qcells), "cell")
             .filter(F.col("vec_id") != F.col("query_id")))
-    scored = (cand.join(F.broadcast(lut), ["query_id", "m", "code"])
-              .groupBy("query_id", "vec_id")
-              .agg(F.round(F.sum("p"), ROUND_COS).alias("approx_dot")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_dot"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "approx_dot"))
+    pairs = cand.join(F.broadcast(lut), ["query_id", "m", "code"])
+    return _adc_rank(pairs, k)

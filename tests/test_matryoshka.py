@@ -58,3 +58,14 @@ def test_truncated_matches_numpy_oracle(spark):
                        key=lambda i: (-round(sims[i], 6), i))[:k]
         for rank, vid in enumerate(order, start=1):
             assert got[(q, rank)] == vid
+
+
+def test_zero_prefix_vector_stays_zero_and_dtype_consistent(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8 + [1.0] * 8), (2, [1.0] * 16)],
+        "vec_id long, embedding array<double>")
+    rn = matryoshka_truncate(df, 8, renorm=True)
+    raw = matryoshka_truncate(df, 8, renorm=False)
+    assert dict(rn.dtypes)["embedding"] == dict(raw.dtypes)["embedding"]
+    z = rn.filter("vec_id = 1").first().embedding
+    assert z == [0.0] * 8  # not NULLs
