@@ -329,3 +329,16 @@ def test_hive_partition_pruning_on_date_partitioned_write(spark, sf_dir,
     seg = plan.split("PartitionFilters:")[1][:200]
     assert "day" in seg, plan
     assert back.count() > 0
+
+
+def test_mget_pushes_id_filter_and_broadcasts_hits(spark, sf_dir):
+    from connectors_spark.entry_queries import q_mget_docs
+
+    plan = _plan(q_mget_docs(spark, sf_dir))
+    # the id list reaches the parquet scan as an In() pushed filter...
+    pushed = plan.split("PushedFilters")[1][:250]
+    assert "In(doc_id" in pushed, pushed
+    # ...and the (tiny) hit set joins broadcast — never a corpus-wide
+    # SortMergeJoin for a point-lookup API
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
