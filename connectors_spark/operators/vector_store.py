@@ -1,0 +1,165 @@
+"""Incremental IVF vector store: the ANN sibling of the text index's
+delta machinery (operators/delta.py) — vectors arrive/change/disappear
+between syncs, and re-clustering the corpus per sync is the one thing a
+10^12-scale pipeline cannot do.
+
+Layout under `path/`:
+  centroids.parquet     (cell, cv)         — frozen at init (re-train =
+                                             rebuild, exactly like the
+                                             text index's analyzers)
+  gen-<n>.parquet       (vec_id, cell, embedding) — append-only
+                                             generations; a vec_id
+                                             re-upserted in a later
+                                             generation SUPERSEDES its
+                                             earlier rows
+  meta.json             {generations: [...], tombstones: [...]}
+
+Query = IVF-Flat over the LIVE view: latest generation wins per vec_id,
+tombstones drop. Cell assignment happens once per upsert batch against
+the broadcast frozen centroid set — new data never reshuffles old data.
+Scale notes: generations are parquet appends (no rewrite); the live
+view is one window per vec_id over only the generations' rows;
+compaction (fold generations, drop tombstones) is the same policy knob
+as delta.should_compact and is left to the caller's cadence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from connectors_spark.operators.similarity import (
+    ROUND_COS,
+    _as_double,
+    _dot,
+    _nearest_cell,
+    init_centroids,
+    with_norm,
+)
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "meta.json")
+
+
+def _read_meta(path: str) -> dict:
+    with open(_meta_path(path)) as f:
+        return json.load(f)
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = _meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(path))  # atomic: readers see old or new
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    base = vectors.select(F.col("vec_id"), F.col("embedding").alias("v"))
+    cells = _nearest_cell(
+        base, centroids.select("cell", F.col("cv")))
+    return (vectors.join(cells, "vec_id")
+            .select("vec_id", "cell", "embedding"))
+
+
+def init_vector_store(spark: SparkSession, path: str, vectors: DataFrame,
+                      centroid_mod: int = 25) -> None:
+    """Create the store: freeze a deterministic centroid set, assign
+    the initial corpus, write generation 0."""
+    os.makedirs(path, exist_ok=True)
+    cents = init_centroids(vectors, centroid_mod)
+    cents.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids.parquet"))
+    cents = spark.read.parquet(os.path.join(path, "centroids.parquet"))
+    _assign(vectors, cents).write.mode("overwrite").parquet(
+        os.path.join(path, "gen-0.parquet"))
+    _write_meta(path, {"generations": [0], "tombstones": []})
+
+
+def upsert_vectors(spark: SparkSession, path: str,
+                   vectors: DataFrame) -> int:
+    """Append a new generation with the batch assigned against the
+    FROZEN centroids; later generations supersede earlier rows with the
+    same vec_id. Returns the new generation number. Upserted ids are
+    also removed from the tombstone set (re-adding a deleted vector
+    works)."""
+    meta = _read_meta(path)
+    gen = max(meta["generations"]) + 1
+    cents = spark.read.parquet(os.path.join(path, "centroids.parquet"))
+    _assign(vectors, cents).write.mode("overwrite").parquet(
+        os.path.join(path, f"gen-{gen}.parquet"))
+    upserted = {r.vec_id for r in vectors.select("vec_id").collect()}
+    meta["generations"].append(gen)
+    meta["tombstones"] = [t for t in meta["tombstones"]
+                          if t not in upserted]
+    _write_meta(path, meta)
+    return gen
+
+
+def delete_vectors(path: str, ids: list) -> None:
+    meta = _read_meta(path)
+    meta["tombstones"] = sorted(set(meta["tombstones"]) | set(ids))
+    _write_meta(path, meta)
+
+
+def read_live(spark: SparkSession, path: str) -> DataFrame:
+    """(vec_id, cell, embedding): latest-generation-wins view minus
+    tombstones — one per-vec window over the generations' rows only."""
+    meta = _read_meta(path)
+    parts = []
+    for g in meta["generations"]:
+        parts.append(
+            spark.read.parquet(os.path.join(path, f"gen-{g}.parquet"))
+            .withColumn("_gen", F.lit(g)))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_gen"))
+    live = (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "_gen"))
+    if meta["tombstones"]:
+        live = live.filter(~F.col("vec_id").isin(meta["tombstones"]))
+    return live
+
+
+def query_topk(spark: SparkSession, path: str, queries: DataFrame,
+               k: int = 10, nprobe: int = 4) -> DataFrame:
+    """IVF-Flat over the live view: probe the nprobe nearest frozen
+    cells per query, exact cosine within them (query set broadcast,
+    corpus touched only in probed cells)."""
+    cents = spark.read.parquet(os.path.join(path, "centroids.parquet"))
+    live = read_live(spark, path)
+    qs = with_norm(
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q")), "q"
+    ).withColumnRenamed("_vnorm", "_qnorm")
+    qcos = qs.crossJoin(F.broadcast(with_norm(
+        cents.select("cell", F.col("cv")), "cv"
+    ).withColumnRenamed("_vnorm", "_cnorm"))).select(
+        "query_id", "cell",
+        F.round(_dot(_as_double(F.col("q")), _as_double(F.col("cv")))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                ROUND_COS).alias("ccos"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("ccos"),
+                                                F.asc("cell"))
+    probes = (qcos.withColumn("_r", F.row_number().over(pw))
+              .filter(F.col("_r") <= nprobe).select("query_id", "cell"))
+    corpus = with_norm(
+        live.select("vec_id", "cell", F.col("embedding").alias("v")),
+        "v")
+    cand = (corpus.join(F.broadcast(probes), "cell")
+            .join(F.broadcast(qs), "query_id")
+            .filter(F.col("vec_id") != F.col("query_id")))
+    cos = F.round(
+        _dot(_as_double(F.col("q")), _as_double(F.col("v")))
+        / (F.col("_qnorm") * F.col("_vnorm")), ROUND_COS)
+    scored = cand.select("query_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cos"))
