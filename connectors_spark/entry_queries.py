@@ -53,6 +53,16 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _hex2int_sql(expr: str, n: int) -> str:
+    """DuckDB expr: first-n-hex-chars of `expr` as a BIGINT (twin of
+    Spark's conv(substr(x,1,n),16,10))."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+
+
 def _ranked_topk(df: DataFrame, order: list, k: int) -> DataFrame:
     """Global top-k with a dense rank column, WITHOUT an unpartitioned
     window over the full frame: orderBy().limit(k) compiles to a
@@ -3813,8 +3823,11 @@ def q_has_parent_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STRATA_RATES = {"en": 1.0, "zh": 0.5, "es": 0.25, "fr": 0.1, "de": 0.0}
-_KNUTH = 2654435761  # Knuth multiplicative hash constant
 _U32 = 4294967296
+# md5-based uniform (overflow-free at any doc_id; ADVICE r4 — the Knuth
+# (id*2654435761) % 2^32 form goes negative past id ~3.47e9 in Spark)
+_U_SQL = (f"(({_hex2int_sql('md5(CAST(doc_id AS VARCHAR))', 8)})"
+          f" * 1.0 / {_U32})")
 
 
 def _strata_sql() -> str:
@@ -3824,7 +3837,7 @@ def _strata_sql() -> str:
     return f"""
 WITH u AS (
   SELECT doc_id, lang,
-         ((doc_id * {_KNUTH}) % {_U32}) * 1.0 / {_U32} AS u,
+         {_U_SQL} AS u,
          CASE {cases} ELSE 0.0 END AS rate
   FROM documents
 )
@@ -3837,16 +3850,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling — the data-MIXING primitive of
     LLM corpus construction (per-source/per-language sampling weights, a
     la the Pile / Gopher mix tables): each stratum keeps rate_s of its
-    docs, selected by a seedable Knuth multiplicative hash of the doc id
+    docs, selected by a deterministic md5 hash of the doc id
     (exact integer arithmetic — identical on any engine, any partition
     count, any run: the property `rand()` does NOT have). Rate 0 and 1
     strata exercise the edges. One narrow scan, no shuffle at all —
     sampling is a pushed-down filter."""
+    from connectors_spark.operators.pretrain import md5_uniform
+
     docs = _read(spark, sf_dir, "documents")
     rate = F.lit(0.0)
     for lg, r in _STRATA_RATES.items():
         rate = F.when(F.col("lang") == lg, F.lit(r)).otherwise(rate)
-    u = ((F.col("doc_id") * _KNUTH) % _U32) / F.lit(float(_U32))
+    u = md5_uniform(F.col("doc_id"))
     return (
         docs.select("doc_id", "lang", u.alias("u"), rate.alias("rate"))
         .filter(F.col("u") < F.col("rate"))
@@ -5366,18 +5381,21 @@ _RS_PROB = 0.25
 SELECT lang, CAST(count(*) AS BIGINT) AS n,
        round(avg(n_chars), 6) AS avg_chars
 FROM documents
-WHERE (doc_id * {_KNUTH}) % {_U32} < {int(_RS_PROB * (1 << 32))}
+WHERE {_U_SQL} < {_RS_PROB}
 GROUP BY lang
 """,
 )
 def q_random_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES random_sampler aggregation: sub-aggs over a probability-p
-    random subset — here DETERMINISTIC (seedable Knuth multiplicative
-    hash, the stratified_sample primitive) so results are reproducible
-    across engines, partitionings and runs, unlike rand(). The sample
-    filter pushes down; no shuffle beyond the sub-agg's own."""
+    random subset — here DETERMINISTIC (md5 uniform, the
+    stratified_sample primitive — overflow-free at any id magnitude) so
+    results are reproducible across engines, partitionings and runs,
+    unlike rand(). The sample filter pushes down; no shuffle beyond the
+    sub-agg's own."""
+    from connectors_spark.operators.pretrain import md5_uniform
+
     docs = _read(spark, sf_dir, "documents")
-    keep = (F.col("doc_id") * _KNUTH) % _U32 < int(_RS_PROB * (1 << 32))
+    keep = md5_uniform(F.col("doc_id")) < F.lit(_RS_PROB)
     return docs.filter(keep).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
@@ -6790,13 +6808,13 @@ rates AS (
 )
 SELECT d.doc_id, d.lang AS stratum, r.rate
 FROM documents d JOIN rates r ON r.stratum = d.lang
-WHERE ((d.doc_id * {2654435761}) % {1 << 32}) * 1.0 / {1 << 32} < r.rate
+WHERE {_U_SQL} < r.rate
 """,
 )
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled data mixing (p_s ~ n_s^alpha, Conneau &
     Lample 2019): per-stratum sampling rates DERIVED from corpus counts
-    to hit a doc budget, then deterministic Knuth-hash sampling
+    to hit a doc budget, then deterministic md5-uniform sampling
     (operators/pretrain.py:temperature_mix — tiny stats agg broadcast
     back, sampling is a pushed-down filter, zero corpus shuffle)."""
     from connectors_spark.operators.pretrain import temperature_mix
@@ -8270,16 +8288,6 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_W = 1024   # counters per hash row
 _CMS_D = 4      # hash rows
-
-
-def _hex2int_sql(expr: str, n: int) -> str:
-    """DuckDB expr: first-n-hex-chars of `expr` as a BIGINT (twin of
-    Spark's conv(substr(x,1,n),16,10))."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) "
-        f"* {16 ** (n - 1 - i)}"
-        for i in range(n)
-    )
 
 
 @register(

@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["eql_sequence", "eql_sample"]
+__all__ = ["eql_sequence", "eql_sequence_consuming", "eql_sample"]
 
 
 def eql_sequence(
@@ -66,6 +66,18 @@ def eql_sequence(
     ``stages`` are boolean Columns over the event row (at least 2).
     ``maxspan_sec`` / ``until`` implement ``with maxspan=`` and
     ``until [..]`` with the expiry contract in the module docstring.
+
+    **Divergence from Elastic EQL (documented contract):** this
+    window-native matcher does NOT consume a matched prefix on
+    completion — the most recent pending candidate survives, so K
+    repeated final-stage events each emit a chain reusing the same
+    earlier-stage events (``a b b`` yields two chains from the one
+    ``a``).  Elastic's sequence state machine consumes pending state
+    when a chain extends/completes, so a program ported verbatim from
+    real EQL can see extra matches here.  Parity-sensitive callers
+    should use :func:`eql_sequence_consuming`, which implements the
+    consume-on-extension semantics exactly (at the cost of a per-key
+    sequential pass instead of pure window algebra).
     """
     n = len(stages)
     if n < 2:
@@ -124,6 +136,118 @@ def eql_sequence(
         sel.append(F.timestamp_micros(F.col(f"__c{n}_t{j}")).alias(f"ts_{j}"))
         sel.append(F.col(f"__c{n}_i{j}").alias(f"id_{j}"))
     return out.select(*sel)
+
+
+def eql_sequence_consuming(
+    events: DataFrame,
+    stages: list[Column],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    maxspan_sec: float | None = None,
+    until: Column | None = None,
+) -> DataFrame:
+    """``eql_sequence`` with Elastic's CONSUME-ON-EXTENSION semantics:
+    the per-key state machine keeps at most one in-flight chain per
+    stage (a newer stage-i match replaces the older — EQL's tail
+    behavior, same as the window variant), and extending or completing
+    a chain CONSUMES it, so ``a b b`` emits exactly one chain and the
+    second ``b`` finds nothing pending.  This is the parity path for
+    programs ported from real EQL (x-pack sequence state machine);
+    the window variant documents its non-consuming divergence.
+
+    Implementation: one hash shuffle on the join key, then a per-key
+    sequential scan in ``applyInPandas`` (sequence consumption is
+    inherently stateful — the key is the parallel unit, exactly how a
+    1000-executor cluster would shard it; per-key event counts bound
+    the sequential work).  Expiry semantics (maxspan from the FIRST
+    event, until expiring strictly-older state, microsecond integer
+    time, (ts, id) tie order) are identical to :func:`eql_sequence`.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    n = len(stages)
+    if n < 2:
+        raise ValueError("eql_sequence_consuming needs at least 2 stages")
+    span_us = (None if maxspan_sec is None
+               else int(round(maxspan_sec * 1_000_000)))
+
+    cols = [
+        F.col(key),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+        F.col(id_col).alias("__id"),
+        *(p.alias(f"__p{i}") for i, p in enumerate(stages)),
+    ]
+    cols.append((until if until is not None
+                 else F.lit(False)).alias("__pu"))
+    df = events.select(*cols)
+
+    key_field = events.schema[key]
+    id_type = events.schema[id_col].dataType
+    out_fields = [StructField(key, key_field.dataType)]
+    for j in range(1, n + 1):
+        out_fields.append(StructField(f"ts_{j}", TimestampType()))
+        out_fields.append(StructField(f"id_{j}", id_type))
+    out_schema = StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def _match(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__t", "__id"], kind="mergesort")
+        ts = pdf["__t"].to_numpy()
+        ids = pdf["__id"].to_numpy()
+        preds = [pdf[f"__p{i}"].fillna(False).to_numpy() for i in range(n)]
+        untl = pdf["__pu"].fillna(False).to_numpy()
+        kval = pdf[key].iloc[0]
+        # pending[i] (1-based stage count) = the single in-flight chain
+        # that has completed stages 1..i, as ([t1..ti], [i1..ii])
+        pending: list = [None] * n
+        out: list[list] = []
+        for r in range(len(pdf)):
+            t = int(ts[r])
+            # extend longest-first so one event never rides the chain
+            # it just extended (Elastic evaluates criteria per stage)
+            for i in range(n - 1, 0, -1):
+                if not preds[i][r] or pending[i] is None:
+                    continue
+                chain_t, chain_i = pending[i]
+                if span_us is not None and t - chain_t[0] > span_us:
+                    # over-span: every older candidate is too (start
+                    # times monotone) — the chain is dead, drop it
+                    pending[i] = None
+                    continue
+                pending[i] = None  # CONSUME on extension/completion
+                ext = (chain_t + [t], chain_i + [ids[r]])
+                if i == n - 1:
+                    out.append([kval] + ext[0] + ext[1])
+                else:
+                    pending[i + 1] = ext  # newer replaces older (tail)
+            if preds[0][r]:
+                pending[1] = ([t], [ids[r]])
+            if untl[r]:
+                # until expires chains whose LATEST event is strictly
+                # before it; ties survive (module expiry contract)
+                for i in range(1, n):
+                    if pending[i] is not None and pending[i][0][-1] < t:
+                        pending[i] = None
+        if not out:
+            return pd.DataFrame({
+                key: pd.Series(dtype=pdf[key].dtype),
+                **{f"ts_{j}": pd.Series(dtype="datetime64[us]")
+                   for j in range(1, n + 1)},
+                **{f"id_{j}": pd.Series(dtype=pdf["__id"].dtype)
+                   for j in range(1, n + 1)},
+            })[out_cols]
+        recs = pd.DataFrame(
+            [[row[0]]
+             + [v for j in range(n) for v in (row[1 + j], row[1 + n + j])]
+             for row in out],
+            columns=out_cols)
+        for j in range(1, n + 1):
+            recs[f"ts_{j}"] = pd.to_datetime(recs[f"ts_{j}"], unit="us")
+        return recs
+
+    return df.groupBy(key).applyInPandas(_match, out_schema)
 
 
 def eql_sample(

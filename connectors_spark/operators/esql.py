@@ -353,13 +353,34 @@ def _mv_slice_fn(a, r):
     return F.slice(a[0], s, length)
 
 
+def _mv_nonnull(col):
+    """ES|QL multivalues carry no nulls; a null-bearing array from a
+    Spark-side expression is treated as if the nulls were absent, and
+    an empty/all-null multivalue yields null (not 0) — matching ES|QL's
+    missing-value result for MV_SUM/MV_AVG/MV_MEDIAN (ADVICE r4)."""
+    return F.filter(col, lambda x: x.isNotNull())
+
+
+def _mv_sum_fn(a, r):
+    nn = _mv_nonnull(a[0])
+    return F.when(F.size(nn) > 0, F.aggregate(
+        nn, F.lit(0.0), lambda acc, x: acc + x.try_cast("double")))
+
+
+def _mv_avg_fn(a, r):
+    nn = _mv_nonnull(a[0])
+    return F.when(F.size(nn) > 0, F.aggregate(
+        nn, F.lit(0.0), lambda acc, x: acc + x.try_cast("double"))
+        / F.size(nn))
+
+
 def _mv_median_fn(a, r):
-    srt = F.array_sort(a[0])
+    srt = F.array_sort(_mv_nonnull(a[0]))
     n = F.size(srt)
     i1 = ((n - F.lit(1)) / F.lit(2)).cast("int")
     i2 = (n / F.lit(2)).cast("int")
-    return ((F.get(srt, i1).cast("double")
-             + F.get(srt, i2).cast("double")) / F.lit(2.0))
+    return F.when(n > 0, (F.get(srt, i1).try_cast("double")
+                          + F.get(srt, i2).try_cast("double")) / F.lit(2.0))
 
 
 # scalar registry: name -> fn(compiled_cols, raw_asts) -> Column
@@ -422,11 +443,9 @@ _SCALARS = {
     "MV_COUNT": lambda a, r: F.size(a[0]),
     "MV_MAX": lambda a, r: F.array_max(a[0]),
     "MV_MIN": lambda a, r: F.array_min(a[0]),
-    "MV_SUM": lambda a, r: F.aggregate(
-        a[0], F.lit(0.0), lambda acc, x: acc + x.cast("double")),
-    "MV_AVG": lambda a, r: F.aggregate(
-        a[0], F.lit(0.0), lambda acc, x: acc + x.cast("double"))
-        / F.size(a[0]),
+    # empty / all-null multivalue -> null (ES|QL missing result), not 0
+    "MV_SUM": _mv_sum_fn,
+    "MV_AVG": _mv_avg_fn,
     "MV_CONCAT": lambda a, r: F.array_join(a[0], _lit_arg(r[1],
                                                           "MV_CONCAT sep")),
     # MV_SORT(col [, "DESC"]) — ES|QL default ASC
@@ -1143,9 +1162,18 @@ def _apply_command(df: DataFrame, cmd: str, body: str,
             return out.drop("__esql_lo", "__esql_hi")
         fields = ([f.strip() for f in with_cols.split(",")] if with_cols
                   else [c2 for c2 in policy.columns if c2 != match_col])
-        small = policy.select(
-            F.col(match_col).alias("__esql_match"), *fields).dropDuplicates(
-            ["__esql_match"])
+        # ES enrich-index execution keeps one document per match key; a
+        # duplicate-keyed policy frame here keeps the lexicographically
+        # SMALLEST (fields...) row — deterministic across runs and
+        # partitionings, unlike dropDuplicates (ADVICE r4).
+        small = (
+            policy.select(F.col(match_col).alias("__esql_match"), *fields)
+            .groupBy("__esql_match")
+            .agg(F.min(F.struct(*[F.col(f2) for f2 in fields]))
+                 .alias("__esql_row"))
+            .select("__esql_match",
+                    *[F.col(f"__esql_row.{f2}").alias(f2) for f2 in fields])
+        )
         out = df.join(F.broadcast(small),
                       df[key] == small["__esql_match"], "left")
         return out.drop("__esql_match")

@@ -56,8 +56,23 @@ def pretrain_filter(
     )
 
 
-KNUTH = 2654435761  # Knuth multiplicative hash constant
 U32 = 1 << 32
+
+
+def md5_uniform(col: F.Column, salt: str = "") -> F.Column:
+    """Deterministic uniform in [0, 1) from md5 of the (salted) key —
+    the repo-wide sampling convention (weighted_sample_wor,
+    assign_split).  Replaces the earlier Knuth multiplicative hash
+    `(id * 2654435761) % 2^32`, which overflows int64 for ids beyond
+    ~3.47e9: Spark's non-ANSI `%` then yields a NEGATIVE residue, so
+    `u < rate` is unconditionally true and those docs are always
+    sampled — a bias appearing exactly at the 10^9+ doc scale this
+    engine targets (ADVICE r4).  md5 has no overflow regime and is
+    engine-portable (DuckDB twin: entry_queries._hex2int_sql)."""
+    key = F.concat_ws("|", F.lit(salt), col.cast("string")) if salt \
+        else col.cast("string")
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return h / F.lit(float(U32))
 
 
 def temperature_mix(
@@ -73,7 +88,8 @@ def temperature_mix(
     alpha->0 uniform over strata; Conneau & Lample 2019 §3.1, used for
     the mBERT/XLM-R language mixes): stratum weight n_s^alpha is
     normalized to a target doc count budget * p_s, clamped at the
-    stratum size, and applied as a deterministic Knuth-hash sample.
+    stratum size, and applied as a deterministic md5-uniform sample
+    (`md5_uniform` — overflow-free at any doc_id magnitude).
 
     -> (doc_id, stratum, rate) for the sampled docs; `rate` is rounded
     to 6 dp BEFORE the keep comparison so the float power is never
@@ -99,7 +115,7 @@ def temperature_mix(
             ), 6,
         ).alias("rate"),
     )
-    u = ((F.col(id_col) * KNUTH) % U32) / F.lit(float(U32))
+    u = md5_uniform(F.col(id_col))
     return (
         df.select(F.col(id_col).alias("doc_id"),
                   F.col(stratum_col).alias("stratum"), u.alias("_u"))

@@ -58,6 +58,19 @@ def _write_meta(path: str, meta: dict) -> None:
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    # A batch with the same vec_id twice would tie inside one
+    # generation, making read_live's latest-wins window (ordered only
+    # by _gen) nondeterministic — reject at the write edge so the
+    # store's contents are always a function of the upsert sequence
+    # alone (ADVICE r4).  One tiny agg over the batch, not the store.
+    dup = (vectors.groupBy("vec_id").count()
+           .filter(F.col("count") > 1).limit(5).collect())
+    if dup:
+        ids = sorted(r["vec_id"] for r in dup)
+        raise ValueError(
+            f"duplicate vec_id(s) within one upsert batch: {ids} — "
+            "dedup the batch (latest-wins is only defined ACROSS "
+            "generations)")
     base = vectors.select(F.col("vec_id"), F.col("embedding").alias("v"))
     cells = _nearest_cell(
         base, centroids.select("cell", F.col("cv")))

@@ -114,3 +114,68 @@ def test_sequence_rejects_single_stage(spark):
     ev = _ev(spark, [(1, "u", 1, "a")])
     with pytest.raises(ValueError):
         eql_sequence(ev, _stages("a"), key="user_id")
+
+
+# ---------------------------------------------------------- consuming variant
+
+def test_consuming_each_prefix_used_once(spark):
+    # a b b: real EQL consumes the a on the first completion — the
+    # second b finds nothing pending (vs 2 chains from eql_sequence).
+    from connectors_spark.operators.eql import eql_sequence_consuming
+
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "u", 2, "b"), (3, "u", 3, "b")])
+    out = eql_sequence_consuming(ev, _stages("a", "b"), key="user_id")
+    assert _seqs(out, n=2) == [("u", 1, 2)]
+
+
+def test_consuming_matches_window_variant_when_finals_unique(spark):
+    from connectors_spark.operators.eql import eql_sequence_consuming
+
+    ev = _ev(spark, [(i, f"u{i % 2}", i, "abc"[i % 3])
+                     for i in range(60)])
+    args = dict(stages=_stages("a", "b", "c"), key="user_id",
+                maxspan_sec=25)
+    # alternating a/b/c per key: no repeated finals against one prefix,
+    # so consuming and non-consuming semantics coincide
+    assert _seqs(eql_sequence_consuming(ev, **args)) == \
+        _seqs(eql_sequence(ev, **args))
+
+
+def test_consuming_maxspan_and_until(spark):
+    from connectors_spark.operators.eql import eql_sequence_consuming
+
+    # maxspan: a t=1, b t=30 dead at 10s, alive at 60s
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "u", 30, "b")])
+    assert _seqs(eql_sequence_consuming(
+        ev, _stages("a", "b"), key="user_id", maxspan_sec=10), n=2) == []
+    assert _seqs(eql_sequence_consuming(
+        ev, _stages("a", "b"), key="user_id", maxspan_sec=60),
+        n=2) == [("u", 1, 2)]
+    # until kills strictly-older pending state only
+    ev2 = _ev(spark, [(1, "u", 1, "a"), (2, "u", 2, "x"), (3, "u", 3, "b"),
+                      (4, "v", 2, "a"), (5, "v", 3, "b")])
+    out = eql_sequence_consuming(ev2, _stages("a", "b"), key="user_id",
+                                 until=F.col("event_type") == "x")
+    assert _seqs(out, n=2) == [("v", 4, 5)]
+
+
+def test_consuming_newer_start_replaces_older(spark):
+    from connectors_spark.operators.eql import eql_sequence_consuming
+
+    # a1 a2 b: tail semantics — the chain uses the MOST RECENT a,
+    # same as the window variant
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "u", 2, "a"), (3, "u", 3, "b")])
+    out = eql_sequence_consuming(ev, _stages("a", "b"), key="user_id")
+    assert _seqs(out, n=2) == [("u", 2, 3)]
+
+
+def test_consuming_partition_invariance(spark):
+    from connectors_spark.operators.eql import eql_sequence_consuming
+
+    ev = _ev(spark, [(i, f"u{i % 3}", i, "abcb"[i % 4])
+                     for i in range(48)])
+    args = dict(stages=_stages("a", "b", "c"), key="user_id",
+                maxspan_sec=30)
+    one = _seqs(eql_sequence_consuming(ev.coalesce(1), **args))
+    many = _seqs(eql_sequence_consuming(ev.repartition(13), **args))
+    assert one == many and one

@@ -123,7 +123,9 @@ def test_enrich_duplicate_policy_keys_do_not_duplicate(spark, people):
     assert len(got) == 4  # left join, no fan-out
     by_id = {r.id: r.country for r in got}
     assert by_id[2] == "Germany" and by_id[3] is None
-    assert by_id[1] in ("France", "FRANCE")
+    # duplicate policy keys resolve DETERMINISTICALLY to the
+    # lexicographically smallest enrich row (ADVICE r4): 'FRANCE' < 'France'
+    assert by_id[1] == "FRANCE"
 
 
 def test_case_date_trunc_and_functions(spark):
@@ -303,6 +305,26 @@ ROW x = 1
     by_id = {r.id: r for r in r2}
     assert by_id[2].f is None and by_id[2].s == []
     assert by_id[3].f is None and by_id[3].s is None
+
+
+def test_mv_sum_avg_median_empty_and_null_semantics(spark, people):
+    # ES|QL: an empty / all-null multivalue is MISSING -> null result,
+    # never 0; null elements are ignored in the fold (ADVICE r4)
+    r = _run(spark, {"t": people}, '''
+ROW x = 1
+| EVAL ok = SPLIT("1 2 3", " "),
+       s = MV_SUM(ok), a = MV_AVG(ok), m = MV_MEDIAN(ok)
+| KEEP s, a, m
+''').collect()[0]
+    assert (r.s, r.a, r.m) == (6.0, 2.0, 2.0)
+    got = _run(spark, {"t": people},
+               'FROM t | EVAL s = MV_SUM(tags), a = MV_AVG(tags), '
+               'm = MV_MEDIAN(tags) | KEEP id, s, a, m').collect()
+    by_id = {x.id: x for x in got}
+    # id=2 has tags=[] and id=3 has tags=null (people fixture)
+    for i in (2, 3):
+        assert by_id[i].s is None and by_id[i].a is None \
+            and by_id[i].m is None
 
 
 def test_date_diff_and_format(spark):

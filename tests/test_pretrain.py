@@ -380,3 +380,34 @@ def test_weighted_sample_wor_bias_and_determinism(spark):
                         .otherwise(F.col("w")))
     out2 = weighted_sample_wor(df2, "w", 200)
     assert out2.count() == 10
+
+
+def test_md5_uniform_no_overflow_at_huge_ids(spark):
+    # the old Knuth (id*2654435761) % 2^32 went NEGATIVE past
+    # id ~3.47e9 (int64 overflow -> always-sampled bias); md5_uniform
+    # must stay in [0, 1) at any id magnitude (ADVICE r4)
+    from connectors_spark.operators.pretrain import md5_uniform
+
+    ids = [0, 1, 3_470_000_000, 2**40, 2**62, -5]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = df.select("doc_id", md5_uniform(F.col("doc_id")).alias("u")
+                    ).collect()
+    assert len(got) == len(ids)
+    for r in got:
+        assert 0.0 <= r.u < 1.0, (r.doc_id, r.u)
+
+
+def test_temperature_mix_huge_ids_not_always_sampled(spark):
+    # with the overflow bug every huge-id doc was unconditionally kept;
+    # now the keep rate must track the stratum rate
+    from connectors_spark.operators.pretrain import temperature_mix
+
+    base = 4_000_000_000  # past the old overflow threshold
+    rows = [(base + i, "en") for i in range(400)] + \
+           [(base + 10_000 + i, "zh") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, alpha=1.0, budget=250)
+    # alpha=1 -> every stratum rate = budget/total = 0.5; an
+    # always-true sampler would return all 500
+    n = out.count()
+    assert 150 < n < 350

@@ -117,3 +117,16 @@ def test_readd_after_delete(spark, tmp_path):
     upsert_vectors(spark, store, _df(spark, [(5, [2.0] * 16)]))
     live5 = read_live(spark, store).filter("vec_id = 5").collect()
     assert len(live5) == 1 and live5[0].embedding == [2.0] * 16
+
+
+def test_duplicate_vec_id_in_batch_rejected(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "store_dup")
+    init_vector_store(spark, path, _df(spark, _vecs(20)), centroid_mod=MOD)
+    rows = _vecs(3, offset=100)
+    dup = _df(spark, rows + [rows[0]])  # vec_id 100 twice in one batch
+    with pytest.raises(ValueError, match="duplicate vec_id"):
+        upsert_vectors(spark, path, dup)
+    # store unchanged: the live view still has exactly the init rows
+    assert read_live(spark, path).count() == 20
