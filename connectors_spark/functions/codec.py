@@ -158,14 +158,16 @@ def decode_shard(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return doc_idx, tf, dl
 
 
-def decode_shard_positions(row) -> list[np.ndarray] | None:
+def decode_shard_positions(row, tf=None) -> list[np.ndarray] | None:
     """Per-posting position arrays for an encoded row, or None if the
-    shard was built without positions."""
+    shard was built without positions.  Pass the already-decoded `tf`
+    array to skip re-decoding the tf stream (phrase kernel hot path)."""
     buf = row["positions"] if "positions" in row else None
     if buf is None or len(buf) == 0:
         return None
-    n = int(row["n_docs"])
-    tf = varint_decode(row["tfs"], 0, n).astype(np.int64)
+    if tf is None:
+        n = int(row["n_docs"])
+        tf = varint_decode(row["tfs"], 0, n).astype(np.int64)
     total = int(tf.sum())
     deltas = varint_decode(buf, 0, total).astype(np.int64)
     out, off = [], 0

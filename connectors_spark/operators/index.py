@@ -814,7 +814,18 @@ class IndexReader:
         counts are LRU-cached on the reader, so repeat-term queries skip
         the cluster entirely (the hot-query-set regime of a search tier).
         This is the ES-search-latency analog; `topk` is the
-        bulk-throughput path. Returns [(query_id, rank, doc_id, score)]."""
+        bulk-throughput path. Returns [(query_id, rank, doc_id, score)].
+
+        Hot-term budget (VERDICT r4 #3): pulling a stop-word-class term
+        driver-side is O(df) bytes — unbounded at 10^9+ docs.  A query
+        containing any term whose total df exceeds
+        ``self.local_term_df_budget`` (default 2,000,000 postings,
+        ~tens of MB of shard blobs) is routed to the distributed `topk`
+        kernel instead; the (term, df) pre-pass is the same cheap
+        column-pruned lexicon job `topk` itself starts with, so the
+        budget check adds no extra scan for routed queries.  Results
+        are rank-identical either way (both paths share the scoring
+        kernels and tie order)."""
         from connectors_spark.functions.analysis import tokenize_py
 
         meta = self.meta
@@ -836,6 +847,28 @@ class IndexReader:
             all_terms.update(terms)
         if not all_terms:
             return []
+
+        df_budget = int(getattr(self, "local_term_df_budget", 2_000_000))
+        tinfo = self._term_info(sorted(all_terms))
+        hot_terms = {t for t in all_terms if tinfo[t][1] > df_budget}
+        if hot_terms:
+            hot_q = [q for q, (_, _, terms) in zip(queries, per_q)
+                     if any(t in hot_terms for t in terms)]
+            cold = [(q, pq) for q, pq in zip(queries, per_q)
+                    if not any(t in hot_terms for t in pq[2])]
+            queries = [q for q, _ in cold]
+            per_q = [pq for _, pq in cold]
+            routed = [
+                (r["query_id"], int(r["rank"]), r["doc_id"],
+                 float(r["score"]))
+                for r in self.topk(hot_q, kernel=kernel).collect()
+            ]
+            all_terms = set().union(*(pq[2] for pq in per_q)) \
+                if per_q else set()
+            if not all_terms:
+                return routed
+        else:
+            routed = []
         missing = sorted(t for t in all_terms if t not in self._term_cache)
         for t in all_terms:
             if t in self._term_cache:   # LRU touch
@@ -915,7 +948,7 @@ class IndexReader:
         for qid, doc_idx, scores in interim:
             for r, (di, s) in enumerate(zip(doc_idx, scores), start=1):
                 out.append((qid, r, idmap[int(di)], float(s)))
-        return out
+        return out + routed
 
 
     def phrase_topk(self, phrases: list[dict],
@@ -1008,9 +1041,22 @@ class IndexReader:
                 # live df (dead-corrected, same as topk) => exact idf on
                 # incrementally-updated indexes
                 term_df[term] = int(grp["df_total"].iloc[0]) - dead_n
-                for _, row in grp.iterrows():
+                # column-wise extraction: one .to_numpy(object) per
+                # column instead of a pd.Series per shard row
+                # (iterrows) — VERDICT r4 #8
+                _nd = grp["n_docs"].to_numpy()
+                _gap = grp["doc_gaps"].to_numpy(object)
+                _tfs = grp["tfs"].to_numpy(object)
+                _dls = grp["dls"].to_numpy(object)
+                _pos = (grp["positions"].to_numpy(object)
+                        if "positions" in grp.columns
+                        else np.full(len(grp), None, dtype=object))
+                for j in range(len(grp)):
+                    row = {"n_docs": _nd[j], "doc_gaps": _gap[j],
+                           "tfs": _tfs[j], "dls": _dls[j],
+                           "positions": _pos[j]}
                     d, tf, dl = decode_shard(row)
-                    pos = decode_shard_positions(row)
+                    pos = decode_shard_positions(row, tf=tf)
                     if pos is None:
                         raise ValueError(
                             "index was built without positions; rebuild "

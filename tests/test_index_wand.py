@@ -507,3 +507,53 @@ def test_phrase_prefix_topk_matches_position_join(spark, tmp_path):
     key = lambda rows: sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9))
                               for r in rows)
     assert key(got) == key(again)
+
+
+def test_topk_local_hot_term_budget_routes_to_distributed(spark, built):
+    """Serving-path hot-term budget (VERDICT r4 #3): a query containing
+    a term whose df exceeds local_term_df_budget must NOT pull that
+    term's postings driver-side — it is routed to the distributed topk
+    kernel — and ranks/scores stay identical to the unbudgeted path."""
+    from connectors_spark.operators.index import IndexReader
+
+    path, oracle = built
+    # t00001 is the Zipf head (full-corpus df); t4xxxx are tail terms
+    queries = [
+        {"query_id": "hot", "query_text": "t00001 t00002", "k": 10},
+        {"query_id": "cold", "query_text": "t49999 t49998", "k": 10},
+    ]
+    unlimited = IndexReader(spark, path, cache=False)
+    exp = sorted(unlimited.topk_local(queries), key=lambda t: (t[0], t[1]))
+
+    budgeted = IndexReader(spark, path, cache=False)
+    budgeted.local_term_df_budget = 20  # head terms exceed, tail stays
+    got = sorted(budgeted.topk_local(queries), key=lambda t: (t[0], t[1]))
+
+    assert [(g[0], g[1], g[2]) for g in got] == [(e[0], e[1], e[2])
+                                                 for e in exp]
+    for g, e in zip(got, exp):
+        assert g[3] == pytest.approx(e[3], rel=1e-9)
+    # the hot term's shard blobs never reached the driver cache
+    assert "t00001" not in budgeted._term_cache
+    assert "t49999" in budgeted._term_cache  # cold path still local
+    # oracle agreement for the routed query
+    oexp = sorted(oracle.score_queryset([queries[0]]),
+                  key=lambda e: (e[0], e[1]))
+    hot_got = [g for g in got if g[0] == "hot"]
+    assert [(g[0], g[1], g[2]) for g in hot_got] == [e[:3] for e in oexp]
+
+
+def test_topk_local_all_queries_hot(spark, built):
+    """Every query over budget: the local path collapses entirely to
+    the distributed kernel and still answers correctly."""
+    from connectors_spark.operators.index import IndexReader
+
+    path, oracle = built
+    queries = [{"query_id": "h1", "query_text": "t00001", "k": 5},
+               {"query_id": "h2", "query_text": "t00002 t00003", "k": 5}]
+    reader = IndexReader(spark, path, cache=False)
+    reader.local_term_df_budget = 1
+    got = sorted(reader.topk_local(queries), key=lambda t: (t[0], t[1]))
+    exp = sorted(oracle.score_queryset(queries), key=lambda e: (e[0], e[1]))
+    assert [(g[0], g[1], g[2]) for g in got] == [e[:3] for e in exp]
+    assert len(reader._term_cache) == 0
