@@ -895,7 +895,8 @@ IVF_CENTROID_MOD = 25
 IVF_NPROBE = 4
 
 
-def _ivf_sql() -> str:
+def _ivf_sql(nprobe: int = IVF_NPROBE,
+             query_mod: int = IVF_QUERY_MOD) -> str:
     return f"""
 WITH {_NORMS_SQL},
 cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
@@ -916,13 +917,13 @@ cells AS (
     FROM ccos) WHERE r = 1
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-      WHERE vec_id % {IVF_QUERY_MOD} = 0),
+      WHERE vec_id % {query_mod} = 0),
 probes AS (
   SELECT query_id, cell FROM (
     SELECT q.query_id, c.cell,
            row_number() OVER (PARTITION BY q.query_id ORDER BY cc.ccos DESC, c.cell ASC) AS r
     FROM q JOIN ccos cc ON cc.vec_id = q.query_id JOIN cents c ON c.cell = cc.cell)
-  WHERE r <= {IVF_NPROBE}
+  WHERE r <= {nprobe}
 ),
 cand AS (
   SELECT p.query_id, cl.vec_id
@@ -1103,7 +1104,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_fake_media(docs))
 
 
-@register("audio_features")  # rows-only: DuckDB cannot decode WAV PCM
+# The per-doc tone (and hence every feature) is a pure function of
+# doc_id % 40 — the whole encode->decode->feature path is deterministic,
+# so its outputs are FROZEN into a 40-row VALUES table the oracle joins
+# on doc_id % 40 (the kstem frozen-table pattern; VERDICT r4 #6 flips
+# this gate from rows-only to DuckDB-hash). Regenerate with NumPy by
+# re-running the synthesis in q_audio_features.__doc__'s recipe; any
+# engine drift (encode, decode, feature math, rounding) breaks the hash.
+_AUDIO_FROZEN_VALUES = """
+  (0, 0.17262, 0.011264, 0.029798), (1, 0.172621, 0.012516, 0.029872),
+  (2, 0.172622, 0.013767, 0.029798), (3, 0.172621, 0.015019, 0.029872),
+  (4, 0.172621, 0.01627, 0.029798), (5, 0.17262, 0.017522, 0.029872),
+  (6, 0.172622, 0.018773, 0.029798), (7, 0.172621, 0.020025, 0.029872),
+  (8, 0.172621, 0.021277, 0.029798), (9, 0.172621, 0.022528, 0.029872),
+  (10, 0.172622, 0.02378, 0.029798), (11, 0.172621, 0.025031, 0.029872),
+  (12, 0.172621, 0.026283, 0.029798), (13, 0.172621, 0.027534, 0.029872),
+  (14, 0.172622, 0.028786, 0.029798), (15, 0.172623, 0.030038, 0.029873),
+  (16, 0.172621, 0.031289, 0.029798), (17, 0.172621, 0.032541, 0.029872),
+  (18, 0.172622, 0.033792, 0.029798), (19, 0.172621, 0.035044, 0.029872),
+  (20, 0.17262, 0.036295, 0.029798), (21, 0.172621, 0.037547, 0.029872),
+  (22, 0.172623, 0.038798, 0.029799), (23, 0.172621, 0.04005, 0.029872),
+  (24, 0.172621, 0.041302, 0.029798), (25, 0.17262, 0.042553, 0.029872),
+  (26, 0.172622, 0.043805, 0.029798), (27, 0.172621, 0.045056, 0.029872),
+  (28, 0.172621, 0.046308, 0.029798), (29, 0.172621, 0.047559, 0.029872),
+  (30, 0.172623, 0.048811, 0.029799), (31, 0.172621, 0.050063, 0.029872),
+  (32, 0.172621, 0.051314, 0.029798), (33, 0.172621, 0.052566, 0.029872),
+  (34, 0.172622, 0.053817, 0.029798), (35, 0.17262, 0.055069, 0.029872),
+  (36, 0.172621, 0.05632, 0.029798), (37, 0.172621, 0.057572, 0.029872),
+  (38, 0.172622, 0.058824, 0.029798), (39, 0.172621, 0.060075, 0.029872)
+"""
+
+_AUDIO_FEATURES_SQL = f"""
+WITH frozen(tone_mod, rms, zero_cross_rate, frame_energy_max) AS (
+  VALUES {_AUDIO_FROZEN_VALUES}
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       CAST(800 AS BIGINT) AS n_samples, CAST(1 AS INT) AS n_channels,
+       f.rms, f.zero_cross_rate, f.frame_energy_max
+FROM documents d JOIN frozen f ON d.doc_id % 40 = f.tone_mod
+"""
+
+
+@register("audio_features", _AUDIO_FEATURES_SQL)
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode + features (no media libs needed): each doc gets
     a deterministic PCM16 tone synthesized from its doc_id, encoded as a
@@ -1111,7 +1153,10 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered pure-NumPy WAV decoder, and reduced to rms /
     zero-crossing / frame-energy features (operators/multimodal.py:
     decode_wav_pcm, audio_features). Round-trip + feature math are
-    pytest-pinned; this gate drives the path at table scale."""
+    pytest-pinned; this gate drives the path at table scale and
+    hash-matches the frozen 40-tone feature table above (the tone is
+    `8000*sin(2*pi*(100 + doc_id%40*10)*t/16000)` over 800 samples —
+    regenerate the VALUES with that NumPy recipe + round(.,6))."""
     import numpy as _np
     import pandas as _pd
 
@@ -15708,16 +15753,19 @@ _PQ_DS = EMB_DIM // _PQ_M
 
 
 # Shared PQ oracle fragments — ONE definition of the codebook /
-# encode / LUT SQL so ann_pq_topk and ann_ivf_pq_topk can never drift
-# (seeding rule, rounding, argmin tie-break all live here).
-_PQ_CODE_CTES = f"""
+# encode / LUT SQL so ann_pq_topk, ann_ivf_pq_topk and the recall
+# curve can never drift (seeding rule, rounding, argmin tie-break all
+# live here). `k_codes` parameterizes codebook size (= 2^bits per
+# subquantizer) for the ann_recall_curve sweep.
+def _pq_code_ctes(k_codes: int = _PQ_K) -> str:
+    return f"""
 nn AS (SELECT count(*) AS n FROM embeddings),
-params AS (SELECT greatest(1, CAST(n // {_PQ_K} AS BIGINT)) AS step
+params AS (SELECT greatest(1, CAST(n // {k_codes} AS BIGINT)) AS step
            FROM nn),
 cbv AS (
   SELECT CAST(e.vec_id // p.step AS INT) AS code, e.embedding
   FROM embeddings e, params p
-  WHERE e.vec_id % p.step = 0 AND e.vec_id < {_PQ_K} * p.step
+  WHERE e.vec_id % p.step = 0 AND e.vec_id < {k_codes} * p.step
 ),
 ms AS (SELECT CAST(unnest(range({_PQ_M})) AS INT) AS m),
 js AS (SELECT CAST(unnest(range({_PQ_DS})) AS INT) AS j),
@@ -15756,9 +15804,9 @@ lut AS (
 )"""
 
 
-def _pq_sql(query_mod: int, k: int) -> str:
+def _pq_sql(query_mod: int, k: int, k_codes: int = _PQ_K) -> str:
     return f"""
-WITH {_PQ_CODE_CTES},
+WITH {_pq_code_ctes(k_codes)},
 q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
       WHERE vec_id % {query_mod} = 0),
 {_PQ_LUT_CTE},
@@ -15803,7 +15851,9 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, cb, qs, k=ANN_K, m_subs=_PQ_M)
 
 
-def _ivf_pq_sql() -> str:
+def _ivf_pq_sql(nprobe: int = IVF_NPROBE,
+                query_mod: int = IVF_QUERY_MOD,
+                k_codes: int = _PQ_K) -> str:
     return f"""
 WITH {_NORMS_SQL},
 cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
@@ -15826,7 +15876,7 @@ cells AS (
     FROM ccos) WHERE r = 1
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-      WHERE vec_id % {IVF_QUERY_MOD} = 0),
+      WHERE vec_id % {query_mod} = 0),
 probes AS (
   SELECT query_id, cell FROM (
     SELECT q.query_id, c.cell,
@@ -15834,9 +15884,9 @@ probes AS (
                               ORDER BY cc.ccos DESC, c.cell ASC) AS r
     FROM q JOIN ccos cc ON cc.vec_id = q.query_id
     JOIN cents c ON c.cell = cc.cell)
-  WHERE r <= {IVF_NPROBE}
+  WHERE r <= {nprobe}
 ),
-{_PQ_CODE_CTES},
+{_pq_code_ctes(k_codes)},
 {_PQ_LUT_CTE},
 cand AS (
   SELECT p.query_id, cl.vec_id
@@ -15878,3 +15928,100 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") % IVF_QUERY_MOD == 0)
     return ivf_pq_topk(emb, qs, k=ANN_K, centroid_mod=IVF_CENTROID_MOD,
                        nprobe=IVF_NPROBE, m_subs=_PQ_M, k_codes=_PQ_K)
+
+
+# recall@k sweep points: (variant, param, approx-topk SQL builder args).
+# IVF sweeps nprobe (probe budget vs recall), PQ sweeps codebook size
+# (= 2^bits per subquantizer), IVF-PQ sweeps nprobe at the default PQ
+# config — the auditable trade-off table VERDICT r4 #5 asked for in
+# place of an HNSW-class graph index (the IVF family is the batch-shape
+# answer at Spark scale; this gate quantifies what that choice costs in
+# recall against exact brute force, per parameter).
+_RECALL_SWEEP: list[tuple[str, int]] = [
+    ("ivf", 1), ("ivf", 2), ("ivf", 4), ("ivf", 8),
+    ("pq", 4), ("pq", 16),
+    ("ivf_pq", 1), ("ivf_pq", 4),
+]
+
+
+def _ann_recall_sql() -> str:
+    """One row per sweep point: recall@{ANN_K} vs exact cosine. Each
+    approx arm reuses the exact SAME SQL generator as its hash-gated
+    standalone twin (zero drift possible), nested as a subquery; the
+    exact arm is `_cosine_sql` — all at ANN_QUERY_MOD so every variant
+    scores one shared query set."""
+    arms = []
+    for variant, param in _RECALL_SWEEP:
+        if variant == "ivf":
+            approx = _ivf_sql(nprobe=param, query_mod=ANN_QUERY_MOD)
+        elif variant == "pq":
+            approx = _pq_sql(ANN_QUERY_MOD, ANN_K, k_codes=param)
+        else:
+            approx = _ivf_pq_sql(nprobe=param, query_mod=ANN_QUERY_MOD)
+        arms.append(f"""
+  SELECT '{variant}' AS variant, CAST({param} AS INT) AS param,
+         CAST((SELECT count(*)
+               FROM (SELECT query_id, vec_id FROM ({approx})) a
+               JOIN exact e USING (query_id, vec_id)) AS BIGINT)
+           AS n_hits""")
+    return f"""
+WITH exact AS (SELECT query_id, vec_id
+               FROM ({_cosine_sql(ANN_QUERY_MOD, ANN_K)})),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
+SELECT v.variant, v.param, v.n_hits, tot.n_exact,
+       round(v.n_hits * 1.0 / tot.n_exact, 6) AS recall
+FROM ({" UNION ALL ".join(arms)}) v CROSS JOIN tot
+"""
+
+
+@register("ann_recall_curve", _ann_recall_sql())
+def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-parameter curve for the whole ANN family (VERDICT r4
+    #5): recall@k against exact brute-force cosine as a function of
+    nprobe (IVF, IVF-PQ) and codebook size (PQ) — the auditable gap
+    table for choosing probe budgets / code bits, and the declared
+    trade-off vs a graph (HNSW-class) index. Engine side: each arm is
+    the same operator its standalone gate exercises; recall is a
+    left-semi join of the approx top-k against the exact top-k set,
+    aggregated per arm (counts stay distributed; the result is one row
+    per sweep point)."""
+    from connectors_spark.operators.similarity import (
+        ivf_cosine_topk, ivf_pq_topk, pq_adc_topk, pq_codebooks_sampled,
+        pq_encode,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    exact = brute_force_cosine_topk(emb, qs, k=ANN_K).select(
+        "query_id", "vec_id")
+    out = None
+    for variant, param in _RECALL_SWEEP:
+        if variant == "ivf":
+            approx = ivf_cosine_topk(emb, qs, k=ANN_K,
+                                     centroid_mod=IVF_CENTROID_MOD,
+                                     nprobe=param)
+        elif variant == "pq":
+            cb = pq_codebooks_sampled(emb, m_subs=_PQ_M, k_codes=param)
+            codes = pq_encode(emb, cb, m_subs=_PQ_M)
+            approx = pq_adc_topk(codes, cb, qs, k=ANN_K, m_subs=_PQ_M)
+        else:
+            approx = ivf_pq_topk(emb, qs, k=ANN_K,
+                                 centroid_mod=IVF_CENTROID_MOD,
+                                 nprobe=param, m_subs=_PQ_M,
+                                 k_codes=_PQ_K)
+        hits = approx.select("query_id", "vec_id").join(
+            exact, ["query_id", "vec_id"], "left_semi")
+        row = (
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .crossJoin(exact.agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact")))
+            .select(
+                F.lit(variant).alias("variant"),
+                F.lit(param).cast("int").alias("param"),
+                "n_hits", "n_exact",
+                F.round(F.col("n_hits") / F.col("n_exact"), 6)
+                .alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

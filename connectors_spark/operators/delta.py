@@ -26,12 +26,13 @@ against an oracle built directly on the new snapshot.
 
 from __future__ import annotations
 
-import json
 import os
 import uuid
 
 import numpy as np
 import pandas as pd
+
+from connectors_spark import commitfs
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,11 +50,10 @@ from connectors_spark.operators.index import (
 from connectors_spark.operators.sync import classify_sync_ops
 
 
-def _write_meta(path: str, meta: dict) -> None:
-    tmp = os.path.join(path, f".meta.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+def _write_meta(path: str, meta: dict, fs=None) -> None:
+    # object-store-safe: single atomic PUT (local FS: tmp + rename) —
+    # readers see the old meta or the new meta, never a torn one
+    commitfs.put_json_atomic(os.path.join(path, "meta.json"), meta, fs=fs)
 
 
 def _all_assigned_docmap(spark: SparkSession, path: str,
@@ -336,27 +336,59 @@ def maybe_compact(spark: SparkSession, path: str,
 CURRENT_FILE = "CURRENT"
 
 
-def resolve_current(path: str) -> str:
-    """The live index dir: `path/<CURRENT contents>` when `path` is a
+def current_gen(store: str, fs=None) -> str | None:
+    """The live generation NAME, or None when `store` is not a store.
+    Authoritative source: the object-store-safe commit log
+    (commitfs.log_head over `store/_commits/`); stores written before
+    round 5 that only carry the legacy CURRENT file fall back to it
+    (first promote with current code starts the log)."""
+    _seq, payload = commitfs.log_head(fs, store)
+    if payload is not None:
+        return payload["gen"]
+    raw = commitfs.get_bytes(fs, os.path.join(store, CURRENT_FILE))
+    return raw.decode("utf-8").strip() if raw else None
+
+
+def resolve_current(path: str, fs=None) -> str:
+    """The live index dir: `path/<current generation>` when `path` is a
     store root, else `path` itself (plain index dirs stay valid)."""
-    p = os.path.join(path, CURRENT_FILE)
-    if os.path.exists(p):
-        with open(p) as f:
-            gen = f.read().strip()
-        return os.path.join(path, gen)
-    return path
+    gen = current_gen(path, fs=fs)
+    return os.path.join(path, gen) if gen else path
 
 
-def promote(store: str, gen_name: str) -> None:
-    """Atomically flip the CURRENT pointer to `gen_name` (write a temp
-    file, then one os.replace — readers resolve either the old or the
-    new generation, never a half-written pointer)."""
-    tmp = os.path.join(store, f".{CURRENT_FILE}.tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(gen_name)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(store, CURRENT_FILE))
+def promote(store: str, gen_name: str, fs=None) -> None:
+    """Flip the pointer to `gen_name`, last-writer-wins. The commit is
+    one immutable entry appended to the store's commit log — safe where
+    rename does not exist (S3/GCS); readers resolve either the old or
+    the new generation, never a half-state (commitfs module contract).
+    For writer-vs-writer races where exactly one must win, use
+    `try_promote`."""
+    commitfs.force_commit(fs, store, {"gen": gen_name})
+
+
+def try_promote(store: str, gen_name: str, expected_gen: str | None,
+                fs=None, writer_id: str | None = None) -> bool:
+    """CAS promote: flip to `gen_name` only if the live generation is
+    still `expected_gen` (None = the store has no commit yet). Losers
+    retire their log entry and return False; a True answer is
+    READER-CONSISTENT — after the commit lands this re-reads the head
+    and reports won only if readers actually resolve `gen_name`, which
+    closes the portable-CAS acknowledgment window documented in
+    commitfs.log_commit (on conditional-put backends the re-read is a
+    plain read-back). This is the engine-side analog of the reference
+    sink's CAS job-claim (svc/sync_job_runner.py:382-414)."""
+    seq, payload = commitfs.log_head(fs, store)
+    live = payload["gen"] if payload is not None else None
+    if live is None and payload is None:
+        # legacy store: CURRENT file only — treat it as seq 0 state
+        raw = commitfs.get_bytes(fs, os.path.join(store, CURRENT_FILE))
+        live = raw.decode("utf-8").strip() if raw else None
+    if live != expected_gen:
+        return False
+    if not commitfs.log_commit(fs, store, seq, {"gen": gen_name},
+                               writer_id=writer_id):
+        return False
+    return current_gen(store, fs=fs) == gen_name
 
 
 def init_store(store: str, from_index: str,
@@ -392,6 +424,9 @@ def gc_store(store: str, keep_previous: int = 1) -> list[str]:
     doomed = gens[: max(0, len(gens) - keep_previous)]
     for d in doomed:
         shutil.rmtree(os.path.join(store, d), ignore_errors=True)
+    # bound the commit log alongside the generation dirs (old entries
+    # are correctness-inert — readers only elect the head)
+    commitfs.gc_log(None, store)
     return doomed
 
 
@@ -405,15 +440,26 @@ def maybe_compact_store(spark: SparkSession, store: str,
     rank-identically from the previous generation (its files survive the
     grace window); readers opened after resolve the new one. Crash-safe
     at every point: CURRENT always names a complete generation."""
-    cur = resolve_current(store)
-    if cur == store:
-        raise ValueError(f"{store} is not a store (no {CURRENT_FILE} file)")
+    import shutil
+
+    cur_name = current_gen(store)
+    if cur_name is None:
+        raise ValueError(f"{store} is not a store (no commit log or "
+                         f"{CURRENT_FILE} file)")
+    cur = os.path.join(store, cur_name)
     meta = read_meta(cur)
     if not should_compact(meta, max_dead_ratio, max_tombstones):
         return False
     new_name = f"gen-{uuid.uuid4().hex[:12]}"
     compact_index(spark, cur, os.path.join(store, new_name))
-    promote(store, new_name)
+    # CAS, not force: two compactors racing from the same live
+    # generation must not double-promote — the loser deletes its own
+    # (never-visible) generation dir and reports no-op. A crash BEFORE
+    # the try_promote leaves CURRENT untouched and an orphan gen dir
+    # that gc_store reclaims; readers never see a half-state.
+    if not try_promote(store, new_name, expected_gen=cur_name):
+        shutil.rmtree(os.path.join(store, new_name), ignore_errors=True)
+        return False
     gc_store(store, keep_previous=keep_previous)
     return True
 

@@ -454,10 +454,13 @@ def write_postings_manifest(path: str, manifest_rows) -> list[str]:
     readers forever (read_postings resolves through this file)."""
     post_dir = os.path.join(path, "postings")
     rel = sorted({os.path.relpath(r["file"], post_dir) for r in manifest_rows})
-    tmp = os.path.join(path, f".{POSTINGS_MANIFEST}.tmp-{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump({"files": rel}, f)
-    os.replace(tmp, os.path.join(path, POSTINGS_MANIFEST))
+    # object-store-safe commit: one atomic PUT of the manifest (local:
+    # tmp + rename via commitfs) AFTER every named part file is durable
+    # — a reader resolves the previous manifest or this one, never a
+    # mix, and attempt-suffixed loser files stay invisible either way.
+    from connectors_spark import commitfs
+    commitfs.put_json_atomic(
+        os.path.join(path, POSTINGS_MANIFEST), {"files": rel})
     return rel
 
 

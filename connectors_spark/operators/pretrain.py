@@ -341,7 +341,8 @@ def bpe_pair_counts(syms: DataFrame) -> DataFrame:
 
 
 def learn_bpe_merges(df: DataFrame, n_merges: int = 10,
-                     text_col: str = "text"):
+                     text_col: str = "text",
+                     sample_top_n_words: int | None = None):
     """Train a byte-pair-encoding tokenizer on a corpus: returns
     (merges, word_syms) where merges is the ordered list of learned
     (left, right) symbol pairs and word_syms the final (w, freq, syms)
@@ -354,8 +355,27 @@ def learn_bpe_merges(df: DataFrame, n_merges: int = 10,
     Arrow-batched merge map. The driver receives exactly ONE row per
     iteration (the argmax pair, ties broken (count DESC, a, b) so the
     learned merges are engine- and partition-deterministic). Iteration
-    count bounds the loop, as in the IVF k-means refiner."""
-    syms = _word_symbols(df, text_col).persist()
+    count bounds the loop, as in the IVF k-means refiner.
+
+    `sample_top_n_words` (VERDICT r4 #4): exact BPE is inherently
+    sequential — n_merges Spark rounds — so a 32k-merge vocab over the
+    full web-scale lexicon is days of sequential jobs. Real tokenizer
+    pipelines learn merges on the word-FREQUENCY HEAD (the pair-count
+    argmax is dominated by frequent words; the Zipf tail contributes
+    O(1) counts each) and encode everywhere. Passing e.g.
+    sample_top_n_words=1_000_000 learns on the top-n words by
+    (freq DESC, word ASC) — deterministic, one TakeOrdered — shrinking
+    every round's shuffle from |lexicon| to n while `bpe_encode_udf`
+    still encodes the untouched corpus with the learned merges.
+    tests/test_pretrain.py pins head-learned merges == full-corpus
+    merges on the gate corpus at sufficient n."""
+    syms = _word_symbols(df, text_col)
+    if sample_top_n_words is not None:
+        # frequency head, deterministically ordered + localCheckpointed
+        # via persist: the learning table for every round
+        syms = (syms.orderBy(F.desc("freq"), F.asc("w"))
+                .limit(int(sample_top_n_words)))
+    syms = syms.persist()
     syms.count()
     merges: list[tuple[str, str]] = []
     for _ in range(int(n_merges)):

@@ -38,6 +38,8 @@ import json
 import os
 import shutil
 
+from connectors_spark import commitfs
+
 from connectors_spark.operators.delta import resolve_current
 from connectors_spark.operators.index import POSTINGS_MANIFEST
 
@@ -114,10 +116,7 @@ def snapshot_index(index_path: str, repo: str, name: str) -> dict:
         files[rel] = digest
     manifest = {"name": name, "files": files,
                 "n_files": len(files), "uploaded": uploaded, "reused": reused}
-    tmp = snap_path + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, snap_path)
+    commitfs.put_json_atomic(snap_path, manifest)
     return manifest
 
 
@@ -228,9 +227,7 @@ def ccr_follow(repo: str, follower_dir: str, state_path: str) -> dict:
             os.remove(path)
             deleted += 1
     # checkpoint LAST (crash before this line -> clean re-apply)
-    tmp = state_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"applied": target, "files": want}, fh)
-    os.replace(tmp, state_path)
+    commitfs.put_json_atomic(
+        state_path, {"applied": target, "files": want})
     return {"applied": target, "copied": copied, "deleted": deleted,
             "up_to_date": False}

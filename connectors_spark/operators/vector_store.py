@@ -25,11 +25,12 @@ as delta.should_compact and is left to the caller's cadence.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from connectors_spark import commitfs
 
 from connectors_spark.operators.similarity import (
     ROUND_COS,
@@ -45,16 +46,19 @@ def _meta_path(path: str) -> str:
     return os.path.join(path, "meta.json")
 
 
-def _read_meta(path: str) -> dict:
-    with open(_meta_path(path)) as f:
-        return json.load(f)
+def _read_meta(path: str, fs=None) -> dict:
+    meta = commitfs.get_json(_meta_path(path), fs=fs)
+    if meta is None:
+        raise FileNotFoundError(_meta_path(path))
+    return meta
 
 
-def _write_meta(path: str, meta: dict) -> None:
-    tmp = _meta_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _meta_path(path))  # atomic: readers see old or new
+def _write_meta(path: str, meta: dict, fs=None) -> None:
+    # object-store-safe: one atomic PUT (local: tmp + rename) — readers
+    # see the old meta or the new meta, never a torn one. Generation
+    # parquet files are fully durable BEFORE the meta naming them
+    # commits (commitfs ordering contract).
+    commitfs.put_json_atomic(_meta_path(path), meta, fs=fs)
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -23,11 +23,12 @@ import json
 
 import os
 import time
-import uuid
 
 
 
 from pyspark.sql import DataFrame, SparkSession
+
+from connectors_spark import commitfs
 from pyspark.sql import functions as F
 
 from connectors_spark import BM25_B, BM25_K1
@@ -70,10 +71,8 @@ class BuildManifest:
 
     def mark(self, unit: str, status: str = DONE, **metrics) -> None:
         rec = {"unit": unit, "status": status, **metrics}
-        tmp = os.path.join(self.dir, f".{unit}.tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp, os.path.join(self.dir, f"{unit}.json"))
+        commitfs.put_json_atomic(
+            os.path.join(self.dir, f"{unit}.json"), rec)
 
 
 def resumable_write_encoded_index(
@@ -154,9 +153,6 @@ def resumable_write_encoded_index(
 
     meta = {"n_docs": n_docs, "avgdl": avgdl, "k1": k1, "b": b,
             "n_buckets": n_buckets, "shard_cap": shard_cap, "n_groups": n_groups}
-    tmp = os.path.join(path, ".meta.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    commitfs.put_json_atomic(os.path.join(path, "meta.json"), meta)
     manifest.mark("meta", DONE, cursor="meta")
     return manifest

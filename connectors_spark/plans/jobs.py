@@ -18,6 +18,8 @@ import os
 import time
 import uuid
 
+from connectors_spark import commitfs
+
 PENDING, IN_PROGRESS = "pending", "in_progress"
 COMPLETED, ERROR, CANCELED, SUSPENDED = "completed", "error", "canceled", "suspended"
 TERMINAL = {COMPLETED, ERROR, CANCELED, SUSPENDED}
@@ -67,10 +69,7 @@ class CasDocStore:
                     f"{doc_id}: seq {cur['seq_no']} != expected {expect_seq}"
                 )
             doc["seq_no"] = expect_seq + 1
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-        os.replace(tmp, path)
+        commitfs.put_json_atomic(path, doc)
 
     def _cas_update(self, doc_id: str, mutate, retries: int = 5) -> dict:
         """Read-modify-write under seq_no CAS, re-reading on conflict —

@@ -27,10 +27,11 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 from typing import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from connectors_spark import commitfs
 
 # fetch_page(cursor | None) -> (rows, next_cursor | None)
 FetchPage = Callable[[str | None], tuple[Iterable[dict], str | None]]
@@ -69,10 +70,7 @@ def _read_cursor(path: str) -> dict | None:
 
 
 def _write_cursor(path: str, state: dict) -> None:
-    tmp = os.path.join(path, f".cursor.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump(state, fh)
-    os.replace(tmp, os.path.join(path, _CURSOR_FILE))
+    commitfs.put_json_atomic(os.path.join(path, _CURSOR_FILE), state)
 
 
 def read_paged(

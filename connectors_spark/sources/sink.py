@@ -27,6 +27,8 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from connectors_spark import commitfs
 from pyspark.sql import functions as F
 
 
@@ -94,10 +96,7 @@ def merge_content_index(
         "ts": time.time(),
         "prev": (current_generation(path) or {}).get("dir"),
     }
-    tmp = _gen_file(path) + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(rec, f)
-    os.replace(tmp, _gen_file(path))
+    commitfs.put_json_atomic(_gen_file(path), rec)
     return rec
 
 

@@ -178,6 +178,48 @@ def test_learn_bpe_matches_reference_and_encode_roundtrip(spark):
     syms.unpersist()
 
 
+def test_learn_bpe_sampled_head_matches_full_corpus(spark):
+    """VERDICT r4 #4: learning merges on the word-frequency HEAD
+    (sample_top_n_words) reproduces full-corpus merges exactly when the
+    head covers the pair-count mass, while encode runs unchanged over
+    the whole corpus. Also pins that the head restriction is
+    deterministic (freq DESC, word ASC) by learning twice."""
+    from connectors_spark.operators.pretrain import (
+        bpe_encode_udf, learn_bpe_merges)
+
+    # head words carry all the pair mass; the freq-1 tail ("qq" "zz"
+    # "xx") contributes count-1 pairs only, so every argmax through 10
+    # merges is identical with or without it (verified against the
+    # pure-python reference: head==full for n_merges<=10, min winning
+    # pair count 6; at 11 the full corpus would pick ('q','q')).
+    freqs = {"banana": 10, "bandana": 8, "cabana": 6,
+             "qq": 1, "zz": 1, "xx": 1}
+    texts = [" ".join([w] * f) for w, f in freqs.items()]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    expected = _py_bpe_reference(freqs, 10)
+
+    full, syms_full = learn_bpe_merges(docs, n_merges=10)
+    syms_full.unpersist()
+    assert full == expected
+
+    head, syms_head = learn_bpe_merges(docs, n_merges=10,
+                                       sample_top_n_words=3)
+    n_head = syms_head.count()
+    syms_head.unpersist()
+    assert n_head == 3, "learning table must shrink to the head"
+    assert head == full
+
+    # encode is decoupled from the learning sample: every corpus word —
+    # including tail words ABSENT from the head — encodes with the
+    # learned merges into symbols that reassemble the word + marker
+    enc = bpe_encode_udf(head)
+    words = spark.createDataFrame(
+        [("qq",), ("zz",), ("banana",)], "w string")
+    for r in words.withColumn("e", enc(F.col("w"))).collect():
+        assert "".join(r.e) == r.w + "</w>"
+
+
 def test_pack_shards_scalable_matches_window_version(spark):
     """The two-pass per-stratum prefix-sum (stratified_offsets) must
     reproduce the window-based shard assignment exactly, at any
