@@ -15930,6 +15930,185 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        nprobe=IVF_NPROBE, m_subs=_PQ_M, k_codes=_PQ_K)
 
 
+_GRAPH_K = 10       # kNN-graph degree
+_GRAPH_ITERS = 2    # NN-descent refinement rounds
+_GRAPH_BEAM = 4     # beam-search entry width
+_GRAPH_HOPS = 2     # frontier expansion rounds
+
+
+def _graph_base_ctes(centroid_mod: int) -> str:
+    """norms/dims + deterministic cell assignment — the shared seed of
+    the NN-descent twins (same text as _ivf_sql's head)."""
+    return f"""{_NORMS_SQL},
+cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
+          WHERE vec_id % {centroid_mod} = 0),
+ccos AS (
+  SELECT d.vec_id, c.cell,
+         round(sum(CAST(d.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
+               / (any_value(nd.nrm) * any_value(nc.nrm)), 6) AS ccos
+  FROM embeddings d CROSS JOIN cents c CROSS JOIN dims
+  JOIN norms nd ON nd.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = c.cell
+  GROUP BY d.vec_id, c.cell
+),
+cells AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+    FROM ccos) WHERE r = 1
+)"""
+
+
+def _pair_score_cte(pairs_cte: str, out: str) -> str:
+    return f"""{out} AS MATERIALIZED (
+  SELECT p.a, p.b,
+         round(sum(CAST(ea.embedding[i] AS DOUBLE)
+                   * CAST(eb.embedding[i] AS DOUBLE))
+               / (any_value(na.nrm) * any_value(nb.nrm)), 6) AS cos
+  FROM {pairs_cte} p
+  JOIN embeddings ea ON ea.vec_id = p.a
+  JOIN embeddings eb ON eb.vec_id = p.b
+  JOIN norms na ON na.vec_id = p.a
+  JOIN norms nb ON nb.vec_id = p.b
+  CROSS JOIN dims
+  GROUP BY p.a, p.b
+)"""
+
+
+def _topk_edges_cte(scored_cte: str, out: str, k: int) -> str:
+    return f"""{out} AS MATERIALIZED (
+  SELECT a, b, cos, CAST(rank AS INT) AS rank FROM (
+    SELECT a, b, cos,
+           row_number() OVER (PARTITION BY a
+                              ORDER BY cos DESC, b ASC) AS rank
+    FROM {scored_cte}) WHERE rank <= {k}
+)"""
+
+
+def _nndescent_sql(k: int = _GRAPH_K, iters: int = _GRAPH_ITERS,
+                   centroid_mod: int = IVF_CENTROID_MOD) -> str:
+    """NN-descent graph twin: seed = top-k among IVF cell-mates, each
+    round rescores the undirected 1-hop + 2-hop candidate set —
+    unrolled to `iters` CTE blocks (the engine loop is a fixed count,
+    so the twin is a static query)."""
+    ctes = [_graph_base_ctes(centroid_mod), """pairs0 AS (
+  SELECT ca.vec_id AS a, cb.vec_id AS b
+  FROM cells ca JOIN cells cb USING (cell)
+  WHERE ca.vec_id <> cb.vec_id
+)""", _pair_score_cte("pairs0", "s0"), _topk_edges_cte("s0", "g0", k)]
+    for i in range(iters):
+        ctes.append(f"""e{i} AS MATERIALIZED (
+  SELECT a, b FROM g{i} UNION SELECT b AS a, a AS b FROM g{i}
+),
+cand{i} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  UNION
+  SELECT x.a, y.b FROM e{i} x JOIN e{i} y ON x.b = y.a
+  WHERE x.a <> y.b
+)""")
+        ctes.append(_pair_score_cte(f"cand{i}", f"s{i + 1}"))
+        ctes.append(_topk_edges_cte(f"s{i + 1}", f"g{i + 1}", k))
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT a AS vec_id, rank, b AS nbr, cos FROM g{iters}")
+
+
+def _graph_topk_sql(k: int = ANN_K, beam: int = _GRAPH_BEAM,
+                    hops: int = _GRAPH_HOPS,
+                    query_mod: int = ANN_QUERY_MOD) -> str:
+    """Beam search over the NN-descent graph: entries = `beam` nearest
+    centroid vectors per query, `hops` static frontier expansions over
+    the undirected edges, one exact scoring pass at the end."""
+    ctes = [f"""graph AS MATERIALIZED (SELECT * FROM ({_nndescent_sql()})),
+gedges AS MATERIALIZED (
+  SELECT vec_id AS a, nbr AS b FROM graph
+  UNION
+  SELECT nbr AS a, vec_id AS b FROM graph
+)""", _NORMS_SQL, f"""q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id % {query_mod} = 0),
+cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
+          WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+escored AS MATERIALIZED (
+  SELECT q.query_id, c.cell AS vec_id,
+         round(sum(CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
+               / (any_value(nq.nrm) * any_value(nc.nrm)), 6) AS ecos
+  FROM q CROSS JOIN cents c CROSS JOIN dims
+  JOIN norms nq ON nq.vec_id = q.query_id
+  JOIN norms nc ON nc.vec_id = c.cell
+  GROUP BY q.query_id, c.cell
+),
+f0 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ecos DESC, vec_id ASC) AS r
+    FROM escored) WHERE r <= {beam}
+)"""]
+    for h in range(hops):
+        ctes.append(f"""f{h + 1} AS MATERIALIZED (
+  SELECT query_id, vec_id FROM f{h}
+  UNION
+  SELECT f.query_id, g.b AS vec_id FROM f{h} f JOIN gedges g ON g.a = f.vec_id
+)""")
+    return f"""WITH {', '.join(ctes)},
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(sum(CAST(d.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+               / (any_value(nq.nrm) * any_value(nd.nrm)), 6) AS cos
+  FROM f{hops} c
+  JOIN embeddings d ON d.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  JOIN norms nq ON nq.vec_id = c.query_id
+  JOIN norms nd ON nd.vec_id = c.vec_id
+  CROSS JOIN dims
+  WHERE c.vec_id <> c.query_id
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+@register("knn_graph_nndescent", _nndescent_sql())
+def q_knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph by NN-Descent (Dong et al., WWW 2011) —
+    the batch-shape member of the graph-index (HNSW-class) family the
+    recall curve measures against (operators/similarity.py:
+    nndescent_knn_graph): seed = top-k among deterministic IVF
+    cell-mates, then `iters` rounds of "neighbors-of-neighbors" —
+    undirected 1-hop + 2-hop candidates rescored, top-k kept per node.
+    O(n·k²) candidates per round, never all-pairs; HNSW's sequential
+    insert loop becomes set-at-a-time joins."""
+    from connectors_spark.operators.similarity import nndescent_knn_graph
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return nndescent_knn_graph(emb, k=_GRAPH_K, iters=_GRAPH_ITERS,
+                               centroid_mod=IVF_CENTROID_MOD)
+
+
+@register("ann_graph_topk", _graph_topk_sql())
+def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN search (the HNSW-search batch analog): beam
+    entries from the centroid seed set, fixed-hop frontier expansion
+    over the NN-descent graph, one exact scoring pass
+    (operators/similarity.py:graph_beam_topk). Completes the ANN
+    family: brute force, IVF, PQ, IVF-PQ, and now a graph index —
+    recall vs parameters is gated in ann_recall_curve."""
+    from connectors_spark.operators.similarity import (
+        graph_beam_topk, nndescent_knn_graph,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    graph = nndescent_knn_graph(emb, k=_GRAPH_K, iters=_GRAPH_ITERS,
+                                centroid_mod=IVF_CENTROID_MOD)
+    qs = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return graph_beam_topk(emb, qs, graph, k=ANN_K, beam=_GRAPH_BEAM,
+                           hops=_GRAPH_HOPS,
+                           centroid_mod=IVF_CENTROID_MOD)
+
+
 # recall@k sweep points: (variant, param, approx-topk SQL builder args).
 # IVF sweeps nprobe (probe budget vs recall), PQ sweeps codebook size
 # (= 2^bits per subquantizer), IVF-PQ sweeps nprobe at the default PQ
@@ -15942,6 +16121,10 @@ _RECALL_SWEEP: list[tuple[str, int]] = [
     ("pq", 4), ("pq", 16),
     ("ivf_pq", 1), ("ivf_pq", 4),
 ]
+# the graph (NN-descent) family gets its own recall gate —
+# ann_graph_recall — because its oracle twin must rebuild the graph
+# in SQL (~80 s in DuckDB): one shared build there keeps BOTH gates
+# inside per-gate budgets instead of doubling this curve's cost.
 
 
 def _ann_recall_sql() -> str:
@@ -15972,6 +16155,121 @@ SELECT v.variant, v.param, v.n_hits, tot.n_exact,
        round(v.n_hits * 1.0 / tot.n_exact, 6) AS recall
 FROM ({" UNION ALL ".join(arms)}) v CROSS JOIN tot
 """
+
+
+_GRAPH_RECALL_BEAMS = (2, 4)
+
+
+def _graph_recall_sql() -> str:
+    """Recall@k of graph beam search vs exact, per beam width — ONE
+    shared NN-descent build (the expensive twin) feeding every beam
+    arm; only the entry width and expansion differ per arm."""
+    base = [f"""graph AS MATERIALIZED (SELECT * FROM ({_nndescent_sql()})),
+gedges AS MATERIALIZED (
+  SELECT vec_id AS a, nbr AS b FROM graph
+  UNION
+  SELECT nbr AS a, vec_id AS b FROM graph
+)""", _NORMS_SQL, f"""q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id % {ANN_QUERY_MOD} = 0),
+cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
+          WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+escored AS MATERIALIZED (
+  SELECT q.query_id, c.cell AS vec_id,
+         round(sum(CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
+               / (any_value(nq.nrm) * any_value(nc.nrm)), 6) AS ecos
+  FROM q CROSS JOIN cents c CROSS JOIN dims
+  JOIN norms nq ON nq.vec_id = q.query_id
+  JOIN norms nc ON nc.vec_id = c.cell
+  GROUP BY q.query_id, c.cell
+),
+exact AS MATERIALIZED (SELECT query_id, vec_id
+          FROM ({_cosine_sql(ANN_QUERY_MOD, ANN_K)})),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)"""]
+    arms = []
+    for b in _GRAPH_RECALL_BEAMS:
+        base.append(f"""f0_{b} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ecos DESC, vec_id ASC) AS r
+    FROM escored) WHERE r <= {b}
+)""")
+        for h in range(_GRAPH_HOPS):
+            base.append(f"""f{h + 1}_{b} AS MATERIALIZED (
+  SELECT query_id, vec_id FROM f{h}_{b}
+  UNION
+  SELECT f.query_id, g.b AS vec_id
+  FROM f{h}_{b} f JOIN gedges g ON g.a = f.vec_id
+)""")
+        base.append(f"""tk_{b} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY round(sum(CAST(d.embedding[i] AS DOUBLE)
+                                * CAST(q.qe[i] AS DOUBLE))
+                      / (any_value(nq.nrm) * any_value(nd.nrm)), 6) DESC,
+             c.vec_id ASC) AS rank
+    FROM f{_GRAPH_HOPS}_{b} c
+    JOIN embeddings d ON d.vec_id = c.vec_id
+    JOIN q ON q.query_id = c.query_id
+    JOIN norms nq ON nq.vec_id = c.query_id
+    JOIN norms nd ON nd.vec_id = c.vec_id
+    CROSS JOIN dims
+    WHERE c.vec_id <> c.query_id
+    GROUP BY c.query_id, c.vec_id) WHERE rank <= {ANN_K}
+)""")
+        arms.append(f"""
+  SELECT 'graph' AS variant, CAST({b} AS INT) AS param,
+         CAST((SELECT count(*) FROM tk_{b} a
+               JOIN exact e USING (query_id, vec_id)) AS BIGINT) AS n_hits""")
+    return f"""
+WITH {", ".join(base)}
+SELECT v.variant, v.param, v.n_hits, tot.n_exact,
+       round(v.n_hits * 1.0 / tot.n_exact, 6) AS recall
+FROM ({" UNION ALL ".join(arms)}) v CROSS JOIN tot
+"""
+
+
+@register("ann_graph_recall", _graph_recall_sql())
+def q_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the NN-descent graph search vs exact brute force,
+    per beam width — the graph family's row of the ANN trade-off
+    audit (ann_recall_curve covers IVF/PQ/IVF-PQ; the graph arm lives
+    here because its oracle twin rebuilds the graph in SQL, and one
+    shared build keeps the gate inside per-gate budgets). Engine side
+    builds the graph once and reuses it across beams."""
+    from connectors_spark.operators.similarity import (
+        graph_beam_topk, nndescent_knn_graph,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    graph = nndescent_knn_graph(emb, k=_GRAPH_K, iters=_GRAPH_ITERS,
+                                centroid_mod=IVF_CENTROID_MOD)
+    exact = brute_force_cosine_topk(emb, qs, k=ANN_K).select(
+        "query_id", "vec_id")
+    out = None
+    for b in _GRAPH_RECALL_BEAMS:
+        approx = graph_beam_topk(emb, qs, graph, k=ANN_K, beam=b,
+                                 hops=_GRAPH_HOPS,
+                                 centroid_mod=IVF_CENTROID_MOD)
+        hits = approx.select("query_id", "vec_id").join(
+            exact, ["query_id", "vec_id"], "left_semi")
+        row = (
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .crossJoin(exact.agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact")))
+            .select(
+                F.lit("graph").alias("variant"),
+                F.lit(b).cast("int").alias("param"),
+                "n_hits", "n_exact",
+                F.round(F.col("n_hits") / F.col("n_exact"), 6)
+                .alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 @register("ann_recall_curve", _ann_recall_sql())

@@ -711,6 +711,145 @@ def pca_project(df: DataFrame, components, mean,
     return df.select(F.col(id_col), F.array(*outs).alias(out_col))
 
 
+def _score_pairs(pairs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(a, b, cos): exact rounded cosine for an (a, b) candidate-pair
+    frame against a normed corpus ((vec_id, v, _vnorm))."""
+    ea = corpus.select(F.col("vec_id").alias("a"), F.col("v").alias("_va"),
+                       F.col("_vnorm").alias("_na"))
+    eb = corpus.select(F.col("vec_id").alias("b"), F.col("v").alias("_vb"),
+                       F.col("_vnorm").alias("_nb"))
+    cos = F.round(
+        _dot(_as_double(F.col("_va")), _as_double(F.col("_vb")))
+        / (F.col("_na") * F.col("_nb")), ROUND_COS)
+    return (pairs.join(ea, "a").join(eb, "b")
+            .select("a", "b", cos.alias("cos")))
+
+
+def _topk_edges(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def nndescent_knn_graph(vectors: DataFrame, k: int = 10, iters: int = 2,
+                        centroid_mod: int | None = None,
+                        n_centroids: int | None = None,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, rank, nbr, cos): an approximate kNN GRAPH built by
+    NN-Descent (Dong, Moses & Li, WWW 2011) — the batch answer to the
+    graph-index (HNSW-class) family: HNSW's insert-one-at-a-time build
+    is inherently sequential, NN-descent reaches a comparable graph by
+    iterating "my neighbors' neighbors are probably my neighbors" as
+    set-at-a-time joins, which is exactly Spark's shape.
+
+    Deterministic by construction (no random sampling): the seed graph
+    is top-k among IVF cell-mates (the same centroid seeding as
+    ivf_cosine_topk — `centroid_mod` for the DuckDB-mirrorable gate,
+    fixed `n_centroids` for the 100 TB default), then each iteration
+    scores the undirected 1-hop ∪ 2-hop candidate set and keeps top-k
+    per node (cos DESC, id ASC). Cost per iteration is bounded by
+    O(n·k²) candidate pairs — never all-pairs; vectors move only
+    through two repartition-by-id joins per iteration. Isolated nodes
+    (singleton cells) stay isolated in the seed and join the graph
+    only as 2-hop candidates of others — document, don't hide."""
+    cents = None
+    if centroid_mod is None:
+        cents = init_centroids_fixed(
+            vectors, n_centroids or DEFAULT_N_CENTROIDS, vec_col, id_col)
+    cells = assign_cells(vectors, centroid_mod, vec_col, id_col,
+                         centroids=cents)
+    corpus = with_norm(
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("v")), "v").persist()
+
+    ca = cells.select(F.col("vec_id").alias("a"), "cell")
+    cb = cells.select(F.col("vec_id").alias("b"), "cell")
+    pairs0 = (ca.join(cb, "cell").filter(F.col("a") != F.col("b"))
+              .select("a", "b"))
+    g = _topk_edges(_score_pairs(pairs0, corpus), k).persist()
+    g.count()
+    for _ in range(int(iters)):
+        e = (g.select("a", "b")
+             .unionByName(g.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+             .distinct())
+        two_hop = (e.alias("x").join(
+            e.alias("y"), F.col("x.b") == F.col("y.a"))
+            .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+            .filter(F.col("a") != F.col("b")))
+        cand = e.unionByName(two_hop).distinct()
+        nxt = _topk_edges(_score_pairs(cand, corpus), k).persist()
+        nxt.count()
+        g.unpersist()
+        g = nxt
+    return g.select(F.col("a").alias("vec_id"), "rank",
+                    F.col("b").alias("nbr"), "cos")
+
+
+def graph_beam_topk(vectors: DataFrame, queries: DataFrame,
+                    graph: DataFrame, k: int = 10, beam: int = 4,
+                    hops: int = 2,
+                    centroid_mod: int | None = None,
+                    n_centroids: int | None = None,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """(query_id, rank, vec_id, cos): query the NN-descent graph —
+    the batch analog of HNSW search. Entry points are the `beam`
+    nearest CENTROID vectors per query (the same deterministic seed
+    set the graph was built around), then `hops` rounds of frontier
+    expansion over the undirected edge set; the accumulated candidate
+    set is scored exactly once against the query and top-k kept.
+    Fixed-hop expansion keeps the whole search a static join DAG (no
+    data-dependent iteration), so it is SQL-twinnable and its cost is
+    bounded by O(beam·(2k)^hops) candidates per query."""
+    if centroid_mod is not None:
+        cents = init_centroids(vectors, centroid_mod, vec_col, id_col)
+    else:
+        cents = init_centroids_fixed(
+            vectors, n_centroids or DEFAULT_N_CENTROIDS, vec_col, id_col)
+    qs = with_norm(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q")), "q"
+    ).withColumnRenamed("_vnorm", "_qnorm")
+    cn = with_norm(cents.select(F.col("cell").alias("vec_id"),
+                                F.col("cv").alias("v")), "v")
+    ccos = F.round(
+        _dot(_as_double(F.col("q")), _as_double(F.col("v")))
+        / (F.col("_qnorm") * F.col("_vnorm")), ROUND_COS)
+    escored = qs.crossJoin(F.broadcast(cn)).select(
+        "query_id", "vec_id", ccos.alias("ecos"))
+    ew = Window.partitionBy("query_id").orderBy(F.desc("ecos"),
+                                                F.asc("vec_id"))
+    frontier = (escored.withColumn("_r", F.row_number().over(ew))
+                .filter(F.col("_r") <= beam).select("query_id", "vec_id"))
+
+    e = (graph.select(F.col("vec_id").alias("a"), F.col("nbr").alias("b"))
+         .unionByName(graph.select(F.col("nbr").alias("a"),
+                                   F.col("vec_id").alias("b")))
+         .distinct())
+    cand = frontier
+    for _ in range(int(hops)):
+        nxt = (cand.join(e, cand["vec_id"] == e["a"])
+               .select("query_id", F.col("b").alias("vec_id")))
+        cand = cand.unionByName(nxt).distinct()
+
+    corpus = with_norm(
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("v")), "v")
+    scored = (cand.filter(F.col("vec_id") != F.col("query_id"))
+              .join(corpus, "vec_id").join(F.broadcast(qs), "query_id")
+              .select("query_id", "vec_id", F.round(
+                  _dot(_as_double(F.col("q")), _as_double(F.col("v")))
+                  / (F.col("_qnorm") * F.col("_vnorm")),
+                  ROUND_COS).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cos"))
+
+
 def knn_distance_outliers(vectors: DataFrame, k: int = 5, top_n: int = 20,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id") -> DataFrame:
