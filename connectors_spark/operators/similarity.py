@@ -750,9 +750,13 @@ def nndescent_knn_graph(vectors: DataFrame, k: int = 10, iters: int = 2,
     scores the undirected 1-hop ∪ 2-hop candidate set and keeps top-k
     per node (cos DESC, id ASC). Cost per iteration is bounded by
     O(n·k²) candidate pairs — never all-pairs; vectors move only
-    through two repartition-by-id joins per iteration. Isolated nodes
-    (singleton cells) stay isolated in the seed and join the graph
-    only as 2-hop candidates of others — document, don't hide."""
+    through two repartition-by-id joins per iteration. The SEED join is
+    the one skew hazard: it is sum over cells of |cell|², so a hot
+    cell (one dense cluster) quadratically dominates — size the
+    centroid set so expected |cell| stays small (n_centroids ~ n/256),
+    exactly the IVF cell-balance knob. Isolated nodes (singleton
+    cells) stay isolated in the seed and join the graph only as 2-hop
+    candidates of others — document, don't hide."""
     cents = None
     if centroid_mod is None:
         cents = init_centroids_fixed(

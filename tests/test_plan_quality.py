@@ -342,3 +342,29 @@ def test_mget_pushes_id_filter_and_broadcasts_hits(spark, sf_dir):
     # SortMergeJoin for a point-lookup API
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_graph_beam_search_broadcasts_small_sides(spark, sf_dir):
+    """graph_beam_topk's query set and centroid set are tiny next to the
+    corpus: the entry scoring and the final rescore must broadcast them
+    (a sort-merge join against the broadcast-size query frame is the
+    100 TB regression this pins against). The only shuffles allowed are
+    the frontier-expansion distincts and the top-k window."""
+    from connectors_spark.operators.similarity import (
+        graph_beam_topk, nndescent_knn_graph,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    graph = nndescent_knn_graph(emb, k=3, iters=0, centroid_mod=25)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    out = graph_beam_topk(emb, qs, graph, k=3, beam=2, hops=1,
+                          centroid_mod=25)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the only sort-merge joins allowed are the graph BUILD's cell
+    # self-join (both sides corpus-sized — shuffling on `cell` to
+    # co-locate cell-mates IS the right plan; broadcasting a corpus
+    # would be the bug). Nothing query-keyed may sort-merge.
+    import re
+    for m in re.finditer(r"SortMergeJoin \[([a-z_]+)#", plan):
+        assert m.group(1) == "cell", plan[m.start():m.start() + 200]
