@@ -138,10 +138,34 @@ def atomic_put(fs, path: str, data: bytes) -> None:
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with fs.open_output_stream(tmp) as out:
             out.write(data)
+        _fsync_if_local(tmp)
         fs.move(tmp, path)
+        _fsync_if_local(parent, directory=True)
     else:
         with fs.open_output_stream(path) as out:
             out.write(data)
+
+
+def _fsync_if_local(path: str, directory: bool = False) -> None:
+    """Durability before/after the rename on a local FS: rename without
+    fsync can survive a power loss as a zero-length (or garbage) file
+    under ext4 delayed allocation — the failure mode the old
+    delta.promote()'s explicit os.fsync guarded against. pyarrow
+    streams do not expose fileno, so sync through a second handle;
+    silently skip when the path is not visible as a local file
+    (SubTreeFileSystem prefixes, HDFS — whose close() flushes
+    server-side)."""
+    flags = os.O_RDONLY | (os.O_DIRECTORY if directory else 0)
+    try:
+        fd = os.open(path, flags)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:  # pragma: no cover - fs without fsync support
+        pass
+    finally:
+        os.close(fd)
 
 
 def get_bytes(fs, path: str) -> bytes | None:
@@ -184,9 +208,13 @@ def _parse_entry(name: str) -> tuple[int, str] | None:
 
 def _log_entries(fs, store: str) -> list[tuple[int, str]]:
     out = []
-    for name, _size in _file_infos(fs, os.path.join(store, COMMITS_DIR)):
+    for name, size in _file_infos(fs, os.path.join(store, COMMITS_DIR)):
         parsed = _parse_entry(name)
-        if parsed is not None:
+        # size == 0 is the torn-local-rename artifact (power loss after
+        # a rename became durable but before the data did, on a legacy
+        # pre-fsync entry): a listable-but-empty name must never be
+        # electable or every reader crashes on it forever.
+        if parsed is not None and size != 0:
             out.append(parsed)
     return out
 
@@ -202,16 +230,26 @@ def _elect(entries: list[tuple[int, str]]) -> tuple[int, str] | None:
 
 def log_head(fs, store: str) -> tuple[int, dict | None]:
     """(seq, payload) of the current head commit; (0, None) for an
-    empty/absent log. One LIST + one GET."""
+    empty/absent log. One LIST + one GET in the common case. An
+    elected entry whose blob is gone (a loser retired between our LIST
+    and GET) or unparseable (corrupt legacy entry) is dropped and the
+    election re-run on the remainder — winners never delete their
+    entries, so the fallback is always a real past head."""
     if fs is None:
         fs = local_fs()
-    head = _elect(_log_entries(fs, store))
-    if head is None:
-        return 0, None
-    seq, writer = head
-    payload = get_json(
-        os.path.join(store, COMMITS_DIR, _entry_name(seq, writer)), fs=fs)
-    return seq, payload
+    entries = _log_entries(fs, store)
+    while entries:
+        seq, writer = _elect(entries)
+        try:
+            payload = get_json(
+                os.path.join(store, COMMITS_DIR, _entry_name(seq, writer)),
+                fs=fs)
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            payload = None
+        if payload is not None:
+            return seq, payload
+        entries = [e for e in entries if e != (seq, writer)]
+    return 0, None
 
 
 def log_commit(fs, store: str, expected_seq: int, payload: dict,
@@ -258,10 +296,17 @@ def log_commit(fs, store: str, expected_seq: int, payload: dict,
     path = os.path.join(store, COMMITS_DIR, _entry_name(seq, writer_id))
     atomic_put(fs, path, json.dumps(payload).encode("utf-8"))
     # verify-after-write, then confirm: every extra LIST catches
-    # contenders whose puts landed after the previous look
+    # contenders whose puts landed after the previous look. The
+    # election is scoped to entries AT this seq: a successor commit at
+    # seq+1 landing inside the confirm window CHAINED ON this entry as
+    # head (log_head elected us before the successor could read its
+    # expected_seq) — whole-log election would make a genuinely-won
+    # writer declare defeat and delete the very entry the successor's
+    # lineage (and any reader in the window) depends on.
     won = True
     for _ in range(1 + max(0, confirm_lists)):
-        if _elect(_log_entries(fs, store)) != (seq, writer_id):
+        at_seq = [e for e in _log_entries(fs, store) if e[0] == seq]
+        if _elect(at_seq) != (seq, writer_id):
             won = False
             break
     if won:

@@ -16012,13 +16012,13 @@ cand{i} AS MATERIALIZED (
             f"SELECT a AS vec_id, rank, b AS nbr, cos FROM g{iters}")
 
 
-def _graph_topk_sql(k: int = ANN_K, beam: int = _GRAPH_BEAM,
-                    hops: int = _GRAPH_HOPS,
-                    query_mod: int = ANN_QUERY_MOD) -> str:
-    """Beam search over the NN-descent graph: entries = `beam` nearest
-    centroid vectors per query, `hops` static frontier expansions over
-    the undirected edges, one exact scoring pass at the end."""
-    ctes = [f"""graph AS MATERIALIZED (SELECT * FROM ({_nndescent_sql()})),
+def _graph_search_ctes(query_mod: int = ANN_QUERY_MOD) -> list[str]:
+    """Shared CTEs for every graph-search twin: ONE definition of the
+    NN-descent build, undirected edge set, norms, query/centroid sets
+    and entry scoring — the standalone top-k gate and the per-beam
+    recall arms build on the same text, so the twins can never drift
+    (the same single-definition rule the PQ fragments follow)."""
+    return [f"""graph AS MATERIALIZED (SELECT * FROM ({_nndescent_sql()})),
 gedges AS MATERIALIZED (
   SELECT vec_id AS a, nbr AS b FROM graph
   UNION
@@ -16035,8 +16035,15 @@ escored AS MATERIALIZED (
   JOIN norms nq ON nq.vec_id = q.query_id
   JOIN norms nc ON nc.vec_id = c.cell
   GROUP BY q.query_id, c.cell
-),
-f0 AS (
+)"""]
+
+
+def _graph_arm_ctes(beam: int, hops: int, suffix: str = "") -> list[str]:
+    """One beam arm: f0 entry cut, `hops` frontier expansions, exact
+    rescore with a per-query rank — ends in ``ranked{suffix}``.
+    `suffix` namespaces the CTEs so several beams coexist in one
+    statement (the recall twin)."""
+    out = [f"""f0{suffix} AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id
@@ -16044,17 +16051,17 @@ f0 AS (
     FROM escored) WHERE r <= {beam}
 )"""]
     for h in range(hops):
-        ctes.append(f"""f{h + 1} AS MATERIALIZED (
-  SELECT query_id, vec_id FROM f{h}
+        out.append(f"""f{h + 1}{suffix} AS MATERIALIZED (
+  SELECT query_id, vec_id FROM f{h}{suffix}
   UNION
-  SELECT f.query_id, g.b AS vec_id FROM f{h} f JOIN gedges g ON g.a = f.vec_id
+  SELECT f.query_id, g.b AS vec_id
+  FROM f{h}{suffix} f JOIN gedges g ON g.a = f.vec_id
 )""")
-    return f"""WITH {', '.join(ctes)},
-scored AS (
+    out.append(f"""scored{suffix} AS (
   SELECT c.query_id, c.vec_id,
          round(sum(CAST(d.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
                / (any_value(nq.nrm) * any_value(nd.nrm)), 6) AS cos
-  FROM f{hops} c
+  FROM f{hops}{suffix} c
   JOIN embeddings d ON d.vec_id = c.vec_id
   JOIN q ON q.query_id = c.query_id
   JOIN norms nq ON nq.vec_id = c.query_id
@@ -16062,12 +16069,26 @@ scored AS (
   CROSS JOIN dims
   WHERE c.vec_id <> c.query_id
   GROUP BY c.query_id, c.vec_id
-)
-SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+),
+ranked{suffix} AS (
   SELECT query_id, vec_id, cos,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos DESC, vec_id ASC) AS rank
-  FROM scored) WHERE rank <= {k}
+  FROM scored{suffix}
+)""")
+    return out
+
+
+def _graph_topk_sql(k: int = ANN_K, beam: int = _GRAPH_BEAM,
+                    hops: int = _GRAPH_HOPS,
+                    query_mod: int = ANN_QUERY_MOD) -> str:
+    """Beam search over the NN-descent graph: entries = `beam` nearest
+    centroid vectors per query, `hops` static frontier expansions over
+    the undirected edges, one exact scoring pass at the end."""
+    ctes = _graph_search_ctes(query_mod) + _graph_arm_ctes(beam, hops)
+    return f"""WITH {', '.join(ctes)}
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -16160,68 +16181,46 @@ FROM ({" UNION ALL ".join(arms)}) v CROSS JOIN tot
 _GRAPH_RECALL_BEAMS = (2, 4)
 
 
+def _recall_row(approx: DataFrame, exact: DataFrame, variant: str,
+                param: int) -> DataFrame:
+    """One (variant, param, n_hits, n_exact, recall) row: left-semi
+    the approx top-k ids against the exact set — counts stay
+    distributed, one row per sweep point reaches the driver. Shared by
+    ann_recall_curve and ann_graph_recall so the recall arithmetic has
+    exactly one definition."""
+    hits = approx.select("query_id", "vec_id").join(
+        exact, ["query_id", "vec_id"], "left_semi")
+    return (
+        hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .crossJoin(exact.agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact")))
+        .select(
+            F.lit(variant).alias("variant"),
+            F.lit(param).cast("int").alias("param"),
+            "n_hits", "n_exact",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6)
+            .alias("recall"),
+        )
+    )
+
+
 def _graph_recall_sql() -> str:
     """Recall@k of graph beam search vs exact, per beam width — ONE
     shared NN-descent build (the expensive twin) feeding every beam
-    arm; only the entry width and expansion differ per arm."""
-    base = [f"""graph AS MATERIALIZED (SELECT * FROM ({_nndescent_sql()})),
-gedges AS MATERIALIZED (
-  SELECT vec_id AS a, nbr AS b FROM graph
-  UNION
-  SELECT nbr AS a, vec_id AS b FROM graph
-)""", _NORMS_SQL, f"""q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-      WHERE vec_id % {ANN_QUERY_MOD} = 0),
-cents AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
-          WHERE vec_id % {IVF_CENTROID_MOD} = 0),
-escored AS MATERIALIZED (
-  SELECT q.query_id, c.cell AS vec_id,
-         round(sum(CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
-               / (any_value(nq.nrm) * any_value(nc.nrm)), 6) AS ecos
-  FROM q CROSS JOIN cents c CROSS JOIN dims
-  JOIN norms nq ON nq.vec_id = q.query_id
-  JOIN norms nc ON nc.vec_id = c.cell
-  GROUP BY q.query_id, c.cell
-),
-exact AS MATERIALIZED (SELECT query_id, vec_id
+    arm via the same `_graph_search_ctes`/`_graph_arm_ctes` text the
+    standalone top-k gate uses; only the beam width differs per arm."""
+    base = _graph_search_ctes(ANN_QUERY_MOD)
+    base.append(f"""exact AS MATERIALIZED (SELECT query_id, vec_id
           FROM ({_cosine_sql(ANN_QUERY_MOD, ANN_K)})),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)"""]
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)""")
     arms = []
     for b in _GRAPH_RECALL_BEAMS:
-        base.append(f"""f0_{b} AS (
-  SELECT query_id, vec_id FROM (
-    SELECT query_id, vec_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY ecos DESC, vec_id ASC) AS r
-    FROM escored) WHERE r <= {b}
-)""")
-        for h in range(_GRAPH_HOPS):
-            base.append(f"""f{h + 1}_{b} AS MATERIALIZED (
-  SELECT query_id, vec_id FROM f{h}_{b}
-  UNION
-  SELECT f.query_id, g.b AS vec_id
-  FROM f{h}_{b} f JOIN gedges g ON g.a = f.vec_id
-)""")
-        base.append(f"""tk_{b} AS (
-  SELECT query_id, vec_id FROM (
-    SELECT c.query_id, c.vec_id,
-           row_number() OVER (
-             PARTITION BY c.query_id
-             ORDER BY round(sum(CAST(d.embedding[i] AS DOUBLE)
-                                * CAST(q.qe[i] AS DOUBLE))
-                      / (any_value(nq.nrm) * any_value(nd.nrm)), 6) DESC,
-             c.vec_id ASC) AS rank
-    FROM f{_GRAPH_HOPS}_{b} c
-    JOIN embeddings d ON d.vec_id = c.vec_id
-    JOIN q ON q.query_id = c.query_id
-    JOIN norms nq ON nq.vec_id = c.query_id
-    JOIN norms nd ON nd.vec_id = c.vec_id
-    CROSS JOIN dims
-    WHERE c.vec_id <> c.query_id
-    GROUP BY c.query_id, c.vec_id) WHERE rank <= {ANN_K}
-)""")
+        base.extend(_graph_arm_ctes(b, _GRAPH_HOPS, suffix=f"_{b}"))
         arms.append(f"""
   SELECT 'graph' AS variant, CAST({b} AS INT) AS param,
-         CAST((SELECT count(*) FROM tk_{b} a
+         CAST((SELECT count(*)
+               FROM (SELECT query_id, vec_id FROM ranked_{b}
+                     WHERE rank <= {ANN_K}) a
                JOIN exact e USING (query_id, vec_id)) AS BIGINT) AS n_hits""")
     return f"""
 WITH {", ".join(base)}
@@ -16254,20 +16253,7 @@ def q_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx = graph_beam_topk(emb, qs, graph, k=ANN_K, beam=b,
                                  hops=_GRAPH_HOPS,
                                  centroid_mod=IVF_CENTROID_MOD)
-        hits = approx.select("query_id", "vec_id").join(
-            exact, ["query_id", "vec_id"], "left_semi")
-        row = (
-            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-            .crossJoin(exact.agg(
-                F.count(F.lit(1)).cast("long").alias("n_exact")))
-            .select(
-                F.lit("graph").alias("variant"),
-                F.lit(b).cast("int").alias("param"),
-                "n_hits", "n_exact",
-                F.round(F.col("n_hits") / F.col("n_exact"), 6)
-                .alias("recall"),
-            )
-        )
+        row = _recall_row(approx, exact, "graph", b)
         out = row if out is None else out.unionByName(row)
     return out
 
@@ -16307,19 +16293,6 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  centroid_mod=IVF_CENTROID_MOD,
                                  nprobe=param, m_subs=_PQ_M,
                                  k_codes=_PQ_K)
-        hits = approx.select("query_id", "vec_id").join(
-            exact, ["query_id", "vec_id"], "left_semi")
-        row = (
-            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-            .crossJoin(exact.agg(
-                F.count(F.lit(1)).cast("long").alias("n_exact")))
-            .select(
-                F.lit(variant).alias("variant"),
-                F.lit(param).cast("int").alias("param"),
-                "n_hits", "n_exact",
-                F.round(F.col("n_hits") / F.col("n_exact"), 6)
-                .alias("recall"),
-            )
-        )
+        row = _recall_row(approx, exact, variant, param)
         out = row if out is None else out.unionByName(row)
     return out

@@ -165,7 +165,7 @@ def eql_sequence_consuming(
     time, (ts, id) tie order) are identical to :func:`eql_sequence`.
     """
     import pandas as pd
-    from pyspark.sql.types import StructField, StructType, TimestampType
+    from pyspark.sql.types import LongType, StructField, StructType
 
     n = len(stages)
     if n < 2:
@@ -185,9 +185,13 @@ def eql_sequence_consuming(
 
     key_field = events.schema[key]
     id_type = events.schema[id_col].dataType
+    # the UDF emits epoch MICROS (long), converted to timestamps
+    # JVM-side below: naive pandas datetimes would be re-interpreted
+    # by Arrow as session-local wall clock, shifting every ts_j by the
+    # UTC offset whenever spark.sql.session.timeZone != UTC
     out_fields = [StructField(key, key_field.dataType)]
     for j in range(1, n + 1):
-        out_fields.append(StructField(f"ts_{j}", TimestampType()))
+        out_fields.append(StructField(f"ts_{j}", LongType()))
         out_fields.append(StructField(f"id_{j}", id_type))
     out_schema = StructType(out_fields)
     out_cols = [f.name for f in out_fields]
@@ -233,7 +237,7 @@ def eql_sequence_consuming(
         if not out:
             return pd.DataFrame({
                 key: pd.Series(dtype=pdf[key].dtype),
-                **{f"ts_{j}": pd.Series(dtype="datetime64[us]")
+                **{f"ts_{j}": pd.Series(dtype="int64")
                    for j in range(1, n + 1)},
                 **{f"id_{j}": pd.Series(dtype=pdf["__id"].dtype)
                    for j in range(1, n + 1)},
@@ -244,10 +248,16 @@ def eql_sequence_consuming(
              for row in out],
             columns=out_cols)
         for j in range(1, n + 1):
-            recs[f"ts_{j}"] = pd.to_datetime(recs[f"ts_{j}"], unit="us")
+            recs[f"ts_{j}"] = recs[f"ts_{j}"].astype("int64")
         return recs
 
-    return df.groupBy(key).applyInPandas(_match, out_schema)
+    matched = df.groupBy(key).applyInPandas(_match, out_schema)
+    return matched.select(
+        key,
+        *(c
+          for j in range(1, n + 1)
+          for c in (F.timestamp_micros(F.col(f"ts_{j}")).alias(f"ts_{j}"),
+                    F.col(f"id_{j}"))))
 
 
 def eql_sample(

@@ -756,7 +756,13 @@ def nndescent_knn_graph(vectors: DataFrame, k: int = 10, iters: int = 2,
     centroid set so expected |cell| stays small (n_centroids ~ n/256),
     exactly the IVF cell-balance knob. Isolated nodes (singleton
     cells) stay isolated in the seed and join the graph only as 2-hop
-    candidates of others — document, don't hide."""
+    candidates of others — document, don't hide.
+
+    The RETURNED frame is persisted (it is re-scanned by every
+    consumer join); the caller owns its release via ``.unpersist()``.
+    All intermediates (normed corpus, per-iteration graphs) are
+    unpersisted before return — nothing else stays pinned in executor
+    storage across calls."""
     cents = None
     if centroid_mod is None:
         cents = init_centroids_fixed(
@@ -787,8 +793,12 @@ def nndescent_knn_graph(vectors: DataFrame, k: int = 10, iters: int = 2,
         nxt.count()
         g.unpersist()
         g = nxt
-    return g.select(F.col("a").alias("vec_id"), "rank",
-                    F.col("b").alias("nbr"), "cos")
+    out = g.select(F.col("a").alias("vec_id"), "rank",
+                   F.col("b").alias("nbr"), "cos").persist()
+    out.count()  # materialize from g's cache, then release everything
+    g.unpersist()
+    corpus.unpersist()
+    return out
 
 
 def graph_beam_topk(vectors: DataFrame, queries: DataFrame,

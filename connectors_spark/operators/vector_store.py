@@ -61,20 +61,26 @@ def _write_meta(path: str, meta: dict, fs=None) -> None:
     commitfs.put_json_atomic(_meta_path(path), meta, fs=fs)
 
 
-def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def _reject_dup_ids(ids: list) -> None:
     # A batch with the same vec_id twice would tie inside one
     # generation, making read_live's latest-wins window (ordered only
     # by _gen) nondeterministic — reject at the write edge so the
     # store's contents are always a function of the upsert sequence
-    # alone (ADVICE r4).  One tiny agg over the batch, not the store.
-    dup = (vectors.groupBy("vec_id").count()
-           .filter(F.col("count") > 1).limit(5).collect())
-    if dup:
-        ids = sorted(r["vec_id"] for r in dup)
+    # alone (ADVICE r4).
+    from collections import Counter
+
+    _raise_dup(sorted(i for i, c in Counter(ids).items() if c > 1)[:5])
+
+
+def _raise_dup(dups: list) -> None:
+    if dups:
         raise ValueError(
-            f"duplicate vec_id(s) within one upsert batch: {ids} — "
+            f"duplicate vec_id(s) within one upsert batch: {dups} — "
             "dedup the batch (latest-wins is only defined ACROSS "
             "generations)")
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     base = vectors.select(F.col("vec_id"), F.col("embedding").alias("v"))
     cells = _nearest_cell(
         base, centroids.select("cell", F.col("cv")))
@@ -87,6 +93,11 @@ def init_vector_store(spark: SparkSession, path: str, vectors: DataFrame,
     """Create the store: freeze a deterministic centroid set, assign
     the initial corpus, write generation 0."""
     os.makedirs(path, exist_ok=True)
+    # one-time dup screen at store creation (upserts check the ids
+    # they already collect driver-side — no extra job there)
+    dup = (vectors.groupBy("vec_id").count()
+           .filter(F.col("count") > 1).limit(5).collect())
+    _raise_dup(sorted(r["vec_id"] for r in dup))
     cents = init_centroids(vectors, centroid_mod)
     cents.write.mode("overwrite").parquet(
         os.path.join(path, "centroids.parquet"))
@@ -105,10 +116,15 @@ def upsert_vectors(spark: SparkSession, path: str,
     works)."""
     meta = _read_meta(path)
     gen = max(meta["generations"]) + 1
+    # the tombstone cleanup needs every batch id driver-side anyway —
+    # the dup screen is a free Counter over that list, BEFORE any
+    # generation file is written (no extra Spark job per upsert)
+    ids = [r.vec_id for r in vectors.select("vec_id").collect()]
+    _reject_dup_ids(ids)
+    upserted = set(ids)
     cents = spark.read.parquet(os.path.join(path, "centroids.parquet"))
     _assign(vectors, cents).write.mode("overwrite").parquet(
         os.path.join(path, f"gen-{gen}.parquet"))
-    upserted = {r.vec_id for r in vectors.select("vec_id").collect()}
     meta["generations"].append(gen)
     meta["tombstones"] = [t for t in meta["tombstones"]
                           if t not in upserted]

@@ -263,3 +263,78 @@ def test_gc_log_keeps_recent_window(tmp_path):
         left = sorted(s for s, _ in commitfs._log_entries(fs, store))
         assert left == [10, 11, 12]
         assert log_head(fs, store) == (12, {"gen": "g12"})
+
+
+# ------------------------------------------- round-5 hardening fixes
+
+class _SuccessorInjectingStore(InMemoryObjectStore):
+    """After the writer's own entry lands, every subsequent LIST first
+    materializes a successor commit at seq+1 — modeling another writer
+    that read OUR entry as head and chained on it inside the confirm
+    window."""
+
+    def __init__(self):
+        super().__init__()
+        self._armed = False
+
+    def list_dir(self, dirpath):
+        out = super().list_dir(dirpath)
+        # chain only once OUR predecessor's entry is visible (a real
+        # successor reads head seq=1 before committing at seq=2)
+        if (self._armed
+                and any(n.startswith("00000000000000000001")
+                        for n, _ in out)
+                and not any(n.startswith("00000000000000000002")
+                            for n, _ in out)):
+            succ = dirpath.rstrip("/") + "/00000000000000000002.zzzz.json"
+            with self._lock:
+                self._blobs[succ] = b'{"gen": "chained-on-seq1"}'
+            out = super().list_dir(dirpath)
+        return out
+
+
+def test_winner_survives_successor_commit_in_confirm_window():
+    """A successor landing at seq+1 during the confirm window chained on
+    THIS writer's entry as head — the writer must still report a win and
+    must NOT delete its entry (time travel + reader lineage depend on
+    it). Regression: whole-log election made the winner self-retire."""
+    fs = _SuccessorInjectingStore()
+    store = "mem://bucket/store"
+    fs._armed = True
+    assert log_commit(fs, store, 0, {"gen": "mine"}, writer_id="aaaa")
+    # the seq-1 entry survives and time travel still resolves it
+    assert log_entry_at(fs, store, 1) == {"gen": "mine"}
+    # readers follow the successor as head
+    seq, payload = log_head(fs, store)
+    assert (seq, payload) == (2, {"gen": "chained-on-seq1"})
+
+
+def test_zero_length_entry_is_never_elected(tmp_path):
+    """A torn local rename (power loss on a legacy pre-fsync entry) can
+    leave a listable zero-length entry; readers must skip it instead of
+    crashing on json.loads(b"") forever."""
+    for fs, store in _fixtures(tmp_path):
+        assert log_commit(fs, store, 0, {"gen": "good"}, writer_id="aaaa")
+        torn = os.path.join(store, commitfs.COMMITS_DIR,
+                            "00000000000000000002.dead.json")
+        with fs.open_output_stream(torn) as out:
+            out.write(b"")
+        seq, payload = log_head(fs, store)
+        assert (seq, payload) == (1, {"gen": "good"})
+        # CAS on top of the surviving head works (torn entry outranked)
+        assert log_commit(fs, store, 1, {"gen": "next"}, writer_id="bbbb")
+        assert log_head(fs, store) == (2, {"gen": "next"})
+
+
+def test_corrupt_head_entry_falls_back_to_previous_commit(tmp_path):
+    """A non-JSON head blob (corrupt legacy entry) is dropped from the
+    election and the previous commit is served instead of an unhandled
+    JSONDecodeError in every reader."""
+    for fs, store in _fixtures(tmp_path):
+        assert log_commit(fs, store, 0, {"gen": "good"}, writer_id="aaaa")
+        bad = os.path.join(store, commitfs.COMMITS_DIR,
+                           "00000000000000000002.dead.json")
+        with fs.open_output_stream(bad) as out:
+            out.write(b"\x00not json")
+        seq, payload = log_head(fs, store)
+        assert (seq, payload) == (1, {"gen": "good"})

@@ -179,3 +179,31 @@ def test_consuming_partition_invariance(spark):
     one = _seqs(eql_sequence_consuming(ev.coalesce(1), **args))
     many = _seqs(eql_sequence_consuming(ev.repartition(13), **args))
     assert one == many and one
+
+
+def test_consuming_timestamps_tz_safe(spark):
+    # Regression: the UDF used to emit naive pandas datetimes, which
+    # Arrow re-interprets as session-LOCAL wall clock — every ts_j
+    # shifted by the UTC offset whenever the session tz != UTC. The
+    # emitted instants must equal the input events' instants and the
+    # non-consuming variant's, under any session timezone.
+    from connectors_spark.operators.eql import eql_sequence_consuming
+
+    ev = _ev(spark, [(1, "u", 1, "a"), (2, "u", 2, "b")])
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = eql_sequence_consuming(ev, _stages("a", "b"), key="user_id")
+        want = eql_sequence(ev, _stages("a", "b"), key="user_id")
+        cols = ["user_id", "ts_1", "ts_2"]
+        g = [tuple(r) for r in got.select(*cols).collect()]
+        w = [tuple(r) for r in want.select(*cols).collect()]
+        assert g == w
+        micros = {r[0]: (r[1], r[2]) for r in
+                  got.selectExpr("user_id", "unix_micros(ts_1)",
+                                 "unix_micros(ts_2)").collect()}
+        src = {r[0]: r[1] for r in
+               ev.selectExpr("event_id", "unix_micros(ts)").collect()}
+        assert micros["u"] == (src[1], src[2])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
