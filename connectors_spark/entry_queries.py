@@ -4352,14 +4352,91 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bm25_topk_kstem")  # no DuckDB twin: kstem is pytest-gated
+# kstem itself is not expressible in SQL, but the synthetic corpus
+# vocabulary is CLOSED (31 tokens) — so the twin stems through a FROZEN
+# full-vocabulary conflation map (corpus vocab ∪ gate query terms;
+# identity pairs omitted, CASE falls back to the raw token), the same
+# frozen-literal pattern as kstem_recall / audio_features. Regenerate
+# with kstem_py over the distinct lowercased tokens of documents.text
+# plus GATE_STEM_QUERIES terms; any stemmer drift (either the build or
+# the query path) breaks the hash.
+_KSTEM_VOCAB_PAIRS = [
+    ("batches", "batch"), ("customer", "custom"),
+    ("customers", "custom"), ("groups", "group"), ("hashes", "hash"),
+    ("keys", "key"), ("merges", "merge"), ("parts", "part"),
+    ("queries", "query"), ("scans", "scan"), ("skies", "sky"),
+    ("sorts", "sort"), ("sparks", "spark"), ("streams", "stream"),
+    ("tables", "table"), ("values", "value"), ("vectors", "vector"),
+    ("windows", "window"), ("zznopes", "zznope"),
+]
+
+
+def _bm25_kstem_oracle_sql() -> str:
+    """DuckDB twin of the en-default chain (stop + kstem): tokenize +
+    stop-filter in SQL, then conflate via the frozen vocab map above —
+    applied identically to doc tokens and query terms, mirroring
+    `_bm25_stemmed_oracle_sql` with the CASE map replacing the
+    SQL-expressible minimal_english rules."""
+    case = " ".join(f"WHEN '{t}' THEN '{s}'" for t, s in _KSTEM_VOCAB_PAIRS)
+    arr = tokenize_sql_duckdb("text", ENGLISH_STOP)
+    toks = f"""
+toks AS (
+  SELECT doc_id, CASE raw {case} ELSE raw END AS term
+  FROM (SELECT doc_id, unnest({arr}) AS raw FROM documents)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (
+  SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) t
+    USING (doc_id)
+)"""
+    qvals = []
+    stopset = set(ENGLISH_STOP)
+    for qid, text in GATE_STEM_QUERIES:
+        for term in sorted({t for t in text.lower().split()
+                            if t and t not in stopset}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+                 dl_expr="dl.dl", avgdl_expr="stats.avgdl")
+    return f"""
+WITH {toks},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qraw AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, raw)),
+qt AS (SELECT DISTINCT query_id, CASE raw {case} ELSE raw END AS term
+       FROM qraw),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_topk_kstem", _bm25_kstem_oracle_sql())
 def q_bm25_topk_kstem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with the en-DEFAULT analyzer chain — `_english_` stop filter
     + kstem (the algorithmic core of Lucene's light_english / KStem,
     Krovetz 1993; reference: app/connectors_service/connectors/es/
-    language_data.yml:10-13). DuckDB cannot express the dictionary-gated
-    stemmer, so this gate is rows-only here; rank identity vs the NumPy
-    oracle is pinned in tests/test_stem.py."""
+    language_data.yml:10-13). The twin stems through the frozen
+    full-vocabulary conflation map above (the corpus vocabulary is
+    closed, so the map is exact); rank identity vs the NumPy oracle is
+    additionally pinned in tests/test_stem.py."""
     from connectors_spark.functions.analysis import tokenize_py
 
     docs = _read(spark, sf_dir, "documents")
@@ -14948,15 +15025,68 @@ def q_transcript_structure_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 10
 
 
-@register("bpe_learn_merges")
+def _bpe_chain_ctes(n_merges: int) -> list[str]:
+    """The BPE learning recurrence UNROLLED into SQL — one (pair-count,
+    argmax, merge-apply) CTE triple per round, so DuckDB re-derives the
+    full merge sequence from the corpus (no frozen values; ties broken
+    cnt DESC, l ASC, r ASC exactly like learn_bpe). Each word's
+    segmentation is carried as a '<sym>'-delimited string: symbols are
+    alnum + the marker (never '<'/'>'), so non-overlapping left-to-right
+    `replace('<a><b>', '<ab>')` IS the greedy leftmost BPE merge.
+    MATERIALIZED is load-bearing: b{{r}} is referenced three times per
+    round and the chain is {n}-deep — un-materialized CTE inlining is
+    exponential."""
+    arr = tokenize_sql_duckdb("text")
+    ctes = [f"""bpw AS MATERIALIZED (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest({arr}) AS word FROM documents) GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq,
+         regexp_replace(word, '(.)', '<\\1>', 'g') || '<▁>' AS seg
+  FROM bpw)"""]
+    for r in range(n_merges):
+        ctes.append(f"""p{r} AS (
+  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq,
+               unnest(list_zip(list_slice(syms, 1, len(syms)-1),
+                               list_slice(syms, 2, len(syms)))) AS pr
+        FROM (SELECT freq, regexp_extract_all(seg, '<([^>]*)>', 1) AS syms
+              FROM s{r}))
+  GROUP BY pr[1], pr[2]
+),
+b{r} AS MATERIALIZED (SELECT l, r, cnt FROM p{r}
+                      ORDER BY cnt DESC, l, r LIMIT 1),
+s{r + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(seg,
+                 '<' || (SELECT l FROM b{r}) || '><'
+                     || (SELECT r FROM b{r}) || '>',
+                 '<' || (SELECT l FROM b{r})
+                     || (SELECT r FROM b{r}) || '>') AS seg
+  FROM s{r})""")
+    return ctes
+
+
+def _bpe_learn_sql(n_merges: int = _BPE_MERGES) -> str:
+    arms = " UNION ALL ".join(
+        f'SELECT CAST({r} AS INT) AS rank, l AS "left", r AS "right", '
+        f"l || r AS pair, cnt AS freq FROM b{r}"
+        for r in range(n_merges))
+    return (f"WITH {', '.join(_bpe_chain_ctes(n_merges))}\n"
+            f"SELECT * FROM ({arms})")
+
+
+@register("bpe_learn_merges", _bpe_learn_sql())
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training loop (Sennrich et al. 2016): 10 merge
     rounds over the documents word-frequency table — each round one
     map-side-combined pair agg + TakeOrdered(1) argmax + Arrow-batched
     greedy re-merge, state localCheckpoint'ed per round so the plan
-    stays flat. Iterative argmax recurrences have no SQL twin — gate
-    declared rows-only; rank-identity vs the published algorithm's
-    pure-Python reference is pinned in tests/test_bpe.py
+    stays flat. The DuckDB twin unrolls the same recurrence round by
+    round (`_bpe_chain_ctes`) — the argmax sequence is re-derived from
+    the corpus, not frozen; rank-identity vs the published algorithm's
+    pure-Python reference is additionally pinned in tests/test_bpe.py
     (operators/bpe.py)."""
     from connectors_spark.operators.bpe import learn_bpe, word_symbol_frame
 
@@ -15080,15 +15210,42 @@ def q_turn_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_boilerplate(df, min_convs=2)
 
 
-@register("bpe_encode_fertility")
+def _bpe_fertility_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Twin of encode-over-learned-merges: for words of the training
+    corpus, applying the merges in learned rank order reproduces the
+    training-time segmentation — so the final chain state s{n} IS the
+    encoding, and per-word token count = its symbol count there."""
+    arr = tokenize_sql_duckdb("text")
+    wn = f"""wn AS (
+  SELECT word,
+         CAST(len(regexp_extract_all(seg, '<([^>]*)>', 1)) AS BIGINT)
+           AS n_bpe
+  FROM s{n_merges})"""
+    return f"""
+WITH {', '.join(_bpe_chain_ctes(n_merges))},
+{wn},
+dt AS (SELECT doc_id, unnest({arr}) AS word FROM documents)
+SELECT dt.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wn.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       round(sum(wn.n_bpe) * 1.0 / count(*), {ROUND_SCORE}) AS fertility
+FROM dt JOIN wn USING (word)
+GROUP BY dt.doc_id
+"""
+
+
+@register("bpe_encode_fertility", _bpe_fertility_sql())
 def q_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc fertility under the in-engine-learned BPE tokenizer
     (10 merges over the same corpus): encode runs once over the
     DISTINCT vocabulary (Arrow-batched lowest-rank-first merge loop),
     then one join back to the doc word stream — tokens never touch
-    Python per-corpus-row. Iterative learned-merge encode has no SQL
-    twin (rows-only); encode rank-identity is pinned vs the published
-    algorithm in tests/test_bpe.py (operators/bpe.py:encode_words)."""
+    Python per-corpus-row. The DuckDB twin re-derives the merges with
+    the unrolled `_bpe_chain_ctes` recurrence and reads each word's
+    token count off the final segmentation state (for training-corpus
+    words, rank-order encode == training segmentation); encode
+    rank-identity is additionally pinned vs the published algorithm in
+    tests/test_bpe.py (operators/bpe.py:encode_words)."""
     from connectors_spark.functions.analysis import tokenize
     from connectors_spark.operators.bpe import (
         encode_words, learn_bpe, word_symbol_frame)
