@@ -15696,25 +15696,114 @@ def q_charfilter_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bestfit_pack")  # no DuckDB twin: BFD is a sequential greedy
+_BFD_L = 256
+_BFD_G = 4
+
+
+def _bestfit_oracle_sql(L: int = _BFD_L, G: int = _BFD_G) -> str:
+    """DuckDB twin of group-scoped BFD: a recursive CTE replays the
+    greedy recurrence one doc per iteration (all {G} groups advance in
+    lockstep), carrying each group's open-bin state as a sorted-on-read
+    LIST of (remaining, bin) structs — `list_sort(list_filter(...))[1]`
+    IS the engine's `bisect_left` best-fit (smallest remaining >= n,
+    ties to the lowest bin id). The final iteration's accumulated
+    placements are unnested and re-joined for bin fills. floor()
+    mirrors Spark's truncating cast (DuckDB CAST double->int rounds)."""
+    return f"""
+WITH RECURSIVE
+bdocs AS (
+  SELECT doc_id, n_tokens, doc_id % {G} AS grp,
+         least(n_tokens, {L}) AS n_fit,
+         CASE WHEN n_tokens > {L} THEN 1 ELSE 0 END AS tr,
+         row_number() OVER (PARTITION BY doc_id % {G}
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM (SELECT doc_id,
+               CAST(floor(n_chars / 16.0) AS BIGINT) AS n_tokens
+        FROM documents)
+),
+st AS (
+  SELECT grp, CAST(0 AS BIGINT) AS i,
+         CAST([] AS STRUCT(r BIGINT, b BIGINT)[]) AS rem,
+         CAST(0 AS BIGINT) AS next_bin,
+         CAST([] AS STRUCT(doc_id BIGINT, b BIGINT)[]) AS placed
+  FROM (SELECT DISTINCT grp FROM bdocs)
+  UNION ALL
+  SELECT grp, i,
+         CASE
+           WHEN tr = 1 THEN rem
+           WHEN ch IS NULL THEN
+             CASE WHEN {L} - n_fit > 0
+                  THEN list_append(rem, struct_pack(r := {L} - n_fit,
+                                                    b := next_bin))
+                  ELSE rem END
+           ELSE
+             CASE WHEN ch.r - n_fit > 0
+                  THEN list_append(
+                         list_filter(rem, x -> x.r <> ch.r OR x.b <> ch.b),
+                         struct_pack(r := ch.r - n_fit, b := ch.b))
+                  ELSE list_filter(rem, x -> x.r <> ch.r OR x.b <> ch.b)
+             END
+         END AS rem,
+         CASE WHEN tr = 1 OR ch IS NULL
+              THEN next_bin + 1 ELSE next_bin END AS next_bin,
+         list_append(placed,
+                     struct_pack(doc_id := doc_id,
+                                 b := CASE WHEN tr = 1 OR ch IS NULL
+                                           THEN next_bin ELSE ch.b END))
+           AS placed
+  FROM (
+    SELECT st.grp, st.i + 1 AS i, st.rem, st.next_bin, st.placed,
+           d.doc_id, d.n_fit, d.tr,
+           list_sort(list_filter(st.rem, x -> x.r >= d.n_fit))[1] AS ch
+    FROM st JOIN bdocs d ON d.grp = st.grp AND d.rn = st.i + 1
+  )
+),
+final AS (
+  SELECT grp, placed,
+         row_number() OVER (PARTITION BY grp ORDER BY i DESC) AS rk
+  FROM st
+),
+pl AS (
+  SELECT grp, p.doc_id AS doc_id, p.b AS b
+  FROM (SELECT grp, unnest(placed) AS p FROM final WHERE rk = 1)
+),
+withfit AS (
+  SELECT pl.grp, pl.doc_id, pl.b, d.n_tokens, d.n_fit, d.tr
+  FROM pl JOIN bdocs d USING (doc_id)
+),
+bfills AS (
+  SELECT grp, b, sum(n_fit) AS bin_fill FROM withfit GROUP BY grp, b
+)
+SELECT w.doc_id, w.n_tokens,
+       (w.grp << 33) | w.b AS bin_id,
+       CAST(f.bin_fill AS BIGINT) AS bin_fill,
+       CAST(w.tr AS INT) AS truncated
+FROM withfit w JOIN bfills f ON f.grp = w.grp AND f.b = w.b
+"""
+
+
+@register("bestfit_pack", _bestfit_oracle_sql())
 def q_bestfit_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit-decreasing document packing (Ding et al. 2024): whole
     documents into 256-token bins, never split, oversize docs solo +
-    truncated-flagged (operators/pretrain.py:bestfit_pack —
-    partition-local BFD over one repartition + Arrow pass; the greedy
-    recurrence is not SQL-expressible, so this gate is rows-only and
-    the invariants — no overflow, one placement per doc, fill
-    consistency, known-answer BFD — are pinned in
-    tests/test_bestfit_pack.py). Token counts are derived
+    truncated-flagged (operators/pretrain.py:bestfit_pack). Gated in
+    group-scoped mode — BFD scoped to explicit pmod(doc_id, 4) groups
+    via applyInPandas, so the packing (bin ids included) is a pure
+    function of the input rows, byte-identical under any cluster
+    layout. The DuckDB twin replays the greedy recurrence with a
+    recursive CTE (`_bestfit_oracle_sql`); the invariants — no
+    overflow, one placement per doc, fill consistency, known-answer
+    BFD, group-mode determinism — are additionally pinned in
+    tests/test_bestfit_pack.py. Token counts are derived
     deterministically from n_chars so every engine run packs the
     identical multiset."""
     from connectors_spark.operators.pretrain import bestfit_pack
 
     docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("n_chars") / 16).cast("long").alias("n_tokens"))
-    out = bestfit_pack(docs, seq_len=256, num_parts=4)
-    # bin ids are partition-relative; project the stable per-doc view
-    return out.select("doc_id", "n_tokens", "bin_fill", "truncated")
+        "doc_id",
+        (F.col("n_chars") / 16).cast("long").alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(_BFD_G)).alias("pack_group"))
+    return bestfit_pack(docs, seq_len=_BFD_L, group_col="pack_group")
 
 
 _ECONT_MOD = 25      # eval set: vec_id % 25 == 0

@@ -760,9 +760,51 @@ def weighted_sample_wor(df: DataFrame, weight_col: str, k: int,
             .select(id_col, "weight", "race_key", "rank"))
 
 
+def _bfd_assign(pdf, L: int):
+    """Run best-fit-decreasing over ONE scope's (doc_id, n_tokens)
+    frame: sort by (n_tokens desc, doc_id asc), place each doc into
+    the fullest bin that still fits (smallest remaining >= n; ties on
+    remaining go to the lowest bin id — bisect over the sorted
+    [remaining, bin] list gives both), else open a new bin. Oversize
+    docs get a solo bin, flagged truncated. Returns the sorted frame
+    with local bin_id / bin_fill / truncated columns appended."""
+    from bisect import bisect_left, insort
+
+    pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+    rem = []           # sorted list of [remaining, bin_local]
+    out_bin, out_tr = [], []
+    next_bin = 0
+    fills: dict = {}
+    for n in pdf["n_tokens"].tolist():
+        n_fit = min(n, L)
+        tr = 1 if n > L else 0
+        if tr:
+            b = next_bin; next_bin += 1  # solo bin, never reused
+        else:
+            # best fit: smallest remaining >= n
+            i = bisect_left(rem, [n_fit, -1])
+            if i < len(rem):
+                r, b = rem.pop(i)
+                if r - n_fit > 0:
+                    insort(rem, [r - n_fit, b])
+            else:
+                b = next_bin; next_bin += 1
+                if L - n_fit > 0:
+                    insort(rem, [L - n_fit, b])
+        fills[b] = fills.get(b, 0) + n_fit
+        out_bin.append(b)
+        out_tr.append(tr)
+    return pdf.assign(
+        bin_local=out_bin,
+        bin_fill=[fills[b] for b in out_bin],
+        truncated=out_tr,
+    )
+
+
 def bestfit_pack(counts: DataFrame, seq_len: int = 128,
                  id_col: str = "doc_id", len_col: str = "n_tokens",
-                 num_parts: int | None = None) -> DataFrame:
+                 num_parts: int | None = None,
+                 group_col: str | None = None) -> DataFrame:
     """Best-fit-decreasing document packing (Ding et al. 2024, "Fewer
     Truncations Improve Language Modeling"): pack WHOLE documents into
     fixed-capacity training bins instead of concatenate-and-split
@@ -770,32 +812,64 @@ def bestfit_pack(counts: DataFrame, seq_len: int = 128,
     and nothing is truncated except documents longer than a bin, which
     get a solo bin with `truncated = 1`.
 
-    Within each partition, docs are sorted by length descending and
-    each is placed into the fullest bin that still fits (best fit,
-    bisect on the sorted remaining-capacity list), else a new bin
-    opens. Global BFD is inherently sequential, so the distributed
-    recipe is the paper's: partition-local BFD — with thousands of
-    docs per partition the packing-efficiency loss vs global BFD is
-    negligible, and bin ids are made globally unique as
-    (partition << 33) | local (the doc-index convention,
-    operators/build.py). Returns (doc_id, n_tokens, bin_id, bin_fill,
-    truncated): `bin_fill` is the bin's total PACKED tokens (capped at
-    seq_len for solo-truncated docs), identical for every doc in the
-    bin.
+    Within each scope, docs are sorted by length descending and each
+    is placed into the fullest bin that still fits (best fit, bisect
+    on the sorted remaining-capacity list), else a new bin opens.
+    Global BFD is inherently sequential, so the distributed recipe is
+    the paper's: scope-local BFD — with thousands of docs per scope
+    the packing-efficiency loss vs global BFD is negligible. Two
+    scoping modes:
 
-    Scale shape: ONE shuffle (the repartition), then a per-partition
-    Arrow pass; output is one row per doc. No global state, no
-    driver loop."""
+    - default (``num_parts``): scope = the physical Spark partition
+      after ``repartition(num_parts, doc_id)``; bin ids are
+      (partition << 33) | local (the doc-index convention,
+      operators/build.py). Output depends on Spark's hash
+      partitioning of doc_id — stable for a fixed num_parts, but a
+      different num_parts regroups docs.
+    - ``group_col``: scope = an EXPLICIT non-negative integer group
+      key column (e.g. ``pmod(doc_id, G)``), packed via
+      applyInPandas; bin ids are (group << 33) | local. The packing
+      is then a pure function of the (group, doc_id, n_tokens) rows —
+      byte-identical under any cluster layout, shuffle-partition
+      count or Spark version, which is what a reproducible
+      training-data pipeline wants to pin.
+
+    Returns (doc_id, n_tokens, bin_id, bin_fill, truncated):
+    `bin_fill` is the bin's total PACKED tokens (capped at seq_len
+    for solo-truncated docs), identical for every doc in the bin.
+
+    Scale shape: ONE shuffle (the repartition / group-by), then a
+    per-scope Arrow pass; output is one row per doc. No global state,
+    no driver loop."""
     import pandas as pd  # noqa: F401  (module-level import contract)
 
     L = int(seq_len)
+    out_schema = ("doc_id long, n_tokens long, bin_id long, "
+                  "bin_fill long, truncated int")
+    out_cols = ["doc_id", "n_tokens", "bin_id", "bin_fill", "truncated"]
+
+    if group_col is not None:
+        src = counts.select(
+            F.col(group_col).cast("long").alias("__pack_group"),
+            F.col(id_col).alias("doc_id"),
+            F.col(len_col).cast("long").alias("n_tokens"))
+
+        def pack_group(key, pdf):
+            gid = int(key[0])
+            pdf = _bfd_assign(pdf[["doc_id", "n_tokens"]], L)
+            pdf = pdf.assign(bin_id=[(gid << 33) | b
+                                     for b in pdf["bin_local"]])
+            return pdf[out_cols]
+
+        return src.groupBy("__pack_group").applyInPandas(
+            pack_group, out_schema)
+
     src = counts.select(F.col(id_col).alias("doc_id"),
                         F.col(len_col).cast("long").alias("n_tokens"))
     if num_parts:
         src = src.repartition(num_parts, "doc_id")
 
     def pack(pdfs):
-        from bisect import bisect_left, insort
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -804,42 +878,9 @@ def bestfit_pack(counts: DataFrame, seq_len: int = 128,
         # doc — bounded by docs-per-partition, not tokens)
         chunks = list(pdfs)
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
-            pdf = pdf.sort_values(
-                ["n_tokens", "doc_id"], ascending=[False, True])
-            rem = []           # sorted list of [remaining, bin_local]
-            out_bin, out_tr = [], []
-            next_bin = 0
-            fills: dict = {}
-            for n in pdf["n_tokens"].tolist():
-                n_fit = min(n, L)
-                tr = 1 if n > L else 0
-                if tr:
-                    b = next_bin; next_bin += 1  # solo bin, never reused
-                else:
-                    # best fit: smallest remaining >= n
-                    i = bisect_left(rem, [n_fit, -1])
-                    if i < len(rem):
-                        r, b = rem.pop(i)
-                        if r - n_fit > 0:
-                            insort(rem, [r - n_fit, b])
-                    else:
-                        b = next_bin; next_bin += 1
-                        if L - n_fit > 0:
-                            insort(rem, [L - n_fit, b])
-                fills[b] = fills.get(b, 0) + n_fit
-                out_bin.append(b)
-                out_tr.append(tr)
-            pdf = pdf.assign(
-                bin_id=[(pid << 33) | b for b in out_bin],
-                bin_fill=[fills[b] for b in out_bin],
-                truncated=out_tr,
-            )
-            yield pdf[["doc_id", "n_tokens", "bin_id", "bin_fill",
-                       "truncated"]]
+            pdf = _bfd_assign(pd.concat(chunks, ignore_index=True), L)
+            pdf = pdf.assign(bin_id=[(pid << 33) | b
+                                     for b in pdf["bin_local"]])
+            yield pdf[out_cols]
 
-    return src.mapInPandas(
-        pack,
-        "doc_id long, n_tokens long, bin_id long, bin_fill long, "
-        "truncated int",
-    )
+    return src.mapInPandas(pack, out_schema)

@@ -58,3 +58,48 @@ def test_invariants_multi_partition(spark):
     n_bins = len(by_bin)
     naive_lower = -(-sum(min(n, L) for n in lens) // L)
     assert n_bins <= 2 * naive_lower
+
+
+def _pack_grouped(spark, lens, L, G, parts=None):
+    df = spark.createDataFrame(
+        [(i, n, i % G) for i, n in enumerate(lens)],
+        "doc_id long, n_tokens long, grp long")
+    if parts:
+        df = df.repartition(parts)
+    return bestfit_pack(df, seq_len=L, group_col="grp").collect()
+
+
+def test_group_mode_known_answer(spark):
+    # one group -> classic BFD: {9,1} {8,2} {3,1}, bin ids 0..2 in
+    # open order (9 opens 0, 8 opens 1, 3 opens 2)
+    rows = sorted(_pack_grouped(spark, [9, 8, 3, 2, 1, 1], L=10, G=1),
+                  key=lambda r: r.doc_id)
+    assert [r.bin_id for r in rows] == [0, 1, 2, 1, 0, 2]
+    assert [r.bin_fill for r in rows] == [10, 10, 4, 10, 10, 4]
+
+
+def test_group_mode_deterministic_across_parallelism(spark):
+    """group_col packing is a pure function of the rows: identical
+    output (bin ids included) no matter how the input is partitioned —
+    the property the physical-partition mode cannot give."""
+    import random
+    rng = random.Random(11)
+    lens = [rng.randint(1, 40) for _ in range(257)] + [99]
+    outs = []
+    for parts in (1, 3, 16):
+        rows = _pack_grouped(spark, lens, L=32, G=4, parts=parts)
+        outs.append(sorted((r.doc_id, r.n_tokens, r.bin_id, r.bin_fill,
+                            r.truncated) for r in rows))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == len(lens)
+
+
+def test_group_mode_bins_scoped_to_group(spark):
+    rows = _pack_grouped(spark, [5, 5, 5, 5, 5, 5], L=10, G=2)
+    for r in rows:
+        assert (r.bin_id >> 33) == r.doc_id % 2  # group in the high bits
+    # docs never share a bin across groups
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r.bin_id, set()).add(r.doc_id % 2)
+    assert all(len(g) == 1 for g in by_bin.values())
