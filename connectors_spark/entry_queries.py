@@ -16542,3 +16542,394 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = _recall_row(approx, exact, variant, param)
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ================================================================ round 5
+# ILM planning, conversation-prefix dedup, tool-arg QA, best-of-n.
+
+_ILM_NOW = "1998-12-01"
+
+
+@register(
+    "ilm_rollover_plan",
+    f"""
+WITH idx AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS index_name,
+         date_trunc('month', o_orderdate) AS created_ts,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS size_bytes,
+         count(*) AS docs
+  FROM orders GROUP BY 1, 2
+),
+aged AS (
+  SELECT index_name,
+         CAST(date_diff('day', CAST(created_ts AS DATE),
+                        DATE '{_ILM_NOW}') AS INT) AS age_days,
+         size_bytes, docs
+  FROM idx
+)
+SELECT index_name, age_days, size_bytes, docs,
+       CAST(age_days >= 1460 OR size_bytes >= 30000000
+            OR docs >= 250 AS INT) AS rollover,
+       CASE WHEN age_days >= 1825 THEN 'delete'
+            WHEN age_days >= 1095 THEN 'cold'
+            WHEN age_days >= 365 THEN 'warm'
+            ELSE 'hot' END AS phase
+FROM aged
+""",
+)
+def q_ilm_rollover_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ILM rollover + phase planning as ONE catalog-wide DataFrame
+    pass (operators/ilm.py:rollover_plan): a monthly index catalog is
+    derived from `orders` (one index per order month, size = summed
+    cents, docs = order count), then every index gets its rollover
+    decision (age/size/docs triggers, ES `max_age`/`max_primary_shard_
+    size`/`max_docs` semantics) and lifecycle phase (hot/warm/cold/
+    delete by integer age) in a single projection. Reference context:
+    connectors delegates retention to ES-side ILM on its content
+    indices; here the policy scan itself is set-at-a-time so a
+    thousand-stream catalog plans in one job, not N API calls."""
+    from connectors_spark.operators.ilm import rollover_plan
+
+    orders = _read(spark, sf_dir, "orders")
+    idx = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("index_name"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("created_ts"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("size_bytes"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+    return rollover_plan(
+        idx, F.lit(_ILM_NOW).cast("date"),
+        max_age_days=1460, max_size_bytes=30_000_000, max_docs=250,
+        warm_after_days=365, cold_after_days=1095,
+        delete_after_days=1825)
+
+
+@register(
+    "tiered_merge_plan",
+    """
+WITH seg AS (
+  SELECT l_returnflag AS index_name,
+         l_suppkey % 32 AS seg_id,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS size_units
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (
+  SELECT index_name, seg_id, size_units,
+         CAST(length(bin(greatest(size_units, 1))) - 1 AS INT) AS tier
+  FROM seg
+),
+r AS (
+  SELECT *, row_number() OVER (
+            PARTITION BY index_name, tier
+            ORDER BY size_units DESC, seg_id) AS rn
+  FROM t
+),
+g AS (SELECT *, CAST((rn - 1) // 4 AS INT) AS grp FROM r),
+c AS (SELECT *, count(*) OVER (
+          PARTITION BY index_name, tier, grp) AS grp_n FROM g)
+SELECT index_name, seg_id, size_units, tier,
+       CASE WHEN grp_n >= 2
+            THEN index_name || '/' || tier || '/' || grp END AS merge_id,
+       CASE WHEN grp_n >= 2 THEN 'merge' ELSE 'keep' END AS action
+FROM c
+""",
+)
+def q_tiered_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene TieredMergePolicy-style merge planning
+    (operators/ilm.py:tiered_merge_plan) over a segment catalog derived
+    from `lineitem` (one segment per (returnflag, suppkey mod 32),
+    size = summed quantity units): tier = floor(log2(size)) computed
+    EXACTLY from the binary-string length (never float log), then
+    within (index, tier) a size-desc deterministic greedy grouping of 4
+    — groups of >=2 become merge tasks, singletons are kept. This is
+    the planner behind ES force-merge/background merging; the engine's
+    actual consolidation is operators/delta.py:compact_index. Windows
+    are (index, tier)-partitioned — never global."""
+    from connectors_spark.operators.ilm import tiered_merge_plan
+
+    li = _read(spark, sf_dir, "lineitem")
+    seg = li.groupBy(
+        F.col("l_returnflag").alias("index_name"),
+        (F.col("l_suppkey") % 32).alias("seg_id"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("long"))
+          .alias("size_units"))
+    return tiered_merge_plan(seg, merge_factor=4, floor_units=1)
+
+
+def _conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts derived from `documents`: one
+    conversation per doc, 3-5 turns; the first two turns are template
+    strings keyed by (doc_id mod 17, doc_id mod 11) so conversations
+    sharing both residues share an exact 2-turn prefix (the
+    system-prompt/greeting fan-out a real agent corpus exhibits)."""
+    docs = _read(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").alias("conv_id"), "text",
+        F.explode(F.sequence(
+            F.lit(0), (F.lit(2) + F.col("doc_id") % 3).cast("int"))
+        ).alias("turn_idx"),
+    )
+    return t.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("turn_idx") == 0,
+               F.concat(F.lit("sys-"),
+                        (F.col("conv_id") % 17).cast("string")))
+        .when(F.col("turn_idx") == 1,
+              F.concat(F.lit("ask-"),
+                       (F.col("conv_id") % 11).cast("string")))
+        .otherwise(F.concat(F.substring("text", 1, 40), F.lit(" t"),
+                            F.col("turn_idx").cast("string")))
+        .alias("text"),
+    )
+
+
+_CONV_TURNS_SQL = """
+tt AS (
+  SELECT doc_id AS conv_id, u.t AS turn_idx,
+         CASE WHEN u.t = 0 THEN 'sys-' || (doc_id % 17)
+              WHEN u.t = 1 THEN 'ask-' || (doc_id % 11)
+              ELSE substr(text, 1, 40) || ' t' || u.t END AS text
+  FROM documents,
+       LATERAL (SELECT unnest(range(3 + doc_id % 3)) AS t) u
+)"""
+
+
+@register(
+    "conv_prefix_dedup",
+    f"""
+WITH {_CONV_TURNS_SQL},
+pk AS (
+  SELECT conv_id,
+         md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS prefix_key
+  FROM tt WHERE turn_idx < 2 GROUP BY conv_id
+),
+nt AS (SELECT conv_id, count(*) AS n_turns FROM tt GROUP BY conv_id),
+k AS (SELECT * FROM pk JOIN nt USING (conv_id)),
+r AS (
+  SELECT *, count(*) OVER (PARTITION BY prefix_key) AS dup_group_size,
+         row_number() OVER (PARTITION BY prefix_key
+                            ORDER BY n_turns DESC, conv_id) AS rn
+  FROM k
+),
+canon AS (
+  SELECT prefix_key,
+         min(CASE WHEN rn = 1 THEN conv_id END) AS canon_conv_id
+  FROM r GROUP BY prefix_key
+)
+SELECT r.conv_id, canon.canon_conv_id, r.n_turns,
+       CAST(r.dup_group_size AS BIGINT) AS dup_group_size,
+       CAST(r.conv_id = canon.canon_conv_id AS INT) AS is_canon
+FROM r JOIN canon USING (prefix_key)
+WHERE r.dup_group_size >= 2
+""",
+)
+def q_conv_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-prefix deduplication over multi-turn transcripts
+    (operators/dedup.py:conv_prefix_dup_groups — the transcript-native
+    sibling of `prefix_dup_groups`): conversations whose first two
+    turns are textually identical form one dup group; the longest
+    conversation (min-id tie-break) is canonical. The prefix collapses
+    to an md5 AFTER the conv-keyed groupBy, so the second shuffle moves
+    32-char digests, not turn text — the order-of-magnitude that
+    matters at 10^12 turns. Input: transcripts synthesized
+    deterministically from `documents` (docstring of _conv_turns)."""
+    from connectors_spark.operators.dedup import conv_prefix_dup_groups
+
+    return conv_prefix_dup_groups(_conv_turns(spark, sf_dir),
+                                  prefix_turns=2)
+
+
+@register(
+    "tool_arg_validation",
+    """
+WITH calls AS (
+  SELECT 'tool_' || (doc_id % 3) AS tool,
+         CASE doc_id % 5
+           WHEN 0 THEN '{"query":"q' || doc_id || '","k":'
+                       || (doc_id % 7) || '}'
+           WHEN 1 THEN '{"query":"q' || doc_id || '"}'
+           WHEN 2 THEN '{"query":"q' || doc_id || '","k":"many"}'
+           WHEN 3 THEN '{"query":"q' || doc_id
+           ELSE '{"k":' || (doc_id % 7) || '}'
+         END AS args_json
+  FROM documents
+),
+v AS (
+  SELECT tool,
+         CASE WHEN NOT json_valid(args_json) THEN 'malformed'
+              WHEN json_extract_string(args_json, '$.query') IS NULL
+                OR json_extract_string(args_json, '$.k') IS NULL
+                THEN 'missing'
+              WHEN NOT regexp_matches(
+                     json_extract_string(args_json, '$.k'),
+                     '^-?[0-9]+$') THEN 'bad_value'
+              ELSE 'valid' END AS cls
+  FROM calls
+)
+SELECT tool, count(*) AS n_calls,
+       sum(CAST(cls = 'malformed' AS BIGINT)) AS n_malformed,
+       sum(CAST(cls = 'missing' AS BIGINT)) AS n_missing,
+       sum(CAST(cls = 'bad_value' AS BIGINT)) AS n_bad_value,
+       sum(CAST(cls = 'valid' AS BIGINT)) AS n_valid
+FROM v GROUP BY tool
+""",
+)
+def q_tool_arg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent tool-call argument QA
+    (operators/transcript_qc.py:tool_call_validation): per tool,
+    schema-lite validation of recorded call arguments — malformed JSON,
+    missing required keys, lexically mistyped values — the screen a
+    training pipeline runs before trusting tool-use traces (reference
+    context: connectors validates filtering/advanced-rule payloads the
+    same way before a sync, connectors/filtering/validation.py). Calls
+    are synthesized deterministically from `documents` (five argument
+    shapes incl. a truncated-JSON fault). Pure JVM get_json_object +
+    regexp in one combine-friendly groupBy — no UDFs."""
+    from connectors_spark.operators.transcript_qc import (
+        tool_call_validation,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    k7 = (F.col("doc_id") % 7).cast("string")
+    calls = docs.select(
+        F.concat(F.lit("tool_"), (F.col("doc_id") % 3).cast("string"))
+        .alias("tool"),
+        F.when(m == 0, F.concat(F.lit('{"query":"q'), did,
+                                F.lit('","k":'), k7, F.lit("}")))
+        .when(m == 1, F.concat(F.lit('{"query":"q'), did, F.lit('"}')))
+        .when(m == 2, F.concat(F.lit('{"query":"q'), did,
+                               F.lit('","k":"many"}')))
+        .when(m == 3, F.concat(F.lit('{"query":"q'), did))
+        .otherwise(F.concat(F.lit('{"k":'), k7, F.lit("}")))
+        .alias("args_json"),
+    )
+    return tool_call_validation(calls, str_key="query", int_key="k")
+
+
+@register(
+    "best_of_n_selection",
+    f"""
+WITH c AS (
+  SELECT doc_id % 64 AS prompt_id, doc_id,
+         (({_hex2int_sql("md5(text)", 8)}) % 1000000) / 1e6 AS reward
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (
+              PARTITION BY prompt_id
+              ORDER BY reward DESC, doc_id) AS rn,
+         lead(reward) OVER (
+              PARTITION BY prompt_id
+              ORDER BY reward DESC, doc_id) AS runner_up,
+         count(*) OVER (PARTITION BY prompt_id) AS n_cands
+  FROM c
+)
+SELECT prompt_id, doc_id AS chosen_id, reward,
+       reward - coalesce(runner_up, reward) AS margin,
+       CAST(n_cands AS BIGINT) AS n_cands
+FROM r WHERE rn = 1
+""",
+)
+def q_best_of_n_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling (operators/pretrain.py:best_of_n):
+    per prompt group (doc_id mod 64 — each group stands in for the n
+    sampled candidate responses to one prompt), pick the
+    highest-reward candidate with a deterministic tie-break and report
+    the margin over the runner-up; reward is the engine's standard
+    md5-uniform so both sides derive the identical score without an
+    external reward model. ONE prompt-keyed window — group width is
+    the sampling budget n, never the corpus."""
+    from connectors_spark.operators.pretrain import best_of_n
+
+    docs = _read(spark, sf_dir, "documents")
+    cands = docs.select(
+        (F.col("doc_id") % 64).alias("prompt_id"), "doc_id",
+        ((F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+          .cast("long") % 1000000) / F.lit(1e6)).alias("reward"),
+    )
+    return best_of_n(cands, group_col="prompt_id",
+                     reward_col="reward", id_col="doc_id")
+
+
+@register(
+    "reindex_migrate",
+    """
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NULL THEN 'created'
+            ELSE 'version_conflict' END AS action
+FROM documents d
+LEFT JOIN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) e
+  USING (doc_id)
+""",
+)
+def q_reindex_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `_reindex` with op_type=create + conflicts=proceed
+    (operators/sync.py:reindex_classify): every source doc is
+    classified against the destination's existing id set — already-
+    present ids become version_conflicts (skipped-and-counted, the ES
+    reindex response shape), the rest are created. Destination here is
+    the docs with doc_id % 7 == 0 (a prior partial migration). The
+    dest side is an id-only projection (column-pruned at scan) and
+    broadcasts — source streams, nothing wide shuffles."""
+    from connectors_spark.operators.sync import reindex_classify
+
+    docs = _read(spark, sf_dir, "documents")
+    dest = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    return reindex_classify(docs.select("doc_id"), dest,
+                            op_type="create")
+
+
+_SLM_NOW = "2024-01-31"
+
+
+@register(
+    "slm_retention_plan",
+    f"""
+WITH s AS (
+  SELECT DISTINCT event_type AS policy,
+         'snap-' || strftime(date_trunc('day', ts), '%Y-%m-%d')
+           AS snap_name,
+         date_trunc('day', ts) AS created_ts
+  FROM events
+),
+r AS (
+  SELECT policy, snap_name,
+         CAST(date_diff('day', CAST(created_ts AS DATE),
+                        DATE '{_SLM_NOW}') AS INT) AS age_days,
+         CAST(row_number() OVER (
+              PARTITION BY policy
+              ORDER BY created_ts DESC, snap_name) AS INT) AS rn
+  FROM s
+)
+SELECT policy, snap_name, age_days, rn,
+       CASE WHEN rn > 20 OR (age_days >= 10 AND rn > 5)
+            THEN 'delete' ELSE 'keep' END AS action
+FROM r
+""",
+)
+def q_slm_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES SLM snapshot-retention planning
+    (operators/snapshot.py:slm_retention_plan) over a snapshot catalog
+    derived from `events` (one snapshot per (event_type policy, day)):
+    newest-first ranking per policy, delete beyond max_count=20
+    regardless of age, delete expired (age >= 10d) only while more
+    than min_count=5 remain — the newest five survive even when all
+    are expired (exact ES retention semantics). One policy-partitioned
+    window; integer-day ages keep the plan reproducible."""
+    from connectors_spark.operators.snapshot import slm_retention_plan
+
+    ev = _read(spark, sf_dir, "events")
+    snaps = ev.select(
+        F.col("event_type").alias("policy"),
+        F.date_trunc("day", F.col("ts")).alias("created_ts"),
+    ).distinct().withColumn(
+        "snap_name",
+        F.concat(F.lit("snap-"),
+                 F.date_format("created_ts", "yyyy-MM-dd")))
+    return slm_retention_plan(
+        snaps, F.lit(_SLM_NOW).cast("date"),
+        expire_after_days=10, min_count=5, max_count=20)

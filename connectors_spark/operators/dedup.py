@@ -483,3 +483,62 @@ def dup_span_excise(df: DataFrame, window: int = 8, text_col: str = "text",
                     / F.col("n_tokens"), 6)).otherwise(F.lit(1.0))
                 .alias("kept_frac"),
             ))
+
+
+def conv_prefix_dup_groups(turns: DataFrame, prefix_turns: int = 2,
+                           conv_col: str = "conv_id",
+                           turn_col: str = "turn_idx",
+                           text_col: str = "text") -> DataFrame:
+    """Conversation-prefix deduplication over multi-turn transcripts
+    (the north-rule input shape): conversations whose first
+    `prefix_turns` turns are textually identical are one dup group —
+    the transcript-native analog of shared-document-prefix dup groups
+    (same template/system-prompt fan-out, retried agent sessions,
+    branchy sampling trees that share a root).
+
+    Keeps the LONGEST conversation per group (most turns; min conv_id
+    tie-break) as canonical. Returns only conversations in groups of
+    >=2: (conv_id, canon_conv_id, n_turns, dup_group_size, is_canon).
+
+    Scale shape: the prefix key is an md5 computed AFTER the per-conv
+    groupBy (one shuffle on conv_id, combine-friendly), so the wide
+    text column collapses to a 32-char digest BEFORE the second
+    (key-hash) shuffle; group stats are one window over groups that
+    are template-bounded, never corpus-bounded.
+    """
+    per_conv = (
+        turns.where(F.col(turn_col) < prefix_turns)
+        .groupBy(conv_col)
+        .agg(F.md5(F.concat_ws(
+            "\x1f",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col(turn_col), F.col(text_col).alias("t")))),
+                lambda s: s["t"]),
+        )).alias("prefix_key"))
+    )
+    n_turns = turns.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"))
+    keyed = per_conv.join(n_turns, conv_col)
+    wg = Window.partitionBy("prefix_key")
+    wr = Window.partitionBy("prefix_key").orderBy(
+        F.col("n_turns").desc(), F.col(conv_col))
+    ranked = (
+        keyed
+        .withColumn("dup_group_size", F.count(F.lit(1)).over(wg))
+        .withColumn(
+            "canon_conv_id",
+            F.min(
+                F.when(F.row_number().over(wr) == 1, F.col(conv_col))
+            ).over(wg))
+    )
+    return (
+        ranked.where(F.col("dup_group_size") >= 2)
+        .select(
+            F.col(conv_col).alias("conv_id"),
+            "canon_conv_id", "n_turns",
+            F.col("dup_group_size").cast("long").alias("dup_group_size"),
+            (F.col(conv_col) == F.col("canon_conv_id"))
+            .cast("int").alias("is_canon"),
+        )
+    )

@@ -884,3 +884,35 @@ def bestfit_pack(counts: DataFrame, seq_len: int = 128,
             yield pdf[out_cols]
 
     return src.mapInPandas(pack, out_schema)
+
+
+def best_of_n(cands: DataFrame, group_col: str = "prompt_id",
+              reward_col: str = "reward",
+              id_col: str = "doc_id") -> DataFrame:
+    """Best-of-n response selection — the rejection-sampling step of an
+    RLHF / RFT data pipeline: per prompt, keep the candidate response
+    with the highest reward-model score (deterministic min-id
+    tie-break) and report the margin over the runner-up (a standard
+    confidence filter: small-margin winners are near-ties the curation
+    step often drops).
+
+    One window partitioned by the prompt key — a single shuffle on
+    prompt_id at any corpus size, group width bounded by n (the
+    samples-per-prompt budget), never by the corpus.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(reward_col).desc(), F.col(id_col))
+    ranked = cands.select(
+        group_col, id_col, reward_col,
+        F.row_number().over(w).alias("rn"),
+        F.lead(F.col(reward_col)).over(w).alias("runner_up"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n_cands"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        F.col(group_col),
+        F.col(id_col).alias("chosen_id"),
+        F.col(reward_col).alias("reward"),
+        (F.col(reward_col) - F.coalesce(F.col("runner_up"),
+                                        F.col(reward_col))).alias("margin"),
+        F.col("n_cands").cast("long").alias("n_cands"),
+    )

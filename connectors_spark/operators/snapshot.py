@@ -231,3 +231,42 @@ def ccr_follow(repo: str, follower_dir: str, state_path: str) -> dict:
         state_path, {"applied": target, "files": want})
     return {"applied": target, "copied": copied, "deleted": deleted,
             "up_to_date": False}
+
+
+def slm_retention_plan(snaps, now_col, expire_after_days: int = 30,
+                       min_count: int = 5, max_count: int = 50):
+    """ES SLM (snapshot lifecycle management) retention as one windowed
+    projection over a snapshot catalog — the policy behind
+    `delete_snapshot` sweeps on the repository above.
+
+    ES retention semantics (slm retention: expire_after / min_count /
+    max_count), per policy: order snapshots newest-first;
+    - any snapshot beyond max_count is deleted regardless of age;
+    - an expired snapshot (age >= expire_after) is deleted ONLY while
+      more than min_count remain — the newest min_count survive even
+      when all are expired.
+
+    Input columns: policy (string), snap_name (string), created_ts
+    (timestamp). Output adds age_days, rn (1 = newest) and action
+    ('keep'/'delete'). One window partitioned by policy — catalogs of
+    thousands of policies plan in a single pass; integer-day age keeps
+    the plan reproducible across evaluation jitter.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    age = F.datediff(F.to_date(now_col), F.to_date("created_ts"))
+    w = Window.partitionBy("policy").orderBy(
+        F.col("created_ts").desc(), F.col("snap_name"))
+    ranked = snaps.select(
+        "policy", "snap_name",
+        age.cast("int").alias("age_days"),
+        F.row_number().over(w).alias("rn"),
+    )
+    delete = (
+        (F.col("rn") > F.lit(max_count))
+        | ((F.col("age_days") >= F.lit(expire_after_days))
+           & (F.col("rn") > F.lit(min_count)))
+    )
+    return ranked.withColumn(
+        "action", F.when(delete, F.lit("delete")).otherwise(F.lit("keep")))

@@ -94,3 +94,33 @@ def incremental_extract(source: DataFrame, cursor_ts, ts_col: str = "ts") -> Dat
     libs/connectors_sdk/connectors_sdk/source.py:619-645) — a partition-
     prunable timestamp predicate instead of a per-source cursor loop."""
     return source.filter(F.col(ts_col) > F.lit(cursor_ts))
+
+
+def reindex_classify(source: DataFrame, dest_ids: DataFrame,
+                     id_col: str = "doc_id",
+                     op_type: str = "create") -> DataFrame:
+    """ES `_reindex` accounting (op_type + conflicts=proceed): classify
+    every source doc against the destination's existing id set —
+    op_type='create' marks docs whose id already exists in dest as
+    version CONFLICTS (skipped, counted, the run proceeds), everything
+    else is CREATED; op_type='index' overwrites instead (UPDATED).
+    Mirrors the reference sink's bulk-indexing op semantics
+    (reference: connectors/es/sink.py bulk op construction) and the ES
+    reindex response's created/updated/version_conflicts counters —
+    but as ONE broadcast-able anti/semi join classification instead of
+    a per-batch HTTP loop: dest_ids is an id-only projection (prunes
+    to one column at scan), so even a large destination moves 8-byte
+    ids, and a small one broadcasts.
+    """
+    hit = F.col("__dest_hit").isNotNull()
+    marked = source.join(
+        F.broadcast(dest_ids.select(F.col(id_col).alias("__dest_id"))
+                    .distinct()
+                    .withColumn("__dest_hit", F.lit(1))),
+        F.col(id_col) == F.col("__dest_id"), "left")
+    action = (
+        F.when(~hit, F.lit("created"))
+        .otherwise(F.lit("version_conflict" if op_type == "create"
+                         else "updated"))
+    )
+    return marked.select(id_col, action.alias("action"))

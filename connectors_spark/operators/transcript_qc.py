@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from connectors_spark.functions.analysis import tokens_col
 
-__all__ = ["transcript_structure_qc"]
+__all__ = ["transcript_structure_qc", "tool_call_validation"]
 
 
 def transcript_structure_qc(df: DataFrame,
@@ -107,3 +107,46 @@ def turn_boilerplate(df: DataFrame, min_convs: int = 2,
             .select("conv_id", "turn_idx", "role", "norm", "conv_df",
                     (F.col("conv_df") >= min_convs).cast("int")
                     .alias("is_boilerplate")))
+
+
+def tool_call_validation(calls: DataFrame, str_key: str = "query",
+                         int_key: str = "k",
+                         tool_col: str = "tool",
+                         args_col: str = "args_json") -> DataFrame:
+    """Agent tool-call argument validation over transcript tool turns —
+    the QA screen a training pipeline runs before trusting tool-use
+    traces: per tool, how many recorded calls carry well-formed
+    arguments, and how they fail when they don't.
+
+    Schema-lite validation, per call (columns: tool, args_json):
+    - malformed:  args_json does not parse as a JSON document
+    - missing:    required keys absent (str_key or int_key)
+    - bad_value:  int_key present but not a decimal integer literal
+                  (lexical type check — identical semantics in any
+                  engine that extracts JSON scalars as text)
+    - valid:      none of the above
+
+    Output per tool: n_calls, n_malformed, n_missing, n_bad_value,
+    n_valid. Pure JVM expression work (`get_json_object` + regexp) in
+    one combine-friendly groupBy on the tool name — no UDFs, no state;
+    at trillion-turn scale this is a single map-side-combined pass.
+    """
+    parsed = F.get_json_object(F.col(args_col), "$")
+    v_str = F.get_json_object(F.col(args_col), f"$.{str_key}")
+    v_int = F.get_json_object(F.col(args_col), f"$.{int_key}")
+    malformed = parsed.isNull()
+    missing = ~malformed & (v_str.isNull() | v_int.isNull())
+    # mutually exclusive buckets: a call is bad_value only once both
+    # required keys are present, so the four counters sum to n_calls
+    bad_value = ~malformed & ~missing & ~v_int.rlike(r"^-?[0-9]+$")
+    valid = ~malformed & ~missing & ~bad_value
+    return (
+        calls.groupBy(F.col(tool_col).alias("tool"))
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum(malformed.cast("long")).alias("n_malformed"),
+            F.sum(missing.cast("long")).alias("n_missing"),
+            F.sum(bad_value.cast("long")).alias("n_bad_value"),
+            F.sum(valid.cast("long")).alias("n_valid"),
+        )
+    )

@@ -1,0 +1,212 @@
+"""Round-5 operators: ILM planners, conversation-prefix dedup,
+tool-call arg validation, best-of-n selection."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from connectors_spark.operators.dedup import conv_prefix_dup_groups
+from connectors_spark.operators.ilm import rollover_plan, tiered_merge_plan
+from connectors_spark.operators.pretrain import best_of_n
+from connectors_spark.operators.transcript_qc import tool_call_validation
+
+
+# ------------------------------------------------------------ rollover
+def _indices(spark, rows):
+    return spark.createDataFrame(
+        rows, "index_name string, created_ts timestamp, "
+              "size_bytes long, docs long")
+
+
+def test_rollover_triggers_and_phases(spark):
+    now = F.lit("2024-04-10").cast("date")
+    rows = [
+        # young + small: hot, no rollover
+        ("a", datetime(2024, 4, 8), 10, 10),
+        # age trigger exactly at max_age_days=30 -> rollover, warm
+        ("b", datetime(2024, 3, 11), 10, 10),
+        # size trigger alone
+        ("c", datetime(2024, 4, 9), 1_000_000, 10),
+        # docs trigger alone
+        ("d", datetime(2024, 4, 9), 10, 1_000_000),
+        # cold (>= 60d), delete (>= 90d)
+        ("e", datetime(2024, 2, 1), 10, 10),
+        ("f", datetime(2023, 12, 1), 10, 10),
+    ]
+    out = {
+        r["index_name"]: r
+        for r in rollover_plan(
+            _indices(spark, rows), now, max_age_days=30,
+            max_size_bytes=1000, max_docs=1000, warm_after_days=7,
+            cold_after_days=60, delete_after_days=90).collect()
+    }
+    assert out["a"]["rollover"] == 0 and out["a"]["phase"] == "hot"
+    assert out["b"]["rollover"] == 1 and out["b"]["phase"] == "warm"
+    assert out["c"]["rollover"] == 1 and out["c"]["phase"] == "hot"
+    assert out["d"]["rollover"] == 1 and out["d"]["phase"] == "hot"
+    assert out["e"]["phase"] == "cold"
+    assert out["f"]["phase"] == "delete"
+    # boundary: age 30 == max_age_days trips (>=), age 29 does not
+    assert out["b"]["age_days"] == 30
+
+
+# --------------------------------------------------------- tiered merge
+def _segments(spark, rows):
+    return spark.createDataFrame(
+        rows, "index_name string, seg_id long, size_units long")
+
+
+def test_tiered_merge_exact_tiers_and_groups(spark):
+    # power-of-two boundary: 8 -> tier 3, 7 -> tier 2 (exact, not float)
+    rows = [("i", 1, 8), ("i", 2, 7), ("i", 3, 8), ("i", 4, 8),
+            ("i", 5, 8), ("i", 6, 8),
+            ("j", 1, 1)]
+    out = tiered_merge_plan(_segments(spark, rows), merge_factor=4)
+    rows_out = {(r["index_name"], r["seg_id"]): r for r in out.collect()}
+    assert rows_out[("i", 1)]["tier"] == 3
+    assert rows_out[("i", 2)]["tier"] == 2
+    # five tier-3 segments, factor 4: first 4 merge, 5th is a singleton
+    t3 = [r for r in rows_out.values()
+          if r["index_name"] == "i" and r["tier"] == 3]
+    merged = [r for r in t3 if r["action"] == "merge"]
+    kept = [r for r in t3 if r["action"] == "keep"]
+    assert len(merged) == 4 and len(kept) == 1
+    assert len({r["merge_id"] for r in merged}) == 1
+    # size-desc + seg_id order: the singleton is the LAST in order,
+    # i.e. the max seg_id among equal sizes
+    assert kept[0]["seg_id"] == 6
+    # the lone tier-2 segment and the other index's singleton are kept
+    assert rows_out[("i", 2)]["action"] == "keep"
+    assert rows_out[("j", 1)]["action"] == "keep"
+    assert rows_out[("j", 1)]["merge_id"] is None
+
+
+def test_tiered_merge_groups_never_exceed_factor(spark):
+    rows = [("x", i, 100 + (i % 3)) for i in range(23)]
+    out = tiered_merge_plan(_segments(spark, rows), merge_factor=4)
+    sizes = (out.where(F.col("merge_id").isNotNull())
+             .groupBy("merge_id").count().collect())
+    assert sizes, "expected at least one merge group"
+    assert all(2 <= r["count"] <= 4 for r in sizes)
+
+
+# ------------------------------------------------ conv prefix dedup
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, text string")
+
+
+def test_conv_prefix_keep_longest_min_id(spark):
+    rows = [
+        # group A: convs 1 (3 turns), 2 (5 turns), 3 (5 turns)
+        (1, 0, "sys"), (1, 1, "hi"), (1, 2, "x"),
+        (2, 0, "sys"), (2, 1, "hi"), (2, 2, "a"), (2, 3, "b"), (2, 4, "c"),
+        (3, 0, "sys"), (3, 1, "hi"), (3, 2, "d"), (3, 3, "e"), (3, 4, "f"),
+        # conv 4: same turn-0 but different turn-1 -> NOT in group A
+        (4, 0, "sys"), (4, 1, "yo"), (4, 2, "z"),
+    ]
+    out = conv_prefix_dup_groups(_turns(spark, rows), prefix_turns=2)
+    got = {r["conv_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}  # conv 4 is a singleton prefix
+    # longest wins; 2 vs 3 tie on n_turns=5 -> min conv_id
+    assert all(r["canon_conv_id"] == 2 for r in got.values())
+    assert got[2]["is_canon"] == 1 and got[1]["is_canon"] == 0
+    assert got[1]["dup_group_size"] == 3
+
+
+def test_conv_prefix_only_prefix_counts(spark):
+    rows = [(1, 0, "p"), (1, 1, "q"), (1, 2, "DIFFERENT"),
+            (2, 0, "p"), (2, 1, "q"), (2, 2, "OTHER")]
+    out = conv_prefix_dup_groups(_turns(spark, rows), prefix_turns=2)
+    assert out.count() == 2  # suffix divergence does not split the group
+
+
+# ------------------------------------------------ tool arg validation
+def test_tool_call_validation_buckets(spark):
+    rows = [
+        ("t", '{"query":"a","k":3}'),       # valid
+        ("t", '{"query":"a","k":-7}'),      # valid (negative int ok)
+        ("t", '{"query":"a"}'),             # missing k
+        ("t", '{"k":3}'),                   # missing query
+        ("t", '{"query":"a","k":"many"}'),  # bad value
+        ("t", '{"query":"a'),               # malformed
+    ]
+    df = spark.createDataFrame(rows, "tool string, args_json string")
+    out = tool_call_validation(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_calls"] == 6
+    assert r["n_malformed"] == 1
+    assert r["n_missing"] == 2
+    assert r["n_bad_value"] == 1
+    assert r["n_valid"] == 2
+    # buckets are mutually exclusive and exhaustive
+    assert (r["n_malformed"] + r["n_missing"] + r["n_bad_value"]
+            + r["n_valid"]) == r["n_calls"]
+
+
+# ------------------------------------------------------- best of n
+def test_best_of_n_argmax_margin_tiebreak(spark):
+    rows = [
+        ("p1", 1, 0.9), ("p1", 2, 0.7), ("p1", 3, 0.4),
+        ("p2", 4, 0.5), ("p2", 5, 0.5),   # tie -> min doc_id
+        ("p3", 6, 0.3),                   # singleton -> margin 0
+    ]
+    df = spark.createDataFrame(rows, "prompt_id string, doc_id long, "
+                                     "reward double")
+    out = {r["prompt_id"]: r for r in best_of_n(df).collect()}
+    assert out["p1"]["chosen_id"] == 1
+    assert abs(out["p1"]["margin"] - 0.2) < 1e-12
+    assert out["p2"]["chosen_id"] == 4 and out["p2"]["margin"] == 0.0
+    assert out["p3"]["chosen_id"] == 6 and out["p3"]["margin"] == 0.0
+    assert out["p1"]["n_cands"] == 3
+
+
+# --------------------------------------------------------- slm retention
+def test_slm_min_count_survives_expiry(spark):
+    from datetime import datetime as dt
+
+    from connectors_spark.operators.snapshot import slm_retention_plan
+
+    # all 8 snapshots are long expired; min_count=3 keeps the newest 3
+    rows = [("p", f"s{i}", dt(2023, 1, 1 + i)) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "policy string, snap_name string, created_ts timestamp")
+    out = slm_retention_plan(df, F.lit("2024-01-01").cast("date"),
+                             expire_after_days=30, min_count=3,
+                             max_count=100)
+    kept = sorted(r["snap_name"] for r in out.collect()
+                  if r["action"] == "keep")
+    assert kept == ["s5", "s6", "s7"]  # the three newest
+
+
+def test_slm_max_count_cuts_regardless_of_age(spark):
+    from datetime import datetime as dt
+
+    from connectors_spark.operators.snapshot import slm_retention_plan
+
+    # all fresh (age 0) but max_count=4: the 2 oldest still go
+    rows = [("p", f"s{i}", dt(2024, 1, 1 + i)) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "policy string, snap_name string, created_ts timestamp")
+    out = slm_retention_plan(df, F.lit("2024-01-06").cast("date"),
+                             expire_after_days=9999, min_count=1,
+                             max_count=4)
+    deleted = sorted(r["snap_name"] for r in out.collect()
+                     if r["action"] == "delete")
+    assert deleted == ["s0", "s1"]
+
+
+# ------------------------------------------------------------- reindex
+def test_reindex_op_types(spark):
+    from connectors_spark.operators.sync import reindex_classify
+
+    src = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    dst = spark.createDataFrame([(0,), (2,), (4,)], "doc_id long")
+    create = {r["doc_id"]: r["action"]
+              for r in reindex_classify(src, dst, op_type="create").collect()}
+    assert create[0] == "version_conflict" and create[1] == "created"
+    assert sum(a == "version_conflict" for a in create.values()) == 3
+    index = {r["doc_id"]: r["action"]
+             for r in reindex_classify(src, dst, op_type="index").collect()}
+    assert index[0] == "updated" and index[1] == "created"
