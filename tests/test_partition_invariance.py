@@ -54,6 +54,10 @@ GATES = [
     "prefix_dup_groups",    # prefix-md5 groupBy
     "ann_pq_topk",          # PQ encode argmin + LUT sum rank
     "ann_ivf_pq_topk",      # coarse-cell pruning + ADC scoring
+    "tiered_merge_plan",    # exact bin()-length tiers + greedy windows
+    "conv_prefix_dedup",    # conv-keyed md5 prefix + keep-longest window
+    "best_of_n_selection",  # per-prompt argmax + runner-up margin
+    "slm_retention_plan",   # newest-first rank + dual retention rules
 ]
 
 

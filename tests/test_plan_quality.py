@@ -368,3 +368,42 @@ def test_graph_beam_search_broadcasts_small_sides(spark, sf_dir):
     import re
     for m in re.finditer(r"SortMergeJoin \[([a-z_]+)#", plan):
         assert m.group(1) == "cell", plan[m.start():m.start() + 200]
+
+
+def test_reindex_dest_join_broadcasts(spark, sf_dir):
+    """_reindex classification: the destination id set must broadcast —
+    a sort-merge join on the id column would shuffle the entire source
+    corpus just to classify it."""
+    from connectors_spark.operators.sync import reindex_classify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dest = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    plan = _plan(reindex_classify(docs.select("doc_id"), dest))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ilm_planners_no_global_window(spark, sf_dir):
+    """Both ILM planners must keep their windows partitioned (by
+    (index, tier) / policy) — an unpartitioned window would serialize
+    the whole catalog through one task."""
+    from connectors_spark.operators.ilm import tiered_merge_plan
+    from connectors_spark.operators.snapshot import slm_retention_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seg = li.groupBy(
+        F.col("l_returnflag").alias("index_name"),
+        (F.col("l_suppkey") % 32).alias("seg_id"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("long"))
+          .alias("size_units"))
+    plan = _plan(tiered_merge_plan(seg))
+    assert "SinglePartition" not in plan, plan
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    snaps = ev.select(
+        F.col("event_type").alias("policy"),
+        F.date_trunc("day", F.col("ts")).alias("created_ts"),
+    ).distinct().withColumn("snap_name", F.lit("s"))
+    plan2 = _plan(slm_retention_plan(
+        snaps, F.lit("2024-01-31").cast("date")))
+    assert "SinglePartition" not in plan2, plan2
