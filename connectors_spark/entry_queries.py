@@ -484,7 +484,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(_read(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(table: str = "documents", pre_cte: str = "") -> str:
     sigs = ", ".join(
         f"min(md5('{i}' || '|' || shingle)) AS s{i}" for i in range(16)
     )
@@ -500,12 +500,12 @@ def _minhash_oracle_sql() -> str:
     reps = (
         f"reps AS (SELECT min(doc_id) AS doc_id FROM "
         f"(SELECT doc_id, md5(array_to_string({_ARR}, ' ')) AS h "
-        f"FROM documents) GROUP BY h)"
+        f"FROM {table}) GROUP BY h)"
     )
     toks_rep = f"""
 toks AS (
   SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos
-  FROM (SELECT doc_id, {_ARR} AS arr FROM documents
+  FROM (SELECT doc_id, {_ARR} AS arr FROM {table}
         WHERE doc_id IN (SELECT doc_id FROM reps))
 )"""
     shingles_rep = toks_rep + """,
@@ -520,7 +520,7 @@ sh AS (
   FROM sh0 WHERE t2 IS NOT NULL
 )"""
     return f"""
-WITH {reps},
+WITH {pre_cte}{reps},
 {shingles_rep},
 sigs AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
 bands AS ({bands}),
@@ -16933,3 +16933,131 @@ def q_slm_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slm_retention_plan(
         snaps, F.lit(_SLM_NOW).cast("date"),
         expire_after_days=10, min_count=5, max_count=20)
+
+
+# conv-level near-dup: transcripts where conversations sharing the four
+# template residues are exact or near dups (the 5-turn variant differs
+# only in its unique closing turn) — the shape a retry/sampling-tree
+# corpus exhibits at conversation granularity.
+_CONV_ND_SQL = """
+ndt AS (
+  SELECT doc_id AS conv_id, u.t AS turn_idx,
+         CASE u.t
+           WHEN 0 THEN 'sys prompt alpha r' || (doc_id % 17)
+           WHEN 1 THEN 'user asks beta q' || (doc_id % 11)
+           WHEN 2 THEN 'assistant answers gamma a' || (doc_id % 7)
+           WHEN 3 THEN 'tool call delta t' || (doc_id % 5)
+           ELSE 'closing unique omega u' || doc_id
+         END AS text
+  FROM documents,
+       LATERAL (SELECT unnest(range(4 + doc_id % 2)) AS t) u
+)"""
+
+
+def _conv_nd_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.explode(F.sequence(
+            F.lit(0), (F.lit(3) + F.col("doc_id") % 2).cast("int"))
+        ).alias("turn_idx"),
+    )
+    cid = F.col("conv_id")
+    return t.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("turn_idx") == 0,
+               F.concat(F.lit("sys prompt alpha r"),
+                        (cid % 17).cast("string")))
+        .when(F.col("turn_idx") == 1,
+              F.concat(F.lit("user asks beta q"),
+                       (cid % 11).cast("string")))
+        .when(F.col("turn_idx") == 2,
+              F.concat(F.lit("assistant answers gamma a"),
+                       (cid % 7).cast("string")))
+        .when(F.col("turn_idx") == 3,
+              F.concat(F.lit("tool call delta t"),
+                       (cid % 5).cast("string")))
+        .otherwise(F.concat(F.lit("closing unique omega u"),
+                            cid.cast("string")))
+        .alias("text"),
+    )
+
+
+@register(
+    "conv_minhash_neardup",
+    _minhash_oracle_sql(
+        table="convdocs",
+        pre_cte=(_CONV_ND_SQL + """,
+convdocs AS (
+  SELECT conv_id AS doc_id,
+         string_agg(text, ' ' ORDER BY turn_idx) AS text
+  FROM ndt GROUP BY conv_id
+),
+"""),
+    ),
+)
+def q_conv_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection at CONVERSATION granularity
+    (the transcript-native composition of dedup.py:minhash_near_dups):
+    each conversation's turns concatenate in turn order into one
+    document, exact-dup conversations collapse to a representative,
+    and the banded-LSH + exact-Jaccard pipeline finds conversations
+    that differ only in a closing turn (retries / sampling-tree
+    siblings). Turn concat is one conv-keyed groupBy; everything after
+    is the standard capped-bucket LSH — never all-pairs. Input
+    transcripts are derived deterministically from `documents`
+    (residue-keyed template turns + a unique closing turn on the
+    5-turn variant)."""
+    from connectors_spark.operators.dedup import minhash_near_dups
+
+    turns = _conv_nd_turns(spark, sf_dir)
+    convdocs = turns.groupBy(F.col("conv_id").alias("doc_id")).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("turn_idx"), F.col("text").alias("t")))),
+                lambda s: s["t"]),
+        ).alias("text"))
+    return minhash_near_dups(convdocs)
+
+
+@register(
+    "doremi_domain_weights",
+    f"""
+WITH d AS (
+  SELECT source AS domain, count(*) AS n_docs,
+         avg((({_hex2int_sql("md5(text)", 8)}) % 1000000) / 1e6)
+           AS mean_excess_raw
+  FROM documents GROUP BY source
+),
+e AS (SELECT *, exp(1.0 * mean_excess_raw) AS w_raw FROM d)
+SELECT domain, n_docs,
+       round(mean_excess_raw, 6) AS mean_excess,
+       round(w_raw / sum(w_raw) OVER (), 6) AS weight,
+       round(0.8 * (w_raw / sum(w_raw) OVER ())
+             + 0.2 / (count(*) OVER ()), 6) AS weight_smoothed
+FROM e
+""",
+)
+def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi domain-reweighting step (Xie et al. 2023;
+    operators/pretrain.py:doremi_domain_weights) over the `source`
+    domains of `documents`: per-domain mean excess loss (per-doc
+    excess synthesized with the engine's md5-uniform so both sides
+    derive identical values without a proxy model), exponentiated-
+    gradient weights from a uniform prior, and the paper's uniform
+    smoothing (c=0.2). The corpus pass is one map-side-combined
+    groupBy on the domain key; the normalization window runs on the
+    k-domain frame (k = #domains), never on the corpus."""
+    from connectors_spark.operators.pretrain import doremi_domain_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        F.col("source").alias("domain"),
+        ((F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+          .cast("long") % 1000000) / F.lit(1e6)).alias("excess_loss"),
+    )
+    return doremi_domain_weights(per_doc, domain_col="domain",
+                                 excess_col="excess_loss",
+                                 eta=1.0, smoothing=0.2)

@@ -916,3 +916,38 @@ def best_of_n(cands: DataFrame, group_col: str = "prompt_id",
                                         F.col(reward_col))).alias("margin"),
         F.col("n_cands").cast("long").alias("n_cands"),
     )
+
+
+def doremi_domain_weights(df: DataFrame, domain_col: str = "domain",
+                          excess_col: str = "excess_loss",
+                          eta: float = 1.0,
+                          smoothing: float = 0.2) -> DataFrame:
+    """One DoReMi domain-reweighting step (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    given per-document excess loss (proxy-model loss minus reference
+    loss, clipped at 0 upstream), compute per-domain mean excess and
+    the exponentiated-gradient update from a uniform prior —
+    w_k ∝ exp(eta * mean_excess_k) — then mix with the uniform
+    distribution (smoothing c) exactly as the paper's Algorithm 1.
+
+    Scale shape: the corpus pass is ONE map-side-combined groupBy on
+    the domain key; everything after runs on the k-row domain frame
+    (k = number of domains, tens — the unpartitioned normalization
+    window is bounded by k, never by the corpus, the same
+    driver-state argument as Bradley-Terry's k x k solve).
+    """
+    d = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col(excess_col)).alias("_mean_excess"),
+    )
+    e = d.withColumn("w_raw", F.exp(F.lit(float(eta)) * F.col("_mean_excess")))
+    w_all = Window.partitionBy()
+    norm = F.col("w_raw") / F.sum("w_raw").over(w_all)
+    k = F.count(F.lit(1)).over(w_all)
+    return e.select(
+        "domain", "n_docs",
+        F.round("_mean_excess", 6).alias("mean_excess"),
+        F.round(norm, 6).alias("weight"),
+        F.round(F.lit(1.0 - float(smoothing)) * norm
+                + F.lit(float(smoothing)) / k, 6).alias("weight_smoothed"),
+    )

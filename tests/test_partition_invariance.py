@@ -58,6 +58,8 @@ GATES = [
     "conv_prefix_dedup",    # conv-keyed md5 prefix + keep-longest window
     "best_of_n_selection",  # per-prompt argmax + runner-up margin
     "slm_retention_plan",   # newest-first rank + dual retention rules
+    "doremi_domain_weights",  # domain-mean agg + k-row normalization
+    "conv_minhash_neardup",   # conv concat -> banded LSH + Jaccard
 ]
 
 

@@ -210,3 +210,26 @@ def test_reindex_op_types(spark):
     index = {r["doc_id"]: r["action"]
              for r in reindex_classify(src, dst, op_type="index").collect()}
     assert index[0] == "updated" and index[1] == "created"
+
+
+# --------------------------------------------------------------- doremi
+def test_doremi_closed_form(spark):
+    import math
+
+    from connectors_spark.operators.pretrain import doremi_domain_weights
+
+    rows = ([("a", 0.4)] * 2) + ([("b", 0.1)] * 2) + [("c", 0.7)]
+    df = spark.createDataFrame(rows, "domain string, excess_loss double")
+    out = {r["domain"]: r
+           for r in doremi_domain_weights(df, eta=1.0,
+                                          smoothing=0.2).collect()}
+    raw = {d: math.exp(m) for d, m in [("a", 0.4), ("b", 0.1), ("c", 0.7)]}
+    z = sum(raw.values())
+    for d in raw:
+        assert abs(out[d]["weight"] - round(raw[d] / z, 6)) <= 1e-6
+        assert abs(out[d]["weight_smoothed"]
+                   - round(0.8 * raw[d] / z + 0.2 / 3, 6)) <= 1e-6
+    # weights sum to 1 (up to rounding), higher excess -> higher weight
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+    assert out["c"]["weight"] > out["a"]["weight"] > out["b"]["weight"]
+    assert out["a"]["n_docs"] == 2
