@@ -17061,3 +17061,139 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_domain_weights(per_doc, domain_col="domain",
                                  excess_col="excess_loss",
                                  eta=1.0, smoothing=0.2)
+
+
+_PRUNE_NS = (8, 32, 128)
+
+
+def _static_prune_oracle_sql() -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(
+        n_expr="stats.n", df_expr="dfreq.df", tf_expr="p.tf",
+        dl_expr="dl.dl", avgdl_expr="stats.avgdl",
+    )
+    w_full = bm25_sql(
+        n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+        dl_expr="dl.dl", avgdl_expr="stats.avgdl",
+    )
+    arms = []
+    for n in _PRUNE_NS:
+        arms.append(f"""
+pruned{n} AS (
+  SELECT term, doc_id, tf FROM imp WHERE pr <= {n}
+),
+scored{n} AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum({w}), {ROUND_SCORE}) AS score
+  FROM qt
+  JOIN pruned{n} p USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, p.doc_id
+),
+top{n} AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored{n}) WHERE rank <= {GATE_BM25_K}
+),
+recall{n} AS (
+  SELECT {n} AS keep_n, e.query_id,
+         count(*) AS n_exact,
+         sum(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM exact_top e
+  LEFT JOIN top{n} t ON t.query_id = e.query_id
+                    AND t.doc_id = e.doc_id
+  GROUP BY e.query_id
+)""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM recall{n}" for n in _PRUNE_NS)
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+imp AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (
+           PARTITION BY term
+           ORDER BY tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                    DESC, doc_id ASC) AS pr
+  FROM (SELECT tf.term, tf.doc_id, tf.tf, dl.dl, stats.avgdl
+        FROM tf JOIN dl USING (doc_id) CROSS JOIN stats)
+),
+exact_scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum({w_full}), {ROUND_SCORE}) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+),
+exact_top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM exact_scored) WHERE rank <= {GATE_BM25_K}
+),
+{','.join(arms)}
+SELECT keep_n, query_id, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(n_hit * 1.0 / n_exact, 6) AS recall
+FROM ({unions})
+"""
+
+
+@register("static_prune_recall", _static_prune_oracle_sql())
+def q_static_prune_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered static index pruning recall curve
+    (operators/build.py:static_prune_postings — Carmel et al. 2001):
+    for keep_n in (8, 32, 128) postings per term, top-10 recall vs the
+    exact BM25 ranking on the gate query set, with global stats
+    (df/dl/avgdl) kept from the unpruned corpus. The auditable
+    size-vs-rank-degradation table for the pruning scale lever — the
+    fulltext sibling of `ann_recall_curve`. The Spark side prunes with
+    the skew-proof two-stage top-N (salted partial then final); the
+    twin uses the equivalent single window."""
+    from connectors_spark.operators.build import static_prune_postings
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    exact = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    out = None
+    for n in _PRUNE_NS:
+        pruned_idx = static_prune_postings(idx, keep_n=n)
+        t = score_topk_dataframe(pruned_idx, qdf,
+                                 round_scores=ROUND_SCORE)
+        hits = (exact.select("query_id", "doc_id")
+                .join(t.select("query_id", "doc_id"),
+                      ["query_id", "doc_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n_hit")))
+        row = (n_exact.join(hits, "query_id", "left")
+               .select(F.lit(n).alias("keep_n"), "query_id",
+                       F.col("n_exact").cast("long").alias("n_exact"),
+                       F.coalesce(F.col("n_hit"), F.lit(0))
+                       .cast("long").alias("n_hit"))
+               .withColumn("recall",
+                           F.round(F.col("n_hit") / F.col("n_exact"), 6)))
+        out = row if out is None else out.unionByName(row)
+    return out

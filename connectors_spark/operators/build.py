@@ -208,3 +208,56 @@ def assign_doc_indices(docs: DataFrame, num_ranges: int | None = None,
         )).cast("long")
     )
     return with_mono.select(doc_idx.alias("doc_idx"), *keep)
+
+
+def static_prune_postings(index: IndexFrames, keep_n: int,
+                          k1: float | None = None,
+                          b: float | None = None,
+                          salt_buckets: int = 32) -> IndexFrames:
+    """Impact-ordered static index pruning (Carmel et al., SIGIR 2001;
+    Anh & Moffat impact ordering): keep only the top `keep_n` postings
+    per term by BM25 impact, dropping the long low-impact tail of hot
+    terms. Within a term the idf factor is constant, so impact order is
+    the tf-normalization order w = tf(k1+1) / (tf + k1(1-b+b·dl/avgdl))
+    — high-tf postings in short docs survive. Global statistics (df,
+    dl, avgdl, n_docs) are kept from the UNPRUNED corpus, the standard
+    static-pruning setup: pruning changes candidate recall, never the
+    weight a surviving posting scores with.
+
+    Skew shape: a naive per-term window sends a stop-word's entire
+    posting list (O(n_docs) rows at web scale) through one task. This
+    runs the selection in TWO stages — partial top-keep_n within
+    (term, doc-hash salt bucket), then final top-keep_n over the
+    <= salt_buckets * keep_n survivors — so no task ever sees more
+    than max(partition_slice, salt_buckets * keep_n) rows of one term.
+    Both stages rank by the same deterministic total order
+    (impact DESC, doc_id ASC), so the result is identical to the
+    single-window form the DuckDB twin uses.
+    """
+    from connectors_spark import BM25_B, BM25_K1
+    from pyspark.sql import Window
+
+    k1 = BM25_K1 if k1 is None else k1
+    b = BM25_B if b is None else b
+    p = index.postings.join(index.docs, "doc_id")
+    impact = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                      + F.lit(b) * F.col("dl")
+                                      / F.lit(float(index.avgdl))))
+    )
+    p = p.withColumn("_impact", impact)
+    w1 = Window.partitionBy(
+        "term", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    ).orderBy(F.desc("_impact"), F.asc("doc_id"))
+    partial = p.withColumn("_r", F.row_number().over(w1)).where(
+        F.col("_r") <= keep_n)
+    w2 = Window.partitionBy("term").orderBy(
+        F.desc("_impact"), F.asc("doc_id"))
+    keep_cols = index.postings.columns
+    pruned = (partial.withColumn("_r2", F.row_number().over(w2))
+              .where(F.col("_r2") <= keep_n)
+              .select(*keep_cols))
+    return IndexFrames(postings=pruned, docs=index.docs,
+                       lexicon=index.lexicon, n_docs=index.n_docs,
+                       avgdl=index.avgdl)

@@ -233,3 +233,47 @@ def test_doremi_closed_form(spark):
     assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
     assert out["c"]["weight"] > out["a"]["weight"] > out["b"]["weight"]
     assert out["a"]["n_docs"] == 2
+
+
+# ------------------------------------------------------ static pruning
+def test_static_prune_identity_and_two_stage_equivalence(spark):
+    from pyspark.sql import Window
+
+    from connectors_spark.operators.build import (
+        build_index,
+        static_prune_postings,
+    )
+
+    rows = [(i, " ".join(
+        ["common"] * (1 + i % 4) + [f"rare{i % 9}", "tail"]
+    )) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+
+    # keep_n >= n_docs: pruning is the identity
+    full = sorted(tuple(r) for r in idx.postings
+                  .select("term", "doc_id", "tf").collect())
+    kept = sorted(tuple(r) for r in
+                  static_prune_postings(idx, keep_n=1000).postings
+                  .select("term", "doc_id", "tf").collect())
+    assert kept == full
+
+    # two-stage salted selection == naive single window
+    pruned = sorted(tuple(r) for r in
+                    static_prune_postings(idx, keep_n=3).postings
+                    .select("term", "doc_id", "tf").collect())
+    p = idx.postings.join(idx.docs, "doc_id")
+    imp = (F.col("tf") * F.lit(2.2)
+           / (F.col("tf") + F.lit(1.2) * (F.lit(0.25)
+              + F.lit(0.75) * F.col("dl") / F.lit(float(idx.avgdl)))))
+    w = Window.partitionBy("term").orderBy(F.desc(imp), F.asc("doc_id"))
+    naive = sorted(tuple(r) for r in
+                   p.withColumn("_r", F.row_number().over(w))
+                   .where(F.col("_r") <= 3)
+                   .select("term", "doc_id", "tf").collect())
+    assert pruned == naive
+
+    # per-term cap holds
+    over = (static_prune_postings(idx, keep_n=3).postings
+            .groupBy("term").count().where(F.col("count") > 3).count())
+    assert over == 0
