@@ -17197,3 +17197,37 @@ def q_static_prune_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.round(F.col("n_hit") / F.col("n_exact"), 6)))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "neardup_keep_longest",
+    f"""
+SELECT c.doc_id, c.component, d.n_chars,
+       CAST(row_number() OVER (
+              PARTITION BY c.component
+              ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS INT) AS keep
+FROM ({_dedup_components_sql()}) c
+JOIN documents d USING (doc_id)
+""",
+)
+def q_neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical election over near-dup clusters: instead
+    of dedup_clusters' min-id keep, re-elect the LONGEST member
+    (n_chars desc, min-id tie-break) per duplicate component — the
+    policy CCNet/RefinedWeb-style corpus cleans actually apply (keep
+    the most complete copy, drop truncated mirrors). One broadcast-able
+    join of the (small) cluster frame back to doc metadata plus a
+    component-partitioned window — cluster width is dup-group-bounded,
+    never corpus-bounded."""
+    from connectors_spark.operators.dedup import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    cl = dedup_clusters(docs, jaccard_threshold=0.5).select(
+        "doc_id", "component")
+    j = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return j.select(
+        "doc_id", "component", "n_chars",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
