@@ -17231,3 +17231,37 @@ def q_neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "component", "n_chars",
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )
+
+
+@register(
+    "corpus_drift_kl",
+    f"""
+WITH {_TF_CTE},
+cnt AS (SELECT doc_id % 2 AS snap, term, sum(tf) AS c
+        FROM tf GROUP BY 1, 2),
+tot AS (SELECT snap, sum(c) AS t FROM cnt GROUP BY snap),
+p AS (SELECT snap, term, c * 1.0 / t AS p
+      FROM cnt JOIN tot USING (snap))
+SELECT a.term, round(a.p, 6) AS p_a, round(b.p, 6) AS p_b,
+       round(a.p * ln(a.p / b.p), 6) AS kl_ab_term,
+       round(b.p * ln(b.p / a.p), 6) AS kl_ba_term
+FROM p a JOIN p b ON a.term = b.term
+WHERE a.snap = 0 AND b.snap = 1
+""",
+)
+def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl corpus drift monitor
+    (operators/pretrain.py:corpus_drift_kl): documents split into two
+    snapshots by doc_id parity, per-term unigram distributions over the
+    shared vocabulary, each term's KL(A||B) / KL(B||A) contribution —
+    the QA table a continuously refreshed pretraining corpus checks
+    before swapping in a new crawl. Two combine-friendly groupBys + a
+    broadcast totals join; never corpus-wide state."""
+    from connectors_spark.operators.pretrain import corpus_drift_kl
+
+    docs = _read(spark, sf_dir, "documents")
+    tokens = (tokenize(docs, "text", "doc_id")
+              .groupBy("doc_id", "term")
+              .agg(F.count(F.lit(1)).alias("tf"))
+              .select((F.col("doc_id") % 2).alias("snap"), "term", "tf"))
+    return corpus_drift_kl(tokens)

@@ -951,3 +951,40 @@ def doremi_domain_weights(df: DataFrame, domain_col: str = "domain",
         F.round(F.lit(1.0 - float(smoothing)) * norm
                 + F.lit(float(smoothing)) / k, 6).alias("weight_smoothed"),
     )
+
+
+def corpus_drift_kl(tokens: DataFrame, snap_col: str = "snap",
+                    term_col: str = "term",
+                    count_col: str = "tf") -> DataFrame:
+    """Corpus drift monitor between two corpus snapshots (the
+    crawl-over-crawl QA check a continuously refreshed pretraining
+    corpus runs): per-term unigram distributions of snapshot 0 and
+    snapshot 1 over their SHARED vocabulary, with each term's
+    contribution to KL(A||B) and KL(B||A) — the top drifted terms are
+    the audit trail when a new crawl shifts topic/boilerplate mix.
+
+    Input: (snap in {0,1}, term, tf) rows. Two map-side-combined
+    groupBys (term-keyed counts, snapshot totals) + one term-keyed
+    self-join — the totals frame is 2 rows and broadcasts; nothing in
+    the plan is corpus-wide beyond the token count pass. The join is
+    inner on term: out-of-vocabulary terms (infinite KL) are excluded
+    by construction, the standard smoothing-free drift setup.
+    """
+    cnt = tokens.groupBy(F.col(snap_col).alias("snap"),
+                         F.col(term_col).alias("term")).agg(
+        F.sum(F.col(count_col)).alias("c"))
+    tot = cnt.groupBy("snap").agg(F.sum("c").alias("t"))
+    p = cnt.join(F.broadcast(tot), "snap").select(
+        "snap", "term", (F.col("c") * 1.0 / F.col("t")).alias("p"))
+    a = p.where(F.col("snap") == 0).select("term", F.col("p").alias("p_a"))
+    b = p.where(F.col("snap") == 1).select("term", F.col("p").alias("p_b"))
+    j = a.join(b, "term")
+    return j.select(
+        "term",
+        F.round("p_a", 6).alias("p_a"),
+        F.round("p_b", 6).alias("p_b"),
+        F.round(F.col("p_a") * F.log(F.col("p_a") / F.col("p_b")), 6)
+        .alias("kl_ab_term"),
+        F.round(F.col("p_b") * F.log(F.col("p_b") / F.col("p_a")), 6)
+        .alias("kl_ba_term"),
+    )

@@ -277,3 +277,29 @@ def test_static_prune_identity_and_two_stage_equivalence(spark):
     over = (static_prune_postings(idx, keep_n=3).postings
             .groupBy("term").count().where(F.col("count") > 3).count())
     assert over == 0
+
+
+# ------------------------------------------------------- corpus drift
+def test_corpus_drift_kl_properties(spark):
+    import math
+
+    from connectors_spark.operators.pretrain import corpus_drift_kl
+
+    # identical snapshots -> zero drift on every term
+    rows = [(0, "a", 4), (0, "b", 6), (1, "a", 4), (1, "b", 6)]
+    df = spark.createDataFrame(rows, "snap int, term string, tf long")
+    out = corpus_drift_kl(df).collect()
+    assert all(r["kl_ab_term"] == 0.0 and r["kl_ba_term"] == 0.0
+               for r in out)
+
+    # drifted term: closed-form contribution; oov term excluded
+    rows = [(0, "a", 8), (0, "b", 2), (1, "a", 2), (1, "b", 8),
+            (0, "only_in_a", 5)]
+    df = spark.createDataFrame(rows, "snap int, term string, tf long")
+    out = {r["term"]: r for r in corpus_drift_kl(df).collect()}
+    assert "only_in_a" not in out  # shared-vocab join
+    pa, pb = 8 / 15, 2 / 10
+    assert abs(out["a"]["kl_ab_term"]
+               - round(pa * math.log(pa / pb), 6)) <= 1e-6
+    # total KL over shared vocab is nonnegative
+    assert sum(r["kl_ab_term"] for r in out.values()) > 0
