@@ -17265,3 +17265,91 @@ def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("tf"))
               .select((F.col("doc_id") % 2).alias("snap"), "term", "tf"))
     return corpus_drift_kl(tokens)
+
+
+_CCR_OPS_SQL = """
+SELECT event_id AS seq_no, user_id % 200 AS id,
+       CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'index' END
+         AS op_type,
+       value, event_type
+FROM events
+"""
+
+
+@register(
+    "ccr_follower_replay",
+    f"""
+WITH ops AS ({_CCR_OPS_SQL}),
+won AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY seq_no DESC) AS r
+  FROM ops
+)
+SELECT id, seq_no, round(value, {ROUND_SCORE}) AS value, event_type
+FROM won WHERE r = 1 AND op_type <> 'delete'
+""",
+)
+def q_ccr_follower_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cluster-replication follower convergence
+    (operators/replication.py): a deterministic op log is derived from
+    events (seq_no = event_id, id = user_id % 200, every 7th op a
+    delete), the follower bootstraps at checkpoint = max(seq)/2, then
+    tails the remaining ops with follower_apply. The gate pins the CCR
+    contract itself: checkpoint-resume state == full-log replay (the
+    DuckDB oracle's single last-write-wins window). Engine side is two
+    max_by groupBys (map-side combinable — a million-times-rewritten
+    hot id costs one row per task) + one anti-join merge; the seq_no
+    range filter is a pushed-down predicate, i.e. partition pruning on
+    a seq-partitioned op log at scale."""
+    from connectors_spark.operators.replication import (
+        bootstrap_state, follower_apply)
+
+    ev = _read(spark, sf_dir, "events")
+    ops = ev.select(
+        F.col("event_id").alias("seq_no"),
+        (F.col("user_id") % 200).alias("id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("delete"))
+         .otherwise(F.lit("index")).alias("op_type"),
+        "value", "event_type",
+    )
+    checkpoint = ops.agg(
+        (F.max("seq_no") / 2).cast("long")).collect()[0][0]
+    base = bootstrap_state(ops, upto=checkpoint)
+    state = follower_apply(base, ops, checkpoint)
+    return state.select(
+        "id", "seq_no",
+        F.round("value", ROUND_SCORE).alias("value"), "event_type")
+
+
+_IDXSORT_K = 100
+_IDXSORT_BLOCK = 250
+
+
+@register(
+    "index_sorted_topk",
+    f"""
+SELECT event_id, ts
+FROM events
+ORDER BY ts ASC, event_id ASC
+LIMIT {_IDXSORT_K}
+""",
+)
+def q_index_sorted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene index-sorting early termination
+    (operators/sorted_scan.py): events blocked by event_id div
+    {_IDXSORT_BLOCK} (writes arrive in ts order, so blocks are genuine
+    ts ranges — the index.sort layout), top-{_IDXSORT_K} by ts read via
+    block min/max metadata: the driver sees O(#blocks) stats rows,
+    learns the k-th key from the shortest qualifying block prefix, and
+    scans ONLY blocks whose min can still beat it —
+    `track_total_hits=false` semantics. Oracle is the plain full-scan
+    ORDER BY LIMIT. Result is identical whether or not blocks
+    correlate with the key; pruning audits live in pytest."""
+    from connectors_spark.operators.sorted_scan import sorted_topk
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        (F.col("event_id") / _IDXSORT_BLOCK).cast("long").alias("blk"))
+    out, _info = sorted_topk(ev, "blk", "ts", _IDXSORT_K,
+                             extra_order=["event_id"])
+    return out.select("event_id", "ts")

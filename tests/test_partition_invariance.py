@@ -60,6 +60,8 @@ GATES = [
     "slm_retention_plan",   # newest-first rank + dual retention rules
     "doremi_domain_weights",  # domain-mean agg + k-row normalization
     "conv_minhash_neardup",   # conv concat -> banded LSH + Jaccard
+    "ccr_follower_replay",  # max_by last-write-wins + anti-join merge
+    "index_sorted_topk",    # block-metadata prune + TakeOrdered
 ]
 
 
