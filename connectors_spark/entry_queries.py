@@ -17336,9 +17336,9 @@ LIMIT {_IDXSORT_K}
 )
 def q_index_sorted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene index-sorting early termination
-    (operators/sorted_scan.py): events blocked by event_id div
-    {_IDXSORT_BLOCK} (writes arrive in ts order, so blocks are genuine
-    ts ranges — the index.sort layout), top-{_IDXSORT_K} by ts read via
+    (operators/sorted_scan.py): events blocked by event_id div 250
+    (writes arrive in ts order, so blocks are genuine
+    ts ranges — the index.sort layout), top-100 by ts read via
     block min/max metadata: the driver sees O(#blocks) stats rows,
     learns the k-th key from the shortest qualifying block prefix, and
     scans ONLY blocks whose min can still beat it —

@@ -46,6 +46,7 @@ def _completed_stages(spark) -> dict[int, dict]:
             "name": s.get("name", ""),
             "run_ms": int(s.get("executorRunTime", 0)),
             "cpu_ms": int(s.get("executorCpuTime", 0)) // 1_000_000,
+            "n_tasks": int(s.get("numTasks", 0)),
         }
         for s in stages
     }
@@ -61,6 +62,8 @@ def _task_time_delta(spark, seen_ids: set[int]) -> tuple[dict, set[int]]:
         {
             "task_run_ms": sum(s["run_ms"] for s in new.values()),
             "task_cpu_ms": sum(s["cpu_ms"] for s in new.values()),
+            "max_stage_tasks": max(
+                (s["n_tasks"] for s in new.values()), default=0),
             "top_stages": [
                 {"name": s["name"].split("\n")[0][:80],
                  "cpu_ms": s["cpu_ms"]} for s in top
@@ -76,6 +79,17 @@ def run_level(spark, par: int, n_convs: int) -> dict:
 
     spark.conf.set("spark.sql.shuffle.partitions", str(par))
     spark.conf.set("spark.default.parallelism", str(par))
+    # Leaf-scan width is NOT governed by the two confs above: file scans
+    # default to sc.defaultParallelism, which is frozen at JVM start
+    # (= 4N slots), so at the nominal-N level every parquet scan stage
+    # silently ran 4N tasks CONCURRENTLY (in local mode stage width IS
+    # concurrency — a real N-executor cluster would run those splits N
+    # at a time). Observed as util_N > 1.0 and an 8-wide "collect"
+    # scan at par=2; the same bug class as the session-23 encode-width
+    # fix. min=max pins scans to exactly `par` tasks.
+    spark.conf.set("spark.sql.files.minPartitionNum", str(par))
+    spark.conf.set("spark.sql.files.maxPartitionNum", str(par))
+    spark.conf.set("spark.sql.leafNodeDefaultParallelism", str(par))
     # tmpfs index target: in local mode the single VM disk is a CONSTANT
     # shared resource across parallelism levels (a cluster's aggregate
     # disk bandwidth scales with executors), so leaving it in the
@@ -118,6 +132,10 @@ def run_level(spark, par: int, n_convs: int) -> dict:
             "build_task_cpu_ms": build_tasks["task_cpu_ms"],
             "query_task_run_ms": query_tasks["task_run_ms"],
             "query_task_cpu_ms": query_tasks["task_cpu_ms"],
+            # self-audit: widest stage in each phase; > par means a
+            # stage leaked past the nominal level (run is suspect)
+            "build_max_stage_tasks": build_tasks["max_stage_tasks"],
+            "query_max_stage_tasks": query_tasks["max_stage_tasks"],
             "build_top_stages": build_tasks["top_stages"],
         }
     finally:
