@@ -17353,3 +17353,120 @@ def q_index_sorted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, _info = sorted_topk(ev, "blk", "ts", _IDXSORT_K,
                              extra_order=["event_id"])
     return out.select("event_id", "ts")
+
+
+# -- bit-vector kNN (ES dense_vector element_type: bit) ----------------------
+
+BITKNN_QUERY_MOD = 97
+BITKNN_K = 10
+BITKNN_DIM = 64
+BITKNN_WORD = 32
+
+_BITKNN_SQL = f"""
+WITH bitdims AS (SELECT unnest(range({BITKNN_DIM})) AS j),
+codes AS (
+  SELECT e.vec_id, CAST(bitdims.j // {BITKNN_WORD} AS INT) AS w,
+         sum(CASE WHEN CAST(e.embedding[bitdims.j + 1] AS DOUBLE) >= 0
+                  THEN CAST(round(pow(2, bitdims.j % {BITKNN_WORD})) AS BIGINT)
+                  ELSE 0 END) AS word
+  FROM embeddings e CROSS JOIN bitdims
+  GROUP BY e.vec_id, bitdims.j // {BITKNN_WORD}
+),
+q AS (SELECT * FROM codes WHERE vec_id % {BITKNN_QUERY_MOD} = 0),
+ham AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         sum(bit_count(xor(q.word, c.word))) AS hamming
+  FROM q JOIN codes c ON q.w = c.w AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, CAST(hamming AS INT) AS hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, vec_id ASC) AS rank
+  FROM ham
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, hamming
+FROM ranked WHERE rank <= {BITKNN_K}
+"""
+
+
+@register("ann_bit_hamming_topk", _BITKNN_SQL)
+def q_ann_bit_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-quantized kNN (operators/similarity.py:binary_hamming_topk) —
+    ES `dense_vector` with `element_type: bit`: sign-bit packing to
+    32-bit words in one narrow corpus pass, Hamming distance =
+    sum(bit_count(xor)) over the words (JVM codegen, 32x less data than
+    the float scan), per-query bounded top-k window, hamming-ASC /
+    vec_id tie-break, self excluded. Integer-exact scores — the oracle
+    rebuilds identical codes via the same little-endian pow(2) packing.
+    The oversample+exact-cosine rescore variant (ES quantized-knn
+    pattern) is pytest-pinned against a NumPy oracle."""
+    from connectors_spark.operators.similarity import binary_hamming_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % BITKNN_QUERY_MOD == 0)
+    return binary_hamming_topk(emb, qs, k=BITKNN_K, dim=BITKNN_DIM)
+
+
+# -- Wilson lower-bound leaderboard ------------------------------------------
+
+_WILSON_Z = 1.96
+_WILSON_SQL = f"""
+WITH cmp AS (
+  SELECT CAST(doc_id % 6 AS INT) AS a,
+         CAST((doc_id // 6) % 6 AS INT) AS b,
+         ({_hex2int_sql("md5('bt|' || CAST(doc_id AS VARCHAR))", 8)}) % 12 AS t
+  FROM documents
+  WHERE doc_id % 6 <> (doc_id // 6) % 6
+),
+wl AS (SELECT CASE WHEN t < 6 + (b - a) THEN a ELSE b END AS w,
+              CASE WHEN t < 6 + (b - a) THEN b ELSE a END AS l
+       FROM cmp),
+outcomes AS (
+  SELECT w AS item, 1 AS win FROM wl
+  UNION ALL
+  SELECT l AS item, 0 AS win FROM wl
+),
+agg AS (
+  SELECT item, sum(win) AS wins, count(*) AS n
+  FROM outcomes GROUP BY item
+)
+SELECT item, CAST(wins AS BIGINT) AS wins, CAST(n AS BIGINT) AS n,
+       round(
+         (CAST(wins AS DOUBLE) / n
+            + ({_WILSON_Z} * {_WILSON_Z}) / (2.0 * n)
+            - {_WILSON_Z} * sqrt(
+                (CAST(wins AS DOUBLE) / n) * (1.0 - CAST(wins AS DOUBLE) / n) / n
+                + ({_WILSON_Z} * {_WILSON_Z}) / (4.0 * n * n)))
+         / (1.0 + ({_WILSON_Z} * {_WILSON_Z}) / n), 6) AS wilson_lb
+FROM agg
+"""
+
+
+@register("wilson_lcb_rank", _WILSON_SQL)
+def q_wilson_lcb_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson lower-confidence-bound leaderboard
+    (operators/graph.py:wilson_lower_bound) over the same deterministic
+    pairwise-outcome synthesis as bradley_terry_arena — the "how not to
+    sort by average rating" correction used for preference-data triage:
+    one union + one map-side-combinable groupBy collapses the
+    comparison stream to k items, then a closed-form JVM expression
+    ranks by the interval's lower bound (low-sample items can't outrank
+    well-measured ones). No iteration, no driver state — contrast with
+    BT's k x k MM solve."""
+    from connectors_spark.operators.graph import wilson_lower_bound
+
+    docs = _read(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 6).cast("int")
+    b = (F.expr("doc_id div 6") % 6).cast("int")
+    t = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("bt|"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 12)
+    cmp_df = (docs.select(a.alias("a"), b.alias("b"), t.alias("t"))
+              .filter(F.col("a") != F.col("b")))
+    win = F.col("t") < 6 + (F.col("b") - F.col("a"))
+    comps = cmp_df.select(
+        F.when(win, F.col("a")).otherwise(F.col("b")).alias("winner"),
+        F.when(win, F.col("b")).otherwise(F.col("a")).alias("loser"),
+    )
+    return wilson_lower_bound(comps, z=_WILSON_Z)

@@ -278,3 +278,46 @@ def bradley_terry_strengths(comparisons: DataFrame, n_iter: int = 10,
         [(it, int(wins[pos[it]]), float(s[pos[it]])) for it in items],
         "item int, wins long, strength double",
     )
+
+
+def wilson_lower_bound(comparisons: DataFrame, z: float = 1.96,
+                       winner_col: str = "winner",
+                       loser_col: str = "loser") -> DataFrame:
+    """Wilson-score lower-confidence-bound leaderboard over pairwise
+    outcomes — the robust companion to bradley_terry_strengths: rank
+    each item by the LOWER bound of the Wilson (1927) score interval on
+    its win rate, so low-sample items can't outrank well-measured ones
+    (the standard "how not to sort by average rating" correction, used
+    for preference-data selection and reward-model eval triage).
+
+        lb = (p + z^2/2n - z*sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n)
+
+    with p = wins/n, n = total comparisons the item appeared in.
+
+    Scale shape: one union + one groupBy(item) with map-side combine
+    collapses billions of comparisons to k rows; the bound itself is a
+    closed-form JVM expression over exact integer counts — no
+    iteration, no driver state (unlike BT's k x k MM solve). Items are
+    never collected.
+
+    Returns (item, wins, n, wilson_lb) — wilson_lb rounded to 6 so the
+    DuckDB oracle replaying the same closed form hashes identically
+    (counts are integer-exact; the formula is a single float expression
+    evaluated in the same order on both engines).
+    """
+    outcomes = (
+        comparisons.select(F.col(winner_col).alias("item"),
+                           F.lit(1).alias("win"))
+        .unionByName(comparisons.select(F.col(loser_col).alias("item"),
+                                        F.lit(0).alias("win")))
+    )
+    agg = outcomes.groupBy("item").agg(
+        F.sum("win").alias("wins"), F.count(F.lit(1)).alias("n"))
+    p = F.col("wins").cast("double") / F.col("n")
+    nn = F.col("n").cast("double")
+    z2 = float(z) * float(z)
+    lb = ((p + z2 / (2.0 * nn)
+           - float(z) * F.sqrt(p * (1.0 - p) / nn + z2 / (4.0 * nn * nn)))
+          / (1.0 + z2 / nn))
+    return agg.select("item", "wins", "n",
+                      F.round(lb, 6).alias("wilson_lb"))

@@ -1102,3 +1102,107 @@ def ivf_pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("vec_id") != F.col("query_id")))
     pairs = cand.join(F.broadcast(lut), ["query_id", "m", "code"])
     return _adc_rank(pairs, k)
+
+
+BIT_WORD = 32  # pack sign bits into 32-bit words: exact in int64 AND in
+# DuckDB's BIGINT pow() replay, so the oracle can rebuild identical codes
+
+
+def sign_bit_codes(df: DataFrame, dim: int, word_bits: int = BIT_WORD,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Binary-quantize an embedding column to sign-bit codes — the ES
+    `dense_vector` `element_type: bit` storage shape (one bit per
+    dimension, 32x smaller than float32; ES docs "Bit vectors").
+
+    bit j = 1 iff v[j] >= 0; bits pack little-endian into
+    ceil(dim/word_bits) integer words. Pure JVM expression (aggregate
+    over a literal index sequence per word — no Python, no shuffle):
+    the corpus pass is a narrow map, so at 10^9+ vectors codes are
+    written once and every downstream distance touches dim/8 bytes per
+    vector instead of 4*dim.
+    """
+    v = _as_double(F.col(vec_col))
+    n_words = (dim + word_bits - 1) // word_bits
+    words = [
+        F.aggregate(
+            F.sequence(F.lit(w * word_bits),
+                       F.lit(min((w + 1) * word_bits, dim) - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc + F.when(
+                F.element_at(v, (j + 1).cast("int")) >= 0,
+                F.pow(F.lit(2.0), (j % word_bits).cast("double"))
+                .cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        for w in range(n_words)
+    ]
+    return df.select(F.col(id_col).alias("vec_id"),
+                     F.array(*words).alias("code"))
+
+
+def binary_hamming_topk(vectors: DataFrame, queries: DataFrame,
+                        k: int = 10, dim: int = 64,
+                        rescore_mult: int = 0,
+                        word_bits: int = BIT_WORD,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Bit-vector kNN — ES `element_type: bit` search semantics: distance
+    between two bit vectors is the Hamming distance over their packed
+    words (ES scores bit vectors with `hamming` regardless of the
+    declared similarity). Returns (query_id, rank, vec_id, hamming),
+    rank by hamming ASC with vec_id tie-break, self excluded.
+
+    With rescore_mult > 0, replays ES's quantized-knn oversample+rescore
+    pattern (same shape as bbq_rescore_topk): take k*rescore_mult
+    candidates by hamming, re-rank just those with exact float cosine,
+    and return (query_id, rank, vec_id, cos).
+
+    Scale shape: codes built in one narrow corpus pass (sign_bit_codes);
+    queries broadcast; hamming = sum(bit_count(xor)) over dim/32 words —
+    whole-stage-codegen JVM, 32x less data moved than the float scan;
+    per-query top-k is a bounded window. Integer-exact scores mean the
+    gate needs no float rounding to agree with the oracle.
+
+    Reference context: the service stores ML-inference vectors through
+    its pipeline mapping (svc/es/settings.py ingest pipeline palette) and
+    delegates kNN to ES — this operator is that search path, Spark-native
+    at the bit-quantized tier.
+    """
+    corpus = sign_bit_codes(vectors, dim, word_bits, vec_col, id_col)
+    qs = (sign_bit_codes(queries, dim, word_bits, vec_col, id_col)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("code").alias("qcode")))
+    joined = corpus.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id"))
+    ham = F.aggregate(
+        F.zip_with(F.col("qcode"), F.col("code"),
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    ).cast("int")
+    scored = joined.select("query_id", "vec_id", ham.alias("hamming"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id"))
+    ranked = (scored.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= (k * rescore_mult if rescore_mult
+                                        else k)))
+    if not rescore_mult:
+        return ranked.select("query_id", "rank", "vec_id", "hamming")
+    cand = ranked.select("query_id", "vec_id")
+    corpus_f = with_norm(
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("v")), "v")
+    qs_f = (with_norm(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q")), "q")
+        .withColumnRenamed("_vnorm", "_qnorm"))
+    exact = (cand.join(corpus_f, "vec_id").join(F.broadcast(qs_f),
+                                                "query_id"))
+    cos = F.round(_dot(_as_double(F.col("q")), _as_double(F.col("v")))
+                  / (F.col("_qnorm") * F.col("_vnorm")), ROUND_COS)
+    rescored = exact.select("query_id", "vec_id", cos.alias("cos"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                                F.asc("vec_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cos"))

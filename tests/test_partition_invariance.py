@@ -62,6 +62,8 @@ GATES = [
     "conv_minhash_neardup",   # conv concat -> banded LSH + Jaccard
     "ccr_follower_replay",  # max_by last-write-wins + anti-join merge
     "index_sorted_topk",    # block-metadata prune + TakeOrdered
+    "ann_bit_hamming_topk",  # sign-bit packing + integer hamming rank
+    "wilson_lcb_rank",      # exact-count agg + closed-form bound
 ]
 
 
