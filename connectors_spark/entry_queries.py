@@ -17470,3 +17470,111 @@ def q_wilson_lcb_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(win, F.col("b")).otherwise(F.col("a")).alias("loser"),
     )
     return wilson_lower_bound(comps, z=_WILSON_Z)
+
+
+# -- MMR diversified reranking ------------------------------------------------
+
+MMR_QUERY_MOD = 97
+MMR_FETCH = 8
+MMR_K = 3
+MMR_LAM_PM = 700  # lam = 0.700 quantized to permille (integer-exact greedy)
+
+
+def _mmr_sql(query_mod: int, fetch_k: int, k: int, lam_pm: int) -> str:
+    """Unrolled k-round MMR greedy as chained CTEs: each round's argmax
+    over (lam_pm * rel_u - (1000-lam_pm) * max sim_u) is INTEGER
+    arithmetic on micro-unit cosines, so the trajectory is bit-stable
+    (same convention as the Spark operator)."""
+    inv_pm = 1000 - lam_pm
+    base = f"""
+WITH {_NORMS_SQL},
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id % {query_mod} = 0),
+qdots AS (
+  SELECT q.query_id, e.vec_id,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot
+  FROM embeddings e CROSS JOIN q CROSS JOIN dims
+  WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, e.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id, CAST(round(rel * 1e6) AS BIGINT) AS rel_u FROM (
+    SELECT query_id, qdots.vec_id,
+           round(dot / (nq.nrm * nd.nrm), 6) AS rel,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(dot / (nq.nrm * nd.nrm), 6) DESC,
+                      qdots.vec_id ASC) AS rnk
+    FROM qdots JOIN norms nq ON nq.vec_id = query_id
+               JOIN norms nd ON nd.vec_id = qdots.vec_id)
+  WHERE rnk <= {fetch_k}
+),
+sims AS (
+  SELECT ca.query_id, ca.vec_id AS a, cb.vec_id AS b,
+         CAST(round(round(
+             sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
+             / (any_value(na.nrm) * any_value(nb.nrm)), 6) * 1e6) AS BIGINT) AS sim_u
+  FROM cand ca JOIN cand cb
+    ON ca.query_id = cb.query_id AND ca.vec_id <> cb.vec_id
+  JOIN embeddings ea ON ea.vec_id = ca.vec_id
+  JOIN embeddings eb ON eb.vec_id = cb.vec_id
+  JOIN norms na ON na.vec_id = ca.vec_id
+  JOIN norms nb ON nb.vec_id = cb.vec_id
+  CROSS JOIN dims
+  GROUP BY ca.query_id, ca.vec_id, cb.vec_id
+),
+s1 AS (
+  SELECT query_id, 1 AS step, vec_id, {lam_pm} * rel_u AS mmr_u
+  FROM (SELECT query_id, vec_id, rel_u,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY {lam_pm} * rel_u DESC, vec_id ASC) AS rn
+        FROM cand) WHERE rn = 1
+)"""
+    step_tpl = """
+s{t} AS (
+  SELECT query_id, {t} AS step, vec_id, mmr_u FROM (
+    SELECT c.query_id, c.vec_id,
+           {lam_pm} * c.rel_u - {inv_pm} * max(s.sim_u) AS mmr_u,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY {lam_pm} * c.rel_u - {inv_pm} * max(s.sim_u) DESC,
+                      c.vec_id ASC) AS rn
+    FROM cand c
+    JOIN sel{p} sl ON sl.query_id = c.query_id
+    JOIN sims s ON s.query_id = c.query_id AND s.a = c.vec_id
+                AND s.b = sl.vec_id
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p} x
+                           WHERE x.query_id = c.query_id)
+    GROUP BY c.query_id, c.vec_id, c.rel_u
+  ) WHERE rn = 1
+)"""
+    parts = [base]
+    sels = "sel1 AS (SELECT query_id, vec_id FROM s1)"
+    union = ["SELECT * FROM s1"]
+    for t in range(2, k + 1):
+        parts.append("," + sels + ","
+                     + step_tpl.format(t=t, p=t - 1,
+                                       lam_pm=lam_pm, inv_pm=inv_pm))
+        sels = (f"sel{t} AS (SELECT query_id, vec_id FROM sel{t-1} "
+                f"UNION ALL SELECT query_id, vec_id FROM s{t})")
+        union.append(f"SELECT * FROM s{t}")
+    return ("".join(parts)
+            + "\nSELECT query_id, CAST(step AS INT) AS step, vec_id, "
+              "CAST(mmr_u AS DOUBLE) / 1e9 AS mmr_score FROM ("
+            + " UNION ALL ".join(union) + ")")
+
+
+@register("mmr_rerank", _mmr_sql(MMR_QUERY_MOD, MMR_FETCH, MMR_K, MMR_LAM_PM))
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified reranking
+    (operators/similarity.py:mmr_rerank, Carbonell & Goldstein SIGIR
+    1998) — the RAG retrieve-then-diversify step: fetch_k=8 cosine
+    candidates, then a k=3-round integer-exact greedy (micro-unit
+    cosines, permille lambda) picks the selection maximizing relevance
+    minus max-similarity-to-already-selected. Static k-round join DAG
+    (like graph_beam_topk), bounded fetch_k^2 pair sims per query;
+    the oracle replays the identical unrolled rounds."""
+    from connectors_spark.operators.similarity import mmr_rerank
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % MMR_QUERY_MOD == 0)
+    return mmr_rerank(emb, qs, k=MMR_K, fetch_k=MMR_FETCH,
+                      lam=MMR_LAM_PM / 1000.0)

@@ -1206,3 +1206,91 @@ def binary_hamming_topk(vectors: DataFrame, queries: DataFrame,
     return (rescored.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id", "cos"))
+
+
+def mmr_rerank(vectors: DataFrame, queries: DataFrame, k: int = 3,
+               fetch_k: int = 8, lam: float = 0.7,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Maximal Marginal Relevance diversified reranking (Carbonell &
+    Goldstein, SIGIR 1998) — the standard RAG retrieve-then-diversify
+    step: fetch `fetch_k` candidates by cosine, then greedily select k
+    of them, each step taking the candidate maximizing
+
+        mmr = lam * rel(q, c) - (1 - lam) * max_{s in selected} sim(c, s)
+
+    so near-duplicate passages can't crowd the context window.
+
+    Returns (query_id, step, vec_id, mmr_score); step is the 1-based
+    selection order, the first step's penalty term is 0 by convention.
+
+    Determinism: rel and sim are cosines rounded to 6, then lifted to
+    exact micro-unit INTEGERS, and lam is quantized to permille, so the
+    greedy combination is integer arithmetic — no double-rounding
+    boundary can flip an argmax between engines or partitionings (a
+    float mmr hit exactly that: 0.7*rel - 0.30000000000000004*pen
+    landed on a .5 ulp at 6 decimals). mmr_score = mmr_units / 1e9,
+    the same integer divided by the same constant on both sides.
+    vec_id breaks every tie.
+
+    Scale shape: the greedy recurrence is sequential in k but k is the
+    context-window budget (tiny, fixed); each round is one broadcast
+    join + bounded window over fetch_k rows PER QUERY — a static
+    k-round join DAG like graph_beam_topk, never a per-row loop.
+    Candidate pair similarities are fetch_k^2 per query, computed once.
+    """
+    lam_pm = int(round(float(lam) * 1000))
+    cand = brute_force_cosine_topk(
+        vectors, queries, k=fetch_k, vec_col=vec_col, id_col=id_col
+    ).select("query_id", "vec_id",
+             F.round(F.col("cos") * 1e6).cast("long").alias("rel_u"))
+    corpus = with_norm(
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("v")), "v")
+    a = (cand.select("query_id", F.col("vec_id").alias("a"))
+         .join(corpus.select(F.col("vec_id").alias("a"),
+                             F.col("v").alias("va"),
+                             F.col("_vnorm").alias("na")), "a"))
+    b = (cand.select("query_id", F.col("vec_id").alias("b"))
+         .join(corpus.select(F.col("vec_id").alias("b"),
+                             F.col("v").alias("vb"),
+                             F.col("_vnorm").alias("nb")), "b"))
+    sim_u = F.round(F.round(_dot(_as_double(F.col("va")),
+                                 _as_double(F.col("vb")))
+                            / (F.col("na") * F.col("nb")),
+                            ROUND_COS) * 1e6).cast("long")
+    sims = (a.join(b, "query_id")
+            .filter(F.col("a") != F.col("b"))
+            .select("query_id", "a", "b", sim_u.alias("sim_u"))).cache()
+    score = (F.col("mmr_u").cast("double") / F.lit(1e9))
+    selected = None  # (query_id, step, vec_id, mmr_score)
+    remaining = cand
+    for step in range(1, k + 1):
+        if selected is None:
+            penalty = remaining.select(
+                "query_id", "vec_id", F.lit(0).cast("long").alias("pen_u"))
+        else:
+            sel_ids = selected.select("query_id",
+                                      F.col("vec_id").alias("b"))
+            penalty = (remaining.select("query_id",
+                                        F.col("vec_id").alias("a"))
+                       .join(sel_ids, "query_id")
+                       .join(sims, ["query_id", "a", "b"])
+                       .groupBy("query_id", F.col("a").alias("vec_id"))
+                       .agg(F.max("sim_u").alias("pen_u")))
+        scored = (remaining.join(penalty, ["query_id", "vec_id"])
+                  .select("query_id", "vec_id",
+                          (F.lit(lam_pm) * F.col("rel_u")
+                           - F.lit(1000 - lam_pm) * F.col("pen_u"))
+                          .alias("mmr_u")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr_u"), F.asc("vec_id"))
+        pick = (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("query_id", F.lit(step).alias("step"),
+                        "vec_id", score.alias("mmr_score")))
+        selected = pick if selected is None else selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("query_id", "vec_id"),
+            ["query_id", "vec_id"], "left_anti")
+    return selected

@@ -64,6 +64,7 @@ GATES = [
     "index_sorted_topk",    # block-metadata prune + TakeOrdered
     "ann_bit_hamming_topk",  # sign-bit packing + integer hamming rank
     "wilson_lcb_rank",      # exact-count agg + closed-form bound
+    "mmr_rerank",           # k-round integer-exact greedy join DAG
 ]
 
 
