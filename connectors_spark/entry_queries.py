@@ -17578,3 +17578,83 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") % MMR_QUERY_MOD == 0)
     return mmr_rerank(emb, qs, k=MMR_K, fetch_k=MMR_FETCH,
                       lam=MMR_LAM_PM / 1000.0)
+
+
+# -- ROUGE-N clipped overlap ---------------------------------------------------
+
+def _rouge2_sql() -> str:
+    tok = tokenize_sql_duckdb("text")
+    return f"""
+WITH c_arr AS (
+  SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id, {tok} AS a
+  FROM documents WHERE doc_id % 2 = 0),
+r_arr AS (
+  SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id, {tok} AS a
+  FROM documents WHERE doc_id % 2 = 1),
+pair_ids AS (
+  SELECT pair_id FROM c_arr INTERSECT SELECT pair_id FROM r_arr),
+c_grams AS (
+  SELECT pair_id, unnest(list_transform(range(1, len(a)),
+                                        i -> a[i] || ' ' || a[i+1])) AS gram
+  FROM c_arr WHERE len(a) >= 2),
+r_grams AS (
+  SELECT pair_id, unnest(list_transform(range(1, len(a)),
+                                        i -> a[i] || ' ' || a[i+1])) AS gram
+  FROM r_arr WHERE len(a) >= 2),
+c_cnt AS (SELECT pair_id, gram, count(*) AS c FROM c_grams
+          GROUP BY pair_id, gram),
+r_cnt AS (SELECT pair_id, gram, count(*) AS c FROM r_grams
+          GROUP BY pair_id, gram),
+clip AS (
+  SELECT c_cnt.pair_id, sum(least(c_cnt.c, r_cnt.c)) AS clip
+  FROM c_cnt JOIN r_cnt ON c_cnt.pair_id = r_cnt.pair_id
+                       AND c_cnt.gram = r_cnt.gram
+  GROUP BY c_cnt.pair_id),
+tot AS (
+  SELECT p.pair_id,
+         coalesce(tc.n, 0) AS n_cand_grams,
+         coalesce(tr.n, 0) AS n_ref_grams,
+         coalesce(cl.clip, 0) AS clip
+  FROM pair_ids p
+  LEFT JOIN (SELECT pair_id, sum(c) AS n FROM c_cnt GROUP BY pair_id) tc
+    ON tc.pair_id = p.pair_id
+  LEFT JOIN (SELECT pair_id, sum(c) AS n FROM r_cnt GROUP BY pair_id) tr
+    ON tr.pair_id = p.pair_id
+  LEFT JOIN clip cl ON cl.pair_id = p.pair_id),
+scored AS (
+  SELECT pair_id, n_cand_grams, n_ref_grams, clip,
+         CASE WHEN n_cand_grams > 0
+              THEN CAST(clip AS DOUBLE) / n_cand_grams ELSE 0.0 END AS p,
+         CASE WHEN n_ref_grams > 0
+              THEN CAST(clip AS DOUBLE) / n_ref_grams ELSE 0.0 END AS r
+  FROM tot)
+SELECT pair_id, CAST(n_cand_grams AS BIGINT) AS n_cand_grams,
+       CAST(n_ref_grams AS BIGINT) AS n_ref_grams,
+       CAST(clip AS BIGINT) AS clip,
+       round(p, 6) AS precision, round(r, 6) AS recall,
+       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+                  ELSE 0.0 END, 6) AS f1
+FROM scored
+"""
+
+
+@register("rouge_n_overlap", _rouge2_sql())
+def q_rouge_n_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 with BLEU-style clipping
+    (functions/text.py:rouge_n_overlap, Lin 2004 / Papineni 2002) —
+    the distillation / eval-overlap screen, gated as a sampled
+    self-overlap probe: even doc_id is the "candidate", odd doc_id+1
+    its "reference". Grams built inside the tokens array, each side
+    map-side-combined to (pair, gram, count) before the only shuffle,
+    clip join co-partitioned on (pair, gram). Integer counts; the
+    ratios are single divisions so both engines round identically."""
+    from connectors_spark.functions.text import rouge_n_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("text").alias("cand_text"))
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("text").alias("ref_text"))
+    return rouge_n_overlap(even.join(odd, "pair_id"), n=2)

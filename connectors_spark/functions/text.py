@@ -639,3 +639,66 @@ def c4_line_rules(lines: DataFrame, bad_words: list[str] | None = None,
     return agg.select("doc_id", "n_lines", "n_kept_lines", "n_sentences",
                       "has_lorem", "has_brace", "has_badword",
                       keep.cast("int").alias("keep"))
+
+
+def rouge_n_overlap(pairs: DataFrame, n: int = 2,
+                    cand_col: str = "cand_text", ref_col: str = "ref_text",
+                    id_col: str = "pair_id",
+                    round_to: int = 6) -> DataFrame:
+    """ROUGE-N with BLEU-style clipping over (candidate, reference) text
+    pairs (Lin 2004 / Papineni 2002, public) — the distillation and
+    eval-overlap screen: how much of a model output is n-gram-copied
+    from its reference (or, pairing corpus docs with each other, a
+    sampled self-BLEU diversity probe).
+
+    Per pair, over adjacent token n-grams (the corpus-wide tokenizer
+    chain, analysis.py:tokens_col):
+
+        clip      = sum_g min(count_cand(g), count_ref(g))
+        precision = clip / n_cand_grams      (0 when candidate is empty)
+        recall    = clip / n_ref_grams       (0 when reference is empty)
+        f1        = 2PR / (P + R)            (0 when both are 0)
+
+    Returns (pair_id, n_cand_grams, n_ref_grams, clip, precision,
+    recall, f1) — counts are exact integers; the ratios are single
+    divisions of those integers, so both engines round identically.
+
+    Scale shape: grams are built INSIDE the tokens array (one transform
+    per row — no position self-join), each side collapses to
+    (pair_id, gram, count) with map-side combine BEFORE the only
+    shuffle, and the clip join is keyed (pair_id, gram) — co-partitioned
+    with the counts, skew-bounded by per-doc gram diversity. No
+    all-pairs, no Python in the loop.
+    """
+    cand = (_doc_grams(pairs.select(id_col, F.col(cand_col).alias("t")),
+                       n, "t", id_col)
+            .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c_cand")))
+    ref = (_doc_grams(pairs.select(id_col, F.col(ref_col).alias("t")),
+                      n, "t", id_col)
+           .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c_ref")))
+    clip = (cand.join(ref, [id_col, "gram"])
+            .groupBy(id_col)
+            .agg(F.sum(F.least("c_cand", "c_ref")).alias("clip")))
+    totals = (cand.groupBy(id_col).agg(F.sum("c_cand").alias("n_cand_grams"))
+              .join(ref.groupBy(id_col).agg(F.sum("c_ref")
+                                            .alias("n_ref_grams")),
+                    id_col, "outer"))
+    out = (pairs.select(id_col).distinct()
+           .join(totals, id_col, "left")
+           .join(clip, id_col, "left")
+           .fillna(0, ["n_cand_grams", "n_ref_grams", "clip"]))
+    p = F.when(F.col("n_cand_grams") > 0,
+               F.col("clip") / F.col("n_cand_grams")).otherwise(F.lit(0.0))
+    r = F.when(F.col("n_ref_grams") > 0,
+               F.col("clip") / F.col("n_ref_grams")).otherwise(F.lit(0.0))
+    scored = out.select(
+        id_col, "n_cand_grams", "n_ref_grams", "clip",
+        F.round(p, round_to).alias("precision"),
+        F.round(r, round_to).alias("recall"),
+        p.alias("_p"), r.alias("_r"))
+    f1 = F.when(F.col("_p") + F.col("_r") > 0,
+                2.0 * F.col("_p") * F.col("_r")
+                / (F.col("_p") + F.col("_r"))).otherwise(F.lit(0.0))
+    return scored.select(
+        id_col, "n_cand_grams", "n_ref_grams", "clip",
+        "precision", "recall", F.round(f1, round_to).alias("f1"))

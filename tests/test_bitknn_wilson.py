@@ -119,3 +119,41 @@ def test_wilson_low_sample_cannot_outrank(spark):
     assert out["big"] > out["tiny"]
     # zero-win item gets lb 0
     assert out["x"] == 0.0
+
+
+# --------------------------------------------------------------- ROUGE-N
+def test_rouge2_clipping_closed_form(spark):
+    from connectors_spark.functions.text import rouge_n_overlap
+
+    pairs = spark.createDataFrame(
+        [
+            # cand bigrams: [a b, b a, a b] ; ref bigrams: [a b, b c]
+            # clip: min(2,1) for 'a b' = 1 -> P=1/3, R=1/2, F1=2/5
+            (0, "a b a b", "a b c"),
+            # identical -> P=R=F1=1
+            (1, "x y z", "x y z"),
+            # disjoint -> all 0
+            (2, "p q", "r s"),
+            # cand too short for bigrams -> P=0 (no div-by-zero), R=0
+            (3, "p", "r s"),
+        ],
+        "pair_id long, cand_text string, ref_text string")
+    out = {r.pair_id: r for r in rouge_n_overlap(pairs, n=2).collect()}
+    assert (out[0].n_cand_grams, out[0].n_ref_grams, out[0].clip) == (3, 2, 1)
+    assert (out[0].precision, out[0].recall, out[0].f1) == (
+        round(1 / 3, 6), 0.5, 0.4)
+    assert (out[1].precision, out[1].recall, out[1].f1) == (1.0, 1.0, 1.0)
+    assert (out[2].clip, out[2].f1) == (0, 0.0)
+    assert (out[3].n_cand_grams, out[3].precision, out[3].f1) == (0, 0.0, 0.0)
+
+
+def test_rouge1_unigram_mode(spark):
+    from connectors_spark.functions.text import rouge_n_overlap
+
+    pairs = spark.createDataFrame(
+        [(0, "the cat the", "the dog")],
+        "pair_id long, cand_text string, ref_text string")
+    r = rouge_n_overlap(pairs, n=1).collect()[0]
+    # cand: the x2, cat x1; ref: the, dog -> clip = min(2,1) = 1
+    assert (r.n_cand_grams, r.n_ref_grams, r.clip) == (3, 2, 1)
+    assert r.precision == round(1 / 3, 6) and r.recall == 0.5

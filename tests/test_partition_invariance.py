@@ -65,6 +65,7 @@ GATES = [
     "ann_bit_hamming_topk",  # sign-bit packing + integer hamming rank
     "wilson_lcb_rank",      # exact-count agg + closed-form bound
     "mmr_rerank",           # k-round integer-exact greedy join DAG
+    "rouge_n_overlap",      # per-pair clipped gram-count join
 ]
 
 
