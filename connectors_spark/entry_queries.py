@@ -17658,3 +17658,92 @@ def q_rouge_n_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("doc_id div 2").alias("pair_id"),
         F.col("text").alias("ref_text"))
     return rouge_n_overlap(even.join(odd, "pair_id"), n=2)
+
+
+# -- rank-biased overlap -------------------------------------------------------
+
+RBO_P = 0.9
+
+
+def _cosine_rank_ctes(sfx: str, query_mod: int, k: int, dim: int) -> str:
+    """Suffixed CTE fragment version of _cosine_sql (no WITH, no final
+    SELECT) so two rankings can live in one statement."""
+    return f"""
+q{sfx} AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id % {query_mod} = 0),
+dims{sfx} AS (SELECT unnest(range(1, {dim + 1})) AS i),
+norms{sfx} AS (
+  SELECT vec_id,
+         sqrt(sum(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN dims{sfx} GROUP BY vec_id
+),
+dots{sfx} AS (
+  SELECT d.vec_id, q{sfx}.query_id,
+         sum(CAST(d.embedding[i] AS DOUBLE) * CAST(q{sfx}.qe[i] AS DOUBLE)) AS dot
+  FROM embeddings d CROSS JOIN q{sfx} CROSS JOIN dims{sfx}
+  WHERE d.vec_id <> q{sfx}.query_id
+  GROUP BY d.vec_id, q{sfx}.query_id
+),
+ranked{sfx} AS (
+  SELECT query_id, dots{sfx}.vec_id AS vec_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(dot / (nq.nrm * nd.nrm), 6) DESC,
+                    dots{sfx}.vec_id ASC) AS rank
+  FROM dots{sfx}
+  JOIN norms{sfx} nq ON nq.vec_id = query_id
+  JOIN norms{sfx} nd ON nd.vec_id = dots{sfx}.vec_id
+)"""
+
+
+def _rbo_sql(query_mod: int, k: int, dim_a: int, dim_b: int,
+             p: float) -> str:
+    from connectors_spark.operators.query import rbo_suffix_weights
+
+    suffix, scale = rbo_suffix_weights(k, p)
+    vals = ", ".join(f"({d}, {s})" for d, s in enumerate(suffix, start=1))
+    return f"""
+WITH {_cosine_rank_ctes('_a', query_mod, k, dim_a)},
+{_cosine_rank_ctes('_b', query_mod, k, dim_b)},
+w(m, s) AS (VALUES {vals}),
+matches AS (
+  SELECT a.query_id, greatest(a.rank, b.rank) AS m
+  FROM ranked_a a JOIN ranked_b b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+  WHERE a.rank <= {k} AND b.rank <= {k}
+),
+agg AS (
+  SELECT query_id, sum(w.s) AS n_u, count(*) AS overlap_at_k
+  FROM matches JOIN w ON w.m = matches.m
+  GROUP BY query_id
+),
+uni AS (SELECT DISTINCT query_id FROM ranked_a)
+SELECT uni.query_id,
+       CAST(coalesce(overlap_at_k, 0) AS INT) AS overlap_at_k,
+       round(CAST(coalesce(n_u, 0) AS DOUBLE) * {scale!r}, 6) AS rbo
+FROM uni LEFT JOIN agg ON agg.query_id = uni.query_id
+"""
+
+
+@register("rbo_mrl_vs_exact",
+          _rbo_sql(ANN_QUERY_MOD, ANN_K, EMB_DIM, 16, RBO_P))
+def q_rbo_mrl_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Rank-Biased Overlap (operators/query.py:
+    rank_biased_overlap, Webber-Moffat-Zobel TOIS 2010) between the
+    exact full-dim cosine ranking and the Matryoshka dim-16 ranking —
+    the top-weighted rank-similarity audit behind the repo's
+    rank-identity claims, gated on its own retrieval family: per-match
+    contributions are exact integers (suffix-summed lcm-lifted permille
+    weights), scaled once by a shared double constant, so both engines
+    hash identically."""
+    from connectors_spark.operators.query import rank_biased_overlap
+    from connectors_spark.operators.similarity import (
+        brute_force_cosine_topk, matryoshka_truncate)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs_full = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    run_a = brute_force_cosine_topk(emb, qs_full, k=ANN_K)
+    trunc = matryoshka_truncate(emb, 16, renorm=False)
+    qs_t = trunc.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    run_b = brute_force_cosine_topk(trunc, qs_t, k=ANN_K)
+    return rank_biased_overlap(run_a, run_b, k=ANN_K, p=RBO_P)

@@ -1502,3 +1502,79 @@ def cidr_match_sql(expr: str, cidr: str) -> str:
            f"+ CAST(split_part({expr}, '.', 3) AS BIGINT) * 256 "
            f"+ CAST(split_part({expr}, '.', 4) AS BIGINT))")
     return f"(({ipl} & {mask}) = {base})"
+
+
+def rank_biased_overlap(run_a: DataFrame, run_b: DataFrame, k: int = 10,
+                        p: float = 0.9,
+                        query_col: str = "query_id",
+                        rank_col: str = "rank",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Truncated Rank-Biased Overlap (Webber, Moffat & Zobel, TOIS 2010)
+    between two top-k runs of the same query set — the top-weighted
+    rank-similarity audit behind this repo's rank-identity claims:
+    quantifies how much a cheaper ranking (pruned index, truncated
+    embedding, quantized scorer) disagrees with the exact one, weighting
+    the head of the list most.
+
+        RBO@k = (1-p)/(1-p^k) * sum_{d=1..k} p^(d-1) * |A_d n B_d| / d
+
+    Determinism: a doc matched at ranks (ra, rb) contributes to every
+    depth d >= max(ra, rb), so its total weight is the suffix sum
+    S_m = sum_{d>=m} w_d with w_d = round(p^(d-1)*1e6) * (2520 // d) —
+    2520 = lcm(1..10) clears the /d, making every per-match contribution
+    an exact INTEGER. Per query the integer sum is scaled once by the
+    same shared double constant, so both engines produce bit-identical
+    rbo values (same convention as mmr_rerank's micro-unit greedy).
+
+    Returns (query_id, overlap_at_k, rbo) — one row per query present
+    in run_a (queries with zero agreement get rbo 0.0).
+
+    Scale shape: one (query, doc) equi-join between two k-row-per-query
+    frames, a broadcast-free bounded groupBy, and a k-entry literal
+    lookup array — nothing grows with corpus size, only with |queries|*k.
+    """
+    suffix1, scale = rbo_suffix_weights(k, p)
+    a = run_a.select(F.col(query_col).alias("query_id"),
+                     F.col(id_col).alias("doc"),
+                     F.col(rank_col).alias("ra")).filter(F.col("ra") <= k)
+    b = run_b.select(F.col(query_col).alias("query_id"),
+                     F.col(id_col).alias("doc"),
+                     F.col(rank_col).alias("rb")).filter(F.col("rb") <= k)
+    s_arr = F.array(*[F.lit(s) for s in suffix1])
+    matches = (a.join(b, ["query_id", "doc"])
+               .select("query_id",
+                       F.element_at(
+                           s_arr,
+                           F.greatest("ra", "rb").cast("int"))
+                       .alias("s")))
+    agg = matches.groupBy("query_id").agg(
+        F.sum("s").alias("n_u"),
+        F.count(F.lit(1)).alias("overlap_at_k"))
+    universe = run_a.select(F.col(query_col).alias("query_id")).distinct()
+    out = (universe.join(agg, "query_id", "left")
+           .fillna(0, ["n_u", "overlap_at_k"]))
+    return out.select(
+        "query_id",
+        F.col("overlap_at_k").cast("int").alias("overlap_at_k"),
+        F.round(F.col("n_u").cast("double") * F.lit(scale), 6).alias("rbo"))
+
+
+def rbo_suffix_weights(k: int, p: float) -> tuple[list[int], float]:
+    """The (suffix-sum integer weights, shared double scale) pair used by
+    rank_biased_overlap — exposed so the DuckDB twin embeds the IDENTICAL
+    literals (python computes once, both engines consume)."""
+    import math as _math
+
+    if k > 10:
+        lcm = 1
+        for d in range(1, k + 1):
+            lcm = lcm * d // _math.gcd(lcm, d)
+    else:
+        lcm = 2520
+    w = [int(round(p ** (d - 1) * 1e6)) * (lcm // d)
+         for d in range(1, k + 1)]
+    suffix = [0] * (k + 2)
+    for d in range(k, 0, -1):
+        suffix[d] = suffix[d + 1] + w[d - 1]
+    scale = (1.0 - p) / (1.0 - p ** k) / (1e6 * lcm)
+    return suffix[1:k + 1], scale

@@ -66,6 +66,7 @@ GATES = [
     "wilson_lcb_rank",      # exact-count agg + closed-form bound
     "mmr_rerank",           # k-round integer-exact greedy join DAG
     "rouge_n_overlap",      # per-pair clipped gram-count join
+    "rbo_mrl_vs_exact",     # two rankings joined, integer suffix weights
 ]
 
 
