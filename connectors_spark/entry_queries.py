@@ -17747,3 +17747,53 @@ def q_rbo_mrl_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs_t = trunc.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
     run_b = brute_force_cosine_topk(trunc, qs_t, k=ANN_K)
     return rank_biased_overlap(run_a, run_b, k=ANN_K, p=RBO_P)
+
+
+# -- classifier calibration (reliability diagram / ECE bins) --------------------
+
+_CALIB_SQL = f"""
+WITH scored AS (
+  SELECT s.doc_id, s.score,
+         CASE WHEN d.source = 'src1' THEN 1 ELSE 0 END AS y
+  FROM ({_logreg_sql(output="scores")}) s
+  JOIN documents d USING (doc_id)
+),
+u AS (SELECT CAST(round(score * 1e6) AS BIGINT) AS s_u, y FROM scored),
+b AS (SELECT least(s_u * 10 // 1000000, 9) AS bin, s_u, y FROM u),
+agg AS (SELECT bin, count(*) AS n, sum(s_u) AS sum_u, sum(y) AS sum_label
+        FROM b GROUP BY bin),
+tot AS (SELECT count(*) AS n_total FROM scored)
+SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+       round(CAST(sum_u AS DOUBLE) / (n * 1e6), 6) AS mean_score,
+       round(CAST(sum_label AS DOUBLE) / n, 6) AS mean_label,
+       round(CAST(abs(sum_label * 1000000 - sum_u) AS DOUBLE)
+             / (n * 1e6), 6) AS gap,
+       round(CAST(abs(sum_label * 1000000 - sum_u) AS DOUBLE)
+             / (n_total * 1e6), 6) AS ece_term
+FROM agg CROSS JOIN tot
+"""
+
+
+@register("classifier_calibration", _CALIB_SQL)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram / ECE bins
+    (operators/classifier.py:reliability_bins, Naeini et al. 2015) over
+    the in-engine quality classifier's scores — the calibration audit a
+    score-gated corpus filter needs: per score-decile, predicted
+    probability vs observed positive rate, plus the bin's ECE term.
+    Rounded scores lift to micro-unit integers; binning and every
+    numerator are exact integer arithmetic (single divisions only), so
+    both engines hash identically."""
+    from connectors_spark.operators.classifier import (
+        reliability_bins, score_logreg, train_logreg)
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("source") == "src1").cast("double"))
+    w = train_logreg(docs, label_col="y", dim=_LR_DIM,
+                     iters=_LR_ITERS, lr=_LR_LR, l2=_LR_L2)
+    scored = (score_logreg(docs, w, dim=_LR_DIM)
+              .select("doc_id",
+                      F.round("score", ROUND_SCORE).alias("score"))
+              .join(docs.select("doc_id", "y"), "doc_id"))
+    return reliability_bins(scored, score_col="score", label_col="y",
+                            n_bins=10)

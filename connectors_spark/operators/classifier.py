@@ -129,3 +129,51 @@ def score_logreg(df: DataFrame, weights: DataFrame,
                     (F.lit(1.0)
                      / (F.lit(1.0) + F.exp(-F.coalesce("z", F.lit(0.0))))
                      ).alias("score")))
+
+
+def reliability_bins(scored: DataFrame, score_col: str = "score",
+                     label_col: str = "y", n_bins: int = 10) -> DataFrame:
+    """Reliability diagram / Expected-Calibration-Error bins for a
+    probabilistic classifier (Naeini et al. AAAI 2015's ECE, public) —
+    the post-training audit a quality/reward classifier needs before
+    its scores gate corpus admission: per score-decile, how far does
+    the predicted probability sit from the observed positive rate?
+
+        bin_b: n, mean_score, mean_label, gap = |mean_label-mean_score|
+        ece_term_b = (n_b / N) * gap_b     (ECE = sum of ece_terms)
+
+    Determinism: scores arrive rounded (ROUND_SCORE decimals); they are
+    lifted to micro-unit integers, binning is integer arithmetic
+    (bin = min(score_u * n_bins div 1e6, n_bins-1), so score=1.0 folds
+    into the top bin), and every output is a single division of exact
+    integer sums — the same cross-engine convention as mmr_rerank /
+    rank_biased_overlap. Labels must be 0/1 integers.
+
+    Scale shape: one map-side-combinable groupBy on <= n_bins keys plus
+    a broadcast of the scalar N — a constant-size result regardless of
+    corpus size.
+    """
+    score_u = F.round(F.col(score_col) * 1e6).cast("long")
+    bin_col = F.least(
+        (score_u * n_bins / F.lit(1_000_000)).cast("long"),
+        F.lit(n_bins - 1)).alias("bin")
+    agg = (scored.select(bin_col,
+                         score_u.alias("s_u"),
+                         F.col(label_col).cast("long").alias("lab"))
+           .groupBy("bin")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("s_u").alias("sum_u"),
+                F.sum("lab").alias("sum_label")))
+    total = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    agg = agg.crossJoin(F.broadcast(total))
+    gap_num = F.abs(F.col("sum_label") * F.lit(1_000_000) - F.col("sum_u"))
+    return agg.select(
+        F.col("bin").cast("int").alias("bin"), "n",
+        F.round(F.col("sum_u").cast("double")
+                / (F.col("n") * 1e6), 6).alias("mean_score"),
+        F.round(F.col("sum_label").cast("double")
+                / F.col("n"), 6).alias("mean_label"),
+        F.round(gap_num.cast("double")
+                / (F.col("n") * 1e6), 6).alias("gap"),
+        F.round(gap_num.cast("double")
+                / (F.col("n_total") * 1e6), 6).alias("ece_term"))

@@ -157,3 +157,40 @@ def test_rouge1_unigram_mode(spark):
     # cand: the x2, cat x1; ref: the, dog -> clip = min(2,1) = 1
     assert (r.n_cand_grams, r.n_ref_grams, r.clip) == (3, 2, 1)
     assert r.precision == round(1 / 3, 6) and r.recall == 0.5
+
+
+# --------------------------------------------------- calibration bins
+def test_reliability_bins_closed_form(spark):
+    from connectors_spark.operators.classifier import reliability_bins
+
+    rows = [
+        # bin 0: scores 0.0, 0.05; labels 0, 1 -> mean_s 0.025, mean_l 0.5
+        (0.0, 0), (0.05, 1),
+        # bin 9: score 1.0 folds into the TOP bin (not bin 10)
+        (1.0, 1), (0.95, 1),
+        # bin 5: perfectly calibrated cell -> gap 0
+        (0.5, 1), (0.5, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r.bin: r for r in reliability_bins(df).collect()}
+    assert set(out) == {0, 5, 9}
+    b0 = out[0]
+    assert (b0.n, b0.mean_score, b0.mean_label) == (2, 0.025, 0.5)
+    assert b0.gap == 0.475 and b0.ece_term == round(0.475 * 2 / 6, 6)
+    assert out[9].n == 2 and out[9].mean_score == 0.975
+    assert out[9].gap == 0.025
+    assert out[5].gap == 0.0 and out[5].ece_term == 0.0
+    # ECE = sum of terms
+    ece = sum(r.ece_term for r in out.values())
+    # each term is rounded to 6 decimals, so the sum carries <= n_bins
+    # half-ulps of that rounding
+    assert abs(ece - (0.475 * 2 + 0.025 * 2 + 0.0 * 2) / 6) < 2e-6
+
+
+def test_reliability_bins_respects_n_bins(spark):
+    from connectors_spark.operators.classifier import reliability_bins
+
+    df = spark.createDataFrame(
+        [(0.24, 0), (0.26, 1), (0.74, 0), (0.76, 1)], "score double, y int")
+    out = {r.bin for r in reliability_bins(df, n_bins=4).collect()}
+    assert out == {0, 1, 2, 3}

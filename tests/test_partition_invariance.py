@@ -67,6 +67,7 @@ GATES = [
     "mmr_rerank",           # k-round integer-exact greedy join DAG
     "rouge_n_overlap",      # per-pair clipped gram-count join
     "rbo_mrl_vs_exact",     # two rankings joined, integer suffix weights
+    "classifier_calibration",  # integer-binned score/label sums
 ]
 
 
