@@ -407,3 +407,45 @@ def test_ilm_planners_no_global_window(spark, sf_dir):
     plan2 = _plan(slm_retention_plan(
         snaps, F.lit("2024-01-31").cast("date")))
     assert "SinglePartition" not in plan2, plan2
+
+
+def test_bit_hamming_broadcasts_query_codes(spark, sf_dir):
+    """binary_hamming_topk: the packed query-code side must broadcast
+    (a query set is small by construction) and the corpus side must be
+    a single scan — no SortMergeJoin anywhere in the code-compare."""
+    from connectors_spark.operators.similarity import binary_hamming_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    plan = _plan(binary_hamming_topk(emb, qs, k=5, dim=64))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rbo_join_stays_small_no_cartesian(spark):
+    """rank_biased_overlap joins two k-rows-per-query frames on
+    (query, doc) — it must be an equi-join (hash or broadcast), never a
+    cartesian/BroadcastNestedLoop, and the suffix-weight lookup must be
+    a literal array (no extra join for the weights)."""
+    from connectors_spark.operators.query import rank_biased_overlap
+
+    a = spark.createDataFrame(
+        [(1, r, r) for r in range(1, 11)],
+        "query_id long, rank int, vec_id long")
+    plan = _plan(rank_biased_overlap(a, a, k=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_reliability_bins_single_agg_constant_output(spark):
+    """reliability_bins: one hash aggregate on <= n_bins keys with a
+    partial (map-side) phase, and the scalar N arrives via broadcast —
+    no window, no sort."""
+    from connectors_spark.operators.classifier import reliability_bins
+
+    df = spark.createDataFrame(
+        [(i / 100.0, i % 2) for i in range(100)], "score double, y int")
+    plan = _plan(reliability_bins(df))
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan, plan
