@@ -17797,3 +17797,79 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(docs.select("doc_id", "y"), "doc_id"))
     return reliability_bins(scored, score_col="score", label_col="y",
                             n_bins=10)
+
+
+# -- LTR feature logging --------------------------------------------------------
+
+def _ltr_sql() -> str:
+    from connectors_spark.operators.score import idf_sql
+
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(
+        n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+        dl_expr="dl.dl", avgdl_expr="stats.avgdl",
+    )
+    idf_u = (f"CAST(round(round({idf_sql('stats.n', 'dfreq.df')}, 6) * 1e6)"
+             " AS BIGINT)")
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, tf.tf, {w} AS w, {idf_u} AS idf_u
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+feats AS (
+  SELECT query_id, doc_id,
+         round(sum(w), {ROUND_SCORE}) AS score,
+         count(*) AS n_matched,
+         sum(tf) AS tf_sum,
+         sum(idf_u) AS idf_u_sum
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score, n_matched, tf_sum, idf_u_sum,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM feats
+)
+SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.doc_id, r.score,
+       CAST(r.n_matched AS INT) AS n_matched,
+       CAST(r.tf_sum AS BIGINT) AS tf_sum,
+       CAST(dl.dl AS BIGINT) AS dl,
+       round(CAST(r.idf_u_sum AS DOUBLE) / 1e6, 6) AS idf_sum
+FROM ranked r JOIN dl ON dl.doc_id = r.doc_id
+WHERE r.rank <= {GATE_BM25_K}
+"""
+
+
+@register("ltr_feature_log", _ltr_sql())
+def q_ltr_feature_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank feature logging
+    (operators/query.py:ltr_feature_log) — ES's LTR integration logs a
+    per-(query, candidate) feature vector for external ranker training;
+    candidates = the BM25 top-k first stage. Features: first-stage
+    rank + score, n_matched, tf_sum, dl, idf_sum (micro-unit integer
+    sum of per-term rounded idfs — aggregation-order-proof). Rides the
+    scorer's broadcast plan with one extra combine-friendly (query,
+    doc) agg."""
+    from connectors_spark.operators.query import ltr_feature_log
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    return ltr_feature_log(idx, qdf, k=GATE_BM25_K)

@@ -1578,3 +1578,55 @@ def rbo_suffix_weights(k: int, p: float) -> tuple[list[int], float]:
         suffix[d] = suffix[d + 1] + w[d - 1]
     scale = (1.0 - p) / (1.0 - p ** k) / (1e6 * lcm)
     return suffix[1:k + 1], scale
+
+
+def ltr_feature_log(index: IndexFrames, qdf: DataFrame, k: int = 10,
+                    k1: float = None, b: float = None,
+                    round_to: int = 6,
+                    broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """Learning-to-rank feature logging — ES's LTR integration logs a
+    feature vector for every (query, candidate-doc) pair of a judgment
+    list so an external ranker can be trained (Elasticsearch "Learning
+    To Rank" docs, public): the candidate set here is the BM25 top-k
+    (the standard first-stage sampler).
+
+    Per (query_id, doc_id): rank and BM25 score (the first-stage
+    ranker), n_matched (distinct query terms present), tf_sum (total
+    matched-term frequency), dl (doc length), idf_sum (sum of matched
+    terms' idf). idf_sum follows the integer micro-unit convention
+    (each term's idf rounds to 6 then lifts to an exact int before the
+    sum) so per-doc sums cannot drift with aggregation order.
+
+    Scale shape: rides the scorer's plan (one postings scan, query
+    terms broadcast), one extra map-side-combinable (query, doc) agg,
+    and the same dl broadcast gate as _distinct_term_weights. The
+    feature frame is |queries| * k rows.
+    """
+    k1 = BM25_K1 if k1 is None else k1
+    b = BM25_B if b is None else b
+    topk = score_topk_dataframe(index, qdf, k1=k1, b=b,
+                                round_scores=round_to,
+                                broadcast_docs_max=broadcast_docs_max)
+    qt = query_terms(qdf).select("query_id", "term")
+    idf_u = F.round(
+        F.round(idf_col(index.n_docs, F.col("df")), round_to) * 1e6
+    ).cast("long")
+    lex = index.lexicon.join(F.broadcast(qt.select("term").distinct()),
+                             "term").select("term", idf_u.alias("idf_u"))
+    matched = (index.postings.join(F.broadcast(qt), "term")
+               .join(F.broadcast(lex), "term"))
+    feats = matched.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("tf").alias("tf_sum"),
+        F.sum("idf_u").alias("idf_u_sum"))
+    docs_dl = index.docs.select("doc_id", "dl")
+    if index.n_docs <= broadcast_docs_max:
+        docs_dl = F.broadcast(docs_dl)
+    return (topk.join(feats, ["query_id", "doc_id"])
+            .join(docs_dl, "doc_id")
+            .select("query_id", "rank", "doc_id", "score",
+                    F.col("n_matched").cast("int").alias("n_matched"),
+                    F.col("tf_sum").cast("long").alias("tf_sum"),
+                    F.col("dl").cast("long").alias("dl"),
+                    F.round(F.col("idf_u_sum").cast("double") / 1e6,
+                            round_to).alias("idf_sum")))

@@ -194,3 +194,36 @@ def test_reliability_bins_respects_n_bins(spark):
         [(0.24, 0), (0.26, 1), (0.74, 0), (0.76, 1)], "score double, y int")
     out = {r.bin for r in reliability_bins(df, n_bins=4).collect()}
     assert out == {0, 1, 2, 3}
+
+
+# ------------------------------------------------------ LTR feature log
+def test_ltr_features_closed_form(spark):
+    import math
+
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import (
+        ltr_feature_log, queries_df, score_topk_dataframe)
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark fast"), (1, "spark slow"), (2, "other text")],
+        "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "q", "query_text": "spark fast", "k": 3}])
+    out = {r.doc_id: r for r in ltr_feature_log(idx, qdf, k=3).collect()}
+    # only docs 0 and 1 match any term
+    assert set(out) == {0, 1}
+    assert (out[0].n_matched, out[0].tf_sum, out[0].dl) == (2, 3, 3)
+    assert (out[1].n_matched, out[1].tf_sum, out[1].dl) == (1, 1, 2)
+    # idf_sum replays ES idf with the micro-unit convention
+    def idf(df):
+        return round(math.log(1.0 + (3 - df + 0.5) / (df + 0.5)), 6)
+    assert out[0].idf_sum == round(
+        (round(idf(2) * 1e6) + round(idf(1) * 1e6)) / 1e6, 6)
+    assert out[1].idf_sum == round(round(idf(2) * 1e6) / 1e6, 6)
+    # the candidate set and ranks are exactly the first-stage top-k
+    topk = {(r.query_id, r.doc_id): r for r in
+            score_topk_dataframe(idx, qdf, round_scores=6).collect()}
+    for r in out.values():
+        assert topk[("q", r.doc_id)].rank == r.rank
+        assert topk[("q", r.doc_id)].score == r.score

@@ -68,6 +68,7 @@ GATES = [
     "rouge_n_overlap",      # per-pair clipped gram-count join
     "rbo_mrl_vs_exact",     # two rankings joined, integer suffix weights
     "classifier_calibration",  # integer-binned score/label sums
+    "ltr_feature_log",      # scorer plan + per-candidate feature agg
 ]
 
 
