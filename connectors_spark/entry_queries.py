@@ -17873,3 +17873,49 @@ def q_ltr_feature_log(spark: SparkSession, sf_dir: str) -> DataFrame:
          for qid, text in GATE_BM25_QUERIES],
     )
     return ltr_feature_log(idx, qdf, k=GATE_BM25_K)
+
+
+# -- transcript canonicalization: merge adjacent same-role turns ------------------
+
+def _merge_turns_sql() -> str:
+    vals = ", ".join(f"({c}, {t}, '{r}', '{x}')"
+                     for _d, c, t, r, x in _qc_transcript_rows())
+    return f"""
+WITH t(conv_id, turn_idx, role, text) AS (VALUES {vals}),
+flagged AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN lag(role) OVER w IS NULL
+                   OR role <> lag(role) OVER w THEN 1 ELSE 0 END AS new_run
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+runs AS (
+  SELECT conv_id, turn_idx, role, text,
+         sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT conv_id, CAST(island - 1 AS INT) AS turn_idx,
+       any_value(role) AS role,
+       string_agg(text, chr(10) ORDER BY turn_idx, text) AS text,
+       CAST(count(*) AS INT) AS n_merged
+FROM runs GROUP BY conv_id, island
+"""
+
+
+@register("merge_adjacent_turns", _merge_turns_sql())
+def q_merge_adjacent_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript canonicalization
+    (operators/transcript_qc.py:merge_adjacent_turns): runs of
+    consecutive same-role turns collapse to one turn (texts joined in
+    turn order), turn_idx re-indexed contiguously — the repair for the
+    defect the structure-QC gate plants in conv 1 (user-user
+    adjacency); run over the same corrupted synth corpus. Two
+    conv-partitioned windows + one (conv, island) groupBy, one
+    conversation-keyed shuffle."""
+    from connectors_spark.operators.transcript_qc import (
+        merge_adjacent_turns)
+
+    rows = [(c, t, r, x) for _d, c, t, r, x in _qc_transcript_rows()]
+    df = spark.createDataFrame(
+        rows, "conv_id int, turn_idx int, role string, text string")
+    return merge_adjacent_turns(df)

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from connectors_spark.functions.analysis import tokens_col
 
-__all__ = ["transcript_structure_qc", "tool_call_validation"]
+__all__ = ["transcript_structure_qc", "tool_call_validation",
+           "merge_adjacent_turns"]
 
 
 def transcript_structure_qc(df: DataFrame,
@@ -150,3 +151,50 @@ def tool_call_validation(calls: DataFrame, str_key: str = "query",
             F.sum(valid.cast("long")).alias("n_valid"),
         )
     )
+
+
+def merge_adjacent_turns(df: DataFrame, sep: str = "\n") -> DataFrame:
+    """Transcript canonicalization: merge runs of CONSECUTIVE same-role
+    turns into one turn and re-index turn_idx contiguously — the repair
+    for the most common structural defect transcript_structure_qc
+    flags (streaming/chunked logging and resumed sessions split one
+    logical message into several adjacent turns; chat-template
+    renderers and SFT packers require strict alternation).
+
+    Gaps-and-islands: within a conversation ordered by turn_idx, a new
+    island starts where role differs from the previous turn; each
+    island collapses to one turn (texts joined in turn order by `sep`,
+    n_merged = run length), and the island's rank becomes the new
+    0-based contiguous turn_idx.
+
+    Returns (conv_id, turn_idx, role, text, n_merged).
+
+    Shape: two conv-partitioned windows (flag + running island id) and
+    one (conv, island) groupBy whose per-group width is the run length
+    — a single conversation-keyed shuffle at any corpus size, the same
+    contract as transcript_structure_qc. Ordering inside the merged
+    text is pinned by sort_array on (turn_idx, text) structs, not by
+    collect order, so results are partitioning-invariant.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = df.withColumn(
+        "_new_run",
+        F.when(F.lag("role").over(w).isNull()
+               | (F.col("role") != F.lag("role").over(w)), 1).otherwise(0))
+    run = flagged.withColumn(
+        "_island",
+        F.sum("_new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    merged = (run.groupBy("conv_id", "_island")
+              .agg(F.any_value("role").alias("role"),
+                   F.array_join(
+                       F.transform(
+                           F.sort_array(F.collect_list(
+                               F.struct("turn_idx", "text"))),
+                           lambda s: s["text"]),
+                       sep).alias("text"),
+                   F.count(F.lit(1)).alias("n_merged")))
+    return merged.select(
+        "conv_id",
+        (F.col("_island") - 1).cast("int").alias("turn_idx"),
+        "role", "text", F.col("n_merged").cast("int").alias("n_merged"))

@@ -69,6 +69,7 @@ GATES = [
     "rbo_mrl_vs_exact",     # two rankings joined, integer suffix weights
     "classifier_calibration",  # integer-binned score/label sums
     "ltr_feature_log",      # scorer plan + per-candidate feature agg
+    "merge_adjacent_turns",  # gaps-and-islands run merge, pinned order
 ]
 
 

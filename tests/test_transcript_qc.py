@@ -74,3 +74,57 @@ def test_turn_boilerplate_flags_cross_conv_templates(spark):
     out2 = turn_boilerplate(
         spark.createDataFrame(rows2, SCHEMA), min_convs=2).collect()
     assert all(r.is_boilerplate == 0 for r in out2)
+
+
+# ------------------------------------------------- merge_adjacent_turns
+def test_merge_adjacent_same_role_runs(spark):
+    from connectors_spark.operators.transcript_qc import (
+        merge_adjacent_turns)
+
+    rows = [
+        (1, 0, "system", "sys"),
+        (1, 1, "user", "part one"),
+        (1, 2, "user", "part two"),
+        (1, 3, "user", "part three"),
+        (1, 4, "assistant", "answer"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id int, turn_idx int, role string, text string")
+    out = sorted(merge_adjacent_turns(df).collect(),
+                 key=lambda r: r.turn_idx)
+    assert [(r.turn_idx, r.role, r.n_merged) for r in out] == [
+        (0, "system", 1), (1, "user", 3), (2, "assistant", 1)]
+    assert out[1].text == "part one\npart two\npart three"
+
+
+def test_merge_is_identity_on_alternating_conv(spark):
+    from connectors_spark.operators.transcript_qc import (
+        merge_adjacent_turns)
+
+    rows = [(1, i, ("user", "assistant")[i % 2], f"t{i}")
+            for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "conv_id int, turn_idx int, role string, text string")
+    out = sorted(merge_adjacent_turns(df).collect(),
+                 key=lambda r: r.turn_idx)
+    assert [(r.turn_idx, r.role, r.text, r.n_merged) for r in out] == [
+        (i, ("user", "assistant")[i % 2], f"t{i}", 1) for i in range(6)]
+
+
+def test_merge_output_alternates(spark):
+    """Post-condition: after the repair, no same-role adjacency remains
+    anywhere (the defect transcript_structure_qc flags is gone)."""
+    from connectors_spark.operators.transcript_qc import (
+        merge_adjacent_turns, transcript_structure_qc)
+
+    rows = [
+        (1, 0, "user", "a"), (1, 1, "user", "b"),
+        (1, 2, "assistant", "c"), (1, 3, "assistant", "d"),
+        (1, 4, "user", "e"),
+        (2, 0, "system", "s"), (2, 1, "user", "u"), (2, 2, "user", "v"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id int, turn_idx int, role string, text string")
+    fixed = merge_adjacent_turns(df)
+    qc = {r.conv_id: r for r in transcript_structure_qc(fixed).collect()}
+    assert all(r.alternates_ok and r.no_gaps for r in qc.values()), qc
