@@ -17919,3 +17919,69 @@ def q_merge_adjacent_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         rows, "conv_id int, turn_idx int, role string, text string")
     return merge_adjacent_turns(df)
+
+
+# -- pre-retrieval query performance prediction ---------------------------------
+
+def _qpp_sql() -> str:
+    from connectors_spark.operators.score import idf_sql
+
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    idf_u = (f"CAST(round(round({idf_sql('stats.n', 'dfreq.df')}, 6) * 1e6)"
+             " AS BIGINT)")
+    return f"""
+WITH {_TF_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) * 1.0 AS n),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+nt AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id),
+ml AS (
+  SELECT qt.query_id, {idf_u} AS idf_u
+  FROM qt JOIN dfreq USING (term) CROSS JOIN stats
+),
+idfs AS (
+  SELECT query_id, count(*) AS n_indexed,
+         max(idf_u) AS max_u, sum(idf_u) AS sum_u
+  FROM ml GROUP BY query_id
+),
+md AS (
+  SELECT qt.query_id, count(DISTINCT tf.doc_id) AS n_match
+  FROM qt JOIN tf USING (term) GROUP BY qt.query_id
+)
+SELECT nt.query_id,
+       CAST(nt.n_terms AS INT) AS n_terms,
+       CAST(coalesce(idfs.n_indexed, 0) AS INT) AS n_indexed,
+       round(CAST(coalesce(idfs.max_u, 0) AS DOUBLE) / 1e6, 6) AS max_idf,
+       round(CASE WHEN coalesce(idfs.n_indexed, 0) > 0
+                  THEN CAST(idfs.sum_u AS DOUBLE) / (idfs.n_indexed * 1e6)
+                  ELSE 0.0 END, 6) AS avg_idf,
+       round(CAST(coalesce(idfs.sum_u, 0) AS DOUBLE) / 1e6, 6) AS sum_idf,
+       round(CAST(coalesce(md.n_match, 0) AS DOUBLE)
+             / (SELECT count(*) FROM documents), 6) AS scope
+FROM nt
+LEFT JOIN idfs ON idfs.query_id = nt.query_id
+LEFT JOIN md ON md.query_id = nt.query_id
+"""
+
+
+@register("query_difficulty_predict", _qpp_sql())
+def q_query_difficulty_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-retrieval query-performance prediction
+    (operators/query.py:query_performance_predict, He & Ounis 2004):
+    per-query idf specificity stats (micro-unit integer sums) and
+    He-Ounis query scope (matched-doc fraction) — the difficulty
+    signals a query router reads before choosing k/timeout/expansion.
+    Query terms broadcast; scope counts distinct docs over only the
+    matched postings slice."""
+    from connectors_spark.operators.query import query_performance_predict
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    return query_performance_predict(idx, qdf)

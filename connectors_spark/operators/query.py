@@ -1630,3 +1630,58 @@ def ltr_feature_log(index: IndexFrames, qdf: DataFrame, k: int = 10,
                     F.col("dl").cast("long").alias("dl"),
                     F.round(F.col("idf_u_sum").cast("double") / 1e6,
                             round_to).alias("idf_sum")))
+
+
+def query_performance_predict(index: IndexFrames, qdf: DataFrame,
+                              round_to: int = 6) -> DataFrame:
+    """Pre-retrieval query-performance prediction (He & Ounis, SPIRE
+    2004; Cronen-Townsend's clarity family — public IR literature): the
+    difficulty signals a query router/planner reads BEFORE retrieval to
+    pick k, timeout, or an expansion strategy. Per query:
+
+        n_terms    distinct analyzed terms
+        n_indexed  of those, how many exist in the lexicon
+        max_idf, avg_idf, sum_idf  (specificity — low = stop-word-ish)
+        scope      |docs matching ANY term| / N  (He-Ounis query scope,
+                   the classic predictor: broad queries are hard)
+
+    idf values round to 6 then lift to micro-unit integers before
+    aggregation (order-proof sums); scope is one integer division.
+
+    Scale shape: query terms broadcast against the lexicon (O(|q|)
+    rows back), and scope counts distinct doc_ids over ONLY the
+    matched postings slice — one combine-friendly agg keyed by query,
+    never a corpus scan beyond the posting rows the terms touch.
+    """
+    qt = query_terms(qdf).select("query_id", "term")
+    n_terms = qt.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_terms"))
+    idf_u = F.round(
+        F.round(idf_col(index.n_docs, F.col("df")), round_to) * 1e6
+    ).cast("long")
+    lex = index.lexicon.select("term", idf_u.alias("idf_u"))
+    matched_lex = qt.join(F.broadcast(lex), "term")
+    idf_stats = matched_lex.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_indexed"),
+        F.max("idf_u").alias("max_u"),
+        F.sum("idf_u").alias("sum_u"))
+    matched_docs = (index.postings.join(F.broadcast(qt), "term")
+                    .groupBy("query_id")
+                    .agg(F.count_distinct("doc_id").alias("n_match")))
+    out = (n_terms.join(idf_stats, "query_id", "left")
+           .join(matched_docs, "query_id", "left")
+           .fillna(0, ["n_indexed", "max_u", "sum_u", "n_match"]))
+    return out.select(
+        "query_id",
+        F.col("n_terms").cast("int").alias("n_terms"),
+        F.col("n_indexed").cast("int").alias("n_indexed"),
+        F.round(F.col("max_u").cast("double") / 1e6,
+                round_to).alias("max_idf"),
+        F.round(F.when(F.col("n_indexed") > 0,
+                       F.col("sum_u").cast("double")
+                       / (F.col("n_indexed") * 1e6))
+                .otherwise(F.lit(0.0)), round_to).alias("avg_idf"),
+        F.round(F.col("sum_u").cast("double") / 1e6,
+                round_to).alias("sum_idf"),
+        F.round(F.col("n_match").cast("double") / F.lit(index.n_docs),
+                round_to).alias("scope"))

@@ -227,3 +227,39 @@ def test_ltr_features_closed_form(spark):
     for r in out.values():
         assert topk[("q", r.doc_id)].rank == r.rank
         assert topk[("q", r.doc_id)].score == r.score
+
+
+# ------------------------------------------------------------- QPP
+def test_qpp_closed_form_with_unindexed_term(spark):
+    import math
+
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import (
+        queries_df, query_performance_predict)
+
+    docs = spark.createDataFrame(
+        [(0, "spark fast engine"), (1, "spark slow"), (2, "other text")],
+        "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "easy", "query_text": "engine", "k": 5},
+        {"query_id": "broad", "query_text": "spark", "k": 5},
+        {"query_id": "oov", "query_text": "spark zzmissing", "k": 5},
+    ])
+    out = {r.query_id: r for r in
+           query_performance_predict(idx, qdf).collect()}
+
+    def idf6(df):
+        return round(math.log(1.0 + (3 - df + 0.5) / (df + 0.5)), 6)
+
+    easy = out["easy"]
+    assert (easy.n_terms, easy.n_indexed) == (1, 1)
+    assert easy.max_idf == round(round(idf6(1) * 1e6) / 1e6, 6)
+    assert easy.scope == round(1 / 3, 6)
+    broad = out["broad"]
+    assert broad.scope == round(2 / 3, 6)
+    # broad (df=2) must read as LESS specific than easy (df=1)
+    assert broad.max_idf < easy.max_idf
+    oov = out["oov"]
+    assert (oov.n_terms, oov.n_indexed) == (2, 1)
+    assert oov.sum_idf == broad.sum_idf  # the OOV term adds nothing

@@ -70,6 +70,7 @@ GATES = [
     "classifier_calibration",  # integer-binned score/label sums
     "ltr_feature_log",      # scorer plan + per-candidate feature agg
     "merge_adjacent_turns",  # gaps-and-islands run merge, pinned order
+    "query_difficulty_predict",  # broadcast lexicon probe + distinct-doc agg
 ]
 
 
