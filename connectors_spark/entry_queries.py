@@ -17872,7 +17872,7 @@ def q_ltr_feature_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
          for qid, text in GATE_BM25_QUERIES],
     )
-    return ltr_feature_log(idx, qdf, k=GATE_BM25_K)
+    return ltr_feature_log(idx, qdf)
 
 
 # -- transcript canonicalization: merge adjacent same-role turns ------------------

@@ -1580,7 +1580,7 @@ def rbo_suffix_weights(k: int, p: float) -> tuple[list[int], float]:
     return suffix[1:k + 1], scale
 
 
-def ltr_feature_log(index: IndexFrames, qdf: DataFrame, k: int = 10,
+def ltr_feature_log(index: IndexFrames, qdf: DataFrame,
                     k1: float = None, b: float = None,
                     round_to: int = 6,
                     broadcast_docs_max: int = 2_000_000) -> DataFrame:
@@ -1588,7 +1588,8 @@ def ltr_feature_log(index: IndexFrames, qdf: DataFrame, k: int = 10,
     feature vector for every (query, candidate-doc) pair of a judgment
     list so an external ranker can be trained (Elasticsearch "Learning
     To Rank" docs, public): the candidate set here is the BM25 top-k
-    (the standard first-stage sampler).
+    (the standard first-stage sampler; per-query k rides qdf's k
+    column, the scorer convention).
 
     Per (query_id, doc_id): rank and BM25 score (the first-stage
     ranker), n_matched (distinct query terms present), tf_sum (total

@@ -210,7 +210,7 @@ def test_ltr_features_closed_form(spark):
     idx = build_index(docs, with_positions=False)
     qdf = queries_df(spark, [
         {"query_id": "q", "query_text": "spark fast", "k": 3}])
-    out = {r.doc_id: r for r in ltr_feature_log(idx, qdf, k=3).collect()}
+    out = {r.doc_id: r for r in ltr_feature_log(idx, qdf).collect()}
     # only docs 0 and 1 match any term
     assert set(out) == {0, 1}
     assert (out[0].n_matched, out[0].tf_sum, out[0].dl) == (2, 3, 3)
