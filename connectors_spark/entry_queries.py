@@ -17985,3 +17985,96 @@ def q_query_difficulty_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
          for qid, text in GATE_BM25_QUERIES],
     )
     return query_performance_predict(idx, qdf)
+
+
+# -- RM3 pseudo-relevance-feedback expansion terms --------------------------------
+
+_PRF_FB_DOCS = 10
+_PRF_FB_TERMS = 10
+
+
+def _prf_sql() -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(
+        n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+        dl_expr="dl.dl", avgdl_expr="stats.avgdl",
+    )
+    return f"""
+WITH {_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+fb AS (
+  SELECT query_id, doc_id, CAST(round(score * 1e6) AS BIGINT) AS s_u
+  FROM (SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored)
+  WHERE rnk <= {_PRF_FB_DOCS}
+),
+cand AS (
+  SELECT fb.query_id, tf.term,
+         fb.s_u * CAST(round(round(tf.tf * 1.0 / dl.dl, {ROUND_SCORE})
+                             * 1e6) AS BIGINT) AS c_u
+  FROM fb
+  JOIN tf ON tf.doc_id = fb.doc_id
+  JOIN dl ON dl.doc_id = fb.doc_id
+),
+wts AS (
+  SELECT query_id, term, sum(c_u) AS w_u
+  FROM cand GROUP BY query_id, term
+),
+novel AS (
+  SELECT w.query_id, w.term, w.w_u
+  FROM wts w ANTI JOIN qt
+    ON qt.query_id = w.query_id AND qt.term = w.term
+),
+ranked AS (
+  SELECT query_id, term, w_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY w_u DESC, term ASC) AS rnk
+  FROM novel
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, term,
+       round(CAST(w_u AS DOUBLE) / 1e12, {ROUND_SCORE}) AS weight
+FROM ranked WHERE rnk <= {_PRF_FB_TERMS}
+"""
+
+
+@register("prf_expansion_terms", _prf_sql())
+def q_prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback expansion
+    (operators/query.py:prf_expansion_terms, Lavrenko & Croft 2001 /
+    Abdul-Jaleel 2004): top-10 feedback docs per gate query via the
+    first-stage BM25 ranker, relevance-model term weights
+    Σ_d score(d)·tf(w,d)/dl(d) as exact micro-unit integer sums, top-10
+    novel expansion terms per query. Feedback set broadcast into a
+    second postings join; one combine-friendly (query, term) agg."""
+    from connectors_spark.operators.query import prf_expansion_terms
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    return prf_expansion_terms(idx, qdf, fb_docs=_PRF_FB_DOCS,
+                               fb_terms=_PRF_FB_TERMS)

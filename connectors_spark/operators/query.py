@@ -1686,3 +1686,68 @@ def query_performance_predict(index: IndexFrames, qdf: DataFrame,
                 round_to).alias("sum_idf"),
         F.round(F.col("n_match").cast("double") / F.lit(index.n_docs),
                 round_to).alias("scope"))
+
+
+def prf_expansion_terms(index: IndexFrames, qdf: DataFrame,
+                        fb_docs: int = 10, fb_terms: int = 10,
+                        round_to: int = 6,
+                        broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback expansion terms (Lavrenko &
+    Croft, SIGIR 2001 relevance models; Abdul-Jaleel et al., TREC 2004
+    "UMass at TREC 2004" RM3 — public IR literature). The expansion
+    stage a retrieval stack runs when `query_difficulty_predict` says a
+    query is broad: retrieve the top `fb_docs` feedback documents with
+    the first-stage BM25 ranker, estimate the relevance model
+
+        P(w | R)  ∝  Σ_{d ∈ topD(q)}  P(q | d) · P(w | d)
+
+    with P(q|d) taken as the doc's (rounded) BM25 score and
+    P(w|d) = tf(w,d) / dl(d), and report the top `fb_terms` candidate
+    expansion terms per query. Original query terms are excluded from
+    the report — RM3's interpolation with the original query happens at
+    requery time (feed these terms back through
+    `score_topk_dataframe(qterms_override=...)` with boosts).
+
+    Determinism: both factors lift to micro-unit INTEGERS before the
+    sum — s_u = round(score,6)·1e6 (already integral after the scorer's
+    rounding) and p_u = round(round(tf/dl, 6)·1e6) (the idf_u house
+    pattern) — so per-term weights are exact int64 sums (≤ ~2e13 per
+    contribution) and cannot drift with aggregation order; ranking ties
+    break (weight DESC, term ASC). Reported weight = w_u / 1e12.
+
+    Scale shape: rides the bulk scorer's plan (one postings scan, query
+    terms broadcast) for the feedback stage; the feedback set
+    (|queries|·fb_docs rows, with dl attached by broadcasting it into a
+    column-pruned docs scan) is BROADCAST into a second postings join,
+    so candidate generation touches only the feedback docs' posting
+    rows; one combine-friendly (query, term) agg + a query-partitioned
+    top-N window whose group width is bounded by fb_docs·max(dl), never
+    corpus-sized.
+    """
+    fbq = qdf.select("query_id", "query_text").withColumn(
+        "k", F.lit(int(fb_docs)))
+    top = score_topk_dataframe(index, fbq, round_scores=round_to,
+                               broadcast_docs_max=broadcast_docs_max)
+    s_u = F.round(F.col("score") * 1e6).cast("long")
+    top_u = top.select("query_id", "doc_id", s_u.alias("s_u"))
+    fb = (index.docs.select("doc_id", "dl")
+          .join(F.broadcast(top_u), "doc_id"))
+    p_u = F.round(
+        F.round(F.col("tf").cast("double") / F.col("dl"), round_to) * 1e6
+    ).cast("long")
+    cand = (index.postings.join(F.broadcast(fb), "doc_id")
+            .select("query_id", "term",
+                    (F.col("s_u") * p_u).alias("c_u")))
+    weights = cand.groupBy("query_id", "term").agg(
+        F.sum("c_u").alias("w_u"))
+    qt = query_terms(qdf).select("query_id", "term")
+    weights = weights.join(F.broadcast(qt), ["query_id", "term"],
+                           "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("w_u"), F.asc("term"))
+    return (weights.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(fb_terms))
+            .select("query_id",
+                    F.col("rank").cast("int").alias("rank"), "term",
+                    F.round(F.col("w_u").cast("double") / 1e12,
+                            round_to).alias("weight")))

@@ -71,6 +71,7 @@ GATES = [
     "ltr_feature_log",      # scorer plan + per-candidate feature agg
     "merge_adjacent_turns",  # gaps-and-islands run merge, pinned order
     "query_difficulty_predict",  # broadcast lexicon probe + distinct-doc agg
+    "prf_expansion_terms",  # feedback-doc broadcast + integer RM3 weights
 ]
 
 

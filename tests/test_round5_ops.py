@@ -303,3 +303,78 @@ def test_corpus_drift_kl_properties(spark):
                - round(pa * math.log(pa / pb), 6)) <= 1e-6
     # total KL over shared vocab is nonnegative
     assert sum(r["kl_ab_term"] for r in out.values()) > 0
+
+
+# ------------------------------------------------------- RM3 PRF expansion
+def _prf_fixture(spark):
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df
+
+    docs = spark.createDataFrame(
+        [(0, "spark fast engine"),
+         (1, "spark slow engine engine"),
+         (2, "other text here")],
+        "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "q", "query_text": "spark", "k": 5}])
+    return idx, qdf
+
+
+def test_prf_weights_closed_form(spark):
+    from connectors_spark.operators.query import (
+        prf_expansion_terms, score_topk_dataframe)
+
+    idx, qdf = _prf_fixture(spark)
+    # replay the RM3 sum in plain Python from the first-stage scores
+    s = {r.doc_id: r.score for r in
+         score_topk_dataframe(idx, qdf, round_scores=6).collect()}
+    assert set(s) == {0, 1}  # doc 2 matches nothing
+    tf_dl = {0: {"fast": (1, 3), "engine": (1, 3), "spark": (1, 3)},
+             1: {"slow": (1, 4), "engine": (2, 4), "spark": (1, 4)}}
+    exp = {}
+    for term in ("fast", "engine", "slow"):
+        w_u = 0
+        for d, terms in tf_dl.items():
+            if term in terms:
+                tf, dl = terms[term]
+                w_u += (round(s[d] * 1e6)
+                        * round(round(tf / dl, 6) * 1e6))
+        exp[term] = round(w_u / 1e12, 6)
+
+    out = {r.term: r for r in prf_expansion_terms(idx, qdf).collect()}
+    # original query term excluded; all feedback-doc terms present
+    assert set(out) == {"fast", "engine", "slow"}
+    for term, r in out.items():
+        assert r.weight == exp[term], term
+    # engine appears in both feedback docs (tf 2 in doc 1) -> top-1
+    assert out["engine"].rank == 1
+    # ranks follow (weight DESC, term ASC)
+    ranked = sorted(out.values(), key=lambda r: (-r.weight, r.term))
+    assert [r.rank for r in ranked] == [1, 2, 3]
+
+
+def test_prf_respects_fb_docs_and_fb_terms(spark):
+    from connectors_spark.operators.query import prf_expansion_terms
+
+    idx, qdf = _prf_fixture(spark)
+    # fb_docs=1: doc 0 outranks doc 1 (same tf, shorter dl), so 'slow'
+    # (doc 1 only) must not be a candidate
+    out = {r.term for r in
+           prf_expansion_terms(idx, qdf, fb_docs=1).collect()}
+    assert out == {"fast", "engine"}
+    # fb_terms caps the report per query
+    assert prf_expansion_terms(idx, qdf, fb_terms=2).count() == 2
+
+
+def test_prf_oov_query_yields_no_rows(spark):
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import (
+        prf_expansion_terms, queries_df)
+
+    docs = spark.createDataFrame(
+        [(0, "spark fast")], "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "oov", "query_text": "zzmissing", "k": 5}])
+    assert prf_expansion_terms(idx, qdf).count() == 0
