@@ -17993,7 +17993,9 @@ _PRF_FB_DOCS = 10
 _PRF_FB_TERMS = 10
 
 
-def _prf_sql() -> str:
+def _prf_core_sql() -> str:
+    """Shared WITH-body (through `ranked`, the RM3 expansion-term
+    ranking) for the prf_expansion_terms and prf_requery_topk twins."""
     qvals = []
     for qid, text in GATE_BM25_QUERIES:
         for term in sorted({t for t in text.lower().split() if t}):
@@ -18052,10 +18054,61 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY w_u DESC, term ASC) AS rnk
   FROM novel
-)
+)"""
+
+
+def _prf_sql() -> str:
+    return _prf_core_sql() + f"""
 SELECT query_id, CAST(rnk AS INT) AS rank, term,
        round(CAST(w_u AS DOUBLE) / 1e12, {ROUND_SCORE}) AS weight
 FROM ranked WHERE rnk <= {_PRF_FB_TERMS}
+"""
+
+
+def _prf_requery_sql() -> str:
+    w = bm25_sql(
+        n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+        dl_expr="dl.dl", avgdl_expr="stats.avgdl",
+    )
+    return _prf_core_sql() + f""",
+exp_w AS (
+  SELECT query_id, term,
+         CAST(round(round(CAST(w_u AS DOUBLE) / 1e12, {ROUND_SCORE})
+                    * 1e6) AS BIGINT) AS wexp_u
+  FROM ranked WHERE rnk <= {_PRF_FB_TERMS}
+),
+exp_tot AS (SELECT query_id, sum(wexp_u) AS tot_u FROM exp_w
+            GROUP BY query_id),
+nq AS (SELECT query_id, count(*) AS n_q FROM qt GROUP BY query_id),
+boosts AS (
+  SELECT qt.query_id, qt.term,
+         round(0.5 / nq.n_q, {ROUND_SCORE}) AS boost
+  FROM qt JOIN nq ON nq.query_id = qt.query_id
+  UNION ALL
+  SELECT e.query_id, e.term,
+         round(0.5 * e.wexp_u / t.tot_u, {ROUND_SCORE}) AS boost
+  FROM exp_w e JOIN exp_tot t ON t.query_id = e.query_id
+),
+contrib2 AS (
+  SELECT b.query_id, tf.doc_id, ({w}) * b.boost AS w2
+  FROM boosts b
+  JOIN tf ON tf.term = b.term
+  JOIN dfreq ON dfreq.term = b.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored2 AS (
+  SELECT query_id, doc_id, round(sum(w2), {ROUND_SCORE}) AS score
+  FROM contrib2 GROUP BY query_id, doc_id
+),
+final AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored2
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, score
+FROM final WHERE rnk <= {GATE_BM25_K}
 """
 
 
@@ -18078,3 +18131,24 @@ def q_prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return prf_expansion_terms(idx, qdf, fb_docs=_PRF_FB_DOCS,
                                fb_terms=_PRF_FB_TERMS)
+
+
+@register("prf_requery_topk", _prf_requery_sql())
+def q_prf_requery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 second-pass retrieval
+    (operators/query.py:prf_requery_topk): the expansion terms from
+    prf_expansion_terms interpolated into the query (orig 0.5/n_q,
+    expansion 0.5·RM-mass — both single divisions of exact integers)
+    and rerun through the boosted bulk scorer; top-10 per gate query.
+    Estimation rides the PRF plan; requery is the scorer's broadcast
+    plan with a ≤(n_q+10)-term override table."""
+    from connectors_spark.operators.query import prf_requery_topk
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    return prf_requery_topk(idx, qdf, fb_docs=_PRF_FB_DOCS,
+                            fb_terms=_PRF_FB_TERMS, orig_weight=0.5)

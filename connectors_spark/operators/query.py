@@ -1751,3 +1751,61 @@ def prf_expansion_terms(index: IndexFrames, qdf: DataFrame,
                     F.col("rank").cast("int").alias("rank"), "term",
                     F.round(F.col("w_u").cast("double") / 1e12,
                             round_to).alias("weight")))
+
+
+def prf_requery_topk(index: IndexFrames, qdf: DataFrame,
+                     fb_docs: int = 10, fb_terms: int = 10,
+                     orig_weight: float = 0.5, round_to: int = 6,
+                     broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """(query_id, rank, doc_id, score): the RM3 second pass — rerun
+    retrieval with the relevance-model expansion terms interpolated
+    into the query (Abdul-Jaleel et al. 2004; the requery Anserini's
+    RM3 runs after `prf_expansion_terms`' estimation stage). Term
+    boosts:
+
+        original term t:   orig_weight / n_q          (uniform MLE)
+        expansion term t:  (1-orig_weight) · w_t / Σw  (RM mass over
+                           the top fb_terms NOVEL terms — original
+                           terms keep only their query-side mass,
+                           matching prf_expansion_terms' report)
+
+    then one boosted pass through `score_topk_dataframe`
+    (qterms_override), k from qdf as usual.
+
+    Determinism: both boost families are a SINGLE division of exact
+    integers rounded once to `round_to` — n_q is a count, and the RM
+    mass divides the micro-unit integer weights w_u by their integer
+    sum (weights from prf_expansion_terms are exact multiples of 1e-6,
+    so w_u = round(weight·1e6) recovers the int64 exactly). Final
+    scores round to `round_to` before ranking (ties: score DESC,
+    doc_id ASC), the house convention every BM25 gate relies on.
+
+    Scale shape: the estimation stage rides prf_expansion_terms' plan;
+    the requery is the bulk scorer's plan with a ≤ |q|·(n_q+fb_terms)-row
+    broadcast qterms table — nothing new shuffles.
+    """
+    exp = prf_expansion_terms(index, qdf, fb_docs=fb_docs,
+                              fb_terms=fb_terms, round_to=round_to,
+                              broadcast_docs_max=broadcast_docs_max)
+    w_u = F.round(F.col("weight") * 1e6).cast("long")
+    exp_u = exp.select("query_id", "term", w_u.alias("w_u"))
+    tot = exp_u.groupBy("query_id").agg(F.sum("w_u").alias("tot_u"))
+    exp_boost = (exp_u.join(F.broadcast(tot), "query_id")
+                 .select("query_id", "term",
+                         F.round(F.lit(1.0 - orig_weight)
+                                 * F.col("w_u") / F.col("tot_u"),
+                                 round_to).alias("boost")))
+    qt = query_terms(qdf)
+    n_q = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
+    orig_boost = (qt.select("query_id", "term")
+                  .join(F.broadcast(n_q), "query_id")
+                  .select("query_id", "term",
+                          F.round(F.lit(orig_weight) / F.col("n_q"),
+                                  round_to).alias("boost")))
+    ks = qdf.select("query_id", "k")
+    override = (orig_boost.unionByName(exp_boost)
+                .join(F.broadcast(ks), "query_id")
+                .select("query_id", "k", "term", "boost"))
+    return score_topk_dataframe(index, qdf, round_scores=round_to,
+                                qterms_override=override,
+                                broadcast_docs_max=broadcast_docs_max)

@@ -72,6 +72,7 @@ GATES = [
     "merge_adjacent_turns",  # gaps-and-islands run merge, pinned order
     "query_difficulty_predict",  # broadcast lexicon probe + distinct-doc agg
     "prf_expansion_terms",  # feedback-doc broadcast + integer RM3 weights
+    "prf_requery_topk",     # interpolated-boost override -> scorer plan
 ]
 
 

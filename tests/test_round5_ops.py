@@ -378,3 +378,64 @@ def test_prf_oov_query_yields_no_rows(spark):
     qdf = queries_df(spark, [
         {"query_id": "oov", "query_text": "zzmissing", "k": 5}])
     assert prf_expansion_terms(idx, qdf).count() == 0
+
+
+def test_prf_requery_closed_form(spark):
+    from connectors_spark.operators.query import (
+        prf_expansion_terms, prf_requery_topk, queries_df,
+        score_topk_dataframe)
+
+    idx, qdf = _prf_fixture(spark)
+    out = {r.doc_id: r for r in prf_requery_topk(idx, qdf).collect()}
+    # replay: boosts -> rescore via the scorer's own override path
+    exp = prf_expansion_terms(idx, qdf).collect()
+    tot_u = sum(round(r.weight * 1e6) for r in exp)
+    boosts = {"spark": round(0.5 / 1, 6)}
+    for r in exp:
+        boosts[r.term] = round(0.5 * round(r.weight * 1e6) / tot_u, 6)
+    ov = spark.createDataFrame(
+        [("q", 5, t, b) for t, b in boosts.items()],
+        "query_id string, k int, term string, boost double")
+    ref = {r.doc_id: r for r in score_topk_dataframe(
+        idx, qdf, round_scores=6, qterms_override=ov).collect()}
+    assert set(out) == set(ref)
+    for d in out:
+        assert (out[d].rank, out[d].score) == (ref[d].rank, ref[d].score)
+    # expansion pulls in doc 2 ('other text here' shares no query term
+    # but none of the expansion terms either) -> still only docs 0,1
+    assert set(out) == {0, 1}
+
+
+def test_prf_requery_expansion_changes_ranking(spark):
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import (
+        prf_requery_topk, queries_df, score_topk_dataframe)
+
+    # doc 2 shares NO original query term but is saturated with the
+    # expansion term 'engine' that the feedback docs carry
+    docs = spark.createDataFrame(
+        [(0, "spark engine fast"),
+         (1, "spark engine slow"),
+         (2, "engine engine engine turbine")],
+        "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "q", "query_text": "spark", "k": 5}])
+    first = {r.doc_id for r in
+             score_topk_dataframe(idx, qdf, round_scores=6).collect()}
+    assert first == {0, 1}  # doc 2 invisible to the literal query
+    requery = {r.doc_id for r in prf_requery_topk(idx, qdf).collect()}
+    assert 2 in requery  # RM3 recall gain
+
+
+def test_prf_requery_oov_query_is_empty(spark):
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import (
+        prf_requery_topk, queries_df)
+
+    docs = spark.createDataFrame(
+        [(0, "spark fast")], "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "oov", "query_text": "zzmissing", "k": 5}])
+    assert prf_requery_topk(idx, qdf).count() == 0
