@@ -18152,3 +18152,81 @@ def q_prf_requery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return prf_requery_topk(idx, qdf, fb_docs=_PRF_FB_DOCS,
                             fb_terms=_PRF_FB_TERMS, orig_weight=0.5)
+
+
+# -- LM similarities (ES index-level similarity module) ---------------------------
+
+_LM_MU = 2000.0
+_LM_LAMBDA = 0.1
+
+
+def _lm_sql(similarity: str) -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    if similarity == "dirichlet":
+        s = (f"greatest(ln(1.0 + tf.tf * tot.total / ({_LM_MU} * ctf.ctf))"
+             f" + ln({_LM_MU} / (dl.dl + {_LM_MU})), 0.0)")
+    else:
+        s = (f"ln(1.0 + ({1.0 - _LM_LAMBDA} * tf.tf * tot.total)"
+             f" / ({_LM_LAMBDA} * dl.dl * ctf.ctf))")
+    return f"""
+WITH {_DL_CTE},
+tot AS (SELECT sum(dl) * 1.0 AS total FROM dl),
+ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round(round({s}, {ROUND_SCORE}) * 1e6) AS BIGINT) AS s_u
+  FROM qt
+  JOIN tf USING (term)
+  JOIN ctf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT query_id, doc_id, sum(s_u) AS sum_u
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, sum_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sum_u DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
+       round(CAST(sum_u AS DOUBLE) / 1e6, {ROUND_SCORE}) AS score
+FROM ranked WHERE rnk <= {GATE_BM25_K}
+"""
+
+
+def _lm_gate(spark: SparkSession, sf_dir: str, similarity: str) -> DataFrame:
+    from connectors_spark.operators.query import score_topk_lm
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    return score_topk_lm(idx, qdf, similarity=similarity, mu=_LM_MU,
+                         lam=_LM_LAMBDA)
+
+
+@register("lm_dirichlet_topk", _lm_sql("dirichlet"))
+def q_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `"similarity": {"type": "LMDirichlet"}` top-k
+    (operators/query.py:score_topk_lm, Lucene LMDirichletSimilarity,
+    Zhai & Lafferty 2001, μ=2000): per-posting Dirichlet-smoothed LM
+    score with Lucene's 0-clamp, micro-unit integer sums. Scorer
+    broadcast plan + one map-side ctf agg over the matched slice."""
+    return _lm_gate(spark, sf_dir, "dirichlet")
+
+
+@register("lm_jm_topk", _lm_sql("jm"))
+def q_lm_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `"similarity": {"type": "LMJelinekMercer"}` top-k
+    (operators/query.py:score_topk_lm, λ=0.1): Jelinek-Mercer-smoothed
+    LM scoring over matched postings, micro-unit integer sums."""
+    return _lm_gate(spark, sf_dir, "jm")

@@ -1809,3 +1809,70 @@ def prf_requery_topk(index: IndexFrames, qdf: DataFrame,
     return score_topk_dataframe(index, qdf, round_scores=round_to,
                                 qterms_override=override,
                                 broadcast_docs_max=broadcast_docs_max)
+
+
+def score_topk_lm(index: IndexFrames, qdf: DataFrame,
+                  similarity: str = "dirichlet", mu: float = 2000.0,
+                  lam: float = 0.1, round_to: int = 6,
+                  broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """(query_id, rank, doc_id, score): top-k under ES's pluggable
+    language-model similarities (the `"similarity": {"type":
+    "LMDirichlet"|"LMJelinekMercer"}` index setting; Lucene
+    LMDirichletSimilarity / LMJelinekMercerSimilarity, Zhai & Lafferty
+    2001). Per matched (term, doc) posting, with p(w|C) =
+    ctf(w)/|C| (collection term frequency over total token count):
+
+        dirichlet: log(1 + tf·|C|/(μ·ctf)) + log(μ/(dl+μ)),
+                   clamped at 0 (Lucene's `score > 0 ? score : 0`)
+        jm:        log(1 + (1-λ)·tf·|C| / (λ·dl·ctf))
+
+    Like Lucene, only MATCHED postings score — the missing-term
+    collection prior is not added (rank-equivalent per Zhai's
+    decomposition; absolute scores match Lucene, not raw LM).
+
+    Determinism: each contribution rounds to `round_to` and lifts to
+    micro-unit int64 before the (query, doc) sum — aggregation-order
+    proof; ties (score DESC, doc_id ASC).
+
+    Scale shape: the bulk scorer's plan — query terms broadcast, ctf
+    from one map-side-combinable agg over the MATCHED postings slice
+    (global per term: postings hold every doc), dl broadcast under
+    `broadcast_docs_max`, one (query, doc) agg shuffle. |C| is one
+    scalar action over the doc map.
+    """
+    if similarity not in ("dirichlet", "jm"):
+        raise ValueError(f"unknown LM similarity: {similarity!r}")
+    total = index.docs.agg(F.sum("dl")).collect()[0][0]
+    qterms = query_terms(qdf)
+    dterms = qterms.select("term").distinct()
+    matched = index.postings.join(F.broadcast(dterms), "term")
+    ctf = matched.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    matched = matched.join(F.broadcast(ctf), "term")
+    if "dl" not in index.postings.columns:
+        docs_dl = index.docs.select("doc_id", "dl")
+        if index.n_docs <= broadcast_docs_max:
+            docs_dl = F.broadcast(docs_dl)
+        matched = matched.join(docs_dl, "doc_id")
+    tf, dl, c = F.col("tf"), F.col("dl"), F.col("ctf")
+    if similarity == "dirichlet":
+        s = (F.log(F.lit(1.0) + tf * F.lit(float(total))
+                   / (F.lit(float(mu)) * c))
+             + F.log(F.lit(float(mu)) / (dl + F.lit(float(mu)))))
+        s = F.greatest(s, F.lit(0.0))
+    else:
+        s = F.log(F.lit(1.0) + (F.lit(1.0 - lam) * tf * F.lit(float(total)))
+                  / (F.lit(float(lam)) * dl * c))
+    s_u = F.round(F.round(s, round_to) * 1e6).cast("long")
+    tw = matched.select("term", "doc_id", s_u.alias("s_u"))
+    contrib = tw.join(F.broadcast(qterms), "term").select(
+        "query_id", "k", "doc_id", "s_u")
+    scored = contrib.groupBy("query_id", "k", "doc_id").agg(
+        F.sum("s_u").alias("sum_u"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sum_u"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    "doc_id",
+                    F.round(F.col("sum_u").cast("double") / 1e6,
+                            round_to).alias("score")))

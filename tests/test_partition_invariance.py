@@ -73,6 +73,7 @@ GATES = [
     "query_difficulty_predict",  # broadcast lexicon probe + distinct-doc agg
     "prf_expansion_terms",  # feedback-doc broadcast + integer RM3 weights
     "prf_requery_topk",     # interpolated-boost override -> scorer plan
+    "lm_dirichlet_topk",    # ctf agg + per-posting integer LM contributions
 ]
 
 

@@ -439,3 +439,75 @@ def test_prf_requery_oov_query_is_empty(spark):
     qdf = queries_df(spark, [
         {"query_id": "oov", "query_text": "zzmissing", "k": 5}])
     assert prf_requery_topk(idx, qdf).count() == 0
+
+
+# ------------------------------------------------------- LM similarities
+def test_lm_dirichlet_closed_form(spark):
+    import math
+
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, score_topk_lm
+
+    docs = spark.createDataFrame(
+        [(0, "spark fast engine"),
+         (1, "spark spark slow"),
+         (2, "other text here")],
+        "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "q", "query_text": "spark", "k": 5}])
+    mu, total, ctf = 2000.0, 9.0, 3.0  # |C|=9 tokens, ctf(spark)=3
+
+    def dirichlet(tf, dl):
+        s = (math.log(1.0 + tf * total / (mu * ctf))
+             + math.log(mu / (dl + mu)))
+        return round(round(max(s, 0.0), 6) * 1e6) / 1e6
+
+    out = {r.doc_id: r for r in
+           score_topk_lm(idx, qdf, similarity="dirichlet").collect()}
+    assert set(out) == {0, 1}
+    assert out[0].score == dirichlet(1, 3)
+    assert out[1].score == dirichlet(2, 3)
+    # tf=2 beats tf=1 at equal dl
+    assert out[1].rank == 1
+
+
+def test_lm_jm_closed_form_and_clamp(spark):
+    import math
+
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, score_topk_lm
+
+    docs = spark.createDataFrame(
+        [(0, "spark fast engine"), (1, "spark spark slow")],
+        "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "q", "query_text": "spark fast", "k": 5}])
+    lam, total = 0.1, 6.0
+
+    def jm(tf, dl, ctf):
+        s = math.log(1.0 + ((1.0 - lam) * tf * total)
+                     / (lam * dl * ctf))
+        return round(round(s, 6) * 1e6)
+
+    out = {r.doc_id: r for r in
+           score_topk_lm(idx, qdf, similarity="jm").collect()}
+    # doc 0 matches both terms: contributions sum as integers
+    assert round(out[0].score * 1e6) == jm(1, 3, 3) + jm(1, 3, 1)
+    assert round(out[1].score * 1e6) == jm(2, 3, 3)
+
+
+def test_lm_rejects_unknown_similarity(spark):
+    import pytest as _pytest
+
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, score_topk_lm
+
+    docs = spark.createDataFrame(
+        [(0, "spark")], "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "q", "query_text": "spark", "k": 5}])
+    with _pytest.raises(ValueError):
+        score_topk_lm(idx, qdf, similarity="bm42")
