@@ -18224,6 +18224,63 @@ def q_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lm_gate(spark, sf_dir, "dirichlet")
 
 
+def _dfi_sql() -> str:
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    e = "(ctf.ctf * 1.0) * dl.dl / tot.total"
+    s = (f"CASE WHEN tf.tf > {e} THEN "
+         f"log2(1.0 + (tf.tf - {e}) / sqrt({e})) ELSE 0.0 END")
+    return f"""
+WITH {_DL_CTE},
+tot AS (SELECT sum(dl) * 1.0 AS total FROM dl),
+ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round(round({s}, {ROUND_SCORE}) * 1e6) AS BIGINT) AS s_u
+  FROM qt
+  JOIN tf USING (term)
+  JOIN ctf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT query_id, doc_id, sum(s_u) AS sum_u
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, sum_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sum_u DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
+       round(CAST(sum_u AS DOUBLE) / 1e6, {ROUND_SCORE}) AS score
+FROM ranked WHERE rnk <= {GATE_BM25_K}
+"""
+
+
+@register("dfi_standardized_topk", _dfi_sql())
+def q_dfi_standardized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `"similarity": {"type": "DFI"}` top-k
+    (operators/query.py:score_topk_dfi, Lucene DFISimilarity,
+    standardized independence): log2(1+(tf-e)/sqrt(e)) over matched
+    postings where tf exceeds the independence expectation
+    e = ctf·dl/|C|, else 0 (Lucene's early return); micro-unit integer
+    sums, scorer broadcast plan."""
+    from connectors_spark.operators.query import score_topk_dfi
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    return score_topk_dfi(idx, qdf, measure="standardized")
+
+
 @register("lm_jm_topk", _lm_sql("jm"))
 def q_lm_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `"similarity": {"type": "LMJelinekMercer"}` top-k

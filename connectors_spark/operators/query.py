@@ -1876,3 +1876,65 @@ def score_topk_lm(index: IndexFrames, qdf: DataFrame,
                     "doc_id",
                     F.round(F.col("sum_u").cast("double") / 1e6,
                             round_to).alias("score")))
+
+
+def score_topk_dfi(index: IndexFrames, qdf: DataFrame,
+                   measure: str = "standardized", round_to: int = 6,
+                   broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES `"similarity": {"type":
+    "DFI"}` top-k (Lucene DFISimilarity; Kocabas, Dincer & Karaoglan
+    2014 divergence-from-independence). Per matched posting, with
+    expected tf under independence e = ctf(w)·dl/|C|:
+
+        tf <= e      -> 0      (Lucene's early return)
+        standardized -> log2(1 + (tf-e)/sqrt(e))
+        saturated    -> log2(1 + (tf-e)/e)
+        chisquared   -> log2(1 + (tf-e)²/e)
+
+    (the three `independence_measure` options ES exposes). Per-posting
+    contributions round to `round_to` and lift to micro-unit int64
+    before the (query, doc) sum — aggregation-order-proof; ties
+    (score DESC, doc_id ASC).
+
+    Scale shape: identical to score_topk_lm — scorer broadcast plan,
+    one map-side ctf agg over the matched postings slice, one
+    (query, doc) agg shuffle.
+    """
+    if measure not in ("standardized", "saturated", "chisquared"):
+        raise ValueError(f"unknown DFI independence measure: {measure!r}")
+    total = index.docs.agg(F.sum("dl")).collect()[0][0]
+    qterms = query_terms(qdf)
+    dterms = qterms.select("term").distinct()
+    matched = index.postings.join(F.broadcast(dterms), "term")
+    ctf = matched.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    matched = matched.join(F.broadcast(ctf), "term")
+    if "dl" not in index.postings.columns:
+        docs_dl = index.docs.select("doc_id", "dl")
+        if index.n_docs <= broadcast_docs_max:
+            docs_dl = F.broadcast(docs_dl)
+        matched = matched.join(docs_dl, "doc_id")
+    tf = F.col("tf").cast("double")
+    # ctf lifts to double BEFORE the dl product: long*long would
+    # overflow for a stop-word-class term at 10^9+ docs
+    e = F.col("ctf").cast("double") * F.col("dl") / F.lit(float(total))
+    if measure == "standardized":
+        ind = (tf - e) / F.sqrt(e)
+    elif measure == "saturated":
+        ind = (tf - e) / e
+    else:
+        ind = (tf - e) * (tf - e) / e
+    s = F.when(tf > e, F.log2(F.lit(1.0) + ind)).otherwise(F.lit(0.0))
+    s_u = F.round(F.round(s, round_to) * 1e6).cast("long")
+    tw = matched.select("term", "doc_id", s_u.alias("s_u"))
+    contrib = tw.join(F.broadcast(qterms), "term").select(
+        "query_id", "k", "doc_id", "s_u")
+    scored = contrib.groupBy("query_id", "k", "doc_id").agg(
+        F.sum("s_u").alias("sum_u"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sum_u"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    "doc_id",
+                    F.round(F.col("sum_u").cast("double") / 1e6,
+                            round_to).alias("score")))

@@ -511,3 +511,45 @@ def test_lm_rejects_unknown_similarity(spark):
         {"query_id": "q", "query_text": "spark", "k": 5}])
     with _pytest.raises(ValueError):
         score_topk_lm(idx, qdf, similarity="bm42")
+
+
+def test_dfi_closed_form_and_clamp(spark):
+    import math
+
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import queries_df, score_topk_dfi
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark spark fast"),
+         (1, "spark slow engine other")],
+        "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    qdf = queries_df(spark, [
+        {"query_id": "q", "query_text": "spark", "k": 5}])
+    total, ctf, dl = 8.0, 4.0, 4.0
+    e = ctf * 1.0 * dl / total  # = 2.0 for both docs
+
+    def dfi(tf):
+        if tf <= e:
+            return 0.0
+        return round(round(math.log2(1.0 + (tf - e) / math.sqrt(e)), 6)
+                     * 1e6) / 1e6
+
+    out = {r.doc_id: r for r in
+           score_topk_dfi(idx, qdf, measure="standardized").collect()}
+    assert out[0].score == dfi(3)       # tf=3 > e=2 -> positive
+    assert out[1].score == 0.0          # tf=1 <= e -> Lucene clamp
+    assert out[0].rank == 1
+
+    # the other two independence measures change the value, not the set
+    for m, f in (("saturated", lambda tf: (tf - e) / e),
+                 ("chisquared", lambda tf: (tf - e) ** 2 / e)):
+        got = {r.doc_id: r.score for r in
+               score_topk_dfi(idx, qdf, measure=m).collect()}
+        assert got[0] == round(
+            round(math.log2(1.0 + f(3)), 6) * 1e6) / 1e6, m
+        assert got[1] == 0.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        score_topk_dfi(idx, qdf, measure="entropic")
