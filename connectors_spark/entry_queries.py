@@ -18281,6 +18281,128 @@ def q_dfi_standardized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_topk_dfi(idx, qdf, measure="standardized")
 
 
+def _simfam_sql(s: str) -> str:
+    """Twin skeleton for the DFR/IB/boolean/scripted similarity
+    gates: `s` is the per-posting score over tf.tf, dl.dl, st.df_t,
+    st.ttf, nn.n, nn.avgdl; micro-unit int sums + rank window."""
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    return f"""
+WITH {_DL_CTE},
+nn AS (SELECT count(*) * 1.0 AS n, avg(dl) * 1.0 AS avgdl FROM dl),
+st AS (SELECT term, count(*) * 1.0 AS df_t, sum(tf) * 1.0 AS ttf
+       FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round(round({s}, {ROUND_SCORE}) * 1e6) AS BIGINT) AS s_u
+  FROM qt
+  JOIN tf USING (term)
+  JOIN st USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN nn
+),
+scored AS (
+  SELECT query_id, doc_id, sum(s_u) AS sum_u
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, sum_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sum_u DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
+       round(CAST(sum_u AS DOUBLE) / 1e6, {ROUND_SCORE}) AS score
+FROM ranked WHERE rnk <= {GATE_BM25_K}
+"""
+
+
+_TFN_H2 = "(tf.tf * log2(1.0 + nn.avgdl / dl.dl))"
+_DFR_LAM = "(st.ttf / nn.n)"
+_DFR_G_INF1 = (f"(log2(1.0 + {_DFR_LAM}) + {_TFN_H2} * "
+               f"log2((1.0 + {_DFR_LAM}) / {_DFR_LAM}))")
+_DFR_GL_H2 = f"greatest({_DFR_G_INF1} * (1.0 / ({_TFN_H2} + 1.0)), 0.0)"
+_IB_LAM = "((st.df_t + 1.0) / (nn.n + 1.0))"
+_IB_LL_H2 = f"greatest(log2(({_TFN_H2} + {_IB_LAM}) / {_IB_LAM}), 0.0)"
+_SCRIPTED_S = ("greatest((tf.tf / (tf.tf + 1.0)) * "
+               "ln(1.0 + (nn.n + 1.0) / (st.df_t + 0.5)) / sqrt(dl.dl), "
+               "0.0)")
+
+
+def _simfam_qdf(spark: SparkSession):
+    return queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+
+
+@register("dfr_topk", _simfam_sql(_DFR_GL_H2))
+def q_dfr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `"similarity": {"type": "DFR"}` top-k at the ES-docs default
+    combo g/l/h2 (operators/query.py:score_topk_dfr, Lucene
+    DFRSimilarity, Amati & van Rijsbergen 2002): geometric basic
+    model x Laplace after-effect over H2-normalized tf; integer-exact
+    micro-unit sums, scorer broadcast plan + one map-side (df, ttf)
+    agg over the matched slice."""
+    from connectors_spark.operators.query import score_topk_dfr
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    return score_topk_dfr(idx, _simfam_qdf(spark),
+                          basic_model="g", after_effect="l",
+                          normalization="h2")
+
+
+@register("ib_topk", _simfam_sql(_IB_LL_H2))
+def q_ib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `"similarity": {"type": "IB"}` top-k at ll/df/h2
+    (operators/query.py:score_topk_ib, Lucene IBSimilarity, Clinchant
+    & Gaussier 2010): log-logistic information model with df-rate
+    smoothing over H2-normalized tf; same integer-exact broadcast
+    plan as the DFR gate."""
+    from connectors_spark.operators.query import score_topk_ib
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    return score_topk_ib(idx, _simfam_qdf(spark),
+                         distribution="ll", lam="df", normalization="h2")
+
+
+@register("boolean_sim_topk", _simfam_sql("1.0"))
+def q_boolean_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `"similarity": {"type": "boolean"}` top-k
+    (operators/query.py:score_topk_boolean, Lucene BooleanSimilarity):
+    each matched query term contributes exactly the boost (1.0), so
+    score = number of distinct matched terms; deterministic
+    (score DESC, doc_id ASC) ties."""
+    from connectors_spark.operators.query import score_topk_boolean
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    return score_topk_boolean(idx, _simfam_qdf(spark))
+
+
+@register("scripted_sim_topk", _simfam_sql(_SCRIPTED_S))
+def q_scripted_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `"similarity": {"type": "scripted"}` top-k
+    (operators/query.py:score_topk_scripted): the Painless-script
+    analog as a Column-builder callable — here a classic saturating
+    tf x idf x 1/sqrt(dl) script over the exposed ctx (tf, df_t, dl,
+    n_docs) — kept JVM-side (whole-stage codegen), no Python UDF."""
+    from connectors_spark.operators.query import score_topk_scripted
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+
+    def script(ctx):
+        return ((ctx["tf"] / (ctx["tf"] + F.lit(1.0)))
+                * F.log(F.lit(1.0) + F.lit(ctx["n_docs"] + 1.0)
+                        / (ctx["df_t"] + F.lit(0.5)))
+                / F.sqrt(ctx["dl"]))
+
+    return score_topk_scripted(idx, _simfam_qdf(spark), script)
+
+
 @register("lm_jm_topk", _lm_sql("jm"))
 def q_lm_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `"similarity": {"type": "LMJelinekMercer"}` top-k

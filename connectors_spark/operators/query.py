@@ -1924,6 +1924,15 @@ def score_topk_dfi(index: IndexFrames, qdf: DataFrame,
     else:
         ind = (tf - e) * (tf - e) / e
     s = F.when(tf > e, F.log2(F.lit(1.0) + ind)).otherwise(F.lit(0.0))
+    return _micro_topk(matched, s, qterms, round_to)
+
+
+def _micro_topk(matched: DataFrame, s, qterms: DataFrame,
+                round_to: int) -> DataFrame:
+    """Shared tail of every pluggable-similarity scorer: round the
+    per-posting contribution `s` to `round_to`, lift to micro-unit
+    int64 (aggregation-order-proof sums), one (query, doc) agg
+    shuffle, rank window with (score DESC, doc_id ASC) ties."""
     s_u = F.round(F.round(s, round_to) * 1e6).cast("long")
     tw = matched.select("term", "doc_id", s_u.alias("s_u"))
     contrib = tw.join(F.broadcast(qterms), "term").select(
@@ -1938,3 +1947,190 @@ def score_topk_dfi(index: IndexFrames, qdf: DataFrame,
                     "doc_id",
                     F.round(F.col("sum_u").cast("double") / 1e6,
                             round_to).alias("score")))
+
+
+def _matched_term_stats(index: IndexFrames, qdf: DataFrame,
+                        broadcast_docs_max: int):
+    """(matched, qterms): postings sliced to the distinct query terms,
+    annotated with per-term df + ttf (one map-side-combinable agg over
+    the matched slice — global per term since postings hold every doc
+    of a term) and per-doc dl. The scorer broadcast plan shared by the
+    DFR / IB / boolean / scripted similarity family."""
+    qterms = query_terms(qdf)
+    dterms = qterms.select("term").distinct()
+    matched = index.postings.join(F.broadcast(dterms), "term")
+    stats = matched.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t"), F.sum("tf").alias("ttf"))
+    matched = matched.join(F.broadcast(stats), "term")
+    if "dl" not in index.postings.columns:
+        docs_dl = index.docs.select("doc_id", "dl")
+        if index.n_docs <= broadcast_docs_max:
+            docs_dl = F.broadcast(docs_dl)
+        matched = matched.join(docs_dl, "doc_id")
+    return matched, qterms
+
+
+def _tfn_normalize(normalization: str, avgdl: float, c: float):
+    """DFR/IB term-frequency normalization tf -> tfn (Amati's H
+    family; Lucene NormalizationH1/H2, c=1 default)."""
+    tf = F.col("tf").cast("double")
+    if normalization == "no":
+        return tf
+    if normalization == "h1":
+        return tf * F.lit(float(avgdl)) / F.col("dl")
+    if normalization == "h2":
+        return tf * F.log2(F.lit(1.0) + F.lit(float(c * avgdl))
+                           / F.col("dl"))
+    raise ValueError(f"unknown tfn normalization: {normalization!r}")
+
+
+def score_topk_dfr(index: IndexFrames, qdf: DataFrame,
+                   basic_model: str = "g", after_effect: str = "l",
+                   normalization: str = "h2", c: float = 1.0,
+                   round_to: int = 6,
+                   broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES `"similarity": {"type":
+    "DFR"}` top-k (Lucene DFRSimilarity; Amati & van Rijsbergen 2002
+    divergence-from-randomness framework, TOIS 20(4)). Composition is
+    Lucene's `basic_model x after_effect` over a normalized term
+    frequency tfn (normalization `no` | `h1` tf·avgdl/dl | `h2`
+    tf·log2(1 + c·avgdl/dl)), with N = n_docs, df = docs containing
+    the term, ttf = collection term frequency:
+
+        basic_model (Inf1):
+          in : tfn·log2((N+1)/(df+0.5))
+          if : tfn·log2(1 + (N+1)/(ttf+0.5))
+          ine: as `in` with df replaced by ne = N·(1-((N-1)/N)^ttf)
+          g  : log2(1+λ) + tfn·log2((1+λ)/λ),  λ = ttf/N
+        after_effect (Inf2, the first-normalization gain):
+          l  : 1/(tfn+1)
+          b  : (ttf+1)/(df·(tfn+1))
+
+    score = max(0, Inf1·Inf2) summed over matched query terms
+    (Lucene 8 requires non-negative similarity scores). The four
+    basic models are the ones ES still exposes (`g|if|in|ine`); the
+    defaults g/l/h2 mirror the ES docs' example. Contributions round
+    to `round_to`, lift to micro-unit int64 — aggregation-order-proof;
+    ties (score DESC, doc_id ASC).
+
+    Scale shape: scorer broadcast plan — one map-side (df, ttf) agg
+    over the matched postings slice, dl broadcast under
+    `broadcast_docs_max`, ONE (query, doc) agg shuffle. Reference
+    context: the ES index `similarity` setting the connectors sink
+    defers to server-side (svc/es/sink.py bulk path scores nothing) —
+    re-expressed here as an in-engine scorer.
+    """
+    if basic_model not in ("g", "if", "in", "ine"):
+        raise ValueError(f"unknown DFR basic_model: {basic_model!r}")
+    if after_effect not in ("l", "b"):
+        raise ValueError(f"unknown DFR after_effect: {after_effect!r}")
+    matched, qterms = _matched_term_stats(index, qdf, broadcast_docs_max)
+    tfn = _tfn_normalize(normalization, index.avgdl, c)
+    n = float(index.n_docs)
+    df_t, ttf = F.col("df_t").cast("double"), F.col("ttf").cast("double")
+    if basic_model == "in":
+        inf1 = tfn * F.log2(F.lit(n + 1.0) / (df_t + F.lit(0.5)))
+    elif basic_model == "if":
+        inf1 = tfn * F.log2(F.lit(1.0) + F.lit(n + 1.0)
+                            / (ttf + F.lit(0.5)))
+    elif basic_model == "ine":
+        ne = F.lit(n) * (F.lit(1.0)
+                         - F.pow(F.lit((n - 1.0) / n), ttf))
+        inf1 = tfn * F.log2(F.lit(n + 1.0) / (ne + F.lit(0.5)))
+    else:  # g — geometric (Amati's BasicModelG)
+        lam = ttf / F.lit(n)
+        inf1 = (F.log2(F.lit(1.0) + lam)
+                + tfn * F.log2((F.lit(1.0) + lam) / lam))
+    if after_effect == "l":
+        inf2 = F.lit(1.0) / (tfn + F.lit(1.0))
+    else:  # b — Bernoulli ratio
+        inf2 = (ttf + F.lit(1.0)) / (df_t * (tfn + F.lit(1.0)))
+    s = F.greatest(inf1 * inf2, F.lit(0.0))
+    return _micro_topk(matched, s, qterms, round_to)
+
+
+def score_topk_ib(index: IndexFrames, qdf: DataFrame,
+                  distribution: str = "ll", lam: str = "df",
+                  normalization: str = "h2", c: float = 1.0,
+                  round_to: int = 6,
+                  broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES `"similarity": {"type":
+    "IB"}` top-k (Lucene IBSimilarity; Clinchant & Gaussier 2010
+    information-based IR models, SIGIR). Over the same normalized tfn
+    as DFR (`no`/`h1`/`h2`), with λ the term's corpus rate
+    (`lambda` option `df`: (df+1)/(N+1); `ttf`: (ttf+1)/(N+1)):
+
+        ll  (log-logistic)       : log2((tfn+λ)/λ)
+        spl (smoothed power-law) : -log2((λ^(tfn/(tfn+1)) − λ)/(1−λ))
+
+    summed over matched query terms, clamped at 0. Contributions
+    round to `round_to`, lift to micro-unit int64; ties (score DESC,
+    doc_id ASC). Same broadcast plan as score_topk_dfr.
+    """
+    if distribution not in ("ll", "spl"):
+        raise ValueError(f"unknown IB distribution: {distribution!r}")
+    if lam not in ("df", "ttf"):
+        raise ValueError(f"unknown IB lambda: {lam!r}")
+    matched, qterms = _matched_term_stats(index, qdf, broadcast_docs_max)
+    tfn = _tfn_normalize(normalization, index.avgdl, c)
+    n = float(index.n_docs)
+    rate_num = (F.col("df_t") if lam == "df" else F.col("ttf"))
+    lam_c = (rate_num.cast("double") + F.lit(1.0)) / F.lit(n + 1.0)
+    if distribution == "ll":
+        s = F.log2((tfn + lam_c) / lam_c)
+    else:
+        frac = tfn / (tfn + F.lit(1.0))
+        # λ = 1 (term in EVERY doc under lambda=df) makes the SPL
+        # ratio 0/0; such a term carries zero information — score 0
+        # instead of propagating NaN through the micro-unit sum
+        s = F.when(
+            lam_c < F.lit(1.0),
+            -F.log2((F.pow(lam_c, frac) - lam_c)
+                    / (F.lit(1.0) - lam_c))).otherwise(F.lit(0.0))
+    s = F.greatest(s, F.lit(0.0))
+    return _micro_topk(matched, s, qterms, round_to)
+
+
+def score_topk_boolean(index: IndexFrames, qdf: DataFrame,
+                       boost: float = 1.0, round_to: int = 6,
+                       broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES `"similarity": {"type":
+    "boolean"}` top-k (Lucene BooleanSimilarity): every matched query
+    term contributes exactly the query boost — no tf, no idf, no
+    length norm — so a doc's score is boost x (number of distinct
+    query terms it contains). Ties break (score DESC, doc_id ASC),
+    making the gate deterministic. Same broadcast plan, no dl join
+    needed at all.
+    """
+    qterms = query_terms(qdf)
+    dterms = qterms.select("term").distinct()
+    matched = index.postings.join(F.broadcast(dterms), "term")
+    return _micro_topk(matched, F.lit(float(boost)), qterms, round_to)
+
+
+#: Columns a scripted similarity may reference (ES scripted_similarity
+#: script fields doc.freq/doc.length/term.docFreq/term.totalTermFreq +
+#: the index-level stats the script context exposes).
+SCRIPT_SIM_COLS = ("tf", "dl", "df_t", "ttf")
+
+
+def score_topk_scripted(index: IndexFrames, qdf: DataFrame,
+                        script, round_to: int = 6,
+                        broadcast_docs_max: int = 2_000_000) -> DataFrame:
+    """(query_id, rank, doc_id, score): ES `"similarity": {"type":
+    "scripted"}` top-k. The Spark-native analog of ES's Painless
+    `scripted_similarity`: `script` is a Python callable
+    `script(ctx) -> Column` building a per-posting contribution from
+    `ctx`, a dict with Columns `tf` (doc.freq), `dl` (doc.length),
+    `df_t` (term.docFreq), `ttf` (term.totalTermFreq) and floats
+    `n_docs`, `avgdl`, `total` (field.docCount / avg length / sumTotalTermFreq).
+    The callable composes pyspark.sql.functions expressions, so the
+    "script" stays JVM-side whole-stage-codegen — no Python UDF in the
+    hot path. Clamped at 0 (Lucene's non-negative score contract).
+    """
+    matched, qterms = _matched_term_stats(index, qdf, broadcast_docs_max)
+    ctx = {k: F.col(k).cast("double") for k in SCRIPT_SIM_COLS}
+    ctx.update(n_docs=float(index.n_docs), avgdl=float(index.avgdl),
+               total=float(index.n_docs) * float(index.avgdl))
+    s = F.greatest(script(ctx), F.lit(0.0))
+    return _micro_topk(matched, s, qterms, round_to)

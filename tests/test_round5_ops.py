@@ -553,3 +553,143 @@ def test_dfi_closed_form_and_clamp(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         score_topk_dfi(idx, qdf, measure="entropic")
+
+
+def _r6(x):
+    return round(round(x, 6) * 1e6) / 1e6
+
+
+def _two_doc_idx(spark):
+    from connectors_spark.operators.build import build_index
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark spark fast"),
+         (1, "spark slow engine other")],
+        "doc_id long, text string")
+    return build_index(docs, with_positions=False)
+
+
+def test_dfr_closed_form(spark):
+    import math
+
+    import pytest as _pytest
+
+    from connectors_spark.operators.query import queries_df, score_topk_dfr
+
+    idx = _two_doc_idx(spark)
+    qdf = queries_df(spark, [
+        {"query_id": "q", "query_text": "spark", "k": 5}])
+    # N=2, avgdl=4, dl=4 both docs -> tfn_h2 = tf*log2(2) = tf
+    # "spark": df=2, ttf=4, lambda_g = 4/2 = 2
+    lam = 2.0
+
+    def gl(tf):
+        inf1 = math.log2(1 + lam) + tf * math.log2((1 + lam) / lam)
+        return _r6(inf1 / (tf + 1.0))
+
+    out = {r.doc_id: r for r in
+           score_topk_dfr(idx, qdf, basic_model="g", after_effect="l",
+                          normalization="h2").collect()}
+    assert out[0].score == gl(3)
+    assert out[1].score == gl(1)
+    # lambda = ttf/N = 2 is a stop-word-class rate: under G the extra
+    # occurrences are EXPECTED, so the tf=1 doc diverges more and
+    # outranks the tf=3 doc — the DFR burstiness discount, by design
+    assert gl(1) > gl(3) and out[1].rank == 1
+
+    # in/b/no: inf1 = tf*log2(3/2.5), inf2 = (ttf+1)/(df*(tf+1))
+    def inb(tf):
+        return _r6(tf * math.log2(3 / 2.5) * 5.0 / (2 * (tf + 1.0)))
+
+    got = {r.doc_id: r.score for r in
+           score_topk_dfr(idx, qdf, basic_model="in", after_effect="b",
+                          normalization="no").collect()}
+    assert got[0] == inb(3) and got[1] == inb(1)
+
+    # if / ine only change the per-term constant, not the doc order
+    for bm in ("if", "ine"):
+        rows = score_topk_dfr(idx, qdf, basic_model=bm).collect()
+        assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] \
+            == [0, 1], bm
+        assert all(r.score > 0 for r in rows), bm
+
+    with _pytest.raises(ValueError):
+        score_topk_dfr(idx, qdf, basic_model="p")
+    with _pytest.raises(ValueError):
+        score_topk_dfr(idx, qdf, after_effect="x")
+    with _pytest.raises(ValueError):
+        score_topk_dfr(idx, qdf, normalization="h9")
+
+
+def test_ib_closed_form_and_spl_guard(spark):
+    import math
+
+    import pytest as _pytest
+
+    from connectors_spark.operators.query import queries_df, score_topk_ib
+
+    idx = _two_doc_idx(spark)
+    q_spark = queries_df(spark, [
+        {"query_id": "q", "query_text": "spark", "k": 5}])
+    # "spark" in both docs: lambda_df = (2+1)/(2+1) = 1.0
+    out = {r.doc_id: r.score for r in
+           score_topk_ib(idx, q_spark, distribution="ll").collect()}
+    assert out[0] == _r6(math.log2(3 + 1))    # log2((tfn+1)/1), tfn=3
+    assert out[1] == _r6(math.log2(1 + 1))
+    # SPL at lambda=1 is 0/0 -> guarded to 0 (zero-information term)
+    spl_all = {r.doc_id: r.score for r in
+               score_topk_ib(idx, q_spark, distribution="spl").collect()}
+    assert spl_all == {0: 0.0, 1: 0.0}
+
+    # "fast" only in doc0: lambda_df = 2/3, tfn = 1
+    q_fast = queries_df(spark, [
+        {"query_id": "q", "query_text": "fast", "k": 5}])
+    lam = 2.0 / 3.0
+    exp = -math.log2((lam ** 0.5 - lam) / (1 - lam))
+    got = {r.doc_id: r.score for r in
+           score_topk_ib(idx, q_fast, distribution="spl").collect()}
+    assert got == {0: _r6(exp)}
+
+    # lambda=ttf variant shifts the rate: (4+1)/(2+1) for "spark"
+    lam_t = 5.0 / 3.0
+    out_t = {r.doc_id: r.score for r in
+             score_topk_ib(idx, q_spark, distribution="ll",
+                           lam="ttf").collect()}
+    assert out_t[0] == _r6(math.log2((3 + lam_t) / lam_t))
+
+    with _pytest.raises(ValueError):
+        score_topk_ib(idx, q_spark, distribution="gauss")
+    with _pytest.raises(ValueError):
+        score_topk_ib(idx, q_spark, lam="cf")
+
+
+def test_boolean_and_scripted_sim(spark):
+    import math
+
+    from connectors_spark.operators.query import (
+        queries_df, score_topk_boolean, score_topk_scripted)
+
+    idx = _two_doc_idx(spark)
+    # doc0 matches {spark, fast}, doc1 matches {spark, slow}; dup
+    # query terms score once (engine semantic) -> scores 2.0 / 2.0,
+    # tie broken by doc_id
+    qdf = queries_df(spark, [
+        {"query_id": "q", "query_text": "spark FAST slow spark", "k": 5}])
+    rows = sorted(score_topk_boolean(idx, qdf).collect(),
+                  key=lambda r: r.rank)
+    assert [(r.doc_id, r.score) for r in rows] == [(0, 2.0), (1, 2.0)]
+
+    # scripted: saturating tf * idf / sqrt(dl), computed by hand
+    def script(ctx):
+        from pyspark.sql import functions as F
+        return ((ctx["tf"] / (ctx["tf"] + F.lit(1.0)))
+                * F.log(F.lit(1.0) + F.lit(ctx["n_docs"] + 1.0)
+                        / (ctx["df_t"] + F.lit(0.5)))
+                / F.sqrt(ctx["dl"]))
+
+    q1 = queries_df(spark, [
+        {"query_id": "q", "query_text": "fast", "k": 5}])
+    got = {r.doc_id: r.score for r in
+           score_topk_scripted(idx, q1, script).collect()}
+    exp = (1.0 / 2.0) * math.log(1.0 + 3.0 / 1.5) / 2.0
+    assert got == {0: _r6(exp)}
