@@ -18409,3 +18409,136 @@ def q_lm_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/query.py:score_topk_lm, λ=0.1): Jelinek-Mercer-smoothed
     LM scoring over matched postings, micro-unit integer sums."""
     return _lm_gate(spark, sf_dir, "jm")
+
+
+# =================================================================
+# Lucene lossy-norm BM25 parity + Kneser-Ney trigram LM
+# =================================================================
+
+def _bm25_lossy_oracle_sql() -> str:
+    """BM25 twin with dl pushed through Lucene's 1-byte norm
+    round-trip (keep top-4 significant bits; 0-7 exact) — avgdl stays
+    exact, mirroring Lucene (avgdl from sumTotalTermFreq/docCount,
+    dl from the decoded norm byte)."""
+    qvals = []
+    for qid, text in GATE_BM25_QUERIES:
+        for term in sorted({t for t in text.lower().split() if t}):
+            qvals.append(f"('{qid}', '{term}')")
+    w = bm25_sql(
+        n_expr="stats.n", df_expr="dfreq.df", tf_expr="tf.tf",
+        dl_expr="dlq.dlq", avgdl_expr="stats.avgdl",
+    )
+    return f"""
+WITH {_DL_CTE},
+dlq AS (
+  SELECT doc_id,
+         CASE WHEN dl < 8 THEN dl
+              ELSE (dl >> (CAST(floor(log2(dl)) AS INT) - 3))
+                   << (CAST(floor(log2(dl)) AS INT) - 3) END AS dlq
+  FROM dl
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) * 1.0 AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT * FROM (VALUES {', '.join(qvals)}) AS v(query_id, term)),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id, {w} AS w
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(w), {ROUND_SCORE}) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {GATE_BM25_K}
+"""
+
+
+@register("bm25_topk_lossy_norms", _bm25_lossy_oracle_sql())
+def q_bm25_topk_lossy_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k with Lucene's ACTUAL length normalization: ES never
+    scores with the true dl — Lucene compresses it into one norm byte
+    at index time (SmallFloat.intToByte4: top-4 significant bits) and
+    BM25Similarity decodes that byte back
+    (operators/query.py:with_lossy_norms). Reproduces server-side ES
+    ranks where docs whose lengths share the top-4 bits tie on the
+    norm; the repo's exact-dl scorers are strictly more precise."""
+    from connectors_spark.operators.query import with_lossy_norms
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    return score_topk_dataframe(with_lossy_norms(idx), qdf,
+                                round_scores=ROUND_SCORE)
+
+
+_KN_D = 0.75
+
+
+@register(
+    "kneser_ney_score",
+    f"""
+WITH tk AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS arr
+            FROM documents),
+tri AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+                 i -> struct_pack(w1 := arr[i], w2 := arr[i+1],
+                                  w3 := arr[i+2]))) AS g
+  FROM tk WHERE len(arr) >= 3
+),
+trit AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tri),
+types AS (SELECT w1, w2, w3, count(*) AS c123
+          FROM trit GROUP BY w1, w2, w3),
+h AS (SELECT w1, w2, sum(c123) AS h12, count(*) AS n1p_12dot
+      FROM types GROUP BY w1, w2),
+a23 AS (SELECT w2, w3, count(*) AS a23 FROM types GROUP BY w2, w3),
+a2 AS (SELECT w2, sum(a23) AS a2, count(*) AS n1p_2dot
+       FROM a23 GROUP BY w2),
+u3 AS (SELECT w3, count(*) AS u3 FROM a23 GROUP BY w3),
+uu AS (SELECT count(*) * 1.0 AS uu FROM a23),
+scored_types AS (
+  SELECT t.w1, t.w2, t.w3,
+         CAST(round(round(log2(
+           (greatest(t.c123 - {_KN_D}, 0.0)
+            + {_KN_D} * h.n1p_12dot *
+              ((greatest(a23.a23 - {_KN_D}, 0.0)
+                + {_KN_D} * a2.n1p_2dot * (u3.u3 / uu.uu)) / a2.a2))
+           / h.h12), {ROUND_SCORE}) * 1e6) AS BIGINT) AS lp_u
+  FROM types t
+  JOIN h USING (w1, w2)
+  JOIN a23 USING (w2, w3)
+  JOIN a2 USING (w2)
+  JOIN u3 USING (w3)
+  CROSS JOIN uu
+)
+SELECT trit.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(sum(lp_u) / 1e6 / count(*), {ROUND_SCORE}) AS avg_log2p
+FROM trit JOIN scored_types USING (w1, w2, w3)
+GROUP BY trit.doc_id
+""",
+)
+def q_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram LM quality score (Kneser & Ney
+    1995; Chen & Goodman 1999 interpolated form, D=0.75), corpus-
+    trained — the KenLM-style filter one order above ngram_lm_score
+    (functions/text.py:kneser_ney_score: every statistic from ONE
+    trigram type table, micro-unit integer per-doc sums)."""
+    from connectors_spark.functions.text import kneser_ney_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return kneser_ney_score(docs, discount=_KN_D)

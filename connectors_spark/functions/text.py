@@ -702,3 +702,95 @@ def rouge_n_overlap(pairs: DataFrame, n: int = 2,
     return scored.select(
         id_col, "n_cand_grams", "n_ref_grams", "clip",
         "precision", "recall", F.round(f1, round_to).alias("f1"))
+
+
+def kneser_ney_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", discount: float = 0.75,
+                     round_to: int = 6) -> DataFrame:
+    """(doc_id, n_trigrams, avg_log2p): interpolated Kneser-Ney
+    trigram language-model score (Kneser & Ney 1995; Chen & Goodman
+    1999 §2.7 interpolated form, fixed discount D) — the standard
+    KenLM-style pretraining quality filter one order above
+    ngram_lm_score's add-k bigram, trained on the corpus itself.
+
+    Every statistic derives from ONE table, the trigram TYPE table T
+    (distinct (w1,w2,w3) with token count c123) — the single-source
+    formulation keeps the Spark and SQL twins trivially identical:
+
+        h12        = sum_w3 c123            (history tokens)
+        N1p_12dot  = |{w3 : (w1,w2,w3) in T}|
+        a23(w2,w3) = |{w1 : (w1,w2,w3) in T}|   (adjusted bigram count)
+        A2(w2)     = sum_w3 a23             (= trigram types mid w2)
+        N1p_2dot   = |{w3 : a23 > 0}|
+        u3(w3)     = |{w2 : a23 > 0}|       (adjusted unigram count)
+        U          = |{(w2,w3) in T}|
+
+        P(w3)       = u3 / U
+        P(w3|w2)    = (max(a23-D,0) + D*N1p_2dot*P(w3)) / A2
+        P(w3|w1,w2) = (max(c123-D,0) + D*N1p_12dot*P(w3|w2)) / h12
+
+    Scored trigrams are corpus trigrams, so every denominator is > 0.
+    Per-trigram log2 P rounds to `round_to` and lifts to micro-unit
+    int64 — the per-doc mean is a ratio of exact integers, engine-
+    independent. Docs with < 3 tokens have no trigram and are absent.
+
+    Plan: one tokenize pass; trigrams via JVM array slicing (no per-doc
+    window); the probability is assembled on the TYPE table (|T| <<
+    corpus tokens), then one broadcast-or-AQE join back to trigram
+    tokens; aggs are map-side combinable; the Zipf head of (w2) keys is
+    the usual skew — AQE skew-join territory at 100 TB."""
+    from connectors_spark.functions.analysis import tokens_col as _tc
+
+    d = F.lit(float(discount))
+    toks = _tc(F.col(text_col))
+    n3 = F.greatest(F.size(toks) - 2, F.lit(0))
+    tri = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.arrays_zip(
+                F.slice(toks, 1, n3).alias("w1"),
+                F.slice(toks, 2, n3).alias("w2"),
+                F.slice(toks, 3, n3).alias("w3"),
+            ).alias("_z"))
+        .filter(F.size("_z") > 0)
+        .select("doc_id", F.explode("_z").alias("_t"))
+        .select("doc_id", F.col("_t.w1").alias("w1"),
+                F.col("_t.w2").alias("w2"), F.col("_t.w3").alias("w3"))
+    )
+    types = tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123"))
+    h = types.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("h12"),
+        F.count(F.lit(1)).alias("n1p_12dot"))
+    a23 = types.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("a23"))
+    a2 = a23.groupBy("w2").agg(
+        F.sum("a23").alias("a2"), F.count(F.lit(1)).alias("n1p_2dot"))
+    u3 = a23.groupBy("w3").agg(F.count(F.lit(1)).alias("u3"))
+    uu = a23.agg(F.count(F.lit(1)).cast("double").alias("uu"))
+
+    p_uni = F.col("u3") / F.col("uu")
+    p_bi = ((F.greatest(F.col("a23") - d, F.lit(0.0))
+             + d * F.col("n1p_2dot") * p_uni) / F.col("a2"))
+    p_tri = ((F.greatest(F.col("c123") - d, F.lit(0.0))
+              + d * F.col("n1p_12dot") * p_bi) / F.col("h12"))
+    scored_types = (
+        types.join(h, ["w1", "w2"])
+        .join(a23, ["w2", "w3"])
+        .join(a2, "w2")
+        .join(u3, "w3")
+        .crossJoin(F.broadcast(uu))
+        .select(
+            "w1", "w2", "w3",
+            F.round(F.round(F.log2(p_tri), round_to) * 1e6)
+             .cast("long").alias("lp_u"))
+    )
+    per_doc = (
+        tri.join(scored_types, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_trigrams"),
+             F.sum("lp_u").alias("_sum_u"))
+    )
+    return per_doc.select(
+        "doc_id", "n_trigrams",
+        F.round(F.col("_sum_u").cast("double") / 1e6
+                / F.col("n_trigrams"), round_to).alias("avg_log2p"))

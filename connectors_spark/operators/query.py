@@ -2134,3 +2134,49 @@ def score_topk_scripted(index: IndexFrames, qdf: DataFrame,
                total=float(index.n_docs) * float(index.avgdl))
     s = F.greatest(script(ctx), F.lit(0.0))
     return _micro_topk(matched, s, qterms, round_to)
+
+
+def lucene_quantized_dl(dl):
+    """Column: `dl` quantized through Lucene's 1-byte norm round-trip
+    (SmallFloat.intToByte4 / byte4ToInt — public Lucene 7+ norm
+    encoding: 3 stored mantissa bits + implicit leading 1 + 5-bit
+    shift). Values 0-7 are exact ("subnormal"); above that only the
+    top FOUR significant bits survive, i.e.
+    dlq = (dl >> shift) << shift with shift = floor(log2(dl)) - 3.
+    Pure integer/log math, JVM-side."""
+    dl = dl.cast("long")
+    shift = F.greatest(
+        F.floor(F.log2(dl.cast("double"))).cast("int") - F.lit(3),
+        F.lit(0))
+    # (dl >> shift) << shift as integer-exact arithmetic: pyspark's
+    # shiftleft/shiftright only take literal shift amounts, so clear
+    # the low bits with a modulo instead (dl >= 0 always here).
+    pow2 = F.pow(F.lit(2.0), shift.cast("double")).cast("long")
+    return F.when(dl < 8, dl).otherwise(dl - dl % pow2)
+
+
+def with_lossy_norms(index: IndexFrames) -> IndexFrames:
+    """IndexFrames with doc lengths degraded exactly the way a real
+    Lucene/ES index degrades them: ES's BM25 does NOT score with the
+    true document length — at index time Lucene compresses dl into a
+    single norm byte (SmallFloat.intToByte4) and the scorer decodes it
+    back (BM25Similarity builds its per-norm cache from byte4ToInt),
+    so any two lengths sharing the top-4 significant bits score
+    identically. avgdl stays EXACT (Lucene computes it from
+    sumTotalTermFreq/docCount, not from norms). Composing this with
+    score_topk_dataframe reproduces that rank behavior; the exact-dl
+    scorers everywhere else in this repo are strictly more precise.
+
+    Reference context: the connectors sink never scores — ranking
+    happens inside ES with these lossy norms (svc/es/sink.py bulk
+    path); this operator makes that server-side quantization
+    reproducible in-engine.
+    """
+    docs_q = index.docs.withColumn("dl", lucene_quantized_dl(F.col("dl")))
+    postings = index.postings
+    if "dl" in postings.columns:
+        postings = postings.withColumn(
+            "dl", lucene_quantized_dl(F.col("dl")))
+    return IndexFrames(postings=postings, docs=docs_q,
+                       lexicon=index.lexicon, n_docs=index.n_docs,
+                       avgdl=index.avgdl)

@@ -74,6 +74,8 @@ GATES = [
     "prf_expansion_terms",  # feedback-doc broadcast + integer RM3 weights
     "prf_requery_topk",     # interpolated-boost override -> scorer plan
     "lm_dirichlet_topk",    # ctf agg + per-posting integer LM contributions
+    "bm25_topk_lossy_norms",  # norm-byte quantization ahead of scoring
+    "kneser_ney_score",     # trigram type-table joins + micro-unit sums
 ]
 
 

@@ -693,3 +693,123 @@ def test_boolean_and_scripted_sim(spark):
            score_topk_scripted(idx, q1, script).collect()}
     exp = (1.0 / 2.0) * math.log(1.0 + 3.0 / 1.5) / 2.0
     assert got == {0: _r6(exp)}
+
+
+# ------------------------------------------------- lossy Lucene norms
+def test_lucene_quantized_dl_closed_form(spark):
+    from connectors_spark.operators.query import lucene_quantized_dl
+
+    vals = [0, 1, 7, 8, 15, 16, 17, 19, 255, 256, 2049, 1_000_003]
+    df = spark.createDataFrame([(v,) for v in vals], "dl long")
+    got = {r.dl: r.q for r in df.select(
+        "dl", lucene_quantized_dl(F.col("dl")).alias("q")).collect()}
+
+    def ref(v):  # SmallFloat.intToByte4 round-trip: top-4 sig bits
+        if v < 8:
+            return v
+        s = v.bit_length() - 4
+        return (v >> s) << s
+
+    assert got == {v: ref(v) for v in vals}
+    assert got[17] == 16 and got[19] == 18 and got[255] == 240
+
+
+def test_lossy_norms_tie_and_exact_avgdl(spark):
+    import math
+
+    from connectors_spark import BM25_B, BM25_K1
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import (
+        queries_df, score_topk_dataframe, with_lossy_norms)
+
+    def doc(i, n_fill):
+        fill = " ".join(f"w{i}x{j}" for j in range(n_fill))
+        return (i, "spark " + fill)
+
+    # dl 16 and 17 share the top-4 significant bits (both -> 16)
+    docs = spark.createDataFrame([doc(0, 15), doc(1, 16)],
+                                 "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    lossy = with_lossy_norms(idx)
+    # avgdl stays EXACT: Lucene derives it from sumTotalTermFreq, not norms
+    assert lossy.avgdl == idx.avgdl
+
+    qdf = queries_df(spark, [
+        {"query_id": "q", "query_text": "spark", "k": 5}])
+    exact = {r.doc_id: r.score for r in
+             score_topk_dataframe(idx, qdf, round_scores=6).collect()}
+    q = {r.doc_id: (r.rank, r.score) for r in
+         score_topk_dataframe(lossy, qdf, round_scores=6).collect()}
+    # exact dl 16 vs 17: shorter doc strictly wins
+    assert exact[0] > exact[1]
+    # lossy: identical norm byte -> identical scores, doc_id ASC tiebreak
+    assert q[0][1] == q[1][1]
+    assert (q[0][0], q[1][0]) == (1, 2)
+    # closed form at dl_q=16, exact avgdl=16.5, N=2, df=2
+    idf = math.log(1.0 + 0.5 / 2.5)
+    tfn = 1.0 / (1.0 + BM25_K1 * (1 - BM25_B + BM25_B * 16 / 16.5))
+    assert q[0][1] == _r6(idf * tfn)
+
+
+# ---------------------------------------------- Kneser-Ney trigram LM
+def test_kneser_ney_closed_form(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    from connectors_spark.functions.text import kneser_ney_score
+
+    texts = {10: "a b a b a", 11: "a b c a b", 12: "b c"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    out = {r.doc_id: r for r in kneser_ney_score(docs).collect()}
+    # doc 12 has < 3 tokens -> no trigram -> absent
+    assert set(out) == {10, 11}
+
+    # independent reference, built exactly per Chen & Goodman's
+    # interpolated KN from the trigram type table
+    D = 0.75
+    tris = {d: [tuple(t.split()[i:i + 3])
+                for i in range(len(t.split()) - 2)]
+            for d, t in texts.items() if len(t.split()) >= 3}
+    types = Counter(g for gs in tris.values() for g in gs)
+    h12, n1p_12 = defaultdict(int), defaultdict(int)
+    a23_w1 = defaultdict(set)
+    for (w1, w2, w3), c in types.items():
+        h12[(w1, w2)] += c
+        n1p_12[(w1, w2)] += 1
+        a23_w1[(w2, w3)].add(w1)
+    a23 = {k: len(v) for k, v in a23_w1.items()}
+    A2, n1p_2 = defaultdict(int), defaultdict(int)
+    u3 = defaultdict(int)
+    for (w2, w3), a in a23.items():
+        A2[w2] += a
+        n1p_2[w2] += 1
+        u3[w3] += 1
+    U = float(len(a23))
+
+    def lp_u(g):
+        w1, w2, w3 = g
+        p_uni = u3[w3] / U
+        p_bi = (max(a23[(w2, w3)] - D, 0.0)
+                + D * n1p_2[w2] * p_uni) / A2[w2]
+        p_tri = (max(types[g] - D, 0.0)
+                 + D * n1p_12[(w1, w2)] * p_bi) / h12[(w1, w2)]
+        return round(round(math.log2(p_tri), 6) * 1e6)
+
+    for d, gs in tris.items():
+        assert out[d].n_trigrams == len(gs)
+        exp = round(sum(lp_u(g) for g in gs) / 1e6 / len(gs), 6)
+        assert out[d].avg_log2p == exp
+
+
+def test_kneser_ney_probabilities_are_probabilities(spark):
+    """Every scored trigram is a corpus trigram, so log2 P < 0 always
+    (P < 1 whenever the type table has > 1 continuation anywhere)."""
+    from connectors_spark.functions.text import kneser_ney_score
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x y w x y z"), (2, "y z x y z q")],
+        "doc_id long, text string")
+    rows = kneser_ney_score(docs).collect()
+    assert len(rows) == 2
+    assert all(r.avg_log2p < 0 for r in rows)
