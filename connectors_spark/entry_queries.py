@@ -18542,3 +18542,136 @@ def q_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return kneser_ney_score(docs, discount=_KN_D)
+
+
+# =================================================================
+# Corpus-law analytics: Zipf fit, Heaps growth, lexical diversity
+# =================================================================
+
+_ZIPF_MAX_RANK = 1000
+
+
+@register(
+    "zipf_law_fit",
+    f"""
+WITH {_TOKS_CTE},
+freq AS (SELECT term, count(*) AS f FROM toks GROUP BY term),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS rank
+  FROM freq ORDER BY f DESC, term ASC LIMIT {_ZIPF_MAX_RANK}
+),
+u AS (
+  SELECT CAST(round(round(ln(CAST(rank AS DOUBLE)), 6) * 1e6) AS BIGINT) AS xu,
+         CAST(round(round(ln(CAST(f AS DOUBLE)), 6) * 1e6) AS BIGINT) AS yu
+  FROM ranked
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xu) AS DOUBLE) AS sx, CAST(sum(yu) AS DOUBLE) AS sy,
+         CAST(sum(xu * xu) AS DOUBLE) AS sxx,
+         CAST(sum(xu * yu) AS DOUBLE) AS sxy,
+         CAST(sum(yu * yu) AS DOUBLE) AS syy
+  FROM u
+)
+SELECT n AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), {ROUND_SCORE})
+         AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+             / n / 1e6, {ROUND_SCORE}) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+             {ROUND_SCORE}) AS r2
+FROM s
+""",
+)
+def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law OLS fit over the top-1000 term ranks
+    (functions/text.py:zipf_fit): the crawl-slice sanity check that a
+    corpus still looks like natural language — exponent drift flags
+    tokenizer bugs, template floods, spam farms. Rank head via
+    TakeOrdered, micro-unit integer OLS sufficient statistics."""
+    from connectors_spark.functions.text import zipf_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    return zipf_fit(docs, max_rank=_ZIPF_MAX_RANK)
+
+
+_HEAPS_BUCKETS = 10
+
+
+@register(
+    "heaps_vocab_growth",
+    f"""
+WITH {_TOKS_CTE},
+bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+db AS (
+  SELECT doc_id,
+         least(CAST(floor(CAST(doc_id - lo AS DOUBLE) * {_HEAPS_BUCKETS}
+                          / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT),
+               {_HEAPS_BUCKETS - 1}) AS bucket
+  FROM documents CROSS JOIN bounds
+),
+tb AS (SELECT db.bucket, toks.term FROM toks JOIN db USING (doc_id)),
+per_tok AS (SELECT bucket, CAST(count(*) AS BIGINT) AS toks_n
+            FROM tb GROUP BY bucket),
+first AS (SELECT term, min(bucket) AS bucket FROM tb GROUP BY term),
+per_new AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms
+            FROM first GROUP BY bucket),
+spine AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+          FROM db GROUP BY bucket),
+joined AS (
+  SELECT spine.bucket, spine.n_docs,
+         coalesce(per_tok.toks_n, 0) AS toks_n,
+         coalesce(per_new.new_terms, 0) AS new_terms
+  FROM spine
+  LEFT JOIN per_tok USING (bucket)
+  LEFT JOIN per_new USING (bucket)
+)
+SELECT bucket, n_docs,
+       CAST(sum(toks_n) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+       CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+FROM joined
+""",
+)
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth checkpoints
+    (functions/text.py:vocab_growth): distinct terms vs tokens seen in
+    doc_id order at 10 range-bucket checkpoints — the sublinear V(n)
+    curve a natural corpus must show (flat = template spam, linear =
+    noise). No global row window: range buckets from broadcast min/max
+    scalars, first sighting = min(bucket) per term."""
+    from connectors_spark.functions.text import vocab_growth
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_growth(docs, n_buckets=_HEAPS_BUCKETS)
+
+
+@register(
+    "lexical_diversity",
+    f"""
+WITH {_TF_CTE},
+per AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       round(n_types * 1.0 / n_tokens, {ROUND_SCORE}) AS ttr,
+       round(n_types / sqrt(n_tokens * 1.0), {ROUND_SCORE}) AS rttr,
+       CASE WHEN n_tokens > 1
+            THEN round(ln(n_types * 1.0) / ln(n_tokens * 1.0),
+                       {ROUND_SCORE}) END AS herdan_c,
+       round(n_hapax * 1.0 / n_tokens, {ROUND_SCORE}) AS hapax_ratio
+FROM per
+""",
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical diversity screen
+    (functions/text.py:lexical_diversity): TTR, Guiraud root-TTR,
+    Herdan's C, hapax share — keyword stuffing reads low, random-token
+    spam reads high. Integer counts, single-division ratios."""
+    from connectors_spark.functions.text import lexical_diversity
+
+    docs = _read(spark, sf_dir, "documents")
+    return lexical_diversity(docs)

@@ -794,3 +794,139 @@ def kneser_ney_score(df: DataFrame, text_col: str = "text",
         "doc_id", "n_trigrams",
         F.round(F.col("_sum_u").cast("double") / 1e6
                 / F.col("n_trigrams"), round_to).alias("avg_log2p"))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             max_rank: int = 1000, round_to: int = 6) -> DataFrame:
+    """ONE row (n_terms, slope, intercept, r2): least-squares fit of
+    Zipf's law ln(freq) = intercept + slope * ln(rank) over the corpus'
+    top-`max_rank` terms (Zipf 1949; the exponent near -1 is the
+    classic sanity check that a crawl slice looks like natural
+    language — tokenizer bugs, boilerplate floods and spam farms all
+    bend it).
+
+    Determinism: the rank head is a TakeOrderedAndProject
+    (freq DESC, term ASC — total order), per-term ln(rank)/ln(freq)
+    round to `round_to` and lift to micro-unit int64, and all five
+    OLS sufficient statistics are EXACT integer sums over <= max_rank
+    rows. The final slope/intercept/r2 combine those six exact
+    integers in one fixed-shape double expression — no aggregation
+    order anywhere. int64 bound: Sxx <= max_rank * (1e6*ln(max_rank))^2
+    keeps max_rank <= ~50k safe; the head is where Zipf holds anyway.
+
+    Scale shape: term counting is one map-side-combinable groupBy; the
+    head never exceeds max_rank rows (distributed partial top-k, k-row
+    driver merge); the fit itself is O(max_rank)."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    head = freq.orderBy(F.desc("f"), F.asc("term")).limit(max_rank)
+    w = Window.orderBy(F.desc("f"), F.asc("term"))
+    ranked = head.withColumn("rank", F.row_number().over(w))
+    u = ranked.select(
+        F.round(F.round(F.log(F.col("rank").cast("double")), round_to)
+                * 1e6).cast("long").alias("xu"),
+        F.round(F.round(F.log(F.col("f").cast("double")), round_to)
+                * 1e6).cast("long").alias("yu"))
+    s = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xu").alias("sx"), F.sum("yu").alias("sy"),
+        F.sum(F.col("xu") * F.col("xu")).alias("sxx"),
+        F.sum(F.col("xu") * F.col("yu")).alias("sxy"),
+        F.sum(F.col("yu") * F.col("yu")).alias("syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, round_to).alias("slope"),
+        F.round((sy - slope * sx) / n / F.lit(1e6), round_to)
+         .alias("intercept"),
+        F.round(cov * cov / (varx * vary), round_to).alias("r2"))
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n_buckets: int = 10) -> DataFrame:
+    """(bucket, n_docs, cum_tokens, cum_vocab): Heaps-law vocabulary
+    growth curve — distinct terms seen vs tokens seen as the corpus is
+    consumed in `id_col` order, at `n_buckets` checkpoints (Heaps 1978;
+    V(n) ~ K n^beta with beta ~ 0.4-0.6 for natural text — a flat curve
+    means template spam, a linear one means random noise).
+
+    No global row window: buckets are RANGE slices of the id domain
+    (floor((id - min) * n_buckets / span), computed against broadcast
+    min/max scalars), a term's first sighting is min(bucket) per term
+    (map-side combinable), and the cumulative sums run over the
+    <= n_buckets aggregated rows. Empty buckets surface with zero
+    deltas via the doc-count spine."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    bounds = df.agg(F.min(id_col).alias("lo"),
+                    F.max(id_col).alias("hi"))
+    base = df.crossJoin(F.broadcast(bounds))
+    # explicit floor-of-double on BOTH sides of the twin: Spark's
+    # double->long cast truncates but DuckDB's CAST rounds
+    bucket = F.least(
+        F.floor((F.col(id_col) - F.col("lo")).cast("double") * n_buckets
+                / (F.col("hi") - F.col("lo") + 1).cast("double"))
+         .cast("long"),
+        F.lit(n_buckets - 1)).alias("bucket")
+    docs = base.select(bucket, F.col(id_col).alias("_id"),
+                       F.col(text_col).alias("_t"))
+    toks = docs.select("bucket",
+                       F.explode(tokens_col(F.col("_t"))).alias("term"))
+    per_bucket_tok = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("toks"))
+    first = toks.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    per_bucket_new = first.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_terms"))
+    spine = docs.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = (spine.join(per_bucket_tok, "bucket", "left")
+              .join(per_bucket_new, "bucket", "left")
+              .fillna(0, ["toks", "new_terms"]))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        "bucket", "n_docs",
+        F.sum("toks").over(w).alias("cum_tokens"),
+        F.sum("new_terms").over(w).alias("cum_vocab"))
+
+
+def lexical_diversity(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      round_to: int = 6) -> DataFrame:
+    """Per-doc lexical-diversity screen: (doc_id, n_tokens, n_types,
+    n_hapax, ttr, rttr, herdan_c, hapax_ratio) — type-token ratio,
+    Guiraud's root TTR, Herdan's C = ln V / ln N (the length-robust
+    variant), and the hapax-legomena share. Low-diversity docs are
+    keyword stuffing / template output; implausibly high ones are
+    random-token spam. Zero-token docs are absent (no tokens, no row).
+
+    One tokenize pass, one (doc, term) combine-friendly agg, one doc
+    agg — integer counts end-to-end, ratios as single divisions."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    tf = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_col(F.col(text_col))).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).alias("n_hapax"))
+    nt = F.col("n_tokens").cast("double")
+    ty = F.col("n_types").cast("double")
+    herdan = F.when(F.col("n_tokens") > 1,
+                    F.log(ty) / F.log(nt)).otherwise(F.lit(None))
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_types", "n_hapax",
+        F.round(ty / nt, round_to).alias("ttr"),
+        F.round(ty / F.sqrt(nt), round_to).alias("rttr"),
+        F.round(herdan, round_to).alias("herdan_c"),
+        F.round(F.col("n_hapax") / nt, round_to).alias("hapax_ratio"))

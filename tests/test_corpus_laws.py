@@ -1,0 +1,85 @@
+"""Corpus-law analytics: Zipf OLS fit, Heaps vocabulary growth,
+lexical diversity — closed-form vs independent Python references."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from connectors_spark.functions.text import (
+    lexical_diversity, vocab_growth, zipf_fit)
+
+
+def test_zipf_fit_closed_form(spark):
+    # exact power law f = 12 / rank: a x12, b x6, c x4, d x3
+    docs = spark.createDataFrame(
+        [(0, " ".join(["a"] * 12)), (1, " ".join(["b"] * 6)),
+         (2, " ".join(["c"] * 4 + ["d"] * 3))],
+        "doc_id long, text string")
+    row = zipf_fit(docs, max_rank=10).collect()[0]
+    # independent OLS on the micro-lifted points
+    pts = [(1, 12), (2, 6), (3, 4), (4, 3)]  # (rank, freq)
+    xu = [round(round(math.log(r), 6) * 1e6) for r, _ in pts]
+    yu = [round(round(math.log(f), 6) * 1e6) for _, f in pts]
+    n = float(len(pts))
+    sx, sy = float(sum(xu)), float(sum(yu))
+    sxx = float(sum(x * x for x in xu))
+    sxy = float(sum(x * y for x, y in zip(xu, yu)))
+    syy = float(sum(y * y for y in yu))
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert row.n_terms == 4
+    assert row.slope == round(cov / varx, 6)
+    assert row.intercept == round((sy - cov / varx * sx) / n / 1e6, 6)
+    assert row.r2 == round(cov * cov / (varx * vary), 6)
+    # f*r = 12 exactly -> ln f = ln 12 - ln r: collinear up to the
+    # 6dp micro-rounding -> r2 ~ 1, slope ~ -1
+    assert row.r2 > 0.999999
+    assert -1.00001 < row.slope < -0.99999
+
+
+def test_zipf_fit_respects_max_rank(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c")], "doc_id long, text string")
+    assert zipf_fit(docs, max_rank=2).collect()[0].n_terms == 2
+
+
+def test_vocab_growth_curve(spark):
+    # ids 0..9, 2 buckets of 5 docs; vocab grows only in new terms
+    rows = [(i, "t%d common" % (i // 5)) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.bucket: r for r in vocab_growth(docs, n_buckets=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_docs == 5 and out[1].n_docs == 5
+    assert out[0].cum_tokens == 10 and out[1].cum_tokens == 20
+    # bucket 0 introduces {t0, common}; bucket 1 adds only t1
+    assert out[0].cum_vocab == 2 and out[1].cum_vocab == 3
+
+
+def test_vocab_growth_totals_and_monotone(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sorted(vocab_growth(docs).collect(), key=lambda r: r.bucket)
+    total_tokens = out[-1].cum_tokens
+    total_vocab = out[-1].cum_vocab
+    from connectors_spark.functions.analysis import tokens_col
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("t"))
+    assert total_tokens == toks.count()
+    assert total_vocab == toks.distinct().count()
+    for a, b in zip(out, out[1:]):
+        assert b.cum_tokens >= a.cum_tokens
+        assert b.cum_vocab >= a.cum_vocab
+
+
+def test_lexical_diversity_closed_form(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a b c"),        # 4 tokens, 3 types, 2 hapax
+         (1, "x"),              # 1 token: herdan NULL
+         (2, "")],              # 0 tokens: absent
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in lexical_diversity(docs).collect()}
+    assert set(out) == {0, 1}
+    r0 = out[0]
+    assert (r0.n_tokens, r0.n_types, r0.n_hapax) == (4, 3, 2)
+    assert r0.ttr == 0.75
+    assert r0.rttr == round(3 / math.sqrt(4), 6)
+    assert r0.herdan_c == round(math.log(3) / math.log(4), 6)
+    assert r0.hapax_ratio == 0.5
+    assert out[1].herdan_c is None and out[1].ttr == 1.0

@@ -76,6 +76,8 @@ GATES = [
     "lm_dirichlet_topk",    # ctf agg + per-posting integer LM contributions
     "bm25_topk_lossy_norms",  # norm-byte quantization ahead of scoring
     "kneser_ney_score",     # trigram type-table joins + micro-unit sums
+    "zipf_law_fit",         # TakeOrdered rank head + integer OLS sums
+    "heaps_vocab_growth",   # range buckets + min-bucket first sightings
 ]
 
 
