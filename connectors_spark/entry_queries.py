@@ -18675,3 +18675,65 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return lexical_diversity(docs)
+
+
+# =================================================================
+# URL canonicalization (web-pipeline dedup key)
+# =================================================================
+
+def _url_gate_sql() -> str:
+    from connectors_spark.functions.urlnorm import canonical_url_sql_ctes
+    return f"""
+WITH hp AS (SELECT doc_id,
+                   'Example' || CAST(doc_id % 40 AS VARCHAR) || '.COM' AS h,
+                   '/p/' || CAST(doc_id % 17 AS VARCHAR) AS p
+            FROM documents),
+raw AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'http://' || h || p
+      WHEN 1 THEN 'HTTPS://www.' || h || ':443' || p || '/'
+      WHEN 2 THEN 'http://' || h || ':80' || p || '?utm_source=x&b=2&a=1'
+      WHEN 3 THEN 'http://' || h || p || '?a=1&b=2#frag'
+      ELSE 'http://www.' || h || p || '/?b=2&a=1&gclid=zz'
+    END AS url
+  FROM hp
+),
+{canonical_url_sql_ctes('url', 'raw')}
+SELECT doc_id, canonical_url, host,
+       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+         AS group_size
+FROM urlc
+"""
+
+
+@register("url_canonicalize", _url_gate_sql())
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup keys (functions/urlnorm.py) over
+    deterministically re-dirtied URLs (same trick as the char-filter
+    gate): scheme/host case, www., default ports, trailing slash,
+    fragments, tracking params, param order — variants 2/3/4 of the
+    same (host, path) must collapse to ONE canonical key (group_size
+    counts it). The step-parallel SQL twin pins every rule."""
+    from connectors_spark.functions.urlnorm import canonical_url_col
+
+    d = F.col("doc_id")
+    h = F.concat(F.lit("Example"), (d % 40).cast("string"), F.lit(".COM"))
+    p = F.concat(F.lit("/p/"), (d % 17).cast("string"))
+    v = d % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), h, p))
+        .when(v == 1, F.concat(F.lit("HTTPS://www."), h, F.lit(":443"),
+                               p, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("http://"), h, F.lit(":80"), p,
+                               F.lit("?utm_source=x&b=2&a=1")))
+        .when(v == 3, F.concat(F.lit("http://"), h, p,
+                               F.lit("?a=1&b=2#frag")))
+        .otherwise(F.concat(F.lit("http://www."), h, p,
+                            F.lit("/?b=2&a=1&gclid=zz")))
+    )
+    c = (_read(spark, sf_dir, "documents")
+         .select("doc_id", canonical_url_col(url).alias("c"))
+         .select("doc_id", "c.canonical_url", "c.host"))
+    w = Window.partitionBy("canonical_url")
+    return c.withColumn("group_size", F.count(F.lit(1)).over(w))

@@ -78,6 +78,7 @@ GATES = [
     "kneser_ney_score",     # trigram type-table joins + micro-unit sums
     "zipf_law_fit",         # TakeOrdered rank head + integer OLS sums
     "heaps_vocab_growth",   # range buckets + min-bucket first sightings
+    "url_canonicalize",     # row-local regex chain + canonical-key window
 ]
 
 
