@@ -18737,3 +18737,110 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", "c.canonical_url", "c.host"))
     w = Window.partitionBy("canonical_url")
     return c.withColumn("group_size", F.count(F.lit(1)).over(w))
+
+
+# =================================================================
+# Sentence-BLEU over sampled doc pairs
+# =================================================================
+
+_BLEU_MAX_N = 4
+
+
+def _bleu_sql(max_n: int = _BLEU_MAX_N) -> str:
+    tok = _tok_sql("text")
+
+    def gram_expr(n: int) -> str:
+        if n == 1:
+            return "a[i]"
+        return " || ' ' || ".join(f"a[i+{j}]" if j else "a[i]"
+                                  for j in range(n))
+
+    def side(sfx: str, par: int) -> str:
+        unions = "\n  UNION ALL\n".join(
+            f"  SELECT pair_id, {n} AS n, "
+            f"unnest(list_transform(range(1, len(a) - {n - 2}), "
+            f"i -> {gram_expr(n)})) AS gram "
+            f"FROM {sfx}_arr WHERE len(a) >= {n}"
+            for n in range(1, max_n + 1))
+        return f"""
+{sfx}_arr AS (
+  SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id, {tok} AS a
+  FROM documents WHERE doc_id % 2 = {par}),
+{sfx}_cnt AS (
+  SELECT pair_id, n, gram, count(*) AS c FROM (
+{unions}
+  ) GROUP BY pair_id, n, gram)"""
+
+    pn_cols = ",\n       ".join(
+        f"round(CASE WHEN c{n} > 0 THEN clip{n} * 1.0 / c{n} "
+        f"ELSE 0.0 END, {ROUND_SCORE}) AS p{n}"
+        for n in range(1, max_n + 1))
+    lnp_sum = " + ".join(
+        f"CAST(round(round(ln(clip{n} * 1.0 / nullif(c{n}, 0)), "
+        f"{ROUND_SCORE}) * 1e6) AS BIGINT)"
+        for n in range(1, max_n + 1))
+    ok = " AND ".join([f"c{max_n} > 0"] + [f"clip{n} > 0"
+                                           for n in range(1, max_n + 1)])
+    wide_cols = ",\n         ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN clip END), 0) AS clip{n},\n"
+        f"         coalesce(max(CASE WHEN n = {n} THEN cn END), 0) AS c{n}"
+        for n in range(1, max_n + 1))
+    return f"""
+WITH {side('cb', 0)},
+{side('rb', 1)},
+pair_ids AS (
+  SELECT pair_id FROM cb_arr INTERSECT SELECT pair_id FROM rb_arr),
+clip AS (
+  SELECT cb_cnt.pair_id, cb_cnt.n, sum(least(cb_cnt.c, rb_cnt.c)) AS clip
+  FROM cb_cnt JOIN rb_cnt ON cb_cnt.pair_id = rb_cnt.pair_id
+                         AND cb_cnt.n = rb_cnt.n
+                         AND cb_cnt.gram = rb_cnt.gram
+  GROUP BY cb_cnt.pair_id, cb_cnt.n),
+per_n AS (
+  SELECT t.pair_id, t.n, t.cn, coalesce(clip.clip, 0) AS clip
+  FROM (SELECT pair_id, n, sum(c) AS cn FROM cb_cnt GROUP BY pair_id, n) t
+  LEFT JOIN clip ON clip.pair_id = t.pair_id AND clip.n = t.n),
+wide AS (
+  SELECT pair_id,
+         {wide_cols}
+  FROM per_n GROUP BY pair_id),
+rlen AS (
+  SELECT pair_id, CAST(sum(c) AS BIGINT) AS ref_len
+  FROM rb_cnt WHERE n = 1 GROUP BY pair_id),
+base AS (
+  SELECT p.pair_id,
+         {", ".join(f"coalesce(clip{n}, 0) AS clip{n}, coalesce(c{n}, 0) AS c{n}" for n in range(1, max_n + 1))},
+         coalesce(rlen.ref_len, 0) AS ref_len
+  FROM pair_ids p
+  LEFT JOIN wide USING (pair_id)
+  LEFT JOIN rlen USING (pair_id))
+SELECT pair_id, CAST(c1 AS BIGINT) AS cand_len, ref_len,
+       {pn_cols},
+       CASE WHEN {ok} THEN
+         round((({lnp_sum}) / {float(max_n)}
+                + CAST(round(round(least(0.0,
+                    1.0 - ref_len * 1.0 / nullif(c1, 0)),
+                    {ROUND_SCORE}) * 1e6) AS BIGINT)) / 1e6,
+               {ROUND_SCORE})
+       END AS log_bleu
+FROM base
+"""
+
+
+@register("bleu_pairs", _bleu_sql())
+def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-BLEU-4 (functions/text.py:bleu_pairs, Papineni 2002)
+    over the same even/odd doc pairing as rouge_n_overlap — clipped
+    precisions p1..p4, brevity penalty, log-domain score (integer-exact
+    micro-unit order sum; bleu = exp(log_bleu)). The distillation /
+    paraphrase-overlap screen one step up from single-order ROUGE."""
+    from connectors_spark.functions.text import bleu_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("text").alias("cand_text"))
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("text").alias("ref_text"))
+    return bleu_pairs(even.join(odd, "pair_id"), max_n=_BLEU_MAX_N)

@@ -930,3 +930,113 @@ def lexical_diversity(df: DataFrame, text_col: str = "text",
         F.round(ty / F.sqrt(nt), round_to).alias("rttr"),
         F.round(herdan, round_to).alias("herdan_c"),
         F.round(F.col("n_hapax") / nt, round_to).alias("hapax_ratio"))
+
+
+def bleu_pairs(pairs: DataFrame, max_n: int = 4,
+               cand_col: str = "cand_text", ref_col: str = "ref_text",
+               id_col: str = "pair_id", round_to: int = 6) -> DataFrame:
+    """Sentence-BLEU (Papineni et al. 2002) over (candidate, reference)
+    text pairs, all orders 1..max_n: clipped n-gram precisions p_n, the
+    brevity penalty, and the LOG-domain score
+
+        log_bleu = min(0, 1 - ref_len/cand_len)         (ln BP)
+                 + (1/max_n) * sum_n ln p_n
+
+    (bleu = exp(log_bleu); the log form is emitted because it stays
+    inside the repo's integer-exact convention — each ln p_n rounds to
+    `round_to` and lifts to micro-unit int64, the order sum is an exact
+    integer, and /4.0 + the micro-lifted ln BP are exact doubles — no
+    transcendental AFTER the integer stage, so both engines round the
+    final value identically). log_bleu is NULL when any order has zero
+    clipped matches or the candidate is shorter than max_n tokens — the
+    unsmoothed sentence-BLEU zero, kept distinguishable from tiny
+    scores.
+
+    Returns (pair_id, cand_len, ref_len, p1..p{max_n}, log_bleu).
+
+    Scale shape: ONE tokenize pass per side — every order's grams are
+    built inside the tokens array and flattened to (pair, n, gram)
+    before a single combine-friendly count; the clip join is keyed
+    (pair, n, gram), co-partitioned with the counts. No all-pairs, no
+    Python in the loop."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    def side_grams(col_name, alias):
+        arr = tokens_col(F.col(col_name))
+
+        # closure factories, NOT default args: pyspark's higher-order
+        # functions read the lambda's arity to decide how many lambda
+        # variables to bind
+        def gram_fn(n):
+            return lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j) for j in range(n)])
+
+        def tag_fn(n):
+            return lambda x: F.struct(F.lit(n).alias("n"),
+                                      x.alias("gram"))
+
+        per_n = []
+        for n in range(1, max_n + 1):
+            g = F.when(
+                F.size(arr) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+                    gram_fn(n),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            per_n.append(F.transform(g, tag_fn(n)))
+        flat = F.flatten(F.array(*per_n))
+        return (pairs.select(id_col, F.explode(flat).alias("_g"))
+                .select(id_col, F.col("_g.n").alias("n"),
+                        F.col("_g.gram").alias("gram"))
+                .groupBy(id_col, "n", "gram")
+                .agg(F.count(F.lit(1)).alias(alias)))
+
+    c = side_grams(cand_col, "cc")
+    r = side_grams(ref_col, "cr")
+    clip = (c.join(r, [id_col, "n", "gram"])
+            .groupBy(id_col, "n")
+            .agg(F.sum(F.least("cc", "cr")).alias("clip")))
+    per_n = (c.groupBy(id_col, "n").agg(F.sum("cc").alias("cn"))
+             .join(clip, [id_col, "n"], "left")
+             .fillna(0, ["clip"]))
+    agg_cols = [F.count(F.lit(1)).alias("_orders")]
+    for n in range(1, max_n + 1):
+        agg_cols.append(F.max(F.when(F.col("n") == n, F.col("clip")))
+                        .alias(f"clip{n}"))
+        agg_cols.append(F.max(F.when(F.col("n") == n, F.col("cn")))
+                        .alias(f"c{n}"))
+    wide = per_n.groupBy(id_col).agg(*agg_cols)
+    ref_len = (r.filter(F.col("n") == 1).groupBy(id_col)
+               .agg(F.sum("cr").alias("ref_len")))
+    base = (pairs.select(id_col).distinct()
+            .join(wide, id_col, "left")
+            .join(ref_len, id_col, "left")
+            .fillna(0, [c for n in range(1, max_n + 1)
+                        for c in (f"clip{n}", f"c{n}")] + ["ref_len"]))
+    cand_len = F.col("c1")
+    lnp_us = []
+    p_cols = []
+    for n in range(1, max_n + 1):
+        cn, cl = F.col(f"c{n}").cast("double"), F.col(f"clip{n}")
+        p_cols.append(F.round(F.when(F.col(f"c{n}") > 0, cl / cn)
+                              .otherwise(F.lit(0.0)), round_to)
+                      .alias(f"p{n}"))
+        lnp_us.append(F.round(F.round(F.log(cl.cast("double") / cn),
+                                      round_to) * 1e6).cast("long"))
+    ok = (F.col(f"c{max_n}") > 0)
+    for n in range(1, max_n + 1):
+        ok = ok & (F.col(f"clip{n}") > 0)
+    sum_u = lnp_us[0]
+    for x in lnp_us[1:]:
+        sum_u = sum_u + x
+    bp_u = F.round(F.round(
+        F.least(F.lit(0.0),
+                1.0 - F.col("ref_len").cast("double")
+                / cand_len.cast("double")), round_to) * 1e6).cast("long")
+    log_bleu = F.when(
+        ok, F.round((sum_u.cast("double") / max_n + bp_u.cast("double"))
+                    / 1e6, round_to))
+    return base.select(
+        id_col, cand_len.alias("cand_len"), F.col("ref_len"),
+        *p_cols, log_bleu.alias("log_bleu"))

@@ -83,3 +83,60 @@ def test_lexical_diversity_closed_form(spark):
     assert r0.herdan_c == round(math.log(3) / math.log(4), 6)
     assert r0.hapax_ratio == 0.5
     assert out[1].herdan_c is None and out[1].ttr == 1.0
+
+
+# -------------------------------------------------------- sentence BLEU
+def _bleu_rows(spark, rows):
+    from connectors_spark.functions.text import bleu_pairs
+    pairs = spark.createDataFrame(
+        rows, "pair_id long, cand_text string, ref_text string")
+    return {r.pair_id: r for r in bleu_pairs(pairs).collect()}
+
+
+def test_bleu_identity_pair_scores_zero_log(spark):
+    out = _bleu_rows(spark, [(0, "a b c d e", "a b c d e")])
+    r = out[0]
+    assert (r.p1, r.p2, r.p3, r.p4) == (1.0, 1.0, 1.0, 1.0)
+    assert r.cand_len == 5 and r.ref_len == 5
+    assert r.log_bleu == 0.0  # BP=1, all precisions 1
+
+
+def test_bleu_closed_form(spark):
+    import math
+
+    # cand: a b c d x  / ref: a b c d e -> clip: 4/5, 3/4, 2/3, 1/2
+    out = _bleu_rows(spark, [(1, "a b c d x", "a b c d e")])
+    r = out[1]
+    assert (r.p1, r.p2, r.p3, r.p4) == (0.8, 0.75, round(2 / 3, 6), 0.5)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def half_up(x, nd):
+        # Spark's round() is HALF_UP over BigDecimal.valueOf(double),
+        # i.e. over the SHORTEST DECIMAL REPR, not the exact binary —
+        # Decimal(repr(x)) reproduces that
+        return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd),
+                                               rounding=ROUND_HALF_UP))
+
+    lnp = [int(half_up(half_up(math.log(p), 6) * 1e6, 0))
+           for p in (4 / 5, 3 / 4, 2 / 3, 1 / 2)]
+    exp = half_up((sum(lnp) / 4.0 + 0) / 1e6, 6)  # equal len: BP term 0
+    assert r.log_bleu == exp
+
+
+def test_bleu_zero_and_short_cases(spark):
+    out = _bleu_rows(spark, [
+        (0, "x y z w q", "a b c d e"),   # zero overlap -> NULL
+        (1, "a b c", "a b c"),           # cand shorter than max_n -> NULL
+        (2, "a b c d", "a b c d e f g h")])  # brevity penalty active
+    assert out[0].log_bleu is None and out[0].p1 == 0.0
+    assert out[1].log_bleu is None and out[1].p1 == 1.0
+    r = out[2]
+    assert (r.p1, r.p2, r.p3, r.p4) == (1.0, 1.0, 1.0, 1.0)
+    # ln BP = 1 - 8/4 = -1
+    assert r.log_bleu == -1.0
+
+
+def test_bleu_clipping(spark):
+    # cand repeats 'a' 5x, ref has 'a' twice -> clip1 = 2
+    out = _bleu_rows(spark, [(0, "a a a a a", "a b a c d")])
+    assert out[0].p1 == round(2 / 5, 6)

@@ -79,6 +79,7 @@ GATES = [
     "zipf_law_fit",         # TakeOrdered rank head + integer OLS sums
     "heaps_vocab_growth",   # range buckets + min-bucket first sightings
     "url_canonicalize",     # row-local regex chain + canonical-key window
+    "bleu_pairs",           # multi-order gram counts + integer log sums
 ]
 
 
