@@ -18844,3 +18844,101 @@ def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("doc_id div 2").alias("pair_id"),
         F.col("text").alias("ref_text"))
     return bleu_pairs(even.join(odd, "pair_id"), max_n=_BLEU_MAX_N)
+
+
+# =================================================================
+# Simple Good-Turing unseen-mass estimation
+# =================================================================
+
+@register(
+    "good_turing_estimate",
+    f"""
+WITH {_TOKS_CTE},
+freq AS (SELECT term, count(*) AS r FROM toks GROUP BY term),
+nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM freq GROUP BY r),
+zn AS (
+  SELECT r, n_r,
+         coalesce(lag(r) OVER (ORDER BY r), 0) AS q,
+         lead(r) OVER (ORDER BY r) AS t
+  FROM nr
+),
+z2 AS (
+  SELECT r, n_r,
+         n_r * 1.0 / (0.5 * (coalesce(t, 2 * r - q) - q)) AS z
+  FROM zn
+),
+u AS (
+  SELECT r, n_r,
+         CAST(round(round(ln(r * 1.0), {ROUND_SCORE}) * 1e6) AS BIGINT) AS xu,
+         CAST(round(round(ln(z), {ROUND_SCORE}) * 1e6) AS BIGINT) AS yu
+  FROM z2
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(xu) AS DOUBLE) AS sx, CAST(sum(yu) AS DOUBLE) AS sy,
+         CAST(sum(xu * xu) AS DOUBLE) AS sxx,
+         CAST(sum(xu * yu) AS DOUBLE) AS sxy
+  FROM u
+),
+consts AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM s),
+tot AS (SELECT CAST(sum(r) AS DOUBLE) AS n_tokens,
+               CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1
+        FROM freq)
+SELECT r, n_r,
+       round((r + 1.0) * pow((r + 1.0) / r, b), {ROUND_SCORE}) AS r_star,
+       round(b, {ROUND_SCORE}) AS slope_b,
+       round(n1 / n_tokens, {ROUND_SCORE}) AS p0
+FROM u CROSS JOIN consts CROSS JOIN tot
+""",
+)
+def q_good_turing_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing unseen-mass estimation
+    (functions/text.py:good_turing_estimate, Gale & Sampson 1995 LGT):
+    per observed frequency r the smoothed r*, the Z-transform OLS slope
+    and p0 = N1/N — 'how much mass belongs to unseen types', the
+    corpus-coverage question under every vocab decision. The
+    frequency-of-frequencies frame is O(distinct frequencies), so the
+    neighbor window + OLS run on a tiny frame."""
+    from connectors_spark.functions.text import good_turing_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    return good_turing_estimate(docs)
+
+
+# =================================================================
+# regexp / prefix term queries (Lucene multi-term rewrite shape)
+# =================================================================
+
+def _term_pattern_sql(duck_pred: str) -> str:
+    return f"""
+WITH {_TF_CTE},
+cand AS (SELECT DISTINCT term FROM tf WHERE {duck_pred}),
+m AS (SELECT tf.doc_id, count(*) AS n_terms_matched
+      FROM tf JOIN cand USING (term) GROUP BY tf.doc_id)
+SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+       1.0 AS score
+FROM m
+"""
+
+
+@register("regexp_term_query",
+          _term_pattern_sql("regexp_matches(term, '^(s[a-z]*a[a-z]*)$')"))
+def q_regexp_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `regexp` query (operators/query.py:term_pattern_query):
+    lexicon-pruned full-match regex -> broadcast into the postings join
+    -> constant_score docs, Lucene's multi-term rewrite shape."""
+    from connectors_spark.operators.query import term_pattern_query
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    return term_pattern_query(idx, "s[a-z]*a[a-z]*", mode="regexp")
+
+
+@register("prefix_term_query",
+          _term_pattern_sql("term LIKE 's%'"))
+def q_prefix_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `prefix` query: literal startswith over the lexicon, same
+    constant_score multi-term rewrite plan as regexp_term_query."""
+    from connectors_spark.operators.query import term_pattern_query
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    return term_pattern_query(idx, "s", mode="prefix")

@@ -1040,3 +1040,79 @@ def bleu_pairs(pairs: DataFrame, max_n: int = 4,
     return base.select(
         id_col, cand_len.alias("cand_len"), F.col("ref_len"),
         *p_cols, log_bleu.alias("log_bleu"))
+
+
+def good_turing_estimate(df: DataFrame, text_col: str = "text",
+                         round_to: int = 6) -> DataFrame:
+    """Simple Good-Turing frequency re-estimation (Good 1953; Gale &
+    Sampson 1995 "linear Good-Turing" variant): per observed frequency
+    r, the adjusted frequency r* and the unseen-mass estimate
+    p0 = N1/N — the corpus-coverage question every tokenizer/vocab
+    decision rests on ("how much probability mass belongs to types we
+    have not seen yet?").
+
+        N_r   = #types with corpus frequency r
+        Z_r   = N_r / (0.5 * (t - q)),  q/t = neighboring observed r
+                (q=0 at the smallest r, t=2r-q at the largest — the
+                Gale-Sampson smooth for gappy high-r counts)
+        b     = OLS slope of ln Z on ln r       (must be < -1 for the
+                estimator to be proper; emitted so callers can check)
+        r*    = (r+1) * ((r+1)/r)^b             (LGT smoothed)
+        p0    = N_1 / N                         (total unseen mass)
+
+    Returns one row per observed r: (r, n_r, r_star, slope_b, p0) —
+    slope_b/p0 are corpus constants repeated per row. Micro-unit
+    integer OLS statistics exactly as zipf_fit; r* is a single pow of
+    exact-integer-derived doubles, rounded once.
+
+    Scale shape: the frequency-of-frequencies table has one row per
+    DISTINCT frequency — O(sqrt(total tokens)) rows by the
+    Hardy-Ramanujan-style bound on distinct part sizes — so the
+    neighbor window and the OLS run on a frame thousands of times
+    smaller than the lexicon; everything upstream is two
+    combine-friendly groupBys."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("r"))
+    nr = freq.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    w = Window.orderBy("r")
+    z = (nr
+         .withColumn("q", F.coalesce(F.lag("r").over(w), F.lit(0)))
+         .withColumn("t", F.lead("r").over(w))
+         .withColumn(
+             "z",
+             F.col("n_r").cast("double")
+             / (0.5 * (F.coalesce(F.col("t"),
+                                  2 * F.col("r") - F.col("q"))
+                       - F.col("q")).cast("double"))))
+    u = z.select(
+        "r", "n_r",
+        F.round(F.round(F.log(F.col("r").cast("double")), round_to)
+                * 1e6).cast("long").alias("xu"),
+        F.round(F.round(F.log("z"), round_to) * 1e6)
+         .cast("long").alias("yu"))
+    s = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xu").cast("double").alias("sx"),
+        F.sum("yu").cast("double").alias("sy"),
+        F.sum(F.col("xu") * F.col("xu")).cast("double").alias("sxx"),
+        F.sum(F.col("xu") * F.col("yu")).cast("double").alias("sxy"))
+    b = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    consts = s.select(b.alias("_b"))
+    totals = freq.agg(
+        F.sum("r").cast("double").alias("_n_tokens"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+         .cast("double").alias("_n1"))
+    rr = F.col("r").cast("double")
+    r_star = (rr + 1.0) * F.pow((rr + 1.0) / rr, F.col("_b"))
+    return (u.select("r", "n_r")
+            .crossJoin(F.broadcast(consts))
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "r", "n_r",
+                F.round(r_star, round_to).alias("r_star"),
+                F.round(F.col("_b"), round_to).alias("slope_b"),
+                F.round(F.col("_n1") / F.col("_n_tokens"), round_to)
+                 .alias("p0")))

@@ -2180,3 +2180,37 @@ def with_lossy_norms(index: IndexFrames) -> IndexFrames:
     return IndexFrames(postings=postings, docs=docs_q,
                        lexicon=index.lexicon, n_docs=index.n_docs,
                        avgdl=index.avgdl)
+
+
+def term_pattern_query(index: IndexFrames, pattern: str,
+                       mode: str = "regexp") -> DataFrame:
+    """ES `regexp` / `prefix` query analog over an analyzed field's
+    terms (reference context: the connectors service ships documents
+    into ES where these run as Lucene multi-term queries): the lexicon
+    is pruned FIRST — Lucene's multi-term rewrite walks the term
+    dictionary, never the postings — then the surviving terms' postings
+    union to the doc set. Like ES's default constant_score rewrite the
+    result is unscored: (doc_id, n_terms_matched, score=1.0), with
+    n_terms_matched exposed because the blended variants boost on it.
+
+    `regexp` is full-match like Lucene (the pattern is anchored
+    ^(...)$); stick to the Java/RE2-common syntax subset — Lucene's
+    operator extensions (~ &) are not supported. `prefix` is a literal
+    startswith.
+
+    Scale shape: the lexicon frame is O(vocabulary) — the regex scan
+    over it is the cheap side and broadcasts into the postings join, so
+    the posting scan is pruned to matched terms only; one
+    combine-friendly per-doc agg."""
+    lex = index.lexicon.select("term")
+    if mode == "prefix":
+        cand = lex.filter(F.col("term").startswith(pattern))
+    elif mode == "regexp":
+        cand = lex.filter(F.col("term").rlike("^(" + pattern + ")$"))
+    else:
+        raise ValueError(f"unknown term-pattern mode {mode!r}")
+    matched = index.postings.join(F.broadcast(cand), "term")
+    return (matched.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_terms_matched"))
+            .select("doc_id", "n_terms_matched",
+                    F.lit(1.0).alias("score")))

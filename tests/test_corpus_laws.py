@@ -140,3 +140,66 @@ def test_bleu_clipping(spark):
     # cand repeats 'a' 5x, ref has 'a' twice -> clip1 = 2
     out = _bleu_rows(spark, [(0, "a a a a a", "a b a c d")])
     assert out[0].p1 == round(2 / 5, 6)
+
+
+# -------------------------------------------------- Simple Good-Turing
+def test_good_turing_closed_form(spark):
+    import math
+
+    from connectors_spark.functions.text import good_turing_estimate
+
+    # freqs: a,b,c x1; d,e x2; f x3 -> N1=3, N2=2, N3=1, N=10 tokens
+    docs = spark.createDataFrame(
+        [(0, "a b c d d e"), (1, "e f f f")], "doc_id long, text string")
+    out = {r.r: r for r in good_turing_estimate(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert [out[r].n_r for r in (1, 2, 3)] == [3, 2, 1]
+    assert out[1].p0 == 0.3  # N1/N = 3/10
+    # independent Z/OLS replay
+    z = {1: 3 / (0.5 * 2), 2: 2 / (0.5 * 2), 3: 1 / (0.5 * (4 - 2))}
+    xu = {r: round(round(math.log(r), 6) * 1e6) for r in z}
+    yu = {r: round(round(math.log(v), 6) * 1e6) for r, v in z.items()}
+    n = 3.0
+    sx, sy = float(sum(xu.values())), float(sum(yu.values()))
+    sxx = float(sum(v * v for v in xu.values()))
+    sxy = float(sum(xu[r] * yu[r] for r in z))
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert out[1].slope_b == round(b, 6)
+    for r in (1, 2, 3):
+        assert out[r].r_star == round((r + 1.0) * ((r + 1.0) / r) ** b, 6)
+    # proper SGT needs b < -1 on Zipfian data; this toy set is just
+    # decreasing, so only sanity-check the direction
+    assert b < 0
+
+
+def test_good_turing_unseen_mass_drops_with_coverage(spark, sf_dir):
+    from connectors_spark.functions.text import good_turing_estimate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = good_turing_estimate(docs).collect()
+    p0 = rows[0].p0
+    # closed 31-word vocabulary at sf0.001+: almost no singleton terms
+    assert 0.0 <= p0 < 0.05
+    assert all(r.r_star > 0 for r in rows)
+
+
+# ------------------------------------------------ regexp/prefix queries
+def test_term_pattern_query_modes(spark):
+    import pytest as _pytest
+
+    from connectors_spark.operators.build import build_index
+    from connectors_spark.operators.query import term_pattern_query
+
+    docs = spark.createDataFrame(
+        [(0, "spark spam sort"), (1, "spark table"), (2, "other")],
+        "doc_id long, text string")
+    idx = build_index(docs, with_positions=False)
+    pre = {r.doc_id: r.n_terms_matched for r in
+           term_pattern_query(idx, "sp", mode="prefix").collect()}
+    assert pre == {0: 2, 1: 1}  # spark+spam / spark; doc2 absent
+    rx = {r.doc_id: r.n_terms_matched for r in
+          term_pattern_query(idx, "s[a-z]*k", mode="regexp").collect()}
+    assert rx == {0: 1, 1: 1}  # only 'spark' full-matches
+    assert term_pattern_query(idx, "zzz", mode="prefix").count() == 0
+    with _pytest.raises(ValueError):
+        term_pattern_query(idx, "x", mode="glob")

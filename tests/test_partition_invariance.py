@@ -80,6 +80,8 @@ GATES = [
     "heaps_vocab_growth",   # range buckets + min-bucket first sightings
     "url_canonicalize",     # row-local regex chain + canonical-key window
     "bleu_pairs",           # multi-order gram counts + integer log sums
+    "good_turing_estimate", # freq-of-freqs window + integer OLS
+    "regexp_term_query",    # lexicon-pruned broadcast postings join
 ]
 
 
