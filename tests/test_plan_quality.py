@@ -449,3 +449,62 @@ def test_reliability_bins_single_agg_constant_output(spark):
     assert "partial" in plan.lower()  # map-side combine before the shuffle
     assert "BroadcastExchange" in plan
     assert "Window" not in plan, plan
+
+
+def test_zipf_head_is_take_ordered_not_global_window(spark, sf_dir):
+    """zipf_fit's rank head must compile to TakeOrderedAndProject —
+    a global row_number window over the full term-frequency table
+    would funnel the whole lexicon through one task at scale. The
+    only window allowed runs AFTER the max_rank-row limit."""
+    from connectors_spark.functions.text import zipf_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(zipf_fit(docs, max_rank=100))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_term_pattern_query_broadcasts_lexicon_candidates(spark, sf_dir):
+    """The multi-term rewrite's surviving terms are O(vocabulary
+    subset) and must broadcast into the postings join — a sort-merge
+    join would shuffle the postings by term for a handful of
+    candidates."""
+    from connectors_spark.operators.query import term_pattern_query
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = build_index(docs, with_positions=False)
+    plan = _plan(term_pattern_query(idx, "s", mode="prefix"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kneser_ney_no_windows_no_cartesian(spark, sf_dir):
+    """KN assembles probabilities on the trigram TYPE table via
+    equi-joins + one broadcast scalar — no window functions, no
+    cartesian/BNLJ anywhere."""
+    from connectors_spark.functions.text import kneser_ney_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(kneser_ney_score(docs))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # the |C|-scalar crossJoin must be a broadcast nested loop of ONE row
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bleu_single_shuffle_per_side_before_clip(spark, sf_dir):
+    """bleu_pairs builds every order inside the tokens array: the plan
+    must contain no windows and no cartesian joins; gram counting is
+    partial-aggregated (map-side combine) before the only shuffles."""
+    from connectors_spark.functions.text import bleu_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("text").alias("cand_text"))
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("text").alias("ref_text"))
+    plan = _plan(bleu_pairs(even.join(odd, "pair_id")))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
