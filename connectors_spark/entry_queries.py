@@ -18942,3 +18942,157 @@ def q_prefix_term_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _docs_index(spark, sf_dir, with_positions=False)
     return term_pattern_query(idx, "s", mode="prefix")
+
+
+# =================================================================
+# ERR@k + inter-annotator agreement (label QC)
+# =================================================================
+
+def _err_sql() -> str:
+    return f"""
+WITH base AS ({_bm25_oracle_sql()}),
+hits AS (
+  SELECT query_id, rank,
+         CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS rel
+  FROM base WHERE rank <= {GATE_BM25_K}
+),
+pre AS (
+  SELECT query_id, rank, rel,
+         coalesce(sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS c
+  FROM hits
+),
+terms AS (
+  SELECT query_id, rel,
+         CAST(round(1e12 / (rank * CAST(pow(2.0, c + 1) AS BIGINT)))
+              AS BIGINT) * rel AS tu
+  FROM pre
+)
+SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel_in_k,
+       round(sum(tu) / 1e12, {ROUND_SCORE}) AS err
+FROM terms GROUP BY query_id
+"""
+
+
+@register("err_at_k", _err_sql())
+def q_err_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank (operators/query.py:err_at_k, Chapelle
+    2009 cascade metric) for the BM25 gate query set against the same
+    deterministic binary judgments as rank_eval — completes the
+    _rank_eval metric family (P/R/MRR/NDCG + ERR). Dyadic-exact terms,
+    pico-unit integer sums."""
+    from connectors_spark.operators.query import err_at_k
+
+    docs = _read(spark, sf_dir, "documents")
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    ranked = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in GATE_BM25_QUERIES], "query_id string")
+    judgments = qids.crossJoin(
+        docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    ).withColumn("rel", F.lit(1))
+    return err_at_k(ranked, judgments, k=GATE_BM25_K)
+
+
+_RATER_SQL = """
+raters AS (
+  SELECT doc_id,
+         doc_id % 3 AS a1,
+         CASE WHEN doc_id % 5 = 0 THEN (doc_id % 3 + 1) % 3
+              ELSE doc_id % 3 END AS a2,
+         CASE WHEN doc_id % 7 = 0 THEN (doc_id % 3 + 2) % 3
+              ELSE doc_id % 3 END AS a3
+  FROM documents
+)"""
+
+
+def _rater_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    a1 = d % 3
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", a1.alias("a1"),
+        F.when(d % 5 == 0, (a1 + 1) % 3).otherwise(a1).alias("a2"),
+        F.when(d % 7 == 0, (a1 + 2) % 3).otherwise(a1).alias("a3"))
+
+
+@register(
+    "cohen_kappa_labels",
+    f"""
+WITH {_RATER_SQL},
+base AS (SELECT a1 AS a, a2 AS b FROM raters),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM base),
+ma AS (SELECT a, count(*) AS n1 FROM base GROUP BY a),
+mb AS (SELECT b, count(*) AS n2 FROM base GROUP BY b),
+cr AS (SELECT CAST(coalesce(sum(n1 * n2), 0) AS BIGINT) AS mprod
+       FROM ma JOIN mb ON ma.a = mb.b)
+SELECT n AS n_items,
+       round(agree * 1.0 / n, {ROUND_SCORE}) AS po,
+       round(mprod * 1.0 / (n * n), {ROUND_SCORE}) AS pe,
+       round((n * agree - mprod) * 1.0 / (n * n - mprod),
+             {ROUND_SCORE}) AS kappa
+FROM counts CROSS JOIN cr
+""",
+)
+def q_cohen_kappa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/agreement.py:cohen_kappa) between two
+    deterministic synthetic raters (rater 2 flips every 5th label) —
+    chance-corrected agreement as a single division of exact integer
+    marginal products, the two-rater label-QC screen."""
+    from connectors_spark.operators.agreement import cohen_kappa
+
+    return cohen_kappa(_rater_df(spark, sf_dir), "a1", "a2")
+
+
+@register(
+    "fleiss_kappa_labels",
+    f"""
+WITH {_RATER_SQL},
+longf AS (
+  SELECT doc_id AS item, a1 AS label FROM raters
+  UNION ALL SELECT doc_id, a2 FROM raters
+  UNION ALL SELECT doc_id, a3 FROM raters
+),
+cells AS (SELECT item, label, count(*) AS nij
+          FROM longf GROUP BY item, label),
+per_item AS (SELECT item, sum(nij) AS m, sum(nij * nij) AS sq
+             FROM cells GROUP BY item),
+panel AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(min(m) AS BIGINT) AS m,
+                 CAST(sum(sq) AS BIGINT) AS s
+          FROM per_item),
+tsq AS (SELECT CAST(sum(tj * tj) AS BIGINT) AS tj2
+        FROM (SELECT label, sum(nij) AS tj FROM cells GROUP BY label))
+SELECT n AS n_items, m AS m_raters,
+       round((s - n * m) * 1.0 / (n * m * (m - 1)),
+             {ROUND_SCORE}) AS pbar,
+       round(tj2 * 1.0 / (n * m * n * m), {ROUND_SCORE}) AS pe,
+       round((n * m * (s - n * m) - tj2 * (m - 1)) * 1.0
+             / ((m - 1) * (n * m * n * m - tj2)),
+             {ROUND_SCORE}) AS kappa
+FROM panel CROSS JOIN tsq
+""",
+)
+def q_fleiss_kappa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (operators/agreement.py:fleiss_kappa) over a fixed
+    3-rater panel (raters 2/3 flip every 5th/7th label) — multi-rater
+    chance-corrected agreement, every ratio cleared to exact integer
+    numerators/denominators before the one division."""
+    from connectors_spark.operators.agreement import fleiss_kappa
+
+    r = _rater_df(spark, sf_dir)
+    longf = (r.select(F.col("doc_id").alias("item"),
+                      F.col("a1").alias("label"))
+             .unionByName(r.select(F.col("doc_id").alias("item"),
+                                   F.col("a2").alias("label")))
+             .unionByName(r.select(F.col("doc_id").alias("item"),
+                                   F.col("a3").alias("label"))))
+    return fleiss_kappa(longf, "item", "label")

@@ -2214,3 +2214,50 @@ def term_pattern_query(index: IndexFrames, pattern: str,
             .agg(F.count(F.lit(1)).alias("n_terms_matched"))
             .select("doc_id", "n_terms_matched",
                     F.lit(1.0).alias("score")))
+
+
+def err_at_k(ranked: DataFrame, judgments: DataFrame, k: int = 10,
+             round_to: int = 6) -> DataFrame:
+    """Expected Reciprocal Rank at k (Chapelle et al., CIKM 2009) with
+    binary judgments — the cascade-model metric ES's _rank_eval ships
+    alongside precision/MRR/NDCG (rank_eval covers those; ERR's
+    sequential stop-probability product needs its own kernel):
+
+        ERR = sum_r (1/r) * R_r * prod_{i<r} (1 - R_i),  R_i = rel_i/2
+
+    With binary judgments every factor is DYADIC: the prefix product is
+    (1/2)^(#relevant above r), so each term is 1 / (r * 2^(c+1)) — an
+    exact integer denominator. Terms are rounded at 1e-12 and lifted to
+    pico-unit int64, so the per-query sum is aggregation-order-proof
+    (the repo's micro-unit convention, two decades finer because ERR
+    terms shrink geometrically).
+
+    ranked: (query_id, rank, doc_id, ...); judgments: (query_id,
+    doc_id, rel in {0,1}), broadcast. Returns (query_id, n_rel_in_k,
+    err). The prefix window is partitioned per query and bounded by k
+    rows — never a global window."""
+    from pyspark.sql import Window
+
+    j = (ranked.filter(F.col("rank") <= k)
+         .join(F.broadcast(judgments.select(
+             "query_id", "doc_id",
+             F.col("rel").cast("long").alias("rel"))),
+             ["query_id", "doc_id"], "left")
+         .fillna(0, ["rel"]))
+    w = (Window.partitionBy("query_id").orderBy("rank")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c_before = F.coalesce(F.sum("rel").over(w), F.lit(0))
+    # exact dyadic denominator r * 2^(c+1); pow(2.0, int)->long is the
+    # same exact-small-power pattern lucene_quantized_dl gate-verified
+    denom = (F.col("rank").cast("long")
+             * F.pow(F.lit(2.0), (c_before + 1).cast("double"))
+               .cast("long"))
+    term_u = (F.round(F.lit(1e12) / denom.cast("double")).cast("long")
+              * F.col("rel"))
+    per_q = (j.select("query_id", "rel", term_u.alias("term_u"))
+             .groupBy("query_id")
+             .agg(F.sum("rel").alias("n_rel_in_k"),
+                  F.sum("term_u").alias("_u")))
+    return per_q.select(
+        "query_id", "n_rel_in_k",
+        F.round(F.col("_u").cast("double") / 1e12, round_to).alias("err"))
