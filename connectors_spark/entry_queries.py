@@ -19096,3 +19096,233 @@ def q_fleiss_kappa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionByName(r.select(F.col("doc_id").alias("item"),
                                    F.col("a3").alias("label"))))
     return fleiss_kappa(longf, "item", "label")
+
+
+# =================================================================
+# Rank correlation + ROC-AUC + readability + moving_fn model family
+# =================================================================
+
+def _rankcorr_sql() -> str:
+    return f"""
+WITH ea AS ({_bm25_oracle_sql()}),
+eb AS ({_bm25_lossy_oracle_sql()}),
+inter AS (
+  SELECT ea.query_id, ea.rank AS ra_full, eb.rank AS rb_full
+  FROM ea JOIN eb ON ea.query_id = eb.query_id AND ea.doc_id = eb.doc_id
+),
+rk AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY ra_full) AS ra,
+         row_number() OVER (PARTITION BY query_id ORDER BY rb_full) AS rb
+  FROM inter
+),
+pa AS (
+  SELECT i.query_id,
+         CAST(sum(CASE WHEN j.rb > i.rb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_concordant,
+         CAST(sum(CASE WHEN j.rb < i.rb THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_discordant
+  FROM rk i JOIN rk j ON i.query_id = j.query_id AND i.ra < j.ra
+  GROUP BY i.query_id
+),
+d2 AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+  FROM rk GROUP BY query_id
+),
+uni AS (SELECT DISTINCT query_id FROM ea)
+SELECT uni.query_id,
+       CAST(coalesce(m, 0) AS INT) AS overlap_m,
+       coalesce(n_concordant, 0) AS n_concordant,
+       coalesce(n_discordant, 0) AS n_discordant,
+       CASE WHEN coalesce(m, 0) >= 2 THEN
+         round((n_concordant - n_discordant) * 2.0 / (m * (m - 1)),
+               {ROUND_SCORE}) END AS tau,
+       CASE WHEN coalesce(m, 0) >= 2 THEN
+         round((m * (m * m - 1) - 6 * sum_d2) * 1.0 / (m * (m * m - 1)),
+               {ROUND_SCORE}) END AS rho
+FROM uni LEFT JOIN pa ON pa.query_id = uni.query_id
+LEFT JOIN d2 ON d2.query_id = uni.query_id
+"""
+
+
+@register("ranker_rank_correlation", _rankcorr_sql())
+def q_ranker_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a + Spearman rho (operators/query.py:
+    rank_correlation) between the exact-dl BM25 ranking and the
+    Lucene lossy-norm BM25 ranking for the gate query set — the
+    classical rank-correlation companions to rbo_mrl_vs_exact,
+    quantifying how much the 1-byte norm quantization reorders results.
+    Intersection-restricted dense re-ranks make both statistics single
+    divisions of exact integer pair counts."""
+    from connectors_spark.operators.query import (rank_correlation,
+                                                  with_lossy_norms)
+
+    idx = _docs_index(spark, sf_dir, with_positions=False)
+    qdf = queries_df(
+        spark,
+        [{"query_id": qid, "query_text": text, "k": GATE_BM25_K}
+         for qid, text in GATE_BM25_QUERIES],
+    )
+    run_a = score_topk_dataframe(idx, qdf, round_scores=ROUND_SCORE)
+    run_b = score_topk_dataframe(with_lossy_norms(idx), qdf,
+                                 round_scores=ROUND_SCORE)
+    return rank_correlation(run_a, run_b, k=GATE_BM25_K)
+
+
+_AUC_SQL = f"""
+WITH scored AS (
+  SELECT s.doc_id, s.score,
+         CASE WHEN d.source = 'src1' THEN 1 ELSE 0 END AS y
+  FROM ({_logreg_sql(output="scores")}) s
+  JOIN documents d USING (doc_id)
+),
+u AS (SELECT CAST(round(score * 1e6) AS BIGINT) AS s_u, y FROM scored),
+cells AS (
+  SELECT s_u, CAST(count(*) AS BIGINT) AS n_v,
+         CAST(sum(y) AS BIGINT) AS n_pos_v
+  FROM u GROUP BY s_u
+),
+rk AS (
+  SELECT n_v, n_pos_v,
+         sum(n_v) OVER (ORDER BY s_u
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_le
+  FROM cells
+),
+agg AS (
+  SELECT CAST(sum(n_v) AS BIGINT) AS n,
+         CAST(sum(n_pos_v) AS BIGINT) AS n_pos,
+         CAST(sum(n_pos_v * ((c_le - n_v) + c_le + 1)) AS BIGINT) AS r2
+  FROM rk
+)
+SELECT n, n_pos, n - n_pos AS n_neg,
+       CASE WHEN n_pos > 0 AND n_pos < n THEN
+         round((r2 - n_pos * (n_pos + 1)) * 1.0
+               / (2 * n_pos * (n - n_pos)), {ROUND_SCORE}) END AS auc,
+       CASE WHEN n_pos > 0 AND n_pos < n THEN
+         round((2 * (r2 - n_pos * (n_pos + 1)) - 2 * n_pos * (n - n_pos))
+               * 1.0 / (2 * n_pos * (n - n_pos)), {ROUND_SCORE})
+       END AS gini
+FROM agg
+"""
+
+
+@register("classifier_auc", _AUC_SQL)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (operators/classifier.py:roc_auc, Mann-Whitney
+    rank-sum with midranks) of the in-engine quality classifier
+    against the same deterministic labels as classifier_calibration —
+    the threshold-free discrimination audit beside the ECE bins.
+    2*midrank = rank_min + rank_max keeps everything in exact integer
+    arithmetic until the one division."""
+    from connectors_spark.operators.classifier import (
+        roc_auc, score_logreg, train_logreg)
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("source") == "src1").cast("double"))
+    w = train_logreg(docs, label_col="y", dim=_LR_DIM,
+                     iters=_LR_ITERS, lr=_LR_LR, l2=_LR_L2)
+    scored = (score_logreg(docs, w, dim=_LR_DIM)
+              .select("doc_id",
+                      F.round("score", ROUND_SCORE).alias("score"))
+              .join(docs.select("doc_id", "y"), "doc_id"))
+    return roc_auc(scored, score_col="score", label_col="y")
+
+
+_READABILITY_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS y
+  FROM documents
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+       CASE WHEN w > 0 THEN
+         round((206835 * w * s - 1015 * w * w - 84600 * y * s) * 1.0
+               / (1000 * w * s), {ROUND_SCORE}) END AS flesch,
+       CASE WHEN w > 0 THEN
+         round((390 * w * w + 11800 * y * s - 15590 * w * s) * 1.0
+               / (1000 * w * s), {ROUND_SCORE}) END AS fk_grade
+FROM c
+"""
+
+
+@register("readability_scores", _READABILITY_SQL)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade
+    (functions/text.py:readability, Kincaid 1975) per document — the
+    classic readability screens of a corpus-quality pipeline, as one
+    JVM regexp projection (no UDF, no tokenize pass). Integer-cleared
+    single-division forms of both formulas."""
+    from connectors_spark.functions.text import readability
+
+    return readability(_read(spark, sf_dir, "documents"))
+
+
+def _moving_models_sql(window: int = 7) -> str:
+    from connectors_spark.operators.timeseries import moving_fn_weights
+
+    vals = ", ".join(
+        f"({L}, {age}, {lw}, {ld}, {en}, {ed}, {hn}, {hd})"
+        for (L, age, lw, ld, en, ed, hn, hd) in moving_fn_weights(window))
+    return f"""
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, bucket_day
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY bucket_day) AS rn
+  FROM b
+),
+coef(L, age, lwa_w, lwa_den, ewma_num, ewma_den, holt_num, holt_den)
+  AS (VALUES {vals}),
+pairs AS (
+  SELECT t.event_type, t.bucket_day, t.n,
+         least(t.rn, {window}) AS L, t.rn - s.rn AS age, s.n AS x
+  FROM r t JOIN r s ON s.event_type = t.event_type
+    AND s.rn <= t.rn AND s.rn > t.rn - {window}
+),
+j AS (
+  SELECT p.event_type, p.bucket_day, p.n,
+         p.x, c.lwa_w, c.lwa_den, c.ewma_num, c.ewma_den,
+         c.holt_num, c.holt_den
+  FROM pairs p JOIN coef c ON c.L = p.L AND c.age = p.age
+),
+agg AS (
+  SELECT event_type, bucket_day, n,
+         sum(lwa_w * x) AS lwa_n, max(lwa_den) AS lwa_d,
+         sum(ewma_num * x) AS ewma_n, max(ewma_den) AS ewma_d,
+         sum(holt_num * x) AS holt_n, max(holt_den) AS holt_d
+  FROM j GROUP BY event_type, bucket_day, n
+)
+SELECT event_type, bucket_day, n,
+       round(lwa_n * 1.0 / lwa_d, {ROUND_SCORE}) AS lwa,
+       round(ewma_n * 1.0 / ewma_d, {ROUND_SCORE}) AS ewma,
+       round(holt_n * 1.0 / holt_d, {ROUND_SCORE}) AS holt
+FROM agg
+"""
+
+
+@register("moving_fn_models", _moving_models_sql())
+def q_moving_fn_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `moving_fn` model family (operators/timeseries.py:
+    moving_fn_models): trailing-7 linearWeightedAvg, ewma (alpha 0.3)
+    and holt double-exponential smoothing (alpha 0.3, beta 0.1) over
+    the daily event histogram per event_type — completing the
+    MovingFunctions menu beyond facet_moving_fn's unweightedAvg /
+    serial_diff. The recurrences unroll to exact integer coefficient
+    tables (moving_fn_weights), so every output is a single division
+    of exact integer sums and the window is a bounded self-join of the
+    bucket frame — never a pass over raw rows."""
+    from connectors_spark.operators.timeseries import moving_fn_models
+
+    events = _read(spark, sf_dir, "events")
+    b = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket_day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return moving_fn_models(b, "event_type", "bucket_day", "n", window=7)

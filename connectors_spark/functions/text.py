@@ -1116,3 +1116,48 @@ def good_turing_estimate(df: DataFrame, text_col: str = "text",
                 F.round(F.col("_b"), round_to).alias("slope_b"),
                 F.round(F.col("_n1") / F.col("_n_tokens"), round_to)
                  .alias("p0")))
+
+
+def readability(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", round_to: int = 6) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade level (Kincaid et al.
+    1975, public) per document — the classic readability pair of a
+    corpus quality pipeline (C4/Gopher-style heuristic screens filter
+    on them; they also make strong classifier features).
+
+    The counting heuristics are deliberately regex-only so the whole
+    operator is one JVM projection (no UDF, no tokenizer pass):
+
+        words     = count of \\S+ runs
+        sentences = max(1, count of [.!?]+ runs)
+        syllables = count of [aeiouy]+ runs in lower(text)
+                    (the standard vowel-group approximation; all-
+                    consonant tokens contribute 0 — a documented
+                    divergence from dictionary syllabification)
+
+    Determinism: both formulas are cleared to a SINGLE DIVISION of
+    exact integer products (coefficients x1000), the cross-engine
+    convention:
+
+        flesch = (206835*W*S - 1015*W^2 - 84600*Y*S) / (1000*W*S)
+        fk     = (390*W^2 + 11800*Y*S - 15590*W*S)   / (1000*W*S)
+
+    Zero-word documents emit NULL scores (undefined). Row-local, no
+    shuffle — scales linearly with the corpus."""
+    w = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long")
+    s = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"))
+    y = F.regexp_count(F.lower(F.col(text_col)),
+                       F.lit(r"[aeiouy]+")).cast("long")
+    out = df.select(F.col(id_col), w.alias("n_words"),
+                    s.alias("n_sentences"), y.alias("n_syllables"))
+    W, S, Y = F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+    den = (1000 * W * S).cast("double")
+    flesch = (206835 * W * S - 1015 * W * W - 84600 * Y * S).cast(
+        "double") / den
+    fk = (390 * W * W + 11800 * Y * S - 15590 * W * S).cast("double") / den
+    return out.select(
+        id_col, "n_words", "n_sentences", "n_syllables",
+        F.when(W > 0, F.round(flesch, round_to)).alias("flesch"),
+        F.when(W > 0, F.round(fk, round_to)).alias("fk_grade"))

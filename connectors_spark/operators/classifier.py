@@ -177,3 +177,63 @@ def reliability_bins(scored: DataFrame, score_col: str = "score",
                 / (F.col("n") * 1e6), 6).alias("gap"),
         F.round(gap_num.cast("double")
                 / (F.col("n_total") * 1e6), 6).alias("ece_term"))
+
+
+def roc_auc(scored: DataFrame, score_col: str = "score",
+            label_col: str = "y", round_to: int = 6) -> DataFrame:
+    """Exact ROC-AUC of a probabilistic classifier via the Mann-Whitney
+    rank-sum identity (Hanley & McNeil 1982, public) — the
+    threshold-free companion to reliability_bins for auditing a
+    quality/reward classifier before its scores gate corpus admission:
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie).
+
+    Determinism: scores arrive rounded (ROUND_SCORE decimals) and lift
+    to micro-unit integers; ties are handled with MIDRANKS, and since
+    2*midrank = rank_min + rank_max is always an INTEGER, the whole
+    statistic stays in exact integer arithmetic until one division:
+
+        2*sum(rank_pos) = sum over distinct scores v of
+                          n_pos(v) * (c_lt(v) + c_le(v) + 1)
+        AUC = (2*sum(rank_pos) - n_pos*(n_pos+1)) / (2*n_pos*n_neg)
+
+    (c_lt/c_le = cumulative counts strictly-below / at-or-below v).
+    Both engines hash identically — the agreement-module convention.
+
+    Returns one row (n, n_pos, n_neg, auc, gini) with gini = 2*AUC - 1
+    computed as the single division (2*num - den)/den. Degenerate
+    single-class inputs emit NULL auc/gini (undefined, matching
+    sklearn's ValueError).
+
+    Scale shape: one groupBy on distinct score values (<= 1e6+1 keys at
+    6-decimal rounding), one window over that bounded frame, one scalar
+    row out — never a window over raw rows."""
+    from pyspark.sql import Window
+
+    s_u = F.round(F.col(score_col) * 1e6).cast("long")
+    cells = (scored.select(s_u.alias("s_u"),
+                           F.col(label_col).cast("long").alias("lab"))
+             .groupBy("s_u")
+             .agg(F.count(F.lit(1)).alias("n_v"),
+                  F.sum("lab").alias("n_pos_v")))
+    w = Window.orderBy("s_u").rowsBetween(Window.unboundedPreceding, 0)
+    c_le = F.sum("n_v").over(w)
+    ranked = cells.select(
+        "n_v", "n_pos_v", c_le.alias("c_le"),
+        (c_le - F.col("n_v")).alias("c_lt"))
+    agg = ranked.agg(
+        F.sum("n_v").alias("n"),
+        F.sum("n_pos_v").alias("n_pos"),
+        F.sum(F.col("n_pos_v")
+              * (F.col("c_lt") + F.col("c_le") + 1)).alias("r2"))
+    n, n_pos = F.col("n"), F.col("n_pos")
+    n_neg = (n - n_pos).alias("n_neg")
+    num = F.col("r2") - n_pos * (n_pos + 1)
+    den = 2 * n_pos * (n - n_pos)
+    defined = (n_pos > 0) & (n_pos < n)
+    return agg.select(
+        n.alias("n"), n_pos.alias("n_pos"), n_neg,
+        F.when(defined, F.round(num.cast("double") / den.cast("double"),
+                                round_to)).alias("auc"),
+        F.when(defined, F.round((2 * num - den).cast("double")
+                                / den.cast("double"),
+                                round_to)).alias("gini"))

@@ -2261,3 +2261,85 @@ def err_at_k(ranked: DataFrame, judgments: DataFrame, k: int = 10,
     return per_q.select(
         "query_id", "n_rel_in_k",
         F.round(F.col("_u").cast("double") / 1e12, round_to).alias("err"))
+
+
+def rank_correlation(run_a: DataFrame, run_b: DataFrame, k: int = 10,
+                     query_col: str = "query_id",
+                     rank_col: str = "rank",
+                     id_col: str = "doc_id",
+                     round_to: int = 6) -> DataFrame:
+    """Kendall tau-a and Spearman rho between two top-k runs of the
+    same query set — the classical rank-correlation companions to
+    rank_biased_overlap for the repo's rank-identity audits: RBO
+    weights the head, tau/rho treat all swaps equally, and together
+    they answer "is the cheap ranker a reordering or a replacement?".
+
+    Both metrics are computed over the INTERSECTION of the two top-k
+    lists (the standard treatment for truncated runs: items seen by
+    only one ranker have no defined rank on the other side), densely
+    re-ranked 1..m within the intersection by each side's original
+    order. Ranks are then permutations of 1..m with no ties, so
+
+        tau  = (C - D) / (m(m-1)/2)          (tau-a == tau-b, tie-free)
+        rho  = 1 - 6 * sum d_i^2 / (m(m^2-1))  (classic Spearman)
+
+    are each a SINGLE DIVISION OF EXACT INTEGERS (concordant /
+    discordant pair counts; squared rank displacements) — both engines
+    hash identically, the agreement-module convention.
+
+    Returns one row per query present in run_a:
+    (query_id, overlap_m, n_concordant, n_discordant, tau, rho);
+    queries whose intersection has fewer than 2 items emit NULL
+    tau/rho (the statistics are undefined there, matching scipy).
+
+    Scale shape: a (query, doc) equi-join of two k-row-per-query
+    frames, two k-bounded partitioned windows, and an m^2-bounded
+    per-query pair self-join (m <= k, so <= k^2 rows per query) —
+    nothing grows with corpus size, only with |queries| * k^2."""
+    from pyspark.sql import Window
+
+    a = run_a.select(F.col(query_col).alias("query_id"),
+                     F.col(id_col).alias("doc"),
+                     F.col(rank_col).alias("ra_full")).filter(
+        F.col("ra_full") <= k)
+    b = run_b.select(F.col(query_col).alias("query_id"),
+                     F.col(id_col).alias("doc"),
+                     F.col(rank_col).alias("rb_full")).filter(
+        F.col("rb_full") <= k)
+    inter = a.join(b, ["query_id", "doc"])
+    wa = Window.partitionBy("query_id").orderBy("ra_full")
+    wb = Window.partitionBy("query_id").orderBy("rb_full")
+    ranked = inter.select(
+        "query_id", "doc",
+        F.row_number().over(wa).cast("long").alias("ra"),
+        F.row_number().over(wb).cast("long").alias("rb"))
+    # pair self-join i<j by ra: bounded by m^2 per query
+    lhs = ranked.select("query_id", F.col("ra").alias("ra_i"),
+                        F.col("rb").alias("rb_i"))
+    rhs = ranked.select("query_id", F.col("ra").alias("ra_j"),
+                        F.col("rb").alias("rb_j"))
+    pairs = lhs.join(rhs, "query_id").filter(F.col("ra_i") < F.col("ra_j"))
+    conc = F.sum(F.when(F.col("rb_i") < F.col("rb_j"), 1).otherwise(0))
+    disc = F.sum(F.when(F.col("rb_i") > F.col("rb_j"), 1).otherwise(0))
+    pair_agg = pairs.groupBy("query_id").agg(
+        conc.alias("n_concordant"), disc.alias("n_discordant"))
+    d2 = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("ra") - F.col("rb"))
+              * (F.col("ra") - F.col("rb"))).alias("sum_d2"))
+    universe = run_a.select(F.col(query_col).alias("query_id")).distinct()
+    j = (universe.join(d2, "query_id", "left")
+         .join(pair_agg, "query_id", "left")
+         .fillna(0, ["m", "sum_d2", "n_concordant", "n_discordant"]))
+    m = F.col("m")
+    tau = F.when(m >= 2, F.round(
+        (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+        * 2.0 / (m * (m - 1)).cast("double"), round_to))
+    rho = F.when(m >= 2, F.round(
+        (m * (m * m - 1) - 6 * F.col("sum_d2")).cast("double")
+        / (m * (m * m - 1)).cast("double"), round_to))
+    return j.select(
+        "query_id", m.cast("int").alias("overlap_m"),
+        F.col("n_concordant").cast("long").alias("n_concordant"),
+        F.col("n_discordant").cast("long").alias("n_discordant"),
+        tau.alias("tau"), rho.alias("rho"))

@@ -188,3 +188,123 @@ def gapfill(
         locf.alias("locf_v"),
         interp.alias("interp_v"),
     )
+
+
+def moving_fn_weights(window: int = 7, alpha_num: int = 3,
+                      beta_num: int = 1, denom: int = 10):
+    """Exact integer coefficient tables for the ES `moving_fn` model
+    family (linearWeightedAvg / ewma / holt) over a trailing window —
+    exposed so the Spark operator and its DuckDB twin embed IDENTICAL
+    literals (python computes once, both engines consume; the
+    rbo_suffix_weights convention).
+
+    Every model is LINEAR in the window's values, so each (window
+    length L, age a) pair gets an exact rational coefficient; rows are
+    returned as integers over a per-(L, model) common denominator:
+
+        rows: (L, age, lwa_w, lwa_den, ewma_num, ewma_den,
+               holt_num, holt_den)          for L in 1..window,
+                                                age in 0..L-1 (0=newest)
+
+    lwa:  weight L-a over L(L+1)/2 (ES linearWeightedAvg).
+    ewma: avg := alpha*v + (1-alpha)*avg folded oldest->newest,
+          avg seeded with the oldest value (ES MovingFunctions.ewma,
+          default alpha = 0.3).
+    holt: s_1 = x_1, b_1 = 0;  for t >= 2
+          s_t = alpha*x_t + (1-alpha)*(s_{t-1} + b_{t-1}),
+          b_t = beta*(s_t - s_{t-1}) + (1-beta)*b_{t-1};
+          emitted value is the smoothed level s_L (ES
+          MovingFunctions.holt, defaults alpha = 0.3, beta = 0.1).
+    """
+    from fractions import Fraction
+    from math import lcm
+
+    a = Fraction(alpha_num, denom)
+    bt = Fraction(beta_num, denom)
+    rows = []
+    for L in range(1, window + 1):
+        # coefficient vectors over x_1..x_L (1-based, oldest first)
+        ewma = [Fraction(0)] * L
+        ewma[0] = Fraction(1)
+        for i in range(1, L):
+            ewma = [(1 - a) * c for c in ewma]
+            ewma[i] += a
+        s = [Fraction(0)] * L
+        b = [Fraction(0)] * L
+        s[0] = Fraction(1)
+        for i in range(1, L):
+            prev_s = list(s)
+            s = [(1 - a) * (sc + bc) for sc, bc in zip(prev_s, b)]
+            s[i] += a
+            b = [bt * (sn - sp) + (1 - bt) * bc
+                 for sn, sp, bc in zip(s, prev_s, b)]
+        e_den = lcm(*[c.denominator for c in ewma])
+        h_den = lcm(*[c.denominator for c in s])
+        lwa_den = L * (L + 1) // 2
+        for i in range(L):
+            age = L - 1 - i
+            rows.append((L, age, L - age, lwa_den,
+                         int(ewma[i] * e_den), e_den,
+                         int(s[i] * h_den), h_den))
+    return rows
+
+
+def moving_fn_models(buckets: DataFrame, key_col: str, order_col: str,
+                     value_col: str, window: int = 7,
+                     round_to: int = 6) -> DataFrame:
+    """ES `moving_fn` pipeline-agg model family over an already-
+    aggregated bucket frame: trailing-window linearWeightedAvg, ewma
+    (alpha 0.3) and holt double-exponential smoothing (alpha 0.3,
+    beta 0.1) per parent bucket key — the full MovingFunctions menu
+    beyond facet_moving_fn's unweightedAvg/serial_diff.
+
+    Determinism: every model is a weighted sum with EXACT INTEGER
+    coefficients from moving_fn_weights (the recurrences are linear, so
+    they unroll to per-(window-length, age) rationals cleared to a
+    common denominator) — each output is a single division of exact
+    integer sums, so both engines hash identically even though holt is
+    "sequential" on paper.
+
+    Plan shape: the window never touches raw rows — it is a bounded
+    self-join of the (keys x buckets) frame against itself at offsets
+    0..window-1 plus a broadcast coefficient lookup (window(window+1)/2
+    rows). Like ES, the recurrence restarts inside each trailing
+    window, which is what makes it embarrassingly parallel (no
+    unbounded running state)."""
+    rows = moving_fn_weights(window)
+    spark = buckets.sparkSession
+    coef = spark.createDataFrame(
+        rows, "L int, age int, lwa_w long, lwa_den long, "
+              "ewma_num long, ewma_den long, holt_num long, "
+              "holt_den long")
+    rn = F.row_number().over(Window.partitionBy("k").orderBy("o"))
+    b = buckets.select(
+        F.col(key_col).alias("k"), F.col(order_col).alias("o"),
+        F.col(value_col).cast("long").alias("v")).withColumn("rn", rn)
+    cur = b.select("k", "o", "v", F.col("rn").alias("rn_t"),
+                   F.least(F.col("rn"), F.lit(window)).alias("L"))
+    past = b.select(F.col("k").alias("k2"), F.col("v").alias("x"),
+                    F.col("rn").alias("rn_s"))
+    pairs = cur.join(
+        past,
+        (cur["k"] == past["k2"])
+        & (past["rn_s"] <= cur["rn_t"])
+        & (past["rn_s"] > cur["rn_t"] - window)
+    ).withColumn("age", F.col("rn_t") - F.col("rn_s"))
+    j = pairs.join(F.broadcast(coef), ["L", "age"])
+    agg = j.groupBy("k", "o", "v").agg(
+        F.sum(F.col("lwa_w") * F.col("x")).alias("lwa_n"),
+        F.max("lwa_den").alias("lwa_d"),
+        F.sum(F.col("ewma_num") * F.col("x")).alias("ewma_n"),
+        F.max("ewma_den").alias("ewma_d"),
+        F.sum(F.col("holt_num") * F.col("x")).alias("holt_n"),
+        F.max("holt_den").alias("holt_d"))
+    return agg.select(
+        F.col("k").alias(key_col), F.col("o").alias(order_col),
+        F.col("v").alias(value_col),
+        F.round(F.col("lwa_n").cast("double")
+                / F.col("lwa_d").cast("double"), round_to).alias("lwa"),
+        F.round(F.col("ewma_n").cast("double")
+                / F.col("ewma_d").cast("double"), round_to).alias("ewma"),
+        F.round(F.col("holt_n").cast("double")
+                / F.col("holt_d").cast("double"), round_to).alias("holt"))

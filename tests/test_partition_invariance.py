@@ -82,6 +82,9 @@ GATES = [
     "bleu_pairs",           # multi-order gram counts + integer log sums
     "good_turing_estimate", # freq-of-freqs window + integer OLS
     "regexp_term_query",    # lexicon-pruned broadcast postings join
+    "ranker_rank_correlation",  # dual-run intersection + pair self-join
+    "classifier_auc",       # distinct-score cells + cumulative window
+    "moving_fn_models",     # bucket self-join + broadcast coef lookup
 ]
 
 
