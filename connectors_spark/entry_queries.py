@@ -19326,3 +19326,235 @@ def q_moving_fn_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", F.col("ts")).alias("bucket_day")
     ).agg(F.count(F.lit(1)).alias("n"))
     return moving_fn_models(b, "event_type", "bucket_day", "n", window=7)
+
+
+# =================================================================
+# chrF, stuck-agent tool loops, classifier length-bias audit
+# =================================================================
+
+_CHRF_MAX_N, _CHRF_B2 = 3, 4
+
+
+def _chrf_sql(max_n: int = _CHRF_MAX_N, b2: int = _CHRF_B2) -> str:
+    def side(sfx: str, par: int) -> str:
+        unions = "\n  UNION ALL\n".join(
+            f"  SELECT pair_id, {n} AS n, "
+            f"unnest(list_transform(range(1, length(s) - {n - 2}), "
+            f"i -> substr(s, i, {n}))) AS gram "
+            f"FROM {sfx} WHERE length(s) >= {n}"
+            for n in range(1, max_n + 1))
+        return f"""
+{sfx} AS (
+  SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id,
+         regexp_replace(lower(text), '\\s+', '', 'g') AS s
+  FROM documents WHERE doc_id % 2 = {par}),
+{sfx}_cnt AS (
+  SELECT pair_id, n, gram, count(*) AS c FROM (
+{unions}
+  ) GROUP BY pair_id, n, gram)"""
+
+    fu_cols = ",\n         ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN f_u END), 0) AS fu{n}"
+        for n in range(1, max_n + 1))
+    f_cols = ",\n       ".join(
+        f"CASE WHEN cand_chars > 0 OR ref_chars > 0 THEN "
+        f"round(coalesce(fu{n}, 0) * 1.0 / 1e6, {ROUND_SCORE}) END AS f{n}"
+        for n in range(1, max_n + 1))
+    return f"""
+WITH {side('cb', 0)},
+{side('rb', 1)},
+clip AS (
+  SELECT cb_cnt.pair_id, cb_cnt.n, sum(least(cb_cnt.c, rb_cnt.c)) AS m
+  FROM cb_cnt JOIN rb_cnt ON cb_cnt.pair_id = rb_cnt.pair_id
+                         AND cb_cnt.n = rb_cnt.n
+                         AND cb_cnt.gram = rb_cnt.gram
+  GROUP BY cb_cnt.pair_id, cb_cnt.n),
+tcn AS (SELECT pair_id, n, sum(c) AS tc FROM cb_cnt GROUP BY pair_id, n),
+trn AS (SELECT pair_id, n, sum(c) AS tr FROM rb_cnt GROUP BY pair_id, n),
+per_n AS (
+  SELECT coalesce(tcn.pair_id, trn.pair_id) AS pair_id,
+         coalesce(tcn.n, trn.n) AS n,
+         coalesce(tc, 0) AS tc, coalesce(tr, 0) AS tr
+  FROM tcn FULL JOIN trn ON tcn.pair_id = trn.pair_id AND tcn.n = trn.n),
+fu AS (
+  SELECT per_n.pair_id, per_n.n,
+         CASE WHEN coalesce(m, 0) > 0 THEN
+           CAST(round({1 + b2} * m * 1000000.0 / ({b2} * tr + tc))
+                AS BIGINT) ELSE 0 END AS f_u
+  FROM per_n LEFT JOIN clip ON clip.pair_id = per_n.pair_id
+                           AND clip.n = per_n.n),
+wide AS (
+  SELECT pair_id, sum(f_u) AS fsum,
+         {fu_cols}
+  FROM fu GROUP BY pair_id),
+lens AS (
+  SELECT cb.pair_id, CAST(length(cb.s) AS BIGINT) AS cand_chars,
+         CAST(length(rb.s) AS BIGINT) AS ref_chars
+  FROM cb JOIN rb ON cb.pair_id = rb.pair_id)
+SELECT lens.pair_id, cand_chars, ref_chars,
+       {f_cols},
+       CASE WHEN cand_chars > 0 OR ref_chars > 0 THEN
+         round(coalesce(fsum, 0) * 1.0 / ({max_n} * 1e6), {ROUND_SCORE})
+       END AS chrf
+FROM lens LEFT JOIN wide ON wide.pair_id = lens.pair_id
+"""
+
+
+@register("chrf_pairs", _chrf_sql())
+def q_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (functions/text.py:chrf_pairs, Popović WMT 2015) over the
+    same even/odd doc pairing as rouge_n_overlap/bleu_pairs —
+    character-n-gram F_2 averaged over orders 1..3, the
+    tokenization-free distillation/paraphrase screen beside word-gram
+    BLEU. The F algebra clears to (1+b^2)m/(b^2*tr+tc) — a single
+    integer division per order, micro-lifted before the order mean."""
+    from connectors_spark.functions.text import chrf_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.col("text").alias("cand_text"))
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        ((F.col("doc_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("text").alias("ref_text"))
+    return chrf_pairs(even.join(odd, "pair_id"), max_n=_CHRF_MAX_N)
+
+
+def _agent_tool_rows() -> list[tuple[int, int, str, str]]:
+    """Deterministic agent-transcript fixture with PLANTED tool loops:
+    consecutive assistant turns walk a search,search,search,code,grep
+    cycle, so runs of length 3 (stuck-search loops) appear at known
+    conversations."""
+    rows = []
+    for c in range(8):
+        n = 6 + (c * 5) % 7
+        for t in range(n):
+            role = "user" if t % 2 == 0 else "assistant"
+            tool = ""
+            if role == "assistant":
+                tool = ("search", "search", "search", "code",
+                        "grep")[(c + t // 2) % 5]
+            rows.append((c, t, role, tool))
+    return rows
+
+
+def _agent_tool_values_sql() -> str:
+    vals = ", ".join(f"({c}, {t}, '{r}', '{x}')"
+                     for c, t, r, x in _agent_tool_rows())
+    return f"t(conv_id, turn_idx, role, tool) AS (VALUES {vals})"
+
+
+@register(
+    "tool_loop_detect",
+    f"""
+WITH {_agent_tool_values_sql()},
+calls AS (SELECT conv_id, turn_idx, tool FROM t WHERE tool <> ''),
+seq AS (
+  SELECT conv_id, turn_idx, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, tool
+                              ORDER BY turn_idx) AS isl
+  FROM calls)
+SELECT conv_id, tool,
+       CAST(min(turn_idx) AS INT) AS start_turn,
+       CAST(max(turn_idx) AS INT) AS end_turn,
+       CAST(count(*) AS BIGINT) AS run_len,
+       count(*) >= 3 AS is_loop
+FROM seq GROUP BY conv_id, tool, isl
+""",
+)
+def q_tool_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent loop detection (operators/transcript_qc.py:
+    tool_call_runs): maximal same-tool runs over each conversation's
+    tool-call subsequence via conversation-partitioned
+    gaps-and-islands — localizes and sizes the retry storms that
+    tool_chain_stats only totals. Fixture plants search-loops of
+    length 3."""
+    from connectors_spark.operators.transcript_qc import tool_call_runs
+
+    docs = spark.createDataFrame(
+        _agent_tool_rows(),
+        "conv_id int, turn_idx int, role string, tool string")
+    return tool_call_runs(docs)
+
+
+_LBIAS_BINS = 10
+
+
+_LBIAS_SQL = f"""
+WITH scored AS (
+  SELECT s.doc_id, s.score, d.n_chars
+  FROM ({_logreg_sql(output="scores")}) s
+  JOIN documents d USING (doc_id)
+),
+base AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(round(score * 1e3) AS BIGINT) AS y
+  FROM scored
+),
+rng AS (SELECT min(x) AS x_min, max(x) AS x_max FROM base),
+b AS (
+  SELECT CAST(floor((x - x_min) * {_LBIAS_BINS}
+              / (x_max - x_min + 1)) AS BIGINT) AS bin, x, y
+  FROM base CROSS JOIN rng
+),
+per_bin AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx_b, CAST(sum(y) AS BIGINT) AS sy_b
+  FROM b GROUP BY bin
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_t,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM base
+),
+consts AS (
+  SELECT CASE WHEN n_t * sxx - sx * sx > 0 THEN
+           round((n_t * sxy - sx * sy) * 1.0
+                 / (n_t * sxx - sx * sx) / 1e3, {ROUND_SCORE + 3})
+         END AS slope,
+         CASE WHEN n_t * sxx - sx * sx > 0
+               AND n_t * syy - sy * sy > 0 THEN
+           round(((n_t * sxy - sx * sy) * 1.0)
+                 * ((n_t * sxy - sx * sy) * 1.0)
+                 / (((n_t * sxx - sx * sx) * 1.0)
+                    * ((n_t * syy - sy * sy) * 1.0)), {ROUND_SCORE})
+         END AS r2
+  FROM stats
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(x_min + floor(bin * (x_max - x_min + 1) / {_LBIAS_BINS})
+            AS BIGINT) AS x_lo,
+       n,
+       round(sy_b * 1.0 / (n * 1e3), {ROUND_SCORE}) AS mean_score,
+       round(sx_b * 1.0 / n, {ROUND_SCORE}) AS mean_x,
+       slope, r2
+FROM per_bin CROSS JOIN consts CROSS JOIN rng
+"""
+
+
+@register("quality_length_bias", _LBIAS_SQL)
+def q_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit (operators/classifier.py:score_covariate_bias)
+    of the in-engine quality classifier: mean score per equal-width
+    n_chars bucket + corpus-wide OLS slope/r2 of score on length —
+    the known failure mode of classifier-gated corpus admission
+    (quality scores drifting into a length prior; verbosity bias in
+    reward models is the same defect). Range buckets against broadcast
+    min/max scalars, exact integer OLS sufficient statistics."""
+    from connectors_spark.operators.classifier import (
+        score_covariate_bias, score_logreg, train_logreg)
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("source") == "src1").cast("double"))
+    w = train_logreg(docs, label_col="y", dim=_LR_DIM,
+                     iters=_LR_ITERS, lr=_LR_LR, l2=_LR_L2)
+    scored = (score_logreg(docs, w, dim=_LR_DIM)
+              .select("doc_id",
+                      F.round("score", ROUND_SCORE).alias("score"))
+              .join(docs.select("doc_id", "n_chars"), "doc_id"))
+    return score_covariate_bias(scored, score_col="score",
+                                x_col="n_chars", n_bins=_LBIAS_BINS)

@@ -1161,3 +1161,101 @@ def readability(df: DataFrame, text_col: str = "text",
         id_col, "n_words", "n_sentences", "n_syllables",
         F.when(W > 0, F.round(flesch, round_to)).alias("flesch"),
         F.when(W > 0, F.round(fk, round_to)).alias("fk_grade"))
+
+
+def chrf_pairs(pairs: DataFrame, max_n: int = 3, beta: int = 2,
+               cand_col: str = "cand_text", ref_col: str = "ref_text",
+               id_col: str = "pair_id", round_to: int = 6) -> DataFrame:
+    """chrF (Popović, WMT 2015) over (candidate, reference) text pairs:
+    character-n-gram F_beta averaged over orders 1..max_n — the
+    tokenization-free companion to bleu_pairs for distillation /
+    paraphrase screening (robust to morphology and tokenizer choice,
+    which word-n-gram BLEU is not).
+
+    Text is lowercased and whitespace-stripped (the standard chrF
+    preprocessing); per order n, clipped matches m = sum min(cand
+    count, ref count) per gram, and with P = m/tc, R = m/tr the
+    F-score algebra clears to a SINGLE DIVISION of exact integers:
+
+        F_beta = (1+b^2)PR / (b^2 P + R) = (1+b^2) m / (b^2 tr + tc)
+
+    (recall-weighted: b=2 doubles recall's weight). Each F_n rounds at
+    micro-units and lifts to int64; chrF = sum(F_n)/max_n is then a
+    single division of an exact integer sum — both engines hash
+    identically. Orders with zero matches (or empty sides) contribute
+    F_n = 0, the chrF convention; pairs whose stripped candidate AND
+    reference are both empty emit NULL.
+
+    Returns (pair_id, cand_chars, ref_chars, f1..f{max_n}, chrf).
+
+    Scale shape: one strip pass per side, grams built inside the char
+    domain and flattened to (pair, n, gram) before a single
+    combine-friendly count; the clip join is keyed (pair, n, gram) —
+    identical plan family to bleu_pairs, no all-pairs, no Python."""
+
+    def stripped(col_name):
+        return F.regexp_replace(F.lower(F.col(col_name)), r"\s+", "")
+
+    def side_grams(col_name, alias):
+        s = stripped(col_name)
+
+        def gram_fn(n):
+            return lambda i: F.substr(s, i, F.lit(n))
+
+        def tag_fn(n):
+            return lambda x: F.struct(F.lit(n).alias("n"),
+                                      x.alias("gram"))
+
+        per_n = []
+        for n in range(1, max_n + 1):
+            g = F.when(
+                F.length(s) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s) - (n - 1)),
+                    gram_fn(n),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            per_n.append(F.transform(g, tag_fn(n)))
+        flat = F.flatten(F.array(*per_n))
+        return (pairs.select(id_col, F.explode(flat).alias("_g"))
+                .select(id_col, F.col("_g.n").alias("n"),
+                        F.col("_g.gram").alias("gram"))
+                .groupBy(id_col, "n", "gram")
+                .agg(F.count(F.lit(1)).alias(alias)))
+
+    c = side_grams(cand_col, "cc")
+    r = side_grams(ref_col, "cr")
+    clip = (c.join(r, [id_col, "n", "gram"])
+            .groupBy(id_col, "n")
+            .agg(F.sum(F.least("cc", "cr")).alias("m")))
+    tc = c.groupBy(id_col, "n").agg(F.sum("cc").alias("tc"))
+    tr = r.groupBy(id_col, "n").agg(F.sum("cr").alias("tr"))
+    per_n = (tc.join(tr, [id_col, "n"], "full")
+             .join(clip, [id_col, "n"], "left")
+             .fillna(0, ["tc", "tr", "m"]))
+    b2 = beta * beta
+    f_u = F.when(
+        F.col("m") > 0,
+        F.round((1 + b2) * F.col("m") * F.lit(1_000_000.0)
+                / (b2 * F.col("tr") + F.col("tc"))).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    per_n = per_n.withColumn("f_u", f_u)
+    agg_cols = [F.sum("f_u").alias("_fsum")]
+    for n in range(1, max_n + 1):
+        agg_cols.append(
+            F.round(F.max(F.when(F.col("n") == n, F.col("f_u")))
+                    .cast("double") / 1e6, round_to).alias(f"f{n}"))
+    wide = per_n.groupBy(id_col).agg(*agg_cols)
+    lens = pairs.select(
+        id_col,
+        F.length(stripped(cand_col)).cast("long").alias("cand_chars"),
+        F.length(stripped(ref_col)).cast("long").alias("ref_chars"))
+    out = lens.join(wide, id_col, "left")
+    defined = (F.col("cand_chars") > 0) | (F.col("ref_chars") > 0)
+    return out.select(
+        id_col, "cand_chars", "ref_chars",
+        *[F.when(defined, F.coalesce(F.col(f"f{n}"), F.lit(0.0)))
+          .alias(f"f{n}") for n in range(1, max_n + 1)],
+        F.when(defined,
+               F.round(F.coalesce(F.col("_fsum"), F.lit(0)).cast("double")
+                       / (max_n * 1e6), round_to)).alias("chrf"))

@@ -237,3 +237,73 @@ def roc_auc(scored: DataFrame, score_col: str = "score",
         F.when(defined, F.round((2 * num - den).cast("double")
                                 / den.cast("double"),
                                 round_to)).alias("gini"))
+
+
+def score_covariate_bias(scored: DataFrame, score_col: str = "score",
+                         x_col: str = "x", n_bins: int = 10,
+                         round_to: int = 6) -> DataFrame:
+    """Length/covariate-bias audit of a learned quality scorer — the
+    known failure mode of classifier-gated corpus admission (quality
+    classifiers drift into length priors; verbosity bias in reward
+    models is the same defect): per equal-WIDTH bucket of an integer
+    covariate, the scorer's mean output, plus the corpus-wide OLS
+    slope and r^2 of score on covariate.
+
+    Bucketing is value-range (bucket = (x - min) * n_bins div
+    (max - min + 1) against broadcast min/max scalars — the
+    heaps_vocab_growth shape, map-side combinable, NO global window).
+    OLS runs on exact integer sufficient statistics: scores round to
+    6 then lift to MILLI-units for the quadratic sums (y^2 terms must
+    stay inside int64 — milli keeps n*sum(y^2) exact to ~3e6 rows
+    per audit; pre-aggregate or sample beyond), x stays raw. slope is
+    reported in score-units per x-unit; r2 squares the exact-integer
+    covariance in double (identical IEEE expression both engines).
+
+    Returns n_bins rows: (bin, x_lo, n, mean_score, mean_x,
+    slope, r2) — slope/r2 repeated per row (the gate-friendly
+    broadcast-scalar convention). Degenerate inputs (constant x or
+    constant score) emit NULL slope/r2."""
+    y_m = F.round(F.col(score_col) * 1e3).cast("long")
+    base = scored.select(F.col(x_col).cast("long").alias("x"),
+                         y_m.alias("y"))
+    rng = base.agg(F.min("x").alias("x_min"), F.max("x").alias("x_max"))
+    b = base.crossJoin(F.broadcast(rng))
+    width = F.col("x_max") - F.col("x_min") + 1
+    bucket = F.floor((F.col("x") - F.col("x_min")) * n_bins / width)
+    per_bin = (b.select(bucket.alias("bin"), "x", "y")
+               .groupBy("bin")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("x").alias("sx_b"),
+                    F.sum("y").alias("sy_b")))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    nt = F.col("n_t")
+    cov = nt * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nt * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nt * F.col("syy") - F.col("sy") * F.col("sy")
+    consts = stats.select(
+        F.when((vx > 0),
+               F.round(cov.cast("double") / vx.cast("double") / 1e3,
+                       round_to + 3)).alias("slope"),
+        F.when((vx > 0) & (vy > 0),
+               F.round(cov.cast("double") * cov.cast("double")
+                       / (vx.cast("double") * vy.cast("double")),
+                       round_to)).alias("r2"))
+    rng2 = rng.select(F.col("x_min").alias("xm"),
+                      (F.col("x_max") - F.col("x_min") + 1).alias("w"))
+    out = per_bin.crossJoin(F.broadcast(consts)).crossJoin(
+        F.broadcast(rng2))
+    return out.select(
+        F.col("bin").cast("int").alias("bin"),
+        (F.col("xm") + F.floor(F.col("bin") * F.col("w") / n_bins))
+        .cast("long").alias("x_lo"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sy_b").cast("double") / (F.col("n") * 1e3),
+                round_to).alias("mean_score"),
+        F.round(F.col("sx_b").cast("double") / F.col("n"),
+                round_to).alias("mean_x"),
+        "slope", "r2")

@@ -198,3 +198,43 @@ def merge_adjacent_turns(df: DataFrame, sep: str = "\n") -> DataFrame:
         "conv_id",
         (F.col("_island") - 1).cast("int").alias("turn_idx"),
         "role", "text", F.col("n_merged").cast("int").alias("n_merged"))
+
+
+def tool_call_runs(df: DataFrame, conv_col: str = "conv_id",
+                   turn_col: str = "turn_idx", tool_col: str = "tool",
+                   loop_min: int = 3) -> DataFrame:
+    """Stuck-agent loop detection over agent transcripts (north-rule
+    schema's `tool` column): maximal runs of CONSECUTIVE tool calls
+    invoking the same tool within a conversation — the curation signal
+    for agents caught re-issuing the same call (retry storms, stuck
+    search loops), one level up from tool_chain_stats' adjacent-retry
+    count (which totals retries but cannot localize or size the runs).
+
+    Gaps-and-islands on the tool-call subsequence: island id = (call
+    sequence number) - (per-tool sequence number), both row_numbers
+    over conversation-PARTITIONED windows ordered by turn — bounded by
+    turns-per-conversation, never global. Non-tool turns between two
+    calls of the same tool do NOT split a run (the agent's consecutive
+    ACTIONS are what loop); conversations without tool calls emit
+    nothing.
+
+    Returns (conv_id, tool, start_turn, end_turn, run_len, is_loop)
+    with is_loop = run_len >= loop_min. Deterministic: turn_idx is
+    unique per conversation, so both row_numbers are pinned."""
+    calls = df.filter(F.col(tool_col) != "").select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        F.col(tool_col).alias("tool"))
+    w_all = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_tool = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    isl = (F.row_number().over(w_all)
+           - F.row_number().over(w_tool)).alias("_isl")
+    runs = (calls.select("conv_id", "turn_idx", "tool", isl)
+            .groupBy("conv_id", "tool", "_isl")
+            .agg(F.count(F.lit(1)).alias("run_len"),
+                 F.min("turn_idx").alias("start_turn"),
+                 F.max("turn_idx").alias("end_turn")))
+    return runs.select(
+        "conv_id", "tool", "start_turn", "end_turn",
+        F.col("run_len").cast("long").alias("run_len"),
+        (F.col("run_len") >= loop_min).alias("is_loop"))

@@ -223,3 +223,110 @@ def test_moving_fn_models_window_restart_per_key(spark):
     # second bucket: lwa = (1*10+2*20)/3, ewma/holt seeded at 10
     assert out[("a", 1)].lwa == round(50 / 3, 6)
     assert out[("a", 1)].ewma == 0.3 * 20 + 0.7 * 10
+
+
+def test_chrf_identity_and_disjoint(spark):
+    from connectors_spark.functions.text import chrf_pairs
+
+    df = spark.createDataFrame(
+        [(1, "Hello World", "hello  world"),   # identical after strip
+         (2, "abc", "xyz"),                    # fully disjoint chars
+         (3, "", "")],
+        "pair_id long, cand_text string, ref_text string")
+    rows = {r.pair_id: r for r in chrf_pairs(df, max_n=3).collect()}
+    assert rows[1].chrf == 1.0 and rows[1].f3 == 1.0
+    assert rows[2].chrf == 0.0 and rows[2].f1 == 0.0
+    assert rows[3].chrf is None
+
+
+def test_chrf_closed_form_single_order(spark):
+    from connectors_spark.functions.text import chrf_pairs
+
+    # cand "aab", ref "ab": unigrams m = min(2,1)+min(1,1) = 2,
+    # tc=3, tr=2 -> F = 5*2/(4*2+3) = 10/11
+    df = spark.createDataFrame(
+        [(1, "aab", "ab")], "pair_id long, cand_text string, ref_text string")
+    r = chrf_pairs(df, max_n=1).collect()[0]
+    assert r.f1 == round(round(5 * 2 * 1e6 / 11) / 1e6, 6)
+    assert r.chrf == r.f1
+
+
+def test_chrf_recall_weighted(spark):
+    from connectors_spark.functions.text import chrf_pairs
+
+    # beta=2 weights recall: a candidate missing ref content scores
+    # LOWER than a candidate with extra content, at equal overlap
+    df = spark.createDataFrame(
+        [(1, "ab", "abcd"),    # recall 2/4, precision 2/2
+         (2, "abcd", "ab")],   # recall 2/2, precision 2/4
+        "pair_id long, cand_text string, ref_text string")
+    rows = {r.pair_id: r for r in chrf_pairs(df, max_n=1).collect()}
+    assert rows[1].f1 < rows[2].f1
+
+
+def test_tool_call_runs_islands(spark):
+    from connectors_spark.operators.transcript_qc import tool_call_runs
+
+    rows = [
+        # conv 1: search x3 (loop), code, search again (new run)
+        (1, 1, "a", "search"), (1, 3, "a", "search"), (1, 5, "a", "search"),
+        (1, 7, "a", "code"), (1, 9, "a", "search"),
+        # conv 2: no tools
+        (2, 1, "a", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id int, turn_idx int, role string, tool string")
+    out = sorted(tool_call_runs(df).collect(),
+                 key=lambda r: (r.conv_id, r.start_turn))
+    assert [(r.tool, r.start_turn, r.end_turn, r.run_len, r.is_loop)
+            for r in out] == [
+        ("search", 1, 5, 3, True),
+        ("code", 7, 7, 1, False),
+        ("search", 9, 9, 1, False)]
+    assert all(r.conv_id == 1 for r in out)
+
+
+def test_tool_call_runs_interleaved_tools_split(spark):
+    from connectors_spark.operators.transcript_qc import tool_call_runs
+
+    # s c s c s: three separate search runs, two code runs — the
+    # island trick must NOT merge non-adjacent same-tool calls
+    rows = [(1, t, "a", tool) for t, tool in
+            enumerate(["s", "c", "s", "c", "s"])]
+    df = spark.createDataFrame(
+        rows, "conv_id int, turn_idx int, role string, tool string")
+    out = tool_call_runs(df).collect()
+    assert len(out) == 5 and all(r.run_len == 1 for r in out)
+
+
+def test_score_covariate_bias_perfect_line(spark):
+    from connectors_spark.operators.classifier import score_covariate_bias
+
+    # score = x/1000 exactly -> slope 0.001, r2 = 1
+    df = spark.createDataFrame(
+        [(float(x) / 1000, x) for x in range(100, 200)],
+        "score double, x int")
+    out = score_covariate_bias(df, n_bins=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r.r2 == 1.0 for r in rows)
+    assert all(r.slope == 0.001 for r in rows)
+    # bucket means follow the line
+    lo = min(r.mean_x for r in rows)
+    hi = max(r.mean_x for r in rows)
+    assert lo < hi
+
+
+def test_score_covariate_bias_no_correlation_and_degenerate(spark):
+    from connectors_spark.operators.classifier import score_covariate_bias
+
+    # constant score -> vy = 0 -> r2 NULL, slope 0
+    df = spark.createDataFrame(
+        [(0.5, x) for x in range(50)], "score double, x int")
+    r = score_covariate_bias(df, n_bins=5).collect()[0]
+    assert r.r2 is None and r.slope == 0.0
+    # constant x -> undefined slope AND r2
+    df = spark.createDataFrame(
+        [(float(i % 7) / 10, 42) for i in range(50)], "score double, x int")
+    r = score_covariate_bias(df, n_bins=5).collect()[0]
+    assert r.slope is None and r.r2 is None

