@@ -19558,3 +19558,189 @@ def q_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(docs.select("doc_id", "n_chars"), "doc_id"))
     return score_covariate_bias(scored, score_col="score",
                                 x_col="n_chars", n_bins=_LBIAS_BINS)
+
+
+# =================================================================
+# Leakage-safe splits, LSH recall curve, shuffle-skew diagnostics
+# =================================================================
+
+@register(
+    "leakage_safe_split",
+    f"""
+WITH comp AS (SELECT doc_id, component
+              FROM ({_dedup_components_sql()})),
+alldocs AS (
+  SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT)
+         AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+b AS (
+  SELECT doc_id, component,
+         CAST(({_hex2int_sql(
+             f"md5('{_SPLIT_SALT}|' || CAST(component AS VARCHAR))", 8)})
+              % 100 AS INT) AS bucket
+  FROM alldocs)
+SELECT doc_id, component, bucket,
+       CASE WHEN bucket < 5 THEN 'test'
+            WHEN bucket < 10 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+""",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split (operators/pretrain.py:
+    leakage_safe_split): split_assign's md5 bucketing keyed on the
+    DUPLICATE COMPONENT (dedup_clusters), so a near-dup cluster can
+    never straddle train and test — closes the eval-leakage hole
+    per-doc hashing leaves open (Lee et al. 2022 §6). Singletons fall
+    back to their own id, preserving split stability under corpus
+    growth."""
+    from connectors_spark.operators.dedup import dedup_clusters
+    from connectors_spark.operators.pretrain import leakage_safe_split
+
+    docs = _read(spark, sf_dir, "documents")
+    comps = dedup_clusters(docs, jaccard_threshold=0.5)
+    return leakage_safe_split(docs, comps, salt=_SPLIT_SALT)
+
+
+def _lsh_curve_sql(thr: float = 0.5) -> str:
+    from connectors_spark.operators.dedup import LSH_CURVE_CONFIGS
+
+    n_hashes = 16
+    sigs = ", ".join(
+        f"min(md5('{i}' || '|' || shingle)) AS s{i}"
+        for i in range(n_hashes))
+    reps = (
+        f"reps AS (SELECT min(doc_id) AS doc_id FROM "
+        f"(SELECT doc_id, md5(array_to_string({_ARR}, ' ')) AS h "
+        f"FROM documents) GROUP BY h)")
+    bands16 = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, s{i} AS h FROM sigs"
+        for i in range(n_hashes))
+    cfg_rows = []
+    for b, r in LSH_CURVE_CONFIGS:
+        band_terms = []
+        for bb in range(b):
+            eqs = " AND ".join(
+                f"sa.s{bb * r + rr} = sbb.s{bb * r + rr}"
+                for rr in range(r))
+            band_terms.append(f"({eqs})")
+        det = " OR ".join(band_terms)
+        cfg_rows.append(f"""
+SELECT {b} AS bands, {r} AS rows_per_band,
+       CAST(count(*) AS BIGINT) AS n_truth_pairs,
+       CAST(sum(CASE WHEN {det} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_detected,
+       round(sum(CASE WHEN {det} THEN 1 ELSE 0 END) * 1.0 / count(*),
+             {ROUND_SCORE}) AS recall
+FROM truth t JOIN sigs sa ON sa.doc_id = t.doc_a
+JOIN sigs sbb ON sbb.doc_id = t.doc_b""")
+    return f"""
+WITH {reps},
+toks AS (
+  SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos
+  FROM (SELECT doc_id, {_ARR} AS arr FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM reps))
+),
+sh0 AS (
+  SELECT doc_id, t,
+         lead(t, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, t || ' ' || t1 || ' ' || t2 AS shingle
+  FROM sh0 WHERE t2 IS NOT NULL
+),
+sigs AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+bands AS ({bands16}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_idx, h)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+truth AS (
+  SELECT p.doc_a, p.doc_b
+  FROM cand p
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sizes na ON na.doc_id = p.doc_a
+  JOIN sizes nb ON nb.doc_id = p.doc_b
+  WHERE round(coalesce(i.n_inter, 0)
+              / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)),
+              {ROUND_SCORE}) >= {thr}
+)
+{" UNION ALL ".join(cfg_rows)}
+"""
+
+
+@register("lsh_recall_curve", _lsh_curve_sql())
+def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding recall curve (operators/dedup.py:
+    lsh_recall_curve) — the dedup twin of ann_recall_curve: realized
+    recall of (bands x rows) configurations over one 16-hash budget
+    against the Jaccard>=0.5 truth pairs of the most sensitive
+    banding, making the bands/rows trade-off auditable. Detection is a
+    pure signature comparison; recall is a single division of exact
+    counts."""
+    from connectors_spark.operators.dedup import lsh_recall_curve
+
+    docs = _read(spark, sf_dir, "documents")
+    return lsh_recall_curve(docs, jaccard_threshold=0.5)
+
+
+_SKEW_PARTS = 8
+
+
+@register(
+    "shuffle_skew_report",
+    f"""
+WITH keys AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+k2 AS (
+  SELECT key, cnt,
+         CAST(({_hex2int_sql("md5(key)", 8)}) % {_SKEW_PARTS} AS INT)
+           AS partition
+  FROM keys
+),
+pa AS (
+  SELECT partition, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM k2 GROUP BY partition
+),
+heav AS (
+  SELECT k2.partition, max(key) AS heaviest_key
+  FROM k2 JOIN pa ON pa.partition = k2.partition
+                 AND k2.cnt = pa.max_cnt
+  GROUP BY k2.partition
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM keys)
+SELECT pa.partition, n_rows, n_keys, heaviest_key,
+       max_cnt AS heaviest_n,
+       round(n_rows * {_SKEW_PARTS} * 1.0 / total, {ROUND_SCORE})
+         AS load_factor
+FROM pa JOIN heav ON heav.partition = pa.partition CROSS JOIN tot
+""",
+)
+def q_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics (operators/diagnostics.py:
+    shuffle_skew_report) for a planned groupBy/join on event_type at 8
+    partitions — per-partition row mass, key count, heaviest key and
+    load factor (the straggler multiplier). The measurement leg of the
+    north rule's explicit skew handling, beside the mitigations
+    (salted aggs, broadcast plans, AQE)."""
+    from connectors_spark.operators.diagnostics import shuffle_skew_report
+
+    events = _read(spark, sf_dir, "events")
+    return shuffle_skew_report(events, "event_type",
+                               n_partitions=_SKEW_PARTS)

@@ -542,3 +542,96 @@ def conv_prefix_dup_groups(turns: DataFrame, prefix_turns: int = 2,
             .cast("int").alias("is_canon"),
         )
     )
+
+
+LSH_CURVE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def lsh_recall_curve(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     jaccard_threshold: float = 0.5,
+                     configs: tuple = LSH_CURVE_CONFIGS,
+                     round_to: int = 6) -> DataFrame:
+    """Recall curve of MinHash-LSH banding configurations — the dedup
+    twin of ann_recall_curve: makes the bands x rows trade-off
+    AUDITABLE instead of folklore. For each (bands, rows_per_band)
+    over the same n_hashes = bands*rows budget, the probability a pair
+    at Jaccard J is caught is 1-(1-J^r)^b — more rows per band means
+    fewer false candidates but misses more true near-dups; this
+    operator measures the realized recall on THIS corpus.
+
+    Truth set: pairs caught by the most sensitive banding (1 row per
+    band — any agreeing hash) whose EXACT shingle Jaccard clears the
+    threshold, computed with the uncapped candidate join (recall is
+    relative to the 1-row banding, the standard practical ceiling:
+    exact all-pairs truth is quadratic and this audit is meant to run
+    on a bounded sample at 100 TB — documented, not hidden).
+    Detection for each config is a pure signature comparison (OR over
+    bands of AND over rows), so no second LSH pass is needed.
+
+    Returns one row per config: (bands, rows_per_band, n_truth_pairs,
+    n_detected, recall) — recall a single division of exact counts.
+    The exact-dup collapse runs first (minhash_near_dups' rep
+    convention), so identical docs never inflate the curve."""
+    n_hashes = configs[0][0] * configs[0][1]
+    for b, r in configs:
+        if b * r != n_hashes:
+            raise ValueError("all configs must share one hash budget")
+    reps = (
+        df.select(
+            F.md5(normalized_text(F.col(text_col))).alias("_h"),
+            F.struct(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text")).alias("_s"),
+        )
+        .groupBy("_h").agg(F.min("_s").alias("_s"))
+        .select(F.col("_s.doc_id").alias("doc_id"),
+                F.col("_s.text").alias("text"))
+    )
+    sh = doc_shingles(reps, "text", "doc_id")
+    sigs = minhash_signatures(sh, n_hashes=n_hashes)
+    widest = max(configs, key=lambda c: c[0])
+    cand = lsh_candidate_pairs(sigs, bands=widest[0],
+                               rows_per_band=widest[1],
+                               bucket_cap=2 ** 62)
+    truth = (pair_jaccard(cand, sh)
+             .filter(F.col("jaccard") >= jaccard_threshold)
+             .select("doc_a", "doc_b"))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"s{i}").alias(f"a{i}")
+                       for i in range(n_hashes)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"s{i}").alias(f"b{i}")
+                       for i in range(n_hashes)])
+    j = truth.join(sa, "doc_a").join(sb, "doc_b")
+
+    def detected(bands: int, rows: int):
+        band_hits = []
+        for b in range(bands):
+            eqs = [F.col(f"a{b * rows + r}") == F.col(f"b{b * rows + r}")
+                   for r in range(rows)]
+            conj = eqs[0]
+            for e in eqs[1:]:
+                conj = conj & e
+            band_hits.append(conj)
+        disj = band_hits[0]
+        for h in band_hits[1:]:
+            disj = disj | h
+        return disj
+
+    cfg_structs = [
+        F.struct(F.lit(b).alias("bands"), F.lit(r).alias("rows_per_band"),
+                 detected(b, r).cast("long").alias("det"))
+        for b, r in configs
+    ]
+    exploded = j.select(F.explode(F.array(*cfg_structs)).alias("c")) \
+        .select("c.bands", "c.rows_per_band", "c.det")
+    return (exploded.groupBy("bands", "rows_per_band")
+            .agg(F.count(F.lit(1)).alias("n_truth_pairs"),
+                 F.sum("det").alias("n_detected"))
+            .select("bands", "rows_per_band",
+                    F.col("n_truth_pairs").cast("long")
+                    .alias("n_truth_pairs"),
+                    F.col("n_detected").cast("long").alias("n_detected"),
+                    F.round(F.col("n_detected").cast("double")
+                            / F.col("n_truth_pairs").cast("double"),
+                            round_to).alias("recall")))

@@ -988,3 +988,38 @@ def corpus_drift_kl(tokens: DataFrame, snap_col: str = "snap",
         F.round(F.col("p_b") * F.log(F.col("p_b") / F.col("p_a")), 6)
         .alias("kl_ba_term"),
     )
+
+
+def leakage_safe_split(df: DataFrame, components: DataFrame,
+                       id_col: str = "doc_id", salt: str = "split-v1",
+                       val_pct: int = 5, test_pct: int = 5) -> DataFrame:
+    """Near-dup-aware train/val/test split: assign_split keyed on the
+    doc's DUPLICATE COMPONENT instead of the doc id, so an entire
+    near-dup cluster always lands in the same split — the standard fix
+    for eval leakage through near-duplicates (a test doc whose
+    near-copy sits in train is a leaked label; Lee et al. 2022 §6
+    measure exactly this inflation). Per-doc hashing (assign_split) is
+    stable under corpus growth but splits dup clusters ~proportionally
+    to their size — this variant closes that hole while keeping the
+    same determinism: bucket = md5(salt|component) mod 100.
+
+    `components` is a (doc_id, component) frame (dedup_clusters'
+    output; only dup-edge members appear). Docs without a component
+    row are singletons — their component is their own id, so their
+    assignment equals plain assign_split and adding new dups never
+    moves an existing singleton's split unless it genuinely joined a
+    cluster.
+
+    Scale shape: one equi-join of the corpus against the (small)
+    dup-member frame + the shuffle-free assign_split projection; the
+    heavy lifting (LSH + connected components) happens upstream in
+    dedup_clusters and is shared with the dedup pass a pipeline runs
+    anyway."""
+    comp = components.select(F.col("doc_id"), F.col("component"))
+    out = (df.select(F.col(id_col).alias("doc_id"))
+           .join(comp, "doc_id", "left")
+           .withColumn("component",
+                       F.coalesce("component", F.col("doc_id"))))
+    return assign_split(out, "component", salt=salt, val_pct=val_pct,
+                        test_pct=test_pct).select(
+        "doc_id", "component", "bucket", "split")

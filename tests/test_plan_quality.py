@@ -612,3 +612,28 @@ def test_tool_call_runs_windows_partitioned_by_conv(spark):
     import re
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", opt):
         assert "conv_id" in spec, opt
+
+
+def test_skew_report_partial_agg_no_window(spark, sf_dir):
+    """shuffle_skew_report: one map-side-combinable groupBy on the key,
+    scalar total via broadcast — no windows, no cartesian beyond the
+    one-row scalar crossJoin."""
+    from connectors_spark.operators.diagnostics import shuffle_skew_report
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(shuffle_skew_report(events, "event_type", 8))
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_recall_curve_no_cartesian(spark):
+    """lsh_recall_curve: truth join and signature joins are equi-keyed
+    (doc_a/doc_b) — never cartesian/BNLJ."""
+    from connectors_spark.operators.dedup import lsh_recall_curve
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(6)],
+        "doc_id long, text string")
+    plan = _plan(lsh_recall_curve(docs))
+    assert "CartesianProduct" not in plan, plan
