@@ -19744,3 +19744,222 @@ def q_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     return shuffle_skew_report(events, "event_type",
                                n_partitions=_SKEW_PARTS)
+
+
+# ---------------------------------------------------------------- shingles
+from connectors_spark.functions.analysis import (  # noqa: E402
+    shingles_col, shingles_sql_duckdb, tokens_col as _tokens_col,
+    word_delimiter_col, word_delimiter_sql_duckdb)
+
+_SHINGLE_SQL = f"""
+WITH arrs AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS a
+              FROM documents),
+sh AS (SELECT doc_id,
+              unnest({shingles_sql_duckdb('a', 2, 3,
+                                          output_unigrams=False)})
+                AS shingle
+       FROM arrs),
+per AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS cnt
+        FROM sh GROUP BY doc_id, shingle),
+agg AS (SELECT shingle, CAST(sum(cnt) AS BIGINT) AS tf,
+               CAST(count(*) AS BIGINT) AS df
+        FROM per GROUP BY shingle)
+SELECT shingle, df, tf FROM agg
+ORDER BY tf DESC, shingle LIMIT 50
+"""
+
+
+@register("shingle_tokens", _SHINGLE_SQL)
+def q_shingle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `shingle` token filter (Lucene ShingleFilter; the engine
+    behind the `index_phrases` mapping option): word 2- and 3-shingles
+    over the canonical analyzer chain (functions/analysis.py:
+    shingles_col — pure JVM higher-order exprs, position-major emission
+    like Lucene's graph), then corpus shingle statistics: top-50 by
+    total tf with (tf DESC, shingle) total order. Plan: two stacked
+    map-side-combinable aggs + TakeOrdered — no window, no join."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles_col(_tokens_col(F.col("text")), 2, 3,
+                               output_unigrams=False)).alias("shingle"))
+    per = sh.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    agg = per.groupBy("shingle").agg(
+        F.sum("cnt").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"))
+    return (agg.select("shingle", "df", "tf")
+            .orderBy(F.desc("tf"), "shingle").limit(50))
+
+
+# ------------------------------------------------------- word delimiter
+_WDG_FIXTURE = [
+    "PowerShot500", "Wi-Fi", "XMLHttpRequest", "O'Neil's", "j2se",
+    "500mg", "snake_case_token", "claude-3-opus-20240229", "SD500",
+    "iPhone15Pro", "HTTPServer2", "top-10_results", "abc", "A1B2c3",
+    "__init__", "42", "McDonald's", "e-mail",
+]
+
+
+def _wdg_values_sql() -> str:
+    return ", ".join(
+        f"({i}, '" + s.replace("'", "''") + "')"
+        for i, s in enumerate(_WDG_FIXTURE))
+
+
+_WDG_SQL = f"""
+WITH t(tok_id, raw) AS (VALUES {_wdg_values_sql()}),
+p AS (SELECT tok_id, {word_delimiter_sql_duckdb('raw')} AS parts FROM t),
+u AS (SELECT tok_id,
+             unnest(list_transform(range(1, len(parts) + 1),
+                    i -> {{'pos': i - 1, 'part': parts[i]}})) AS s
+      FROM p)
+SELECT tok_id, CAST(s.pos AS INT) AS pos, s.part AS part FROM u
+"""
+
+
+@register("word_delimiter_tokens", _WDG_SQL)
+def q_word_delimiter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `word_delimiter_graph` token filter core (functions/
+    analysis.py:word_delimiter_col): split on non-alphanumerics,
+    lower->UPPER and letter<->digit transitions, the ACRONYM boundary
+    (XMLHttpRequest -> XML Http Request), strip possessive 's — one
+    shared RE2-safe (pattern, group-replacement) table rendered into
+    Spark regexp_replace, the Python oracle and the DuckDB twin, so
+    all three run the LITERAL same regexes. Fixture covers product
+    codes, acronym runs, possessives, snake/kebab identifiers."""
+    rows = list(enumerate(_WDG_FIXTURE))
+    df = spark.createDataFrame(rows, "tok_id int, raw string")
+    return df.select(
+        "tok_id",
+        F.posexplode(word_delimiter_col(F.col("raw"))).alias("pos", "part"))
+
+
+# ------------------------------------------------- SFT screening fixture
+def _sft_screen_rows() -> list[tuple[int, int, str, str]]:
+    """Deterministic transcript fixture with PLANTED refusals and code
+    fences (balanced, unclosed, multiple per turn) plus near-miss
+    negatives for both screens."""
+    convs: list[list[tuple[str, str]]] = [
+        [  # conv 0: one refusal, one balanced fence, one truncated fence
+            ("user", "write me a hello world"),
+            ("assistant", "Sure - here it is:\n```python\nprint(1)\n```\ndone"),
+            ("user", "now do something sketchy"),
+            ("assistant", "I cannot help with that request."),
+            ("user", "fine, finish the function"),
+            ("assistant", "```python\ndef f():\n    return 1\n"),
+            ("user", "thanks"),
+            ("assistant", "You're welcome!"),
+        ],
+        [  # conv 1: two refusal templates, no fences
+            ("user", "what do you think?"),
+            ("assistant", "As an AI language model, I don't have opinions."),
+            ("user", "tell me the secret"),
+            ("assistant", "I'm sorry, but I can't share that."),
+        ],
+        [  # conv 2: no refusals; 2 balanced fences in one turn + 1 odd
+            ("user", "two snippets please"),
+            ("assistant",
+             "First:\n```a\nx\n```\nSecond:\n```b\ny\n```\nboth done"),
+            ("user", "one more"),
+            ("assistant", "``` incomplete"),
+        ],
+        [  # conv 3: lowercase + will-not refusals
+            ("user", "verify this claim"),
+            ("assistant", "i am unable to verify that."),
+            ("user", "just do it"),
+            ("assistant", "I will not comply with that."),
+        ],
+        [  # conv 4: near-miss negatives only
+            ("user", "can you help?"),
+            ("assistant", "I can help with that, yes."),
+            ("user", "apologize first"),
+            ("assistant", "Sorry, but here you go: the answer is 42."),
+            ("user", "is an ai model able to answer?"),
+            ("assistant", "an ai model can answer this easily."),
+        ],
+        [  # conv 5: user-only (no assistant rows -> absent from output)
+            ("user", "hello?"),
+            ("user", "anyone there?"),
+        ],
+    ]
+    return [(c, t, role, text)
+            for c, conv in enumerate(convs)
+            for t, (role, text) in enumerate(conv)]
+
+
+def _sft_screen_values_sql() -> str:
+    # e'' escape-strings so \n is a REAL newline on the oracle side too
+    # (texts contain no backslashes; '' quote-doubling works in e'').
+    return ", ".join(
+        f"({c}, {t}, '{r}', e'"
+        + x.replace("'", "''").replace("\n", "\\n") + "')"
+        for c, t, r, x in _sft_screen_rows())
+
+
+def _refusal_sql() -> str:
+    from connectors_spark.operators.transcript_qc import REFUSAL_PATTERNS
+    preds = " OR ".join(
+        "regexp_matches(text, '" + p.replace("'", "''") + "')"
+        for p in REFUSAL_PATTERNS)
+    return f"""
+WITH t(conv_id, turn_idx, role, text) AS (VALUES {_sft_screen_values_sql()}),
+a AS (SELECT conv_id, turn_idx,
+             CAST(({preds}) AS INT) AS is_ref
+      FROM t WHERE role = 'assistant')
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_assistant,
+       CAST(sum(is_ref) AS BIGINT) AS n_refusals,
+       round(sum(is_ref) * 1.0 / count(*), {ROUND_SCORE})
+         AS refusal_rate,
+       CAST(min(CASE WHEN is_ref = 1 THEN turn_idx END) AS INT)
+         AS first_refusal_turn
+FROM a GROUP BY conv_id
+"""
+
+
+@register("refusal_screen", _refusal_sql())
+def q_refusal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned-refusal / deflection screening over assistant turns
+    (operators/transcript_qc.py:refusal_screen) — the SFT-corpus
+    admission stat that caps per-source refusal rates before training.
+    One fused RE2-safe rlike disjunction (the same literal regexes run
+    on the oracle), a pushed-down role filter, ONE conv-keyed agg with
+    map-side partials. Fixture plants template refusals (case variants,
+    'as an AI', unable/will-not forms) beside near-miss negatives."""
+    from connectors_spark.operators.transcript_qc import refusal_screen
+
+    df = spark.createDataFrame(
+        _sft_screen_rows(),
+        "conv_id int, turn_idx int, role string, text string")
+    return refusal_screen(df)
+
+
+_FENCE_SQL = f"""
+WITH t(conv_id, turn_idx, role, text) AS (VALUES {{vals}}),
+n AS (SELECT conv_id, turn_idx,
+             CAST((len(text) - len(replace(text, '```', ''))) / 3 AS INT)
+               AS n_fences
+      FROM t WHERE role = 'assistant')
+SELECT conv_id, turn_idx, n_fences,
+       CAST(n_fences % 2 = 0 AS INT) AS balanced,
+       CAST(n_fences % 2 = 1 AS INT) AS ends_open
+FROM n WHERE n_fences > 0
+"""
+
+
+@register("code_fence_qc",
+          _FENCE_SQL.format(vals=_sft_screen_values_sql()))
+def q_code_fence_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-fence integrity QC (operators/transcript_qc.py:
+    code_fence_qc): per assistant turn, non-overlapping ``` counts via
+    the length-delta identity (len - len(replace))/3 — an ODD count is
+    an unclosed block, the signature of truncated generations in SFT
+    exports. Pure narrow projection + filter, zero shuffles; the same
+    string identity runs verbatim on the oracle. Fixture plants
+    balanced, doubled and truncated fences."""
+    from connectors_spark.operators.transcript_qc import code_fence_qc
+
+    df = spark.createDataFrame(
+        _sft_screen_rows(),
+        "conv_id int, turn_idx int, role string, text string")
+    return code_fence_qc(df)

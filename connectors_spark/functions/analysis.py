@@ -300,3 +300,167 @@ def analyze_text(
     return out.select(
         id_col, "position", "token", stemmed.alias("stemmed"),
         "start_offset", "end_offset")
+
+
+# --------------------------------------------------------------------
+# Shingle stage — Lucene ShingleFilter / ES `shingle` token filter
+# --------------------------------------------------------------------
+# The reference's index-phrase support rides Elasticsearch's shingle
+# filter (Lucene ShingleFilter; ES analysis-shingle-tokenfilter docs,
+# and the `index_phrases` mapping option that indexes 2-shingles).
+# Emission order is position-major like Lucene's graph: at each token
+# position emit the unigram (if output_unigrams) then the n-shingles
+# that START there, smallest n first.  No stopword fillers (the engine
+# chain drops stops before shingling, so there are no holes to fill).
+
+
+def shingles_col(toks: Column, min_shingle_size: int = 2,
+                 max_shingle_size: int = 2,
+                 output_unigrams: bool = True,
+                 separator: str = " ") -> Column:
+    """array<string> of shingles from a token array — pure JVM
+    higher-order expressions (transform/slice/array_join), codegen'd."""
+    if not 2 <= min_shingle_size <= max_shingle_size:
+        raise ValueError("need 2 <= min_shingle_size <= max_shingle_size")
+
+    def at(i: Column) -> Column:
+        outs = []
+        if output_unigrams:
+            outs.append(F.array(F.element_at(toks, i)))
+        for n in range(min_shingle_size, max_shingle_size + 1):
+            outs.append(
+                F.when(i + F.lit(n - 1) <= F.size(toks),
+                       F.array(F.array_join(F.slice(toks, i, n),
+                                            separator)))
+                .otherwise(F.array().cast("array<string>")))
+        return F.concat(*outs)
+
+    # sequence(1, 0) would DESCEND — guard the empty-array case.
+    return F.when(
+        F.size(toks) > 0,
+        F.flatten(F.transform(F.sequence(F.lit(1), F.size(toks)), at)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_py(tokens: list[str], min_shingle_size: int = 2,
+                max_shingle_size: int = 2, output_unigrams: bool = True,
+                separator: str = " ") -> list[str]:
+    """Python oracle twin of `shingles_col` (same emission order)."""
+    if not 2 <= min_shingle_size <= max_shingle_size:
+        raise ValueError("need 2 <= min_shingle_size <= max_shingle_size")
+    out: list[str] = []
+    for i in range(len(tokens)):
+        if output_unigrams:
+            out.append(tokens[i])
+        for n in range(min_shingle_size, max_shingle_size + 1):
+            if i + n <= len(tokens):
+                out.append(separator.join(tokens[i:i + n]))
+    return out
+
+
+def shingles_sql_duckdb(arr_expr: str, min_shingle_size: int = 2,
+                        max_shingle_size: int = 2,
+                        output_unigrams: bool = True,
+                        separator: str = " ") -> str:
+    """DuckDB fragment producing the same shingle array (range() is
+    end-exclusive, so the empty-array case needs no guard beyond it).
+    `arr_expr` is inlined at each use site — DuckDB lambdas cannot
+    contain subqueries, so pass a plain column/CTE alias for big
+    expressions."""
+    if not 2 <= min_shingle_size <= max_shingle_size:
+        raise ValueError("need 2 <= min_shingle_size <= max_shingle_size")
+    a = f"({arr_expr})"
+    parts = []
+    if output_unigrams:
+        parts.append(f"[{a}[i]]")
+    for n in range(min_shingle_size, max_shingle_size + 1):
+        parts.append(
+            f"CASE WHEN i + {n - 1} <= len({a}) THEN "
+            f"[array_to_string(list_slice({a}, i, i + {n - 1}), "
+            f"'{separator}')] ELSE [] END")
+    body = parts[0]
+    for p in parts[1:]:
+        body = f"list_concat({body}, {p})"
+    return (f"flatten(list_transform(range(1, len({a}) + 1), "
+            f"i -> {body}))")
+
+
+# --------------------------------------------------------------------
+# Word-delimiter stage — ES `word_delimiter_graph` token filter core
+# --------------------------------------------------------------------
+# Lucene WordDelimiterGraphFilter defaults (ES analysis-word-delimiter-
+# graph-tokenfilter docs): split on non-alphanumerics, on lower->upper
+# case transitions, on letter<->digit transitions, on the intra-word
+# UPPER->Upper+lower boundary (XMLHttpRequest -> XML Http Request), and
+# strip trailing English possessive 's from parts.  generate_word_parts
+# and generate_number_parts are always on; `preserve_original` is the
+# one option exposed.  catenate_words/catenate_numbers/catenate_all are
+# NOT implemented (documented omission — they create multi-position
+# graph tokens the bag-of-terms index does not need).
+#
+# The whole rule set is a shared (pattern, group-replacement) table so
+# the Spark Column, the Python oracle and the DuckDB twin apply the
+# LITERAL same regexes: no lookarounds (DuckDB is RE2), replacements
+# reference capture groups only.
+
+_WDG_RULES: list[tuple[str, str]] = [
+    # possessive 's before a boundary or end ("O'Neil's" -> "O'Neil")
+    (r"'[sS]($|[^A-Za-z0-9])", r"\1"),
+    # ACRONYM boundary first: UPPER followed by Upper+lower
+    (r"([A-Z])([A-Z][a-z])", r"\1 \2"),
+    # lower -> UPPER case transition
+    (r"([a-z])([A-Z])", r"\1 \2"),
+    # letter <-> digit transitions
+    (r"([A-Za-z])([0-9])", r"\1 \2"),
+    (r"([0-9])([A-Za-z])", r"\1 \2"),
+]
+_WDG_SPLIT = r"[^A-Za-z0-9]+"
+
+
+def word_delimiter_col(text: Column,
+                       preserve_original: bool = False) -> Column:
+    """array<string> of word-delimiter parts — pure JVM regexp chain.
+
+    Parts keep their original case (ES runs `lowercase` as a separate
+    downstream filter); with preserve_original=True the unmodified
+    input token is prepended when it differs from its single part."""
+    out = text
+    for pat, rep in _WDG_RULES:
+        out = F.regexp_replace(out, pat, rep.replace("\\", "$"))
+    parts = F.filter(F.split(out, _WDG_SPLIT), lambda t: t != "")
+    if preserve_original:
+        parts = F.when(
+            (F.size(parts) == 1) & (F.element_at(parts, 1) == text),
+            parts,
+        ).otherwise(F.concat(F.array(text), parts))
+    return parts
+
+
+def word_delimiter_py(text: str, preserve_original: bool = False) -> list[str]:
+    """Python oracle twin of `word_delimiter_col`."""
+    out = text
+    for pat, rep in _WDG_RULES:
+        out = re.sub(pat, rep, out)
+    parts = [t for t in re.split(_WDG_SPLIT, out) if t != ""]
+    if preserve_original and not (len(parts) == 1 and parts[0] == text):
+        parts = [text] + parts
+    return parts
+
+
+def word_delimiter_sql_duckdb(text_expr: str,
+                              preserve_original: bool = False) -> str:
+    """DuckDB fragment producing the same parts array (RE2 regexes,
+    '\\1' group references)."""
+    out = text_expr
+    for pat, rep in _WDG_RULES:
+        sql_pat = pat.replace("'", "''")
+        sql_rep = rep.replace("\\", "\\").replace("'", "''")
+        out = (f"regexp_replace({out}, '{sql_pat}', "
+               f"'{sql_rep}', 'g')")
+    parts = (f"list_filter(regexp_split_to_array({out}, "
+             f"'{_WDG_SPLIT}'), t -> t <> '')")
+    if preserve_original:
+        parts = (f"(SELECT CASE WHEN len(p) = 1 AND p[1] = {text_expr} "
+                 f"THEN p ELSE list_concat([{text_expr}], p) END "
+                 f"FROM (SELECT {parts} AS p))")
+    return parts

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from connectors_spark.functions.analysis import tokens_col
 
 __all__ = ["transcript_structure_qc", "tool_call_validation",
-           "merge_adjacent_turns"]
+           "merge_adjacent_turns", "refusal_screen", "code_fence_qc"]
 
 
 def transcript_structure_qc(df: DataFrame,
@@ -238,3 +238,85 @@ def tool_call_runs(df: DataFrame, conv_col: str = "conv_id",
         "conv_id", "tool", "start_turn", "end_turn",
         F.col("run_len").cast("long").alias("run_len"),
         (F.col("run_len") >= loop_min).alias("is_loop"))
+
+
+# --------------------------------------------------------------------
+# Refusal / deflection screening — SFT-corpus admission filter
+# --------------------------------------------------------------------
+
+# Shared regex family (RE2-compatible: no lookarounds, (?i) inline
+# flag) — rendered identically into Spark rlike and the DuckDB oracle.
+# The canned-refusal screen is a standard SFT-data admission step:
+# assistant turns that deflect ("I cannot help with", "As an AI ...")
+# teach the model to refuse benign requests when they dominate a
+# source, so pipelines measure and cap the per-source refusal rate.
+REFUSAL_PATTERNS: list[str] = [
+    r"(?i)\bi (?:cannot|can't|won't|will not) "
+    r"(?:help|assist|provide|comply|do that|answer)\b",
+    r"(?i)\bas an ai\b",
+    r"(?i)\bi(?:'m| am) (?:unable|not able) to\b",
+    r"(?i)\bi(?:'m| am) sorry,? but i\b",
+]
+
+
+def refusal_screen(df: DataFrame, conv_col: str = "conv_id",
+                   turn_col: str = "turn_idx", role_col: str = "role",
+                   text_col: str = "text",
+                   patterns: list[str] | None = None) -> DataFrame:
+    """Per-conversation refusal statistics over assistant turns:
+    (conv_id, n_assistant, n_refusals, refusal_rate, first_refusal_turn).
+
+    A turn is a refusal iff it matches ANY pattern (one fused rlike
+    disjunction — a single JVM regex pass per turn, no UDF). Shape: a
+    pushed-down role filter then ONE conv-keyed aggregation with
+    map-side partials; no windows, no joins — scales to any corpus."""
+    pats = patterns if patterns is not None else REFUSAL_PATTERNS
+    is_ref = F.lit(False)
+    for p in pats:
+        is_ref = is_ref | F.col(text_col).rlike(p)
+    a = (df.filter(F.col(role_col) == "assistant")
+         .select(F.col(conv_col).alias("conv_id"),
+                 F.col(turn_col).alias("turn_idx"),
+                 is_ref.cast("int").alias("is_refusal")))
+    return a.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assistant"),
+        F.sum("is_refusal").cast("long").alias("n_refusals"),
+        F.round(F.sum("is_refusal") / F.count(F.lit(1)), 6)
+        .alias("refusal_rate"),
+        F.min(F.when(F.col("is_refusal") == 1, F.col("turn_idx")))
+        .cast("int").alias("first_refusal_turn"),
+    )
+
+
+# --------------------------------------------------------------------
+# Code-fence integrity — truncated-generation QC
+# --------------------------------------------------------------------
+
+def code_fence_qc(df: DataFrame, conv_col: str = "conv_id",
+                  turn_col: str = "turn_idx", role_col: str = "role",
+                  text_col: str = "text") -> DataFrame:
+    """Per assistant turn, triple-backtick fence accounting:
+    (conv_id, turn_idx, n_fences, balanced, ends_open) for turns that
+    contain at least one fence. An ODD fence count means an unclosed
+    code block — the signature of a truncated generation or a mangled
+    export, a standard SFT-corpus QC screen (truncated assistant code
+    answers train cut-off completions).
+
+    n_fences counts non-overlapping '```' occurrences exactly as
+    (len(text) - len(replace(text, '```', ''))) / 3 — pure JVM string
+    ops, engine-portable to the SQL oracle verbatim. ends_open flags
+    odd counts (text ends inside a fence). Narrow projection + filter
+    only — no shuffle at all."""
+    n = ((F.length(F.col(text_col))
+          - F.length(F.replace(F.col(text_col), F.lit("```"), F.lit(""))))
+         / F.lit(3)).cast("int")
+    return (df.filter(F.col(role_col) == "assistant")
+            .select(F.col(conv_col).alias("conv_id"),
+                    F.col(turn_col).alias("turn_idx"),
+                    n.alias("n_fences"))
+            .filter(F.col("n_fences") > 0)
+            .select("conv_id", "turn_idx", "n_fences",
+                    (F.col("n_fences") % 2 == 0).cast("int")
+                    .alias("balanced"),
+                    (F.col("n_fences") % 2 == 1).cast("int")
+                    .alias("ends_open")))
