@@ -19963,3 +19963,159 @@ def q_code_fence_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sft_screen_rows(),
         "conv_id int, turn_idx int, role string, text string")
     return code_fence_qc(df)
+
+
+# ------------------------------------------------------ chunk windows
+_CHUNK_W, _CHUNK_S = 32, 24
+
+_CHUNK_SQL = f"""
+WITH base AS (SELECT doc_id, {_ARR} AS arr FROM documents),
+n AS (SELECT doc_id, arr, len(arr) AS n FROM base WHERE len(arr) > 0),
+c AS (SELECT doc_id, arr, n,
+             CASE WHEN n <= {_CHUNK_W} THEN 1
+                  ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1
+             END AS n_chunks
+      FROM n),
+e AS (SELECT doc_id, arr, n,
+             unnest(range(n_chunks)) AS chunk_idx
+      FROM c)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_S} AS INT) AS start_tok,
+       CAST(len(list_slice(arr, chunk_idx * {_CHUNK_S} + 1,
+                           chunk_idx * {_CHUNK_S} + {_CHUNK_W}))
+            AS INT) AS n_tok,
+       md5(array_to_string(
+           list_slice(arr, chunk_idx * {_CHUNK_S} + 1,
+                      chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' '))
+         AS chunk_md5
+FROM e
+"""
+
+
+@register("doc_chunk_windows", _CHUNK_SQL)
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/pretrain.py:
+    chunk_token_windows) — the RAG / long-context passage prep:
+    window=32, stride=24, closed-form integer chunk count, chunk k
+    covers [k*stride, k*stride+window). Map-only plan (projection +
+    bounded per-doc explode, no shuffle/UDF); gate hashes each chunk's
+    text so the oracle verifies exact token coverage and boundaries."""
+    from connectors_spark.operators.pretrain import chunk_token_windows
+
+    docs = _read(spark, sf_dir, "documents")
+    out = chunk_token_windows(docs, window=_CHUNK_W, stride=_CHUNK_S)
+    return out.select("doc_id", "chunk_idx", "start_tok", "n_tok",
+                      F.md5("chunk_text").alias("chunk_md5"))
+
+
+# --------------------------------------------- cross-source dup matrix
+_XSRC_PREFIX = 8
+
+_XSRC_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT
+         array_to_string(list_slice({_ARR}, 1, {_XSRC_PREFIX}), ' ') AS k,
+         source
+  FROM documents
+  WHERE len({_ARR}) > 0
+)
+SELECT x.source AS src_a, y.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM d x JOIN d y ON x.k = y.k AND x.source < y.source
+GROUP BY x.source, y.source
+"""
+
+
+@register("cross_source_dup_matrix", _XSRC_SQL)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source template-contamination matrix (operators/dedup.py:
+    cross_source_overlap): distinct 8-token normalized prefixes shared
+    by each source pair — the mix-curation diagnostic behind per-pair
+    dedup budgets (two upsampled sources sharing templates double-count
+    content). Engine plan NEVER self-joins the corpus: one prefix-keyed
+    collect_set of source labels (bounded by the source catalog) +
+    higher-order pair expansion; the oracle's equi-self-join is the
+    semantic twin, not the scale plan."""
+    from connectors_spark.operators.dedup import cross_source_overlap
+
+    return cross_source_overlap(_read(spark, sf_dir, "documents"),
+                                prefix_len=_XSRC_PREFIX)
+
+
+# ------------------------------------------------ conv lang consistency
+def _mlang_rows() -> list[tuple[int, int, str]]:
+    """Deterministic multilingual transcript fixture built from the
+    marker vocabulary: consistent convs, one mid-conv switch, a
+    code-switching alternator, a marker-free ('und') turn."""
+    en = "the cat is in the house and the dog is of the yard"
+    fr = "le chat est dans les maisons et une porte est que"
+    de = "der hund und die katze ist nicht ein haus und der"
+    und = "zzz qqq xxx www"
+    convs = [
+        [en, en, en, en],          # consistent en
+        [en, en, fr, fr],          # one switch en->fr
+        [en, de, en, de],          # alternating: 3 switches
+        [fr],                      # single turn, no switches
+        [en, und, en],             # und island: 2 switches
+    ]
+    return [(c, t, txt) for c, conv in enumerate(convs)
+            for t, txt in enumerate(conv)]
+
+
+def _mlang_sql() -> str:
+    vals = ", ".join(f"({c}, {t}, '{x}')" for c, t, x in _mlang_rows())
+    mvals = ", ".join(
+        f"('{lang}', '{m}')"
+        for lang, ms in sorted(LANG_MARKERS.items()) for m in ms)
+    return f"""
+WITH t(conv_id, turn_idx, text) AS (VALUES {vals}),
+toks AS (SELECT conv_id, turn_idx, unnest({tokenize_sql_duckdb('text')})
+           AS term FROM t),
+markers AS (SELECT * FROM (VALUES {mvals}) AS v(lang, term)),
+hits AS (SELECT conv_id, turn_idx, lang, count(*) AS n_hits
+         FROM toks JOIN markers USING (term)
+         GROUP BY conv_id, turn_idx, lang),
+best AS (SELECT conv_id, turn_idx, lang,
+                row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY n_hits DESC, lang) AS r
+         FROM hits),
+turns AS (SELECT t.conv_id, t.turn_idx,
+                 coalesce(b.lang, 'und') AS lang
+          FROM t LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+            USING (conv_id, turn_idx)),
+seq AS (SELECT conv_id, turn_idx, lang,
+               lag(lang) OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx) AS prev
+        FROM turns),
+per_lang AS (SELECT conv_id, lang, count(*) AS n
+             FROM turns GROUP BY conv_id, lang),
+dom AS (SELECT conv_id, lang AS dominant_lang,
+               CAST(n AS BIGINT) AS n_dominant,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY n DESC, lang) AS r
+        FROM per_lang),
+agg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> lang
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+        FROM seq GROUP BY conv_id)
+SELECT agg.conv_id, n_turns, dominant_lang, n_dominant, n_switches,
+       CAST(n_switches = 0 AS INT) AS consistent
+FROM agg JOIN (SELECT * FROM dom WHERE r = 1) dom USING (conv_id)
+"""
+
+
+@register("conv_lang_consistency", _mlang_sql())
+def q_conv_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation language-switch QC (operators/transcript_qc.py:
+    conv_lang_consistency): per-turn heuristic language ID (marker
+    profiles, broadcast join) rolled up to per-conversation dominant
+    language, switch count and consistency flag — the multilingual-SFT
+    screen for mid-conversation language drift. All windows
+    conversation-partitioned; fixture plants a mid-conv switch, a
+    code-switching alternator and an 'und' island."""
+    from connectors_spark.operators.transcript_qc import (
+        conv_lang_consistency)
+
+    df = spark.createDataFrame(
+        _mlang_rows(), "conv_id int, turn_idx int, text string")
+    return conv_lang_consistency(df)

@@ -635,3 +635,41 @@ def lsh_recall_curve(df: DataFrame, text_col: str = "text",
                     F.round(F.col("n_detected").cast("double")
                             / F.col("n_truth_pairs").cast("double"),
                             round_to).alias("recall")))
+
+
+def cross_source_overlap(df: DataFrame, prefix_len: int = 8,
+                         source_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Cross-source boilerplate/template contamination matrix:
+    (src_a, src_b, n_shared) = how many distinct normalized first-
+    `prefix_len`-token prefixes occur in BOTH sources (src_a < src_b).
+    The mix-curation diagnostic behind per-pair dedup budgets: source
+    pairs sharing many templates double-count content when both are
+    upsampled (the conv-prefix / prefix_dup_groups key, aggregated to
+    the source level).
+
+    Shape: distinct on (prefix, source) with map-side combine, ONE
+    prefix-keyed collect_set (values are source labels — bounded by
+    the source catalog, not the corpus), then per-key pair expansion
+    via higher-order exprs (the facet_adjacency_matrix idiom: never a
+    corpus self-join) and a tiny (src_a, src_b) agg."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    key = F.array_join(
+        F.slice(tokens_col(F.col(text_col)), 1, prefix_len), " ")
+    ks = (df.select(key.alias("k"), F.col(source_col).alias("source"))
+          .filter(F.col("k") != "")
+          .distinct()
+          .groupBy("k")
+          .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+          .filter(F.size("srcs") >= 2))
+    pairs = ks.select(F.explode(F.flatten(F.transform(
+        F.col("srcs"),
+        lambda a, i: F.transform(
+            F.slice(F.col("srcs"), i + F.lit(2),
+                    F.greatest(F.size("srcs") - i - 1, F.lit(0))),
+            lambda b: F.struct(a.alias("src_a"), b.alias("src_b")))))
+    ).alias("p"))
+    return (pairs.select("p.src_a", "p.src_b")
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))

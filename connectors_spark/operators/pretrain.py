@@ -1023,3 +1023,45 @@ def leakage_safe_split(df: DataFrame, components: DataFrame,
     return assign_split(out, "component", salt=salt, val_pct=val_pct,
                         test_pct=test_pct).select(
         "doc_id", "component", "bucket", "split")
+
+
+def chunk_token_windows(df: DataFrame, window: int = 64, stride: int = 48,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Overlapping token-window chunking — the RAG / long-context prep
+    step that turns documents into fixed-budget passages with stride
+    overlap (the retrieval-index and context-extension convention;
+    stride < window keeps boundary sentences in two chunks so no span
+    is only ever cut).
+
+    Chunk count is the closed form 1 if n <= window else
+    ceil((n - window) / stride) + 1 (exact integer arithmetic, engine-
+    portable); chunk k covers tokens [k*stride, k*stride + window).
+    Empty docs produce no chunks.
+
+    -> (doc_id, chunk_idx, start_tok, n_tok, chunk_text). Plan: one
+    narrow projection + a per-doc explode bounded by n/stride — no
+    shuffle, no UDF; chunking 100 TB is a map-only pass."""
+    from connectors_spark.functions.analysis import tokens_col
+
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"),
+                     F.size(toks).alias("n"))
+    n = F.col("n")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.floor((n - F.lit(window) + F.lit(stride - 1)) / F.lit(stride))
+        + F.lit(1)).cast("int")
+    chunks = (base.filter(n > 0)
+              .withColumn("chunk_idx",
+                          F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+              .withColumn("start_tok",
+                          (F.col("chunk_idx") * stride).cast("int"))
+              .withColumn("chunk",
+                          F.slice(F.col("toks"), F.col("start_tok") + 1,
+                                  window)))
+    return chunks.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "start_tok", F.size("chunk").cast("int").alias("n_tok"),
+        F.array_join("chunk", " ").alias("chunk_text"))

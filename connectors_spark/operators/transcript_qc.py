@@ -320,3 +320,71 @@ def code_fence_qc(df: DataFrame, conv_col: str = "conv_id",
                     .alias("balanced"),
                     (F.col("n_fences") % 2 == 1).cast("int")
                     .alias("ends_open")))
+
+
+# --------------------------------------------------------------------
+# Conversation language consistency — multilingual SFT QC
+# --------------------------------------------------------------------
+
+def conv_lang_consistency(df: DataFrame, conv_col: str = "conv_id",
+                          turn_col: str = "turn_idx",
+                          text_col: str = "text") -> DataFrame:
+    """Per-conversation language-switch QC over per-turn heuristic
+    language ID (functions/text.py marker profiles): mid-conversation
+    language flips are a known multilingual-SFT corpus defect (mixed
+    exports, code-switching scrapes) that trains spurious language
+    drift. Marker-free turns identify as 'und' and count as their own
+    label (documented).
+
+    -> (conv_id, n_turns, dominant_lang, n_dominant, n_switches,
+    consistent): dominant = most frequent per-turn language (ties lang
+    ASC), n_switches = adjacent turn pairs whose language differs,
+    consistent = no switches at all.
+
+    Shape: tokens explode -> broadcast marker join -> (conv, turn,
+    lang) agg -> per-TURN argmax window -> per-CONV lag window + one
+    conv agg; every window is conversation-partitioned (bounded by
+    turns-per-conv), never global."""
+    from connectors_spark.functions.text import LANG_MARKERS
+
+    spark = df.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, m) for lang, ms in sorted(LANG_MARKERS.items())
+         for m in ms],
+        "lang string, term string")
+    base = df.select(F.col(conv_col).alias("conv_id"),
+                     F.col(turn_col).alias("turn_idx"),
+                     F.col(text_col).alias("text"))
+    toks = base.select(
+        "conv_id", "turn_idx",
+        F.explode(tokens_col(F.col("text"))).alias("term"))
+    hits = (toks.join(F.broadcast(markers), "term")
+            .groupBy("conv_id", "turn_idx", "lang")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    wt = Window.partitionBy("conv_id", "turn_idx") \
+        .orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = (hits.withColumn("r", F.row_number().over(wt))
+            .filter("r = 1").select("conv_id", "turn_idx", "lang"))
+    turns = (base.select("conv_id", "turn_idx")
+             .join(best, ["conv_id", "turn_idx"], "left")
+             .select("conv_id", "turn_idx",
+                     F.coalesce("lang", F.lit("und")).alias("lang")))
+    wc = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = turns.withColumn("prev", F.lag("lang").over(wc))
+    per_lang = (turns.groupBy("conv_id", "lang")
+                .agg(F.count(F.lit(1)).alias("n")))
+    wd = Window.partitionBy("conv_id").orderBy(F.desc("n"), F.asc("lang"))
+    dom = (per_lang.withColumn("r", F.row_number().over(wd))
+           .filter("r = 1")
+           .select("conv_id", F.col("lang").alias("dominant_lang"),
+                   F.col("n").cast("long").alias("n_dominant")))
+    agg = seq.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("prev").isNotNull()
+                     & (F.col("prev") != F.col("lang")), 1)
+              .otherwise(0)).cast("long").alias("n_switches"))
+    return (agg.join(dom, "conv_id")
+            .select("conv_id", "n_turns", "dominant_lang", "n_dominant",
+                    "n_switches",
+                    (F.col("n_switches") == 0).cast("int")
+                    .alias("consistent")))
