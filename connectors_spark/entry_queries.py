@@ -20119,3 +20119,89 @@ def q_conv_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         _mlang_rows(), "conv_id int, turn_idx int, text string")
     return conv_lang_consistency(df)
+
+
+# -------------------------------------------------- layout skip report
+def _layout_skip_sql() -> str:
+    from connectors_spark.operators.zorder import (
+        SKIP_A_HI, SKIP_A_LO, SKIP_B_HI, SKIP_B_LO, zorder_key2_sql)
+
+    z = zorder_key2_sql("ra", "rb")
+    m_a = f"ra >= {SKIP_A_LO} AND ra < {SKIP_A_HI}"
+    m_b = f"rb >= {SKIP_B_LO} AND rb < {SKIP_B_HI}"
+    s_a = f"(max_ra < {SKIP_A_LO} OR min_ra >= {SKIP_A_HI})"
+    s_b = f"(max_rb < {SKIP_B_LO} OR min_rb >= {SKIP_B_HI})"
+    return f"""
+WITH stats AS (
+  SELECT CAST(min(user_id) AS BIGINT) AS amin,
+         CAST(max(user_id) AS BIGINT) AS amax,
+         CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS bmin,
+         CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS bmax
+  FROM events),
+ranked AS (
+  SELECT CAST(floor((user_id - amin) * 65536
+              / (amax - amin + 1)) AS BIGINT) AS ra,
+         CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - bmin) * 65536
+              / (bmax - bmin + 1)) AS BIGINT) AS rb
+  FROM events CROSS JOIN stats),
+u AS (
+  SELECT 'linear' AS layout,
+         CAST(floor(rb * 16 / 65536.0) AS INT) AS file_id, ra, rb
+  FROM ranked
+  UNION ALL
+  SELECT 'zorder' AS layout,
+         CAST(floor({z} * 16 / 4294967296.0) AS INT) AS file_id, ra, rb
+  FROM ranked),
+files AS (
+  SELECT layout, file_id,
+         min(ra) AS min_ra, max(ra) AS max_ra,
+         min(rb) AS min_rb, max(rb) AS max_rb,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN {m_a} THEN 1 ELSE 0 END) AS BIGINT) AS m_a,
+         CAST(sum(CASE WHEN {m_a} AND {m_b} THEN 1 ELSE 0 END) AS BIGINT)
+           AS m_ab
+  FROM u GROUP BY layout, file_id),
+rep AS (
+  SELECT layout, 'a_only' AS predicate,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN {s_a} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_skipped,
+         round(sum(CASE WHEN {s_a} THEN 1 ELSE 0 END) * 1.0 / count(*),
+               {ROUND_SCORE}) AS skip_ratio,
+         CAST(sum(n_rows) AS BIGINT) AS rows_total,
+         CAST(sum(CASE WHEN {s_a} THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_skipped,
+         CAST(sum(m_a) AS BIGINT) AS rows_matched
+  FROM files GROUP BY layout
+  UNION ALL
+  SELECT layout, 'a_and_b' AS predicate,
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN {s_a} OR {s_b} THEN 1 ELSE 0 END) AS BIGINT),
+         round(sum(CASE WHEN {s_a} OR {s_b} THEN 1 ELSE 0 END) * 1.0
+               / count(*), {ROUND_SCORE}),
+         CAST(sum(n_rows) AS BIGINT),
+         CAST(sum(CASE WHEN {s_a} OR {s_b} THEN n_rows ELSE 0 END)
+              AS BIGINT),
+         CAST(sum(m_ab) AS BIGINT)
+  FROM files GROUP BY layout)
+SELECT * FROM rep
+"""
+
+
+@register("layout_skip_report", _layout_skip_sql())
+def q_layout_skip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit (operators/zorder.py:layout_skip_report):
+    files a reader skips via min/max envelopes under time-linear vs
+    z-order write layouts, for a-only and a-and-b predicates over
+    (user_id, ts) — the measurement that justifies zorder_layout at
+    100 TB (time-sorted files prune NOTHING for pure-user predicates;
+    Morton interleave prunes on both dimensions). Window-free value-
+    range sharding (floor(key * n_files / key_space)), one tiny
+    broadcast min/max agg + one map-side-combinable (layout, file) agg
+    per layout."""
+    from connectors_spark.operators.zorder import layout_skip_report
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "epoch",
+        F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long"))
+    return layout_skip_report(ev, "user_id", "epoch", n_files=16)
