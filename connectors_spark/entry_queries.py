@@ -20205,3 +20205,69 @@ def q_layout_skip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch",
         F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long"))
     return layout_skip_report(ev, "user_id", "epoch", n_files=16)
+
+
+# ------------------------------------------- significant-terms heuristics
+_SIGSC_SQL = f"""
+WITH {_TF_CTE},
+fg AS (SELECT doc_id FROM documents WHERE source = '{_SIGTERMS_FG}'),
+fgt AS (SELECT term, count(*) AS fg_df FROM tf JOIN fg USING (doc_id)
+        GROUP BY term),
+bgt AS (SELECT term, count(*) AS bg_df FROM tf GROUP BY term),
+tot AS (
+  SELECT (SELECT count(*) FROM fg) * 1.0 AS fg_n,
+         (SELECT count(*) FROM documents) * 1.0 AS bg_n
+),
+cells AS (
+  SELECT f.term, f.fg_df, b.bg_df, t.fg_n, t.bg_n,
+         f.fg_df * 1.0 AS n11,
+         (b.bg_df - f.fg_df) * 1.0 AS n12,
+         (t.fg_n - f.fg_df) AS n21,
+         (t.bg_n - t.fg_n - (b.bg_df - f.fg_df)) AS n22
+  FROM fgt f JOIN bgt b USING (term) CROSS JOIN tot t
+),
+scored AS (
+  SELECT term, CAST(fg_df AS BIGINT) AS fg_df,
+         CAST(bg_df AS BIGINT) AS bg_df,
+         round(((fg_df / fg_n) - (bg_df / bg_n))
+               * ((fg_df / fg_n) / (bg_df / bg_n)), {ROUND_SCORE}) AS jlh,
+         round(CASE WHEN (n11+n12)*(n11+n21)*(n12+n22)*(n21+n22) > 0
+               THEN bg_n * pow(n11*n22 - n12*n21, 2)
+                    / ((n11+n12)*(n11+n21)*(n12+n22)*(n21+n22)) END,
+               {ROUND_SCORE}) AS chi_square,
+         round(
+           (CASE WHEN n11 > 0 THEN (n11/bg_n)
+                 * log2(bg_n*n11/((n11+n12)*(n11+n21))) ELSE 0 END)
+         + (CASE WHEN n12 > 0 THEN (n12/bg_n)
+                 * log2(bg_n*n12/((n11+n12)*(n12+n22))) ELSE 0 END)
+         + (CASE WHEN n21 > 0 THEN (n21/bg_n)
+                 * log2(bg_n*n21/((n21+n22)*(n11+n21))) ELSE 0 END)
+         + (CASE WHEN n22 > 0 THEN (n22/bg_n)
+                 * log2(bg_n*n22/((n21+n22)*(n12+n22))) ELSE 0 END),
+           {ROUND_SCORE}) AS mutual_info,
+         round(fg_df * 1.0 / bg_df, {ROUND_SCORE}) AS pct_of_bg
+  FROM cells
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY jlh DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT term, fg_df, bg_df, jlh, chi_square, mutual_info, pct_of_bg
+FROM r WHERE rk <= 15
+"""
+
+
+@register("significant_terms_scoring", _SIGSC_SQL)
+def q_significant_terms_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms with the full pluggable-heuristic menu
+    (functions/text.py:significant_terms_scored): JLH, 2x2 chi-square,
+    mutual information (Manning & Schuetze 13.133 cells) and the
+    `percentage` score, all derived from ONE term-keyed counts shuffle
+    (the fg flag rides the token rows) + broadcast totals + TakeOrdered
+    — the ES pattern where the heuristic is a scoring plug-in, not a
+    second aggregation."""
+    from connectors_spark.functions.text import significant_terms_scored
+
+    docs = _read(spark, sf_dir, "documents")
+    return significant_terms_scored(
+        docs, F.col("source") == _SIGTERMS_FG, top_n=15)

@@ -1259,3 +1259,74 @@ def chrf_pairs(pairs: DataFrame, max_n: int = 3, beta: int = 2,
         F.when(defined,
                F.round(F.coalesce(F.col("_fsum"), F.lit(0)).cast("double")
                        / (max_n * 1e6), round_to)).alias("chrf"))
+
+
+def significant_terms_scored(df: DataFrame, fg: Column,
+                             text_col: str = "text",
+                             doc_id_col: str = "doc_id", top_n: int = 15,
+                             round_to: int = 6) -> DataFrame:
+    """`significant_terms` with Lucene's full public heuristic menu
+    beside JLH (ES significant-terms docs list them as pluggable
+    `chi_square` / `mutual_information` / `percentage` scorers), all
+    from ONE counts frame: the 2x2 contingency per term is
+    N11=fg_df, N12=bg_df-fg_df, N21=fg_n-fg_df, N22=N-fg_n-N12 with
+    N=bg_n (background is a superset of the foreground, ES default).
+
+    - jlh            = (fg% - bg%) * (fg% / bg%)
+    - chi_square     = N*(N11*N22 - N12*N21)^2 / (product of marginals)
+      (textbook 2x2; include-negatives form — symmetric in direction)
+    - mutual_information = sum_cells (Nxy/N) * log2(N*Nxy / (Nx*Ny)),
+      zero-count cells contribute 0 (Manning & Schuetze 13.133 form)
+    - pct_of_bg      = fg_df / bg_df (ES `percentage` heuristic)
+
+    All cell math in IEEE double (counts are far below 2^53, so the
+    inputs are exact and both engines round identically); plan shape is
+    the significant_terms one: a single term-keyed shuffle with the fg
+    flag riding the token rows, then broadcast totals + TakeOrdered."""
+    from connectors_spark.functions.analysis import tokenize
+
+    flagged = df.withColumn("_fg", fg)
+    toks = tokenize(flagged, text_col, doc_id_col).join(
+        flagged.select(F.col(doc_id_col).alias("doc_id"), "_fg"), "doc_id")
+    per_term = (
+        toks.select("term", "doc_id", "_fg").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("bg_df"),
+             F.sum(F.when(F.col("_fg"), 1).otherwise(0)).alias("fg_df"))
+        .filter(F.col("fg_df") > 0))
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("_bg_n"),
+        F.sum(F.when(F.col("_fg"), 1).otherwise(0)).alias("_fg_n"))
+    t = per_term.crossJoin(F.broadcast(totals))
+
+    n11 = F.col("fg_df").cast("double")
+    n12 = (F.col("bg_df") - F.col("fg_df")).cast("double")
+    n21 = (F.col("_fg_n") - F.col("fg_df")).cast("double")
+    n = F.col("_bg_n").cast("double")
+    n22 = n - F.col("_fg_n") - n12
+    fg_pct = F.col("fg_df") / F.col("_fg_n")
+    bg_pct = F.col("bg_df") / F.col("_bg_n")
+
+    denom = (n11 + n12) * (n11 + n21) * (n12 + n22) * (n21 + n22)
+    chi = F.when(denom > 0,
+                 n * F.pow(n11 * n22 - n12 * n21, 2) / denom)
+
+    def mi_cell(nxy: Column, nx: Column, ny: Column) -> Column:
+        return F.when(nxy > 0,
+                      (nxy / n) * F.log2(n * nxy / (nx * ny))
+                      ).otherwise(F.lit(0.0))
+
+    mi = (mi_cell(n11, n11 + n12, n11 + n21)
+          + mi_cell(n12, n11 + n12, n12 + n22)
+          + mi_cell(n21, n21 + n22, n11 + n21)
+          + mi_cell(n22, n21 + n22, n12 + n22))
+
+    scored = t.select(
+        "term", "fg_df", "bg_df",
+        F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), round_to)
+        .alias("jlh"),
+        F.round(chi, round_to).alias("chi_square"),
+        F.round(mi, round_to).alias("mutual_info"),
+        F.round(F.col("fg_df") / F.col("bg_df"), round_to)
+        .alias("pct_of_bg"))
+    return scored.orderBy(F.desc("jlh"), F.asc("term")).limit(top_n)

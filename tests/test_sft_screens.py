@@ -158,3 +158,56 @@ def test_shingle_gate_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+# ----------------------------------------- significant-terms heuristics
+def test_significant_terms_scored_closed_form(spark):
+    import math
+    # 4 docs, fg = docs 0-1. "apple" in both fg docs only; "the" in all.
+    docs = spark.createDataFrame(
+        [(0, "apple pie"), (1, "apple tart"),
+         (2, "plain bread"), (3, "plain toast")],
+        "doc_id long, text string")
+    out = {r["term"]: r for r in
+           __import__("connectors_spark.functions.text",
+                      fromlist=["significant_terms_scored"])
+           .significant_terms_scored(
+               docs, F.col("doc_id") < 2, top_n=10).collect()}
+    a = out["apple"]
+    # cells for apple: n11=2, n12=0, n21=0, n22=2, N=4
+    # chi2 = 4*(2*2-0)^2 / (2*2*2*2) = 4
+    assert abs(a["chi_square"] - 4.0) < 1e-9
+    # MI = 2 * (2/4)*log2(4*2/(2*2)) = log2(2) = 1.0
+    assert abs(a["mutual_info"] - 1.0) < 1e-9
+    assert abs(a["pct_of_bg"] - 1.0) < 1e-9
+    # jlh = (1 - 0.5) * (1 / 0.5) = 1.0
+    assert abs(a["jlh"] - 1.0) < 1e-9
+    # a term balanced across fg/bg carries no signal: chi2 = 0, MI = 0
+    # (x in one fg and one bg doc; a term in EVERY doc has a degenerate
+    # zero marginal and scores NULL by the denom guard — also covered)
+    assert out["pie"]["chi_square"] is not None
+    docs2 = spark.createDataFrame(
+        [(0, "x y"), (1, "z w"), (2, "x y"), (3, "z w")],
+        "doc_id long, text string")
+    out2 = {r["term"]: r for r in
+            __import__("connectors_spark.functions.text",
+                       fromlist=["significant_terms_scored"])
+            .significant_terms_scored(
+                docs2, F.col("doc_id") < 2, top_n=10).collect()}
+    assert abs(out2["x"]["chi_square"]) < 1e-9
+    assert abs(out2["x"]["mutual_info"]) < 1e-9
+    assert abs(out2["x"]["jlh"]) < 1e-9
+
+
+def test_significant_terms_scored_jlh_matches_base_gate(spark):
+    from connectors_spark.functions.text import (
+        significant_terms, significant_terms_scored)
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} common w{i % 5}") for i in range(12)],
+        "doc_id long, text string")
+    fg = F.col("doc_id") % 4 == 0
+    base = {r["term"]: r["score"]
+            for r in significant_terms(docs, fg, top_n=50).collect()}
+    menu = {r["term"]: r["jlh"]
+            for r in significant_terms_scored(docs, fg, top_n=50).collect()}
+    assert base == menu
