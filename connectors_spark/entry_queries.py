@@ -20271,3 +20271,159 @@ def q_significant_terms_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return significant_terms_scored(
         docs, F.col("source") == _SIGTERMS_FG, top_n=15)
+
+
+# ------------------------------------------------- span annotation QC
+_SPANQC_DOCS = [
+    (0, "Alice went to Paris in May"),
+    (1, "call LOG-42 at once"),
+    (2, "x"),
+]
+_SPANQC_SPANS = [
+    # (doc_id, start, end, label) — planted valid / off-boundary /
+    # out-of-bounds / empty / negative / overlapping spans
+    (0, 0, 5, "PER"),      # "Alice" valid
+    (0, 6, 10, "O"),       # "went" valid
+    (0, 14, 19, "LOC"),    # "Paris" valid
+    (0, 15, 19, "LOC2"),   # overlaps Paris
+    (0, 1, 4, "BAD"),      # mid-token both ends + overlaps PER
+    (0, 20, 40, "OOB"),    # past end of text
+    (0, 9, 9, "EMPTY"),    # empty interval
+    (1, 5, 11, "ID"),      # "LOG-42" boundary-aligned, valid
+    (1, 5, 8, "ID2"),      # "LOG" valid alignment, overlapped by ID
+    (2, 0, 1, "X"),        # whole single-char doc, valid
+    (2, -1, 1, "NEG"),     # negative start
+]
+
+
+def _spanqc_sql() -> str:
+    dvals = ", ".join(f"({d}, '{t}')" for d, t in _SPANQC_DOCS)
+    svals = ", ".join(f"({d}, {s}, {e}, '{la}')"
+                      for d, s, e, la in _SPANQC_SPANS)
+    tok = "[A-Za-z0-9]"
+    return f"""
+WITH docs(doc_id, text) AS (VALUES {dvals}),
+spans(doc_id, start, "end", label) AS (VALUES {svals}),
+j AS (SELECT s.doc_id, s.start, s."end", s.label, d.text,
+             length(d.text) AS n
+      FROM spans s JOIN docs d USING (doc_id)),
+c AS (SELECT *,
+             (start >= 0 AND start < "end" AND "end" <= n) AS in_bounds
+      FROM j),
+a AS (SELECT doc_id, start, "end", label, in_bounds,
+             CASE WHEN in_bounds THEN
+               regexp_matches(substring(text, start + 1, 1), '{tok}')
+               AND (start = 0
+                    OR NOT regexp_matches(substring(text, start, 1),
+                                          '{tok}'))
+               AND regexp_matches(substring(text, "end", 1), '{tok}')
+               AND ("end" = n
+                    OR NOT regexp_matches(substring(text, "end" + 1, 1),
+                                          '{tok}'))
+             ELSE FALSE END AS token_aligned,
+             coalesce(max(CASE WHEN in_bounds THEN "end" END) OVER (
+                 PARTITION BY doc_id ORDER BY start, "end", label
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               > start, FALSE) AS overlapping
+      FROM c)
+SELECT doc_id, start, "end" AS "end", label,
+       CAST(in_bounds AS INT) AS in_bounds,
+       CAST(token_aligned AS INT) AS token_aligned,
+       CAST(overlapping AS INT) AS overlapping,
+       CAST(in_bounds AND token_aligned AND NOT overlapping AS INT)
+         AS valid
+FROM a
+"""
+
+
+@register("span_annotation_qc", _spanqc_sql())
+def q_span_annotation_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-span admission QC (operators/annotation.py:
+    span_annotation_qc) for NER/PII-style training sets: per-span
+    in-bounds, token-boundary alignment (the labeling-tool-vs-training-
+    tokenizer mismatch bug) and any-earlier-overlap via a doc-
+    partitioned running-max-of-end window — never a self-join, never a
+    global window. Fixture plants every failure class beside valid
+    spans (incl. a hyphen-interior span and a whole-single-char doc)."""
+    from connectors_spark.operators.annotation import span_annotation_qc
+
+    docs = spark.createDataFrame(_SPANQC_DOCS, "doc_id int, text string")
+    spans = spark.createDataFrame(
+        _SPANQC_SPANS, "doc_id int, start int, end int, label string")
+    return span_annotation_qc(docs, spans)
+
+
+# ---------------------------------------------- instruction diversity
+def _instr_rows() -> list[tuple[int, int, str, str, str]]:
+    convs = [
+        # source "synth": template collapse onto "write a poem ..."
+        ("synth", [("user", "Write a poem about cats")]),
+        ("synth", [("user", "write  a poem about cats")]),  # norm dup
+        ("synth", [("user", "Write a poem about dogs")]),
+        ("synth", [("user", "Summarize this article")]),
+        # source "human": diverse instructions
+        ("human", [("user", "How do I sort a list in Python?")]),
+        ("human", [("user", "Why is the sky blue")]),
+        # first USER turn is turn 1 here (system opener)
+        ("human", [("system", "be helpful"),
+                   ("user", "Can you review my resume")]),
+        # no user turns at all -> excluded from the audit entirely
+        ("human", [("assistant", "unsolicited reply")]),
+    ]
+    return [(c, t, role, text, src)
+            for c, (src, conv) in enumerate(convs)
+            for t, (role, text) in enumerate(conv)]
+
+
+def _instr_sql() -> str:
+    vals = ", ".join(
+        f"({c}, {t}, '{r}', '" + x.replace("'", "''") + f"', '{s}')"
+        for c, t, r, x, s in _instr_rows())
+    return f"""
+WITH t(conv_id, turn_idx, role, text, source) AS (VALUES {vals}),
+first AS (
+  SELECT conv_id, source,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS r
+        FROM t WHERE role = 'user')
+  WHERE r = 1),
+f2 AS (SELECT conv_id, source, norm,
+              ({tokenize_sql_duckdb('norm')})[1] AS tok1
+       FROM first),
+per_src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_convs,
+                   CAST(count(DISTINCT norm) AS BIGINT) AS n_distinct
+            FROM f2 GROUP BY source),
+hist AS (SELECT source, tok1, count(*) AS n
+         FROM f2 WHERE tok1 IS NOT NULL GROUP BY source, tok1),
+top AS (SELECT source, tok1 AS top_first_token, n AS top_n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, tok1) AS r
+        FROM hist)
+SELECT p.source, n_convs, n_distinct,
+       round(n_distinct * 1.0 / n_convs, {ROUND_SCORE})
+         AS distinct_ratio,
+       top_first_token,
+       round(top_n * 1.0 / n_convs, {ROUND_SCORE}) AS top_share
+FROM per_src p LEFT JOIN (SELECT * FROM top WHERE r = 1) top
+  USING (source)
+"""
+
+
+@register("instruction_diversity", _instr_sql())
+def q_instruction_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-Instruct-style instruction-diversity audit (operators/
+    transcript_qc.py:instruction_diversity): per source, distinct
+    normalized first-user-turn instructions and the dominant leading
+    token with its share — the template-collapse screen for SFT mixes
+    (a source whose instructions share one stem teaches the template,
+    not the task). Conv-partitioned first-turn window + source-keyed
+    aggs + vocabulary-bounded argmax window."""
+    from connectors_spark.operators.transcript_qc import (
+        instruction_diversity)
+
+    df = spark.createDataFrame(
+        _instr_rows(),
+        "conv_id int, turn_idx int, role string, text string, "
+        "source string")
+    return instruction_diversity(df)

@@ -388,3 +388,59 @@ def conv_lang_consistency(df: DataFrame, conv_col: str = "conv_id",
                     "n_switches",
                     (F.col("n_switches") == 0).cast("int")
                     .alias("consistent")))
+
+
+# --------------------------------------------------------------------
+# Instruction diversity — Self-Instruct-style template audit
+# --------------------------------------------------------------------
+
+def instruction_diversity(df: DataFrame, conv_col: str = "conv_id",
+                          turn_col: str = "turn_idx",
+                          role_col: str = "role",
+                          text_col: str = "text",
+                          source_col: str = "source") -> DataFrame:
+    """Per-source instruction-diversity audit (the Self-Instruct §4.2
+    analysis shape): the FIRST user turn of each conversation is its
+    instruction; a source whose instructions collapse onto few
+    templates (low distinct ratio, one dominant leading token) teaches
+    the model that template, not the task.
+
+    -> (source, n_convs, n_distinct, distinct_ratio, top_first_token,
+    top_share): n_distinct counts whitespace-normalized lowercase
+    instructions; top_first_token is the most frequent instruction-
+    leading token (the heuristic verb slot; ties token ASC) with its
+    share of conversations.
+
+    Shape: conv-partitioned row_number to pick the first user turn
+    (bounded by turns-per-conv), then source-keyed aggs; the leading-
+    token argmax is a source-partitioned window over a token-histogram
+    frame bounded by the vocabulary, never the corpus."""
+    base = df.filter(F.col(role_col) == "user").select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        F.col(source_col).alias("source"),
+        F.col(text_col).alias("text"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    first = (base.withColumn("r", F.row_number().over(w)).filter("r = 1")
+             .select("conv_id", "source",
+                     F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+                     .alias("norm")))
+    first = first.withColumn(
+        "tok1", F.element_at(tokens_col(F.col("norm")), 1))
+    per_src = first.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.countDistinct("norm").cast("long").alias("n_distinct"))
+    tok_hist = (first.filter(F.col("tok1").isNotNull())
+                .groupBy("source", "tok1")
+                .agg(F.count(F.lit(1)).alias("n")))
+    wt = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("tok1"))
+    top = (tok_hist.withColumn("r", F.row_number().over(wt)).filter("r = 1")
+           .select("source", F.col("tok1").alias("top_first_token"),
+                   F.col("n").alias("top_n")))
+    return (per_src.join(top, "source", "left")
+            .select("source", "n_convs", "n_distinct",
+                    F.round(F.col("n_distinct") / F.col("n_convs"), 6)
+                    .alias("distinct_ratio"),
+                    "top_first_token",
+                    F.round(F.col("top_n") / F.col("n_convs"), 6)
+                    .alias("top_share")))

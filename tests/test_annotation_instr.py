@@ -1,0 +1,100 @@
+"""span_annotation_qc + instruction_diversity: closed-form fixture
+expectations, overlap semantics, plan shape."""
+
+from pyspark.sql import functions as F
+
+from connectors_spark.operators.annotation import span_annotation_qc
+from connectors_spark.operators.transcript_qc import instruction_diversity
+
+
+def _fixture(spark):
+    from connectors_spark.entry_queries import _SPANQC_DOCS, _SPANQC_SPANS
+    docs = spark.createDataFrame(_SPANQC_DOCS, "doc_id int, text string")
+    spans = spark.createDataFrame(
+        _SPANQC_SPANS, "doc_id int, start int, end int, label string")
+    return docs, spans
+
+
+def test_span_qc_closed_form(spark):
+    docs, spans = _fixture(spark)
+    out = {r["label"]: r for r in span_annotation_qc(docs, spans).collect()}
+    for lab in ("PER", "O", "LOC", "ID", "ID2", "X"):
+        assert out[lab]["in_bounds"] == 1, lab
+        assert out[lab]["token_aligned"] == 1, lab
+    # valid set: exactly the non-overlapping aligned in-bounds spans
+    assert {lab for lab, r in out.items() if r["valid"] == 1} == \
+        {"PER", "O", "LOC", "ID2", "X"}
+    # failure classes, each isolated
+    assert out["OOB"]["in_bounds"] == 0
+    assert out["NEG"]["in_bounds"] == 0
+    assert out["EMPTY"]["in_bounds"] == 0
+    assert out["BAD"]["token_aligned"] == 0 and out["BAD"]["overlapping"] == 1
+    assert out["LOC2"]["overlapping"] == 1
+    # keep-first overlap semantics: of the (ID2, ID) pair the LATER
+    # (longer) span carries the flag
+    assert out["ID2"]["overlapping"] == 0 and out["ID"]["overlapping"] == 1
+
+
+def test_span_qc_garbage_spans_do_not_poison_overlap(spark):
+    # the out-of-bounds NEG span (-1, 1) precedes X (0, 1) in doc 2 —
+    # it must NOT mark X as overlapping
+    docs, spans = _fixture(spark)
+    out = {r["label"]: r for r in span_annotation_qc(docs, spans).collect()}
+    assert out["X"]["valid"] == 1 and out["X"]["overlapping"] == 0
+
+
+def test_span_qc_window_is_doc_partitioned(spark):
+    docs, spans = _fixture(spark)
+    plan = span_annotation_qc(docs, spans) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" in spec, plan
+
+
+def test_hyphen_interior_span_is_boundary_aligned(spark):
+    # alignment checks BOUNDARIES only: "LOG-42" (interior hyphen) is
+    # aligned; "LOG-" (ends on the hyphen) is not
+    docs = spark.createDataFrame(
+        [(0, "call LOG-42 at once")], "doc_id int, text string")
+    spans = spark.createDataFrame(
+        [(0, 5, 11, "full"), (0, 5, 9, "dash_end")],
+        "doc_id int, start int, end int, label string")
+    out = {r["label"]: r["token_aligned"]
+           for r in span_annotation_qc(docs, spans).collect()}
+    assert out["full"] == 1 and out["dash_end"] == 0
+
+
+# ------------------------------------------------ instruction diversity
+def test_instruction_diversity_closed_form(spark):
+    from connectors_spark.entry_queries import _instr_rows
+    df = spark.createDataFrame(
+        _instr_rows(),
+        "conv_id int, turn_idx int, role string, text string, "
+        "source string")
+    out = {r["source"]: r for r in instruction_diversity(df).collect()}
+    s = out["synth"]
+    # 4 convs, case/whitespace-normalized dup collapses to 3 distinct
+    assert s["n_convs"] == 4 and s["n_distinct"] == 3
+    assert abs(s["distinct_ratio"] - 0.75) < 1e-12
+    assert s["top_first_token"] == "write"
+    assert abs(s["top_share"] - 0.75) < 1e-12
+    h = out["human"]
+    # the assistant-only conv is excluded; the system-opener conv's
+    # instruction is its turn-1 user text
+    assert h["n_convs"] == 3 and h["n_distinct"] == 3
+    # leading tokens how/why/can each once -> tie broken token ASC
+    assert h["top_first_token"] == "can"
+
+
+def test_instruction_diversity_windows_partitioned(spark):
+    from connectors_spark.entry_queries import _instr_rows
+    df = spark.createDataFrame(
+        _instr_rows(),
+        "conv_id int, turn_idx int, role string, text string, "
+        "source string")
+    plan = instruction_diversity(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert ("conv_id" in spec) or ("source" in spec), plan
