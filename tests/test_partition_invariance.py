@@ -87,6 +87,17 @@ GATES = [
     "moving_fn_models",     # bucket self-join + broadcast coef lookup
     "chrf_pairs",           # char-gram counts + clip join + micro F sums
     "quality_length_bias",  # range buckets + integer OLS sufficient stats
+    "shingle_tokens",       # 2+3-gram shingle aggs + TakeOrdered head
+    "word_delimiter_tokens",  # row-local regex split chain
+    "refusal_screen",       # fused rlike disjunction + conv agg
+    "code_fence_qc",        # row-local fence counting, zero shuffle
+    "doc_chunk_windows",    # closed-form integer chunk boundaries
+    "cross_source_dup_matrix",  # prefix-keyed set agg + pair expansion
+    "conv_lang_consistency",  # marker join + conv-partitioned windows
+    "layout_skip_report",   # value-range sharding + envelope pruning
+    "significant_terms_scoring",  # one counts frame, four heuristics
+    "span_annotation_qc",   # doc-partitioned running-max overlap window
+    "instruction_diversity",  # first-turn window + vocab argmax
 ]
 
 
