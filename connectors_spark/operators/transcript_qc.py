@@ -444,3 +444,48 @@ def instruction_diversity(df: DataFrame, conv_col: str = "conv_id",
                     "top_first_token",
                     F.round(F.col("top_n") / F.col("n_convs"), 6)
                     .alias("top_share")))
+
+
+# --------------------------------------------------------------------
+# Prompt-injection screening over tool turns — untrusted-context QC
+# --------------------------------------------------------------------
+
+# RE2-safe shared family (no lookarounds; (?i) inline). Tool turns
+# carry UNTRUSTED retrieved content into the context window; injected
+# imperatives are the classic poisoning vector for agent transcripts
+# used as training data — screen and cap before training, exactly like
+# refusal density.
+INJECTION_PATTERNS: list[str] = [
+    r"(?i)\bignore (?:all |the )?(?:previous|prior|above) instructions\b",
+    r"(?i)\bdisregard (?:the |your )?(?:system|previous) prompt\b",
+    r"(?i)\byou are now\b",
+    r"(?i)\bnew instructions?:\s",
+    r"(?i)\bsystem override\b",
+]
+
+
+def injection_screen(df: DataFrame, conv_col: str = "conv_id",
+                     turn_col: str = "turn_idx", role_col: str = "role",
+                     text_col: str = "text",
+                     patterns: list[str] | None = None) -> DataFrame:
+    """Per-conversation injected-imperative statistics over TOOL turns
+    (the untrusted-content channel): (conv_id, n_tool, n_flagged,
+    flagged_rate, first_flagged_turn). Same shape as refusal_screen —
+    one fused rlike disjunction, pushed-down role filter, ONE conv-
+    keyed map-side-combinable aggregation."""
+    pats = patterns if patterns is not None else INJECTION_PATTERNS
+    hit = F.lit(False)
+    for p in pats:
+        hit = hit | F.col(text_col).rlike(p)
+    t = (df.filter(F.col(role_col) == "tool")
+         .select(F.col(conv_col).alias("conv_id"),
+                 F.col(turn_col).alias("turn_idx"),
+                 hit.cast("int").alias("is_inj")))
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tool"),
+        F.sum("is_inj").cast("long").alias("n_flagged"),
+        F.round(F.sum("is_inj") / F.count(F.lit(1)), 6)
+        .alias("flagged_rate"),
+        F.min(F.when(F.col("is_inj") == 1, F.col("turn_idx")))
+        .cast("int").alias("first_flagged_turn"),
+    )

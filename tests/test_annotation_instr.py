@@ -98,3 +98,26 @@ def test_instruction_diversity_windows_partitioned(spark):
     import re
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert ("conv_id" in spec) or ("source" in spec), plan
+
+
+# --------------------------------------------------- injection screen
+def test_injection_screen_closed_form(spark):
+    from connectors_spark.entry_queries import _inj_rows
+    from connectors_spark.operators.transcript_qc import injection_screen
+    df = spark.createDataFrame(
+        _inj_rows(), "conv_id int, turn_idx int, role string, text string")
+    out = {r["conv_id"]: r for r in injection_screen(df).collect()}
+    # conv 0: 2 tool turns, the uppercase injected one flags (case-
+    # insensitive family), first at turn 3
+    assert out[0]["n_tool"] == 2 and out[0]["n_flagged"] == 1
+    assert out[0]["first_flagged_turn"] == 3
+    # conv 1: both template variants flag
+    assert out[1]["n_flagged"] == out[1]["n_tool"] == 2
+    # conv 2: text ABOUT injection does not flag
+    assert out[2]["n_flagged"] == 0
+    assert out[2]["first_flagged_turn"] is None
+    # conv 3 has no tool turns -> absent
+    assert 3 not in out
+    # assistant/user turns never flag even if they contained templates
+    df2 = df.withColumn("role", F.lit("assistant"))
+    assert injection_screen(df2).count() == 0

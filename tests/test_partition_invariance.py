@@ -98,6 +98,7 @@ GATES = [
     "significant_terms_scoring",  # one counts frame, four heuristics
     "span_annotation_qc",   # doc-partitioned running-max overlap window
     "instruction_diversity",  # first-turn window + vocab argmax
+    "injection_screen",     # fused rlike over tool turns + conv agg
 ]
 
 
