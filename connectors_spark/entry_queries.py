@@ -20503,3 +20503,67 @@ def q_injection_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         _inj_rows(), "conv_id int, turn_idx int, role string, text string")
     return injection_screen(df)
+
+
+# ------------------------------------------------- curation pipeline
+_CURATION_QMIN = 0.5
+
+
+def _curation_sql() -> str:
+    b = _hex2int_sql("md5('split-v1|' || CAST(doc_id AS VARCHAR))", 8)
+    return f"""
+WITH q AS ({_quality_sql()}),
+base AS (SELECT q.doc_id, q.n_tokens, q.quality, d.text
+         FROM q JOIN documents d USING (doc_id)),
+flag AS (SELECT *, quality >= {_CURATION_QMIN} AS pass_q FROM base),
+surv AS (SELECT *, md5(text) AS h FROM flag WHERE pass_q),
+reps AS (SELECT h, min(doc_id) AS rep_id FROM surv GROUP BY h),
+staged AS (
+  SELECT doc_id, n_tokens, 'dropped_quality' AS stage
+  FROM flag WHERE NOT pass_q
+  UNION ALL
+  SELECT s.doc_id, s.n_tokens,
+         CASE WHEN s.doc_id <> r.rep_id THEN 'dropped_dup'
+              WHEN ({b}) % 100 < 5 THEN 'test'
+              WHEN ({b}) % 100 < 10 THEN 'val'
+              ELSE 'train' END
+  FROM surv s JOIN reps r USING (h))
+SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM staged GROUP BY stage
+"""
+
+
+@register("curation_pipeline", _curation_sql())
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the operators are not just
+    individually correct, they CHAIN: quality gate (functions/text.py:
+    quality_features, rounded threshold so the boundary is engine-
+    stable) -> exact dedup keep-first (md5 text groups, min doc_id) ->
+    leakage-stable train/val/test assignment (operators/pretrain.py:
+    assign_split, md5-bucket 90/5/5) -> per-stage funnel accounting
+    (dropped_quality / dropped_dup / train / val / test with token
+    mass). Every stage is the already-gated operator, composed; the
+    whole funnel is two map-side-combinable aggs + one hash-keyed
+    join, no windows."""
+    from connectors_spark.functions.text import quality_features
+    from connectors_spark.operators.pretrain import assign_split
+
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_features(docs).join(docs.select("doc_id", "text"),
+                                    "doc_id")
+    q = q.withColumn("pass_q", F.col("quality") >= _CURATION_QMIN)
+    dropped_q = q.filter(~F.col("pass_q")).select(
+        F.lit("dropped_quality").alias("stage"), "n_tokens")
+    surv = q.filter("pass_q").withColumn("h", F.md5("text"))
+    reps = surv.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    kept = surv.join(reps, "h")
+    dropped_d = kept.filter(F.col("doc_id") != F.col("rep_id")).select(
+        F.lit("dropped_dup").alias("stage"), "n_tokens")
+    split = assign_split(
+        kept.filter(F.col("doc_id") == F.col("rep_id")), "doc_id"
+    ).select(F.col("split").alias("stage"), "n_tokens")
+    staged = dropped_q.unionByName(dropped_d).unionByName(split)
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"))

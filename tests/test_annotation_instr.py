@@ -121,3 +121,40 @@ def test_injection_screen_closed_form(spark):
     # assistant/user turns never flag even if they contained templates
     df2 = df.withColumn("role", F.lit("assistant"))
     assert injection_screen(df2).count() == 0
+
+
+# --------------------------------------------------- curation pipeline
+def test_curation_pipeline_funnel_conserves_corpus(spark, sf_dir):
+    from connectors_spark.entry_queries import q_curation_pipeline, _read
+    out = q_curation_pipeline(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in out)
+    assert total == _read(spark, sf_dir, "documents").count()
+    stages = {r["stage"] for r in out}
+    assert stages <= {"dropped_quality", "dropped_dup",
+                      "train", "val", "test"}
+    assert "train" in stages
+
+
+def test_curation_pipeline_drops_planted_duplicates(spark):
+    from connectors_spark.functions.text import quality_features
+    from connectors_spark.operators.pretrain import assign_split
+    # same text planted twice: keep-first leaves ONE rep; quality gate
+    # applies BEFORE dedup (a low-quality dup never reaches the hash)
+    good = ("the curious engineers examined the ancient library and the "
+            "massive archive to understand the forgotten history of the "
+            "distant country and the remarkable culture that the "
+            "travelers described in the journals")  # quality ~0.70
+    rows = [(0, good), (1, good), (2, "zz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = quality_features(docs).join(docs, "doc_id")
+    surv = q.filter(F.col("quality") >= 0.5).withColumn("h", F.md5("text"))
+    reps = surv.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    kept = surv.join(reps, "h")
+    assert kept.filter(F.col("doc_id") != F.col("rep_id")).count() == 1
+    rep_ids = [r["doc_id"] for r in
+               kept.filter(F.col("doc_id") == F.col("rep_id")).collect()]
+    assert rep_ids == [0]  # keep-FIRST
+    # and the split of the surviving rep is the stable md5 bucket
+    s = assign_split(kept.filter(F.col("doc_id") == F.col("rep_id")),
+                     "doc_id").collect()[0]
+    assert s["split"] in ("train", "val", "test")

@@ -99,6 +99,7 @@ GATES = [
     "span_annotation_qc",   # doc-partitioned running-max overlap window
     "instruction_diversity",  # first-turn window + vocab argmax
     "injection_screen",     # fused rlike over tool turns + conv agg
+    "curation_pipeline",    # quality -> dedup -> split funnel composition
 ]
 
 
