@@ -20567,3 +20567,36 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.groupBy("stage").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"))
+
+
+# ----------------------------------------------------------- esql GROK
+_ESQL_GROK_PROGRAM = """
+FROM events
+| EVAL line = CONCAT("evt=", event_type, " uid=", TO_STRING(user_id),
+                     " v=", TO_STRING(ROUND(value, 2)))
+| GROK line "evt=%{WORD:etype} uid=%{INT:uid} v=%{NUMBER:v}"
+| WHERE etype == "click"
+| STATS n = COUNT(*), users = COUNT_DISTINCT(uid) BY etype
+| SORT etype
+"""
+
+_ESQL_GROK_SQL = """
+SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT) AS users
+FROM events
+WHERE event_type = 'click'
+GROUP BY event_type
+"""
+
+
+@register("esql_grok", _ESQL_GROK_SQL)
+def q_esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL GROK command through the pipe compiler (operators/
+    esql.py:974 -> functions/scalars.py:grok_to_regex): named grok
+    classes (%{WORD}/%{INT}/%{NUMBER}) compile to ONE anchored regex
+    evaluated by JVM regexp_extract — no UDF; the CONCAT-then-GROK
+    round-trip makes the oracle exact (extraction must recover the
+    source columns), completing the DISSECT/GROK extraction pair."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_GROK_PROGRAM)

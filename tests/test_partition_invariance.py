@@ -100,6 +100,7 @@ GATES = [
     "instruction_diversity",  # first-turn window + vocab argmax
     "injection_screen",     # fused rlike over tool turns + conv agg
     "curation_pipeline",    # quality -> dedup -> split funnel composition
+    "esql_grok",            # GROK round-trip extraction + grouped stats
 ]
 
 
