@@ -20600,3 +20600,66 @@ def q_esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.esql import esql
 
     return esql(spark, _esql_tables(spark, sf_dir), _ESQL_GROK_PROGRAM)
+
+
+# ------------------------------------------- index_phrases equivalence
+_IDXPHR_T1, _IDXPHR_T2 = "order", "fast"
+
+_IDXPHR_SQL = f"""
+WITH {_DDB_TOKS_POS},
+a AS (SELECT DISTINCT t1.doc_id
+      FROM toks t1 JOIN toks t2
+        ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+      WHERE t1.t = '{_IDXPHR_T1}' AND t2.t = '{_IDXPHR_T2}'),
+b AS (SELECT doc_id
+      FROM (SELECT doc_id, {_ARR} AS arr FROM documents)
+      WHERE list_contains(
+          {shingles_sql_duckdb('arr', 2, 2, output_unigrams=False)},
+          '{_IDXPHR_T1} {_IDXPHR_T2}')),
+u AS (SELECT doc_id FROM a UNION SELECT doc_id FROM b)
+SELECT u.doc_id,
+       CAST(a.doc_id IS NOT NULL AS INT) AS via_positions,
+       CAST(b.doc_id IS NOT NULL AS INT) AS via_shingles,
+       CAST(a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL AS INT)
+         AS agree
+FROM u LEFT JOIN a USING (doc_id) LEFT JOIN b USING (doc_id)
+"""
+
+
+@register("index_phrases_equivalence", _IDXPHR_SQL)
+def q_index_phrases_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `index_phrases` semantics, proven: a 2-term phrase answered
+    from the positional index (adjacent-position self-join — the
+    phrase_match kernel's shape) and from the 2-shingle term space
+    (functions/analysis.py:shingles_col; what the index_phrases mapping
+    option physically indexes) must select the SAME documents. The gate
+    emits both flags per matched doc; the pytest asserts agree=1
+    everywhere — the rank-free equivalence that justifies answering
+    exact phrases from shingle terms (one term lookup, no positions
+    decoded) at 100 TB."""
+    from connectors_spark.functions.analysis import (
+        shingles_col, tokenize, tokens_col)
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs)
+    t1 = toks.filter(F.col("term") == _IDXPHR_T1) \
+        .select("doc_id", F.col("pos").alias("p1"))
+    t2 = toks.filter(F.col("term") == _IDXPHR_T2) \
+        .select("doc_id", F.col("pos").alias("p2"))
+    a = (t1.join(t2, ["doc_id"])
+         .filter(F.col("p2") == F.col("p1") + 1)
+         .select("doc_id").distinct()
+         .withColumn("via_positions", F.lit(1)))
+    phrase = f"{_IDXPHR_T1} {_IDXPHR_T2}"
+    b = (docs.filter(F.array_contains(
+            shingles_col(tokens_col(F.col("text")), 2, 2,
+                         output_unigrams=False), phrase))
+         .select("doc_id").withColumn("via_shingles", F.lit(1)))
+    u = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("via_positions", F.lit(0)).alias("via_positions"),
+        F.coalesce("via_shingles", F.lit(0)).alias("via_shingles"))
+    return u.withColumn(
+        "agree",
+        ((F.col("via_positions") == 1) & (F.col("via_shingles") == 1))
+        .cast("int"))

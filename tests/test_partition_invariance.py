@@ -101,6 +101,7 @@ GATES = [
     "injection_screen",     # fused rlike over tool turns + conv agg
     "curation_pipeline",    # quality -> dedup -> split funnel composition
     "esql_grok",            # GROK round-trip extraction + grouped stats
+    "index_phrases_equivalence",  # positional vs shingle phrase agreement
 ]
 
 

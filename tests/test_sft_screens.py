@@ -211,3 +211,44 @@ def test_significant_terms_scored_jlh_matches_base_gate(spark):
     menu = {r["term"]: r["jlh"]
             for r in significant_terms_scored(docs, fg, top_n=50).collect()}
     assert base == menu
+
+
+def test_index_phrases_equivalence_all_agree(spark, sf_dir):
+    from connectors_spark.entry_queries import q_index_phrases_equivalence
+    rows = q_index_phrases_equivalence(spark, sf_dir).collect()
+    assert len(rows) > 0
+    # the shingle term space and the positional index select the SAME
+    # documents for an exact 2-term phrase — no one-sided matches
+    assert all(r["agree"] == 1 for r in rows), [
+        tuple(r) for r in rows if r["agree"] != 1]
+
+
+def test_shingle_and_wdg_fuzz_parity(spark):
+    """Hypothesis fuzz: the Spark Column implementations of shingles
+    and word_delimiter match their Python oracles on arbitrary ASCII
+    strings (one batched Spark pass over all examples)."""
+    from hypothesis import given, settings, strategies as st
+    from connectors_spark.functions.analysis import tokenize_py
+
+    alphabet = st.sampled_from(
+        list("abcXYZ019 '_-.") + ["'s", "```"])
+    texts = st.lists(
+        st.text(alphabet=st.characters(
+            whitelist_categories=(), whitelist_characters=
+            "abcdefgXYZ019 '_-."), min_size=0, max_size=24),
+        min_size=1, max_size=24)
+
+    @settings(max_examples=20, deadline=None)
+    @given(texts)
+    def check(batch):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "i int, t string")
+        got = {r["i"]: (r["sh"], r["wd"]) for r in df.select(
+            "i",
+            shingles_col(tokens_col(F.col("t")), 2, 3).alias("sh"),
+            word_delimiter_col(F.col("t")).alias("wd")).collect()}
+        for i, t in enumerate(batch):
+            assert got[i][0] == shingles_py(tokenize_py(t), 2, 3), t
+            assert got[i][1] == word_delimiter_py(t), t
+
+    check()
