@@ -20663,3 +20663,47 @@ def q_index_phrases_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agree",
         ((F.col("via_positions") == 1) & (F.col("via_shingles") == 1))
         .cast("int"))
+
+
+# -------------------------------------------- centroid similarity matrix
+_CENTSIM_SQL = f"""
+WITH ex AS (
+  SELECT lab, u.i, u.v FROM (
+    SELECT label AS lab,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  j -> {{'i': j - 1, 'v': embedding[j]}})) AS u
+    FROM embeddings)
+),
+cent AS (
+  SELECT lab, i, round(avg(v), {ROUND_SCORE}) AS m
+  FROM ex GROUP BY lab, i
+),
+pair AS (
+  SELECT a.lab AS label_a, b.lab AS label_b, a.i,
+         a.m AS ma, b.m AS mb
+  FROM cent a JOIN cent b ON a.i = b.i AND a.lab < b.lab
+),
+acc AS (
+  SELECT label_a, label_b, sum(ma * mb) AS dot,
+         sum(ma * ma) AS na2, sum(mb * mb) AS nb2
+  FROM pair GROUP BY label_a, label_b
+)
+SELECT label_a, label_b,
+       round(dot / sqrt(na2 * nb2), {ROUND_SCORE}) AS cos
+FROM acc
+"""
+
+
+@register("label_centroid_similarity", _CENTSIM_SQL)
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-centroid cosine matrix (operators/similarity.py:
+    label_centroid_similarity) — the data-mix redundancy summary
+    (near-parallel centroids = near-duplicate distributional mass;
+    SemDeDup handles docs, this is the group-level view curators act
+    on). Mean-pool shape for centroids (labels x dims shuffle key),
+    components rounded post-aggregation, pairwise join bounded by the
+    label catalog squared."""
+    from connectors_spark.operators.similarity import (
+        label_centroid_similarity)
+
+    return label_centroid_similarity(_read(spark, sf_dir, "embeddings"))

@@ -1294,3 +1294,39 @@ def mmr_rerank(vectors: DataFrame, queries: DataFrame, k: int = 3,
             pick.select("query_id", "vec_id"),
             ["query_id", "vec_id"], "left_anti")
     return selected
+
+
+def label_centroid_similarity(emb: DataFrame, label_col: str = "label",
+                              vec_col: str = "embedding",
+                              round_to: int = 6) -> DataFrame:
+    """Pairwise cosine between group centroids — the data-mix
+    redundancy diagnostic (two sources/classes whose centroids sit at
+    cosine ~1 contribute near-duplicate distributional mass; mixture
+    weights should see them as one pool). Doc-level near-dup is
+    SemDeDup's job; this is the GROUP-level summary curators read.
+
+    Shape: element-wise centroid means via posexplode + (label, dim)
+    groupBy (the embedding_mean_pool shape — shuffle key space is
+    labels x dims, never rows x dims in one task), components ROUNDED
+    after full aggregation (summation order can't flip the hash), then
+    a labels^2 x dims pairwise join on the dim key — bounded by the
+    label catalog squared, never the corpus.
+
+    -> (label_a, label_b, cos) for label_a < label_b."""
+    ex = emb.select(F.col(label_col).alias("lab"),
+                    F.posexplode(vec_col).alias("i", "v"))
+    cent = (ex.groupBy("lab", "i").agg(F.avg("v").alias("m"))
+            .select("lab", "i", F.round("m", round_to).alias("m")))
+    a = cent.select(F.col("lab").alias("label_a"), "i",
+                    F.col("m").alias("ma"))
+    b = cent.select(F.col("lab").alias("label_b"), "i",
+                    F.col("m").alias("mb"))
+    pair = a.join(b, "i").filter(F.col("label_a") < F.col("label_b"))
+    acc = pair.groupBy("label_a", "label_b").agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+        F.sum(F.col("mb") * F.col("mb")).alias("nb2"))
+    return acc.select(
+        "label_a", "label_b",
+        F.round(F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")),
+                round_to).alias("cos"))

@@ -158,3 +158,28 @@ def test_curation_pipeline_drops_planted_duplicates(spark):
     s = assign_split(kept.filter(F.col("doc_id") == F.col("rep_id")),
                      "doc_id").collect()[0]
     assert s["split"] in ("train", "val", "test")
+
+
+# -------------------------------------------- centroid similarity matrix
+def test_label_centroid_similarity_closed_form(spark):
+    from connectors_spark.operators.similarity import (
+        label_centroid_similarity)
+    # label 0 centroid -> (1, 0); label 1 -> (0, 1); label 2 -> (1, 0)
+    rows = [(0, [1.0, 0.0]), (0, [1.0, 0.0]),
+            (1, [0.0, 2.0]), (1, [0.0, 0.5]),
+            (2, [2.0, 0.0])]
+    emb = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {(r["label_a"], r["label_b"]): r["cos"]
+           for r in label_centroid_similarity(emb).collect()}
+    assert abs(out[(0, 1)]) < 1e-9          # orthogonal
+    assert abs(out[(0, 2)] - 1.0) < 1e-9    # parallel (scale-invariant)
+    assert abs(out[(1, 2)]) < 1e-9
+    # upper triangle only: 3 labels -> 3 pairs, label_a < label_b
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_label_centroid_pair_frame_is_label_bounded(spark, sf_dir):
+    from connectors_spark.entry_queries import q_label_centroid_similarity
+    df = q_label_centroid_similarity(spark, sf_dir)
+    n_labels = 10  # testdata embeddings carry 10 labels
+    assert df.count() == n_labels * (n_labels - 1) // 2

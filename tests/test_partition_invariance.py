@@ -102,6 +102,7 @@ GATES = [
     "curation_pipeline",    # quality -> dedup -> split funnel composition
     "esql_grok",            # GROK round-trip extraction + grouped stats
     "index_phrases_equivalence",  # positional vs shingle phrase agreement
+    "label_centroid_similarity",  # post-agg rounded centroids + pair join
 ]
 
 
