@@ -20707,3 +20707,65 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_centroid_similarity)
 
     return label_centroid_similarity(_read(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------- counter rate
+def _counter_rows() -> list[tuple[str, str, float]]:
+    """Counter series with planted RESETS: s0 grows 0..5 then restarts
+    (5 -> 1), s1 monotone, s2 resets twice, s3 single sample."""
+    series = {
+        "s0": [0, 2, 5, 1, 4],            # reset at sample 4
+        "s1": [10, 20, 20, 35],           # monotone (flat step ok)
+        "s2": [3, 1, 2, 0, 6],            # two resets
+        "s3": [7],                        # singleton: no span
+    }
+    rows = []
+    for name, vals in sorted(series.items()):
+        for i, v in enumerate(vals):
+            rows.append((name, f"2024-01-01 00:00:{i * 10:02d}",
+                         float(v)))
+    return rows
+
+
+def _counter_sql() -> str:
+    vals = ", ".join(f"('{s}', TIMESTAMP '{t}', {v})"
+                     for s, t, v in _counter_rows())
+    return f"""
+WITH t(series, ts, value) AS (VALUES {vals}),
+seq AS (
+  SELECT series, epoch(ts) AS t, value AS v,
+         lag(value) OVER (PARTITION BY series ORDER BY ts) AS pv
+  FROM t),
+d AS (
+  SELECT series, t,
+         CASE WHEN pv IS NULL THEN 0.0
+              WHEN v >= pv THEN v - pv
+              ELSE v END AS delta
+  FROM seq),
+agg AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS n_samples,
+         round(sum(delta), {ROUND_SCORE}) AS increase,
+         max(t) - min(t) AS span_sec
+  FROM d GROUP BY series)
+SELECT series, n_samples, increase,
+       round(span_sec, {ROUND_SCORE}) AS span_sec,
+       round(CASE WHEN span_sec > 0 THEN increase / span_sec END,
+             {ROUND_SCORE}) AS rate_per_sec
+FROM agg
+"""
+
+
+@register("counter_rate", _counter_sql())
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter rate (operators/timeseries.py:counter_rate)
+    — ES TSDB `rate` on counter fields / PromQL increase semantics:
+    positive adjacent deltas sum, a reset's post-restart value counts
+    as regrowth from zero, never a negative delta. One series-
+    partitioned lag window + one series agg (the _tsid shape). Fixture
+    plants single and double resets, a flat step and a singleton
+    series."""
+    from connectors_spark.operators.timeseries import counter_rate
+
+    df = spark.createDataFrame(
+        _counter_rows(), "series string, ts string, value double")
+    return counter_rate(df)

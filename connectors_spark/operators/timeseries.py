@@ -308,3 +308,45 @@ def moving_fn_models(buckets: DataFrame, key_col: str, order_col: str,
                 / F.col("ewma_d").cast("double"), round_to).alias("ewma"),
         F.round(F.col("holt_n").cast("double")
                 / F.col("holt_d").cast("double"), round_to).alias("holt"))
+
+
+def counter_rate(df: DataFrame, series_col: str = "series",
+                 ts_col: str = "ts", value_col: str = "value",
+                 round_to: int = 6) -> DataFrame:
+    """Reset-aware counter rate — ES TSDB `rate` on
+    `time_series_counter` fields (and PromQL `increase`/`rate`): a
+    monotone cumulative counter that RESTARTS (process restart, shard
+    relocation) must not contribute a huge negative delta; the
+    documented semantics is the sum of POSITIVE adjacent deltas, with
+    a reset's post-restart value counted as its own increase (the
+    counter restarted from 0).
+
+    increase = sum over adjacent samples of
+                 (v_i - v_{i-1})  if v_i >= v_{i-1}   (normal growth)
+                 (v_i)            otherwise            (reset: regrowth
+                                                        from zero)
+    rate = increase / (t_last - t_first) seconds.
+
+    -> (series, n_samples, increase, span_sec, rate_per_sec). One
+    series-partitioned lag window + one series agg — bounded by
+    samples-per-series, the TSDB _tsid shape."""
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    base = df.select(
+        F.col(series_col).alias("series"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("t"),
+        F.col(value_col).cast("double").alias("v"))
+    seq = base.withColumn("pv", F.lag("v").over(
+        Window.partitionBy("series").orderBy("t")))
+    delta = F.when(F.col("pv").isNull(), F.lit(0.0)) \
+        .when(F.col("v") >= F.col("pv"), F.col("v") - F.col("pv")) \
+        .otherwise(F.col("v"))
+    agg = seq.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.round(F.sum(delta), round_to).alias("increase"),
+        (F.max("t") - F.min("t")).alias("span_sec"))
+    return agg.select(
+        "series", "n_samples", "increase",
+        F.round("span_sec", round_to).alias("span_sec"),
+        F.round(F.when(F.col("span_sec") > 0,
+                       F.col("increase") / F.col("span_sec")),
+                round_to).alias("rate_per_sec"))

@@ -183,3 +183,25 @@ def test_label_centroid_pair_frame_is_label_bounded(spark, sf_dir):
     df = q_label_centroid_similarity(spark, sf_dir)
     n_labels = 10  # testdata embeddings carry 10 labels
     assert df.count() == n_labels * (n_labels - 1) // 2
+
+
+# ---------------------------------------------------- counter rate
+def test_counter_rate_reset_semantics(spark):
+    from connectors_spark.entry_queries import _counter_rows
+    from connectors_spark.operators.timeseries import counter_rate
+    df = spark.createDataFrame(
+        _counter_rows(), "series string, ts string, value double")
+    out = {r["series"]: r for r in counter_rate(df).collect()}
+    # s0: deltas 2,3,(reset->1),3 = 9 over 40s
+    assert abs(out["s0"]["increase"] - 9.0) < 1e-9
+    assert abs(out["s0"]["rate_per_sec"] - 9.0 / 40) < 1e-6
+    # s1 monotone with a flat step: increase = 35 - 10
+    assert abs(out["s1"]["increase"] - 25.0) < 1e-9
+    # s2 two resets: deltas (3->1 reset)=1, 1, (2->0 reset)=0, 6 = 8
+    assert abs(out["s2"]["increase"] - 8.0) < 1e-9
+    # a naive last-minus-first would say 6 - 3 = 3: resets must matter
+    assert out["s2"]["increase"] > 6.0 - 3.0
+    # singleton: zero span -> NULL rate, zero increase
+    assert out["s3"]["n_samples"] == 1
+    assert abs(out["s3"]["increase"]) < 1e-12
+    assert out["s3"]["rate_per_sec"] is None

@@ -103,6 +103,7 @@ GATES = [
     "esql_grok",            # GROK round-trip extraction + grouped stats
     "index_phrases_equivalence",  # positional vs shingle phrase agreement
     "label_centroid_similarity",  # post-agg rounded centroids + pair join
+    "counter_rate",         # series-partitioned lag + reset-aware deltas
 ]
 
 
