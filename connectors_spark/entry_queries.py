@@ -20769,3 +20769,42 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(
         _counter_rows(), "series string, ts string, value double")
     return counter_rate(df)
+
+
+# ------------------------------------------------- esql CATEGORIZE
+_ESQL_CAT_PROGRAM = """
+FROM documents
+| STATS n = COUNT(*) BY cat = CATEGORIZE(text)
+| SORT n DESC, cat
+| LIMIT 10
+"""
+
+_ESQL_CAT_SQL = f"""
+WITH arrs AS (SELECT doc_id, {tokenize_sql_duckdb('text')} AS a
+              FROM documents),
+cat AS (
+  SELECT doc_id,
+         array_to_string(list_slice(
+           list_filter(a, t -> NOT regexp_matches(t, '^[0-9]+$')),
+           1, 4), ' ') AS cat
+  FROM arrs
+),
+agg AS (SELECT cat, CAST(count(*) AS BIGINT) AS n FROM cat GROUP BY cat),
+r AS (SELECT cat, n, row_number() OVER (ORDER BY n DESC, cat) AS rk
+      FROM agg)
+SELECT n, cat FROM r WHERE rk <= 10
+"""
+
+
+@register("esql_categorize", _ESQL_CAT_SQL)
+def q_esql_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL CATEGORIZE grouping function through the pipe compiler
+    (operators/esql.py:_categorize_fn — the 8.18+ `STATS ... BY
+    CATEGORIZE(field)` log-template grouping): token-pattern category
+    as a pure Column inside the STATS BY key (numeric tokens dropped
+    as template variable slots), TakeOrdered head. Twin of the
+    standalone categorize_text gate, but exercising the grouping-
+    function path inside the compiler."""
+    from connectors_spark.operators.esql import esql
+
+    return esql(spark, _esql_tables(spark, sf_dir), _ESQL_CAT_PROGRAM)

@@ -507,6 +507,23 @@ def _bucket_fn(a, r):
 _SCALARS["BUCKET"] = _bucket_fn
 
 
+def _categorize_fn(a, r):
+    """ES|QL CATEGORIZE(field) grouping function (8.18+/9.x STATS BY):
+    the engine's token-pattern category — lowercase analyzer tokens,
+    numeric tokens dropped (they are the variable slots of log
+    templates), first 4 pattern tokens joined — the same normalizer as
+    the standalone categorize_text gate, as a pure Column."""
+    from connectors_spark import TOKEN_SPLIT_RE
+
+    toks = F.filter(
+        F.split(F.lower(a[0]), TOKEN_SPLIT_RE),
+        lambda t: (t != "") & ~t.rlike("^[0-9]+$"))
+    return F.array_join(F.slice(toks, 1, 4), " ")
+
+
+_SCALARS["CATEGORIZE"] = _categorize_fn
+
+
 def _case_fn(a, r):
     # CASE(c1, v1, [c2, v2, ...][, default])
     out = None

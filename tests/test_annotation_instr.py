@@ -205,3 +205,21 @@ def test_counter_rate_reset_semantics(spark):
     assert out["s3"]["n_samples"] == 1
     assert abs(out["s3"]["increase"]) < 1e-12
     assert out["s3"]["rate_per_sec"] is None
+
+
+# ------------------------------------------------- esql CATEGORIZE
+def test_esql_categorize_groups_log_templates(spark):
+    from connectors_spark.operators.esql import esql
+    rows = [(0, "Connection timeout after 30 ms"),
+            (1, "Connection timeout after 4500 ms"),
+            (2, "Connection timeout after 7 ms"),
+            (3, "User 42 logged in"),
+            (4, "User 7 logged in")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["cat"]: r["n"] for r in esql(
+        spark, {"documents": docs},
+        'FROM documents | STATS n = COUNT(*) BY cat = CATEGORIZE(text)'
+    ).collect()}
+    # numeric slots vanish -> the three timeout lines share a template
+    assert out["connection timeout after ms"] == 3
+    assert out["user logged in"] == 2

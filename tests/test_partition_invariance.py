@@ -104,6 +104,7 @@ GATES = [
     "index_phrases_equivalence",  # positional vs shingle phrase agreement
     "label_centroid_similarity",  # post-agg rounded centroids + pair join
     "counter_rate",         # series-partitioned lag + reset-aware deltas
+    "esql_categorize",      # CATEGORIZE grouping fn + TakeOrdered head
 ]
 
 
