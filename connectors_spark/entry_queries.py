@@ -20808,3 +20808,81 @@ def q_esql_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.esql import esql
 
     return esql(spark, _esql_tables(spark, sf_dir), _ESQL_CAT_PROGRAM)
+
+
+# ------------------------------------------------- image dHash dedup
+# Frozen per-class dHashes (the audio_features frozen-table pattern):
+# the class image, its PPM encode->decode round-trip and the luma/
+# resize/gradient hash are all pure functions of doc_id % 12, computed
+# once with NumPy (recipe: operators/multimodal.py synth_class_image ->
+# encode_ppm -> decode_ppm -> dhash64). Any engine drift in the codec
+# or the hash math breaks the join hash.
+_DHASH_FROZEN = """
+  (0, -4311812355), (1, -578721382872944914),
+  (2, -2604246224318243877), (3, -2604255020411266085),
+  (4, -6148914691270138491), (5, -7885219578986196334),
+  (6, -1302123128267345937), (7, -1302123162761828377),
+  (8, -2967109412576514707), (9, -6004234346672018838),
+  (10, -5208439413319207210), (11, -5208439413319207210)
+"""
+
+_DHASH_SQL = f"""
+WITH frozen(img_class, dhash) AS (VALUES {_DHASH_FROZEN})
+SELECT f.img_class, f.dhash, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN frozen f ON d.doc_id % 12 = f.img_class
+GROUP BY f.img_class, f.dhash
+"""
+
+
+@register("image_dhash_classes", _DHASH_SQL)
+def q_image_dhash_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprinting through the REAL codec path
+    (operators/multimodal.py:image_dhash_classes): per image class,
+    synthesize the PPM payload, decode with the registered pure-NumPy
+    decoder, integer-exact luma -> 9x8 nearest resize -> 64-bit
+    gradient dHash (the standard image-dedup fingerprint) — one
+    Arrow-batched mapInPandas stage + a hash-keyed agg. Oracle joins
+    the frozen NumPy-computed class-hash table (audio_features
+    pattern), so codec or hash drift breaks the gate."""
+    from connectors_spark.operators.multimodal import image_dhash_classes
+
+    docs = _read(spark, sf_dir, "documents")
+    return image_dhash_classes(docs)
+
+
+_DHASH_NEAR_T = 4
+
+_DHASH_NEAR_SQL = f"""
+WITH frozen(img_class, dhash) AS (VALUES {_DHASH_FROZEN})
+SELECT a.img_class AS class_a, b.img_class AS class_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming,
+       CAST(bit_count(xor(a.dhash, b.dhash)) <= {_DHASH_NEAR_T} AS INT)
+         AS near
+FROM frozen a JOIN frozen b ON a.img_class < b.img_class
+"""
+
+
+@register("image_dhash_neardup", _DHASH_NEAR_SQL)
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over the dHash space:
+    pairwise Hamming distance (JVM bit_count(xor), exactly the
+    bit-vector kNN kernel) between class fingerprints with a <= 4
+    threshold. The fixture classes span the interesting cases: an
+    absorbed perturbation (hamming 0), a near-dup (1), and a boundary
+    miss (5 — just past the threshold). Engine hashes come from the
+    real decode path; pair math is JVM-side."""
+    from connectors_spark.operators.multimodal import image_dhash_classes
+
+    docs = _read(spark, sf_dir, "documents")
+    h = image_dhash_classes(docs).select("img_class", "dhash")
+    a = h.select(F.col("img_class").alias("class_a"),
+                 F.col("dhash").alias("ha"))
+    b = h.select(F.col("img_class").alias("class_b"),
+                 F.col("dhash").alias("hb"))
+    pair = a.join(F.broadcast(b),
+                  F.col("class_a") < F.col("class_b"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pair.select(
+        "class_a", "class_b",
+        hamming.cast("int").alias("hamming"),
+        (hamming <= _DHASH_NEAR_T).cast("int").alias("near"))

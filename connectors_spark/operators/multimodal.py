@@ -413,3 +413,73 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 register_decoder("image/bmp", decode_bmp)
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash — the standard perceptual
+    image-dedup fingerprint, public technique): integer-exact luma
+    ((299r + 587g + 114b) // 1000), nearest resize to 9x8, horizontal
+    gradient bits row-major, returned as a SIGNED 64-bit value
+    (two's complement, so Spark long and DuckDB BIGINT carry it
+    bit-identically)."""
+    if img.ndim == 3:
+        g = (img[:, :, 0].astype(np.int64) * 299
+             + img[:, :, 1].astype(np.int64) * 587
+             + img[:, :, 2].astype(np.int64) * 114) // 1000
+    else:
+        g = img.astype(np.int64)
+    small = resize_nearest(g, 9, 8)
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def synth_class_image(img_class: int, w: int = 24, h: int = 24) -> np.ndarray:
+    """Deterministic RGB test image per class: a diagonal gradient
+    whose orientation/frequency depend on the class — classes differ
+    structurally (far dHashes) except each class 4k+3 is a LIGHTLY
+    PERTURBED copy of class 4k+2 (near-dup pair: +3 brightness on one
+    interior pixel region, which dHash is designed to absorb)."""
+    base_kind = img_class if img_class % 4 != 3 else img_class - 1
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.int64)
+    k = base_kind + 1
+    r = (xx * k * 11 + yy * 3) % 256
+    g = (yy * k * 7 + xx * 5) % 256
+    b = (xx * 2 + yy * k * 13) % 256
+    img = np.stack([r, g, b], axis=2).astype(np.int64)
+    if img_class % 4 == 3:
+        img[:, 8:11, 0] += 40  # red stripe perturbation
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def image_dhash_classes(media: DataFrame, id_col: str = "doc_id",
+                        n_classes: int = 12) -> DataFrame:
+    """(img_class, dhash, n_docs): per image-class perceptual hash
+    computed by the REAL path — synthesize the class PPM payload,
+    decode with the registered decoder, luma + resize + gradient bits
+    — inside ONE Arrow-batched mapInPandas stage, then a hash-keyed
+    agg. The per-doc work is pure NumPy; the hash is a deterministic
+    function of doc_id % n_classes (frozen-table oracle, the
+    audio_features pattern)."""
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[int, int] = {}
+        for pdf in batches:
+            cls = (pdf[id_col] % n_classes).astype("int64")
+            out = []
+            for c in cls:
+                c = int(c)
+                hv = memo.get(c)
+                if hv is None:
+                    payload = encode_ppm(synth_class_image(c))
+                    hv = dhash64(decode_media("image/x-portable-pixmap",
+                                              payload))
+                    memo[c] = hv
+                out.append(hv)
+            yield pd.DataFrame({"img_class": cls, "dhash": out})
+
+    hashed = media.select(id_col).mapInPandas(
+        hashes, "img_class long, dhash long")
+    return hashed.groupBy("img_class", "dhash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))

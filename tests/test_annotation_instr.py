@@ -223,3 +223,27 @@ def test_esql_categorize_groups_log_templates(spark):
     # numeric slots vanish -> the three timeout lines share a template
     assert out["connection timeout after ms"] == 3
     assert out["user logged in"] == 2
+
+
+# ------------------------------------------------- image dHash dedup
+def test_dhash_absorbs_then_detects_then_misses(spark, sf_dir):
+    from connectors_spark.entry_queries import q_image_dhash_neardup
+    out = {(r["class_a"], r["class_b"]): r
+           for r in q_image_dhash_neardup(spark, sf_dir).collect()}
+    # perturbed copies of their 4k+2 base: absorbed / near / boundary
+    assert out[(10, 11)]["hamming"] == 0 and out[(10, 11)]["near"] == 1
+    assert out[(2, 3)]["hamming"] == 1 and out[(2, 3)]["near"] == 1
+    assert out[(6, 7)]["hamming"] == 5 and out[(6, 7)]["near"] == 0
+    # structurally different classes stay far apart
+    assert out[(0, 4)]["hamming"] > 4
+
+
+def test_dhash_codec_roundtrip_is_pure_function(spark):
+    from connectors_spark.operators.multimodal import (
+        decode_ppm, dhash64, encode_ppm, synth_class_image)
+    # python-side recompute matches the frozen oracle constant for a
+    # couple of classes (drift in codec or hash math fails here first)
+    assert dhash64(decode_ppm(encode_ppm(synth_class_image(0)))) == \
+        -4311812355
+    assert dhash64(decode_ppm(encode_ppm(synth_class_image(11)))) == \
+        -5208439413319207210

@@ -105,6 +105,7 @@ GATES = [
     "label_centroid_similarity",  # post-agg rounded centroids + pair join
     "counter_rate",         # series-partitioned lag + reset-aware deltas
     "esql_categorize",      # CATEGORIZE grouping fn + TakeOrdered head
+    "image_dhash_classes",  # real-codec dHash via mapInPandas + hash agg
 ]
 
 
