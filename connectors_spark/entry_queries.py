@@ -20550,9 +20550,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.pretrain import assign_split
 
     docs = _read(spark, sf_dir, "documents")
-    q = quality_features(docs).join(docs.select("doc_id", "text"),
-                                    "doc_id")
-    q = q.withColumn("pass_q", F.col("quality") >= _CURATION_QMIN)
+    # text rides the feature projection (extra_cols) — no corpus
+    # self-join to re-fetch it
+    q = quality_features(docs, extra_cols=["text"]).withColumn(
+        "pass_q", F.col("quality") >= _CURATION_QMIN)
     dropped_q = q.filter(~F.col("pass_q")).select(
         F.lit("dropped_quality").alias("stage"), "n_tokens")
     surv = q.filter("pass_q").withColumn("h", F.md5("text"))

@@ -64,7 +64,8 @@ def lang_id(df: DataFrame, text_col: str = "text",
 
 
 def quality_features(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     extra_cols: list[str] | None = None) -> DataFrame:
     """(doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio, quality).
 
     quality = clamp01(0.3*len_score + 0.4*stop_score + 0.3*tok_score):
@@ -89,6 +90,8 @@ def quality_features(df: DataFrame, text_col: str = "text",
         F.lit(0.0), F.lit(1.0) - F.abs(mean_len - 5.0) / F.lit(5.0)
     )
     quality = 0.3 * len_score + 0.4 * stop_score + 0.3 * tok_score
+    # extra_cols ride the same single projection (no join-back needed
+    # by callers that still want the raw text beside the features)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.length(text).alias("n_chars"),
@@ -96,6 +99,7 @@ def quality_features(df: DataFrame, text_col: str = "text",
         F.round(mean_len, 6).alias("mean_token_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
 
 

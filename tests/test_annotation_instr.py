@@ -247,3 +247,12 @@ def test_dhash_codec_roundtrip_is_pure_function(spark):
         -4311812355
     assert dhash64(decode_ppm(encode_ppm(synth_class_image(11)))) == \
         -5208439413319207210
+
+
+def test_curation_pipeline_no_corpus_self_join(spark, sf_dir):
+    from connectors_spark.entry_queries import q_curation_pipeline
+    plan = q_curation_pipeline(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # text rides the feature projection; dedup rep join is hash-keyed
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
