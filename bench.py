@@ -161,6 +161,21 @@ def main():
             entry_queries.q_sync_diff(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+
+        # LLM-pipeline extras (extras-only: the headline total stays
+        # comparable across rounds): banded MinHash-LSH near-dup and
+        # map-only token-window chunking over the sf documents table,
+        # with per-doc throughput
+        n_docs = entry_queries._read(spark, sf_dir, "documents").count()
+        gates = entry_queries.queries()
+        for key, gate in (("dedup_minhash", "dedup_minhash_lsh"),
+                          ("chunking", "doc_chunk_windows")):
+            t0 = time.time()
+            gates[gate](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            dt = time.time() - t0
+            extra[f"{key}_sec"] = round(dt, 3)
+            extra[f"{key}_docs_per_sec"] = round(n_docs / dt, 1)
     finally:
         shutil.rmtree(idx_path, ignore_errors=True)
 
