@@ -20887,3 +20887,52 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "class_a", "class_b",
         hamming.cast("int").alias("hamming"),
         (hamming <= _DHASH_NEAR_T).cast("int").alias("near"))
+
+
+# ---------------------------------------------------- tsid time series
+_TSID_SQL = f"""
+WITH dims AS (
+  SELECT event_type, user_id % 4 AS shard, ts, value, event_id
+  FROM events),
+keyed AS (
+  SELECT md5('event_type=' || event_type || ',shard='
+             || CAST(shard AS VARCHAR)) AS tsid,
+         event_type, shard, ts, value, event_id
+  FROM dims)
+SELECT tsid, event_type, CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(min(ts) AS VARCHAR) AS first_ts,
+       CAST(max(ts) AS VARCHAR) AS last_ts,
+       round(arg_max(value, printf('%020d-%020d', epoch_us(ts),
+                                   event_id)), {ROUND_SCORE})
+         AS last_value
+FROM keyed GROUP BY tsid, event_type, shard
+"""
+
+
+@register("tsid_time_series", _TSID_SQL)
+def q_tsid_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES TSDB `time_series` aggregation shape: the _tsid is the hash
+    of the dimension set (here event_type x user-shard, md5 of the
+    canonical k=v rendering — ES computes _tsid exactly this way from
+    dimension fields), and per-series stats ride ONE tsid-keyed
+    map-side-combinable agg: sample count, time bounds, last value
+    with a deterministic (ts, event_id) tie-break (max_by struct —
+    never a window). Companions: counter_rate (reset-aware rate per
+    series) and downsample_rollup (fixed-interval rollups)."""
+    ev = _read(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.md5(F.concat(F.lit("event_type="), F.col("event_type"),
+                       F.lit(",shard="),
+                       F.pmod(F.col("user_id"), F.lit(4)).cast("string")))
+        .alias("tsid"),
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(4)).cast("long").alias("shard"),
+        "ts", "value", "event_id")
+    return keyed.groupBy("tsid", "event_type", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.min("ts").cast("string").alias("first_ts"),
+        F.max("ts").cast("string").alias("last_ts"),
+        F.round(F.max_by("value", F.format_string(
+            "%020d-%020d", F.unix_micros(F.col("ts").cast("timestamp")),
+            F.col("event_id"))), ROUND_SCORE).alias("last_value"))

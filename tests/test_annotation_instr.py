@@ -256,3 +256,21 @@ def test_curation_pipeline_no_corpus_self_join(spark, sf_dir):
     # text rides the feature projection; dedup rep join is hash-keyed
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan, plan
+
+
+# ---------------------------------------------------- tsid time series
+def test_tsid_last_value_tie_break(spark):
+    from pyspark.sql import functions as FF
+    # two samples share the max ts: the higher event_id wins (the
+    # sortable-scalar tie-break, identical on the oracle side)
+    rows = [("a", "2024-01-01 00:00:00", 1.0, 1),
+            ("a", "2024-01-01 00:00:10", 2.0, 2),
+            ("a", "2024-01-01 00:00:10", 9.0, 3)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double, event_id long")
+    key = FF.format_string(
+        "%020d-%020d",
+        FF.unix_micros(FF.col("ts").cast("timestamp")), FF.col("event_id"))
+    got = df.groupBy("event_type").agg(
+        FF.max_by("value", key).alias("last_value")).collect()[0]
+    assert got["last_value"] == 9.0

@@ -106,6 +106,7 @@ GATES = [
     "counter_rate",         # series-partitioned lag + reset-aware deltas
     "esql_categorize",      # CATEGORIZE grouping fn + TakeOrdered head
     "image_dhash_classes",  # real-codec dHash via mapInPandas + hash agg
+    "tsid_time_series",     # _tsid agg + sortable-scalar last-value tie-break
 ]
 
 
