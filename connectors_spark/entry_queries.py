@@ -20936,3 +20936,104 @@ def q_tsid_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", F.format_string(
             "%020d-%020d", F.unix_micros(F.col("ts").cast("timestamp")),
             F.col("event_id"))), ROUND_SCORE).alias("last_value"))
+
+
+# ------------------------------------------------------- TPC-H Q6/Q10/Q18
+@register("tpch_forecast_revenue", f"""
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24
+""")
+def q_tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure
+    scan-filter-aggregate — every predicate reaches the parquet scan
+    (PushedFilters), one map-side-combined global sum, zero joins and
+    zero shuffles beyond the final 1-row exchange. The query that
+    measures scan efficiency and nothing else."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                     4).alias("revenue")))
+
+
+@register("tpch_returned_items", f"""
+WITH rev AS (
+  SELECT o.o_custkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o.o_custkey),
+r AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal,
+         round(rev.revenue, 4) AS revenue
+  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey)
+SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal, revenue
+FROM r ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    customer in a quarter, top 20. Plan: the returnflag + date filters
+    push into both scans BEFORE the orderkey shuffle join, customer
+    attaches on the post-aggregation custkey frame (group first, join
+    small result — never the other order), and the head is
+    TakeOrderedAndProject on rounded revenue with a custkey
+    tie-break."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    c = _read(spark, sf_dir, "customer")
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .groupBy("o_custkey")
+           .agg(F.sum(F.col("l_extendedprice")
+                      * (F.lit(1) - F.col("l_discount"))).alias("rev")))
+    out = (rev.join(c, rev.o_custkey == c.c_custkey)
+           .select("c_custkey", "c_name",
+                   F.round("c_acctbal", 4).alias("c_acctbal"),
+                   F.round("rev", 4).alias("revenue")))
+    return out.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+@register("tpch_large_orders", f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+       round(o.o_totalprice, 4) AS o_totalprice,
+       round(big.total_qty, 4) AS total_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+""")
+def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose line quantities
+    sum past a threshold, with customer attribution, top 100 by order
+    value. Plan: the HAVING pre-aggregates lineitem to order grain
+    FIRST (map-side combine on the natural key), so the joins move the
+    filtered order-grain frame, never raw lineitem; head is
+    TakeOrdered with an orderkey tie-break."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    out = (big.join(o, big.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .select("c_name", "c_custkey", "o_orderkey",
+                   F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                   F.round("o_totalprice", 4).alias("o_totalprice"),
+                   F.round("total_qty", 4).alias("total_qty")))
+    return out.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100)

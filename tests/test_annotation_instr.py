@@ -274,3 +274,24 @@ def test_tsid_last_value_tie_break(spark):
     got = df.groupBy("event_type").agg(
         FF.max_by("value", key).alias("last_value")).collect()[0]
     assert got["last_value"] == 9.0
+
+
+# ------------------------------------------------------- TPC-H tail
+def test_tpch_q6_predicates_reach_scan_and_no_join(spark, sf_dir):
+    from connectors_spark.entry_queries import q_tpch_forecast_revenue
+    df = q_tpch_forecast_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters")[1][:300]
+    assert df.collect()[0]["revenue"] > 0
+
+
+def test_tpch_q10_q18_heads_are_take_ordered(spark, sf_dir):
+    from connectors_spark.entry_queries import (
+        q_tpch_large_orders, q_tpch_returned_items)
+    for fn in (q_tpch_returned_items, q_tpch_large_orders):
+        plan = fn(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+        assert "Window" not in plan, fn.__name__

@@ -107,6 +107,8 @@ GATES = [
     "esql_categorize",      # CATEGORIZE grouping fn + TakeOrdered head
     "image_dhash_classes",  # real-codec dHash via mapInPandas + hash agg
     "tsid_time_series",     # _tsid agg + sortable-scalar last-value tie-break
+    "tpch_returned_items",  # join-after-agg + rounded TakeOrdered head
+    "tpch_large_orders",    # HAVING pre-agg before joins + TakeOrdered
 ]
 
 
