@@ -21037,3 +21037,62 @@ def q_tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round("o_totalprice", 4).alias("o_totalprice"),
                    F.round("total_qty", 4).alias("total_qty")))
     return out.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100)
+
+
+@register("tpch_priority_semijoin", f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""")
+def q_tpch_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking) on the available
+    columns: quarter's orders having AT LEAST ONE returned line,
+    counted by priority. The EXISTS compiles to a LEFT SEMI join —
+    the one join kind that never duplicates the probe side (no
+    post-join distinct needed, half the shuffle of inner+dedup) —
+    with the returnflag filter pushed below it. (Literal Q4 uses
+    l_commitdate < l_receiptdate; those columns are not in this
+    dataset — the plan shape is the point.)"""
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R").select("l_orderkey")
+    semi = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count"))
+
+
+@register("tpch_shipmode_priority", f"""
+SELECT l.l_returnflag AS flag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+""")
+def q_tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes vs order priority) on the
+    available columns (returnflag standing in for l_shipmode): one
+    equi-join with the date filter pushed below it, then conditional
+    counts per group in a SINGLE aggregation pass (never two joins or
+    two scans for high/low)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    o = _read(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(F.sum(hi.cast("int")).cast("long")
+                 .alias("high_line_count"),
+                 F.sum((~hi).cast("int")).cast("long")
+                 .alias("low_line_count")))

@@ -295,3 +295,21 @@ def test_tpch_q10_q18_heads_are_take_ordered(spark, sf_dir):
             .executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, fn.__name__
         assert "Window" not in plan, fn.__name__
+
+
+def test_tpch_q4_compiles_to_left_semi(spark, sf_dir):
+    from connectors_spark.entry_queries import q_tpch_priority_semijoin
+    plan = q_tpch_priority_semijoin(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "Window" not in plan
+
+
+def test_tpch_q12_single_agg_pass(spark, sf_dir):
+    from connectors_spark.entry_queries import q_tpch_shipmode_priority
+    plan = q_tpch_shipmode_priority(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # one join, conditional counts in one aggregation — never a second
+    # scan/join pair for the high/low split
+    import re
+    assert len(re.findall(r"Scan parquet", plan)) == 2, plan

@@ -109,6 +109,8 @@ GATES = [
     "tsid_time_series",     # _tsid agg + sortable-scalar last-value tie-break
     "tpch_returned_items",  # join-after-agg + rounded TakeOrdered head
     "tpch_large_orders",    # HAVING pre-agg before joins + TakeOrdered
+    "tpch_priority_semijoin",  # LEFT SEMI shape, no probe duplication
+    "tpch_shipmode_priority",  # single-pass conditional counts on a join
 ]
 
 
