@@ -21096,3 +21096,195 @@ def q_tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("high_line_count"),
                  F.sum((~hi).cast("int")).cast("long")
                  .alias("low_line_count")))
+
+
+_GRPO_R_SQL = f"(({_hex2int_sql('md5(text)', 8)}) % 1000000)"
+
+
+@register("grpo_group_advantage", f"""
+WITH c AS (
+  SELECT doc_id % 64 AS prompt_id, doc_id, {_GRPO_R_SQL} AS rm
+  FROM documents
+),
+w AS (
+  SELECT prompt_id, doc_id, rm,
+         sum(rm) OVER (PARTITION BY prompt_id) AS s1,
+         sum(rm * rm) OVER (PARTITION BY prompt_id) AS s2,
+         count(*) OVER (PARTITION BY prompt_id) AS n
+  FROM c
+)
+SELECT prompt_id, doc_id, rm / 1e6 AS reward,
+       round(CASE WHEN n * s2 - s1 * s1 > 0
+             THEN CAST(n * rm - s1 AS DOUBLE)
+                  / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+             ELSE 0.0 END, 6) AS advantage,
+       CAST(n AS BIGINT) AS n_group
+FROM w
+""")
+def q_grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO group-relative advantage (operators/pretrain.py:
+    grpo_advantage; Shao et al. 2024 DeepSeekMath §4.1): per prompt
+    group (doc_id mod 64 — the group stands in for the n sampled
+    responses to one prompt, ~8 at gate scale, the paper's budget
+    range), every candidate gets (r - mean)/std_pop as its training
+    weight; zero-variance groups get 0. Rewards are the engine's
+    standard md5-uniform micro-grid (best_of_n's exact fixture), and
+    the advantage is computed from integer group sums only
+    ((n*x - s1)/sqrt(n*s2 - s1^2)) so both engines produce
+    bit-identical floats — no summation-order exposure. ONE window
+    shuffle on the prompt key; group width is the sampling budget,
+    never the corpus."""
+    from connectors_spark.operators.pretrain import grpo_advantage
+
+    docs = _read(spark, sf_dir, "documents")
+    micro = (F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+             .cast("long") % 1000000)
+    cands = docs.select(
+        (F.col("doc_id") % 64).alias("prompt_id"), "doc_id",
+        (micro / F.lit(1e6)).alias("reward"))
+    return grpo_advantage(cands)
+
+
+def _pass_prod_sql(k: int) -> str:
+    terms = " * ".join(
+        f"(CAST(n_samples - n_correct - {i} AS DOUBLE) / (n_samples - {i}))"
+        for i in range(k))
+    return (f"CASE WHEN n_samples < {k} THEN NULL "
+            f"WHEN n_samples - n_correct < {k} THEN 1.0 "
+            f"ELSE round(1.0 - (1.0 * {terms}), 6) END")
+
+
+_PK_H_SQL = _hex2int_sql("md5('pk|' || CAST(doc_id AS VARCHAR))", 8)
+
+
+@register("pass_at_k", f"""
+WITH s AS (
+  SELECT doc_id % 32 AS problem_id, (({_PK_H_SQL}) % 4 = 0) AS correct
+  FROM documents
+),
+g AS (
+  SELECT problem_id, CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(CAST(correct AS BIGINT)) AS BIGINT) AS n_correct
+  FROM s GROUP BY problem_id
+)
+SELECT problem_id, n_samples, n_correct,
+       {_pass_prod_sql(1)} AS pass_at_1,
+       {_pass_prod_sql(5)} AS pass_at_5,
+       {_pass_prod_sql(10)} AS pass_at_10
+FROM g
+""")
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (operators/pretrain.py:pass_at_k; Chen et al.
+    2021 eq. 1) over synthetic per-problem sample outcomes: problem =
+    doc_id mod 32 (~16 samples each at gate scale), correct = an
+    exact md5 integer coin (~25%, no float compare). The estimator is
+    the telescoping product 1 - prod (n-c-i)/(n-i), unrolled at plan
+    time so Spark and DuckDB evaluate the identical left-associated
+    float expression; n<k -> NULL, n-c<k -> exactly 1. ONE map-side-
+    combined groupBy over the samples — scoring 10^9 completions is
+    one combine-friendly shuffle, the estimator runs on the tiny
+    problems frame."""
+    from connectors_spark.operators.pretrain import pass_at_k
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h = (F.conv(F.substring(F.md5(F.concat(F.lit("pk|"), did)), 1, 8),
+                16, 10).cast("long"))
+    samples = docs.select((F.col("doc_id") % 32).alias("problem_id"),
+                          (h % 4 == 0).alias("correct"))
+    return pass_at_k(samples, ks=(1, 5, 10))
+
+
+_SC_H_SQL = _hex2int_sql("md5('sc|' || CAST(doc_id AS VARCHAR))", 8)
+
+
+@register("self_consistency_vote", f"""
+WITH s AS (
+  SELECT doc_id % 32 AS problem_id, (({_SC_H_SQL}) % 7) AS answer
+  FROM documents
+),
+v AS (
+  SELECT problem_id, answer, CAST(count(*) AS BIGINT) AS n_votes
+  FROM s GROUP BY problem_id, answer
+)
+SELECT problem_id,
+       arg_max(answer, n_votes * 1000 - answer) AS voted_answer,
+       max(n_votes) AS n_votes_win,
+       CAST(sum(n_votes) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_distinct_answers,
+       round(CAST(max(n_votes) AS DOUBLE) / sum(n_votes), 6) AS vote_share
+FROM v GROUP BY problem_id
+""")
+def q_self_consistency_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-consistency majority vote (operators/pretrain.py:
+    self_consistency_vote; Wang et al. 2022): per problem (doc_id mod
+    32), the mode of the sampled integer answers (an exact md5 coin
+    over 7 answer values) wins with a smallest-answer tie-break;
+    vote_share is the winner's fraction — the confidence proxy
+    curation thresholds on. TWO map-side-combined groupBys (votes,
+    then winner via max_by over struct(n_votes, -answer)) — no
+    window, no per-problem list materializes."""
+    from connectors_spark.operators.pretrain import self_consistency_vote
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h = (F.conv(F.substring(F.md5(F.concat(F.lit("sc|"), did)), 1, 8),
+                16, 10).cast("long"))
+    samples = docs.select((F.col("doc_id") % 32).alias("problem_id"),
+                          (h % 7).alias("answer"))
+    return self_consistency_vote(samples)
+
+
+@register("histogram_quantile", """
+WITH raw AS (
+  SELECT event_type AS metric,
+         CASE WHEN value <= 1 THEN 1.0 WHEN value <= 2 THEN 2.0
+              WHEN value <= 5 THEN 5.0 WHEN value <= 10 THEN 10.0
+              WHEN value <= 25 THEN 25.0 WHEN value <= 50 THEN 50.0
+              ELSE 'infinity'::DOUBLE END AS le
+  FROM events
+),
+b AS (SELECT metric, le, count(*) AS cnt FROM raw GROUP BY metric, le),
+c AS (
+  SELECT metric, le, cnt,
+         sum(cnt) OVER (PARTITION BY metric ORDER BY le) AS cum,
+         sum(cnt) OVER (PARTITION BY metric) AS total,
+         coalesce(lag(le) OVER (PARTITION BY metric ORDER BY le),
+                  0.0) AS lo,
+         max(CASE WHEN le < 'infinity'::DOUBLE THEN le END)
+           OVER (PARTITION BY metric) AS max_finite
+  FROM b
+),
+e AS (
+  SELECT c.*, q
+  FROM c CROSS JOIN (VALUES (0.5::DOUBLE), (0.9::DOUBLE),
+                            (0.99::DOUBLE)) qv(q)
+)
+SELECT metric, q,
+       round(CASE WHEN le = 'infinity'::DOUBLE THEN max_finite
+             ELSE lo + (le - lo) * ((q * total - (cum - cnt)) / cnt)
+             END, 6) AS quantile
+FROM e
+WHERE cum >= q * total AND cum - cnt < q * total AND total > 0
+""")
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_quantile / ES percentile-on-histogram-field
+    (operators/timeseries.py:histogram_quantile): per event_type,
+    `value` is bucketed into a fixed le ladder (1/2/5/10/25/50/+Inf)
+    by ONE map-side-combined count agg, then the q-quantile (q = .5,
+    .9, .99) is linearly interpolated inside the first bucket whose
+    cumulative count reaches q * total — +Inf crossings clamp to the
+    largest finite le, the Prometheus convention. All post-agg work
+    runs on the tiny metric x ladder frame; nothing downstream
+    scales with raw events."""
+    from connectors_spark.operators.timeseries import histogram_quantile
+
+    ev = _read(spark, sf_dir, "events")
+    v = F.col("value")
+    le = (F.when(v <= 1, 1.0).when(v <= 2, 2.0).when(v <= 5, 5.0)
+          .when(v <= 10, 10.0).when(v <= 25, 25.0).when(v <= 50, 50.0)
+          .otherwise(F.lit(float("inf"))))
+    buckets = ev.groupBy(F.col("event_type").alias("metric"),
+                         le.alias("le")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return histogram_quantile(buckets)

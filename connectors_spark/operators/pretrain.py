@@ -1065,3 +1065,120 @@ def chunk_token_windows(df: DataFrame, window: int = 64, stride: int = 48,
         "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
         "start_tok", F.size("chunk").cast("int").alias("n_tok"),
         F.array_join("chunk", " ").alias("chunk_text"))
+
+
+def grpo_advantage(cands: DataFrame, group_col: str = "prompt_id",
+                   reward_col: str = "reward",
+                   id_col: str = "doc_id") -> DataFrame:
+    """GRPO group-relative advantage (Shao et al. 2024, "DeepSeekMath",
+    §4.1 — the PPO-critic-free RL objective): per prompt group of n
+    sampled responses, advantage_i = (r_i - mean(r)) / std_pop(r); a
+    zero-variance group (all rewards equal) gets advantage 0 exactly
+    as the degenerate-group convention.
+
+    Exact-integer determinism: rewards are snapped to a micro-unit
+    grid (round(r * 1e6) as int64) and the advantage is computed from
+    integer group sums only —
+        adv = (n*x - s1) / sqrt(n*s2 - s1^2),   s1 = sum x, s2 = sum x^2
+    — algebraically identical to (x - mean)/std_pop but with ONE float
+    division and ONE sqrt, so Spark and any SQL twin produce
+    bit-identical values regardless of float summation order. Bound:
+    n*s2 <= n^2 * 1e12 stays inside int64 for group sizes n < ~3,000;
+    GRPO groups are the per-prompt sampling budget (8-64 in the paper),
+    never the corpus, so the bound holds by construction (documented,
+    not checked per-row).
+
+    Plan: ONE window partitioned by the prompt key (single shuffle on
+    group_col at any corpus size; group width = sampling budget n).
+    Reference context: this is the curation-side twin of best_of_n —
+    best_of_n keeps the argmax, GRPO keeps every candidate with its
+    group-standardized training weight."""
+    micro = F.round(F.col(reward_col) * F.lit(1e6)).cast("long")
+    w = Window.partitionBy(group_col)
+    d = cands.select(group_col, id_col, F.col(reward_col), micro.alias("_r"))
+    s1 = F.sum("_r").over(w)
+    s2 = F.sum(F.col("_r") * F.col("_r")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    num = (n * F.col("_r") - s1).cast("double")
+    var_n2 = (n * s2 - s1 * s1).cast("double")   # n^2 * var, micro^2
+    adv = F.when(var_n2 > 0, num / F.sqrt(var_n2)).otherwise(F.lit(0.0))
+    return d.select(
+        group_col, id_col, reward_col,
+        F.round(adv, 6).alias("advantage"),
+        n.cast("long").alias("n_group"),
+    )
+
+
+def pass_at_k(samples: DataFrame, problem_col: str = "problem_id",
+              correct_col: str = "correct",
+              ks: tuple = (1, 5, 10)) -> DataFrame:
+    """Unbiased pass@k estimator (Chen et al. 2021, "Evaluating Large
+    Language Models Trained on Code", eq. 1): per problem with n
+    samples of which c pass, pass@k = 1 - C(n-c,k)/C(n,k), computed
+    with the numerically stable telescoping product
+    prod_{i=0..k-1} (n-c-i)/(n-i) (the paper's reference impl) —
+    NEVER via factorials. n < k yields NULL (estimator undefined);
+    n - c < k yields exactly 1.0 (every size-k draw hits a pass).
+
+    The product is unrolled at plan-build time (k is a constant), so
+    both Spark and a SQL twin evaluate the IDENTICAL left-associated
+    float expression — deterministic across engines without rounding
+    tricks; the final estimate is still rounded to 6 dp by the repo
+    convention.
+
+    Plan: ONE map-side-combined groupBy on the problem key (two long
+    sums); the estimator is per-row arithmetic on the tiny
+    problems-frame — evaluating 10^9 sampled completions is one
+    combine-friendly shuffle."""
+    g = samples.groupBy(F.col(problem_col).alias("problem_id")).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.col(correct_col).cast("long")).alias("n_correct"),
+    )
+    n, c = F.col("n_samples"), F.col("n_correct")
+    cols = [F.col("problem_id"), n, c]
+    for k in ks:
+        prod = F.lit(1.0)
+        for i in range(int(k)):
+            prod = prod * ((n - c - F.lit(i)).cast("double")
+                           / (n - F.lit(i)).cast("double"))
+        est = (F.when(n < k, F.lit(None).cast("double"))
+               .when(n - c < k, F.lit(1.0))
+               .otherwise(F.round(F.lit(1.0) - prod, 6)))
+        cols.append(est.alias(f"pass_at_{int(k)}"))
+    return g.select(*cols)
+
+
+def self_consistency_vote(samples: DataFrame,
+                          problem_col: str = "problem_id",
+                          answer_col: str = "answer") -> DataFrame:
+    """Self-consistency majority vote (Wang et al. 2022,
+    "Self-Consistency Improves Chain of Thought Reasoning"): per
+    problem, the final answer is the mode of the sampled answers
+    (ties broken by the SMALLEST answer — deterministic, documented);
+    vote_share is the winner's fraction of all samples (the standard
+    confidence proxy a curation step thresholds on).
+
+    answer_col must be an integer-extracted answer (the repo models
+    answer extraction separately); tie-break uses max_by over
+    struct(n_votes, -answer), so answers keep full int64 range.
+
+    Plan: TWO map-side-combined groupBys — (problem, answer) vote
+    counts, then a problem-keyed max_by/sum/count — no window, no
+    per-problem candidate list ever materializes; the second agg's
+    input is already collapsed to distinct answers per problem."""
+    votes = samples.groupBy(
+        F.col(problem_col).alias("problem_id"),
+        F.col(answer_col).alias("answer"),
+    ).agg(F.count(F.lit(1)).alias("n_votes"))
+    return votes.groupBy("problem_id").agg(
+        F.max_by("answer", F.struct(F.col("n_votes"),
+                                    -F.col("answer"))).alias("voted_answer"),
+        F.max("n_votes").alias("n_votes_win"),
+        F.sum("n_votes").cast("long").alias("n_total"),
+        F.count(F.lit(1)).alias("n_distinct_answers"),
+    ).select(
+        "problem_id", "voted_answer", "n_votes_win", "n_total",
+        "n_distinct_answers",
+        F.round(F.col("n_votes_win") / F.col("n_total"), 6)
+        .alias("vote_share"),
+    )

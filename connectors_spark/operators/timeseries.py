@@ -350,3 +350,55 @@ def counter_rate(df: DataFrame, series_col: str = "series",
         F.round(F.when(F.col("span_sec") > 0,
                        F.col("increase") / F.col("span_sec")),
                 round_to).alias("rate_per_sec"))
+
+
+def histogram_quantile(buckets: DataFrame, metric_col: str = "metric",
+                       le_col: str = "le", count_col: str = "cnt",
+                       qs: tuple = (0.5, 0.9, 0.99),
+                       round_to: int = 6) -> DataFrame:
+    """PromQL `histogram_quantile` over le-bucketed counts (the
+    public promql/quantile.go algorithm, also ES percentile-on-
+    histogram-field semantics): per metric, cumulative counts over
+    the ascending `le` ladder; the q-quantile lives in the first
+    bucket whose cumulative count reaches rank = q * total and is
+    linearly interpolated inside that bucket —
+        lower + (le - lower) * (rank - cum_prev) / cnt
+    with lower = previous bucket's le (0 for the first bucket, the
+    Prometheus convention). A crossing that lands in the +Inf bucket
+    returns the largest finite le (Prometheus's documented clamp).
+    Input counts are PER-BUCKET observation counts (the operator
+    builds the cumulative itself — equivalent to Prometheus's
+    wire-cumulative buckets, and what raw data yields directly).
+
+    -> (metric, q, quantile) for q in `qs`, q in (0, 1].
+
+    Plan: the bucket frame is metric x ladder (tiny — the corpus was
+    already collapsed by the upstream bucket-count agg); two windows
+    over it partitioned by metric, an explode bounded by len(qs), and
+    the crossing filter. Nothing here scales with raw observations;
+    the corpus-sized work is the upstream map-side-combined count."""
+    inf = float("inf")
+    w = Window.partitionBy("metric").orderBy("le")
+    wall = Window.partitionBy("metric")
+    b = buckets.select(F.col(metric_col).alias("metric"),
+                       F.col(le_col).cast("double").alias("le"),
+                       F.col(count_col).cast("long").alias("cnt"))
+    c = (b.withColumn("cum", F.sum("cnt").over(w))
+          .withColumn("total", F.sum("cnt").over(wall))
+          .withColumn("lower",
+                      F.coalesce(F.lag("le").over(w), F.lit(0.0)))
+          .withColumn("max_finite",
+                      F.max(F.when(F.col("le") != F.lit(inf),
+                                   F.col("le"))).over(wall)))
+    e = c.withColumn("q", F.explode(F.array(*[F.lit(float(q))
+                                              for q in qs])))
+    rank = F.col("q") * F.col("total")
+    cum_prev = F.col("cum") - F.col("cnt")
+    hit = e.filter((F.col("cum") >= rank) & (cum_prev < rank)
+                   & (F.col("total") > 0))
+    interp = (F.col("lower") + (F.col("le") - F.col("lower"))
+              * ((rank - cum_prev) / F.col("cnt")))
+    qty = F.when(F.col("le") == F.lit(inf),
+                 F.col("max_finite")).otherwise(interp)
+    return hit.select("metric", "q",
+                      F.round(qty, round_to).alias("quantile"))

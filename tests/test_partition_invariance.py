@@ -111,6 +111,10 @@ GATES = [
     "tpch_large_orders",    # HAVING pre-agg before joins + TakeOrdered
     "tpch_priority_semijoin",  # LEFT SEMI shape, no probe duplication
     "tpch_shipmode_priority",  # single-pass conditional counts on a join
+    "grpo_group_advantage",  # prompt-keyed window, integer-exact z-score
+    "pass_at_k",            # problem-keyed agg + unrolled product
+    "self_consistency_vote",  # two-level vote agg + max_by tie-break
+    "histogram_quantile",   # bucket-count agg + cumulative crossing
 ]
 
 
