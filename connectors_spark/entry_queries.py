@@ -21288,3 +21288,141 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                          le.alias("le")).agg(
         F.count(F.lit(1)).alias("cnt"))
     return histogram_quantile(buckets)
+
+
+@register("scd2_intervals", """
+WITH s AS (
+  SELECT user_id, event_type AS attr, epoch_us(ts) AS t FROM events
+),
+d AS (
+  SELECT user_id, attr, t,
+         lag(attr) OVER (PARTITION BY user_id ORDER BY t, attr) AS pa
+  FROM s
+),
+c AS (
+  SELECT user_id, attr, t FROM d
+  WHERE pa IS NULL OR attr IS DISTINCT FROM pa
+)
+SELECT user_id, attr, t AS valid_from_us,
+       lead(t) OVER (PARTITION BY user_id ORDER BY t, attr) AS valid_to_us,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY t, attr)
+            AS BIGINT) AS version,
+       (lead(t) OVER (PARTITION BY user_id ORDER BY t, attr) IS NULL)
+         AS is_current
+FROM c
+""")
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (operators/transform.py:
+    scd2_intervals): the per-user event_type stream compressed to
+    validity intervals — only CHANGES survive (null-safe lag compare),
+    each version runs [valid_from, next change), valid_to NULL = the
+    current version. The batch twin of connectors' sync-cursor
+    "state as of ts" semantics (reference: checkpoint/cursor replay,
+    plans/checkpoint.py context); timestamps travel as exact epoch
+    micros, ordering is (t, attr) so same-timestamp updates are
+    deterministic on any engine. Two windows on ONE user-keyed
+    exchange; per-key width = that user's update count."""
+    from connectors_spark.operators.transform import scd2_intervals
+
+    ev = _read(spark, sf_dir, "events")
+    return scd2_intervals(ev, key_col="user_id", ts_col="ts",
+                          attr_col="event_type")
+
+
+@register("cohort_retention", """
+WITH cohorts AS (
+  SELECT user_id AS ent,
+         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id AS ent,
+         CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+m AS (
+  SELECT cohort,
+         CAST(datediff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM act JOIN cohorts USING (ent)
+  GROUP BY cohort, week_offset
+),
+sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM cohorts
+  GROUP BY cohort
+)
+SELECT CAST(cohort AS VARCHAR) AS cohort_week, week_offset, n_active,
+       cohort_size,
+       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+FROM m JOIN sizes USING (cohort)
+""")
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/transform.py:
+    cohort_retention): users cohorted by first-activity ISO week
+    (Spark date_trunc('week') and DuckDB agree on Monday starts),
+    retention at offset n = distinct actives n weeks later /
+    cohort size; offsets are exact (both sides week-truncated, so
+    datediff/7 is an exact small integer). One user-keyed agg, one
+    distinct (user, week) shuffle, one co-partitioned equi-join —
+    the matrix agg itself runs on cohorts x offsets."""
+    from connectors_spark.operators.transform import cohort_retention
+
+    ev = _read(spark, sf_dir, "events")
+    return cohort_retention(ev, key_col="user_id", ts_col="ts")
+
+
+@register("interval_containment_join", """
+WITH er AS (
+  SELECT user_id, event_id AS incident_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + 600000000 AS hi
+  FROM events WHERE event_type = 'error'
+),
+ck AS (
+  SELECT user_id, incident_id, lo, hi,
+         unnest(generate_series(lo // 600000000,
+                                (hi - 1) // 600000000)) AS chunk
+  FROM er
+),
+pt AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS t,
+         epoch_us(ts) // 600000000 AS chunk
+  FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT ck.user_id, incident_id, click_id, t
+  FROM ck JOIN pt ON ck.user_id = pt.user_id AND ck.chunk = pt.chunk
+  WHERE t >= lo AND t < hi
+)
+SELECT user_id, incident_id, CAST(count(*) AS BIGINT) AS n_clicks,
+       min(t) AS first_click_us, max(t) AS last_click_us
+FROM j GROUP BY user_id, incident_id
+""")
+def q_interval_containment_join(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Interval-containment join via time-chunk bucketing
+    (operators/joins.py:interval_containment_join): each error event
+    opens a 10-minute incident window; clicks by the same user inside
+    the window attribute to it. The join runs on (user, chunk)
+    EQUALITY — never the naive key-join-then-range-filter whose
+    post-join width explodes on hot keys — and a pair can only meet
+    in the point's single chunk, so no dedup pass exists. Chunk ids
+    are exact integer division (DIV / //), immune to float-floor
+    mis-bucketing at epoch-microsecond magnitudes. Inner semantics:
+    incidents with zero clicks don't appear (documented)."""
+    from connectors_spark.operators.joins import interval_containment_join
+
+    ev = _read(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    er = (ev.filter(F.col("event_type") == "error")
+          .select("user_id", F.col("event_id").alias("incident_id"),
+                  t_us.alias("lo"),
+                  (t_us + F.lit(600_000_000)).alias("hi")))
+    pt = (ev.filter(F.col("event_type") == "click")
+          .select("user_id", F.col("event_id").alias("click_id"),
+                  t_us.alias("t")))
+    j = interval_containment_join(er, pt, key="user_id",
+                                  chunk_width=600_000_000)
+    return j.groupBy("user_id", "incident_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.min("t").alias("first_click_us"),
+        F.max("t").alias("last_click_us"))

@@ -123,3 +123,39 @@ def terms_lookup_filter(
         .distinct()
     )
     return corpus.join(keys, on=field, how="left_semi")
+
+
+def interval_containment_join(intervals: DataFrame, points: DataFrame,
+                              key: str, lo_col: str = "lo",
+                              hi_col: str = "hi", t_col: str = "t",
+                              chunk_width: int = 600_000_000) -> DataFrame:
+    """Interval-containment join WITHOUT the cross-product trap: match
+    every point t to every interval [lo, hi) sharing `key` — the
+    incident-attribution / session-containment join. The naive plan
+    (join on key, filter lo <= t < hi) explodes on hot keys: one key
+    with 10^4 intervals x 10^5 points is 10^9 post-join rows before
+    the filter. The scale shape is time-chunk bucketing: each interval
+    is exploded to the fixed-width chunks it covers, points carry
+    their single chunk, and the join runs on (key, chunk) equality —
+    a plain equi-join whose per-task width is bounded by activity per
+    chunk, never per key. A (point, interval) pair can only meet in
+    the point's one chunk, so no dedup pass is needed.
+
+    `chunk_width` is in the units of lo/hi/t (epoch micros by
+    convention); the explode factor is ceil(duration / chunk_width)
+    + 1 — pick chunk_width near the typical interval duration.
+    Chunk ids use exact integer division (x DIV w), never float
+    floor(x / w), which mis-buckets near chunk boundaries at
+    epoch-microsecond magnitudes.
+
+    -> one row per contained (interval row, point row): all interval
+    columns + the point's columns (t and any extras)."""
+    w = int(chunk_width)
+    ck = intervals.withColumn(
+        "_chunk", F.explode(F.sequence(
+            F.expr(f"{lo_col} DIV {w}"),
+            F.expr(f"({hi_col} - 1) DIV {w}"))))
+    pt = points.withColumn("_chunk", F.expr(f"{t_col} DIV {w}"))
+    out = ck.join(pt, [key, "_chunk"]).filter(
+        (F.col(t_col) >= F.col(lo_col)) & (F.col(t_col) < F.col(hi_col)))
+    return out.drop("_chunk")

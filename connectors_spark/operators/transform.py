@@ -27,7 +27,7 @@ convention elsewhere in this repo).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,3 +67,77 @@ def transform_tick(
         group_cols, aggs)
     kept = prev_dest.join(F.broadcast(dirty), group_cols, "left_anti")
     return kept.unionByName(fresh), ckpt
+
+
+def scd2_intervals(df: DataFrame, key_col: str, ts_col: str,
+                   attr_col: str) -> DataFrame:
+    """SCD Type-2 intervalization — compress an append-only change
+    feed into validity intervals (the warehouse history-table build;
+    the batch twin of connectors' sync-cursor "state as of ts"
+    semantics): per key ordered by time, keep only rows where the
+    tracked attribute CHANGES (null-safe compare, first row always
+    kept), then each survivor's interval runs to the next change —
+    valid_to NULL marks the current version.
+
+    Tie/determinism: ordering is (ts, attr) so same-timestamp updates
+    order identically on any engine; timestamps are carried as epoch
+    micros (exact int64 — no string-format drift).
+
+    -> (key, attr, valid_from_us, valid_to_us, version, is_current).
+
+    Plan: two windows on the SAME (key) partitioning (lag for change
+    detection, lead/row_number over the already-compressed frame) —
+    Catalyst reuses one exchange; per-key window width is the key's
+    update count, never the corpus."""
+    k = F.col(key_col)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    a = F.col(attr_col)
+    w = Window.partitionBy("key").orderBy("t", "attr")
+    s = df.select(k.alias("key"), a.alias("attr"), t.alias("t"))
+    d = s.withColumn("_pa", F.lag("attr").over(w))
+    c = d.filter(~F.col("attr").eqNullSafe(F.col("_pa"))).drop("_pa")
+    w2 = Window.partitionBy("key").orderBy("t", "attr")
+    v = (c.withColumn("valid_to_us", F.lead("t").over(w2))
+          .withColumn("version",
+                      F.row_number().over(w2).cast("long")))
+    return v.select(
+        F.col("key").alias(key_col), "attr",
+        F.col("t").alias("valid_from_us"), "valid_to_us", "version",
+        F.col("valid_to_us").isNull().alias("is_current"))
+
+
+def cohort_retention(df: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort-retention matrix (the canonical product-analytics
+    rollup): every entity's cohort is its first-activity ISO week;
+    retention at week offset n is the fraction of the cohort active n
+    weeks after (distinct-entity semantics — multiple events in a
+    week count once). Week offsets use exact arithmetic: both sides
+    are week-truncated dates, so datediff/7 is an exact small
+    integer.
+
+    -> (cohort_week, week_offset, n_active, cohort_size, retention).
+
+    Plan: one entity-keyed agg for cohorts, one distinct over
+    (entity, week), one equi-join on the entity key (co-partitioned
+    with the agg), then the matrix agg runs on the tiny cohorts x
+    offsets frame. Nothing here is ever wider than one shuffle of
+    distinct (entity, week) pairs."""
+    ent = F.col(key_col).alias("ent")
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    cohorts = (df.select(ent, F.col(ts_col).alias("ts"))
+               .groupBy("ent").agg(F.min("ts").alias("first_ts"))
+               .select("ent", F.date_trunc("week", "first_ts")
+                       .cast("date").alias("cohort")))
+    act = df.select(ent, wk.alias("wk")).distinct()
+    j = act.join(cohorts, "ent")
+    offset = (F.datediff("wk", "cohort") / 7).cast("long")
+    m = (j.groupBy(F.col("cohort"), offset.alias("week_offset"))
+         .agg(F.count(F.lit(1)).alias("n_active")))
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (m.join(sizes, "cohort")
+            .select(F.col("cohort").cast("string").alias("cohort_week"),
+                    "week_offset", "n_active", "cohort_size",
+                    F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                    .alias("retention")))

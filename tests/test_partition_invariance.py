@@ -115,6 +115,9 @@ GATES = [
     "pass_at_k",            # problem-keyed agg + unrolled product
     "self_consistency_vote",  # two-level vote agg + max_by tie-break
     "histogram_quantile",   # bucket-count agg + cumulative crossing
+    "scd2_intervals",       # change-detect lag + lead/version windows
+    "cohort_retention",     # first-week agg + distinct pairs + offset agg
+    "interval_containment_join",  # chunk-bucketed equi-join + range filter
 ]
 
 
