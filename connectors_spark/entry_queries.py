@@ -21426,3 +21426,47 @@ def q_interval_containment_join(spark: SparkSession,
         F.count(F.lit(1)).cast("long").alias("n_clicks"),
         F.min("t").alias("first_click_us"),
         F.max("t").alias("last_click_us"))
+
+
+from connectors_spark.functions.analysis import (  # noqa: E402
+    wordpiece_sql_duckdb as _wp_sql)
+
+_WORDPIECE_WORDS = """
+SELECT DISTINCT t AS word FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            t -> t <> '')) AS t
+  FROM documents)"""
+
+
+@register("wordpiece_tokenize", _wp_sql(_WORDPIECE_WORDS))
+def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece subword tokenization over the corpus vocabulary
+    (functions/analysis.py:wordpiece_struct_col): each distinct
+    lowercase word greedily consumed longest-match-first against the
+    frozen piece vocabulary (3/2/1-char tiers; continuations render
+    '##piece'), words past WORDPIECE_MAX_WORD chars collapse to
+    '[UNK]' whole — the public BERT WordpieceTokenizer rule (Wu et
+    al. 2016). The per-word loop is ONE F.aggregate higher-order fold
+    (loop body appears once in the plan, unlike an unrolled
+    withColumn chain), pure JVM, applied AFTER a distinct on words —
+    at corpus scale the fold runs O(vocabulary), not O(tokens), and
+    occurrences join back by word if needed. DuckDB twin is a
+    WITH RECURSIVE greedy matcher over the same vocabulary literals.
+    Reference context: connectors ships text through ES analyzers
+    (svc es settings analyzer chain); subword tokenization is the
+    LLM-pipeline analog."""
+    from connectors_spark.functions.analysis import wordpiece_struct_col
+
+    docs = _read(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(
+                 F.split(F.lower(F.col("text")), "[^a-z0-9]+"))
+                 .alias("word"))
+             .filter(F.col("word") != "")
+             .distinct())
+    wp = wordpiece_struct_col(F.col("word"))
+    return words.select(
+        "word",
+        wp["pieces"].alias("pieces"),
+        wp["n_pieces"].alias("n_pieces"),
+        wp["has_unk"].alias("has_unk"))

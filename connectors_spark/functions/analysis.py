@@ -464,3 +464,145 @@ def word_delimiter_sql_duckdb(text_expr: str,
                  f"THEN p ELSE list_concat([{text_expr}], p) END "
                  f"FROM (SELECT {parts} AS p))")
     return parts
+
+
+# ------------------------------------------------------------- wordpiece
+# Frozen WordPiece vocabulary (BERT's greedy longest-match-first
+# tokenizer; Wu et al. 2016 / the public BERT WordpieceTokenizer): every
+# [a-z0-9] single char is a valid piece in both positions, plus a fixed
+# head of common English chunks valid as start AND '##'-continuation.
+# Frozen-literal convention (like the kstem recall table) so the Spark
+# fold, the Python mirror, and the DuckDB recursive-CTE twin share one
+# source of truth.
+WORDPIECE_P3 = ("the", "ing", "ion", "ent", "and", "ate", "est", "ers",
+                "ter", "tio", "con", "com")
+WORDPIECE_P2 = ("th", "he", "in", "er", "an", "re", "on", "at", "en",
+                "es", "or", "ti", "st", "ar", "te", "ed", "nd", "to",
+                "nt", "is")
+WORDPIECE_P1 = tuple("abcdefghijklmnopqrstuvwxyz0123456789")
+WORDPIECE_MAX_WORD = 16   # longer words -> [UNK] (BERT's
+#                           max_input_chars_per_word, scaled to fixture)
+
+
+def wordpiece_struct_col(word: Column) -> Column:
+    """struct(pieces string, n_pieces long, has_unk boolean) — greedy
+    longest-match-first WordPiece over a single lowercase token.
+    Continuations render as '##piece'; a word longer than
+    WORDPIECE_MAX_WORD (or with no matching piece at some position)
+    collapses to '[UNK]' whole, exactly the BERT tokenizer rule.
+
+    Implemented as ONE F.aggregate fold over sequence(1, max_word) with
+    a struct(pos, out, n, fail) accumulator — the loop body appears
+    once in the plan (higher-order function), unlike an unrolled
+    withColumn chain whose collapsed projections grow exponentially in
+    the number of steps. Pure JVM; no UDF."""
+    w = word
+    ln = F.length(w)
+    init = F.struct(
+        F.lit(0).alias("pos"), F.lit("").alias("out"),
+        F.lit(0).alias("n"), (ln > WORDPIECE_MAX_WORD).alias("fail"))
+
+    def step(acc, _):
+        pos, out = acc["pos"], acc["out"]
+        n, fail = acc["n"], acc["fail"]
+        active = (~fail) & (pos < ln)
+        s3 = w.substr(pos + 1, F.lit(3))
+        s2 = w.substr(pos + 1, F.lit(2))
+        s1 = w.substr(pos + 1, F.lit(1))
+        m3 = (ln - pos >= 3) & s3.isin(*WORDPIECE_P3)
+        m2 = (ln - pos >= 2) & s2.isin(*WORDPIECE_P2)
+        m1 = s1.isin(*WORDPIECE_P1)
+        any_m = m3 | m2 | m1
+        piece = F.when(m3, s3).when(m2, s2).otherwise(s1)
+        tok = F.when(pos == 0, piece).otherwise(
+            F.concat(out, F.lit(" ##"), piece))
+        return F.struct(
+            F.when(~active, pos)
+             .when(any_m, pos + F.when(m3, 3).when(m2, 2).otherwise(1))
+             .otherwise(ln).alias("pos"),
+            F.when(active & any_m, tok).otherwise(out).alias("out"),
+            F.when(active & any_m, n + 1).otherwise(n).alias("n"),
+            F.when(active & ~any_m, F.lit(True)).otherwise(fail)
+             .alias("fail"),
+        )
+
+    st = F.aggregate(F.sequence(F.lit(1), F.lit(WORDPIECE_MAX_WORD)),
+                     init, step)
+    return F.struct(
+        F.when(st["fail"], F.lit("[UNK]")).otherwise(st["out"])
+         .alias("pieces"),
+        F.when(st["fail"], F.lit(1)).otherwise(st["n"]).cast("long")
+         .alias("n_pieces"),
+        st["fail"].alias("has_unk"))
+
+
+def wordpiece_py(word: str) -> tuple[str, int, bool]:
+    """Single-process mirror of wordpiece_struct_col for oracles."""
+    if len(word) > WORDPIECE_MAX_WORD:
+        return "[UNK]", 1, True
+    pos, out = 0, []
+    while pos < len(word):
+        for k, vocab in ((3, WORDPIECE_P3), (2, WORDPIECE_P2),
+                         (1, WORDPIECE_P1)):
+            sub = word[pos:pos + k]
+            if len(sub) == k and sub in vocab:
+                out.append(sub if pos == 0 else "##" + sub)
+                pos += k
+                break
+        else:
+            return "[UNK]", 1, True
+    return " ".join(out), len(out), False
+
+
+def _wp_in(pieces: tuple) -> str:
+    return ", ".join(f"'{p}'" for p in pieces)
+
+
+def wordpiece_sql_duckdb(words_sql: str) -> str:
+    """DuckDB twin: WITH RECURSIVE greedy matcher over `words_sql`
+    (a subquery yielding one `word` column) producing the identical
+    (word, pieces, n_pieces, has_unk) rows as wordpiece_struct_col.
+    Each word's state row exits the recursion when it fails or its
+    position reaches the end; only final states pass the outer
+    filter."""
+    p3, p2, p1 = (_wp_in(WORDPIECE_P3), _wp_in(WORDPIECE_P2),
+                  _wp_in(WORDPIECE_P1))
+    mx = WORDPIECE_MAX_WORD
+    return f"""
+WITH RECURSIVE wpw AS ({words_sql}),
+wp AS (
+  SELECT word, 0 AS pos, '' AS out, 0 AS n,
+         length(word) > {mx} AS fail
+  FROM wpw
+  UNION ALL
+  SELECT word,
+         CASE WHEN m3 THEN pos + 3 WHEN m2 THEN pos + 2
+              WHEN m1 THEN pos + 1 ELSE length(word) END,
+         CASE WHEN NOT (m3 OR m2 OR m1) THEN out
+              WHEN pos = 0 THEN piece
+              ELSE out || ' ##' || piece END,
+         CASE WHEN m3 OR m2 OR m1 THEN n + 1 ELSE n END,
+         NOT (m3 OR m2 OR m1) AS fail
+  FROM (
+    SELECT word, pos, out, n,
+           length(word) - pos >= 3
+             AND substr(word, pos + 1, 3) IN ({p3}) AS m3,
+           length(word) - pos >= 2
+             AND substr(word, pos + 1, 2) IN ({p2}) AS m2,
+           substr(word, pos + 1, 1) IN ({p1}) AS m1,
+           CASE WHEN length(word) - pos >= 3
+                     AND substr(word, pos + 1, 3) IN ({p3})
+                THEN substr(word, pos + 1, 3)
+                WHEN length(word) - pos >= 2
+                     AND substr(word, pos + 1, 2) IN ({p2})
+                THEN substr(word, pos + 1, 2)
+                ELSE substr(word, pos + 1, 1) END AS piece
+    FROM wp WHERE NOT fail AND pos < length(word)
+  )
+)
+SELECT word,
+       CASE WHEN fail THEN '[UNK]' ELSE out END AS pieces,
+       CAST(CASE WHEN fail THEN 1 ELSE n END AS BIGINT) AS n_pieces,
+       fail AS has_unk
+FROM wp
+WHERE fail OR pos >= length(word)"""

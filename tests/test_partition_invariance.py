@@ -118,6 +118,7 @@ GATES = [
     "scd2_intervals",       # change-detect lag + lead/version windows
     "cohort_retention",     # first-week agg + distinct pairs + offset agg
     "interval_containment_join",  # chunk-bucketed equi-join + range filter
+    "wordpiece_tokenize",   # distinct-vocab HOF fold, greedy subwords
 ]
 
 
