@@ -21470,3 +21470,84 @@ def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         wp["pieces"].alias("pieces"),
         wp["n_pieces"].alias("n_pieces"),
         wp["has_unk"].alias("has_unk"))
+
+
+@register("symspell_correct", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+lex AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term
+),
+inputs AS (
+  SELECT DISTINCT substr(term, 1, 1) || substr(term, 3) AS input
+  FROM lex WHERE length(term) >= 4
+),
+lkeys AS (
+  SELECT term, df,
+         unnest(list_distinct(list_append(
+           list_transform(range(1, length(term) + 1),
+                          i -> substr(term, 1, i - 1)
+                               || substr(term, i + 1)),
+           term))) AS key
+  FROM lex
+),
+ikeys AS (
+  SELECT input,
+         unnest(list_distinct(list_append(
+           list_transform(range(1, length(input) + 1),
+                          i -> substr(input, 1, i - 1)
+                               || substr(input, i + 1)),
+           input))) AS key
+  FROM inputs
+),
+pairs AS (
+  SELECT input, term, max(df) AS df
+  FROM lkeys JOIN ikeys USING (key)
+  GROUP BY input, term
+),
+cand AS (
+  SELECT input, term AS suggestion,
+         CAST(levenshtein(term, input) AS BIGINT) AS dist, df
+  FROM pairs WHERE levenshtein(term, input) <= 1
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY input
+             ORDER BY dist ASC, df DESC, suggestion ASC) AS _rk
+  FROM cand
+)
+SELECT input, suggestion, dist, df FROM rk WHERE _rk <= 2
+""")
+def q_symspell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell batch spell correction (operators/query.py:
+    symspell_correct, Garbe 2012): every corpus word of length >= 4,
+    misspelled by deleting its 2nd character, is corrected back
+    against the corpus lexicon (df = doc frequency) at edit
+    distance <= 1 — candidates meet on deletion-neighborhood key
+    EQUALITY (never a lexicon x inputs levenshtein scan), one true
+    levenshtein verifies, rank is (dist ASC, df DESC, term ASC),
+    top-2 kept. This is the batch-scale twin of the broadcast ES term
+    suggester (`suggest_terms` gate): shuffle width is total
+    characters per side, so the shape survives a 10^8-row query log
+    against a 10^7-term lexicon."""
+    from connectors_spark.operators.query import symspell_correct
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+"))
+        .alias("term")).filter(F.col("term") != "")
+    lex = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"))
+    t = F.col("term")
+    inputs = (lex.filter(F.length(t) >= 4)
+              .select(F.concat(t.substr(1, 1),
+                               t.substr(F.lit(3), F.length(t)))
+                      .alias("input"))
+              .distinct())
+    return symspell_correct(lex, inputs, top_n=2)

@@ -565,6 +565,70 @@ def suggest_terms(lexicon: DataFrame, inputs: DataFrame,
     )
 
 
+def _deletion_keys(col):
+    """array: the string itself + every single-char deletion (the
+    SymSpell distance-1 key neighborhood). Pure JVM higher-order
+    transform; O(len) keys per string."""
+    ln = F.length(col)
+    dels = F.transform(
+        F.sequence(F.lit(1), ln),
+        lambda i: F.concat(col.substr(F.lit(1), i - F.lit(1)),
+                           col.substr(i + F.lit(1), ln)))
+    return F.array_distinct(F.concat(F.array(col), dels))
+
+
+def symspell_correct(lexicon: DataFrame, inputs: DataFrame,
+                     top_n: int = 1) -> DataFrame:
+    """(input, suggestion, dist, df) — BATCH spell correction at edit
+    distance <= 1 via the SymSpell deletion neighborhood (Garbe 2012,
+    public symspell algorithm): a dictionary term d and an input s are
+    within levenshtein 1 only if their {self + single-char-deletion}
+    key sets intersect — s in dels(d) covers deletion, d in dels(s)
+    covers insertion, a shared deletion covers substitution. Both
+    sides explode O(len) keys, meet on key EQUALITY, collapse to
+    candidate pairs, verify with ONE true levenshtein, rank
+    (dist ASC, df DESC, term ASC), keep top_n.
+
+    Scale story vs suggest_terms (the ES term-suggester shape, which
+    broadcasts inputs against a full lexicon scan with a levenshtein
+    predicate): here there is NO lexicon x inputs scan — the join is
+    a plain hash equi-join whose shuffle width is total characters
+    per side, so a 10^8-row misspelled query log corrects against a
+    10^7-term lexicon with one bounded shuffle and no broadcast.
+    Key-collision false candidates (e.g. transposed pairs, which are
+    plain-levenshtein distance 2) are removed by the verify filter.
+    The '' key produced by length-1 strings is how single-char
+    substitutions meet; its fan-out is bounded by the alphabet.
+
+    Reference context: Lucene/ES DirectSpellChecker builds suggestion
+    candidates from an automaton walk over the term dictionary
+    (suggest_mode/"did you mean", exposed by the reference's ES
+    backend); SymSpell is the shuffle-friendly batch equivalent."""
+    lex = lexicon.select("term", "df").filter(F.length("term") > 0)
+    inp = inputs.select("input").filter(F.length("input") > 0).distinct()
+    lkeys = lex.select(
+        "term", "df",
+        F.explode(_deletion_keys(F.col("term"))).alias("key"))
+    ikeys = inp.select(
+        "input",
+        F.explode(_deletion_keys(F.col("input"))).alias("key"))
+    # a pair can meet on several shared keys -> collapse BEFORE the
+    # verify; df is functionally determined by term, max() keeps the
+    # aggregation deterministic without a second join back to lex
+    pairs = (lkeys.join(ikeys, "key")
+             .groupBy("input", "term").agg(F.max("df").alias("df")))
+    cand = (pairs
+            .withColumn("dist", F.levenshtein(F.col("term"),
+                                              F.col("input")).cast("long"))
+            .filter(F.col("dist") <= 1))
+    w = Window.partitionBy("input").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term"))
+    return (cand.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_n)
+            .select("input", F.col("term").alias("suggestion"),
+                    "dist", "df"))
+
+
 def with_recency_decay(scored: DataFrame, ts_df: DataFrame, origin: str,
                        half_life_days: float, k: int | None = None,
                        ts_col: str = "ts",

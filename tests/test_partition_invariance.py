@@ -119,6 +119,7 @@ GATES = [
     "cohort_retention",     # first-week agg + distinct pairs + offset agg
     "interval_containment_join",  # chunk-bucketed equi-join + range filter
     "wordpiece_tokenize",   # distinct-vocab HOF fold, greedy subwords
+    "symspell_correct",     # deletion-key equi-join + verify + top-k
 ]
 
 
