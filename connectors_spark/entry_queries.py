@@ -6309,7 +6309,7 @@ def q_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "terms_lookup",
+    "terms_lookup_docs",
     """
 WITH lookup AS (
   SELECT DISTINCT source FROM documents WHERE lang = 'en' AND doc_id < 50
@@ -21551,3 +21551,60 @@ def q_symspell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("input"))
               .distinct())
     return symspell_correct(lex, inputs, top_n=2)
+
+
+# =================================================================
+# ES intervals query, UNORDERED match source (the `intervals_query`
+# gate covers ordered=true; this is `ordered: false` — all terms in
+# ANY order within a span of total gap count <= max_gaps — plus the
+# min_width sloppy-phrase evidence)
+# =================================================================
+
+_UNORD_INTERVALS = [
+    ("u0", ["big", "slow"], 1),
+    ("u1", ["vector", "stream", "group"], 3),
+    ("u2", ["merge", "scan", "table"], 4),
+]
+
+
+def _intervals_unordered_sql() -> str:
+    parts = []
+    for iid, terms, gaps in _UNORD_INTERVALS:
+        n = len(terms)
+        joins = [f"JOIN tp t{i} ON t{i}.doc_id = t0.doc_id "
+                 f"AND t{i}.t = '{terms[i]}'" for i in range(1, n)]
+        pos_list = ", ".join(f"t{i}.pos" for i in range(n))
+        width = f"(greatest({pos_list}) - least({pos_list}) + 1)"
+        parts.append(
+            f"SELECT '{iid}' AS interval_id, t0.doc_id, "
+            f"CAST(count(*) AS BIGINT) AS n_chains, "
+            f"CAST(min({width}) AS BIGINT) AS min_width "
+            f"FROM tp t0 {' '.join(joins)} "
+            f"WHERE t0.t = '{terms[0]}' AND {width} - {n} <= {gaps} "
+            f"GROUP BY t0.doc_id")
+    return "WITH " + _TP_CTE + " " + " UNION ALL ".join(parts)
+
+
+@register("intervals_unordered", _intervals_unordered_sql())
+def q_intervals_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `intervals` query, `match` source with ordered=false
+    (operators/query.py:intervals_match): all terms present in ANY
+    order within a span whose total gap count (width - n) is
+    <= max_gaps — the proximity algebra the ordered `intervals_query`
+    gate lacks. n_chains counts qualifying position tuples, min_width
+    the tightest span (the sloppy-phrase evidence ES scores with).
+    Only the query terms' postings are scanned; doc-keyed equi-joins
+    carry the width predicate as a residual, per-doc width bounded by
+    the query terms' within-doc tf product."""
+    from connectors_spark.operators.query import intervals_match
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize(docs, "text", "doc_id")
+    out = None
+    for iid, terms, gaps in _UNORD_INTERVALS:
+        hits = intervals_match(toks, terms, max_gaps=gaps,
+                               ordered=False).select(
+            F.lit(iid).alias("interval_id"), "doc_id",
+            "n_chains", "min_width")
+        out = hits if out is None else out.unionByName(hits)
+    return out

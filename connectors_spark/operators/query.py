@@ -629,6 +629,51 @@ def symspell_correct(lexicon: DataFrame, inputs: DataFrame,
                     "dist", "df"))
 
 
+def intervals_match(toks: DataFrame, terms: list[str],
+                    max_gaps: int = 0,
+                    ordered: bool = True) -> DataFrame:
+    """(doc_id, n_chains, min_width) — the ES `intervals` query's
+    `match` source (public intervals-query semantics; Lucene's
+    IntervalsSource): a document matches when all `terms` occur
+    within a span whose total gap count (width - n_terms) is
+    <= max_gaps; `ordered` additionally requires the terms to appear
+    in query order. n_chains counts qualifying position tuples,
+    min_width is the tightest qualifying span — the sloppy-phrase
+    evidence ES scores with.
+
+    `toks`: (term, doc_id, pos) position postings. The plan touches
+    ONLY the query terms' postings (filter pushes to the scan), joins
+    are doc_id EQUI-joins with position predicates as residuals —
+    per-doc work is bounded by the product of the QUERY terms'
+    within-doc tf (tiny), never by document length; the same pruned
+    position-join shape as the phrase_match / span_near gates, and at
+    full scale the same per-(doc-group) compressed kernel applies.
+    Duplicate query terms are not supported in unordered mode (Lucene
+    requires non-overlap there; distinct terms can never collide
+    because a position holds one token)."""
+    if not ordered and len(set(terms)) != len(terms):
+        raise ValueError("unordered intervals require distinct terms")
+    n = len(terms)
+    cur = toks.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("p0"))
+    for i, t in enumerate(terms[1:], start=1):
+        ti = toks.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("_d"), F.col("pos").alias(f"p{i}"))
+        cond = cur["doc_id"] == ti["_d"]
+        if ordered:
+            cond = cond & (F.col(f"p{i}") > F.col(f"p{i-1}"))
+        cur = cur.join(ti, cond).drop("_d")
+    ps = [F.col(f"p{i}") for i in range(n)]
+    width = ((ps[0] if n == 1 else F.greatest(*ps))
+             - (ps[0] if n == 1 else F.least(*ps))
+             + F.lit(1)).cast("long")
+    return (cur.withColumn("_w", width)
+            .filter(F.col("_w") - n <= max_gaps)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chains"),
+                 F.min("_w").alias("min_width")))
+
+
 def with_recency_decay(scored: DataFrame, ts_df: DataFrame, origin: str,
                        half_life_days: float, k: int | None = None,
                        ts_col: str = "ts",

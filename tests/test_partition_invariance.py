@@ -120,6 +120,8 @@ GATES = [
     "interval_containment_join",  # chunk-bucketed equi-join + range filter
     "wordpiece_tokenize",   # distinct-vocab HOF fold, greedy subwords
     "symspell_correct",     # deletion-key equi-join + verify + top-k
+    "intervals_unordered",  # pruned position joins + width residual
+    "terms_lookup_docs",    # subquery-fed broadcast semi-join
 ]
 
 
