@@ -34,6 +34,11 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
+        if name in _QUERIES:
+            # a duplicate silently shadows the first registration and
+            # removes its gate from the oracle sweep (this bit twice:
+            # terms_lookup, intervals_query — both recovered)
+            raise ValueError(f"duplicate gate name: {name}")
         _QUERIES[name] = fn
         if sql is not None:
             _ORACLES[name] = sql
