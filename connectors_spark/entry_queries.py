@@ -21613,3 +21613,48 @@ def q_intervals_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chains", "min_width")
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+@register("tree_paths", """
+WITH RECURSIVE nodes AS (
+  SELECT doc_id AS node,
+         CASE WHEN doc_id = 0 OR doc_id % 7 = 3 THEN NULL
+              ELSE (doc_id - 1) // 2 END AS parent
+  FROM documents
+),
+walk AS (
+  SELECT node, node AS cur, CAST(0 AS BIGINT) AS depth,
+         CAST(node AS VARCHAR) AS path
+  FROM nodes
+  UNION ALL
+  SELECT w.node, n.parent,
+         w.depth + 1,
+         CAST(n.parent AS VARCHAR) || '/' || w.path
+  FROM walk w JOIN nodes n ON n.node = w.cur
+  WHERE n.parent IS NOT NULL
+)
+SELECT w.node AS node_id, w.cur AS root_id, w.depth, w.path
+FROM walk w JOIN nodes n ON n.node = w.cur
+WHERE n.parent IS NULL
+""")
+def q_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-pointer forest materialization via pointer doubling
+    (operators/graph.py:tree_paths): every node resolved to
+    (root_id, depth, root->node path) in O(log depth) keyed
+    self-joins — NEVER depth sequential rounds (a depth-10^4 thread
+    forest resolves in 14 shuffles; the same doubling trick as the
+    dedup component propagation). Input here: a heap-shaped forest
+    synthesized from doc_id (parent = (id-1)/2, extra roots at
+    id%7==3) — the ShareGPT/message-tree shape (conv forks, agent
+    trajectory branches) whose reconstruction a transcript pipeline
+    needs before per-branch packing. DuckDB twin: WITH RECURSIVE
+    per-row parent walk, the sequential semantics oracle."""
+    from connectors_spark.operators.graph import tree_paths
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    nodes = docs.select(
+        d.alias("node_id"),
+        F.when((d == 0) | (d % 7 == 3), F.lit(None).cast("long"))
+         .otherwise(F.floor((d - 1) / 2)).alias("parent_id"))
+    return tree_paths(nodes, max_depth=64)

@@ -321,3 +321,94 @@ def wilson_lower_bound(comparisons: DataFrame, z: float = 1.96,
           / (1.0 + z2 / nn))
     return agg.select("item", "wins", "n",
                       F.round(lb, 6).alias("wilson_lb"))
+
+
+def tree_paths(nodes: DataFrame, max_depth: int = 4096,
+               with_path: bool = True) -> DataFrame:
+    """(node_id, root_id, depth, path) — resolve every node of a
+    parent-pointer forest to its root via POINTER DOUBLING: after
+    round r each node knows its 2^r-th ancestor (or its root, frozen
+    earlier), so ceil(log2(max_depth)) keyed self-joins resolve a
+    depth-d forest — never d sequential rounds. This is the
+    message-tree / conversation-fork materialization (ShareGPT-style
+    parent_id trees, agent-trajectory branch reconstruction) and the
+    same doubling trick Spark-scale path queries use for deep
+    hierarchies.
+
+    `nodes`: (node_id, parent_id) with parent_id NULL for roots.
+    `path` is the '/'-joined id chain root->node (omit via
+    with_path=False to keep state O(1) per node when only depth/root
+    are needed). Nodes whose chain does not reach a root within
+    max_depth (deeper forest, or a CYCLE in corrupt input) are
+    returned with root_id NULL and depth NULL rather than looping
+    forever — the documented corrupt-input contract.
+
+    Scale shape: each round is ONE equi-join of the state frame with
+    itself on the ancestor key plus a map-side union of frozen rows;
+    state is (node, anc, dist[, seg]) — O(N) rows always, O(log
+    max_depth) shuffles total. With paths the final frame carries
+    O(sum of depths) ids, the output's own size — nothing
+    intermediate is bigger. DuckDB twin: WITH RECURSIVE parent walk
+    (per-row sequential, the single-node semantics oracle)."""
+    import math
+
+    # +1: the resolved flag is copied FROM the ancestor's state, so it
+    # lands one round after the distance itself is covered
+    rounds = max(2, math.ceil(math.log2(max(2, max_depth))) + 1)
+    is_root = F.col("parent_id").isNull()
+    st = nodes.select(
+        F.col("node_id").alias("node"),
+        F.when(is_root, F.col("node_id"))
+         .otherwise(F.col("parent_id")).alias("anc"),
+        F.when(is_root, F.lit(0)).otherwise(F.lit(1))
+         .cast("long").alias("dist"),
+        # seg: ids strictly below `anc`, node-first (node..anc)
+        F.when(is_root, F.array().cast("array<long>"))
+         .otherwise(F.array(F.col("node_id").cast("long"))).alias("seg"),
+        is_root.alias("at_root"),
+    )
+    if not with_path:
+        st = st.drop("seg")
+    for i in range(rounds):
+        anc_side = st.select(
+            F.col("node").alias("a_node"), F.col("anc").alias("a_anc"),
+            F.col("dist").alias("a_dist"),
+            *([F.col("seg").alias("a_seg")] if with_path else []),
+            F.col("at_root").alias("a_at_root"))
+        frozen = st.filter(F.col("at_root"))
+        live = (st.filter(~F.col("at_root"))
+                .join(anc_side, F.col("anc") == F.col("a_node"), "left"))
+        cols = [
+            F.col("node"),
+            F.coalesce(F.col("a_anc"), F.col("anc")).alias("anc"),
+            (F.col("dist") + F.coalesce(F.col("a_dist"), F.lit(0)))
+            .alias("dist"),
+        ]
+        if with_path:
+            cols.append(F.concat(
+                F.col("seg"),
+                F.coalesce(F.col("a_seg"),
+                           F.array().cast("array<long>"))).alias("seg"))
+        cols.append(F.coalesce(F.col("a_at_root"), F.lit(False))
+                    .alias("at_root"))
+        st = live.select(*cols).unionByName(frozen)
+        # each round references st THREE times (join side, frozen,
+        # live), so the logical plan grows 3^rounds without a lineage
+        # cut — truncate every 3 rounds (same reason pagerank persists
+        # its transitions; localCheckpoint is the iterative-algorithm
+        # contract at cluster scale)
+        if (i + 1) % 3 == 0 and i + 1 < rounds:
+            st = st.localCheckpoint(eager=True)
+    resolved = F.col("at_root")
+    path = (F.array_join(
+        F.transform(
+            F.concat(F.array(F.col("anc").cast("long")),
+                     F.reverse(F.col("seg"))),
+            lambda x: x.cast("string")), "/")
+        if with_path else F.lit(None).cast("string"))
+    return st.select(
+        F.col("node").alias("node_id"),
+        F.when(resolved, F.col("anc")).alias("root_id"),
+        F.when(resolved, F.col("dist")).alias("depth"),
+        *( [F.when(resolved, path).alias("path")] if with_path else []),
+    )

@@ -122,6 +122,7 @@ GATES = [
     "symspell_correct",     # deletion-key equi-join + verify + top-k
     "intervals_unordered",  # pruned position joins + width residual
     "terms_lookup_docs",    # subquery-fed broadcast semi-join
+    "tree_paths",           # pointer-doubling forest resolve
 ]
 
 
