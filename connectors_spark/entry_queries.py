@@ -21658,3 +21658,58 @@ def q_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((d == 0) | (d % 7 == 3), F.lit(None).cast("long"))
          .otherwise(F.floor((d - 1) / 2)).alias("parent_id"))
     return tree_paths(nodes, max_depth=64)
+
+
+@register("predict_linear", f"""
+WITH base AS (
+  SELECT event_type AS series,
+         epoch_us(ts) // 1000000 AS t,
+         CAST(round(value * 1e3) AS BIGINT) AS y
+  FROM events
+),
+mins AS (
+  SELECT series, min(t) AS t0, max(t) AS t1 FROM base GROUP BY series
+),
+b AS (
+  SELECT base.series, t - t0 AS x, y, t1 - t0 AS xlast
+  FROM base JOIN mins USING (series)
+),
+stats AS (
+  SELECT series, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy,
+         max(xlast) AS xlast
+  FROM b GROUP BY series
+),
+fit AS (
+  SELECT series, n, sx, sy, xlast,
+         CASE WHEN n * sxx - sx * sx > 0 THEN
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)
+         END AS s_milli
+  FROM stats
+)
+SELECT series, n,
+       round(s_milli / 1e3, {ROUND_SCORE + 3}) AS slope,
+       round(((CAST(sy AS DOUBLE) - s_milli * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE)
+              + s_milli * CAST(xlast + 3600 AS DOUBLE)) / 1e3,
+             {ROUND_SCORE}) AS predicted
+FROM fit
+""")
+def q_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL predict_linear / ES ML forecast analog
+    (operators/timeseries.py:predict_linear): per event_type series,
+    the OLS line over (epoch-seconds, value) extrapolated 1h past the
+    series' last sample. Sufficient statistics are EXACT integers
+    (x centered on the per-series min, y in milli-units, sums as
+    DECIMAL(38)/HUGEINT) so slope numerator/denominator are
+    bit-identical on any engine and any partitioning; the one double
+    division happens at the end, in the same IEEE expression order on
+    both sides. One series-keyed min agg + one map-side-combined
+    stats agg — no windows."""
+    from connectors_spark.operators.timeseries import predict_linear
+
+    ev = _read(spark, sf_dir, "events")
+    return predict_linear(ev, series_col="event_type", ts_col="ts",
+                          value_col="value", horizon_sec=3600)

@@ -402,3 +402,61 @@ def histogram_quantile(buckets: DataFrame, metric_col: str = "metric",
                  F.col("max_finite")).otherwise(interp)
     return hit.select("metric", "q",
                       F.round(qty, round_to).alias("quantile"))
+
+
+def predict_linear(df: DataFrame, series_col: str = "series",
+                   ts_col: str = "ts", value_col: str = "value",
+                   horizon_sec: int = 3600,
+                   round_to: int = 6) -> DataFrame:
+    """PromQL `predict_linear` / ES ML forecast analog: per series, an
+    OLS line over (epoch-seconds, value) and its extrapolation
+    horizon_sec past the series' last sample.
+
+    Exactness contract (the repo's integer-OLS convention,
+    classifier.py:score_covariate_bias): x = epoch seconds CENTERED on
+    the per-series minimum (keeps magnitudes small), y = value lifted
+    to exact MILLI-units; all sufficient statistics are summed as
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the slope numerator
+    and denominator are bit-identical integers on any engine and any
+    partitioning — the single double division happens once, at the
+    end. Constant-x (single-timestamp) series emit NULL slope and
+    prediction.
+
+    Plan: one series-keyed min agg (broadcast back), one
+    map-side-combined stats agg per series — no windows, nothing
+    scales past O(series).
+
+    -> (series, n, slope, predicted) with slope in value/sec rounded
+    round_to+3, predicted at (last_ts + horizon) rounded round_to."""
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(series_col).alias("series"),
+        # epoch SECONDS by exact integer division of micros (floor) —
+        # matches DuckDB epoch_us(ts) // 1000000 on sub-second stamps
+        (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         / F.lit(1_000_000)).cast("long").alias("t"),
+        F.round(F.col(value_col) * 1e3).cast("long").alias("y"))
+    mins = base.groupBy("series").agg(F.min("t").alias("t0"),
+                                      F.max("t").alias("t1"))
+    b = base.join(F.broadcast(mins), "series").withColumn(
+        "x", (F.col("t") - F.col("t0")).cast("long"))
+    stats = b.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.max(F.col("t1") - F.col("t0")).alias("xlast"))
+    n = F.col("n").cast(dec)
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_milli = F.when(vx > 0, cov / vx)          # milli-units/sec
+    x_pred = (F.col("xlast") + F.lit(horizon_sec)).cast("double")
+    intercept_milli = (F.col("sy").cast("double")
+                       - slope_milli * F.col("sx").cast("double")) \
+        / F.col("n").cast("double")
+    pred = (intercept_milli + slope_milli * x_pred) / 1e3
+    return stats.select(
+        "series", "n",
+        F.round(slope_milli / 1e3, round_to + 3).alias("slope"),
+        F.round(pred, round_to).alias("predicted"))

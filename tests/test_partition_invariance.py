@@ -123,6 +123,7 @@ GATES = [
     "intervals_unordered",  # pruned position joins + width residual
     "terms_lookup_docs",    # subquery-fed broadcast semi-join
     "tree_paths",           # pointer-doubling forest resolve
+    "predict_linear",       # exact-integer OLS sufficient stats
 ]
 
 

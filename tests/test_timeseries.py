@@ -227,3 +227,34 @@ def test_gapfill_matches_pandas_resample_oracle(spark):
             pd.to_datetime(pdf[pdf.k == k].sec.min(), unit="s"),
             pd.to_datetime(pdf[pdf.k == k].sec.max(), unit="s"),
             freq="10s"))
+
+
+def test_predict_linear_exact_line(spark):
+    from connectors_spark.operators.timeseries import predict_linear
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("m", t0 + dt.timedelta(seconds=s), 1.0 + 0.1 * s)
+            for s in (0, 10, 20)]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    r = predict_linear(df, horizon_sec=3600).collect()[0]
+    assert r["n"] == 3
+    assert r["slope"] == 0.1
+    # last sample value 3.0 at x=20; predicted at x=3620 -> 1 + 0.1*3620
+    assert r["predicted"] == 363.0
+
+
+def test_predict_linear_constant_and_degenerate(spark):
+    from connectors_spark.operators.timeseries import predict_linear
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = ([("flat", t0 + dt.timedelta(seconds=s), 7.5) for s in (0, 60, 120)]
+            + [("one", t0, 4.0)])
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    got = {r["series"]: r for r in predict_linear(df).collect()}
+    assert got["flat"]["slope"] == 0.0
+    assert got["flat"]["predicted"] == 7.5
+    # single timestamp: vx = 0 -> NULL fit
+    assert got["one"]["slope"] is None
+    assert got["one"]["predicted"] is None
