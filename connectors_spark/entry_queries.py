@@ -21713,3 +21713,61 @@ def q_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return predict_linear(ev, series_col="event_type", ts_col="ts",
                           value_col="value", horizon_sec=3600)
+
+
+_FUNNEL_WINDOW_US = 600_000_000  # 10 minutes
+
+
+@register("window_funnel", f"""
+WITH e AS (
+  SELECT user_id AS key, epoch_us(ts) AS t,
+         CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+              WHEN 'purchase' THEN 2 END AS step
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+wm AS (
+  SELECT key, t, step,
+         min(CASE WHEN step = 1 THEN t END) OVER
+           (PARTITION BY key ORDER BY t DESC
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+         min(CASE WHEN step = 2 THEN t END) OVER
+           (PARTITION BY key ORDER BY t DESC
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2
+  FROM e
+),
+c1 AS (SELECT DISTINCT key, t, m2 FROM wm WHERE step = 1),
+c0 AS (SELECT DISTINCT key, t, m1 FROM wm WHERE step = 0),
+chain AS (
+  SELECT c0.key, c0.t, c0.m1, c1.m2
+  FROM c0 LEFT JOIN c1 ON c1.key = c0.key AND c1.t = c0.m1
+),
+lv AS (
+  SELECT key,
+         CASE WHEN m1 IS NOT NULL AND m1 - t <= {_FUNNEL_WINDOW_US}
+              THEN CASE WHEN m2 IS NOT NULL
+                         AND m2 - t <= {_FUNNEL_WINDOW_US}
+                   THEN 3 ELSE 2 END
+              ELSE 1 END AS lvl
+  FROM chain
+),
+keys AS (SELECT DISTINCT key FROM e)
+SELECT keys.key AS key,
+       CAST(coalesce(max(lvl), 0) AS BIGINT) AS funnel_level
+FROM keys LEFT JOIN lv USING (key)
+GROUP BY keys.key
+""")
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (operators/transform.py:window_funnel, the
+    ClickHouse windowFunnel shape): per user, the deepest
+    view -> click -> purchase chain with strictly increasing times
+    and total span <= 10 min. Greedy earliest-next chains (provably
+    optimal) come from per-key windows with a descending strict-
+    greater RANGE frame + co-keyed join-backs — never a step x step
+    pair join. Users with funnel events but no view report level 0."""
+    from connectors_spark.operators.transform import window_funnel
+
+    ev = _read(spark, sf_dir, "events")
+    return (window_funnel(ev, ["view", "click", "purchase"],
+                          _FUNNEL_WINDOW_US)
+            .withColumnRenamed("key", "key"))

@@ -141,3 +141,79 @@ def cohort_retention(df: DataFrame, key_col: str = "user_id",
                     "week_offset", "n_active", "cohort_size",
                     F.round(F.col("n_active") / F.col("cohort_size"), 6)
                     .alias("retention")))
+
+
+def window_funnel(events: DataFrame, steps: list[str],
+                  window_us: int, key_col: str = "user_id",
+                  ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """(key, funnel_level) — ordered-step funnel conversion (the
+    ClickHouse windowFunnel / product-analytics funnel): per key, the
+    deepest step k reachable by a chain t1 < t2 < ... < tk of events
+    matching steps[0..k-1] in order with tk - t1 <= window_us.
+    Greedy earliest-next chains are optimal here (choosing the
+    minimal next-step time only enlarges every later choice), so the
+    exact level comes from chain times m2..mk computed as:
+
+    - m_{i+1} at any row = min ts of a step-(i+1) event STRICTLY
+      after it — one per-key window with a descending RANGE frame
+      (UNBOUNDED PRECEDING .. -1 == ts >= cur+1, the strict-greater
+      trick; identical frame semantics in DuckDB), and
+    - m_{i+2}..m_k pulled onto step-i rows by a co-keyed equi-join on
+      (key, m_{i+1}) against the step-(i+1) chain rows — k-2 joins
+      total, all on the SAME key partitioning, join width 1 (chain
+      rows are distinct per (key, ts) after dedup of identical-ts
+      duplicates, which carry identical chain tails by construction).
+
+    Keys with matching events but no step-1 event report level 0.
+    Scale: one key-keyed exchange feeds every window and join; no
+    step1 x step2 pair blowup (the naive shape) — per-key cost is
+    O(events log events) sort, the TSDB funnel shape."""
+    if len(steps) < 2:
+        raise ValueError("need at least 2 funnel steps")
+    k = len(steps)
+    step_idx = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        step_idx = F.when(F.col(type_col) == s,
+                          F.lit(k - 1 - i)).otherwise(step_idx)
+    e = (events.select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            step_idx.alias("step"))
+         .filter(F.col("step").isNotNull()))
+    w = (Window.partitionBy("key").orderBy(F.col("t").desc())
+         .rangeBetween(Window.unboundedPreceding, -1))
+
+    def nxt_of(df: DataFrame, step: int) -> DataFrame:
+        m = F.min(F.when(F.col("step") == step, F.col("t"))).over(w)
+        return df.withColumn(f"m{step}", m)
+
+    # chain rows for the LAST transition first, then walk backwards
+    chain = (nxt_of(e, k - 1).filter(F.col("step") == k - 2)
+             .select("key", "t", f"m{k-1}").distinct())
+    for i in range(k - 3, -1, -1):
+        nxt = (nxt_of(e, i + 1).filter(F.col("step") == i)
+               .select("key", "t", f"m{i+1}").distinct())
+        right = chain.select(
+            F.col("key").alias("_k"), F.col("t").alias("_t"),
+            *[F.col(f"m{j}").alias(f"_m{j}") for j in range(i + 2, k)])
+        chain = (nxt.join(right,
+                          (nxt["key"] == right["_k"])
+                          & (nxt[f"m{i+1}"] == right["_t"]), "left")
+                 .select("key", "t", f"m{i+1}",
+                         *[F.col(f"_m{j}").alias(f"m{j}")
+                           for j in range(i + 2, k)]))
+    # level per step-0 start: deepest j with m_1..m_j set and within window
+    lvl = F.lit(1)
+    ok = F.lit(True)
+    for j in range(1, k):
+        ok = ok & F.col(f"m{j}").isNotNull() \
+             & (F.col(f"m{j}") - F.col("t") <= window_us)
+        lvl = F.when(ok, j + 1).otherwise(lvl)
+    starts = chain.select("key", lvl.alias("lvl"))
+    keys = e.select("key").distinct()
+    agg = starts.groupBy("key").agg(F.max("lvl").alias("funnel_level"))
+    return (keys.join(agg, "key", "left")
+            .select(F.col("key"),
+                    F.coalesce(F.col("funnel_level"), F.lit(0))
+                    .cast("long").alias("funnel_level")))

@@ -124,6 +124,7 @@ GATES = [
     "terms_lookup_docs",    # subquery-fed broadcast semi-join
     "tree_paths",           # pointer-doubling forest resolve
     "predict_linear",       # exact-integer OLS sufficient stats
+    "window_funnel",        # desc-range windows + co-keyed joins
 ]
 
 
