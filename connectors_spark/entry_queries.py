@@ -21771,3 +21771,89 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (window_funnel(ev, ["view", "click", "purchase"],
                           _FUNNEL_WINDOW_US)
             .withColumnRenamed("key", "key"))
+
+
+@register("knn_triangle_clustering", f"""
+WITH {_NORMS_SQL},
+dots AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         sum(CAST(a.embedding[i] AS DOUBLE)
+             * CAST(b.embedding[i] AS DOUBLE)) AS dot
+  FROM embeddings a CROSS JOIN embeddings b CROSS JOIN dims
+  WHERE a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT src, dst, round(dot / (ns.nrm * nd.nrm), 6) AS cos
+  FROM dots
+  JOIN norms ns ON ns.vec_id = src
+  JOIN norms nd ON nd.vec_id = dst
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_PAGERANK_K}
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node
+),
+e1 AS (
+  SELECT a, b, da.d AS da, db.d AS db
+  FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+  FROM e1
+),
+ov AS MATERIALIZED (SELECT u, v, d.d AS dv FROM o JOIN deg d ON d.node = v),
+wed AS MATERIALIZED (
+  SELECT l.u, l.v AS y, r.v AS z
+  FROM ov l JOIN ov r ON l.u = r.u
+  WHERE l.dv < r.dv OR (l.dv = r.dv AND l.v < r.v)
+),
+tri AS MATERIALIZED (
+  SELECT w.u, w.y, w.z
+  FROM wed w JOIN o ON o.u = w.y AND o.v = w.z
+),
+pern AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS t
+  FROM (SELECT u AS node FROM tri UNION ALL
+        SELECT y FROM tri UNION ALL SELECT z FROM tri)
+  GROUP BY node
+)
+SELECT deg.node AS vec_id, deg.d AS degree,
+       CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN round(2.0 * coalesce(t, 0) / (deg.d * (deg.d - 1)), 6)
+       END AS clustering
+FROM deg LEFT JOIN pern ON pern.node = deg.node
+""")
+def q_knn_triangle_clustering(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    semantic kNN graph (operators/graph.py:triangle_counts, Suri &
+    Vassilvitskii 2011 degree orientation): the embedding-space
+    cluster-quality audit — high clustering marks tight semantic
+    neighborhoods (dedup/mixture candidates), zero marks hub-spoke
+    regions. Edges are the SAME deterministic kNN edges the
+    graph_pagerank gate pins (rounded-cosine rank, id tie-break).
+    Wedges are enumerated only at each edge's lower-(degree, id)
+    endpoint, so wedge volume is O(m^1.5) and a hub's d^2 explosion
+    (the 'last reducer') cannot happen; one equi-join closes each
+    wedge; every triangle is found exactly once."""
+    from connectors_spark.operators.graph import (knn_edges,
+                                                  triangle_counts)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    tri = triangle_counts(knn_edges(emb, k=_PAGERANK_K))
+    return tri.withColumnRenamed("node", "vec_id")

@@ -412,3 +412,68 @@ def tree_paths(nodes: DataFrame, max_depth: int = 4096,
         F.when(resolved, F.col("dist")).alias("depth"),
         *( [F.when(resolved, path).alias("path")] if with_path else []),
     )
+
+
+def triangle_counts(edges: DataFrame, round_to: int = 6) -> DataFrame:
+    """(node, degree, n_triangles, clustering) — EXACT triangle
+    counting by degree orientation (the MapReduce node-iterator++
+    shape; Suri & Vassilvitskii 2011, "Counting triangles and the
+    curse of the last reducer"): symmetrize + dedup to undirected
+    {a,b} pairs, orient every edge from the endpoint with the lower
+    (degree, id) to the higher, enumerate wedges ONLY at each edge's
+    lower endpoint (out-degree under this orientation is O(sqrt(m))
+    for every node, so wedge volume is O(m^1.5) total — a raw hub
+    node's d^2 wedge explosion, the 'last reducer', cannot happen),
+    and close each wedge with one equi-join back to the oriented
+    edge set. Every triangle is found exactly once (its vertices are
+    met in orientation-rank order), then exploded to its 3 corners
+    for per-node counts. clustering = 2T / (d(d-1)) for d >= 2, NULL
+    below — the local clustering coefficient, the embedding-space
+    cluster-quality audit when edges come from knn_edges."""
+    # und feeds deg (twice, via the union) and e1; o feeds ov and the
+    # wedge-closing join — persist both so the upstream edge
+    # computation (e.g. brute-force kNN) runs once, not per reference
+    # (the DuckDB twin needs AS MATERIALIZED for the same reason)
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct().persist())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                .alias("d")))
+    e1 = (und.join(deg.select(F.col("node").alias("a"),
+                              F.col("d").alias("da")), "a")
+          .join(deg.select(F.col("node").alias("b"),
+                           F.col("d").alias("db")), "b"))
+    a_first = ((F.col("da") < F.col("db"))
+               | ((F.col("da") == F.col("db"))
+                  & (F.col("a") < F.col("b"))))
+    o = e1.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v")) \
+        .persist()
+    ov = o.join(deg.select(F.col("node").alias("v"),
+                           F.col("d").alias("dv")), "v")
+    lft = ov.select(F.col("u"), F.col("v").alias("y"),
+                    F.col("dv").alias("dy"))
+    rgt = ov.select(F.col("u").alias("_u"), F.col("v").alias("z"),
+                    F.col("dv").alias("dz"))
+    wed = lft.join(
+        rgt, (lft["u"] == rgt["_u"])
+        & ((lft["dy"] < rgt["dz"])
+           | ((lft["dy"] == rgt["dz"]) & (lft["y"] < rgt["z"]))))
+    tri = wed.join(o.select(F.col("u").alias("y"),
+                            F.col("v").alias("z")), ["y", "z"]) \
+        .select("u", "y", "z")
+    pern = (tri.select(F.explode(F.array("u", "y", "z")).alias("node"))
+            .groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("t")))
+    d = F.col("d")
+    return (deg.join(pern, "node", "left")
+            .select("node", d.alias("degree"),
+                    F.coalesce(F.col("t"), F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    F.when(d >= 2,
+                           F.round(2.0 * F.coalesce(F.col("t"), F.lit(0))
+                                   / (d * (d - 1)), round_to))
+                    .alias("clustering")))

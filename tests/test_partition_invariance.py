@@ -125,6 +125,7 @@ GATES = [
     "tree_paths",           # pointer-doubling forest resolve
     "predict_linear",       # exact-integer OLS sufficient stats
     "window_funnel",        # desc-range windows + co-keyed joins
+    "knn_triangle_clustering",  # degree-oriented wedge joins
 ]
 
 
