@@ -21857,3 +21857,94 @@ def q_knn_triangle_clustering(spark: SparkSession,
     emb = _read(spark, sf_dir, "embeddings")
     tri = triangle_counts(knn_edges(emb, k=_PAGERANK_K))
     return tri.withColumnRenamed("node", "vec_id")
+
+
+_FS_MIN_WEIGHT = 5.0
+
+
+@register("record_linkage", f"""
+WITH b AS (
+  SELECT c_custkey AS rec_id,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substr(c_name, 1, 7) || substr(c_name, 9)
+              ELSE c_name END AS name,
+         CASE WHEN c_custkey % 2 = 0 THEN round(c_acctbal)
+              ELSE c_acctbal END AS bal,
+         CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+              ELSE c_mktsegment END AS seg,
+         c_nationkey AS nat
+  FROM customer
+),
+a AS (
+  SELECT c_custkey AS rec_id, c_name AS name, c_acctbal AS bal,
+         c_mktsegment AS seg, c_nationkey AS nat
+  FROM customer
+),
+p AS (
+  SELECT a.rec_id AS a_id, b.rec_id AS b_id,
+         a.name = b.name AS name_exact_agree,
+         levenshtein(a.name, b.name) <= 1 AS name_close_agree,
+         abs(a.bal - b.bal) <= 0.5 AS bal_close_agree,
+         a.seg = b.seg AS seg_agree
+  FROM a JOIN b ON a.nat = b.nat
+),
+s AS (
+  SELECT a_id, b_id, name_exact_agree, name_close_agree,
+         bal_close_agree, seg_agree,
+         round(
+           (CASE WHEN name_exact_agree THEN log2(0.9 / 0.01)
+                 ELSE log2(0.09999999999999998 / 0.99) END)
+         + (CASE WHEN name_close_agree THEN log2(0.99 / 0.02)
+                 ELSE log2(0.010000000000000009 / 0.98) END)
+         + (CASE WHEN bal_close_agree THEN log2(0.95 / 0.05)
+                 ELSE log2(0.050000000000000044 / 0.95) END)
+         + (CASE WHEN seg_agree THEN log2(0.9 / 0.2)
+                 ELSE log2(0.09999999999999998 / 0.8) END),
+           {ROUND_SCORE}) AS weight
+  FROM p
+)
+SELECT * FROM s WHERE weight >= {_FS_MIN_WEIGHT}
+""")
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (operators/linkage.py:
+    fellegi_sunter_link, Fellegi & Sunter 1969 / the Splink shape):
+    customers linked against a deterministically dirtied copy of
+    themselves (dropped name char on id%3, rounded balance on id%2,
+    wiped segment on id%11) — candidate pairs ONLY from the
+    nation-key block equi-join (never a cross product), agreement
+    vector (exact name, levenshtein<=1 name, |bal diff|<=0.5,
+    segment), match weight = sum of log2 m/u likelihood ratios with
+    fixed published-style parameters, evaluated in-engine from
+    identical literals. Pairs at weight >= {_FS_MIN_WEIGHT} survive.
+    1-m literals below are spelled as the exact IEEE doubles
+    (1.0 - m) produces, so both engines divide the same numbers."""
+    from connectors_spark.operators.linkage import fellegi_sunter_link
+
+    cust = _read(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("rec_id"), F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"))
+    k = F.col("c_custkey")
+    b = cust.select(
+        k.alias("rec_id"),
+        F.when(k % 3 == 0,
+               F.concat(F.substring("c_name", 1, 7),
+                        F.expr("substring(c_name, 9)")))
+         .otherwise(F.col("c_name")).alias("name"),
+        F.when(k % 2 == 0, F.round("c_acctbal"))
+         .otherwise(F.col("c_acctbal")).alias("bal"),
+        F.when(k % 11 == 0, F.lit("UNKNOWN"))
+         .otherwise(F.col("c_mktsegment")).alias("seg"),
+        F.col("c_nationkey").alias("nat"))
+    comps = [
+        {"name": "name_exact", "col": "name", "m": 0.9, "u": 0.01},
+        {"name": "name_close", "col": "name", "m": 0.99, "u": 0.02,
+         "agree": lambda x, y: F.levenshtein(x, y) <= 1},
+        {"name": "bal_close", "col": "bal", "m": 0.95, "u": 0.05,
+         "agree": lambda x, y: F.abs(x - y) <= 0.5},
+        {"name": "seg", "col": "seg", "m": 0.9, "u": 0.2},
+    ]
+    return fellegi_sunter_link(a, b, ["nat"], comps,
+                               min_weight=_FS_MIN_WEIGHT)

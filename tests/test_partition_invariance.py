@@ -126,6 +126,7 @@ GATES = [
     "predict_linear",       # exact-integer OLS sufficient stats
     "window_funnel",        # desc-range windows + co-keyed joins
     "knn_triangle_clustering",  # degree-oriented wedge joins
+    "record_linkage",       # blocked pairs + log-likelihood weights
 ]
 
 
