@@ -21948,3 +21948,94 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return fellegi_sunter_link(a, b, ["nat"], comps,
                                min_weight=_FS_MIN_WEIGHT)
+
+
+_TR_W = 8          # sentence = 8-token non-overlapping chunk
+_TR_DAMP = 0.85
+_TR_ITERS = 5
+_TR_TOP = 2
+
+
+def _textrank_sql() -> str:
+    it = """
+r{k} AS MATERIALIZED (
+  SELECT n.doc_id, n.sent_idx,
+         n.base + {d} * coalesce(i.inf, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT t.doc_id, t.dst, sum(t.pr * r.rank) AS inf
+    FROM trans t JOIN r{p} r
+      ON r.doc_id = t.doc_id AND r.sent_idx = t.src
+    GROUP BY 1, 2
+  ) i ON i.doc_id = n.doc_id AND i.dst = n.sent_idx)"""
+    iters = ",".join(it.format(k=k, p=k - 1, d=_TR_DAMP)
+                     for k in range(1, _TR_ITERS + 1))
+    w = _TR_W
+    return f"""
+WITH base AS (SELECT doc_id, {_ARR} AS arr FROM documents),
+nn AS (SELECT doc_id, arr, len(arr) AS n FROM base WHERE len(arr) > 0),
+cc AS (SELECT doc_id, arr,
+              CASE WHEN n <= {w} THEN 1
+                   ELSE (n - {w} + {w} - 1) // {w} + 1 END AS n_chunks
+       FROM nn),
+ee AS (SELECT doc_id, arr, unnest(range(n_chunks)) AS sent_idx FROM cc),
+sent AS MATERIALIZED (
+  SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
+         list_distinct(list_slice(arr, sent_idx * {w} + 1,
+                                  sent_idx * {w} + {w})) AS toks
+  FROM ee),
+tok AS (SELECT doc_id, sent_idx, unnest(toks) AS term FROM sent),
+pairs AS MATERIALIZED (
+  SELECT t1.doc_id, t1.sent_idx AS src, t2.sent_idx AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM tok t1 JOIN tok t2
+    ON t1.doc_id = t2.doc_id AND t1.term = t2.term
+   AND t1.sent_idx <> t2.sent_idx
+  GROUP BY 1, 2, 3),
+outw AS (SELECT doc_id, src, sum(w) AS ow FROM pairs GROUP BY 1, 2),
+trans AS MATERIALIZED (
+  SELECT p.doc_id, p.src, p.dst, CAST(p.w AS DOUBLE) / outw.ow AS pr
+  FROM pairs p JOIN outw
+    ON outw.doc_id = p.doc_id AND outw.src = p.src),
+nd AS (SELECT doc_id, count(*) AS n FROM sent GROUP BY 1),
+nodes AS MATERIALIZED (
+  SELECT s.doc_id, s.sent_idx, 1.0 / nd.n AS r_init,
+         (1 - {_TR_DAMP}) / nd.n AS base
+  FROM sent s JOIN nd ON nd.doc_id = s.doc_id),
+r0 AS (SELECT doc_id, sent_idx, r_init AS rank FROM nodes),
+{iters},
+final AS (SELECT doc_id, sent_idx, round(rank, {ROUND_SCORE}) AS score
+          FROM r{_TR_ITERS})
+SELECT doc_id, CAST(pos AS INT) AS pos, sent_idx, score
+FROM (SELECT doc_id, sent_idx, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, sent_idx) AS pos
+      FROM final)
+WHERE pos <= {_TR_TOP}"""
+
+
+@register("textrank_sentences", _textrank_sql())
+def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive TextRank (operators/graph.py:textrank_sentences,
+    Mihalcea & Tarau 2004): per document, sentences ({_TR_W}-token
+    non-overlapping chunks via the doc_chunk_windows operator), edges
+    weighted by shared-distinct-token count, 5 damped power
+    iterations of the per-doc recurrence, top-2 most central
+    sentences — the extractive pre-summarization / centroid-sentence
+    selection step of a long-doc pipeline. ALL docs' graphs travel in
+    ONE (doc, sentence)-keyed partitioning through every iteration
+    (a 10^9-doc corpus runs the same five shuffles as one doc);
+    sentence pairs meet through the (doc, term) key, bounded by
+    sentences-per-doc. Rank positions order by the ROUNDED score
+    (then sent_idx), so sub-round float noise cannot flip positions
+    across engines. Oracle: the identical recurrence unrolled as
+    chained MATERIALIZED CTEs."""
+    from connectors_spark.operators.graph import textrank_sentences
+    from connectors_spark.operators.pretrain import chunk_token_windows
+
+    docs = _read(spark, sf_dir, "documents")
+    ch = chunk_token_windows(docs, window=_TR_W, stride=_TR_W)
+    sents = ch.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("sent_idx"),
+        F.split("chunk_text", " ").alias("tokens"))
+    return textrank_sentences(sents, damping=_TR_DAMP, iters=_TR_ITERS,
+                              top_n=_TR_TOP)

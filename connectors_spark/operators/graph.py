@@ -477,3 +477,77 @@ def triangle_counts(edges: DataFrame, round_to: int = 6) -> DataFrame:
                            F.round(2.0 * F.coalesce(F.col("t"), F.lit(0))
                                    / (d * (d - 1)), round_to))
                     .alias("clustering")))
+
+
+def textrank_sentences(sents: DataFrame, damping: float = 0.85,
+                       iters: int = 5, top_n: int = 2,
+                       round_to: int = 6) -> DataFrame:
+    """(doc_id, pos, sent_idx, score) — per-document extractive
+    TextRank (Mihalcea & Tarau 2004): sentences are nodes, edge
+    weight = count of shared distinct tokens, and `iters` damped
+    power iterations of the per-doc PageRank recurrence
+
+        r'(s) = (1-d)/N_doc + d * sum_in w/outw * r
+
+    rank the top_n most central sentences per doc — the extractive
+    pre-summarization / centroid-sentence selection step of a
+    long-document pipeline.
+
+    `sents`: (doc_id, sent_idx, tokens array<string>). Every frame is
+    keyed by (doc_id, sent) so ONE partitioning carries all docs'
+    graphs through every iteration — per-doc graphs never
+    materialize separately and a corpus of 10^9 docs runs the same
+    five shuffles as one doc. Sentence pairs meet through the
+    (doc_id, term) key (per-key width = sentences containing that
+    term within one doc — bounded by sentences/doc, never corpus
+    n^2). Isolated sentences keep the teleport floor. Final ordering
+    uses the ROUNDED score (then sent_idx) so rank positions cannot
+    depend on sub-round_to float noise — the cross-engine contract.
+    """
+    s = sents.select("doc_id", "sent_idx",
+                     F.array_distinct("tokens").alias("toks"))
+    toks = s.select("doc_id", "sent_idx",
+                    F.explode("toks").alias("term"))
+    t2 = toks.select(F.col("doc_id").alias("_d"),
+                     F.col("sent_idx").alias("dst"),
+                     F.col("term").alias("_t"))
+    pairs = (toks.join(t2, (toks["doc_id"] == t2["_d"])
+                       & (toks["term"] == t2["_t"])
+                       & (toks["sent_idx"] != t2["dst"]))
+             .groupBy("doc_id", F.col("sent_idx").alias("src"), "dst")
+             .agg(F.count(F.lit(1)).alias("w")))
+    outw = pairs.groupBy("doc_id", "src").agg(F.sum("w").alias("ow"))
+    trans = (pairs.join(outw, ["doc_id", "src"])
+             .select("doc_id", "src", "dst",
+                     (F.col("w").cast("double") / F.col("ow"))
+                     .alias("p"))
+             .persist())
+    nd = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    nodes = (s.join(nd, "doc_id")
+             .select("doc_id", "sent_idx",
+                     (F.lit(1.0) / F.col("n")).alias("r0"),
+                     ((1.0 - damping) / F.col("n")).alias("base"))
+             .persist())
+    ranks = nodes.select("doc_id", "sent_idx",
+                         F.col("r0").alias("rank"))
+    for _ in range(int(iters)):
+        rsrc = ranks.select(F.col("doc_id").alias("_rd"),
+                            F.col("sent_idx").alias("_rs"), "rank")
+        inflow = (trans.join(
+            rsrc, (trans["doc_id"] == rsrc["_rd"])
+            & (trans["src"] == rsrc["_rs"]))
+            .groupBy(F.col("doc_id").alias("_id"), F.col("dst"))
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("inf")))
+        ranks = (nodes.join(
+            inflow, (nodes["doc_id"] == inflow["_id"])
+            & (nodes["sent_idx"] == inflow["dst"]), "left")
+            .select(nodes["doc_id"], "sent_idx",
+                    (F.col("base") + damping
+                     * F.coalesce("inf", F.lit(0.0))).alias("rank")))
+    scored = ranks.select("doc_id", "sent_idx",
+                          F.round("rank", round_to).alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"),
+                                             F.asc("sent_idx"))
+    return (scored.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= top_n)
+            .select("doc_id", "pos", "sent_idx", "score"))

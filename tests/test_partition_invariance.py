@@ -127,6 +127,7 @@ GATES = [
     "window_funnel",        # desc-range windows + co-keyed joins
     "knn_triangle_clustering",  # degree-oriented wedge joins
     "record_linkage",       # blocked pairs + log-likelihood weights
+    "textrank_sentences",   # (doc,sent)-keyed power iterations
 ]
 
 
