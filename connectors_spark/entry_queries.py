@@ -22016,7 +22016,7 @@ WHERE pos <= {_TR_TOP}"""
 @register("textrank_sentences", _textrank_sql())
 def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extractive TextRank (operators/graph.py:textrank_sentences,
-    Mihalcea & Tarau 2004): per document, sentences ({_TR_W}-token
+    Mihalcea & Tarau 2004): per document, sentences (8-token
     non-overlapping chunks via the doc_chunk_windows operator), edges
     weighted by shared-distinct-token count, 5 damped power
     iterations of the per-doc recurrence, top-2 most central

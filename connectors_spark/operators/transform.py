@@ -171,6 +171,10 @@ def window_funnel(events: DataFrame, steps: list[str],
     O(events log events) sort, the TSDB funnel shape."""
     if len(steps) < 2:
         raise ValueError("need at least 2 funnel steps")
+    if len(set(steps)) != len(steps):
+        # a type naming two stages would silently bind to only the
+        # earliest one — repeated-step funnels need a stateful matcher
+        raise ValueError("funnel steps must be distinct event types")
     k = len(steps)
     step_idx = F.lit(None).cast("int")
     for i, s in enumerate(reversed(steps)):

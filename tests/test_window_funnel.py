@@ -57,3 +57,10 @@ def test_two_step_funnel(spark):
     got = {r["key"]: r["funnel_level"]
            for r in window_funnel(df, ["view", "click"], 100).collect()}
     assert got == {9: 2}
+
+
+def test_duplicate_steps_rejected(spark):
+    import pytest as _pt
+    df = _df(spark, [(1, 0, "view")])
+    with _pt.raises(ValueError):
+        window_funnel(df, ["view", "click", "view"], 100)
