@@ -21436,12 +21436,9 @@ def q_interval_containment_join(spark: SparkSession,
 from connectors_spark.functions.analysis import (  # noqa: E402
     wordpiece_sql_duckdb as _wp_sql)
 
-_WORDPIECE_WORDS = """
+_WORDPIECE_WORDS = f"""
 SELECT DISTINCT t AS word FROM (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
-                                                  '[^a-z0-9]+'),
-                            t -> t <> '')) AS t
-  FROM documents)"""
+  SELECT unnest({_ARR}) AS t FROM documents)"""
 
 
 @register("wordpiece_tokenize", _wp_sql(_WORDPIECE_WORDS))
@@ -21463,12 +21460,11 @@ def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     LLM-pipeline analog."""
     from connectors_spark.functions.analysis import wordpiece_struct_col
 
+    from connectors_spark.functions.analysis import tokens_col
+
     docs = _read(spark, sf_dir, "documents")
-    words = (docs.select(F.explode(
-                 F.split(F.lower(F.col("text")), "[^a-z0-9]+"))
-                 .alias("word"))
-             .filter(F.col("word") != "")
-             .distinct())
+    words = (docs.select(F.explode(tokens_col(F.col("text")))
+                 .alias("word")).distinct())
     wp = wordpiece_struct_col(F.col("word"))
     return words.select(
         "word",
@@ -21477,13 +21473,9 @@ def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         wp["has_unk"].alias("has_unk"))
 
 
-@register("symspell_correct", """
+@register("symspell_correct", f"""
 WITH toks AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text),
-                                                  '[^a-z0-9]+'),
-                            t -> t <> '')) AS term
-  FROM documents
+  SELECT doc_id, unnest({_ARR}) AS term FROM documents
 ),
 lex AS (
   SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
@@ -21542,11 +21534,11 @@ def q_symspell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a 10^7-term lexicon."""
     from connectors_spark.operators.query import symspell_correct
 
+    from connectors_spark.functions.analysis import tokens_col
+
     docs = _read(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+"))
-        .alias("term")).filter(F.col("term") != "")
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
     lex = toks.groupBy("term").agg(
         F.countDistinct("doc_id").cast("long").alias("df"))
     t = F.col("term")
@@ -21631,11 +21623,15 @@ walk AS (
          w.depth + 1,
          CAST(n.parent AS VARCHAR) || '/' || w.path
   FROM walk w JOIN nodes n ON n.node = w.cur
-  WHERE n.parent IS NOT NULL
+  WHERE n.parent IS NOT NULL AND w.depth < 64
+),
+resolved AS (
+  SELECT w.node, w.cur, w.depth, w.path
+  FROM walk w JOIN nodes n ON n.node = w.cur
+  WHERE n.parent IS NULL AND w.depth <= 64
 )
-SELECT w.node AS node_id, w.cur AS root_id, w.depth, w.path
-FROM walk w JOIN nodes n ON n.node = w.cur
-WHERE n.parent IS NULL
+SELECT n0.node AS node_id, r.cur AS root_id, r.depth, r.path
+FROM nodes n0 LEFT JOIN resolved r ON r.node = n0.node
 """)
 def q_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parent-pointer forest materialization via pointer doubling
@@ -21677,7 +21673,8 @@ b AS (
 stats AS (
   SELECT series, CAST(count(*) AS BIGINT) AS n,
          sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(x * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
          max(xlast) AS xlast
   FROM b GROUP BY series
 ),
@@ -21768,9 +21765,8 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connectors_spark.operators.transform import window_funnel
 
     ev = _read(spark, sf_dir, "events")
-    return (window_funnel(ev, ["view", "click", "purchase"],
-                          _FUNNEL_WINDOW_US)
-            .withColumnRenamed("key", "key"))
+    return window_funnel(ev, ["view", "click", "purchase"],
+                         _FUNNEL_WINDOW_US)
 
 
 @register("knn_triangle_clustering", f"""
@@ -21970,6 +21966,11 @@ r{k} AS MATERIALIZED (
     iters = ",".join(it.format(k=k, p=k - 1, d=_TR_DAMP)
                      for k in range(1, _TR_ITERS + 1))
     w = _TR_W
+    # Spark computes the teleport base as the PYTHON double
+    # (1.0 - damping); DuckDB's (1 - 0.85) is an exact DECIMAL
+    # 0.15 — spell the base as the identical IEEE double (the
+    # record_linkage 1-m convention) so no sub-round drift exists
+    base_lit = f"CAST({1.0 - _TR_DAMP!r} AS DOUBLE)"
     return f"""
 WITH base AS (SELECT doc_id, {_ARR} AS arr FROM documents),
 nn AS (SELECT doc_id, arr, len(arr) AS n FROM base WHERE len(arr) > 0),
@@ -21998,8 +21999,8 @@ trans AS MATERIALIZED (
     ON outw.doc_id = p.doc_id AND outw.src = p.src),
 nd AS (SELECT doc_id, count(*) AS n FROM sent GROUP BY 1),
 nodes AS MATERIALIZED (
-  SELECT s.doc_id, s.sent_idx, 1.0 / nd.n AS r_init,
-         (1 - {_TR_DAMP}) / nd.n AS base
+  SELECT s.doc_id, s.sent_idx, CAST(1.0 AS DOUBLE) / nd.n AS r_init,
+         {base_lit} / nd.n AS base
   FROM sent s JOIN nd ON nd.doc_id = s.doc_id),
 r0 AS (SELECT doc_id, sent_idx, r_init AS rank FROM nodes),
 {iters},

@@ -399,7 +399,9 @@ def tree_paths(nodes: DataFrame, max_depth: int = 4096,
         # contract at cluster scale)
         if (i + 1) % 3 == 0 and i + 1 < rounds:
             st = st.localCheckpoint(eager=True)
-    resolved = F.col("at_root")
+    # the doubling rounds can reach past max_depth (up to the next
+    # power of two) — enforce the documented contract exactly
+    resolved = F.col("at_root") & (F.col("dist") <= max_depth)
     path = (F.array_join(
         F.transform(
             F.concat(F.array(F.col("anc").cast("long")),

@@ -431,8 +431,10 @@ def predict_linear(df: DataFrame, series_col: str = "series",
     dec = "decimal(38,0)"
     base = df.select(
         F.col(series_col).alias("series"),
-        # epoch SECONDS by exact integer division of micros (floor) —
-        # matches DuckDB epoch_us(ts) // 1000000 on sub-second stamps
+        # epoch SECONDS: micros/1e6 truncated toward zero — DuckDB's
+        # `//` also truncates (verified: -1500000//1000000 = -1), so
+        # sub-second and pre-epoch stamps land identically on both
+        # engines; |micros| < 2^53 keeps the double intermediate exact
         (F.unix_micros(F.col(ts_col).cast("timestamp"))
          / F.lit(1_000_000)).cast("long").alias("t"),
         F.round(F.col(value_col) * 1e3).cast("long").alias("y"))
@@ -444,8 +446,10 @@ def predict_linear(df: DataFrame, series_col: str = "series",
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        # cast the OPERANDS, not the product: an int64 x*y would wrap
+        # silently (ansi off) for counter-scale values before the cast
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
         F.max(F.col("t1") - F.col("t0")).alias("xlast"))
     n = F.col("n").cast(dec)
     cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")

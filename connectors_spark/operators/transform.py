@@ -187,16 +187,19 @@ def window_funnel(events: DataFrame, steps: list[str],
          .filter(F.col("step").isNotNull()))
     w = (Window.partitionBy("key").orderBy(F.col("t").desc())
          .rangeBetween(Window.unboundedPreceding, -1))
-
-    def nxt_of(df: DataFrame, step: int) -> DataFrame:
-        m = F.min(F.when(F.col("step") == step, F.col("t"))).over(w)
-        return df.withColumn(f"m{step}", m)
+    # ALL next-step minima from ONE window pass (one per-key sort
+    # total — not one re-sort per funnel stage; the oracle's wm CTE
+    # is the same single pass)
+    em = e.select(
+        "key", "t", "step",
+        *[F.min(F.when(F.col("step") == i, F.col("t"))).over(w)
+          .alias(f"m{i}") for i in range(1, k)])
 
     # chain rows for the LAST transition first, then walk backwards
-    chain = (nxt_of(e, k - 1).filter(F.col("step") == k - 2)
+    chain = (em.filter(F.col("step") == k - 2)
              .select("key", "t", f"m{k-1}").distinct())
     for i in range(k - 3, -1, -1):
-        nxt = (nxt_of(e, i + 1).filter(F.col("step") == i)
+        nxt = (em.filter(F.col("step") == i)
                .select("key", "t", f"m{i+1}").distinct())
         right = chain.select(
             F.col("key").alias("_k"), F.col("t").alias("_t"),

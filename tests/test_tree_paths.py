@@ -67,3 +67,15 @@ def test_deep_chain_resolves_in_log_rounds(spark):
                                with_path=False).collect()}
     assert got[depth] == (0, depth)
     assert got[1] == (0, 1)
+
+
+def test_max_depth_cutoff_is_exact(spark):
+    # doubling rounds can reach past max_depth — the contract must
+    # still NULL anything deeper than max_depth exactly
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 8)]
+    got = {r["node_id"]: (r["root_id"], r["depth"])
+           for r in tree_paths(_nodes(spark, rows), max_depth=5,
+                               with_path=False).collect()}
+    assert got[5] == (0, 5)
+    assert got[6] == (None, None)
+    assert got[7] == (None, None)
