@@ -91,36 +91,99 @@ def make_encode_partition(avgdl: float, k1: float, b: float):
 
     Input partitions are hash-distributed by (term, shard) and sorted by
     (term, shard, doc_idx); Arrow may split one run across batches, so the
-    tail run of every batch is carried into the next. One pandas call per
-    PARTITION (not per term) — the per-group overhead that dominates
-    groupBy().applyInPandas with Zipf-tail terms disappears.
+    tail run of every batch is carried into the next. Non-positional
+    batches encode through `encode_shards_batch` — ONE vectorized NumPy
+    pass over the whole Arrow batch instead of ~20 NumPy calls per
+    (term, shard) group (the Zipf tail made per-group fixed cost the
+    encode wall: measured ~5.5s -> ~1s on the sf0.1 bench build).
+    Positional batches keep the per-group `encode_shard` path.
     """
+    from connectors_spark.functions.codec import encode_shards_batch
 
     out_cols = [f.name for f in ENCODED_POSTINGS_SCHEMA.fields]
+
+    def has_positions(pdf: pd.DataFrame) -> bool:
+        if "positions" not in pdf.columns or not len(pdf):
+            return False
+        v = pdf["positions"].iloc[0]
+        return not (v is None or isinstance(v, float))
+
+    def encode_body(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized whole-batch encode (no positions)."""
+        term = pdf["term"].to_numpy(object)
+        shard = pdf["shard"].to_numpy()
+        m = len(term)
+        newg = np.empty(m, dtype=bool)
+        newg[0] = True
+        newg[1:] = (term[1:] != term[:-1]) | (shard[1:] != shard[:-1])
+        gstarts = np.flatnonzero(newg)
+        tf = pdf["tf"].to_numpy(dtype=np.int64)
+        dl = pdf["dl"].to_numpy(dtype=np.int64)
+        enc = encode_shards_batch(
+            pdf["doc_idx"].to_numpy(dtype=np.int64), tf, dl,
+            tf_norm_np(tf, dl, avgdl, k1, b), gstarts,
+        )
+        ng = len(gstarts)
+        cols = {
+            "term": pd.Series(term[gstarts]),
+            "bucket": pd.Series(pdf["bucket"].to_numpy()[gstarts]),
+            "shard": pd.Series(shard[gstarts]),
+            "n_shards": pd.Series(pdf["n_shards"].to_numpy()[gstarts]),
+            "n_docs": pd.Series(enc["n_docs"]),
+            "df": pd.Series(pdf["df"].to_numpy(dtype=np.int64)[gstarts]),
+            "doc_gaps": pd.Series(enc["doc_gaps"], dtype=object),
+            "tfs": pd.Series(enc["tfs"], dtype=object),
+            "dls": pd.Series(enc["dls"], dtype=object),
+            "positions": pd.Series([None] * ng, dtype=object),
+            "block_last_doc": pd.Series(enc["block_last_doc"], dtype=object),
+            "block_offsets": pd.Series(enc["block_offsets"], dtype=object),
+            "block_tf_offsets": pd.Series(enc["block_tf_offsets"],
+                                          dtype=object),
+            "block_dl_offsets": pd.Series(enc["block_dl_offsets"],
+                                          dtype=object),
+            "block_pos_offsets": pd.Series([None] * ng, dtype=object),
+            "block_max_w": pd.Series(enc["block_max_w"], dtype=object),
+        }
+        return pd.DataFrame(cols, columns=out_cols)
+
+    def flush_group(g: pd.DataFrame, out: list[dict]):
+        tf = g["tf"].to_numpy(dtype=np.int64)
+        dl = g["dl"].to_numpy(dtype=np.int64)
+        pos = list(g["positions"]) if "positions" in g.columns else None
+        if pos is not None and (not len(pos) or pos[0] is None
+                                or (isinstance(pos[0], float))):
+            pos = None  # positions column present but null (disabled)
+        enc = encode_shard(
+            g["doc_idx"].to_numpy(dtype=np.int64), tf, dl,
+            tf_norm_np(tf, dl, avgdl, k1, b), positions=pos,
+        )
+        out.append({
+            "term": g["term"].iloc[0],
+            "bucket": int(g["bucket"].iloc[0]),
+            "shard": int(g["shard"].iloc[0]),
+            "n_shards": int(g["n_shards"].iloc[0]),
+            "df": int(g["df"].iloc[0]),
+            **enc,
+        })
 
     def encode_partition(batches):
         carry: pd.DataFrame | None = None
         out: list[dict] = []
+        # accumulate encoded frames before yielding: each downstream
+        # write_table/Arrow conversion per yield costs a parquet ROW
+        # GROUP's worth of per-column metadata, and binary-column stats
+        # made many tiny row groups 45% index-size overhead (measured)
+        pend: list[pd.DataFrame] = []
+        pend_rows = 0
 
-        def flush(g: pd.DataFrame):
-            tf = g["tf"].to_numpy(dtype=np.int64)
-            dl = g["dl"].to_numpy(dtype=np.int64)
-            pos = list(g["positions"]) if "positions" in g.columns else None
-            if pos is not None and (not len(pos) or pos[0] is None
-                                    or (isinstance(pos[0], float))):
-                pos = None  # positions column present but null (disabled)
-            enc = encode_shard(
-                g["doc_idx"].to_numpy(dtype=np.int64), tf, dl,
-                tf_norm_np(tf, dl, avgdl, k1, b), positions=pos,
-            )
-            out.append({
-                "term": g["term"].iloc[0],
-                "bucket": int(g["bucket"].iloc[0]),
-                "shard": int(g["shard"].iloc[0]),
-                "n_shards": int(g["n_shards"].iloc[0]),
-                "df": int(g["df"].iloc[0]),
-                **enc,
-            })
+        def drain():
+            nonlocal pend, pend_rows
+            if not pend:
+                return None
+            got = (pd.concat(pend, ignore_index=True) if len(pend) > 1
+                   else pend[0])
+            pend, pend_rows = [], 0
+            return got
 
         for pdf in batches:
             if carry is not None:
@@ -128,19 +191,36 @@ def make_encode_partition(avgdl: float, k1: float, b: float):
                 carry = None
             if len(pdf) == 0:
                 continue
-            key = pdf["term"].astype(str) + "\x00" + pdf["shard"].astype(str)
-            last = key.iloc[-1]
-            tail = key == last  # sorted => the run is contiguous at the end
-            carry = pdf[tail]
-            body = pdf[~tail]
+            # last (term, shard) run is carried into the next batch —
+            # find its start by position (input sorted by term, shard)
+            term = pdf["term"].to_numpy(object)
+            shard = pdf["shard"].to_numpy()
+            m = len(term)
+            same = (term == term[m - 1]) & (shard == shard[m - 1])
+            # run is contiguous at the end: first index of the tail run
+            tail_start = m - int(same[::-1].argmin()) if not same.all() else 0
+            carry = pdf.iloc[tail_start:]
+            body = pdf.iloc[:tail_start]
             if len(body):
-                for _, g in body.groupby(["term", "shard"], sort=False):
-                    flush(g)
-            if len(out) >= 2048:
-                yield pd.DataFrame(out, columns=out_cols)
-                out = []
+                if has_positions(body):
+                    for _, g in body.groupby(["term", "shard"], sort=False):
+                        flush_group(g, out)
+                    if len(out) >= 2048:
+                        yield pd.DataFrame(out, columns=out_cols)
+                        out = []
+                else:
+                    pend.append(encode_body(body))
+                    pend_rows += len(pend[-1])
+                    if pend_rows >= 32768:
+                        yield drain()
         if carry is not None and len(carry):
-            flush(carry)
+            if has_positions(carry):
+                flush_group(carry, out)
+            else:
+                pend.append(encode_body(carry))
+        tail = drain()
+        if tail is not None:
+            yield tail
         if out:
             yield pd.DataFrame(out, columns=out_cols)
 
@@ -223,6 +303,164 @@ def encode_postings(
     return sorted_p.mapInPandas(
         make_encode_partition(avgdl, k1, b), schema=ENCODED_POSTINGS_SCHEMA
     )
+
+
+def make_encode_arrow_partition(avgdl: float, k1: float, b: float):
+    """Arrow-native streaming encoder for mapInArrow (the fused,
+    non-positional build path): group detection, varint encoding and
+    output construction all operate on Arrow/NumPy buffers — no pandas
+    round-trip, no per-group Python work. The binary output columns are
+    built as ONE data buffer plus a fresh offsets array
+    (pa.Array.from_buffers), and the block-metadata lists as one values
+    array plus list offsets — the guide §4.2 re-slicing pattern, zero
+    bytes copied per group. Yields RecordBatches matching
+    ENCODED_POSTINGS_SCHEMA."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from connectors_spark.functions.codec import encode_streams
+
+    def encode_tbl(tbl: "pa.Table") -> "pa.RecordBatch":
+        tbl = tbl.combine_chunks()
+        m = tbl.num_rows
+        term = tbl.column("term")
+        shard = tbl.column("shard")
+        if m == 1:
+            gstarts = np.zeros(1, dtype=np.int64)
+        else:
+            neq = pc.or_(
+                pc.not_equal(term.slice(1), term.slice(0, m - 1)),
+                pc.not_equal(shard.slice(1), shard.slice(0, m - 1)),
+            ).to_numpy(zero_copy_only=False)
+            gstarts = np.flatnonzero(np.concatenate(([True], neq)))
+        tf = tbl.column("tf").to_numpy()
+        dl = tbl.column("dl").to_numpy()
+        st = encode_streams(
+            tbl.column("doc_idx").to_numpy(), tf, dl,
+            tf_norm_np(tf, dl, avgdl, k1, b), gstarts,
+        )
+        ng = len(gstarts)
+        take_idx = pa.array(gstarts)
+
+        def bin_col(buf: bytes, off: np.ndarray) -> "pa.Array":
+            offs = np.empty(ng + 1, dtype=np.int32)
+            offs[:-1] = off[gstarts]
+            offs[-1] = len(buf)
+            return pa.Array.from_buffers(
+                pa.binary(), ng,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
+            )
+
+        loffs = np.zeros(ng + 1, dtype=np.int32)
+        np.cumsum(st["nblocks"], out=loffs[1:])
+        loffs_pa = pa.array(loffs)
+
+        def list_col(vals: np.ndarray) -> "pa.Array":
+            return pa.ListArray.from_arrays(loffs_pa, pa.array(vals))
+
+        chunk0 = lambda c: c.chunk(0) if isinstance(c, pa.ChunkedArray) else c
+        arrays = [
+            chunk0(pc.take(term, take_idx)),
+            chunk0(pc.take(tbl.column("bucket"), take_idx)),
+            chunk0(pc.take(shard, take_idx)),
+            chunk0(pc.take(tbl.column("n_shards"), take_idx)),
+            pa.array(st["glens"]),
+            chunk0(pc.take(tbl.column("df"), take_idx)),
+            bin_col(st["gap_buf"], st["gap_off"]),
+            bin_col(st["tf_buf"], st["tf_off"]),
+            bin_col(st["dl_buf"], st["dl_off"]),
+            pa.nulls(ng, pa.binary()),
+            list_col(st["block_last_doc"]),
+            list_col(st["block_offsets"]),
+            list_col(st["block_tf_offsets"]),
+            list_col(st["block_dl_offsets"]),
+            pa.nulls(ng, pa.list_(pa.int64())),
+            list_col(st["block_max_w"]),
+        ]
+        names = [f.name for f in ENCODED_POSTINGS_SCHEMA.fields]
+        return pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def run(batches):
+        carry: "pa.Table | None" = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+                carry = None
+            m = tbl.num_rows
+            if m == 0:
+                continue
+            # the last (term, shard) run may continue in the next Arrow
+            # batch — carry it (input sorted by term, shard, doc_idx)
+            same = pc.and_(
+                pc.equal(tbl.column("term"), tbl.column("term")[m - 1]),
+                pc.equal(tbl.column("shard"), tbl.column("shard")[m - 1]),
+            ).to_numpy(zero_copy_only=False)
+            tail_start = m - int(same[::-1].argmin()) if not same.all() else 0
+            carry = tbl.slice(tail_start)
+            body = tbl.slice(0, tail_start)
+            if body.num_rows:
+                yield encode_tbl(body)
+        if carry is not None and carry.num_rows:
+            yield encode_tbl(carry)
+
+    return run
+
+
+def make_encode_arrow_write_partition(avgdl: float, k1: float, b: float,
+                                      out_dir: str):
+    """Arrow twin of make_encode_write_partition (same task-side
+    attempt-suffixed commit contract — see that docstring): buffers the
+    task's encoded batches and writes ONE parquet table per bucket, so
+    every file is a single row group (binary-column stats per row group
+    were measured at 45% size overhead with small groups). Task output
+    is bounded by the input partition size, so the buffer is too."""
+    import pyarrow as pa
+
+    enc = make_encode_arrow_partition(avgdl, k1, b)
+
+    def run(batches):
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        att = tc.attemptNumber()
+        schema = _arrow_encoded_schema()
+        got = list(enc(batches))
+        out_b, out_f, out_r = [], [], []
+        if got:
+            tbl = pa.Table.from_batches(got).combine_chunks()
+            buckets = tbl.column("bucket").to_numpy()
+            order = np.argsort(buckets, kind="stable")
+            tbl = tbl.take(pa.array(order)).combine_chunks()
+            buckets = buckets[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], buckets[1:] != buckets[:-1]))
+            )
+            ends = np.append(starts[1:], len(buckets))
+            body = tbl.drop_columns(["bucket"]).select(
+                [f.name for f in schema]
+            )
+            for a, e in zip(starts.tolist(), ends.tolist()):
+                b_ = int(buckets[a])
+                d = os.path.join(out_dir, f"bucket={b_}")
+                os.makedirs(d, exist_ok=True)
+                fp = os.path.join(d, f"part-p{pid:05d}-a{att}.parquet")
+                sub = body.slice(a, e - a).combine_chunks()
+                with pq.ParquetWriter(fp, schema) as w:
+                    w.write_table(sub.cast(schema))
+                out_b.append(b_)
+                out_f.append(fp)
+                out_r.append(e - a)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_b, type=pa.int32()),
+             pa.array(out_f, type=pa.string()),
+             pa.array(out_r, type=pa.int64())],
+            names=["bucket", "file", "rows"],
+        )
+
+    return run
 
 
 def _arrow_encoded_schema():
@@ -309,6 +547,57 @@ def make_encode_write_partition(avgdl: float, k1: float, b: float,
     return run
 
 
+def _token_entries(base: DataFrame, id_cols: list[str]) -> DataFrame:
+    """(*id_cols, dl, _entries) — per-doc distinct (term, tf) entries and
+    token count, computed ARRAY-SIDE in one tokenize pass.
+
+    The sorted token array's run boundaries give the distinct terms and
+    their counts: starts[i] marks where s[i] differs from s[i-1]; the
+    run length (= tf) is the distance to the next start. Replaces
+    explode + groupBy(term, doc) — i.e. removes a full token-stream
+    shuffle — with per-row array expressions.
+
+    Every intermediate (sorted array `_s`, its size `_n`, run starts
+    `_starts`) is materialized as a BOUND column via a dedicated
+    .select() stage. That staging is load-bearing: if the array-sort
+    subtree were inlined into the filter/transform lambdas, Catalyst
+    would re-evaluate it per array element (measured O(n^2)-per-doc
+    blowup). CollapseProject keeps the stages because each intermediate
+    is referenced more than once by non-cheap expressions. Callers that
+    explode `_entries` must do so across a materialization barrier
+    (persist/exchange), otherwise the generator's implicit
+    size(..)>0 filter is pushed below the projections with the whole
+    subtree inlined (same blowup).
+    """
+    from connectors_spark.functions.analysis import tokens_col
+
+    st0 = base.select(
+        *id_cols, F.array_sort(tokens_col(F.col("text"))).alias("_s")
+    )
+    s = F.col("_s")
+    st1 = st0.select(*id_cols, "_s", F.size("_s").alias("_n"))
+    n = F.col("_n")
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == 0) | (F.element_at(s, i + 1) != F.element_at(s, i)),
+    )
+    st2 = st1.select(*id_cols, "_s", "_n", starts.alias("_starts"))
+    stc = F.col("_starts")
+    ends = F.concat(
+        F.slice(stc, 2, F.greatest(F.size(stc) - 1, F.lit(0))), F.array(n)
+    )
+    entries = F.when(
+        n > 0,
+        F.arrays_zip(
+            F.transform(stc, lambda i: F.element_at(s, i + 1)).alias("term"),
+            F.zip_with(stc, ends, lambda a, b: b - a).alias("tf"),
+        ),
+    ).otherwise(F.array().cast("array<struct<term:string,tf:int>>"))
+    return st2.select(
+        *id_cols, n.cast("long").alias("dl"), entries.alias("_entries")
+    )
+
+
 def build_and_write_index(
     transcripts: DataFrame,
     path: str,
@@ -356,33 +645,45 @@ def build_and_write_index(
 
     base = with_doc_id(transcripts)
     id_cols = ["doc_id"] + (["ts"] if "ts" in base.columns else [])
-    # docs is one narrow row per doc but is traversed twice (range-bound
-    # sampling + the range shuffle itself) and dl costs a tokenize — pin it
-    docs = base.select(
-        *id_cols, F.size(tokens_col(F.col("text"))).cast("long").alias("dl")
-    ).persist()
+    # ONE tokenize pass over the corpus (was two: dl on the base table +
+    # a re-tokenize for the token stream): per-doc (term, tf) entries are
+    # computed ARRAY-SIDE from the sorted token array — run boundaries of
+    # the sorted array give the distinct terms and their counts — so the
+    # groupBy(term, doc) aggregation (a full token-stream shuffle, ~1.7x
+    # the posting count in rows) disappears from the plan entirely.
+    # Staged .select()s are load-bearing: each intermediate (sorted array,
+    # run starts) must be a BOUND column before the next expression
+    # references it from a lambda, otherwise Catalyst inlines the whole
+    # subtree into the lambda and re-evaluates it per array element
+    # (measured: O(n^2) per doc — minutes instead of seconds at sf0.1).
+    ent = _token_entries(base, id_cols).persist()
     # corpus stats ride the docmap WRITE job via Observation — no
     # separate count/sum pass over the written parquet
     obs = Observation("docmap_stats")
+    docs = ent.select(*id_cols, "dl")
     docmap = assign_doc_indices(docs).observe(
         obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     )
     docmap.write.mode("overwrite").parquet(f"{path}/docmap")
     docmap = spark.read.parquet(f"{path}/docmap")
-    docs.unpersist()
 
     n_docs = int(obs.get["n"])
     avgdl = float(obs.get["s"]) / n_docs if n_docs else 0.0
 
-    base_idx = base.select("doc_id", "text").join(
-        docmap.select("doc_id", "doc_idx", "dl"), "doc_id"
+    # attach doc_idx to the cached entries: explicit broadcast while the
+    # docmap is broadcastable (exact decision — n_docs is known); beyond
+    # that it degrades to a shuffle join of compact (doc_id, entries)
+    # rows — same volume the old token-stream join shuffled, minus the
+    # exploded duplication
+    dm = docmap.select("doc_id", "doc_idx")
+    if n_docs <= 2_000_000:
+        dm = F.broadcast(dm)
+    postings = (
+        ent.join(dm, "doc_id")
+        .select("doc_idx", "dl", F.explode("_entries").alias("_e"))
+        .select("doc_idx", "dl", F.col("_e.term").alias("term"),
+                F.col("_e.tf").cast("long").alias("tf"))
     )
-    toks = base_idx.select(
-        "doc_idx", "dl", F.explode(tokens_col(F.col("text"))).alias("term")
-    )
-    postings = toks.groupBy("term", "doc_idx").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
-    ).persist()
     lexicon = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     p = (
         postings.join(F.broadcast(lexicon), "term")
@@ -402,8 +703,8 @@ def build_and_write_index(
             import shutil as _shutil
             _shutil.rmtree(post_dir, ignore_errors=True)
             os.makedirs(post_dir, exist_ok=True)
-            manifest = sorted_p.mapInPandas(
-                make_encode_write_partition(avgdl, k1, b, post_dir),
+            manifest = sorted_p.mapInArrow(
+                make_encode_arrow_write_partition(avgdl, k1, b, post_dir),
                 schema="bucket int, file string, rows long",
             ).collect()
             if not manifest:  # empty corpus: still need a readable dir
@@ -414,8 +715,8 @@ def build_and_write_index(
                 write_postings_manifest(path, manifest)
                 gc_unmanifested(path)
         if not direct_write:
-            encoded = sorted_p.mapInPandas(
-                make_encode_partition(avgdl, k1, b),
+            encoded = sorted_p.mapInArrow(
+                make_encode_arrow_partition(avgdl, k1, b),
                 schema=ENCODED_POSTINGS_SCHEMA,
             )
             # classic committer path: bucket pruning is directory-level,
@@ -425,7 +726,7 @@ def build_and_write_index(
                 post_dir
             )
     finally:
-        postings.unpersist()
+        ent.unpersist()
 
     meta = {
         "n_docs": n_docs, "avgdl": avgdl, "gen0_avgdl": avgdl, "k1": k1,
