@@ -805,6 +805,32 @@ def read_postings(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(post_dir)
 
 
+_SHARD_ROW_COLS = ("doc_gaps", "tfs", "dls", "block_last_doc",
+                   "block_offsets", "block_tf_offsets", "block_dl_offsets",
+                   "block_max_w")
+
+
+def _shard_dicts(grp: pd.DataFrame, avgdl: float,
+                 gen_avgdl: dict) -> list[dict]:
+    """Encoded shard rows of one term as plain dicts, extracted
+    column-wise (one .to_numpy per column) — iterrows() built a pandas
+    Series per row, which dominated kernel setup on multi-shard terms.
+    The dicts carry exactly the fields the scoring kernels touch."""
+    m = len(grp)
+    nd = grp["n_docs"].to_numpy()
+    gen = (grp["_gen"].to_numpy() if "_gen" in grp.columns
+           else np.zeros(m, dtype=np.int64))
+    cols = [grp[c].to_numpy(object) for c in _SHARD_ROW_COLS]
+    rows = []
+    for j in range(m):
+        d = {"n_docs": nd[j],
+             "_ub_scale": max(1.0, avgdl / gen_avgdl.get(int(gen[j]), avgdl))}
+        for name, arr in zip(_SHARD_ROW_COLS, cols):
+            d[name] = arr[j]
+        rows.append(d)
+    return rows
+
+
 class IndexReader:
     """Cached handle on an encoded index — reuse across queries so
     per-query latency is kernel time, not parquet listing/scan time.
@@ -999,12 +1025,12 @@ class IndexReader:
                 if df_live <= 0:
                     continue
                 idf = float(idf_np(n_docs, df_live))
-                rows = []
-                for _, row in grp.iterrows():
-                    gen = int(row["_gen"]) if "_gen" in row.index else 0
-                    row["_ub_scale"] = max(1.0, avgdl / gen_avgdl.get(gen, avgdl))
-                    rows.append(row)
-                shards_by_term.append((idf, rows))
+                # column-wise extraction into plain dicts: one
+                # .to_numpy(object) per column instead of a pd.Series
+                # per shard row (iterrows) — the phrase_group :to_numpy
+                # pattern applied to the hottest query kernel
+                shards_by_term.append((idf, _shard_dicts(
+                    grp, avgdl, gen_avgdl)))
             gf = (gt, g) if gt > 1 else None
             if mode == "and":
                 req = int(pdf["n_terms"].iloc[0])
@@ -1189,17 +1215,15 @@ class IndexReader:
                 self._dead_cache[t] = 0
                 self._term_nbytes[t] = 64
                 self._term_cache_used += 64
-            for _, row in rows.iterrows():
-                g = int(row["_gen"]) if "_gen" in row.index else 0
-                row["_ub_scale"] = max(
-                    1.0, avgdl / self.gen_avgdl.get(g, avgdl)
-                )
-                t = row["term"]
+            terms_np = rows["term"].to_numpy(object)
+            for j, row in enumerate(_shard_dicts(rows, avgdl,
+                                                 self.gen_avgdl)):
+                t = terms_np[j]
                 self._term_cache[t].append(row)
                 nb = 256 + sum(
                     len(v) if isinstance(v, (bytes, bytearray, memoryview, str))
                     else 16
-                    for v in row.values
+                    for v in row.values()
                 )
                 self._term_nbytes[t] += nb
                 self._term_cache_used += nb

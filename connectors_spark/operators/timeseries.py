@@ -330,7 +330,6 @@ def counter_rate(df: DataFrame, series_col: str = "series",
     -> (series, n_samples, increase, span_sec, rate_per_sec). One
     series-partitioned lag window + one series agg — bounded by
     samples-per-series, the TSDB _tsid shape."""
-    w = Window.partitionBy(series_col).orderBy(ts_col)
     base = df.select(
         F.col(series_col).alias("series"),
         F.col(ts_col).cast("timestamp").cast("double").alias("t"),
@@ -365,7 +364,10 @@ def histogram_quantile(buckets: DataFrame, metric_col: str = "metric",
         lower + (le - lower) * (rank - cum_prev) / cnt
     with lower = previous bucket's le (0 for the first bucket, the
     Prometheus convention). A crossing that lands in the +Inf bucket
-    returns the largest finite le (Prometheus's documented clamp).
+    returns the largest finite le (Prometheus's documented clamp); a
+    crossing in the first bucket whose le <= 0 returns that le itself
+    (promql/quantile.go — interpolation from 0 would exceed the
+    bucket's upper bound).
     Input counts are PER-BUCKET observation counts (the operator
     builds the cumulative itself — equivalent to Prometheus's
     wire-cumulative buckets, and what raw data yields directly).
@@ -385,8 +387,8 @@ def histogram_quantile(buckets: DataFrame, metric_col: str = "metric",
                        F.col(count_col).cast("long").alias("cnt"))
     c = (b.withColumn("cum", F.sum("cnt").over(w))
           .withColumn("total", F.sum("cnt").over(wall))
-          .withColumn("lower",
-                      F.coalesce(F.lag("le").over(w), F.lit(0.0)))
+          .withColumn("_ple", F.lag("le").over(w))
+          .withColumn("lower", F.coalesce(F.col("_ple"), F.lit(0.0)))
           .withColumn("max_finite",
                       F.max(F.when(F.col("le") != F.lit(inf),
                                    F.col("le"))).over(wall)))
@@ -398,8 +400,13 @@ def histogram_quantile(buckets: DataFrame, metric_col: str = "metric",
                    & (F.col("total") > 0))
     interp = (F.col("lower") + (F.col("le") - F.col("lower"))
               * ((rank - cum_prev) / F.col("cnt")))
-    qty = F.when(F.col("le") == F.lit(inf),
-                 F.col("max_finite")).otherwise(interp)
+    # promql/quantile.go: a crossing in the FIRST bucket with a
+    # non-positive upper bound returns the bound itself — interpolating
+    # from lower=0 would land ABOVE the bucket's upper bound
+    qty = (F.when(F.col("le") == F.lit(inf), F.col("max_finite"))
+            .when(F.col("_ple").isNull() & (F.col("le") <= 0),
+                  F.col("le"))
+            .otherwise(interp))
     return hit.select("metric", "q",
                       F.round(qty, round_to).alias("quantile"))
 

@@ -79,6 +79,15 @@ def scd2_intervals(df: DataFrame, key_col: str, ts_col: str,
     kept), then each survivor's interval runs to the next change —
     valid_to NULL marks the current version.
 
+    NULL-attr semantics (pinned to the published SQL twin): a row is
+    kept when it has no predecessor OR its attr differs null-safely
+    from the predecessor's — i.e. `prev IS NULL OR attr IS DISTINCT
+    FROM prev`. Because a NULL predecessor attr also satisfies the
+    first disjunct, runs of NULL attrs are NOT compressed (each row
+    after a NULL-attr row survives). The earlier formulation
+    (`NOT attr <=> lag(attr)` alone) silently DROPPED a key's first
+    row when its attr was NULL, diverging from the twin.
+
     Tie/determinism: ordering is (ts, attr) so same-timestamp updates
     order identically on any engine; timestamps are carried as epoch
     micros (exact int64 — no string-format drift).
@@ -95,7 +104,9 @@ def scd2_intervals(df: DataFrame, key_col: str, ts_col: str,
     w = Window.partitionBy("key").orderBy("t", "attr")
     s = df.select(k.alias("key"), a.alias("attr"), t.alias("t"))
     d = s.withColumn("_pa", F.lag("attr").over(w))
-    c = d.filter(~F.col("attr").eqNullSafe(F.col("_pa"))).drop("_pa")
+    c = d.filter(
+        F.col("_pa").isNull() | ~F.col("attr").eqNullSafe(F.col("_pa"))
+    ).drop("_pa")
     w2 = Window.partitionBy("key").orderBy("t", "attr")
     v = (c.withColumn("valid_to_us", F.lead("t").over(w2))
           .withColumn("version",

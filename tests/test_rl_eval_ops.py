@@ -104,3 +104,13 @@ def test_histogram_quantile_interpolation(spark):
 def test_histogram_quantile_inf_clamps_to_max_finite(spark):
     got = _hq(spark, [(1.0, 5), (float("inf"), 5)], (0.9,))
     assert got[0.9] == 1.0
+
+
+def test_histogram_quantile_nonpositive_first_bucket_returns_bound(spark):
+    """promql/quantile.go: a crossing in the first bucket with le <= 0
+    returns the bucket's upper bound itself — interpolating from
+    lower=0 would produce a value ABOVE the bound."""
+    got = _hq(spark, [(-1.0, 10), (2.0, 10)], (0.2, 0.9))
+    assert got[0.2] == -1.0          # rank 4 -> first bucket, le=-1 <= 0
+    # later buckets still interpolate from the previous le
+    assert got[0.9] == -1.0 + 3.0 * (18 - 10) / 10

@@ -130,3 +130,29 @@ def test_duplicate_vec_id_in_batch_rejected(spark, tmp_path):
         upsert_vectors(spark, path, dup)
     # store unchanged: the live view still has exactly the init rows
     assert read_live(spark, path).count() == 20
+
+
+def test_upsert_batch_over_id_budget_rejected(spark, tmp_path):
+    """The driver-side id collection is bounded by contract: a batch
+    beyond max_batch_ids fails fast (before any generation write)."""
+    import os
+
+    import pytest
+
+    from connectors_spark.operators.vector_store import (
+        init_vector_store, upsert_vectors,
+    )
+
+    path = str(tmp_path / "vs")
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    init_vector_store(spark, path, base)
+    batch = spark.createDataFrame(
+        [(100 + i, [0.5, float(i)]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_batch_ids"):
+        upsert_vectors(spark, path, batch, max_batch_ids=3)
+    assert not os.path.exists(os.path.join(path, "gen-1.parquet"))
+    # under the bound the same batch lands
+    assert upsert_vectors(spark, path, batch, max_batch_ids=5) == 1

@@ -63,3 +63,25 @@ def test_interval_join_no_cartesian_in_plan(spark):
     out = _ij(spark, [(1, 10, 0, 100)], [(1, 1, 50)])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_scd2_null_attr_first_row_kept_and_null_runs_not_compressed(spark):
+    """NULL-attr semantics pinned to the SQL twin (`prev IS NULL OR attr
+    IS DISTINCT FROM prev`): a key whose FIRST attr is NULL keeps that
+    row, and every row following a NULL-attr row survives (NULL runs are
+    not compressed)."""
+    from connectors_spark.operators.transform import scd2_intervals
+
+    rows = [(7, datetime(2024, 1, 1, 0, 0, i), a)
+            for i, a in enumerate([None, None, "x", "x", None])]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, attr string")
+    out = sorted(scd2_intervals(df, "user_id", "ts", "attr").collect(),
+                 key=lambda r: r.version)
+    # kept rows: i=0 (first, NULL), i=1 (prev attr NULL), i=2 (change to
+    # x), i=4 (change to NULL); i=3 (x after x, prev non-NULL) compressed
+    assert [r.attr for r in out] == [None, None, "x", None]
+    assert [r.version for r in out] == [1, 2, 3, 4]
+    assert out[-1].is_current and out[-1].valid_to_us is None
+    # intervals still chain
+    for a, b in zip(out, out[1:]):
+        assert a.valid_to_us == b.valid_from_us
