@@ -222,30 +222,84 @@ def simhash_bits(df: DataFrame, text_col: str = "text",
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         local_edge_budget: int = 500_000) -> DataFrame:
     """(doc_id, component) — component = min doc_id reachable over the
     undirected edge set (doc_a, doc_b).
 
-    Min-label propagation: every vertex starts labeled with itself; each
-    round takes least(own label, min over neighbor labels) until a round
-    changes nothing. Converges in O(diameter) rounds — dedup graphs are
-    unions of near-cliques and star-capped buckets (lsh_candidate_pairs),
-    so diameter is small by construction; `max_iter` bounds adversarial
-    chains. Each round is one broadcast-free shuffle join + groupBy-min
-    (map-side combine); the driver loop carries only the converged flag,
-    never data — the standard iterate-until-fixpoint shape (GraphX/
-    Kiveris et al., "Connected Components in MapReduce and Beyond").
+    Small-graph fast path: duplicate graphs are tiny relative to the
+    corpus (one edge per detected dup pair, already star-capped by
+    lsh_candidate_pairs), and each distributed label-propagation round
+    costs several fixed-overhead join jobs. When the distinct edge
+    count fits `local_edge_budget` the closure runs as driver-side
+    union-find instead (exact same min-label result; the min per
+    component is order-identical because UTF-8 byte order equals
+    code-point order) — the same documented budget-routing pattern as
+    IndexReader.topk_local. The budget bounds driver memory by
+    contract (~500k edges ≈ tens of MB of ids); beyond it, the
+    distributed path below is unchanged.
+
+    Distributed path — min-label propagation: every vertex starts
+    labeled with itself; each round takes least(own label, min over
+    neighbor labels) until a round changes nothing. Converges in
+    O(diameter) rounds — dedup graphs are unions of near-cliques and
+    star-capped buckets, so diameter is small by construction;
+    `max_iter` bounds adversarial chains. Each round is one
+    broadcast-free shuffle join + groupBy-min (map-side combine) with
+    the changed-count riding the same job via Observation; the driver
+    loop carries only the converged flag, never data (GraphX / Kiveris
+    et al., "Connected Components in MapReduce and Beyond").
     """
-    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    und = edges.select("doc_a", "doc_b").distinct().persist()
+    n_edges = und.count()
+    if n_edges <= local_edge_budget:
+        try:
+            import pandas as _pd
+
+            pairs = und.toPandas()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            verts = set(pairs["doc_a"]) | set(pairs["doc_b"])
+            comp_min: dict = {}
+            for v in verts:
+                r = find(v)
+                m = comp_min.get(r)
+                if m is None or v < m:
+                    comp_min[r] = v
+            out = _pd.DataFrame({
+                "doc_id": list(verts),
+                "component": [comp_min[find(v)] for v in verts],
+            })
+            ft = dict(edges.dtypes)["doc_a"]
+            return edges.sparkSession.createDataFrame(
+                out, schema=f"doc_id {ft}, component {ft}")
+        finally:
+            und.unpersist()
+    sym = und.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+    und.unpersist()
     labels = (
         sym.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("comp", F.col("doc_id")).persist()
     )
     try:
-        for _ in range(max_iter):
+        from pyspark.sql import Observation
+
+        for it in range(max_iter):
             nbr = (
                 sym.join(
                     labels.select(F.col("doc_id").alias("dst"),
@@ -253,6 +307,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                 .groupBy("src").agg(F.min("nc").alias("nbr_comp"))
                 .withColumnRenamed("src", "doc_id")
             )
+            # the changed-label count rides the SAME job that
+            # materializes the round's labels (Observation on the
+            # persist-filling count) — one job per round, not a second
+            # join-and-count pass against the previous labels
+            obs = Observation(f"cc_round_{it}")
             new = (
                 labels.join(nbr, "doc_id", "left")
                 .select(
@@ -260,12 +319,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                     F.least(F.col("comp"),
                             F.coalesce("nbr_comp", F.col("comp")))
                     .alias("comp"),
-                ).persist()
+                    (F.coalesce("nbr_comp", F.col("comp"))
+                     < F.col("comp")).alias("_chg"),
+                )
+                .observe(obs, F.sum(F.col("_chg").cast("long")).alias("n"))
+                .drop("_chg")
+                .persist()
             )
-            changed = (
-                new.join(labels.withColumnRenamed("comp", "_old"), "doc_id")
-                .filter(F.col("comp") != F.col("_old")).limit(1).count()
-            )
+            new.count()
+            changed = int(obs.get["n"] or 0)
             labels.unpersist()
             labels = new
             if changed == 0:

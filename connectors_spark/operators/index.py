@@ -664,7 +664,25 @@ def build_and_write_index(
     docmap = assign_doc_indices(docs).observe(
         obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     )
-    docmap.write.mode("overwrite").parquet(f"{path}/docmap")
+    # lexicon df needs no doc_idx (it counts (term, doc) pairs straight
+    # off the cached entries), so its aggregation job runs CONCURRENTLY
+    # with the docmap write — the scheduler back-fills the docmap job's
+    # tail with lexicon tasks (guide §2.6 overlap of independent jobs);
+    # both only read the ent cache (per-partition cache locks keep the
+    # first materialization single-computed)
+    lexicon = (
+        ent.select(F.explode("_entries").alias("_e"))
+        .select(F.col("_e.term").alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .persist()
+    )
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_map = pool.submit(
+            lambda: docmap.write.mode("overwrite").parquet(f"{path}/docmap"))
+        f_lex = pool.submit(lexicon.count)
+        f_map.result()
+        f_lex.result()
     docmap = spark.read.parquet(f"{path}/docmap")
 
     n_docs = int(obs.get["n"])
@@ -684,7 +702,6 @@ def build_and_write_index(
         .select("doc_idx", "dl", F.col("_e.term").alias("term"),
                 F.col("_e.tf").cast("long").alias("tf"))
     )
-    lexicon = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     p = (
         postings.join(F.broadcast(lexicon), "term")
         .select("term", "doc_idx", "tf", "dl", "df",
@@ -727,6 +744,7 @@ def build_and_write_index(
             )
     finally:
         ent.unpersist()
+        lexicon.unpersist()
 
     meta = {
         "n_docs": n_docs, "avgdl": avgdl, "gen0_avgdl": avgdl, "k1": k1,

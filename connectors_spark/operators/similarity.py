@@ -780,10 +780,16 @@ def nndescent_knn_graph(vectors: DataFrame, k: int = 10, iters: int = 2,
     g = _topk_edges(_score_pairs(pairs0, corpus), k).persist()
     g.count()
     for _ in range(int(iters)):
+        # the undirected edge frame is referenced three times below
+        # (both sides of the 2-hop self-join + the candidate union);
+        # without a materialization barrier each reference re-executes
+        # the distinct AND duplicates the subtree in the plan, which
+        # compounds per iteration — localCheckpoint truncates the
+        # lineage (tiny frame: n*k*2 edges; guide §5 trade)
         e = (g.select("a", "b")
              .unionByName(g.select(F.col("b").alias("a"),
                                    F.col("a").alias("b")))
-             .distinct())
+             .distinct().localCheckpoint())
         two_hop = (e.alias("x").join(
             e.alias("y"), F.col("x.b") == F.col("y.a"))
             .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
@@ -835,18 +841,28 @@ def graph_beam_topk(vectors: DataFrame, queries: DataFrame,
         "query_id", "vec_id", ccos.alias("ecos"))
     ew = Window.partitionBy("query_id").orderBy(F.desc("ecos"),
                                                 F.asc("vec_id"))
+    # the frontier, the undirected edge frame and each hop's candidate
+    # set are all referenced twice-or-more downstream (cand feeds both
+    # the next hop's join AND its union); left lazy, every reference
+    # duplicates the whole upstream subtree, so the final plan grows
+    # ~2^hops copies of the frontier/edge DAG and each copy re-executes
+    # — measured 35 s PER SEARCH on a 500-vector corpus. These frames
+    # are tiny (O(queries*beam*(2k)^hops) rows), so localCheckpoint
+    # after each step truncates the lineage (guide §5) and the search
+    # collapses to `hops` small join jobs.
     frontier = (escored.withColumn("_r", F.row_number().over(ew))
-                .filter(F.col("_r") <= beam).select("query_id", "vec_id"))
+                .filter(F.col("_r") <= beam).select("query_id", "vec_id")
+                .localCheckpoint())
 
     e = (graph.select(F.col("vec_id").alias("a"), F.col("nbr").alias("b"))
          .unionByName(graph.select(F.col("nbr").alias("a"),
                                    F.col("vec_id").alias("b")))
-         .distinct())
+         .distinct().localCheckpoint())
     cand = frontier
     for _ in range(int(hops)):
         nxt = (cand.join(e, cand["vec_id"] == e["a"])
                .select("query_id", F.col("b").alias("vec_id")))
-        cand = cand.unionByName(nxt).distinct()
+        cand = cand.unionByName(nxt).distinct().localCheckpoint()
 
     corpus = with_norm(
         vectors.select(F.col(id_col).alias("vec_id"),

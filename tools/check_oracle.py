@@ -77,6 +77,8 @@ def main():
     for name, fn in qs.items():
         if name_filter and name_filter not in name:
             continue
+        import time as _time
+        _t0 = _time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -84,6 +86,7 @@ def main():
             results[name] = {"err": f"spark {type(e).__name__}: {e}"}
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             continue
+        _spark_sec = round(_time.time() - _t0, 3)
         if name not in osql:
             results[name] = {"rows_match": None, "schema_match": None,
                              "hash_match": None, "spark_rows": len(got),
@@ -107,6 +110,7 @@ def main():
             if hg != he:
                 problems.append(f"hash {hg} != {he}")
         results[name] = {
+            "spark_sec": _spark_sec,
             "rows_match": len(got) == len(exp),
             "schema_match": sorted(got.columns) == sorted(exp.columns),
             "hash_match": not problems,
@@ -126,7 +130,7 @@ def main():
             except Exception:  # noqa: BLE001
                 pass
         else:
-            print(f"OK    {name}: rows={len(got)}")
+            print(f"OK    {name}: rows={len(got)} spark_sec={_spark_sec}")
     print(f"\n{len(failures)} failures / {len(qs)} queries")
     if json_out:
         import json
