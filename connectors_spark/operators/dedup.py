@@ -59,7 +59,17 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 def doc_shingles(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Kept as posexplode + doc-partitioned lead() window deliberately: an
+    array-side formulation (transform + slice + array_join per
+    position, no shuffle) was tried in the r6 optimization round and
+    measured 9x SLOWER at sf0.1 — interpreted higher-order-function
+    evaluation pays per-element constants that the codegen'd
+    explode/window pipeline does not, and the removed exchange was also
+    the materialization point exchange-reuse shares between this
+    frame's three downstream references (signatures + both Jaccard
+    sides)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens_col(F.col(text_col))).alias("pos", "t"),
